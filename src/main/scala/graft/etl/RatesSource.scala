@@ -1,0 +1,64 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Source S-FX (SURVEY.md §2.1): the currencylayer historical-rate scan.
+  *
+  * The reference issues one HTTP GET per day and extracts
+  * `r.json()['quotes'][source]` from the response (reference
+  * main.py:117-138), guarded by the `success` flag (main.py:132). The
+  * fixture path builds one currencylayer-shaped JSON document per distinct
+  * order date — with a rate that is a pure deterministic function of the
+  * date, mirrored in the oracle SQL — then runs the *same extraction* the
+  * reference does: a JSON-path get of `$.quotes.<pair>` (S-JSONGET) behind
+  * a `success = true` gate (S-CHK).
+  *
+  * Output matches `schema_exchange_rate` (main.py:16-20):
+  * `(date DATE, currencies STRING, rate DOUBLE)` — one row per (day, pair),
+  * built to be joined to `fb_stat` on `date` (Q-JOIN-FX).
+  *
+  * Scale: distinct-date aggregation is one shuffle over a small key space
+  * (days); the result is tiny (~2.5k rows for 7 years) and is the canonical
+  * broadcast side of the FX join.
+  */
+object RatesSource {
+
+  val Pair = "USDUAH"
+
+  /** Deterministic per-date rate, exactly reproducible in ANSI SQL:
+    * `20 + ((day*37 + month*11) % 100) / 100.0`. Integer arithmetic then a
+    * single IEEE divide — bit-identical in Spark and DuckDB.
+    */
+  def rateFor(d: Column): Column =
+    lit(20.0) + (dayofmonth(d) * 37 + month(d) * 11) % 100 / lit(100.0)
+
+  /** currencylayer-shaped response documents, one per distinct order date:
+    * `{"success":true,"historical":true,"date":"...","source":"USD",
+    *   "quotes":{"USDUAH":<rate>}}`
+    */
+  def quotes(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(to_date(col("o_orderdate")).as("d"))
+      .distinct()
+      .select(to_json(struct(
+        lit(true).as("success"),
+        lit(true).as("historical"),
+        date_format(col("d"), "yyyy-MM-dd").as("date"),
+        lit("USD").as("source"),
+        struct(rateFor(col("d")).as(Pair)).as("quotes"))).as("payload"))
+
+  /** Parse + extract: success gate (S-CHK), JSON-path quote extraction
+    * (S-JSONGET), string→date/double casts (T-CAST), `currencies` concat
+    * (T-CONCAT, reference main.py:113 `source = from + to`).
+    */
+  def rates(spark: SparkSession, sfDir: String): DataFrame =
+    quotes(spark, sfDir)
+      .filter(get_json_object(col("payload"), "$.success") === "true")
+      .select(
+        to_date(get_json_object(col("payload"), "$.date"), "yyyy-MM-dd").as("date"),
+        concat(lit("USD"), lit("UAH")).as("currencies"),
+        get_json_object(col("payload"), s"$$.quotes.$Pair").cast("double").as("rate"))
+}

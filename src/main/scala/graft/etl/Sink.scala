@@ -1,0 +1,66 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Sink side of the reference (SURVEY.md §2.3):
+  *
+  *  - K-DS / K-TBL  create-namespace/table-if-missing with declared layout
+  *                  (reference main.py:44-78): day partitioning on `date`
+  *                  (main.py:67-70) + clustering on
+  *                  `campaign_id, campaign_name` (main.py:42,72-73).
+  *  - K-INS         append-only, at-least-once row insert (main.py:81-91):
+  *                  `insert_rows_json` has no dedup key and no transaction —
+  *                  a rerun duplicates rows. We keep that fidelity: append
+  *                  mode, never overwrite (Q-IDEM locks it).
+  *
+  * Spark mapping: BigQuery DAY time-partitioning → parquet
+  * `partitionBy("date")` (partition pruning for free, asserted by Q-PRUNE);
+  * BigQuery clustering → `sortWithinPartitions` before write, which gives
+  * parquet row-group min/max stats the same zone-skipping role.
+  *
+  * Scale: `partitionBy` at 100 TB needs bounded files-per-task →
+  * repartition by the partition column first so each task writes one file
+  * per day instead of every task writing every day (small-files explosion).
+  */
+object Sink {
+
+  /** K-DS: idempotent namespace (warehouse directory) creation. */
+  def ensureNamespace(root: String): Unit = {
+    Files.createDirectories(Paths.get(root))
+    ()
+  }
+
+  /** K-TBL + K-INS: append `df` into a day-partitioned, clustered parquet
+    * table at `path`, creating it with that layout on first write.
+    * Returns the table path.
+    */
+  def appendPartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCol: String = Schemas.partitionCol,
+      clusterCols: Seq[String] = Schemas.fbClusteringCols): String = {
+    val spark = df.sparkSession
+    // One write task per day-partition: repartition on the partition key so
+    // a 1000-executor write emits ~1 file per day, not tasks×days files.
+    // AQE coalesces the small SF case back down.
+    val clustered = df
+      .repartition(org.apache.spark.sql.functions.col(partitionCol))
+      .sortWithinPartitions(
+        (partitionCol +: clusterCols).map(org.apache.spark.sql.functions.col): _*)
+    clustered.write
+      .mode("append")
+      .partitionBy(partitionCol)
+      .parquet(path)
+    path
+  }
+
+  /** Stable per-(sfDir, table) scratch location under java.io.tmpdir, so
+    * repeated reads (Q-PRUNE) can reuse a written table within a JVM run.
+    */
+  def scratchPath(sfDir: String, table: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_warehouse/$key/$table"
+  }
+}

@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.etl.{FbInsightsSource, Normalize, RatesSource, Schemas, Sink}
+
+/** Reference-faithful flagship queries (SURVEY.md §2.6, Q-*).
+  *
+  * Determinism rules shared with the DuckDB oracle SQL in SparkEntry:
+  *  - every output has an explicit ORDER BY;
+  *  - integer aggregates stay integer (exact);
+  *  - money sums go through DECIMAL(18,2) (exact, order-insensitive) and
+  *    are cast back to double only at the end;
+  *  - per-row double products (spend*rate) are identical IEEE ops on both
+  *    engines — no rounding needed;
+  *  - computed integers are cast to BIGINT on both sides so parquet/duckdb
+  *    schemas align.
+  */
+object EtlQueries {
+
+  /** Normalized fb_stat DataFrame — the Q-LOAD-FB pipeline core. */
+  def fbStat(spark: SparkSession, sfDir: String): DataFrame =
+    Normalize(FbInsightsSource.raw(spark, sfDir))
+
+  private def decSum(c: String) =
+    sum(col(c).cast(DecimalType(18, 2))).cast("double")
+
+  /** Flat, oracle-comparable view of fb_stat (arrays → size + first-element
+    * probes so the nested normalization is value-checked through SQL).
+    */
+  private def flatten(fb: DataFrame): DataFrame =
+    fb.select(
+      col("date"), col("ad_id"), col("ad_name"), col("adset_id"),
+      col("adset_name"), col("campaign_id"), col("campaign_name"),
+      col("clicks"), col("impressions"), col("spend"),
+      size(col("actions")).cast("long").as("n_actions"),
+      size(col("conversions")).cast("long").as("n_conversions"),
+      try_element_at(col("actions"), lit(1)).getField("action_type").as("first_action_type"),
+      try_element_at(col("actions"), lit(1)).getField("value").as("first_action_value"),
+      try_element_at(col("conversions"), lit(1)).getField("value").as("first_conv_value"))
+
+  /** Q-LOAD-FB: raw JSON insights → normalize (T-PROJ/T-NEST/T-MISS/T-CAST). */
+  def qLoadFb(spark: SparkSession, sfDir: String): DataFrame =
+    flatten(fbStat(spark, sfDir)).orderBy("ad_id")
+
+  /** Q-LOAD-FX: quotes JSON → exchange_rate (S-JSONGET, S-CHK, T-ROW). */
+  def qLoadFx(spark: SparkSession, sfDir: String): DataFrame =
+    RatesSource.rates(spark, sfDir).orderBy("date")
+
+  /** Q-JOIN-FX: spend currency conversion — the downstream query the two
+    * reference tables exist for (README.md:18-20). Broadcast hash join on
+    * `date` (rates is tiny at any scale: one row per day per pair).
+    */
+  def qJoinFx(spark: SparkSession, sfDir: String): DataFrame = {
+    val fb = fbStat(spark, sfDir)
+    val rates = RatesSource.rates(spark, sfDir)
+    fb.join(broadcast(rates), Seq("date"))
+      .select(
+        col("date"), col("ad_id"), col("campaign_id"),
+        col("spend"), col("rate"),
+        (col("spend") * col("rate")).as("spend_uah"))
+      .orderBy("ad_id")
+  }
+
+  /** Q-UNNEST: per-action_type totals — the BigQuery `UNNEST(actions)`
+    * pattern the REPEATED RECORD layout was designed for (main.py:33-38).
+    * `explode_outer` keeps empty-array rows as a NULL action group.
+    */
+  def qUnnest(spark: SparkSession, sfDir: String): DataFrame =
+    fbStat(spark, sfDir)
+      .select(explode_outer(col("actions")).as("a"))
+      .groupBy(col("a.action_type").as("action_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("a.value").cast("long")).as("total_value"))
+      .orderBy(asc_nulls_first("action_type"))
+
+  /** Q-DAILY: campaign daily rollup — the aggregation the reference pushes
+    * to the API (`level='ad'`, `time_increment=1`, main.py:175-181) lifted
+    * one tier to campaign level. Partial+final hash agg, one shuffle.
+    */
+  def qDaily(spark: SparkSession, sfDir: String): DataFrame =
+    fbStat(spark, sfDir)
+      .groupBy("date", "campaign_id", "campaign_name")
+      .agg(
+        sum("clicks").as("clicks"),
+        sum("impressions").as("impressions"),
+        decSum("spend").as("spend"))
+      .orderBy("date", "campaign_id")
+
+  /** Q-TOPK: top-10 campaigns by lifetime spend (sort + limit; TakeOrdered). */
+  def qTopK(spark: SparkSession, sfDir: String): DataFrame =
+    fbStat(spark, sfDir)
+      .groupBy("campaign_id")
+      .agg(decSum("spend").as("total_spend"), sum("clicks").as("total_clicks"))
+      .orderBy(desc("total_spend"), asc("campaign_id"))
+      .limit(10)
+
+  /** Q-WINDOW: per-day campaign ranking (ranking window function). */
+  def qWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = fbStat(spark, sfDir)
+      .groupBy("date", "campaign_id")
+      .agg(decSum("spend").as("spend"))
+    val w = Window.partitionBy("date").orderBy(desc("spend"), asc("campaign_id"))
+    daily
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy("date", "rn")
+  }
+
+  /** Q-PRUNE: write fb_stat day-partitioned + clustered (K-TBL layout),
+    * then read back a single day — Catalyst partition pruning must touch
+    * one partition. Overwrite (not append) so the scratch table's content
+    * is deterministic per run; append fidelity is Q-IDEM's job.
+    */
+  def qPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Sink.scratchPath(sfDir, "fb_stat_prune")
+    val fb = fbStat(spark, sfDir)
+    fb.repartition(col("date"))
+      .sortWithinPartitions("date", "campaign_id", "campaign_name")
+      .write.mode("overwrite").partitionBy("date").parquet(path)
+    val minDate = fb.agg(min("date")).head.getDate(0)
+    flatten(spark.read.parquet(path).filter(col("date") === lit(minDate)))
+      .orderBy("ad_id")
+  }
+
+  /** Q-IDEM: at-least-once append fidelity (K-INS, main.py:81-91 has no
+    * dedup/transaction — a rerun duplicates rows). Append the rates table
+    * twice into a fresh path; counts must double, not upsert.
+    */
+  def qIdem(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idem")
+    val path = dir.resolve("exchange_rate").toString
+    val rates = RatesSource.rates(spark, sfDir)
+    Sink.appendPartitioned(rates, path, clusterCols = Seq("currencies"))
+    val n1 = spark.read.parquet(path).count()
+    Sink.appendPartitioned(rates, path, clusterCols = Seq("currencies"))
+    val n2 = spark.read.parquet(path).count()
+    import spark.implicits._
+    Seq((n1, n2)).toDF("n_first", "n_second")
+  }
+}

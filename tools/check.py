@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Runs each oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB against
+the parquet fixture tables in <sfDir>, loads the Spark result parquet from
+<verifyOutDir>/<name>/, and compares: column names, row count, and values
+(columns sorted by name, rows sorted). Exact equality required.
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(con, rel_sql):
+    df = con.execute(rel_sql).fetchdf()
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True, kind="mergesort")
+    return df
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            exp = canon(con, sql)
+            got = canon(con, f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            if list(exp.columns) != list(got.columns):
+                print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}")
+                n_fail += 1
+                continue
+            if len(exp) != len(got):
+                print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
+                n_fail += 1
+                continue
+            if not exp.equals(got):
+                neq = (exp != got) & ~(exp.isna() & got.isna())
+                bad = neq.any(axis=1)
+                print(f"FAIL {name}: {int(bad.sum())}/{len(exp)} rows differ; first diffs:")
+                print(exp[bad].head(3))
+                print(got[bad].head(3))
+                n_fail += 1
+                continue
+            print(f"PASS {name} ({len(exp)} rows)")
+            n_pass += 1
+        except Exception as e:  # noqa: BLE001
+            print(f"ERROR {name}: {e}")
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
