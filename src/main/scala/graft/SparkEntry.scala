@@ -29,6 +29,23 @@ object SparkEntry {
     "q_window" -> (EtlQueries.qWindow _),
     "q_prune" -> (EtlQueries.qPrune _),
     "q_idem" -> (EtlQueries.qIdem _),
+    // X-* extension operators (SURVEY.md §2.7 / builder mandate)
+    "x_text_stats" -> (llm.TextAnalysis.qualityByLang _),
+    "x_token_count" -> (llm.TextAnalysis.tokenCounts _),
+    "x_lang_id" -> (llm.TextAnalysis.langId _),
+    "x_fingerprint" -> (llm.TextAnalysis.fingerprints _),
+    "x_dedup_exact" -> (llm.Dedup.exact _),
+    "x_dedup_minhash" -> (llm.Dedup.minhashPairs _),
+    "x_dedup_simhash" -> (llm.Dedup.simhashPairs _),
+    "x_ngram_jaccard" -> (llm.Dedup.ngramJaccard _),
+    "x_sim_brute" -> (llm.Similarity.bruteTopK _),
+    "x_sim_lsh" -> (llm.Similarity.lshTopK _),
+    "x_events_daily" -> (llm.Events.daily _),
+    "x_events_sessions" -> (llm.Events.sessions _),
+    "x_stream_daily" -> (llm.Events.streamingDaily _),
+    "x_hll" -> (llm.Events.approxDistinct _),
+    "x_mm_meta" -> (llm.Multimodal.meta _),
+    "x_mm_features" -> (llm.Multimodal.features _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -133,5 +150,105 @@ object SparkEntry {
       """SELECT CAST(count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_first,
         |       CAST(2 * count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_second
         |FROM orders""".stripMargin,
+    "x_text_stats" ->
+      """WITH feats AS (
+        |  SELECT lang,
+        |         CAST(length(text) AS BIGINT) AS n_chars,
+        |         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |           t -> t IN ('the','a','an','and','of','to','in','is','on','for'))) AS BIGINT) AS n_stop,
+        |         CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars,
+        |       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        |       CAST(sum(n_stop) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE) AS stopword_ratio,
+        |       CAST(sum(n_punct) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE) AS punct_ratio
+        |FROM feats GROUP BY lang ORDER BY lang""".stripMargin,
+    "x_token_count" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+        |         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_ws
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+        |       CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+        |       CAST(max(n_bpe) AS BIGINT) AS max_bpe
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    "x_dedup_exact" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |       CAST(count(*) AS BIGINT) AS n_copies,
+        |       CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "x_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, length(text) - 1),
+        |           i -> substr(text, CAST(i AS INT), 3))) AS grams
+        |  FROM documents WHERE length(text) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_common,
+        |       CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS BIGINT) AS n_union,
+        |       CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |         / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jaccard
+        |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 ORDER BY id_a""".stripMargin,
+    "x_sim_brute" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT * FROM e WHERE nrm > 0),
+        |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn FROM c WHERE vec_id % 200 = 0),
+        |s AS (
+        |  SELECT q.qid, c.vec_id AS cid,
+        |         list_sum(list_transform(range(1, 65),
+        |           i -> CAST(q.qv[CAST(i AS INT)] AS DOUBLE)
+        |                * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)))
+        |           / (q.qn * c.nrm) AS cosine
+        |  FROM c, q WHERE c.vec_id <> q.qid),
+        |r AS (
+        |  SELECT qid, cid, cosine,
+        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS BIGINT) AS rank
+        |  FROM s)
+        |SELECT qid, rank, cid, round(cosine, 6) AS cosine
+        |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "x_events_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "x_stream_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "x_events_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM o),
+        |g AS (
+        |  SELECT user_id,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m),
+        |per AS (SELECT user_id, sid, count(*) AS n FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |       CAST(sum(n) AS BIGINT) AS n_events,
+        |       CAST(max(n) AS BIGINT) AS max_session_events
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "x_mm_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       CAST(floor(octet_length(encode(text)) / 1024.0) + 1 AS BIGINT) AS n_frames,
+        |       'image/fake' AS media_type
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -16,7 +16,21 @@ object Tables {
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
-  def events(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "events")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader refuses outright. Read it as a raw long (legacy conf) and
+    * convert ns → µs with *integer* division (`div`) — a double division
+    * would lose precision above 2^53 ns (~104 days of epoch-nanos).
+    * DuckDB's ns→µs cast truncates the same way, so timestamps agree.
+    */
+  def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, sfDir, "events")
+  }
+
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    eventsRaw(spark, sfDir)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 }

@@ -1,0 +1,194 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.RollingHash.rolling_hash
+
+/** X-DEDUP (SURVEY.md §2.7): exact and near-duplicate detection over the
+  * `documents` table — the core of any large-scale training-data pipeline.
+  *
+  * Scale design: every variant avoids the O(n²) all-pairs comparison.
+  *  - exact: group by an 8-byte rolling-hash key (not the full text) —
+  *    the shuffle moves hashes, not documents;
+  *  - MinHash + LSH: shingle → 64-slot signature → 16 banded hash keys →
+  *    pairs only within band buckets (standard banding: docs with Jaccard
+  *    ≥ ~0.5 collide in ≥1 band w.h.p.);
+  *  - SimHash: 64-bit fingerprint, banded into 4×16-bit keys, Hamming
+  *    filter on candidates;
+  *  - n-gram Jaccard: exact verification on a *bounded* candidate set.
+  * All signature math is built-in expressions (codegen), no UDFs.
+  */
+object Dedup {
+
+  // ---- exact ----------------------------------------------------------
+
+  /** Exact dedup: hash-group on the rolling-hash of normalized text, keep
+    * the smallest doc_id per group. Output one row per distinct text with
+    * its duplicate count — SQL-oracle-checkable.
+    */
+  def exact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), length(col("text")).cast("long").as("n_chars"))
+      .orderBy("keep_id")
+
+  // ---- MinHash + LSH --------------------------------------------------
+
+  val NumHashes = 64
+  val NumBands = 16
+  val RowsPerBand: Int = NumHashes / NumBands
+  val ShingleK = 8
+
+  /** Permutation arithmetic sized for ANSI mode (no silent wraparound):
+    * shingle hashes live in [0, 2^32), coefficients a < 2^28, so
+    * a*h + b < 2^60 + 2^32 — no long overflow — mod a prime > 2^32.
+    */
+  val HashDomain: Long = 1L << 32
+  val MinhashPrime: Long = 4294967311L // smallest prime > 2^32
+
+  /** Deterministic affine coefficients (java.util.Random is a specified
+    * LCG — stable across JVMs).
+    */
+  private val (aCoef, bCoef): (Array[Long], Array[Long]) = {
+    val r = new java.util.Random(42)
+    val a = Array.fill(NumHashes)(math.abs(r.nextLong()) % ((1L << 28) - 1) + 1)
+    val b = Array.fill(NumHashes)(math.abs(r.nextLong()) % MinhashPrime)
+    (a, b)
+  }
+
+  /** Character k-shingles of `c`, hashed into [0, 2^32) via xxhash64 —
+    * one pass, distinct. Empty for texts shorter than k.
+    */
+  def shingleHashes(c: Column, k: Int = ShingleK): Column = {
+    val idx = when(length(c) >= k, sequence(lit(1), length(c) - (k - 1)))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(transform(idx, i => pmod(xxhash64(c.substr(i, lit(k))), lit(HashDomain))))
+  }
+
+  /** 64-slot MinHash signature: sig_i = min over shingles of
+    * (a_i * h + b_i) mod P. Null signature for shingle-less docs.
+    */
+  def minhashSignature(c: Column): Column = {
+    val hs = shingleHashes(c)
+    val sig = transform(sequence(lit(0), lit(NumHashes - 1)), i =>
+      array_min(transform(hs, h =>
+        (element_at(typedlit(aCoef), i + 1) * h + element_at(typedlit(bCoef), i + 1))
+          % lit(MinhashPrime))))
+    when(size(hs) > 0, sig)
+  }
+
+  /** doc_id → signature (cached upstream of banding + estimation). */
+  def signatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), minhashSignature(col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** LSH banding: 16 (band, bandKey) rows per doc; candidate pairs are
+    * doc pairs sharing ≥1 band key. The self-join is on the banded key —
+    * shuffle is by (band, key), never all-pairs.
+    */
+  def candidatePairs(sigs: DataFrame): DataFrame = {
+    val bands = sigs.select(
+      col("doc_id"),
+      explode(transform(sequence(lit(0), lit(NumBands - 1)), j =>
+        struct(j.as("band"), xxhash64(slice(col("sig"), j * RowsPerBand + 1, lit(RowsPerBand))).as("bkey"))))
+        .as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bkey"))
+    val l = bands.as("l")
+    val r = bands.as("r")
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** X-DEDUP MinHash: candidate near-dup pairs with the signature-based
+    * Jaccard estimate (fraction of agreeing slots).
+    */
+  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = signatures(Tables.documents(spark, sfDir))
+    val pairs = candidatePairs(sigs)
+    pairs
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / NumHashes).as("est_jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---- SimHash --------------------------------------------------------
+
+  /** 64-bit SimHash over whitespace tokens, entirely in built-in
+    * expressions: per token take xxhash64 bits, sum ±1 per bit position,
+    * sign → fingerprint bit.
+    */
+  def simhash(c: Column): Column = {
+    val toks = TextAnalysis.tokens(c)
+    val counts = aggregate(
+      toks,
+      transform(sequence(lit(0), lit(63)), _ => lit(0)),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)), (cnt, i) =>
+          cnt + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+      })
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)), (cnt, i) =>
+        when(cnt > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** X-DEDUP SimHash: near-dup pairs = same 16-bit band + Hamming ≤ 8. */
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val fps = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), simhash(col("text")).as("fp"))
+    val bands = fps.select(
+      col("doc_id"), col("fp"),
+      explode(transform(sequence(lit(0), lit(3)), j =>
+        struct(j.as("band"), call_function("shiftright", col("fp"), j * 16).bitwiseAND(0xffffL).as("bkey"))))
+        .as("b"))
+      .select(col("doc_id"), col("fp"), col("b.band"), col("b.bkey"))
+    val l = bands.as("l")
+    val r = bands.as("r")
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(
+        col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"),
+        bit_count(col("l.fp").bitwiseXOR(col("r.fp"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---- exact n-gram Jaccard ------------------------------------------
+
+  /** Distinct character 3-grams (oracle-reproducible in DuckDB list SQL). */
+  def trigrams(c: Column): Column =
+    array_distinct(transform(sequence(lit(1), length(c) - 2), i => c.substr(i, lit(3))))
+
+  /** X-DEDUP n-gram Jaccard on a bounded candidate set (consecutive
+    * doc_ids): exact intersection/union — int division done identically
+    * in the oracle, so values hash-match.
+    */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), trigrams(col("text")).as("grams"))
+    val a = docs.select(col("doc_id").as("id_a"), col("grams").as("g_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("grams").as("g_b"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .select(
+        col("id_a"), col("id_b"),
+        size(array_intersect(col("g_a"), col("g_b"))).cast("long").as("n_common"),
+        size(array_union(col("g_a"), col("g_b"))).cast("long").as("n_union"))
+      .withColumn("jaccard", col("n_common").cast("double") / col("n_union").cast("double"))
+      .orderBy("id_a")
+  }
+}

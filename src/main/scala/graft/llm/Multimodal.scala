@@ -1,0 +1,89 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** X-MM (builder mandate): multimodal columns — image/audio/video as
+  * opaque `binary` payloads with typed metadata, processed partition-wise.
+  *
+  * The container has no image/audio codecs, so the *decode* step is a
+  * clearly-marked deterministic fake ([[fakeDecode]]); everything
+  * Spark-side is real and tested: the binary column, the metadata schema,
+  * the partition-wise batched processing (`mapPartitions` — the Scala
+  * analog of `mapInPandas`: one iterator per partition, record batches in/
+  * out, no per-row JVM↔driver chatter), and the output feature schema.
+  * Swapping [[fakeDecode]] for a real codec is a one-function change.
+  */
+object Multimodal {
+
+  /** Documents with a binary payload column standing in for image bytes.
+    * Metadata (byte length, fake frame count, media type) is computed with
+    * built-in expressions — SQL-oracle-checkable.
+    */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      col("source"))
+
+  /** X-MM metadata projection (oracled: octet_length etc.). */
+  def meta(spark: SparkSession, sfDir: String): DataFrame =
+    withPayload(Tables.documents(spark, sfDir))
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        (floor(length(col("payload")) / 1024) + 1).cast("long").as("n_frames"),
+        lit("image/fake").as("media_type"))
+      .orderBy("doc_id")
+
+  val FeatureDim = 8
+
+  /** STUB decode: a real pipeline would decode image bytes here
+    * (JPEG→pixels) and run a featurizer. Deterministic fake: an 8-bin
+    * byte-class histogram (normalized) + a checksum, so tests can assert
+    * exact values and the full Spark plumbing is exercised.
+    */
+  def fakeDecode(payload: Array[Byte]): (Array[Double], Long) = {
+    val hist = new Array[Double](FeatureDim)
+    var checksum = 0L
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xff
+      hist(b % FeatureDim) += 1.0
+      checksum = (checksum * 131 + b) % 1000003L
+      i += 1
+    }
+    val n = math.max(payload.length, 1).toDouble
+    (hist.map(_ / n), checksum)
+  }
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("checksum", LongType, nullable = false)))
+
+  /** X-MM feature extraction: partition-wise batched decode over the
+    * binary column. Narrow (no shuffle); at 100 TB this is the map stage
+    * whose parallelism = input file splits.
+    */
+  def features(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = withPayload(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("payload"))
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(featureSchema))
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val (feat, checksum) = fakeDecode(r.getAs[Array[Byte]]("payload"))
+        Row(r.getLong(0), feat.toSeq, checksum)
+      }
+    }(enc)
+      .select(col("doc_id"), col("checksum"),
+        round(element_at(col("features"), 1), 6).as("f0"),
+        round(element_at(col("features"), 2), 6).as("f1"))
+      .orderBy("doc_id")
+  }
+}

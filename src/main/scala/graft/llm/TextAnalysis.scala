@@ -1,0 +1,122 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.RollingHash.rolling_hash
+
+/** X-TEXT (SURVEY.md §2.7): text analysis operators for training-data
+  * pipelines over the `documents` table — token counting, quality scoring,
+  * language ID, document fingerprinting. All narrow per-row work (no
+  * shuffle until the final aggregate), built-in expressions on the hot
+  * path so whole-stage codegen holds.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped. Oracle-equivalent:
+    * `list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')`.
+    */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish lexer tokens: letter runs | digit runs | single punctuation.
+    * The pattern is RE2/Java-compatible so the oracle reproduces it.
+    */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeTokens(c: Column): Column = regexp_extract_all(c, lit(BpePattern), lit(0))
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
+
+  /** Per-document quality features (length / punctuation / stopword
+    * ratios). Ratios are exact-integer divisions done identically in the
+    * oracle, so values hash-match.
+    */
+  def qualityFeatures(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"), col("lang"), col("source"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      size(filter(toks, t => t.isin(Stopwords.map(lit): _*))).cast("long").as("n_stopwords"),
+      length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("long").as("n_punct"))
+  }
+
+  /** X-TEXT quality scoring aggregated per language: exact integer sums +
+    * one double division at the end (identical IEEE ops in the oracle).
+    */
+  def qualityByLang(spark: SparkSession, sfDir: String): DataFrame =
+    qualityFeatures(Tables.documents(spark, sfDir))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("chars"),
+        sum("n_tokens").as("tokens"),
+        sum("n_stopwords").as("stopwords"),
+        sum("n_punct").as("punct"))
+      .select(
+        col("lang"), col("n_docs"), col("chars"), col("tokens"),
+        (col("stopwords").cast("double") / col("tokens").cast("double")).as("stopword_ratio"),
+        (col("punct").cast("double") / col("chars").cast("double")).as("punct_ratio"))
+      .orderBy("lang")
+
+  /** X-TEXT token counting per source with the BPE-ish lexer. */
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"),
+        size(bpeTokens(col("text"))).cast("long").as("n_bpe"),
+        size(tokens(col("text"))).cast("long").as("n_ws"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_bpe").as("bpe_tokens"),
+        sum("n_ws").as("ws_tokens"),
+        max("n_bpe").as("max_bpe"))
+      .orderBy("source")
+
+  /** Language-ID heuristic: score each candidate language by stopword-set
+    * hits over whitespace tokens; argmax with a fixed preference order on
+    * ties, `und` when nothing matches. Deterministic; verified by
+    * ScalaTest (rows-only oracle — the heuristic itself is the spec).
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "和", "在"))
+
+  def predictedLang(textCol: Column): Column = {
+    val toks = tokens(lower(textCol))
+    val scores = LangProfiles.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words.map(lit): _*)))
+    }
+    val best = greatest(scores.map(_._2): _*)
+    // first language in profile order reaching the max score, else und
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  def langId(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), predictedLang(col("text")).as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+
+  /** X-TEXT fingerprinting with the native codegen'd rolling-hash
+    * expression — the normalized-text fingerprint that exact dedup groups
+    * on at scale (8-byte shuffle key instead of full text).
+    */
+  def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        rolling_hash(lower(col("text"))).as("fp"),
+        rolling_hash(col("text")).as("fp_cased"))
+      .orderBy("doc_id")
+}

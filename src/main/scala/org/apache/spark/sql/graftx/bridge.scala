@@ -1,0 +1,18 @@
+/* Bridge into Spark's private[sql] Column<->Expression conversion.
+ *
+ * Spark 4 wraps Column around ColumnNode; the supported way for an
+ * extension library to expose a custom Catalyst Expression as a Column is
+ * org.apache.spark.sql.classic.ExpressionUtils, which is private[sql] —
+ * hence this one-file package bridge (the same pattern public Spark
+ * extension libraries use). No other internals are touched.
+ */
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

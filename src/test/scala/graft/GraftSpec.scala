@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.{Normalize, Schemas}
+import graft.functions.RollingHash
+import graft.llm.{Dedup, Multimodal, Similarity}
+
+/** Unit + behavioral specs for everything the DuckDB oracle can't check
+  * (SURVEY.md §5.2): rows-only operators, nested-array edge semantics,
+  * the custom expression, and LSH recall against the exact baseline.
+  */
+class GraftSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def rawFromJson(lines: Seq[String]): DataFrame = {
+    import spark.implicits._
+    spark.read.schema(Schemas.fbInsightsRaw).json(lines.toDS)
+  }
+
+  // ---- Normalize (T-PROJ / T-NEST / T-MISS / T-CAST) ------------------
+
+  test("T-MISS: absent actions/conversions load as empty array, never null") {
+    val raw = rawFromJson(Seq(
+      """{"date_start":"1995-03-04","ad_id":"a1","ad_name":"n","adset_id":"s",
+        |"adset_name":"sn","campaign_id":"c","campaign_name":"cn",
+        |"clicks":"3","impressions":"10","spend":"1.5"}""".stripMargin.replaceAll("\n", "")))
+    val row = Normalize(raw).head
+    assert(row.getSeq[Any](row.fieldIndex("actions")) === Seq.empty)
+    assert(row.getSeq[Any](row.fieldIndex("conversions")) === Seq.empty)
+  }
+
+  test("T-NEST: extra element keys are dropped, exactly {action_type, value} kept") {
+    val raw = rawFromJson(Seq(
+      """{"date_start":"1995-03-04","ad_id":"a1","ad_name":"n","adset_id":"s",
+        |"adset_name":"sn","campaign_id":"c","campaign_name":"cn",
+        |"clicks":"3","impressions":"10","spend":"1.5",
+        |"actions":[{"action_type":"link_click","value":"96","1d_view":"10"}]}"""
+        .stripMargin.replaceAll("\n", "")))
+    val df = Normalize(raw)
+    assert(df.schema("actions").dataType === Schemas.actionArray)
+    val a = df.select(explode(col("actions"))).head.getStruct(0)
+    assert(a.toSeq === Seq("link_click", "96"))
+  }
+
+  test("T-CAST: string metrics coerce to long/double/date") {
+    val raw = rawFromJson(Seq(
+      """{"date_start":"1995-03-04","ad_id":"a1","ad_name":"n","adset_id":"s",
+        |"adset_name":"sn","campaign_id":"c","campaign_name":"cn",
+        |"clicks":"128","impressions":"15360","spend":"73.45"}"""
+        .stripMargin.replaceAll("\n", "")))
+    val row = Normalize(raw).head
+    assert(row.getAs[Long]("clicks") === 128L)
+    assert(row.getAs[Long]("impressions") === 15360L)
+    assert(row.getAs[Double]("spend") === 73.45)
+    assert(row.getAs[java.sql.Date]("date").toString === "1995-03-04")
+  }
+
+  // ---- RollingHash custom expression ----------------------------------
+
+  test("rolling_hash: codegen result matches reference implementation") {
+    import spark.implicits._
+    val expected: String => Long = s => {
+      var h = 0L
+      s.getBytes("UTF-8").foreach(b => h = h * 31 + (b & 0xff))
+      h
+    }
+    val inputs = Seq("", "a", "hello world", "ünïcode ✓ text")
+    val got = inputs.toDF("s")
+      .select(RollingHash.rolling_hash(col("s"))).as[Long].collect()
+    assert(got.toSeq === inputs.map(expected))
+  }
+
+  // ---- Dedup ----------------------------------------------------------
+
+  /** Planted near-dups in the fixture share a 40-char prefix and have
+    * ~0.98 whole-doc trigram jaccard (verified against the raw data).
+    */
+  private def plantedPairs: Set[(Long, Long)] = {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("p"))
+    docs.as("a").join(docs.as("b"),
+        col("a.p") === col("b.p") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("minhash LSH finds planted near-duplicate pairs (high true jaccard)") {
+    val truth = plantedPairs
+    assert(truth.nonEmpty, "fixture should contain planted near-dups")
+    val found = Dedup.minhashPairs(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(found.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"minhash recall $recall over ${truth.size} true pairs")
+  }
+
+  test("minhash estimate approximates true jaccard on candidates") {
+    // truth at the same shingle size (k=8) the signature is built from
+    val grams8 = array_distinct(transform(
+      sequence(lit(1), length(col("text")) - 7), i => col("text").substr(i, lit(8))))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), grams8.as("g"))
+    val withTruth = Dedup.minhashPairs(spark, sf)
+      .join(docs.select(col("doc_id").as("id_a"), col("g").as("g_a")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("g").as("g_b")), Seq("id_b"))
+      .select(abs(col("est_jaccard")
+        - size(array_intersect(col("g_a"), col("g_b"))).cast("double")
+          / size(array_union(col("g_a"), col("g_b"))).cast("double")).as("err"))
+    assert(withTruth.count() > 0, "minhash should surface candidate pairs")
+    val maxErr = withTruth.agg(max("err")).head.getDouble(0)
+    assert(maxErr <= 0.35, s"max |est - true| = $maxErr")
+  }
+
+  test("simhash: identical texts collide, near-dups have small hamming") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words entirely unrelated content here")
+    ).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) === fps(2L))
+    assert(java.lang.Long.bitCount(fps(1L) ^ fps(3L)) > 8)
+  }
+
+  // ---- Similarity -----------------------------------------------------
+
+  test("lsh ANN scores agree with brute force on shared pairs; recall sane") {
+    val brute = Similarity.bruteTopK(spark, sf)
+      .select("qid", "cid", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(spark, sf)
+      .select("qid", "cid", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // exact same cosine wherever both paths scored a pair
+    val shared = lsh.keySet.intersect(brute.keySet)
+    shared.foreach(k => assert(math.abs(lsh(k) - brute(k)) < 1e-12))
+    val recall = shared.size.toDouble / brute.size
+    assert(recall > 0.05, s"bucketed recall@10 = $recall")
+  }
+
+  // ---- Multimodal stub ------------------------------------------------
+
+  test("fake decode: exact histogram + checksum for a known payload") {
+    val (feat, checksum) = Multimodal.fakeDecode("abc".getBytes("UTF-8"))
+    // 'a'=97 -> bin 1, 'b'=98 -> bin 2, 'c'=99 -> bin 3
+    assert(feat.toSeq === Seq(0.0, 1.0 / 3, 1.0 / 3, 1.0 / 3, 0.0, 0.0, 0.0, 0.0))
+    assert(checksum === ((97L * 131 + 98) * 131 + 99) % 1000003L)
+  }
+
+  test("hll approx distinct within 10% of exact on events") {
+    val r = llm.Events.approxDistinct(spark, sf)
+      .select("approx_users", "exact_users").collect()
+    r.foreach { row =>
+      val (a, e) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+      assert(math.abs(a - e) / e <= 0.1, s"approx $a vs exact $e")
+    }
+  }
+
+  // ---- Physical-plan assertions (scale hygiene) -----------------------
+
+  test("q_prune: single-day read plans with a partition filter") {
+    val df = queries.EtlQueries.qPrune(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(date"),
+      s"expected partition pruning in plan:\n${plan.take(2000)}")
+  }
+
+  test("q_join_fx: rates side is broadcast, no shuffle join") {
+    val df = queries.EtlQueries.qJoinFx(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "FX join should broadcast the rates side")
+  }
+}
