@@ -38,27 +38,15 @@ object Dedup {
 
   // ---- MinHash + LSH --------------------------------------------------
 
-  val NumHashes = 64
+  val NumHashes: Int = graft.functions.MinHashSig.NumHashes
   val NumBands = 16
   val RowsPerBand: Int = NumHashes / NumBands
   val ShingleK = 8
 
-  /** Permutation arithmetic sized for ANSI mode (no silent wraparound):
-    * shingle hashes live in [0, 2^32), coefficients a < 2^28, so
-    * a*h + b < 2^60 + 2^32 — no long overflow — mod a prime > 2^32.
+  /** Shingle hash domain [0, 2^32) — see [[graft.functions.MinHashSig]]
+    * for the ANSI-safe permutation arithmetic.
     */
   val HashDomain: Long = 1L << 32
-  val MinhashPrime: Long = 4294967311L // smallest prime > 2^32
-
-  /** Deterministic affine coefficients (java.util.Random is a specified
-    * LCG — stable across JVMs).
-    */
-  private val (aCoef, bCoef): (Array[Long], Array[Long]) = {
-    val r = new java.util.Random(42)
-    val a = Array.fill(NumHashes)(math.abs(r.nextLong()) % ((1L << 28) - 1) + 1)
-    val b = Array.fill(NumHashes)(math.abs(r.nextLong()) % MinhashPrime)
-    (a, b)
-  }
 
   /** Character k-shingles of `c`, hashed into [0, 2^32) via xxhash64 —
     * one pass, distinct. Empty for texts shorter than k.
@@ -70,21 +58,25 @@ object Dedup {
   }
 
   /** 64-slot MinHash signature: sig_i = min over shingles of
-    * (a_i * h + b_i) mod P. Null signature for shingle-less docs.
+    * (a_i*h + b_i) mod P — the native codegen'd kernel
+    * ([[graft.functions.MinHashSig]]); the equivalent higher-order-function
+    * expression allocated an array per permutation per row and benched
+    * 10× slower at sf0.1.
     */
   def minhashSignature(c: Column): Column = {
     val hs = shingleHashes(c)
-    val sig = transform(sequence(lit(0), lit(NumHashes - 1)), i =>
-      array_min(transform(hs, h =>
-        (element_at(typedlit(aCoef), i + 1) * h + element_at(typedlit(bCoef), i + 1))
-          % lit(MinhashPrime))))
-    when(size(hs) > 0, sig)
+    when(size(hs) > 0, graft.functions.MinHashSig.minhash_sig(hs))
   }
 
-  /** doc_id → signature (cached upstream of banding + estimation). */
+  /** doc_id → signature, cached: the pair-generation self-join and the
+    * estimate join both reuse it (at 100 TB this is a persisted signature
+    * table, not a recomputation per consumer).
+    */
   def signatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), minhashSignature(col("text")).as("sig"))
-      .filter(col("sig").isNotNull)
+    docs.select(col("doc_id"), shingleHashes(col("text")).as("hs"))
+      .filter(size(col("hs")) > 0) // shingle-less docs have no signature
+      .select(col("doc_id"), graft.functions.MinHashSig.minhash_sig(col("hs")).as("sig"))
+      .cache()
 
   /** LSH banding: 16 (band, bandKey) rows per doc; candidate pairs are
     * doc pairs sharing ≥1 band key. The self-join is on the banded key —
@@ -124,25 +116,13 @@ object Dedup {
 
   // ---- SimHash --------------------------------------------------------
 
-  /** 64-bit SimHash over whitespace tokens, entirely in built-in
-    * expressions: per token take xxhash64 bits, sum ±1 per bit position,
-    * sign → fingerprint bit.
+  /** 64-bit SimHash over whitespace tokens: per token take xxhash64 bits,
+    * sum ±1 per bit position, sign → fingerprint bit. Native codegen'd
+    * kernel ([[graft.functions.SimHash64]]) — the higher-order-function
+    * formulation allocated a 64-wide array per token per row.
     */
-  def simhash(c: Column): Column = {
-    val toks = TextAnalysis.tokens(c)
-    val counts = aggregate(
-      toks,
-      transform(sequence(lit(0), lit(63)), _ => lit(0)),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)), (cnt, i) =>
-          cnt + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
-      })
-    aggregate(
-      zip_with(counts, sequence(lit(0), lit(63)), (cnt, i) =>
-        when(cnt > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  def simhash(c: Column): Column =
+    graft.functions.SimHash64.simhash64(TextAnalysis.tokens(c))
 
   /** X-DEDUP SimHash: near-dup pairs = same 16-bit band + Hamming ≤ 8. */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {

@@ -15,6 +15,8 @@ import graft.Tables
   */
 object Events {
 
+  private val streamRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Tumbling 1-day event-time windows per event_type (the reference's
     * per-day granularity). Money sums via exact DECIMAL then cast to
     * double (oracle-identical).
@@ -54,7 +56,7 @@ object Events {
     */
   def streamingDaily(spark: SparkSession, sfDir: String): DataFrame = {
     val rawSchema = Tables.eventsRaw(spark, sfDir).schema
-    val name = "graft_stream_daily_" + math.abs(sfDir.hashCode)
+    val name = "graft_stream_daily_" + Events.streamRuns.incrementAndGet()
     // the streaming file source wants a directory — scan sfDir, keep only
     // the events table file
     val stream = spark.readStream.schema(rawSchema)
