@@ -46,6 +46,10 @@ object SparkEntry {
     "x_hll" -> (llm.Events.approxDistinct _),
     "x_mm_meta" -> (llm.Multimodal.meta _),
     "x_mm_features" -> (llm.Multimodal.features _),
+    "x_mm_frames" -> (llm.Multimodal.frames _),
+    "x_sim_ivf" -> (llm.Similarity.ivfTopK _),
+    "q_msg" -> (etl.Trigger.dispatch _),
+    "q_dsv2" -> (EtlQueries.qDsv2 _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -244,6 +248,42 @@ object SparkEntry {
         |       CAST(sum(n) AS BIGINT) AS n_events,
         |       CAST(max(n) AS BIGINT) AS max_session_events
         |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_dsv2" ->
+      """WITH mind AS (SELECT min(CAST(o_orderdate AS DATE)) AS d0 FROM orders),
+        |fb AS (
+        |  SELECT CAST(o.o_orderdate AS DATE) AS date,
+        |         CAST(floor(l.l_quantity) AS BIGINT) AS clicks,
+        |         l.l_extendedprice AS spend
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT date, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(clicks) AS BIGINT) AS clicks,
+        |       CAST(sum(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM fb, mind WHERE date >= d0 AND date <= d0 + 29
+        |GROUP BY date ORDER BY date""".stripMargin,
+    "q_msg" ->
+      """WITH m AS (
+        |  SELECT to_base64(encode(CASE WHEN o_orderkey % 3 = 0
+        |           THEN 'get_currency' ELSE 'get_facebook' END)) AS data,
+        |         CASE WHEN o_orderkey % 5 = 0
+        |           THEN strftime(o_orderdate, '%Y-%m-%d') END AS date_attr
+        |  FROM orders),
+        |d AS (
+        |  SELECT decode(from_base64(data)) AS pipeline,
+        |         CAST(date_attr AS DATE) AS date_override
+        |  FROM m)
+        |SELECT pipeline, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(date_override) AS BIGINT) AS n_with_date,
+        |       min(date_override) AS min_override,
+        |       max(date_override) AS max_override
+        |FROM d GROUP BY pipeline ORDER BY pipeline""".stripMargin,
+    "x_mm_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(floor(octet_length(encode(text)) / 1024.0) + 1 AS BIGINT) AS nf
+        |  FROM documents)
+        |SELECT doc_id, frame_id, (doc_id * 31 + frame_id) % 997 AS frame_feature
+        |FROM (SELECT doc_id, unnest(range(1, nf + 1)) AS frame_id FROM m) t
+        |ORDER BY doc_id, frame_id""".stripMargin,
     "x_mm_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

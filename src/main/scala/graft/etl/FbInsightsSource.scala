@@ -74,6 +74,23 @@ object FbInsightsSource {
           col("l_linenumber").cast("string").as("value")))).as("conversions"))
   }
 
+  /** Day-partitioned JSONL spool of the insights payload — the storage the
+    * DSv2 connector ([[graft.sources.FbInsightsDataSource]]) reads.
+    * Written once per (sfDir, version), marker-gated like fb_stat.
+    */
+  def jsonlPath(spark: SparkSession, sfDir: String): String = {
+    val path = Sink.scratchPath(sfDir, "fb_jsonl")
+    val marker = java.nio.file.Paths.get(path, "_GRAFT_OK_v1")
+    if (!java.nio.file.Files.exists(marker)) {
+      built(spark, sfDir)
+        .select(to_json(struct(col("*"))).as("value"), col("date_start").as("date"))
+        .repartition(col("date"))
+        .write.mode("overwrite").partitionBy("date").text(path)
+      java.nio.file.Files.createFile(marker)
+    }
+    path
+  }
+
   /** Raw insights scan: serialize each built row to a JSON document and
     * parse it back under the explicit raw schema — null arrays become
     * *absent keys* in the JSON (to_json drops null fields), so the parsed

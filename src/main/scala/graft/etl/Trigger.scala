@@ -1,0 +1,51 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** S-MSG + S-B64 + T-DISPATCH (SURVEY.md §2.1/2.2): the Pub/Sub trigger
+  * surface. The reference receives a base64-encoded message body that
+  * selects the pipeline (`get_facebook` / `get_currency`, reference
+  * main.py:96,104,147) plus a string attribute map with an optional
+  * `date` override (main.py:99-102 — note the reference's override branch
+  * is buggy: it calls `.strftime` on a string; we implement the *intended*
+  * semantics: parse `yyyy-MM-dd`, SURVEY.md §2.9).
+  *
+  * Fixture path: one message per order, body derived deterministically
+  * from the order key, encoded and decoded *in-engine* (base64 →
+  * unbase64), so the oracle reproduces the whole path with
+  * to_base64/from_base64.
+  */
+object Trigger {
+
+  /** Pub/Sub-shaped messages: base64 body + attributes. */
+  def messages(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir).select(
+      base64(
+        when(col("o_orderkey") % 3 === 0, lit("get_currency"))
+          .otherwise(lit("get_facebook")).cast("binary")).as("data"),
+      map(
+        lit("table_id"), lit("fb_stat"),
+        lit("dataset_id"), lit("graft"),
+        lit("project_id"), lit("p1"),
+        lit("date"), when(col("o_orderkey") % 5 === 0,
+          date_format(col("o_orderdate"), "yyyy-MM-dd"))).as("attributes"))
+
+  /** Decode + dispatch: per-pipeline message counts and date-override
+    * stats (S-B64 decode, T-DISPATCH routing, T-DATE intended semantics).
+    */
+  def dispatch(spark: SparkSession, sfDir: String): DataFrame =
+    messages(spark, sfDir)
+      .select(
+        unbase64(col("data")).cast("string").as("pipeline"),
+        to_date(col("attributes").getItem("date"), "yyyy-MM-dd").as("date_override"))
+      .groupBy("pipeline")
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("date_override")).as("n_with_date"),
+        min("date_override").as("min_override"),
+        max("date_override").as("max_override"))
+      .orderBy("pipeline")
+}

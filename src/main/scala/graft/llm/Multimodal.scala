@@ -40,6 +40,19 @@ object Multimodal {
         lit("image/fake").as("media_type"))
       .orderBy("doc_id")
 
+  /** X-MM frame sampling: explode each payload into its fake frames (the
+    * video-pipeline shape: one row per sampled frame with a deterministic
+    * per-frame feature). Oracle-reproducible: frame count from byte
+    * length, feature from pure integer arithmetic.
+    */
+  def frames(spark: SparkSession, sfDir: String): DataFrame =
+    meta(spark, sfDir)
+      .select(col("doc_id"),
+        explode(sequence(lit(1L), col("n_frames"))).as("frame_id"))
+      .select(col("doc_id"), col("frame_id"),
+        ((col("doc_id") * 31 + col("frame_id")) % 997).as("frame_feature"))
+      .orderBy("doc_id", "frame_id")
+
   val FeatureDim = 8
 
   /** STUB decode: a real pipeline would decode image bytes here

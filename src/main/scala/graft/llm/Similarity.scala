@@ -89,6 +89,60 @@ object Similarity {
     array((0 until NumTables).map(t =>
       struct(lit(t).as("t"), bucketOf(v, t).as("bucket"))): _*)
 
+  // ---- IVF (inverted-file) path ---------------------------------------
+
+  val CentroidStride = 100
+  val NumProbes = 2
+
+  /** IVF ANN: a deterministic "training sample" of the corpus acts as the
+    * centroid set (every [[CentroidStride]]-th vector); vectors are
+    * assigned to their max-cosine centroid (the inverted file), and a
+    * query probes its [[NumProbes]] nearest cells only. At 100 TB the
+    * corpus is written bucketed by cell id, so a probe is a partition
+    * read, not a scan; the centroid table is the broadcast side.
+    */
+  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = corpus(spark, sfDir)
+    val cents = c.filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"), col("nrm").as("cn"))
+
+    def assign(df: DataFrame, idCol: String, vCol: String, nCol: String, keep: Int) = {
+      val w = Window.partitionBy(idCol)
+        .orderBy(desc("cscore"), asc("cent_id"))
+      df.join(broadcast(cents), lit(true))
+        .select(col(idCol), col("cent_id"),
+          (dot(col(vCol), col("cv")) / (col(nCol) * col("cn"))).as("cscore"))
+        .withColumn("cr", row_number().over(w))
+        .filter(col("cr") <= keep)
+        .select(col(idCol), col("cent_id"))
+    }
+
+    val cells = assign(c.select(col("vec_id"), col("embedding"), col("nrm")),
+      "vec_id", "embedding", "nrm", keep = 1)
+    val queries = c.filter(col("vec_id") % QueryStride === 0)
+    val probes = assign(
+      queries.select(col("vec_id").as("qid"), col("embedding"), col("nrm")),
+      "qid", "embedding", "nrm", keep = NumProbes)
+
+    val cand = probes.join(cells, Seq("cent_id"))
+      .select(col("qid"), col("vec_id").as("cid"))
+      .filter(col("qid") =!= col("cid"))
+      .distinct()
+    val scored = cand
+      .join(broadcast(queries.select(col("vec_id").as("qid"),
+        col("embedding").as("qv"), col("nrm").as("qn"))), Seq("qid"))
+      .join(corpus(spark, sfDir).select(col("vec_id").as("cid"),
+        col("embedding").as("cvv"), col("nrm").as("cnn")), Seq("cid"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qv"), col("cvv")) / (col("qn") * col("cnn"))).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), asc("cid"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("rank"), col("cid"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("qid", "rank")
+  }
+
   /** ANN top-k: exact cosine, but only over same-bucket candidates from
     * any of the [[NumTables]] hash tables. At 100 TB the corpus is
     * hash-partitioned by (table, bucket); each query probes NumTables

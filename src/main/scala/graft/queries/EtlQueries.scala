@@ -153,6 +153,30 @@ object EtlQueries {
     flatten(tbl.filter(col("date") === to_date(lit(minDate)))).orderBy("ad_id")
   }
 
+  /** Q-DSV2: the real-connector path (SURVEY.md §2.1 S-FB stretch goal) —
+    * scan insights JSONL through the DataSourceV2 connector with a pushed
+    * 30-day date-range predicate (prunes day-partitions inside the
+    * connector, like the API's `time_range`) and pruned columns (like the
+    * API's `fields` list), then aggregate per day.
+    */
+  def qDsv2(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = FbInsightsSource.jsonlPath(spark, sfDir)
+    val start = new java.io.File(path).list()
+      .filter(_.startsWith("date=")).map(_.substring(5)).min
+    val end = java.time.LocalDate.parse(start).plusDays(29).toString
+    spark.read
+      .format(classOf[graft.sources.FbInsightsDataSource].getName)
+      .option("path", path).load()
+      .filter(col("date_start") >= start && col("date_start") <= end)
+      .groupBy("date_start")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("clicks").cast("long")).as("clicks"),
+        decSum("spend").as("spend"))
+      .select(to_date(col("date_start")).as("date"), col("n"), col("clicks"), col("spend"))
+      .orderBy("date")
+  }
+
   /** Q-IDEM: at-least-once append fidelity (K-INS, main.py:81-91 has no
     * dedup/transaction — a rerun duplicates rows). Append the rates table
     * twice into a fresh path; counts must double, not upsert.

@@ -150,6 +150,19 @@ class GraftSpec extends AnyFunSuite {
     assert(recall > 0.05, s"bucketed recall@10 = $recall")
   }
 
+  test("ivf ANN: high recall on clustered embeddings, exact scores") {
+    val brute = Similarity.bruteTopK(spark, sf)
+      .select("qid", "cid", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.ivfTopK(spark, sf)
+      .select("qid", "cid", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val shared = ivf.keySet.intersect(brute.keySet)
+    shared.foreach(k => assert(math.abs(ivf(k) - brute(k)) < 1e-12))
+    val recall = shared.size.toDouble / brute.size
+    assert(recall > 0.3, s"ivf recall@10 = $recall")
+  }
+
   // ---- Multimodal stub ------------------------------------------------
 
   test("fake decode: exact histogram + checksum for a known payload") {
@@ -175,6 +188,36 @@ class GraftSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(date"),
       s"expected partition pruning in plan:\n${plan.take(2000)}")
+  }
+
+  test("dsv2 connector: date filter prunes day-partitions inside the scan") {
+    sources.FbInsightsDataSource.lastPlannedPartitions.set(-1)
+    val n = queries.EtlQueries.qDsv2(spark, sf).count()
+    assert(n > 0)
+    val planned = sources.FbInsightsDataSource.lastPlannedPartitions.get()
+    val total = new java.io.File(etl.FbInsightsSource.jsonlPath(spark, sf))
+      .list().count(_.startsWith("date="))
+    assert(planned > 0 && planned <= 30 && planned < total,
+      s"planned $planned of $total day-partitions")
+  }
+
+  test("dsv2 connector: filter excluding every partition plans 0, returns 0") {
+    val df = spark.read
+      .format(classOf[sources.FbInsightsDataSource].getName)
+      .option("path", etl.FbInsightsSource.jsonlPath(spark, sf)).load()
+      .filter(col("date_start") < "1900-01-01")
+    assert(df.count() === 0)
+    assert(sources.FbInsightsDataSource.lastPlannedPartitions.get() === 0)
+  }
+
+  test("dsv2 connector: column pruning reaches the reader schema") {
+    val df = spark.read
+      .format(classOf[sources.FbInsightsDataSource].getName)
+      .option("path", etl.FbInsightsSource.jsonlPath(spark, sf)).load()
+      .select("ad_id", "clicks")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("readSchema=ad_id,clicks"),
+      s"expected pruned read schema in scan:\n$scan")
   }
 
   test("q_join_fx: rates side is broadcast, no shuffle join") {

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.{Normalize, Schemas}
+
+/** Property-based round-trip laws (SURVEY.md §5.4). Each law runs on a
+  * handful of generated cases — Spark jobs per case are expensive, the
+  * generators cover the structural edge space (empties, extra keys,
+  * unicode, duplicates).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Minimal deterministic forAll: the scalatest/scalacheck bridge module
+    * is not in the offline dependency cache, so sample the generator
+    * directly — fixed seed, N cases, growing size.
+    */
+  private def forAll[A](gen: Gen[A], cases: Int = 5)(body: A => Unit): Unit =
+    (0 until cases).foreach { i =>
+      val a = gen(Gen.Parameters.default.withSize(4 + 4 * i), Seed(42L + i))
+        .getOrElse(throw new IllegalStateException("gen failed"))
+      body(a)
+    }
+
+  private val actionGen: Gen[(String, String)] = for {
+    t <- Gen.oneOf("link_click", "page_view", "purchase", "väl-ü")
+    v <- Gen.chooseNum(0L, 999999L).map(_.toString)
+  } yield (t, v)
+
+  private val rowGen: Gen[(String, Option[List[(String, String)]])] = for {
+    id <- Gen.chooseNum(1, 99999).map("a-" + _)
+    acts <- Gen.option(Gen.listOf(actionGen))
+  } yield (id, acts.map(_.toList))
+
+  private def jsonOf(id: String, acts: Option[List[(String, String)]]): String = {
+    val arr = acts.map(_.map { case (t, v) =>
+      // extra key exercises T-NEST's key dropping
+      s"""{"action_type":"$t","value":"$v","1d_view":"x"}"""
+    }.mkString(""""actions":[""", ",", "],")).getOrElse("")
+    s"""{"date_start":"1995-03-04","ad_id":"$id","ad_name":"n","adset_id":"s",
+       |"adset_name":"sn","campaign_id":"c","campaign_name":"cn",
+       |$arr"clicks":"1","impressions":"2","spend":"3.5"}"""
+      .stripMargin.replaceAll("\n", "")
+  }
+
+  test("law: T-NEST ∘ explode preserves every (action_type, value) pair in order") {
+    import spark.implicits._
+    forAll(Gen.nonEmptyListOf(rowGen)) { rows =>
+      val distinctRows = rows.distinctBy(_._1)
+      val raw = spark.read.schema(Schemas.fbInsightsRaw)
+        .json(distinctRows.map { case (id, a) => jsonOf(id, a) }.toDS)
+      val back = Normalize(raw)
+        .select(col("ad_id"), col("actions"))
+        .collect()
+        .map(r => r.getString(0) ->
+          r.getSeq[Row](1).map(x => (x.getString(0), x.getString(1))).toList)
+        .toMap
+      distinctRows.foreach { case (id, acts) =>
+        assert(back(id) === acts.getOrElse(Nil), s"row $id")
+      }
+    }
+  }
+
+  test("law: partitioned write then read is identity on content") {
+    import spark.implicits._
+    forAll(Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(1, 5), Gen.chooseNum(0L, 1000L)))) { rows =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_prop").toString
+      val df = rows.zipWithIndex
+        .map { case ((p, v), i) => (i.toLong, s"1995-0$p-01", v) }
+        .toDF("id", "d", "v")
+        .withColumn("d", to_date(col("d")))
+      df.write.partitionBy("d").parquet(dir + "/t")
+      val back = spark.read.parquet(dir + "/t")
+        .select("id", "d", "v").collect().map(_.toSeq).toSet
+      assert(back === df.collect().map(_.toSeq).toSet)
+    }
+  }
+
+  test("law: Q-DAILY-style aggregation invariant under input row order") {
+    import spark.implicits._
+    forAll(Gen.nonEmptyListOf(Gen.zip(
+      Gen.oneOf("c1", "c2", "c3"), Gen.chooseNum(1L, 100L)))) { rows =>
+      def agg(rs: List[(String, Long)]) =
+        rs.toDF("k", "v").groupBy("k").agg(sum("v").as("s"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(agg(rows) === agg(scala.util.Random.shuffle(rows)))
+    }
+  }
+}
