@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.EtlQueries
+import graft.queries.{EtlQueries, ScaleQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -50,6 +50,10 @@ object SparkEntry {
     "x_sim_ivf" -> (llm.Similarity.ivfTopK _),
     "q_msg" -> (etl.Trigger.dispatch _),
     "q_dsv2" -> (EtlQueries.qDsv2 _),
+    "x_stream_sessions" -> (llm.Events.streamingSessions _),
+    "x_skew_salted" -> (ScaleQueries.saltedAgg _),
+    "x_dedup_embed" -> (ScaleQueries.embedDups _),
+    "x_bucket_join" -> (ScaleQueries.bucketedJoin _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -92,6 +96,31 @@ object SparkEntry {
       |       CASE WHEN has_actions THEN 'link_click' END AS first_action_type,
       |       CASE WHEN has_actions THEN CAST(clicks AS VARCHAR) END AS first_action_value,
       |       CASE WHEN has_conv THEN CAST(ln AS VARCHAR) END AS first_conv_value""".stripMargin
+
+  /** Gaps-and-islands sessionization — shared by the session_window batch
+    * query and the flatMapGroupsWithState streaming variant (same gap
+    * rule, same output).
+    */
+  private val sessionsSql: String =
+    """WITH o AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |         lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM o),
+      |g AS (
+      |  SELECT user_id,
+      |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM m),
+      |per AS (SELECT user_id, sid, count(*) AS n FROM g GROUP BY 1, 2)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+      |       CAST(sum(n) AS BIGINT) AS n_events,
+      |       CAST(max(n) AS BIGINT) AS max_session_events
+      |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check.
@@ -228,26 +257,34 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
-    "x_events_sessions" ->
-      """WITH o AS (
-        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
-        |         lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
-        |  FROM events),
-        |m AS (
-        |  SELECT user_id, ts,
-        |         CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
-        |              THEN 1 ELSE 0 END AS new_s
-        |  FROM o),
-        |g AS (
-        |  SELECT user_id,
-        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |  FROM m),
-        |per AS (SELECT user_id, sid, count(*) AS n FROM g GROUP BY 1, 2)
-        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
-        |       CAST(sum(n) AS BIGINT) AS n_events,
-        |       CAST(max(n) AS BIGINT) AS max_session_events
-        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "x_stream_sessions" -> sessionsSql,
+    "x_events_sessions" -> sessionsSql,
+    "x_skew_salted" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "x_dedup_embed" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT * FROM e WHERE nrm > 0),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         list_sum(list_transform(range(1, 65),
+        |           i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+        |                * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
+        |           / (a.nrm * b.nrm) AS cosine
+        |  FROM c a JOIN c b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cosine, 6) AS cosine
+        |FROM p WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "x_bucket_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_dsv2" ->
       """WITH mind AS (SELECT min(CAST(o_orderdate AS DATE)) AS d0 FROM orders),
         |fb AS (

@@ -79,6 +79,55 @@ object Events {
       .orderBy("day", "event_type")
   }
 
+  /** Stateful streaming sessionization via `flatMapGroupsWithState` — the
+    * custom-state path for when `session_window` can't express the
+    * semantics (per-group imperative state). Same 30-minute gap rule and
+    * the same oracle as [[sessions]]: for each user the state machine
+    * walks events in time order and splits on gaps >= 30 min. The fixture
+    * arrives as one micro-batch, so sessions finalize at batch end; with
+    * live data the same function carries open sessions across batches in
+    * `GroupState` (timeout-driven flush).
+    */
+  def streamingSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMicros = 30L * 60 * 1000 * 1000
+    val rawSchema = Tables.eventsRaw(spark, sfDir).schema
+    val name = "graft_stream_sessions_" + streamRuns.incrementAndGet()
+    val ds = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .selectExpr("user_id", "ts div 1000 AS us")
+      .as[(Long, Long)]
+    val perSession = ds.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[(Long, Long)], state: GroupState[Array[Long]]) =>
+          val ts = evs.map(_._2).toArray
+          java.util.Arrays.sort(ts)
+          val sessions = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var n = 0L
+          var last = Long.MinValue
+          ts.foreach { t =>
+            if (n > 0 && t - last >= gapMicros) { sessions += n; n = 0 }
+            n += 1; last = t
+          }
+          if (n > 0) sessions += n
+          sessions.iterator.map(uid -> _)
+      }
+      .toDF("user_id", "n_events")
+    val q = perSession.writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"),
+        max("n_events").as("max_session_events"))
+      .orderBy("user_id")
+  }
+
   /** X-HLL: approximate distinct users (HyperLogLog++) vs exact, per
     * event_type. Deterministic for a fixed dataset but engine-specific →
     * rows-only oracle; exactness bound asserted in ScalaTest.

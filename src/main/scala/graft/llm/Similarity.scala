@@ -32,11 +32,11 @@ object Similarity {
 
   /** dot(a, b) in double precision, summed left-to-right (index order) —
     * exactly reproducible as `list_sum(list_transform(...))` in DuckDB.
+    * Native kernel ([[graft.functions.DotProduct]]): same fold order as
+    * the higher-order-function form, none of its per-row allocations.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProduct.dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -72,10 +72,10 @@ object Similarity {
     * are the standard recall lever for sign-random-projection LSH: a
     * near-neighbor only needs to collide in *one* table.
     */
-  private val planes: Array[Array[Array[Double]]] = {
+  private val planes: Array[Array[Array[Float]]] = {
     val r = new java.util.Random(7)
     Array.fill(NumTables, BitsPerTable)(
-      Array.fill(64)(if (r.nextBoolean()) 1.0 else -1.0))
+      Array.fill(64)(if (r.nextBoolean()) 1.0f else -1.0f))
   }
 
   /** Sign-bit bucket of a vector in table `t`: bit j = (v·plane_tj) >= 0. */

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.etl.Sink
+import graft.llm.Similarity
+
+/** Scale-technique operators: each demonstrates a 100 TB pattern on the
+  * fixture tables, with the oracle asserting the technique changes no
+  * values — only the shuffle/layout shape.
+  */
+object ScaleQueries {
+
+  val SaltBuckets = 32
+
+  /** Salted two-phase aggregation for skewed keys. `event_type` has ~5
+    * values over the whole events table — at 100 TB a plain groupBy sends
+    * each giant key to one reducer. Salting fans each key across
+    * [[SaltBuckets]] partial aggregates, then merges. The oracle is the
+    * PLAIN aggregation — proving the salted plan is value-identical.
+    * (Sums in exact DECIMAL, so re-association cannot change results.)
+    */
+  def saltedAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("salt", pmod(hash(col("event_id")), lit(SaltBuckets)))
+      .groupBy("event_type", "salt")
+      .agg(
+        count(lit(1)).as("pn"),
+        sum(col("value").cast(DecimalType(18, 2))).as("pv"))
+      .groupBy("event_type")
+      .agg(
+        sum("pn").as("n"),
+        sum("pv").cast("double").as("total_value"))
+      .orderBy("event_type")
+
+  /** Embedding-cosine near-duplicate detection: exact threshold pairs
+    * (cosine >= 0.4, upper triangle — chosen to fire on the fixture embedding distribution, max pairwise cosine ~0.6). This is the oracle-checked
+    * correctness baseline; the bucketed scale paths are x_sim_lsh /
+    * x_sim_ivf. Identical left-to-right double arithmetic on both
+    * engines makes the >= comparison exact.
+    */
+  val DupThreshold = 0.4
+
+  def embedDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), Similarity.norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= lit(DupThreshold))
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Bucketed co-located join: lineitem and orders written bucketed by
+    * order key (16 buckets, sorted) join WITHOUT a shuffle — the
+    * sort-merge join reads co-located buckets directly. At 100 TB this
+    * is the difference between re-shuffling both fact tables per join
+    * and a pure map-side merge. Registered as external bucketed tables
+    * so a fresh session can reattach to the files.
+    */
+  val NumBuckets = 16
+
+  def ensureBucketed(spark: SparkSession, sfDir: String): (String, String) = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9_]", "_")
+    val (lt, ot) = (s"li_b_$key", s"o_b_$key")
+    if (!spark.catalog.tableExists(lt)) {
+      val lp = Sink.scratchPath(sfDir, "li_bucketed")
+      val op = Sink.scratchPath(sfDir, "o_bucketed")
+      Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite")
+        .bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
+        .option("path", lp).format("parquet").saveAsTable(lt)
+      Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .write.mode("overwrite")
+        .bucketBy(NumBuckets, "o_orderkey").sortBy("o_orderkey")
+        .option("path", op).format("parquet").saveAsTable(ot)
+    }
+    (lt, ot)
+  }
+
+  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val (lt, ot) = ensureBucketed(spark, sfDir)
+    // force sort-merge (a broadcast would bypass the bucket co-location
+    // being demonstrated; at 100 TB neither side broadcasts anyway)
+    val li = spark.table(lt).hint("merge")
+    val o = spark.table(ot)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+}

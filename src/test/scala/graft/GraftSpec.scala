@@ -220,6 +220,28 @@ class GraftSpec extends AnyFunSuite {
       s"expected pruned read schema in scan:\n$scan")
   }
 
+  test("x_bucket_join: co-located sort-merge join, no shuffle on join keys") {
+    val df = queries.ScaleQueries.bucketedJoin(spark, sf)
+    df.count() // materialize through AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), "bucketed join should be sort-merge")
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey")
+      && !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"join keys must not be re-shuffled (bucket co-location):\n${plan.take(3000)}")
+  }
+
+  test("x_skew_salted: salted two-phase agg equals plain aggregation") {
+    val salted = queries.ScaleQueries.saltedAgg(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val plain = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_value"))
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    assert(salted === plain)
+  }
+
   test("q_join_fx: rates side is broadcast, no shuffle join") {
     val df = queries.EtlQueries.qJoinFx(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
