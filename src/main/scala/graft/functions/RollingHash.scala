@@ -21,6 +21,17 @@ import org.apache.spark.unsafe.types.UTF8String
 case class RollingHash(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.NullType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"rolling_hash requires a string column, got ${other.sql}")
+    }
   override def prettyName: String = "rolling_hash"
 
   override def nullSafeEval(input: Any): Any = {

@@ -18,6 +18,20 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    (left.dataType, right.dataType) match {
+      case (l, r) if l == org.apache.spark.sql.types.NullType
+          || r == org.apache.spark.sql.types.NullType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dot_product requires two array<float> vectors, got ${l.sql}, ${r.sql}")
+    }
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any =
     DotProduct.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 

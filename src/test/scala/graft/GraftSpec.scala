@@ -81,6 +81,29 @@ class GraftSpec extends AnyFunSuite {
     assert(got.toSeq === inputs.map(expected))
   }
 
+  test("SQL registration: native functions callable from spark.sql") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT rolling_hash('abc') AS rh,
+        |       simhash64(array('a','b')) AS sh,
+        |       dot_product(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
+        |                   CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS dp""".stripMargin).head
+    assert(r.getAs[Long]("rh") === ("abc".getBytes.foldLeft(0L)((h, b) => h * 31 + (b & 0xff))))
+    assert(r.getAs[Double]("dp") === 11.0)
+  }
+
+  test("extensions: session built withExtensions resolves graft functions") {
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    // getOrCreate may return the existing session; either way the function
+    // must resolve
+    graft.functions.GraftFunctions.register(s2)
+    assert(s2.sql("SELECT rolling_hash('x') AS h").head.getAs[Long]("h") === 'x'.toLong)
+  }
+
   // ---- Dedup ----------------------------------------------------------
 
   /** Planted near-dups in the fixture share a 40-char prefix and have

@@ -51,7 +51,8 @@ def main(sf_dir, out_dir):
                 print(got[bad].head(3))
                 n_fail += 1
                 continue
-            print(f"PASS {name} ({len(exp)} rows)")
+            note = "  [WARN: 0-row match is vacuous]" if len(exp) == 0 else ""
+            print(f"PASS {name} ({len(exp)} rows){note}")
             n_pass += 1
         except Exception as e:  # noqa: BLE001
             print(f"ERROR {name}: {e}")
