@@ -44,6 +44,23 @@ object Profile {
         .agg(sum("clicks"), sum("impressions"),
           (sum(round(col("spend") * 100).cast("long")).cast("double") / 100.0)).count()
     }
+    // TopKPerKey edge probes: k exceeding group size must emit whole
+    // groups ranked; k=1 exactly one row per key
+    time("topk k=1000 (whole groups)") {
+      val d = tbl.groupBy("date", "campaign_id")
+        .agg(sum("clicks").as("c"))
+      val n = plans.TopKPerKey(d, Seq("date"), Seq(("c", true), ("campaign_id", false)), 1000).count()
+      val base = d.count()
+      require(n == base, s"k>groupsize must keep all rows: $n vs $base")
+      n
+    }
+    time("topk k=1 (one per key)") {
+      val d = tbl.groupBy("date", "campaign_id").agg(sum("clicks").as("c"))
+      val n = plans.TopKPerKey(d, Seq("date"), Seq(("c", true), ("campaign_id", false)), 1).count()
+      val keys = d.select("date").distinct().count()
+      require(n == keys, s"k=1 must emit one row per key: $n vs $keys")
+      n
+    }
     time("agg cents + orderBy") {
       tbl.groupBy("date", "campaign_id", "campaign_name")
         .agg(sum("clicks"), sum("impressions"),

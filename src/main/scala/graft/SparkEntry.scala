@@ -27,6 +27,7 @@ object SparkEntry {
     "q_daily" -> (EtlQueries.qDaily _),
     "q_topk" -> (EtlQueries.qTopK _),
     "q_window" -> (EtlQueries.qWindow _),
+    "q_window_native" -> (EtlQueries.qWindowNative _),
     "q_prune" -> (EtlQueries.qPrune _),
     "q_idem" -> (EtlQueries.qIdem _),
     // X-* extension operators (SURVEY.md §2.7 / builder mandate)
@@ -165,6 +166,17 @@ object SparkEntry {
          |FROM fb GROUP BY 1
          |ORDER BY total_spend DESC, campaign_id LIMIT 10""".stripMargin,
     "q_window" ->
+      s"""$fbCte, daily AS (
+         |  SELECT date, campaign_id,
+         |         CAST(sum(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS spend
+         |  FROM fb GROUP BY 1, 2)
+         |SELECT date, campaign_id, spend, rn FROM (
+         |  SELECT date, campaign_id, spend,
+         |         CAST(row_number() OVER (PARTITION BY date
+         |                ORDER BY spend DESC, campaign_id) AS BIGINT) AS rn
+         |  FROM daily) t
+         |WHERE rn <= 3 ORDER BY date, rn""".stripMargin,
+    "q_window_native" ->
       s"""$fbCte, daily AS (
          |  SELECT date, campaign_id,
          |         CAST(sum(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS spend

@@ -139,6 +139,22 @@ object EtlQueries {
       .orderBy("date", "rn")
   }
 
+  /** Q-WINDOW semantics through the custom TopKPerKey whole-operator
+    * (graft.plans): partial bounded heaps → shuffle-k-per-key → final
+    * heaps + rank. Same oracle as the window formulation — proving the
+    * custom physical operator against DuckDB.
+    */
+  def qWindowNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = fbStatTable(spark, sfDir)
+      .groupBy("date", "campaign_id")
+      .agg(decSum("spend").as("spend"))
+    graft.plans.TopKPerKey(daily,
+        keys = Seq("date"),
+        order = Seq(("spend", true), ("campaign_id", false)), k = 3)
+      .select(col("date"), col("campaign_id"), col("spend"), col("rank").as("rn"))
+      .orderBy("date", "rn")
+  }
+
   /** Q-PRUNE: write fb_stat day-partitioned + clustered (K-TBL layout),
     * then read back a single day — Catalyst partition pruning must touch
     * one partition. Overwrite (not append) so the scratch table's content

@@ -265,6 +265,16 @@ class GraftSpec extends AnyFunSuite {
     assert(salted === plain)
   }
 
+  test("TopKPerKey custom operator: partial+final execs, equals window result") {
+    val native = queries.EtlQueries.qWindowNative(spark, sf)
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"custom exec missing:\n${plan.take(1500)}")
+    assert(plan.split("TopKPerKey").length >= 3, "expected partial AND final TopKPerKeyExec")
+    val fromWindow = queries.EtlQueries.qWindow(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(native.collect().map(_.toSeq).toSeq === fromWindow)
+  }
+
   test("q_join_fx: rates side is broadcast, no shuffle join") {
     val df = queries.EtlQueries.qJoinFx(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
