@@ -28,6 +28,7 @@ object SparkEntry {
     "q_topk" -> (EtlQueries.qTopK _),
     "q_window" -> (EtlQueries.qWindow _),
     "q_window_native" -> (EtlQueries.qWindowNative _),
+    "q_rollup" -> (EtlQueries.qRollup _),
     "q_prune" -> (EtlQueries.qPrune _),
     "q_idem" -> (EtlQueries.qIdem _),
     // X-* extension operators (SURVEY.md §2.7 / builder mandate)
@@ -187,6 +188,18 @@ object SparkEntry {
          |                ORDER BY spend DESC, campaign_id) AS BIGINT) AS rn
          |  FROM daily) t
          |WHERE rn <= 3 ORDER BY date, rn""".stripMargin,
+    "q_rollup" ->
+      s"""$fbCte
+         |SELECT coalesce(strftime(date, '%Y-%m'), 'ALL') AS month,
+         |       coalesce(campaign_id, 'ALL') AS campaign_id,
+         |       CAST(GROUPING(strftime(date, '%Y-%m')) * 2
+         |            + GROUPING(campaign_id) AS BIGINT) AS gid,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(clicks) AS BIGINT) AS clicks,
+         |       CAST(sum(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS spend
+         |FROM fb
+         |GROUP BY ROLLUP (strftime(date, '%Y-%m'), campaign_id)
+         |ORDER BY month, campaign_id, gid""".stripMargin,
     "q_prune" ->
       s"""${fbCte}SELECT $flatCols FROM fb
          |WHERE date = (SELECT min(CAST(o_orderdate AS DATE)) FROM orders)

@@ -30,6 +30,18 @@ object Similarity {
   val QueryStride = 200
   val K = 10
 
+  /** Rank-k selection per query via the custom TopKPerKey operator
+    * (graft.plans): bounded partial heaps instead of a full window sort —
+    * at scale the shuffle carries K rows per query per partition, not
+    * every scored pair. Identical semantics (and oracle) to
+    * row_number() <= K with the same total order.
+    */
+  private def topK(scored: DataFrame): DataFrame =
+    graft.plans.TopKPerKey(scored,
+        keys = Seq("qid"), order = Seq(("cosine", true), ("cid", false)), k = K)
+      .select(col("qid"), col("rank"), col("cid"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("qid", "rank")
+
   /** dot(a, b) in double precision, summed left-to-right (index order) —
     * exactly reproducible as `list_sum(list_transform(...))` in DuckDB.
     * Native kernel ([[graft.functions.DotProduct]]): same fold order as
@@ -54,12 +66,7 @@ object Similarity {
       .select(
         col("qid"), col("vec_id").as("cid"),
         (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cosine"))
-    val w = Window.partitionBy("qid").orderBy(desc("cosine"), asc("cid"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= K)
-      .select(col("qid"), col("rank"), col("cid"), round(col("cosine"), 6).as("cosine"))
-      .orderBy("qid", "rank")
+    topK(scored)
   }
 
   // ---- LSH (random hyperplane) path ----------------------------------
@@ -135,12 +142,7 @@ object Similarity {
         col("embedding").as("cvv"), col("nrm").as("cnn")), Seq("cid"))
       .select(col("qid"), col("cid"),
         (dot(col("qv"), col("cvv")) / (col("qn") * col("cnn"))).as("cosine"))
-    val w = Window.partitionBy("qid").orderBy(desc("cosine"), asc("cid"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= K)
-      .select(col("qid"), col("rank"), col("cid"), round(col("cosine"), 6).as("cosine"))
-      .orderBy("qid", "rank")
+    topK(scored)
   }
 
   /** ANN top-k: exact cosine, but only over same-bucket candidates from
@@ -162,11 +164,6 @@ object Similarity {
         col("qid"), col("vec_id").as("cid"),
         (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cosine"))
       .distinct() // a pair colliding in several tables scores identically
-    val w = Window.partitionBy("qid").orderBy(desc("cosine"), asc("cid"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= K)
-      .select(col("qid"), col("rank"), col("cid"), round(col("cosine"), 6).as("cosine"))
-      .orderBy("qid", "rank")
+    topK(scored)
   }
 }

@@ -155,6 +155,28 @@ object EtlQueries {
       .orderBy("date", "rn")
   }
 
+  /** Q-ROLLUP: hierarchical rollup (campaign within month, subtotals +
+    * grand total) — the multi-dimensional aggregation surface
+    * (ROLLUP/GROUPING SETS). grouping_id disambiguates subtotal rows;
+    * null keys from rollup are coalesced to sentinels so ordering is
+    * deterministic on both engines.
+    */
+  def qRollup(spark: SparkSession, sfDir: String): DataFrame =
+    fbStatTable(spark, sfDir)
+      .select(date_format(col("date"), "yyyy-MM").as("month"),
+        col("campaign_id"), col("clicks"), col("spend"))
+      .rollup("month", "campaign_id")
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        sum("clicks").as("clicks"),
+        decSum("spend").as("spend"))
+      .select(
+        coalesce(col("month"), lit("ALL")).as("month"),
+        coalesce(col("campaign_id"), lit("ALL")).as("campaign_id"),
+        col("gid"), col("n"), col("clicks"), col("spend"))
+      .orderBy("month", "campaign_id", "gid")
+
   /** Q-PRUNE: write fb_stat day-partitioned + clustered (K-TBL layout),
     * then read back a single day — Catalyst partition pruning must touch
     * one partition. Overwrite (not append) so the scratch table's content
