@@ -13,7 +13,7 @@ object Bench {
     // Load-stage setup: materialize the fb_stat table and the connector's
     // JSONL spool once (the reference architecture loads into storage;
     // analytical queries read storage).
-    queries.EtlQueries.fbStatTable(spark, sfDir).head
+    queries.EtlQueries.fbStatTable(spark, sfDir).head()
     etl.FbInsightsSource.jsonlPath(spark, sfDir)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -23,7 +23,7 @@ object Profile {
     val tbl = queries.EtlQueries.fbStatTable(spark, sfDir)
     time("tbl.count") { tbl.count() }
     time("tbl.count again") { tbl.count() }
-    time("scan all cols (sum clicks)") { tbl.agg(sum("clicks")).head }
+    time("scan all cols (sum clicks)") { tbl.agg(sum("clicks")).head() }
     time("groupBy date,camp agg") {
       tbl.groupBy("date", "campaign_id").agg(sum("clicks")).count()
     }
