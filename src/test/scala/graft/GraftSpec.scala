@@ -204,6 +204,40 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming watermark: late event beyond threshold is dropped, window finalizes once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_wm").toString
+    val src = dir + "/in"
+    def write(rows: Seq[(Long, String, Double)]): Unit =
+      rows.map { case (u, ts, v) => (u, java.sql.Timestamp.valueOf(ts), v) }
+        .toDF("user_id", "ts", "value")
+        .write.mode("append").parquet(src)
+    // batch 1: one event on day1, one on day2 late enough to close day1
+    write(Seq((1L, "2024-01-01 10:00:00", 1.0), (1L, "2024-01-02 12:00:00", 2.0)))
+    val q = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, value DOUBLE").parquet(src)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("date").as("day"), col("n"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_wm_spec")
+      .option("checkpointLocation", dir + "/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      val afterB1 = spark.table("graft_wm_spec").collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSet
+      assert(afterB1 === Set(("2024-01-01", 1L)),
+        s"day1 window must finalize once watermark passes its end: $afterB1")
+      // batch 2: a LATE day1 event (behind the watermark) + an on-time day2 event
+      write(Seq((1L, "2024-01-01 09:00:00", 9.9), (1L, "2024-01-02 13:00:00", 3.0)))
+      q.processAllAvailable()
+      val afterB2 = spark.table("graft_wm_spec").collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSet
+      assert(afterB2 === Set(("2024-01-01", 1L)),
+        s"late day1 event must be DROPPED (no re-emit, count stays 1); day2 still open: $afterB2")
+    } finally q.stop()
+  }
+
   // ---- Physical-plan assertions (scale hygiene) -----------------------
 
   test("q_prune: single-day read plans with a partition filter") {
