@@ -56,6 +56,9 @@ object SparkEntry {
     "x_skew_salted" -> (ScaleQueries.saltedAgg _),
     "x_dedup_embed" -> (ScaleQueries.embedDups _),
     "x_bucket_join" -> (ScaleQueries.bucketedJoin _),
+    "x_quality_filter" -> (llm.TextAnalysis.qualityFilter _),
+    "x_source_sim" -> (llm.Dedup.sourceSimilarity _),
+    "x_dedup_pipeline" -> (llm.Dedup.dedupPipeline _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -234,6 +237,25 @@ object SparkEntry {
         |       CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
         |       CAST(max(n_bpe) AS BIGINT) AS max_bpe
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    "x_quality_filter" ->
+      """WITH feats AS (
+        |  SELECT lang,
+        |         CAST(length(text) AS BIGINT) AS n_chars,
+        |         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+        |         CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |           t -> t IN ('the','a','an','and','of','to','in','is','on','for'))) AS BIGINT) AS n_stop,
+        |         CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+        |  FROM documents),
+        |k AS (
+        |  SELECT lang, n_chars,
+        |         (n_tokens >= 20 AND n_tokens <= 2000
+        |          AND CAST(n_stop AS DOUBLE) <= CAST(n_tokens AS DOUBLE) * 0.5
+        |          AND CAST(n_punct AS DOUBLE) <= CAST(n_chars AS DOUBLE) * 0.1) AS keep
+        |  FROM feats)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+        |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
     "x_dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
         |       CAST(count(*) AS BIGINT) AS n_copies,

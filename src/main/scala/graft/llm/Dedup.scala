@@ -114,6 +114,44 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Per-source corpus signatures via the mergeable [[graft.functions.MinHashMerge]]
+    * aggregate (elementwise-min union), then pairwise cross-source
+    * similarity estimates — the corpus-level dedup/contamination view.
+    * Deterministic; rows-only oracle (signature math is engine-side),
+    * union law verified in ScalaTest.
+    */
+  def sourceSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val docSigs = Tables.documents(spark, sfDir)
+      .select(col("source"), shingleHashes(col("text")).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("source"), graft.functions.MinHashSig.minhash_sig(col("hs")).as("sig"))
+    val merged = docSigs.groupBy("source")
+      .agg(graft.functions.MinHashMerge.minhash_merge(col("sig")).as("msig"))
+    val a = merged.select(col("source").as("src_a"), col("msig").as("sig_a"))
+    val b = merged.select(col("source").as("src_b"), col("msig").as("sig_b"))
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v))
+          .cast("double") / NumHashes).as("est_jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** End-to-end corpus dedup pipeline: exact dups out first (keep min
+    * doc_id per text), then near-dups out (for every MinHash candidate
+    * pair, the higher doc_id is dropped). Survivor counts per source.
+    */
+  def dedupPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val exactKept = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+    val kept = docs.join(exactKept, Seq("doc_id"), "left_semi")
+    val dropNear = minhashPairs(spark, sfDir)
+      .select(col("id_b").as("doc_id")).distinct()
+    val survivors = kept.join(dropNear, Seq("doc_id"), "left_anti")
+    survivors.groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(length(col("text"))).cast("long").as("kept_chars"))
+      .orderBy("source")
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   /** 64-bit SimHash over whitespace tokens: per token take xxhash64 bits,

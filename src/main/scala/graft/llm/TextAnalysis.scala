@@ -63,6 +63,24 @@ object TextAnalysis {
         (col("punct").cast("double") / col("chars").cast("double")).as("punct_ratio"))
       .orderBy("lang")
 
+  /** X-TEXT quality filter: the keep/drop gate a training-data pipeline
+    * applies per document. Thresholds on token count, stopword ratio,
+    * punctuation ratio — all exact-integer comparisons or identical
+    * double ratios, so the oracle reproduces the exact survivor set.
+    */
+  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame =
+    qualityFeatures(Tables.documents(spark, sfDir))
+      .withColumn("keep",
+        col("n_tokens") >= 20 && col("n_tokens") <= 2000 &&
+          col("n_stopwords").cast("double") <= col("n_tokens").cast("double") * 0.5 &&
+          col("n_punct").cast("double") <= col("n_chars").cast("double") * 0.1)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy("lang")
+
   /** X-TEXT token counting per source with the BPE-ish lexer. */
   def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)

@@ -186,6 +186,32 @@ class GraftSpec extends AnyFunSuite {
     assert(recall > 0.3, s"ivf recall@10 = $recall")
   }
 
+  test("MinHashMerge aggregate: group signature = elementwise min of members") {
+    val docSigs = Tables.documents(spark, sf)
+      .select(col("source"), Dedup.shingleHashes(col("text")).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("source"), graft.functions.MinHashSig.minhash_sig(col("hs")).as("sig"))
+    val merged = docSigs.groupBy("source")
+      .agg(graft.functions.MinHashMerge.minhash_merge(col("sig")).as("msig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val manual = docSigs.collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rows) =>
+        s -> rows.map(_.getSeq[Long](1)).reduce((a, b) => a.zip(b).map(t => t._1 min t._2)).toSeq
+      }
+    assert(merged === manual)
+  }
+
+  test("dedup pipeline: survivors exclude exact dups and minhash near-dup partners") {
+    val total = Tables.documents(spark, sf).count()
+    val kept = Dedup.dedupPipeline(spark, sf)
+      .agg(sum("n_kept")).head.getLong(0)
+    val nearDropped = Dedup.minhashPairs(spark, sf)
+      .select("id_b").distinct().count()
+    // all texts distinct in fixture → only near-dup drops apply
+    assert(kept === total - nearDropped)
+  }
+
   // ---- Multimodal stub ------------------------------------------------
 
   test("fake decode: exact histogram + checksum for a known payload") {
