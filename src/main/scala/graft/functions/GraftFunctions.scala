@@ -40,10 +40,15 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions`-compatible injection point. */
+/** `spark.sql.extensions`-compatible injection point: SQL functions, the
+  * windowed-top-k optimizer rewrite, and its planner strategy.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
 }

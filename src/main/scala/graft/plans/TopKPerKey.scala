@@ -108,10 +108,12 @@ case class TopKPerKeyExec(
         val outProj = UnsafeProjection.create(outAttrs, childOutput :+ rankAttr)
         val joined = new JoinedRow
         val rankRow = new GenericInternalRow(1)
+        val rankIsInt = rankAttr.dataType == org.apache.spark.sql.types.IntegerType
         heaps.valuesIterator.flatMap { heap =>
           val sorted: Seq[InternalRow] = heap.dequeueAll.reverse
           sorted.iterator.zipWithIndex.map { case (row, i) =>
-            rankRow.update(0, (i + 1).toLong)
+            if (rankIsInt) rankRow.update(0, i + 1)
+            else rankRow.update(0, (i + 1).toLong)
             outProj(joined(row, rankRow))
           }
         }

@@ -335,6 +335,28 @@ class GraftSpec extends AnyFunSuite {
     assert(native.collect().map(_.toSeq).toSeq === fromWindow)
   }
 
+  test("TopKRewrite rule: window row_number filter rewrites to TopKPerKey, equal results") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val daily = queries.EtlQueries.fbStatTable(spark, sf)
+      .groupBy("date", "campaign_id").agg(sum("clicks").as("c"))
+    val windowed = daily
+      .withColumn("rn", row_number().over(
+        W.partitionBy("date").orderBy(desc("c"), asc("campaign_id"))))
+      .filter(col("rn") <= 3)
+    val rewritten = plans.TopKRewrite.rewrite(windowed)
+    assert(rewritten.queryExecution.optimizedPlan.toString.contains("TopKPerKey"),
+      s"rule did not fire; analyzed was:\n${windowed.queryExecution.analyzed.toString.take(2000)}")
+    val exp = windowed.orderBy("date", "rn").collect().map(_.toSeq).toSeq
+    val got = rewritten.orderBy("date", "rn").collect().map(_.toSeq).toSeq
+    assert(got === exp)
+  }
+
+  test("TopKRewrite rule: leaves non-matching filters untouched") {
+    val df = Tables.documents(spark, sf).filter(col("n_chars") <= 3000)
+    val out = plans.TopKRewrite.rewrite(df)
+    assert(out.collect().length === df.collect().length)
+  }
+
   test("q_join_fx: rates side is broadcast, no shuffle join") {
     val df = queries.EtlQueries.qJoinFx(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
