@@ -78,6 +78,17 @@ object Dedup {
       .select(col("doc_id"), graft.functions.MinHashSig.minhash_sig(col("hs")).as("sig"))
       .cache()
 
+  private val sigCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Memoized per (session, sfDir): `.cache()` on a freshly-built plan is
+    * a NEW cache entry — consumers (minhashPairs, dedupPipeline) must
+    * share one DataFrame instance or each recomputes the signatures.
+    */
+  def signatureTable(spark: SparkSession, sfDir: String): DataFrame =
+    sigCache.computeIfAbsent((spark, sfDir),
+      _ => signatures(Tables.documents(spark, sfDir)))
+
   /** LSH banding: 16 (band, bandKey) rows per doc; candidate pairs are
     * doc pairs sharing ≥1 band key. The self-join is on the banded key —
     * shuffle is by (band, key), never all-pairs.
@@ -102,7 +113,7 @@ object Dedup {
     * Jaccard estimate (fraction of agreeing slots).
     */
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigs = signatures(Tables.documents(spark, sfDir))
+    val sigs = signatureTable(spark, sfDir)
     val pairs = candidatePairs(sigs)
     pairs
       .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))

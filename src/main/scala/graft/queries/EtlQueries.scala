@@ -226,7 +226,7 @@ object EtlQueries {
     // *insert* semantics (main.py:81-91); partitioned layout fidelity is
     // covered by Q-PRUNE. Day-partitioning a one-row-per-day table would
     // mean one file per row — wrong at any scale.
-    val rates = RatesSource.rates(spark, sfDir).coalesce(1)
+    val rates = RatesSource.rates(spark, sfDir).coalesce(1).cache()
     rates.write.mode("append").parquet(path)
     val n1 = spark.read.parquet(path).count()
     rates.write.mode("append").parquet(path)
