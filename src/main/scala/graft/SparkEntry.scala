@@ -59,6 +59,7 @@ object SparkEntry {
     "x_quality_filter" -> (llm.TextAnalysis.qualityFilter _),
     "x_source_sim" -> (llm.Dedup.sourceSimilarity _),
     "x_dedup_pipeline" -> (llm.Dedup.dedupPipeline _),
+    "x_vocab" -> (llm.TextAnalysis.vocabulary _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -355,11 +356,19 @@ object SparkEntry {
         |  SELECT decode(from_base64(data)) AS pipeline,
         |         CAST(date_attr AS DATE) AS date_override
         |  FROM m)
-        |SELECT pipeline, CAST(count(*) AS BIGINT) AS n,
+        |SELECT pipeline, 'p1.graft.fb_stat' AS table_ref,
+        |       CAST(count(*) AS BIGINT) AS n,
         |       CAST(count(date_override) AS BIGINT) AS n_with_date,
         |       min(date_override) AS min_override,
         |       max(date_override) AS max_override
         |FROM d GROUP BY pipeline ORDER BY pipeline""".stripMargin,
+    "x_vocab" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |           x -> x <> '')) AS token
+        |  FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS freq
+        |FROM t GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin,
     "x_mm_frames" ->
       """WITH m AS (
         |  SELECT doc_id,

@@ -40,8 +40,14 @@ object Trigger {
     messages(spark, sfDir)
       .select(
         unbase64(col("data")).cast("string").as("pipeline"),
+        // S-FMTS: the reference's "{}.{}.{}" table-ref templating
+        // (main.py:47,58,63,83) — project.dataset.table from attributes
+        format_string("%s.%s.%s",
+          col("attributes").getItem("project_id"),
+          col("attributes").getItem("dataset_id"),
+          col("attributes").getItem("table_id")).as("table_ref"),
         to_date(col("attributes").getItem("date"), "yyyy-MM-dd").as("date_override"))
-      .groupBy("pipeline")
+      .groupBy("pipeline", "table_ref")
       .agg(
         count(lit(1)).as("n"),
         count(col("date_override")).as("n_with_date"),

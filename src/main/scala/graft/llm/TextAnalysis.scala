@@ -131,6 +131,19 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "predicted")
 
+  /** X-TEXT vocabulary extraction: corpus-wide token frequencies, top 50
+    * — explode → hash agg → TakeOrdered. At 100 TB the explode fans out
+    * per-token rows but the partial agg collapses them map-side before
+    * the shuffle (one row per distinct token per partition).
+    */
+  def vocabulary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("token"))
+      .limit(50)
+
   /** X-TEXT fingerprinting with the native codegen'd rolling-hash
     * expression — the normalized-text fingerprint that exact dedup groups
     * on at scale (8-byte shuffle key instead of full text).
