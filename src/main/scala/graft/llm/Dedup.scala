@@ -132,10 +132,9 @@ object Dedup {
     * union law verified in ScalaTest.
     */
   def sourceSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
-    val docSigs = Tables.documents(spark, sfDir)
-      .select(col("source"), shingleHashes(col("text")).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .select(col("source"), graft.functions.MinHashSig.minhash_sig(col("hs")).as("sig"))
+    val docSigs = signatureTable(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select("doc_id", "source"), Seq("doc_id"))
+      .select(col("source"), col("sig"))
     val merged = docSigs.groupBy("source")
       .agg(graft.functions.MinHashMerge.minhash_merge(col("sig")).as("msig"))
     val a = merged.select(col("source").as("src_a"), col("msig").as("sig_a"))
