@@ -1,0 +1,195 @@
+package graft
+
+import graft.functions.{MinHashSig, PolyHashing, SimHash}
+import graft.llm.{Dedup, TextAnalysis}
+
+/** DuckDB oracle SQL for the signature-based X-* queries.
+  *
+  * Everything the dedup/similarity family computes is poly-hash
+  * arithmetic mod 2^31-1 over Unicode codepoints (see PolyHash.scala), so
+  * the oracle re-derives shingle hashes, MinHash signatures, band keys,
+  * SimHash fingerprints and similarity estimates EXACTLY in SQL — the
+  * driver's hash-compare gate covers the whole family, not rows-only.
+  * The fixed permutation coefficients are interpolated from the same
+  * Scala arrays the kernels use ([[MinHashSig.aCoef]]/[[MinHashSig.bCoef]]),
+  * so the two sides cannot drift independently.
+  *
+  * The generated SQL leans on DuckDB list lambdas (list_transform /
+  * list_reduce / list_filter) — at the oracle's sf0.01 scale (500 docs ×
+  * ~300 chars) that is a few tens of millions of scalar ops, well within
+  * the driver's budget.
+  */
+object OracleLlm {
+
+  private val M = PolyHashing.Mod // 2147483647
+
+  private def longList(xs: Array[Long]): String = xs.mkString("[", ", ", "]")
+
+  /** Codepoint list of a string expression (1-based chars; `v` names the
+    * lambda variable to avoid shadowing when nested).
+    */
+  private def cps(expr: String, v: String = "ci"): String =
+    s"list_transform(range(1, length($expr) + 1), $v -> CAST(unicode(substr($expr, CAST($v AS INT), 1)) AS BIGINT))"
+
+  /** 31-bit polynomial codepoint hash of a string expression. */
+  private def polyHash(expr: String, base: Long): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), ${cps(expr)}), (pa2, pb2) -> (pa2 * $base + pb2) % $M)"
+
+  private val k = Dedup.ShingleK
+
+  /** Shared CTE chain `hs` → `perm` → `sig`: per-doc distinct 8-gram
+    * poly-hashes, then the 64-slot MinHash signature with the kernel's
+    * exact permutation constants.
+    */
+  private val sigCtes: String =
+    s"""hs AS (
+       |  SELECT doc_id, source, list_distinct(list_transform(range(1, length(text) - ${k - 2}),
+       |    wi -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, $k),
+       |            wj -> CAST(unicode(substr(text, CAST(wi + wj AS INT), 1)) AS BIGINT))),
+       |          (ac, cb) -> (ac * 131 + cb) % $M))) AS hs
+       |  FROM documents),
+       |perm AS (SELECT ${longList(MinHashSig.aCoef)} AS pa, ${longList(MinHashSig.bCoef)} AS pb),
+       |sig AS (
+       |  SELECT doc_id, source, list_transform(range(0, ${MinHashSig.NumHashes}),
+       |    i -> list_min(list_transform(hs,
+       |           h -> (pa[CAST(i + 1 AS INT)] * h + pb[CAST(i + 1 AS INT)]) % $M))) AS sig
+       |  FROM hs, perm WHERE len(hs) > 0)""".stripMargin
+
+  /** CTE chain `bands` → `cand` → `mh`: 16 banded keys per signature
+    * (polynomial fold of 4 slots), same-key self-join for candidates,
+    * slot-agreement Jaccard estimate.
+    */
+  private val pairCtes: String =
+    s"""bands AS (
+       |  SELECT doc_id, bb.band AS band,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |             sig[CAST(bb.band * ${Dedup.RowsPerBand} + 1 AS INT):CAST(bb.band * ${Dedup.RowsPerBand} + ${Dedup.RowsPerBand} AS INT)]),
+       |           (ac, x) -> (ac * 1000003 + x) % $M) AS bkey
+       |  FROM sig, (SELECT unnest(range(0, ${Dedup.NumBands})) AS band) bb),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+       |mh AS (
+       |  SELECT id_a, id_b,
+       |         CAST(len(list_filter(range(1, ${MinHashSig.NumHashes + 1}),
+       |             i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)])) AS DOUBLE)
+       |           / ${MinHashSig.NumHashes} AS est_jaccard
+       |  FROM cand JOIN sig sa ON sa.doc_id = cand.id_a
+       |            JOIN sig sb ON sb.doc_id = cand.id_b)""".stripMargin
+
+  val minhashPairsSql: String =
+    s"""WITH $sigCtes, $pairCtes
+       |SELECT id_a, id_b, est_jaccard FROM mh ORDER BY id_a, id_b""".stripMargin
+
+  val sourceSimSql: String =
+    s"""WITH $sigCtes,
+       |ex AS (SELECT source, unnest(sig) AS s, unnest(range(1, ${MinHashSig.NumHashes + 1})) AS i FROM sig),
+       |mslot AS (SELECT source, i, min(s) AS m FROM ex GROUP BY 1, 2),
+       |msig AS (SELECT source, list(m ORDER BY i) AS msig FROM mslot GROUP BY source)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |       CAST(len(list_filter(range(1, ${MinHashSig.NumHashes + 1}),
+       |           i -> a.msig[CAST(i AS INT)] = b.msig[CAST(i AS INT)])) AS DOUBLE)
+       |         / ${MinHashSig.NumHashes} AS est_jaccard
+       |FROM msig a JOIN msig b ON a.source < b.source
+       |ORDER BY src_a, src_b""".stripMargin
+
+  val dedupPipelineSql: String =
+    s"""WITH $sigCtes, $pairCtes,
+       |ek AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+       |dn AS (SELECT DISTINCT id_b FROM mh WHERE est_jaccard >= ${Dedup.NearDupThreshold}),
+       |surv AS (
+       |  SELECT d.source, d.text FROM documents d
+       |  JOIN ek ON d.doc_id = ek.doc_id
+       |  WHERE d.doc_id NOT IN (SELECT id_b FROM dn))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       |       CAST(sum(length(text)) AS BIGINT) AS kept_chars
+       |FROM surv GROUP BY source ORDER BY source""".stripMargin
+
+  val simhashPairsSql: String = {
+    val bits = SimHash.Bits
+    val bandBits = Dedup.SimBandBits
+    val mask = (1L << bandBits) - 1
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id,
+       |         list_transform(toks, t -> ${polyHash("t", SimHash.BaseLo)}) AS h1s,
+       |         list_transform(toks, t -> ${polyHash("t", SimHash.BaseHi)}) AS h2s
+       |  FROM tok),
+       |fp AS (
+       |  SELECT doc_id, CAST(list_sum(list_transform(range(0, $bits), d ->
+       |    CASE WHEN (CASE WHEN d < 30
+       |      THEN list_sum(list_transform(h1s, h -> CASE WHEN ((h >> CAST(d AS INT)) & 1) = 1 THEN 1 ELSE -1 END))
+       |      ELSE list_sum(list_transform(h2s, h -> CASE WHEN ((h >> CAST(d - 30 AS INT)) & 1) = 1 THEN 1 ELSE -1 END))
+       |      END) > 0
+       |    THEN (CAST(1 AS BIGINT) << CAST(d AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS fp
+       |  FROM th),
+       |sb AS (
+       |  SELECT doc_id, fp, bb.band AS band,
+       |         (fp >> CAST(bb.band * $bandBits AS INT)) & $mask AS bkey
+       |  FROM fp, (SELECT unnest(range(0, ${Dedup.SimBands})) AS band) bb),
+       |pr AS (
+       |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+       |         CAST(bit_count(xor(l.fp, r.fp)) AS BIGINT) AS hamming
+       |  FROM sb l JOIN sb r
+       |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)
+       |SELECT id_a, id_b, hamming FROM pr WHERE hamming <= ${Dedup.SimHammingMax}
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** 64-bit wrapping poly hash (RollingHash mirror): HUGEINT mod 2^64. */
+  private def hash64u(expr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |  list_transform(range(1, length($expr) + 1),
+       |    ci -> CAST(unicode(substr($expr, CAST(ci AS INT), 1)) AS HUGEINT))),
+       |  (ac, cb) -> (ac * 31 + cb) % CAST('18446744073709551616' AS HUGEINT))""".stripMargin
+
+  /** Re-sign a [0, 2^64) HUGEINT into the BIGINT the long kernel wraps to. */
+  private def signed64(expr: String): String =
+    s"""CAST(CASE WHEN $expr >= CAST('9223372036854775808' AS HUGEINT)
+       |  THEN $expr - CAST('18446744073709551616' AS HUGEINT)
+       |  ELSE $expr END AS BIGINT)""".stripMargin
+
+  val fingerprintSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, ${hash64u("lower(text)")} AS h1, ${hash64u("text")} AS h2
+       |  FROM documents)
+       |SELECT doc_id, ${signed64("h1")} AS fp, ${signed64("h2")} AS fp_cased
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  val langIdSql: String = {
+    val scores = TextAnalysis.LangProfiles.map { case (_, words) =>
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(toks, t -> t IN ($inList))) AS BIGINT)"
+    }.mkString("[", ",\n         ", "]")
+    val cases = TextAnalysis.LangProfiles.map(_._1).zipWithIndex.map { case (lang, i) =>
+      s"WHEN scores[${i + 1}] = list_max(scores) THEN '$lang'"
+    }.mkString("\n    ")
+    s"""WITH tk AS (
+       |  SELECT lang, list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+       |  FROM documents),
+       |sc AS (SELECT lang, $scores AS scores FROM tk),
+       |pr AS (SELECT lang, CASE
+       |    WHEN list_max(scores) = 0 THEN 'und'
+       |    $cases
+       |    ELSE 'und' END AS predicted
+       |  FROM sc)
+       |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+       |FROM pr GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+  }
+
+  /** fakeDecode mirror: the payload is the UTF-8 encoding of `text`, and
+    * the fixture is ASCII (asserted in ScalaTest), so bytes == codepoints.
+    */
+  val mmFeaturesSql: String =
+    s"""WITH cc AS (
+       |  SELECT doc_id, ${cps("text")} AS cs, length(text) AS n FROM documents)
+       |SELECT doc_id,
+       |       list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+       |         (ac, cb) -> (ac * 131 + cb) % 1000003) AS checksum,
+       |       round(CAST(len(list_filter(cs, c -> c % 8 = 0)) AS DOUBLE) / greatest(n, 1), 6) AS f0,
+       |       round(CAST(len(list_filter(cs, c -> c % 8 = 1)) AS DOUBLE) / greatest(n, 1), 6) AS f1
+       |FROM cc ORDER BY doc_id""".stripMargin
+}

@@ -383,5 +383,15 @@ object SparkEntry {
         |       CAST(floor(octet_length(encode(text)) / 1024.0) + 1 AS BIGINT) AS n_frames,
         |       'image/fake' AS media_type
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Signature-family oracles: the poly-hash arithmetic is re-derived
+    // exactly in SQL (see OracleLlm) — signatures, band keys, candidate
+    // pairs and estimates all hash-match, not rows-only.
+    "x_dedup_minhash" -> OracleLlm.minhashPairsSql,
+    "x_dedup_simhash" -> OracleLlm.simhashPairsSql,
+    "x_dedup_pipeline" -> OracleLlm.dedupPipelineSql,
+    "x_source_sim" -> OracleLlm.sourceSimSql,
+    "x_fingerprint" -> OracleLlm.fingerprintSql,
+    "x_lang_id" -> OracleLlm.langIdSql,
+    "x_mm_features" -> OracleLlm.mmFeaturesSql,
   )
 }

@@ -25,9 +25,9 @@ object GraftFunctions {
     ("minhash_sig",
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (es: Seq[Expression]) => MinHashSig(es.head)),
-    ("simhash64",
-      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (es: Seq[Expression]) => SimHash64(es.head)),
+    ("simhash",
+      new ExpressionInfo(classOf[SimHash].getName, "simhash"),
+      (es: Seq[Expression]) => SimHash(es.head)),
     ("dot_product",
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (es: Seq[Expression]) => DotProduct(es(0), es(1))))

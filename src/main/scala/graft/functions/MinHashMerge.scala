@@ -1,10 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.dsl.expressions._
 import org.apache.spark.sql.catalyst.expressions.{
-  AttributeReference, Expression, If, IsNull, LambdaFunction, Least, Literal,
-  NamedLambdaVariable, ZipWith}
+  AttributeReference, CreateArray, Expression, GetArrayItem, If, IsNull, Least,
+  Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.graftx.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -13,12 +12,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * the group signature is the elementwise minimum of member signatures —
   * by the MinHash property, the signature of a UNION of shingle sets.
   *
-  * Declarative (pure expressions: `zip_with(least)`), so update and merge
-  * stay inside codegen'd hash aggregation with map-side partial merge —
-  * the signature of a 100 TB corpus partition folds locally to 64 longs
-  * before any shuffle. This is the "persistable mergeable sketch" path
-  * SURVEY.md §2.8 reserved for when it's needed: per-source/per-shard
-  * signatures can be stored and re-merged incrementally.
+  * The aggregation buffer is [[MinHashSig.NumHashes]] *fixed-width long
+  * slots*, not one ArrayType column: an array buffer is not
+  * UnsafeRow-mutable, so HashAggregateExec would reject it and the plan
+  * would silently fall back to SortAggregate. With primitive slots the
+  * update/merge expressions (`least` per slot) stay inside codegen'd hash
+  * aggregation with map-side partial merge — the signature of a 100 TB
+  * corpus partition folds locally to 64 longs before any shuffle. This is
+  * the "persistable mergeable sketch" path SURVEY.md §2.8 reserved for
+  * when it's needed: per-source/per-shard signatures can be stored and
+  * re-merged incrementally.
   */
 case class MinHashMerge(child: Expression) extends DeclarativeAggregate {
 
@@ -29,25 +32,21 @@ case class MinHashMerge(child: Expression) extends DeclarativeAggregate {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_merge"
 
-  private lazy val sig = AttributeReference("sig", dataType, nullable = false)()
-  override lazy val aggBufferAttributes: Seq[AttributeReference] = sig :: Nil
+  private lazy val slots: Seq[AttributeReference] =
+    (0 until n).map(i => AttributeReference(s"s$i", LongType, nullable = false)())
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = slots
 
-  override lazy val initialValues: Seq[Expression] = Seq(
-    Literal.create(Seq.fill(n)(Long.MaxValue), dataType))
+  override lazy val initialValues: Seq[Expression] =
+    Seq.fill(n)(Literal(Long.MaxValue))
 
-  private def zipMin(a: Expression, b: Expression): Expression = {
-    val x = NamedLambdaVariable("x", LongType, nullable = false)
-    val y = NamedLambdaVariable("y", LongType, nullable = false)
-    ZipWith(a, b, LambdaFunction(Least(Seq(x, y)), Seq(x, y)))
-  }
+  override lazy val updateExpressions: Seq[Expression] =
+    (0 until n).map(i =>
+      If(IsNull(child), slots(i), Least(Seq(slots(i), GetArrayItem(child, Literal(i))))))
 
-  override lazy val updateExpressions: Seq[Expression] = Seq(
-    If(IsNull(child), sig, zipMin(sig, child)))
+  override lazy val mergeExpressions: Seq[Expression] =
+    (0 until n).map(i => Least(Seq(slots(i).left, slots(i).right)))
 
-  override lazy val mergeExpressions: Seq[Expression] = Seq(
-    zipMin(sig.left, sig.right))
-
-  override lazy val evaluateExpression: Expression = sig
+  override lazy val evaluateExpression: Expression = CreateArray(slots)
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): MinHashMerge =

@@ -7,10 +7,13 @@ import org.apache.spark.sql.graftx.ColumnBridge
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Document fingerprint: 64-bit polynomial rolling hash over UTF-8 bytes,
-  * `h = h * 31 + b` with wrapping 64-bit arithmetic (the full 2^64 space —
-  * collision-safe for exact-dedup grouping at 100 TB document counts,
-  * unlike a 32/31-bit modulus).
+/** Document fingerprint: 64-bit polynomial rolling hash over Unicode
+  * codepoints, `h = h * 31 + cp` with wrapping 64-bit arithmetic (the full
+  * 2^64 space — collision-safe for exact-dedup grouping at 100 TB document
+  * counts, unlike a 32/31-bit modulus). Codepoints, not UTF-8 bytes, keep
+  * the value encoding-stable and let the DuckDB oracle reproduce it:
+  * `list_reduce` over `unicode(substr(...))` in HUGEINT, mod 2^64, then
+  * re-signed (see OracleLlm.fingerprint64Sql).
   *
   * A native Catalyst `Expression` with `doGenCode` (not a UDF) so it stays
   * inside whole-stage codegen on the hot path — the preference order the
@@ -34,37 +37,29 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     }
   override def prettyName: String = "rolling_hash"
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
-    var h = 0L
-    var i = 0
-    while (i < bytes.length) {
-      h = (h * 31) + (bytes(i) & 0xff) // wrapping on purpose
-      i += 1
-    }
-    h
-  }
+  override def nullSafeEval(input: Any): Any =
+    RollingHash.compute(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val bytes = ctx.freshName("bytes")
-      val i = ctx.freshName("i")
-      val h = ctx.freshName("h")
-      s"""
-         |byte[] $bytes = $c.getBytes();
-         |long $h = 0L;
-         |for (int $i = 0; $i < $bytes.length; $i++) {
-         |  $h = ($h * 31L) + ($bytes[$i] & 0xff);
-         |}
-         |${ev.value} = $h;
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RollingHash.compute($c);")
 
   override protected def withNewChildInternal(newChild: Expression): RollingHash =
     copy(child = newChild)
 }
 
 object RollingHash {
+  def compute(s: UTF8String): Long = {
+    val cp = PolyHashing.codePoints(s)
+    var h = 0L
+    var i = 0
+    while (i < cp.length) {
+      h = (h * 31) + cp(i) // wrapping on purpose
+      i += 1
+    }
+    h
+  }
+
   def rolling_hash(c: Column): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
 }

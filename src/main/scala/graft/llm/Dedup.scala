@@ -4,36 +4,48 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.{PolyHash, PolyHashing, PolyShingles}
 import graft.functions.RollingHash.rolling_hash
 
 /** X-DEDUP (SURVEY.md §2.7): exact and near-duplicate detection over the
   * `documents` table — the core of any large-scale training-data pipeline.
   *
   * Scale design: every variant avoids the O(n²) all-pairs comparison.
-  *  - exact: group by an 8-byte rolling-hash key (not the full text) —
-  *    the shuffle moves hashes, not documents;
+  *  - exact: group by a (64-bit, 31-bit) hash pair of the text — the
+  *    shuffle key is 16 bytes of hashes plus the tiny aggregate columns,
+  *    never the document text;
   *  - MinHash + LSH: shingle → 64-slot signature → 16 banded hash keys →
   *    pairs only within band buckets (standard banding: docs with Jaccard
   *    ≥ ~0.5 collide in ≥1 band w.h.p.);
-  *  - SimHash: 64-bit fingerprint, banded into 4×16-bit keys, Hamming
+  *  - SimHash: 60-bit fingerprint, banded into 4×15-bit keys, Hamming
   *    filter on candidates;
   *  - n-gram Jaccard: exact verification on a *bounded* candidate set.
-  * All signature math is built-in expressions (codegen), no UDFs.
+  * All signature math is codegen'd native expressions in the
+  * poly-hash domain (graft.functions.PolyHashing), so the DuckDB oracle
+  * reproduces signatures, candidate pairs, and estimates exactly
+  * (graft.OracleLlm builds the mirror SQL).
   */
 object Dedup {
 
   // ---- exact ----------------------------------------------------------
 
-  /** Exact dedup: hash-group on the rolling-hash of normalized text, keep
-    * the smallest doc_id per group. Output one row per distinct text with
-    * its duplicate count — SQL-oracle-checkable.
+  /** Exact dedup: hash-group on (rolling_hash, poly_hash) of the text —
+    * ~95 bits of key, so distinct texts land in distinct groups at any
+    * realistic corpus size while the shuffle moves hashes, not documents.
+    * n_chars rides along as a grouping column (it is a function of the
+    * text). Output one row per distinct text with its duplicate count —
+    * the oracle groups by the full text and must agree.
     */
   def exact(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"))
-      .groupBy("text")
+      .select(
+        col("doc_id"),
+        rolling_hash(col("text")).as("h64"),
+        PolyHash.poly_hash(col("text"), 137).as("h31"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy("h64", "h31", "n_chars")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-      .select(col("keep_id"), col("n_copies"), length(col("text")).cast("long").as("n_chars"))
+      .select(col("keep_id"), col("n_copies"), col("n_chars"))
       .orderBy("keep_id")
 
   // ---- MinHash + LSH --------------------------------------------------
@@ -43,22 +55,22 @@ object Dedup {
   val RowsPerBand: Int = NumHashes / NumBands
   val ShingleK = 8
 
-  /** Shingle hash domain [0, 2^32) — see [[graft.functions.MinHashSig]]
-    * for the ANSI-safe permutation arithmetic.
+  /** Minimum signature-estimated Jaccard for a candidate pair to count as
+    * a near-duplicate (the banding design point: 16 bands × 4 rows has
+    * its S-curve threshold around 0.5). Banding false-positive collisions
+    * below this estimate are verification noise, not duplicates — the
+    * pipeline must not drop documents for them.
     */
-  val HashDomain: Long = 1L << 32
+  val NearDupThreshold = 0.5
 
-  /** Character k-shingles of `c`, hashed into [0, 2^32) via xxhash64 —
-    * one pass, distinct. Empty for texts shorter than k.
+  /** Character k-shingles hashed into [0, 2^31-1) via the poly-hash
+    * kernel — one pass, sorted distinct. Empty for texts shorter than k.
     */
-  def shingleHashes(c: Column, k: Int = ShingleK): Column = {
-    val idx = when(length(c) >= k, sequence(lit(1), length(c) - (k - 1)))
-      .otherwise(array().cast("array<int>"))
-    array_distinct(transform(idx, i => pmod(xxhash64(c.substr(i, lit(k))), lit(HashDomain))))
-  }
+  def shingleHashes(c: Column, k: Int = ShingleK): Column =
+    PolyShingles.poly_shingles(c, k)
 
   /** 64-slot MinHash signature: sig_i = min over shingles of
-    * (a_i*h + b_i) mod P — the native codegen'd kernel
+    * (a_i*h + b_i) mod 2^31-1 — the native codegen'd kernel
     * ([[graft.functions.MinHashSig]]); the equivalent higher-order-function
     * expression allocated an array per permutation per row and benched
     * 10× slower at sf0.1.
@@ -89,6 +101,16 @@ object Dedup {
     sigCache.computeIfAbsent((spark, sfDir),
       _ => signatures(Tables.documents(spark, sfDir)))
 
+  /** Polynomial fold of `RowsPerBand` signature slots into one band key —
+    * slots < 2^31 and 1000003·(2^31-1) < 2^51, so the fold never
+    * overflows and the oracle reproduces it with list_reduce.
+    */
+  private def bandKey(sig: Column, band: Column): Column =
+    aggregate(
+      slice(sig, band * RowsPerBand + 1, lit(RowsPerBand)),
+      lit(0L),
+      (acc, x) => (acc * 1000003L + x) % PolyHashing.Mod)
+
   /** LSH banding: 16 (band, bandKey) rows per doc; candidate pairs are
     * doc pairs sharing ≥1 band key. The self-join is on the banded key —
     * shuffle is by (band, key), never all-pairs.
@@ -97,7 +119,7 @@ object Dedup {
     val bands = sigs.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(NumBands - 1)), j =>
-        struct(j.as("band"), xxhash64(slice(col("sig"), j * RowsPerBand + 1, lit(RowsPerBand))).as("bkey"))))
+        struct(j.as("band"), bandKey(col("sig"), j).as("bkey"))))
         .as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bkey"))
     val l = bands.as("l")
@@ -128,8 +150,8 @@ object Dedup {
   /** Per-source corpus signatures via the mergeable [[graft.functions.MinHashMerge]]
     * aggregate (elementwise-min union), then pairwise cross-source
     * similarity estimates — the corpus-level dedup/contamination view.
-    * Deterministic; rows-only oracle (signature math is engine-side),
-    * union law verified in ScalaTest.
+    * Deterministic and oracle-checked end to end (the oracle re-derives
+    * the merged signatures with the same permutations).
     */
   def sourceSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
     val docSigs = signatureTable(spark, sfDir)
@@ -147,14 +169,17 @@ object Dedup {
   }
 
   /** End-to-end corpus dedup pipeline: exact dups out first (keep min
-    * doc_id per text), then near-dups out (for every MinHash candidate
-    * pair, the higher doc_id is dropped). Survivor counts per source.
+    * doc_id per text), then near-dups out — for every MinHash candidate
+    * pair whose estimate clears [[NearDupThreshold]], the higher doc_id
+    * is dropped (below-threshold banding collisions are NOT duplicates
+    * and must survive). Survivor counts per source.
     */
   def dedupPipeline(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val exactKept = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
     val kept = docs.join(exactKept, Seq("doc_id"), "left_semi")
     val dropNear = minhashPairs(spark, sfDir)
+      .filter(col("est_jaccard") >= NearDupThreshold)
       .select(col("id_b").as("doc_id")).distinct()
     val survivors = kept.join(dropNear, Seq("doc_id"), "left_anti")
     survivors.groupBy("source")
@@ -164,22 +189,30 @@ object Dedup {
 
   // ---- SimHash --------------------------------------------------------
 
-  /** 64-bit SimHash over whitespace tokens: per token take xxhash64 bits,
-    * sum ±1 per bit position, sign → fingerprint bit. Native codegen'd
-    * kernel ([[graft.functions.SimHash64]]) — the higher-order-function
-    * formulation allocated a 64-wide array per token per row.
+  val SimBits: Int = graft.functions.SimHash.Bits
+  val SimBands = 4
+  val SimBandBits: Int = SimBits / SimBands // 15
+  val SimHammingMax = 8
+
+  /** 60-bit SimHash over whitespace tokens: per token two poly hashes
+    * supply 30 bits each; fingerprint bit = sign of the ±1 vote sum.
+    * Native codegen'd kernel ([[graft.functions.SimHash]]) — the
+    * higher-order-function formulation allocated a 60-wide array per
+    * token per row.
     */
   def simhash(c: Column): Column =
-    graft.functions.SimHash64.simhash64(TextAnalysis.tokens(c))
+    graft.functions.SimHash.simhash(TextAnalysis.tokens(c))
 
-  /** X-DEDUP SimHash: near-dup pairs = same 16-bit band + Hamming ≤ 8. */
+  /** X-DEDUP SimHash: near-dup pairs = same 15-bit band + Hamming ≤ 8. */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val fps = Tables.documents(spark, sfDir)
       .select(col("doc_id"), simhash(col("text")).as("fp"))
     val bands = fps.select(
       col("doc_id"), col("fp"),
-      explode(transform(sequence(lit(0), lit(3)), j =>
-        struct(j.as("band"), call_function("shiftright", col("fp"), j * 16).bitwiseAND(0xffffL).as("bkey"))))
+      explode(transform(sequence(lit(0), lit(SimBands - 1)), j =>
+        struct(j.as("band"),
+          call_function("shiftright", col("fp"), j * SimBandBits)
+            .bitwiseAND((1L << SimBandBits) - 1).as("bkey"))))
         .as("b"))
       .select(col("doc_id"), col("fp"), col("b.band"), col("b.bkey"))
     val l = bands.as("l")
@@ -191,7 +224,7 @@ object Dedup {
         col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"),
         bit_count(col("l.fp").bitwiseXOR(col("r.fp"))).cast("long").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 8)
+      .filter(col("hamming") <= SimHammingMax)
       .orderBy("id_a", "id_b")
   }
 

@@ -150,20 +150,33 @@ class FbInsightsJsonlReader(p: FbInsightsPartition, required: StructType)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
-  private val lines: Iterator[String] = p.files.iterator.flatMap { f =>
-    scala.io.Source.fromFile(f, "UTF-8").getLines()
-  }
+  private val fileIter = p.files.iterator
+  // One file handle open at a time; closed when its lines are exhausted
+  // and unconditionally in close() — long-lived executors scan many
+  // partitions, so leaking a descriptor per file is not an option.
+  private var source: scala.io.Source = _
+  private var lineIter: Iterator[String] = Iterator.empty
   private var current: InternalRow = _
 
+  private def advance(): Boolean = {
+    while (!lineIter.hasNext && fileIter.hasNext) {
+      if (source != null) source.close()
+      source = scala.io.Source.fromFile(fileIter.next(), "UTF-8")
+      lineIter = source.getLines()
+    }
+    lineIter.hasNext
+  }
+
   override def next(): Boolean =
-    if (!lines.hasNext) false
+    if (!advance()) { close(); false }
     else {
-      current = convert(mapper.readTree(lines.next()))
+      current = convert(mapper.readTree(lineIter.next()))
       true
     }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit =
+    if (source != null) { source.close(); source = null }
 
   private def convert(node: JsonNode): InternalRow = {
     val values = required.fields.map { f =>

@@ -70,12 +70,10 @@ class GraftSpec extends AnyFunSuite {
 
   test("rolling_hash: codegen result matches reference implementation") {
     import spark.implicits._
-    val expected: String => Long = s => {
-      var h = 0L
-      s.getBytes("UTF-8").foreach(b => h = h * 31 + (b & 0xff))
-      h
-    }
-    val inputs = Seq("", "a", "hello world", "ünïcode ✓ text")
+    // codepoint-based (not bytes): encoding-stable and DuckDB-mirrorable
+    val expected: String => Long = s =>
+      s.codePoints().toArray.foldLeft(0L)((h, cp) => h * 31 + cp)
+    val inputs = Seq("", "a", "hello world", "ünïcode ✓ text", "汉字 𝒳")
     val got = inputs.toDF("s")
       .select(RollingHash.rolling_hash(col("s"))).as[Long].collect()
     assert(got.toSeq === inputs.map(expected))
@@ -85,7 +83,7 @@ class GraftSpec extends AnyFunSuite {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
       """SELECT rolling_hash('abc') AS rh,
-        |       simhash64(array('a','b')) AS sh,
+        |       simhash(array('a','b')) AS sh,
         |       dot_product(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
         |                   CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS dp""".stripMargin).head
     assert(r.getAs[Long]("rh") === ("abc".getBytes.foldLeft(0L)((h, b) => h * 31 + (b & 0xff))))
@@ -186,6 +184,29 @@ class GraftSpec extends AnyFunSuite {
     assert(recall > 0.3, s"ivf recall@10 = $recall")
   }
 
+  test("x_dedup_exact: shuffle key is the hash pair, never document text") {
+    val df = llm.Dedup.exact(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(h64"),
+      s"expected the 8-byte hash as the leading shuffle key:\n${plan.take(2000)}")
+    assert(!plan.contains("hashpartitioning(text"),
+      "exact dedup must not shuffle full document text as the group key")
+  }
+
+  test("documents fixture is ASCII (x_mm_features oracle equates bytes and codepoints)") {
+    val n = Tables.documents(spark, sf)
+      .filter(col("text").rlike("[^\\x00-\\x7F]")).count()
+    assert(n === 0, "fakeDecode hashes UTF-8 bytes; the DuckDB mirror uses codepoints")
+  }
+
+  test("MinHashMerge plans as HashAggregate (fixed-width slot buffer)") {
+    val merged = Dedup.signatureTable(spark, sf)
+      .agg(graft.functions.MinHashMerge.minhash_merge(col("sig")))
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"),
+      s"array buffers fall back to SortAggregate — slots must stay primitive:\n${plan.take(1500)}")
+  }
+
   test("MinHashMerge aggregate: group signature = elementwise min of members") {
     val docSigs = Tables.documents(spark, sf)
       .select(col("source"), Dedup.shingleHashes(col("text")).as("hs"))
@@ -207,9 +228,12 @@ class GraftSpec extends AnyFunSuite {
     val kept = Dedup.dedupPipeline(spark, sf)
       .agg(sum("n_kept")).head.getLong(0)
     val nearDropped = Dedup.minhashPairs(spark, sf)
+      .filter(col("est_jaccard") >= Dedup.NearDupThreshold)
       .select("id_b").distinct().count()
-    // all texts distinct in fixture → only near-dup drops apply
+    // all texts distinct in fixture → only near-dup drops apply; candidate
+    // pairs below the threshold are banding noise and must NOT be dropped
     assert(kept === total - nearDropped)
+    assert(nearDropped > 0, "fixture contains planted near-dups above threshold")
   }
 
   // ---- Multimodal stub ------------------------------------------------
