@@ -180,6 +180,96 @@ object OracleLlm {
        |FROM pr GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
   }
 
+  // ---- similarity (LSH / IVF) ----------------------------------------
+
+  /** Exact cosine between two 64-dim float list expressions — the same
+    * left-to-right double fold as the DotProduct kernel (x_sim_brute
+    * precedent).
+    */
+  private def cosine(av: String, an: String, bv: String, bn: String): String =
+    s"""list_sum(list_transform(range(1, 65),
+       |  i -> CAST($av[CAST(i AS INT)] AS DOUBLE) * CAST($bv[CAST(i AS INT)] AS DOUBLE)))
+       |  / ($an * $bn)""".stripMargin
+
+  /** Shared corpus/query CTEs (norms > 0, every 200th vector queries). */
+  private val simBaseCtes: String =
+    s"""e AS (
+       |  SELECT vec_id, embedding,
+       |         sqrt(list_sum(list_transform(embedding,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |c AS (SELECT * FROM e WHERE nrm > 0),
+       |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn FROM c
+       |      WHERE vec_id % ${llm.Similarity.QueryStride} = 0)""".stripMargin
+
+  private def rankSelect(k: Int): String =
+    s"""r AS (
+       |  SELECT qid, cid, cosine,
+       |         CAST(row_number() OVER (PARTITION BY qid
+       |                ORDER BY cosine DESC, cid) AS BIGINT) AS rank
+       |  FROM s)
+       |SELECT qid, rank, cid, round(cosine, 6) AS cosine
+       |FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+
+  /** Sign-bucket of a vector expression in hash table `t` (column ref):
+    * bit j = (Σ_d ±v[d]) >= 0 with the kernel's plane-sign literal.
+    */
+  private def bucketExpr(v: String, t: String): String =
+    s"""CAST(list_sum(list_transform(range(0, ${llm.Similarity.BitsPerTable}), j ->
+       |  CASE WHEN list_sum(list_transform(range(0, 64), d ->
+       |      CASE WHEN ps[CAST(($t * ${llm.Similarity.BitsPerTable} + j) * 64 + d + 1 AS INT)] = 1
+       |        THEN CAST($v[CAST(d + 1 AS INT)] AS DOUBLE)
+       |        ELSE -CAST($v[CAST(d + 1 AS INT)] AS DOUBLE) END)) >= 0
+       |    THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END))
+       |  AS BIGINT)""".stripMargin
+
+  val simLshSql: String =
+    s"""WITH $simBaseCtes,
+       |pl AS (SELECT ${llm.Similarity.planeSigns.mkString("[", ", ", "]")} AS ps),
+       |tb AS (SELECT unnest(range(0, ${llm.Similarity.NumTables})) AS t),
+       |cb AS (
+       |  SELECT c.vec_id, c.embedding, c.nrm, tb.t AS t,
+       |         ${bucketExpr("c.embedding", "tb.t")} AS bucket
+       |  FROM c, tb, pl),
+       |qb AS (
+       |  SELECT q.qid, q.qv, q.qn, tb.t AS t,
+       |         ${bucketExpr("q.qv", "tb.t")} AS bucket
+       |  FROM q, tb, pl),
+       |s AS (
+       |  SELECT DISTINCT qb.qid, cb.vec_id AS cid,
+       |         ${cosine("qb.qv", "qb.qn", "cb.embedding", "cb.nrm")} AS cosine
+       |  FROM cb JOIN qb ON cb.t = qb.t AND cb.bucket = qb.bucket
+       |                 AND cb.vec_id <> qb.qid),
+       |${rankSelect(llm.Similarity.K)}""".stripMargin
+
+  val simIvfSql: String =
+    s"""WITH $simBaseCtes,
+       |cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn FROM c
+       |          WHERE vec_id % ${llm.Similarity.CentroidStride} = 0),
+       |casg AS (
+       |  SELECT vec_id, cent_id,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+       |  FROM (SELECT c.vec_id, cents.cent_id,
+       |          ${cosine("c.embedding", "c.nrm", "cents.cv", "cents.cn")} AS cs
+       |        FROM c, cents)),
+       |cells AS (SELECT vec_id, cent_id FROM casg WHERE rn = 1),
+       |qasg AS (
+       |  SELECT qid, cent_id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cent_id) AS rn
+       |  FROM (SELECT q.qid, cents.cent_id,
+       |          ${cosine("q.qv", "q.qn", "cents.cv", "cents.cn")} AS cs
+       |        FROM q, cents)),
+       |probes AS (SELECT qid, cent_id FROM qasg WHERE rn <= ${llm.Similarity.NumProbes}),
+       |s AS (
+       |  SELECT q.qid, c.vec_id AS cid,
+       |         ${cosine("q.qv", "q.qn", "c.embedding", "c.nrm")} AS cosine
+       |  FROM probes p
+       |  JOIN cells cl ON p.cent_id = cl.cent_id
+       |  JOIN q ON q.qid = p.qid
+       |  JOIN c ON c.vec_id = cl.vec_id
+       |  WHERE c.vec_id <> q.qid),
+       |${rankSelect(llm.Similarity.K)}""".stripMargin
+
   /** fakeDecode mirror: the payload is the UTF-8 encoding of `text`, and
     * the fixture is ASCII (asserted in ScalaTest), so bytes == codepoints.
     */

@@ -393,5 +393,7 @@ object SparkEntry {
     "x_fingerprint" -> OracleLlm.fingerprintSql,
     "x_lang_id" -> OracleLlm.langIdSql,
     "x_mm_features" -> OracleLlm.mmFeaturesSql,
+    "x_sim_lsh" -> OracleLlm.simLshSql,
+    "x_sim_ivf" -> OracleLlm.simIvfSql,
   )
 }

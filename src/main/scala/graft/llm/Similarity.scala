@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -9,18 +8,24 @@ import graft.Tables
 /** X-SIM (SURVEY.md §2.7): similarity search over the `embeddings` table
   * (`embedding: array<float>`, 64-dim).
   *
-  * Two paths:
+  * Three paths:
   *  - [[bruteTopK]] — exact cosine top-k: broadcast the (small) query set
   *    against the full corpus. The corpus side streams — no shuffle until
-  *    the per-query top-k. This is the correctness baseline and is
-  *    oracle-checked (same left-to-right double arithmetic in DuckDB SQL).
-  *  - [[lshTopK]] — the scale path: 16 random-hyperplane sign bits bucket
-  *    the corpus; candidates are same-bucket only, so work is
-  *    O(n × bucket) not O(n²). Recall measured against brute force in
-  *    ScalaTest.
+  *    the per-query top-k. This is the correctness baseline.
+  *  - [[lshTopK]] — sign-random-projection LSH: 4 tables × 6 hyperplane
+  *    sign bits bucket the corpus; candidates are same-bucket only, so
+  *    work is O(n × bucket) not O(n²).
+  *  - [[ivfTopK]] — inverted-file: assign every vector to its nearest
+  *    centroid *narrowly* (fold over a broadcast centroid array — no
+  *    shuffle, no window), probe the 2 nearest cells per query.
   *
-  * All vector math is built-in higher-order functions (`zip_with` +
-  * `aggregate` — codegen'd), no UDFs.
+  * All three are oracle-checked end to end: the hyperplane signs are
+  * deterministic and inlined into the DuckDB SQL, centroid choice is
+  * deterministic, and every floating-point fold runs in the same order on
+  * both engines (see OracleLlm).
+  *
+  * All vector math is the codegen'd [[graft.functions.DotProduct]] kernel
+  * or built-in higher-order functions, no UDFs.
   */
 object Similarity {
 
@@ -52,16 +57,25 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  private def corpus(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.embeddings(spark, sfDir)
+  private def corpusOf(embeddings: DataFrame): DataFrame =
+    embeddings
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
       .filter(col("nrm") > 0)
 
-  /** Exact brute-force cosine top-k per query. */
-  def bruteTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val c = corpus(spark, sfDir)
-    val queries = c.filter(col("vec_id") % QueryStride === 0)
+  private def corpus(spark: SparkSession, sfDir: String): DataFrame =
+    corpusOf(Tables.embeddings(spark, sfDir))
+
+  private def queriesOf(c: DataFrame, stride: Int): DataFrame =
+    c.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qn"))
+
+  /** Exact brute-force cosine top-k per query. */
+  def bruteTopK(spark: SparkSession, sfDir: String): DataFrame =
+    bruteTopKOf(Tables.embeddings(spark, sfDir), QueryStride)
+
+  def bruteTopKOf(embeddings: DataFrame, stride: Int): DataFrame = {
+    val c = corpusOf(embeddings)
+    val queries = queriesOf(c, stride)
     val scored = c.join(broadcast(queries), col("vec_id") =!= col("qid"))
       .select(
         col("qid"), col("vec_id").as("cid"),
@@ -74,16 +88,24 @@ object Similarity {
   val NumTables = 4
   val BitsPerTable = 6
 
-  /** Deterministic ±1 hyperplanes (seeded LCG), dim 64 — one group of
+  /** Deterministic ±1 hyperplanes (seeded), dim 64 — one group of
     * [[BitsPerTable]] planes per hash table. Multiple independent tables
     * are the standard recall lever for sign-random-projection LSH: a
-    * near-neighbor only needs to collide in *one* table.
+    * near-neighbor only needs to collide in *one* table. The sign matrix
+    * is inlined into the oracle SQL (OracleLlm.planeList), so the bucket
+    * computation is reproduced exactly.
     */
   private val planes: Array[Array[Array[Float]]] = {
     val r = new java.util.Random(7)
     Array.fill(NumTables, BitsPerTable)(
       Array.fill(64)(if (r.nextBoolean()) 1.0f else -1.0f))
   }
+
+  /** Flattened ±1 signs, indexed (t*BitsPerTable + j)*64 + d — the oracle
+    * literal.
+    */
+  val planeSigns: Array[Int] =
+    planes.flatten.flatten.map(f => if (f > 0) 1 else -1)
 
   /** Sign-bit bucket of a vector in table `t`: bit j = (v·plane_tj) >= 0. */
   def bucketOf(v: Column, t: Int): Column =
@@ -96,74 +118,100 @@ object Similarity {
     array((0 until NumTables).map(t =>
       struct(lit(t).as("t"), bucketOf(v, t).as("bucket"))): _*)
 
-  // ---- IVF (inverted-file) path ---------------------------------------
-
-  val CentroidStride = 100
-  val NumProbes = 2
-
-  /** IVF ANN: a deterministic "training sample" of the corpus acts as the
-    * centroid set (every [[CentroidStride]]-th vector); vectors are
-    * assigned to their max-cosine centroid (the inverted file), and a
-    * query probes its [[NumProbes]] nearest cells only. At 100 TB the
-    * corpus is written bucketed by cell id, so a probe is a partition
-    * read, not a scan; the centroid table is the broadcast side.
-    */
-  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val c = corpus(spark, sfDir)
-    val cents = c.filter(col("vec_id") % CentroidStride === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"), col("nrm").as("cn"))
-
-    def assign(df: DataFrame, idCol: String, vCol: String, nCol: String, keep: Int) = {
-      val w = Window.partitionBy(idCol)
-        .orderBy(desc("cscore"), asc("cent_id"))
-      df.join(broadcast(cents), lit(true))
-        .select(col(idCol), col("cent_id"),
-          (dot(col(vCol), col("cv")) / (col(nCol) * col("cn"))).as("cscore"))
-        .withColumn("cr", row_number().over(w))
-        .filter(col("cr") <= keep)
-        .select(col(idCol), col("cent_id"))
-    }
-
-    val cells = assign(c.select(col("vec_id"), col("embedding"), col("nrm")),
-      "vec_id", "embedding", "nrm", keep = 1)
-    val queries = c.filter(col("vec_id") % QueryStride === 0)
-    val probes = assign(
-      queries.select(col("vec_id").as("qid"), col("embedding"), col("nrm")),
-      "qid", "embedding", "nrm", keep = NumProbes)
-
-    val cand = probes.join(cells, Seq("cent_id"))
-      .select(col("qid"), col("vec_id").as("cid"))
-      .filter(col("qid") =!= col("cid"))
-      .distinct()
-    val scored = cand
-      .join(broadcast(queries.select(col("vec_id").as("qid"),
-        col("embedding").as("qv"), col("nrm").as("qn"))), Seq("qid"))
-      .join(corpus(spark, sfDir).select(col("vec_id").as("cid"),
-        col("embedding").as("cvv"), col("nrm").as("cnn")), Seq("cid"))
-      .select(col("qid"), col("cid"),
-        (dot(col("qv"), col("cvv")) / (col("qn") * col("cnn"))).as("cosine"))
-    topK(scored)
-  }
-
   /** ANN top-k: exact cosine, but only over same-bucket candidates from
     * any of the [[NumTables]] hash tables. At 100 TB the corpus is
     * hash-partitioned by (table, bucket); each query probes NumTables
     * buckets instead of scanning the corpus.
     */
-  def lshTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val c = corpus(spark, sfDir)
+  def lshTopK(spark: SparkSession, sfDir: String): DataFrame =
+    lshTopKOf(Tables.embeddings(spark, sfDir), QueryStride)
+
+  def lshTopKOf(embeddings: DataFrame, stride: Int): DataFrame = {
+    val base = corpusOf(embeddings)
+    val c = base
       .select(col("vec_id"), col("embedding"), col("nrm"),
         explode(bucketKeys(col("embedding"))).as("bk"))
-    val queries = corpus(spark, sfDir)
-      .filter(col("vec_id") % QueryStride === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        col("nrm").as("qn"), explode(bucketKeys(col("embedding"))).as("qbk"))
+    val queries = queriesOf(base, stride)
+      .select(col("qid"), col("qv"), col("qn"),
+        explode(bucketKeys(col("qv"))).as("qbk"))
     val scored = c.join(broadcast(queries),
         col("bk") === col("qbk") && col("vec_id") =!= col("qid"))
       .select(
         col("qid"), col("vec_id").as("cid"),
         (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cosine"))
       .distinct() // a pair colliding in several tables scores identically
+    topK(scored)
+  }
+
+  // ---- IVF (inverted-file) path ---------------------------------------
+
+  val CentroidStride = 100
+  val NumProbes = 2
+
+  /** Per-row best-centroid fold: scores every centroid in the broadcast
+    * array, keeps (max score, min cent_id on ties). Order-independent, so
+    * the collect_list ordering doesn't matter; ties resolve exactly like
+    * the oracle's `ORDER BY score DESC, cent_id`.
+    */
+  private def bestCentroid(scores: Column): Column =
+    aggregate(scores,
+      struct(lit(-2.0d).as("s"), lit(Long.MaxValue).as("cid")),
+      (acc, x) =>
+        when(x("s") > acc("s") || (x("s") === acc("s") && x("cid") < acc("cid")), x)
+          .otherwise(acc))
+
+  /** Per-centroid cosine scores of a vector, materialized in its own
+    * projection (Catalyst does no CSE inside lambda bodies — the fold
+    * must consume a *column*, not recompute k dot products per step).
+    */
+  private def centroidScores(cents: Column, v: Column, n: Column): Column =
+    transform(cents, x =>
+      struct((dot(v, x("cv")) / (n * x("cn"))).as("s"), x("cid").as("cid")))
+
+  /** IVF ANN: a deterministic "training sample" of the corpus acts as the
+    * centroid set (every [[CentroidStride]]-th vector). Assignment is
+    * MAP-ONLY: the centroid set is folded per row from one broadcast
+    * array — no n×k cross-product shuffle, no window. A query probes its
+    * [[NumProbes]] nearest cells; candidates arrive via one broadcast
+    * hash join of the (tiny) probe list against the assigned corpus. At
+    * 100 TB the corpus is written bucketed by cell id, so a probe is a
+    * partition read, not a scan; this plan shuffles nothing but the
+    * final k-rows-per-query top-k.
+    */
+  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame =
+    ivfTopKOf(Tables.embeddings(spark, sfDir), QueryStride)
+
+  def ivfTopKOf(embeddings: DataFrame, stride: Int): DataFrame = {
+    val c = corpusOf(embeddings)
+    // the "trained model": k centroids collapsed into ONE broadcast row
+    val centArr = c.filter(col("vec_id") % CentroidStride === 0)
+      .agg(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("nrm").as("cn"))).as("cents"))
+
+    // inverted file: narrow per-row argmax over the centroid array
+    val cells = c.join(broadcast(centArr))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        centroidScores(col("cents"), col("embedding"), col("nrm")).as("scores"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        bestCentroid(col("scores"))("cid").as("cent_id"))
+
+    // probes: top-NumProbes centroids per query (queries are few — the
+    // same scores array, sorted by the oracle's total order, sliced)
+    val probes = queriesOf(c, stride).join(broadcast(centArr))
+      .select(col("qid"), col("qv"), col("qn"),
+        centroidScores(col("cents"), col("qv"), col("qn")).as("scores"))
+      .select(col("qid"), col("qv"), col("qn"),
+        explode(slice(array_sort(col("scores"), (l, r) =>
+          when(l("s") > r("s"), -1).when(l("s") < r("s"), 1)
+            .when(l("cid") < r("cid"), -1).when(l("cid") > r("cid"), 1)
+            .otherwise(0)), 1, NumProbes)("cid")).as("cent_id"))
+
+    // candidates = probed cells; each corpus row lives in exactly one
+    // cell, so (qid, cid) pairs are already distinct
+    val scored = cells.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cosine"))
     topK(scored)
   }
 }

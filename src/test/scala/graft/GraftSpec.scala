@@ -157,18 +157,40 @@ class GraftSpec extends AnyFunSuite {
 
   // ---- Similarity -----------------------------------------------------
 
-  test("lsh ANN scores agree with brute force on shared pairs; recall sane") {
+  test("lsh ANN scores agree exactly with brute force on shared pairs") {
     val brute = Similarity.bruteTopK(spark, sf)
       .select("qid", "cid", "cosine").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val lsh = Similarity.lshTopK(spark, sf)
       .select("qid", "cid", "cosine").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    // exact same cosine wherever both paths scored a pair
+    // exact same cosine wherever both paths scored a pair; the recall
+    // guarantee lives in the planted-pair test below (the fixture's
+    // uniform-random vectors have no meaningful neighbors to recall)
     val shared = lsh.keySet.intersect(brute.keySet)
+    assert(shared.nonEmpty)
     shared.foreach(k => assert(math.abs(lsh(k) - brute(k)) < 1e-12))
-    val recall = shared.size.toDouble / brute.size
-    assert(recall > 0.05, s"bucketed recall@10 = $recall")
+  }
+
+  test("lsh ANN: recall >= 0.8 on planted near-neighbor pairs") {
+    import spark.implicits._
+    val r = new java.util.Random(123)
+    val nClusters = 50
+    val rows = (0 until nClusters).flatMap { i =>
+      val base = Array.fill(64)(r.nextGaussian())
+      val partner = base.map(v => (v + r.nextGaussian() * 0.05).toFloat).toSeq
+      val fillers = (2 until 10).map(j =>
+        (i * 10L + j, Array.fill(64)(r.nextGaussian().toFloat).toSeq))
+      Seq((i * 10L, base.map(_.toFloat).toSeq), (i * 10L + 1, partner)) ++ fillers
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    // stride 10 → each cluster's base vector is a query; its planted
+    // partner (cosine ≈ 0.999) must surface in the LSH top-k
+    val lsh = Similarity.lshTopKOf(df, stride = 10)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0 until nClusters).count(i => lsh.contains((i * 10L, i * 10L + 1)))
+    val recall = found.toDouble / nClusters
+    assert(recall >= 0.8, s"planted-pair recall = $recall")
   }
 
   test("ivf ANN: high recall on clustered embeddings, exact scores") {
@@ -182,6 +204,15 @@ class GraftSpec extends AnyFunSuite {
     shared.foreach(k => assert(math.abs(ivf(k) - brute(k)) < 1e-12))
     val recall = shared.size.toDouble / brute.size
     assert(recall > 0.3, s"ivf recall@10 = $recall")
+  }
+
+  test("ivf ANN: cell assignment is map-only (no window, no n×k shuffle)") {
+    val df = Similarity.ivfTopK(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"assignment must fold the broadcast centroid array per row, not rank a cross product:\n${plan.take(2000)}")
+    assert(!plan.contains("Exchange hashpartitioning(vec_id"),
+      "the corpus must not be shuffled for assignment")
   }
 
   test("x_dedup_exact: shuffle key is the hash pair, never document text") {
