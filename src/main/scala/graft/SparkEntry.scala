@@ -51,6 +51,8 @@ object SparkEntry {
     "x_mm_frames" -> (llm.Multimodal.frames _),
     "x_sim_ivf" -> (llm.Similarity.ivfTopK _),
     "q_msg" -> (etl.Trigger.dispatch _),
+    "q_trigger_date" -> (etl.Trigger.currencyTrigger _),
+    "q_fx_gate" -> (etl.RatesSource.gateStats _),
     "q_dsv2" -> (EtlQueries.qDsv2 _),
     "x_stream_sessions" -> (llm.Events.streamingSessions _),
     "x_skew_salted" -> (ScaleQueries.saltedAgg _),
@@ -395,5 +397,38 @@ object SparkEntry {
     "x_mm_features" -> OracleLlm.mmFeaturesSql,
     "x_sim_lsh" -> OracleLlm.simLshSql,
     "x_sim_ivf" -> OracleLlm.simIvfSql,
+    // get_currency attribute surface + the yesterday-default branch
+    // (S-SUBD): "today" is injected as max(o_orderdate)+1 on both sides
+    "q_trigger_date" ->
+      """WITH t AS (SELECT max(CAST(o_orderdate AS DATE)) + 1 AS today FROM orders),
+        |m AS (
+        |  SELECT 'key-' || (o_orderkey % 7) AS api_key,
+        |         'USD' || (CASE WHEN o_orderkey % 2 = 0 THEN 'UAH' ELSE 'EUR' END) AS source,
+        |         CASE WHEN o_orderkey % 5 = 0 THEN CAST(o_orderdate AS DATE) END AS dov
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT source,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(dov) AS BIGINT) AS n_override,
+        |       CAST(sum(CASE WHEN dov IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_defaulted,
+        |       CAST(count(DISTINCT api_key) AS BIGINT) AS n_keys,
+        |       min(coalesce(dov, today - 1)) AS min_date,
+        |       max(coalesce(dov, today - 1)) AS max_date
+        |FROM m, t GROUP BY source ORDER BY source""".stripMargin,
+    // S-CHK with a REJECTING branch: day-of-month % 7 = 0 responds
+    // success:false; extraction must run only on passing documents
+    "q_fx_gate" ->
+      """WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders),
+        |c AS (SELECT d, (EXTRACT(DAY FROM d) % 7 <> 0) AS ok,
+        |        CAST(20 AS DOUBLE)
+        |          + CAST((EXTRACT(DAY FROM d) * 37
+        |                  + EXTRACT(MONTH FROM d) * 11) % 100 AS DOUBLE)
+        |            / CAST(100 AS DOUBLE) AS rate
+        |      FROM d)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+        |       CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_rejected,
+        |       CAST(sum(CAST(CASE WHEN ok THEN rate ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS sum_ok_rate,
+        |       max(CASE WHEN ok THEN NULL ELSE 'historical rate not supported' END) AS reject_info
+        |FROM c""".stripMargin,
   )
 }

@@ -61,4 +61,48 @@ object RatesSource {
         to_date(get_json_object(col("payload"), "$.date"), "yyyy-MM-dd").as("date"),
         concat(lit("USD"), lit("UAH")).as("currencies"),
         get_json_object(col("payload"), s"$$.quotes.$Pair").cast("double").as("rate"))
+
+  /** Response fixture WITH failures: dates whose day-of-month divides by 7
+    * answer `success: false` with a currencylayer-shaped error object and
+    * no quotes (reference main.py:142-143's rejecting branch — round 1
+    * never pushed a rejecting document through the gate).
+    */
+  def quotesMixed(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(to_date(col("o_orderdate")).as("d"))
+      .distinct()
+      .select(
+        when(dayofmonth(col("d")) % 7 =!= 0,
+          to_json(struct(
+            lit(true).as("success"),
+            lit(true).as("historical"),
+            date_format(col("d"), "yyyy-MM-dd").as("date"),
+            lit("USD").as("source"),
+            struct(rateFor(col("d")).as(Pair)).as("quotes"))))
+        .otherwise(
+          to_json(struct(
+            lit(false).as("success"),
+            struct(lit(106L).as("code"),
+              lit("historical rate not supported").as("info")).as("error"))))
+        .as("payload"))
+
+  /** S-CHK through both branches: how many documents pass / are rejected,
+    * and the rate extraction running ONLY on passing documents (a wrong
+    * gate would surface as a null-rate or a count mismatch).
+    */
+  def gateStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = quotesMixed(spark, sfDir)
+      .select(col("payload"),
+        (get_json_object(col("payload"), "$.success") === "true").as("ok"))
+    docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_rejected"),
+        sum(when(col("ok"),
+          get_json_object(col("payload"), s"$$.quotes.$Pair").cast("double"))
+          .otherwise(0d).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_ok_rate"),
+        max(when(col("ok"), lit(null).cast("string"))
+          .otherwise(get_json_object(col("payload"), "$.error.info"))).as("reject_info"))
+  }
 }

@@ -56,6 +56,26 @@ object Sink {
     path
   }
 
+  /** K-INS without a partition layout (the exchange_rate table: one row
+    * per day — day-partitioning it would mean one file per row).
+    * Append-only, at-least-once, exactly like `insert_rows_json`.
+    */
+  def append(df: DataFrame, path: String): String = {
+    df.write.mode("append").parquet(path)
+    path
+  }
+
+  /** Remove a table directory that has no commit marker — the rerun-after-
+    * crash path: an uncommitted half-load must not be appended onto.
+    */
+  def dropUncommitted(path: String): Unit = {
+    val root = Paths.get(path)
+    if (Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+  }
+
   /** Stable per-(sfDir, table) scratch location under java.io.tmpdir, so
     * repeated reads (Q-PRUNE) can reuse a written table within a JVM run.
     */

@@ -33,6 +33,48 @@ object Trigger {
         lit("date"), when(col("o_orderkey") % 5 === 0,
           date_format(col("o_orderdate"), "yyyy-MM-dd"))).as("attributes"))
 
+  /** The `get_currency` attribute surface (reference main.py:104-113):
+    * unpack `api_key` / `from_currency` / `to_currency`, build
+    * `source = from + to` (T-CONCAT, main.py:113), and resolve the date —
+    * the `date` override when present, else YESTERDAY (S-SUBD,
+    * main.py:102). `date.today()` is the reference's only
+    * nondeterministic input, so the query injects a deterministic
+    * "today" (max order date + 1) that the oracle derives identically;
+    * the subtraction itself is the reference's `timedelta(1)`.
+    */
+  def currencyTrigger(spark: SparkSession, sfDir: String): DataFrame = {
+    val msgs = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 3 === 0) // the get_currency cohort (as in messages())
+      .select(
+        map(
+          lit("api_key"), concat(lit("key-"), (col("o_orderkey") % 7).cast("string")),
+          lit("from_currency"), lit("USD"),
+          lit("to_currency"),
+          when(col("o_orderkey") % 2 === 0, lit("UAH")).otherwise(lit("EUR")),
+          lit("date"), when(col("o_orderkey") % 5 === 0,
+            date_format(col("o_orderdate"), "yyyy-MM-dd"))).as("attributes"))
+    val today = Tables.orders(spark, sfDir)
+      .agg(date_add(max(to_date(col("o_orderdate"))), 1).as("today"))
+    msgs.join(broadcast(today))
+      .select(
+        concat(col("attributes").getItem("from_currency"),
+          col("attributes").getItem("to_currency")).as("source"),
+        col("attributes").getItem("api_key").as("api_key"),
+        coalesce(
+          to_date(col("attributes").getItem("date"), "yyyy-MM-dd"),
+          date_sub(col("today"), 1)).as("resolved"),
+        col("attributes").getItem("date").isNull.as("defaulted"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("defaulted"), 0L).otherwise(1L)).as("n_override"),
+        sum(when(col("defaulted"), 1L).otherwise(0L)).as("n_defaulted"),
+        countDistinct("api_key").as("n_keys"),
+        min("resolved").as("min_date"),
+        max("resolved").as("max_date"))
+      .orderBy("source")
+  }
+
   /** Decode + dispatch: per-pipeline message counts and date-override
     * stats (S-B64 decode, T-DISPATCH routing, T-DATE intended semantics).
     */

@@ -44,10 +44,13 @@ object EtlQueries {
       val path = Sink.scratchPath(sfDir, "fb_stat")
       val marker = java.nio.file.Paths.get(path, "_GRAFT_OK_v3")
       if (!java.nio.file.Files.exists(marker)) {
-        fbStat(spark, sfDir)
-          .repartition(col("date"))
-          .sortWithinPartitions("date", "campaign_id", "campaign_name")
-          .write.mode("overwrite").partitionBy("date").parquet(path)
+        // the reference load path (main.py:219-221): namespace-if-missing
+        // (K-DS), then an APPEND that creates the partitioned+clustered
+        // layout on first write (K-TBL + K-INS). A markerless directory is
+        // an uncommitted half-load — drop it so the append can't double.
+        Sink.dropUncommitted(path)
+        Sink.ensureNamespace(new java.io.File(path).getParent)
+        Sink.appendPartitioned(fbStat(spark, sfDir), path)
         java.nio.file.Files.createFile(marker)
       }
       spark.read.parquet(path)
@@ -227,9 +230,9 @@ object EtlQueries {
     // covered by Q-PRUNE. Day-partitioning a one-row-per-day table would
     // mean one file per row — wrong at any scale.
     val rates = RatesSource.rates(spark, sfDir).coalesce(1).cache()
-    rates.write.mode("append").parquet(path)
+    Sink.append(rates, path)
     val n1 = spark.read.parquet(path).count()
-    rates.write.mode("append").parquet(path)
+    Sink.append(rates, path)
     val n2 = spark.read.parquet(path).count()
     import spark.implicits._
     Seq((n1, n2)).toDF("n_first", "n_second")

@@ -348,6 +348,35 @@ class GraftSpec extends AnyFunSuite {
       s"restart must process only unseen input: $rows")
   }
 
+  test("Sink.appendPartitioned: double append doubles per-partition rows, files stay clustered") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/t"
+    val df = Seq(
+      ("1995-01-01", "c-2", "x", 1L), ("1995-01-01", "c-1", "y", 2L),
+      ("1995-01-02", "c-3", "z", 3L), ("1995-01-02", "c-0", "w", 4L),
+      ("1995-01-01", "c-0", "v", 5L))
+      .toDF("d", "campaign_id", "campaign_name", "v")
+      .withColumn("date", to_date(col("d"))).drop("d")
+    def counts() = spark.read.parquet(path).groupBy("date").count()
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    etl.Sink.appendPartitioned(df, path, "date", Seq("campaign_id", "campaign_name"))
+    assert(counts() === Map("1995-01-01" -> 3L, "1995-01-02" -> 2L))
+    // K-INS fidelity: a rerun APPENDS (at-least-once), it must not upsert
+    etl.Sink.appendPartitioned(df, path, "date", Seq("campaign_id", "campaign_name"))
+    assert(counts() === Map("1995-01-01" -> 6L, "1995-01-02" -> 4L))
+    // layout: one file per append per day (repartition by partition key),
+    // rows inside each file sorted by the clustering columns
+    val day1 = new java.io.File(path + "/date=1995-01-01")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(day1.length === 2, "expected one file per append for the partition")
+    day1.foreach { f =>
+      val ids = spark.read.parquet(f.toString)
+        .select("campaign_id").collect().map(_.getString(0))
+      assert(ids.toSeq === ids.sorted.toSeq,
+        s"within-file clustering order: ${ids.mkString(",")}")
+    }
+  }
+
   // ---- Physical-plan assertions (scale hygiene) -----------------------
 
   test("q_prune: single-day read plans with a partition filter") {
