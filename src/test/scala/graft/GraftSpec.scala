@@ -277,11 +277,16 @@ class GraftSpec extends AnyFunSuite {
   }
 
   test("hll approx distinct within 10% of exact on events") {
+    // the query's own accuracy booleans must all hold (same predicate the
+    // oracle asserts as literal 1), and exact counts must be positive
     val r = llm.Events.approxDistinct(spark, sf)
-      .select("approx_users", "exact_users").collect()
+      .select("exact_users", "approx_within_10pct", "approx_events_within_10pct")
+      .collect()
+    assert(r.nonEmpty)
     r.foreach { row =>
-      val (a, e) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
-      assert(math.abs(a - e) / e <= 0.1, s"approx $a vs exact $e")
+      assert(row.getLong(0) > 0)
+      assert(row.getLong(1) === 1L, "approx_users outside 10% of exact")
+      assert(row.getLong(2) === 1L, "approx_events outside 10% of exact")
     }
   }
 
