@@ -54,6 +54,8 @@ object SparkEntry {
     "q_trigger_date" -> (etl.Trigger.currencyTrigger _),
     "q_fx_gate" -> (etl.RatesSource.gateStats _),
     "q_dsv2" -> (EtlQueries.qDsv2 _),
+    "q_sink_dsv2" -> (EtlQueries.qSinkDsv2 _),
+    "q_dsv2_agg" -> (EtlQueries.qDsv2Agg _),
     "x_stream_sessions" -> (llm.Events.streamingSessions _),
     "x_skew_salted" -> (ScaleQueries.saltedAgg _),
     "x_dedup_embed" -> (ScaleQueries.embedDups _),
@@ -354,6 +356,18 @@ object SparkEntry {
         |SELECT date, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(clicks) AS BIGINT) AS clicks,
         |       CAST(sum(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM fb, mind WHERE date >= d0 AND date <= d0 + 29
+        |GROUP BY date ORDER BY date""".stripMargin,
+    // write→read round trip through the DSv2 sink is lossless ⇒ same
+    // oracle as q_load_fb
+    "q_sink_dsv2" ->
+      s"""${fbCte}SELECT $flatCols FROM fb ORDER BY ad_id""",
+    "q_dsv2_agg" ->
+      """WITH mind AS (SELECT min(CAST(o_orderdate AS DATE)) AS d0 FROM orders),
+        |fb AS (
+        |  SELECT CAST(o.o_orderdate AS DATE) AS date
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT date, CAST(count(*) AS BIGINT) AS n
         |FROM fb, mind WHERE date >= d0 AND date <= d0 + 29
         |GROUP BY date ORDER BY date""".stripMargin,
     "q_msg" ->

@@ -248,6 +248,51 @@ object EtlQueries {
       .orderBy("date")
   }
 
+  /** Q-SINK-DSV2: the connector WRITE path (K-INS as a real DSv2 sink,
+    * reference main.py:81-91 `insert_rows_json` + DDL main.py:44-78).
+    * The raw insights rows are appended THROUGH the connector's batch
+    * write (task temp spool → driver commit move), read back through the
+    * same connector, and normalized — hash-matching the q_load_fb oracle
+    * proves the write→read round trip is lossless.
+    */
+  def qSinkDsv2(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Sink.scratchPath(sfDir, "fb_sink_dsv2")
+    val marker = java.nio.file.Paths.get(path, "_GRAFT_OK_v1")
+    if (!java.nio.file.Files.exists(marker)) {
+      Sink.dropUncommitted(path)
+      FbInsightsSource.raw(spark, sfDir)
+        .write.format(classOf[graft.sources.FbInsightsDataSource].getName)
+        .option("path", path).mode("append").save()
+      java.nio.file.Files.createFile(marker)
+    }
+    val back = spark.read
+      .format(classOf[graft.sources.FbInsightsDataSource].getName)
+      .option("path", path).load()
+    flatten(Normalize(back)).orderBy("ad_id")
+  }
+
+  /** Q-DSV2-AGG: pushed aggregation — the reference asks the API for
+    * pre-aggregated rows (`level='ad'`, `time_increment=1`,
+    * main.py:175-181); here the count-per-day group-by is answered inside
+    * the connector from line counts, with the 30-day range also pruning
+    * partitions. The plan carries NO Spark-side aggregate (complete
+    * pushdown: day-partitions hold disjoint groups).
+    */
+  def qDsv2Agg(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = FbInsightsSource.jsonlPath(spark, sfDir)
+    val start = new java.io.File(path).list()
+      .filter(_.startsWith("date=")).map(_.substring(5)).min
+    val end = java.time.LocalDate.parse(start).plusDays(29).toString
+    spark.read
+      .format(classOf[graft.sources.FbInsightsDataSource].getName)
+      .option("path", path).load()
+      .filter(col("date_start") >= start && col("date_start") <= end)
+      .groupBy("date_start")
+      .agg(count(lit(1)).as("n"))
+      .select(to_date(col("date_start")).as("date"), col("n"))
+      .orderBy("date")
+  }
+
   /** Q-IDEM: at-least-once append fidelity (K-INS, main.py:81-91 has no
     * dedup/transaction — a rerun duplicates rows). Append the rates table
     * twice into a fresh path; counts must double, not upsert.

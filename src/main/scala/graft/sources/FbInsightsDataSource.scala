@@ -1,5 +1,6 @@
 package graft.sources
 
+import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.concurrent.atomic.AtomicInteger
 
 import scala.jdk.CollectionConverters._
@@ -8,9 +9,11 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -27,9 +30,23 @@ import graft.etl.Schemas
   *    requested columns are materialized from JSON;
   *  - `time_range`    → [[SupportsPushDownFilters]]: comparisons on
   *    `date_start` prune whole day-partitions before any read;
+  *  - `level='ad'` + `time_increment=1` → [[SupportsPushDownAggregates]]:
+  *    the API pre-aggregates per (ad, day) remotely; here count/min/max
+  *    grouped by day are answered from line counts + partition names,
+  *    without parsing a single JSON document.
   *  - one-day paging  → one [[InputPartition]] per day directory, so a
   *    1000-executor cluster reads 1000 days concurrently and a pruned
   *    query schedules only the matching days.
+  *
+  * The WRITE half mirrors the reference's sink (`insert_rows_json`,
+  * main.py:81-91 + table DDL main.py:44-78): [[SupportsWrite]] with an
+  * append-only batch write and create-if-missing. Commit protocol: task
+  * writers spool JSONL into a per-query `_tmp-*` directory; only files
+  * named in committed task messages are moved into their `date=*`
+  * partition dirs by the driver's job commit, so speculative or failed
+  * task attempts never become visible. Across job re-runs the sink is
+  * at-least-once, exactly like `insert_rows_json` (no dedup key — Q-IDEM
+  * semantics).
   *
   * Storage layout: `path/date=YYYY-MM-DD/part-*.txt`, one JSON document
   * per line (what a connector spooling the paged API to blob storage
@@ -51,21 +68,29 @@ object FbInsightsDataSource {
   val lastPlannedPartitions = new AtomicInteger(-1)
 }
 
-class FbInsightsTable(path: String) extends Table with SupportsRead {
+class FbInsightsTable(path: String) extends Table with SupportsRead with SupportsWrite {
   require(path != null, "fb-insights source requires a path option")
   override def name(): String = s"fb_insights($path)"
   override def schema(): StructType = Schemas.fbInsightsRaw
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FbInsightsScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // K-TBL create-if-missing (reference main.py:63-76): first write
+    // creates the table directory; appends attach to the existing layout.
+    new java.io.File(path).mkdirs()
+    new FbInsightsWriteBuilder(path, info)
+  }
 }
 
 class FbInsightsScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
 
   private var required: StructType = Schemas.fbInsightsRaw
   private var pushed: Array[Filter] = Array.empty
+  private var agg: Option[Aggregation] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -81,16 +106,45 @@ class FbInsightsScanBuilder(path: String)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = FbInsightsScan(path, required, pushed)
+  /** The connector can answer count(*)/count(date_start) and
+    * min/max(date_start) without parsing JSON: counts are line counts per
+    * day file, min/max dates are the partition directory names. Grouping,
+    * if any, must be by date_start — the partition key — so every
+    * partition holds exactly one complete group.
+    */
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    if (FbInsightsScan.supportedAgg(aggregation)) { agg = Some(aggregation); true }
+    else false
+
+  /** Complete (no Spark-side final agg) iff grouped by the partition key:
+    * day-partitions make the groups disjoint across partitions, so
+    * concatenating per-partition results IS the global result. Global
+    * (ungrouped) aggregates stay partial — Spark combines the
+    * per-partition rows.
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    FbInsightsScan.supportedAgg(aggregation) &&
+      aggregation.groupByExpressions().length == 1
+
+  override def build(): Scan = FbInsightsScan(path, required, pushed, agg)
 }
 
-case class FbInsightsScan(path: String, required: StructType, pushed: Array[Filter])
+case class FbInsightsScan(
+    path: String,
+    required: StructType,
+    pushed: Array[Filter],
+    agg: Option[Aggregation])
     extends Scan with Batch {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = agg match {
+    case Some(a) => FbInsightsScan.aggSchema(a)
+    case None => required
+  }
   override def toBatch: Batch = this
   override def description(): String =
-    s"FbInsightsScan(pushedFilters=${pushed.mkString(",")}, readSchema=${required.fieldNames.mkString(",")})"
+    s"FbInsightsScan(pushedFilters=${pushed.mkString(",")}, " +
+      s"pushedAggregation=${agg.map(a => a.aggregateExpressions.mkString(",")).getOrElse("none")}, " +
+      s"readSchema=${readSchema().fieldNames.mkString(",")})"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val root = new java.io.File(path)
@@ -105,8 +159,10 @@ case class FbInsightsScan(path: String, required: StructType, pushed: Array[Filt
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new FbInsightsReaderFactory(required)
+  override def createReaderFactory(): PartitionReaderFactory = agg match {
+    case Some(a) => new FbInsightsAggReaderFactory(a)
+    case None => new FbInsightsReaderFactory(required)
+  }
 }
 
 object FbInsightsScan {
@@ -134,6 +190,40 @@ object FbInsightsScan {
     case IsNotNull(_) => true
     case _ => true
   }
+
+  private def isDateRef(r: Array[NamedReference]): Boolean =
+    r.length == 1 && r(0).fieldNames.sameElements(Array(Col))
+
+  private def funcSupported(f: AggregateFunc): Boolean = f match {
+    case _: CountStar => true
+    case m: Min => isDateRef(m.references())
+    case m: Max => isDateRef(m.references())
+    case _ => false
+  }
+
+  def supportedAgg(a: Aggregation): Boolean = {
+    val groupsOk = a.groupByExpressions().toSeq match {
+      case Seq() => true
+      case Seq(r: NamedReference) => isDateRef(Array(r))
+      case _ => false
+    }
+    groupsOk && a.aggregateExpressions().nonEmpty &&
+      a.aggregateExpressions().forall(funcSupported)
+  }
+
+  /** Spark maps the scan output positionally: group columns first, then
+    * one column per aggregate expression.
+    */
+  def aggSchema(a: Aggregation): StructType = {
+    val groups = a.groupByExpressions().map(_ => StructField(Col, StringType))
+    val aggs = a.aggregateExpressions().map {
+      case _: CountStar => StructField("count(*)", LongType, nullable = false)
+      case _: Min => StructField(s"min($Col)", StringType)
+      case _: Max => StructField(s"max($Col)", StringType)
+      case other => throw new IllegalStateException(s"unsupported agg $other")
+    }
+    StructType(groups ++ aggs)
+  }
 }
 
 case class FbInsightsPartition(date: String, files: Array[String]) extends InputPartition
@@ -141,6 +231,47 @@ case class FbInsightsPartition(date: String, files: Array[String]) extends Input
 class FbInsightsReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new FbInsightsJsonlReader(partition.asInstanceOf[FbInsightsPartition], required)
+}
+
+/** Pushed-aggregate reader: one output row per day-partition, computed
+  * from file line counts and the partition's date value only — the
+  * connector-side analog of the API returning pre-aggregated rows.
+  */
+class FbInsightsAggReaderFactory(agg: Aggregation) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val p = partition.asInstanceOf[FbInsightsPartition]
+      private var done = false
+
+      private def lineCount(): Long = {
+        var n = 0L
+        p.files.foreach { f =>
+          val src = scala.io.Source.fromFile(f, "UTF-8")
+          try src.getLines().foreach(_ => n += 1)
+          finally src.close()
+        }
+        n
+      }
+
+      override def next(): Boolean =
+        if (done) false
+        else { done = true; true }
+
+      override def get(): InternalRow = {
+        lazy val count = lineCount()
+        val date = UTF8String.fromString(p.date)
+        val groups: Array[Any] = agg.groupByExpressions().map(_ => date: Any)
+        val aggs: Array[Any] = agg.aggregateExpressions().map {
+          case _: CountStar => count: Any
+          case _: Min => date: Any // every row in the partition shares the date
+          case _: Max => date: Any
+          case other => throw new IllegalStateException(s"unsupported agg $other")
+        }
+        new GenericInternalRow(groups ++ aggs)
+      }
+
+      override def close(): Unit = ()
+    }
 }
 
 /** Line-by-line JSONL reader materializing ONLY the pruned schema —
@@ -198,4 +329,125 @@ class FbInsightsJsonlReader(p: FbInsightsPartition, required: StructType)
         if (v == null || v.isNull) null else UTF8String.fromString(v.asText())
       }.asInstanceOf[Array[Any]])
     }.toArray[Any])
+}
+
+// ---- write path (K-INS as a connector) --------------------------------
+
+class FbInsightsWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new FbInsightsBatchWrite(path, info.schema(), info.queryId())
+  }
+}
+
+/** One committed file per (task, day): `(date, tempFile, finalName)`. */
+case class FbInsightsCommitMessage(files: Seq[(String, String, String)])
+    extends WriterCommitMessage
+
+class FbInsightsBatchWrite(path: String, schema: StructType, queryId: String)
+    extends BatchWrite {
+
+  private val tmpRoot = s"$path/_tmp-$queryId"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new FbInsightsWriterFactory(tmpRoot, schema)
+
+  /** Job commit: move exactly the files named by committed tasks from the
+    * temp spool into their `date=*` dirs, then drop the spool (taking any
+    * uncommitted speculative-attempt files with it). Rows become visible
+    * only here — a failed job leaves the table unchanged.
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    messages.foreach {
+      case FbInsightsCommitMessage(files) =>
+        files.foreach { case (date, tmpFile, finalName) =>
+          val dir = Paths.get(path, s"date=$date")
+          Files.createDirectories(dir)
+          Files.move(Paths.get(tmpFile), dir.resolve(finalName),
+            StandardCopyOption.ATOMIC_MOVE)
+        }
+      case other => throw new IllegalStateException(s"unexpected message $other")
+    }
+    dropTmp()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = dropTmp()
+
+  private def dropTmp(): Unit = {
+    val root = Paths.get(tmpRoot)
+    if (Files.exists(root)) {
+      Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+  }
+}
+
+class FbInsightsWriterFactory(tmpRoot: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new FbInsightsJsonlWriter(tmpRoot, schema, partitionId, taskId)
+}
+
+/** Serializes each InternalRow to one JSON document per line, spooled per
+  * day into a task-private temp file. Null fields are OMITTED (like
+  * `to_json` and the Graph API): the read side turns absent keys back
+  * into nulls, so write→read round-trips exactly.
+  */
+class FbInsightsJsonlWriter(tmpRoot: String, schema: StructType, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private val dateIdx = schema.fieldIndex("date_start")
+  // date -> (open writer, temp path, final name)
+  private val open = scala.collection.mutable.LinkedHashMap
+    .empty[String, (java.io.BufferedWriter, java.nio.file.Path, String)]
+
+  private def writerFor(date: String) = open.getOrElseUpdate(date, {
+    val dir = Paths.get(tmpRoot, s"task-$partitionId-$taskId")
+    Files.createDirectories(dir)
+    val name = s"part-w$partitionId-$taskId-${java.util.UUID.randomUUID()}.txt"
+    val p = dir.resolve(name)
+    (Files.newBufferedWriter(p, java.nio.charset.StandardCharsets.UTF_8), p, name)
+  })
+
+  override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(dateIdx), "date_start is required for partitioning")
+    val date = row.getUTF8String(dateIdx).toString
+    val (w, _, _) = writerFor(date)
+    w.write(toJson(row))
+    w.write('\n')
+  }
+
+  private def toJson(row: InternalRow): String = {
+    val node = mapper.createObjectNode()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (!row.isNullAt(i)) f.dataType match {
+        case StringType =>
+          node.put(f.name, row.getUTF8String(i).toString)
+        case ArrayType(st: StructType, _) =>
+          val arr = node.putArray(f.name)
+          val data = row.getArray(i)
+          (0 until data.numElements()).foreach { j =>
+            val el = data.getStruct(j, st.fields.length)
+            val obj = arr.addObject()
+            st.fields.zipWithIndex.foreach { case (sf, k) =>
+              if (!el.isNullAt(k)) obj.put(sf.name, el.getUTF8String(k).toString)
+            }
+          }
+        case other => throw new IllegalStateException(s"unexpected type $other")
+      }
+    }
+    mapper.writeValueAsString(node)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val files = open.toSeq.map { case (date, (w, p, name)) =>
+      w.close(); (date, p.toString, name)
+    }
+    FbInsightsCommitMessage(files)
+  }
+
+  override def abort(): Unit = close()
+  override def close(): Unit = open.values.foreach { case (w, _, _) =>
+    try w.close() catch { case _: java.io.IOException => () }
+  }
 }

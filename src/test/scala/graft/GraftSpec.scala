@@ -402,6 +402,56 @@ class GraftSpec extends AnyFunSuite {
       s"planned $planned of $total day-partitions")
   }
 
+  test("dsv2 write: connector append round-trips and a double append doubles") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/tbl"
+    val fmt = classOf[sources.FbInsightsDataSource].getName
+    val raw = etl.FbInsightsSource.raw(spark, sf)
+    val expected = raw.count()
+    raw.write.format(fmt).option("path", dir).mode("append").save()
+    assert(spark.read.format(fmt).option("path", dir).load().count() === expected)
+    // at-least-once, no dedup (insert_rows_json fidelity): rerun doubles
+    raw.write.format(fmt).option("path", dir).mode("append").save()
+    assert(spark.read.format(fmt).option("path", dir).load().count() === 2 * expected)
+    // the commit protocol cleans its temp spool and leaves only date= dirs
+    val leftover = new java.io.File(dir).list().toSeq
+    assert(leftover.nonEmpty && leftover.forall(_.startsWith("date=")), leftover.toString)
+  }
+
+  test("dsv2 write: round trip preserves nested arrays and absent keys") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_rt").toString + "/tbl"
+    val fmt = classOf[sources.FbInsightsDataSource].getName
+    val raw = etl.FbInsightsSource.raw(spark, sf)
+    raw.write.format(fmt).option("path", dir).mode("append").save()
+    val back = spark.read.format(fmt).option("path", dir).load()
+    // full-row set equality after normalization (ordering-free compare)
+    val a = Normalize(raw)
+    val b = Normalize(back)
+    assert(b.schema === a.schema)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("dsv2 agg pushdown: count-per-day plans with no Spark-side aggregate") {
+    val df = queries.EtlQueries.qDsv2Agg(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"expected complete agg pushdown, got:\n${plan.take(3000)}")
+    assert(plan.contains("pushedAggregation=COUNT(*)"),
+      s"expected pushed COUNT(*) in scan description:\n${plan.take(3000)}")
+    assert(df.count() > 0)
+  }
+
+  test("dsv2 agg pushdown: ungrouped global count stays partial but pushed") {
+    val fmt = classOf[sources.FbInsightsDataSource].getName
+    val path = etl.FbInsightsSource.jsonlPath(spark, sf)
+    val df = spark.read.format(fmt).option("path", path).load()
+      .agg(count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedAggregation=COUNT(*)"),
+      s"expected pushed COUNT(*):\n${plan.take(3000)}")
+    val expected = etl.FbInsightsSource.raw(spark, sf).count()
+    assert(df.head().getLong(0) === expected)
+  }
+
   test("dsv2 connector: filter excluding every partition plans 0, returns 0") {
     val df = spark.read
       .format(classOf[sources.FbInsightsDataSource].getName)
