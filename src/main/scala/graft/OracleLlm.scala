@@ -242,6 +242,26 @@ object OracleLlm {
        |                 AND cb.vec_id <> qb.qid),
        |${rankSelect(llm.Similarity.K)}""".stripMargin
 
+  /** embedDups mirror: LSH bucket-collision candidates (same plane-sign
+    * literal as simLshSql) verified with the exact cosine threshold.
+    */
+  val embedDupsSql: String =
+    s"""WITH $simBaseCtes,
+       |pl AS (SELECT ${llm.Similarity.planeSigns.mkString("[", ", ", "]")} AS ps),
+       |tb AS (SELECT unnest(range(0, ${llm.Similarity.NumTables})) AS t),
+       |cb AS (
+       |  SELECT c.vec_id, c.embedding, c.nrm, tb.t AS t,
+       |         ${bucketExpr("c.embedding", "tb.t")} AS bucket
+       |  FROM c, tb, pl),
+       |p AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         ${cosine("a.embedding", "a.nrm", "b.embedding", "b.nrm")} AS cosine
+       |  FROM cb a JOIN cb b ON a.t = b.t AND a.bucket = b.bucket
+       |                     AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, round(cosine, 6) AS cosine
+       |FROM p WHERE cosine >= ${queries.ScaleQueries.DupThreshold}
+       |ORDER BY id_a, id_b""".stripMargin
+
   val simIvfSql: String =
     s"""WITH $simBaseCtes,
        |cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn FROM c

@@ -58,6 +58,7 @@ object SparkEntry {
     "q_dsv2_agg" -> (EtlQueries.qDsv2Agg _),
     "x_stream_sessions" -> (llm.Events.streamingSessions _),
     "x_skew_salted" -> (ScaleQueries.saltedAgg _),
+    "x_skew_join" -> (ScaleQueries.saltedJoin _),
     "x_dedup_embed" -> (ScaleQueries.embedDups _),
     "x_bucket_join" -> (ScaleQueries.bucketedJoin _),
     "x_quality_filter" -> (llm.TextAnalysis.qualityFilter _),
@@ -324,22 +325,19 @@ object SparkEntry {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "x_dedup_embed" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding,
-        |         sqrt(list_sum(list_transform(embedding,
-        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        |  FROM embeddings),
-        |c AS (SELECT * FROM e WHERE nrm > 0),
-        |p AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |         list_sum(list_transform(range(1, 65),
-        |           i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
-        |                * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)))
-        |           / (a.nrm * b.nrm) AS cosine
-        |  FROM c a JOIN c b ON a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, round(cosine, 6) AS cosine
-        |FROM p WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    // oracle = the PLAIN (unsalted) join — salting must be value-identical
+    "x_skew_join" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT event_type,
+        |         CAST(length(event_type) % 5 + 1 AS BIGINT) AS weight
+        |  FROM events)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(e.value AS DECIMAL(18,2)) * d.weight) AS DOUBLE) AS weighted_value
+        |FROM events e JOIN dim d ON e.event_type = d.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    // LSH-candidate near-dup pairs + exact cosine verify; the bucket
+    // computation is mirrored sign-for-sign in SQL (see OracleLlm)
+    "x_dedup_embed" -> OracleLlm.embedDupsSql,
     "x_bucket_join" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,

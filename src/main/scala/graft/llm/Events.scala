@@ -50,33 +50,67 @@ object Events {
       .orderBy("user_id")
   }
 
-  /** Structured-Streaming variant of [[daily]]: same aggregation over a
-    * file stream with a watermark, drained synchronously into a memory
-    * sink. Produces the identical result as the batch query (same oracle).
+  /** Structured-Streaming variant of [[daily]], the SCALE-SAFE way:
+    * `outputMode("append")` — each 1-day window is emitted exactly once,
+    * when the watermark finalizes it, into a parquet FILE sink (the
+    * complete-mode + memory-sink formulation re-materialized the whole
+    * aggregate on the driver every micro-batch). Executors write the
+    * sink; the driver only tracks the file-sink manifest.
+    *
+    * Append mode only emits watermark-expired windows, so a finite
+    * fixture needs the watermark pushed past its last day: a `__wm__`
+    * SENTINEL row (event time = max(ts) + 4 days) is staged next to the
+    * data. It flows through the watermark node — advancing the event-time
+    * watermark — and is then filtered out before aggregation, so every
+    * REAL window finalizes and the sentinel contributes no group. With
+    * live data none of this is needed; the sentinel stands in for the
+    * ever-advancing event-time of a real stream.
+    *
+    * Produces the identical result as the batch query (same oracle).
     */
   def streamingDaily(spark: SparkSession, sfDir: String): DataFrame = {
-    val rawSchema = Tables.eventsRaw(spark, sfDir).schema
-    val name = "graft_stream_daily_" + Events.streamRuns.incrementAndGet()
-    // the streaming file source wants a directory — scan sfDir, keep only
-    // the events table file
-    val stream = spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val raw = Tables.eventsRaw(spark, sfDir)
+    val rawSchema = raw.schema
+    val work = java.nio.file.Files.createTempDirectory(
+      "graft_stream_daily_" + streamRuns.incrementAndGet() + "_")
+    val srcDir = work.resolve("in"); java.nio.file.Files.createDirectories(srcDir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sfDir, "events.parquet"),
+      srcDir.resolve("events.parquet"))
+    // sentinel: nanos, 4 days past the max event time (watermark delay is
+    // 1 hour — every real 1-day window ends well before this)
+    val maxTs = raw.agg(max("ts")).head.getLong(0)
+    val sentinelTs = maxTs + 4L * 24 * 3600 * 1000000000L
+    val sentinel = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        -1L, sentinelTs, -1L, "__wm__", 0.0, null)),
+      rawSchema)
+    sentinel.coalesce(1).write.mode("append").parquet(srcDir.toString)
+
+    // NB: the sentinel must be dropped by a predicate on the WATERMARK
+    // column — Catalyst pushes filters on other columns below the
+    // EventTimeWatermark node, which would drop the sentinel before it
+    // ever advances the watermark; predicates referencing the watermark
+    // attribute stay above it.
+    val stream = spark.readStream.schema(rawSchema).parquet(srcDir.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "1 hour")
+      .filter(col("ts") <= timestamp_micros(lit(maxTs / 1000)))
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(col("w.start").cast("date").as("day"), col("event_type"), col("n"), col("total_value"))
+    val outDir = work.resolve("out").toString
     val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", work.resolve("ckpt").toString)
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    spark.table(name)
-      .select(col("w.start").cast("date").as("day"), col("event_type"), col("n"), col("total_value"))
-      .orderBy("day", "event_type")
+    spark.read.parquet(outDir).orderBy("day", "event_type")
   }
 
   /** Stateful streaming sessionization via `flatMapGroupsWithState` — the

@@ -36,11 +36,48 @@ object ScaleQueries {
         sum("pv").cast("double").as("total_value"))
       .orderBy("event_type")
 
-  /** Embedding-cosine near-duplicate detection: exact threshold pairs
-    * (cosine >= 0.4, upper triangle — chosen to fire on the fixture embedding distribution, max pairwise cosine ~0.6). This is the oracle-checked
-    * correctness baseline; the bucketed scale paths are x_sim_lsh /
-    * x_sim_ivf. Identical left-to-right double arithmetic on both
-    * engines makes the >= comparison exact.
+  /** Salted SHUFFLE JOIN for skewed keys: the events fact table joins a
+    * per-event_type dim on a ~5-value key — a plain shuffle join sends
+    * each giant key to ONE reducer. Salting replicates the (small) dim
+    * side over [[SaltBuckets]] salt values and fans the fact side by a
+    * hash salt, so the join key becomes (event_type, salt) and each hot
+    * key spreads over [[SaltBuckets]] reducers. The shuffle_hash hint
+    * keeps it an actual shuffle join (a broadcast would bypass the
+    * pattern being demonstrated — at scale the dim may not fit, or the
+    * engine may not support broadcast). The oracle is the PLAIN join —
+    * salting must change no values. Weighted sums run in exact DECIMAL ×
+    * BIGINT, so re-association across salt partials cannot drift.
+    */
+  def saltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("weight", (length(col("event_type")) % 5 + 1).cast("long"))
+    val salted = ev.withColumn("salt", pmod(hash(col("event_id")), lit(SaltBuckets)))
+    val dimRep = dim.withColumn("salt",
+      explode(sequence(lit(0), lit(SaltBuckets - 1))))
+    salted.join(dimRep.hint("shuffle_hash"), Seq("event_type", "salt"))
+      .groupBy("event_type", "salt")
+      .agg(
+        count(lit(1)).as("pn"),
+        sum(col("value").cast(DecimalType(18, 2)) * col("weight")).as("pv"))
+      .groupBy("event_type")
+      .agg(
+        sum("pn").as("n"),
+        sum("pv").cast("double").as("weighted_value"))
+      .orderBy("event_type")
+  }
+
+  /** Embedding-cosine near-duplicate detection, the SCALE-SAFE way:
+    * candidate pairs come from LSH sign-bucket collisions (the same
+    * deterministic hyperplanes as x_sim_lsh, mirrored bit-for-bit in the
+    * oracle SQL), then every candidate is verified with the EXACT cosine
+    * (>= 0.4, chosen to fire on the fixture embedding distribution, max
+    * pairwise cosine ~0.6). The join is an equi-join on (table, bucket) —
+    * it shuffles bucket keys, never the O(n²) cross product, so the plan
+    * contains no BroadcastNestedLoopJoin and survives a 100× corpus. A
+    * pair colliding in several tables scores identically → distinct.
+    * Identical left-to-right double arithmetic on both engines makes both
+    * the bucket signs and the >= comparison exact.
     */
   val DupThreshold = 0.4
 
@@ -48,11 +85,15 @@ object ScaleQueries {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"), Similarity.norm(col("embedding")).as("nrm"))
       .filter(col("nrm") > 0)
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(Similarity.bucketKeys(col("embedding"))).as("bk"))
+    val a = e.select(col("bk"), col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
+    val b = e.select(col("bk"), col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .distinct()
       .filter(col("cosine") >= lit(DupThreshold))
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id_a", "id_b")

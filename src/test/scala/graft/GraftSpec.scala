@@ -402,6 +402,58 @@ class GraftSpec extends AnyFunSuite {
       s"planned $planned of $total day-partitions")
   }
 
+  test("x_skew_join: salted shuffle join, no broadcast, salt in the exchange") {
+    val df = queries.ScaleQueries.saltedJoin(spark, sf)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"expected a salted shuffle join, got:\n${plan.take(3000)}")
+    assert(plan.contains("salt"), s"expected salt in the join exchange:\n${plan.take(3000)}")
+    // salting must be value-identical to the plain join
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("weight", (length(col("event_type")) % 5 + 1).cast("long"))
+    val plain = ev.join(dim, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * col("weight"))
+          .cast("double").as("weighted_value"))
+      .orderBy("event_type")
+    assert(df.collect().toSeq === plain.collect().toSeq)
+  }
+
+  test("x_stream_daily: append-mode file sink equals batch daily") {
+    val s = llm.Events.streamingDaily(spark, sf).collect()
+    val b = llm.Events.daily(spark, sf).collect()
+    assert(s.nonEmpty)
+    assert(s.toSeq === b.toSeq)
+  }
+
+  test("x_dedup_embed: LSH candidates + exact verify, no all-pairs join") {
+    val r = queries.ScaleQueries.embedDups(spark, sf)
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"expected bucket equi-join, got:\n${plan.take(2000)}")
+    val got = r.collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(got.nonEmpty)
+    // every reported pair is exact-cosine-verified above the threshold
+    got.foreach { case (_, _, c) =>
+      assert(c >= queries.ScaleQueries.DupThreshold - 1e-6) }
+    // and is a subset of the exact all-pairs baseline (test-only NLJ)
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), Similarity.norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
+    val exact = a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= lit(queries.ScaleQueries.DupThreshold))
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    assert(got.forall(exact.contains), "bucketed pair missing from exact baseline")
+  }
+
   test("dsv2 write: connector append round-trips and a double append doubles") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/tbl"
     val fmt = classOf[sources.FbInsightsDataSource].getName
