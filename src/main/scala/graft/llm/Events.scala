@@ -127,7 +127,8 @@ object Events {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gapMicros = 30L * 60 * 1000 * 1000
     val rawSchema = Tables.eventsRaw(spark, sfDir).schema
-    val name = "graft_stream_sessions_" + streamRuns.incrementAndGet()
+    val work = java.nio.file.Files.createTempDirectory(
+      "graft_stream_sessions_" + streamRuns.incrementAndGet() + "_")
     val ds = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
       .selectExpr("user_id", "ts div 1000 AS us")
@@ -149,11 +150,17 @@ object Events {
           sessions.iterator.map(uid -> _)
       }
       .toDF("user_id", "n_events")
+    // file sink, not memory: per-session rows land in executor-written
+    // parquet; only the final per-user rollup below aggregates them
+    val outDir = work.resolve("out").toString
     val q = perSession.writeStream
-      .outputMode("append").format("memory").queryName(name).start()
+      .outputMode("append").format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .start()
     try q.processAllAvailable()
     finally q.stop()
-    spark.table(name)
+    spark.read.parquet(outDir)
       .groupBy("user_id")
       .agg(
         count(lit(1)).as("n_sessions"),

@@ -86,11 +86,20 @@ class FbInsightsTable(path: String) extends Table with SupportsRead with Support
 
 class FbInsightsScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownAggregates {
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var required: StructType = Schemas.fbInsightsRaw
   private var pushed: Array[Filter] = Array.empty
   private var agg: Option[Aggregation] = None
+  private var limit: Option[Int] = None
+
+  /** The Graph API scan is cursor-paged — a LIMIT caps how many pages the
+    * connector fetches. Partial push: each partition stops parsing after
+    * `l` lines; Spark keeps the global limit on top.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -126,14 +135,15 @@ class FbInsightsScanBuilder(path: String)
     FbInsightsScan.supportedAgg(aggregation) &&
       aggregation.groupByExpressions().length == 1
 
-  override def build(): Scan = FbInsightsScan(path, required, pushed, agg)
+  override def build(): Scan = FbInsightsScan(path, required, pushed, agg, limit)
 }
 
 case class FbInsightsScan(
     path: String,
     required: StructType,
     pushed: Array[Filter],
-    agg: Option[Aggregation])
+    agg: Option[Aggregation],
+    limit: Option[Int] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = agg match {
@@ -144,6 +154,7 @@ case class FbInsightsScan(
   override def description(): String =
     s"FbInsightsScan(pushedFilters=${pushed.mkString(",")}, " +
       s"pushedAggregation=${agg.map(a => a.aggregateExpressions.mkString(",")).getOrElse("none")}, " +
+      s"pushedLimit=${limit.getOrElse(-1)}, " +
       s"readSchema=${readSchema().fieldNames.mkString(",")})"
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -161,7 +172,7 @@ case class FbInsightsScan(
 
   override def createReaderFactory(): PartitionReaderFactory = agg match {
     case Some(a) => new FbInsightsAggReaderFactory(a)
-    case None => new FbInsightsReaderFactory(required)
+    case None => new FbInsightsReaderFactory(required, limit)
   }
 }
 
@@ -228,9 +239,10 @@ object FbInsightsScan {
 
 case class FbInsightsPartition(date: String, files: Array[String]) extends InputPartition
 
-class FbInsightsReaderFactory(required: StructType) extends PartitionReaderFactory {
+class FbInsightsReaderFactory(required: StructType, limit: Option[Int] = None)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new FbInsightsJsonlReader(partition.asInstanceOf[FbInsightsPartition], required)
+    new FbInsightsJsonlReader(partition.asInstanceOf[FbInsightsPartition], required, limit)
 }
 
 /** Pushed-aggregate reader: one output row per day-partition, computed
@@ -277,10 +289,12 @@ class FbInsightsAggReaderFactory(agg: Aggregation) extends PartitionReaderFactor
 /** Line-by-line JSONL reader materializing ONLY the pruned schema —
   * the connector-side analog of the API `fields` list.
   */
-class FbInsightsJsonlReader(p: FbInsightsPartition, required: StructType)
+class FbInsightsJsonlReader(
+    p: FbInsightsPartition, required: StructType, limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
+  private var emitted = 0
   private val fileIter = p.files.iterator
   // One file handle open at a time; closed when its lines are exhausted
   // and unconditionally in close() — long-lived executors scan many
@@ -299,9 +313,10 @@ class FbInsightsJsonlReader(p: FbInsightsPartition, required: StructType)
   }
 
   override def next(): Boolean =
-    if (!advance()) { close(); false }
+    if (limit.exists(emitted >= _) || !advance()) { close(); false }
     else {
       current = convert(mapper.readTree(lineIter.next()))
+      emitted += 1
       true
     }
 

@@ -504,6 +504,15 @@ class GraftSpec extends AnyFunSuite {
     assert(df.head().getLong(0) === expected)
   }
 
+  test("dsv2 limit pushdown: scan caps parsed lines per partition") {
+    val fmt = classOf[sources.FbInsightsDataSource].getName
+    val path = etl.FbInsightsSource.jsonlPath(spark, sf)
+    val df = spark.read.format(fmt).option("path", path).load().limit(3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedLimit=3"), s"expected pushed limit:\n${plan.take(3000)}")
+    assert(df.count() === 3)
+  }
+
   test("dsv2 connector: filter excluding every partition plans 0, returns 0") {
     val df = spark.read
       .format(classOf[sources.FbInsightsDataSource].getName)
