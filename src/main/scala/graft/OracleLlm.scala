@@ -159,6 +159,43 @@ object OracleLlm {
        |SELECT doc_id, ${signed64("h1")} AS fp, ${signed64("h2")} AS fp_cased
        |FROM f ORDER BY doc_id""".stripMargin
 
+  /** Whitespace token count of a text expression (x_text_stats mirror). */
+  private def wsTokens(expr: String): String =
+    s"CAST(len(list_filter(regexp_split_to_array($expr, '\\s+'), wt -> wt <> '')) AS BIGINT)"
+
+  /** Shared CTE for the sampling family: per-doc signed 64-bit content
+    * hash (RollingHash mirror) + whitespace token count.
+    */
+  private val sampleCte: String = {
+    val h = hash64u("text")
+    s"""sf AS (
+       |  SELECT source, doc_id, ${signed64(h)} AS fp, ${wsTokens("text")} AS n_tokens
+       |  FROM documents)""".stripMargin
+  }
+
+  val splitSql: String =
+    s"""WITH $sampleCte,
+       |b AS (SELECT source, n_tokens, ((fp % ${llm.Sampling.SplitBuckets}) + ${llm.Sampling.SplitBuckets}) % ${llm.Sampling.SplitBuckets} AS b FROM sf),
+       |s AS (
+       |  SELECT source, n_tokens,
+       |         CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+       |  FROM b)
+       |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS tokens
+       |FROM s GROUP BY 1, 2 ORDER BY source, split""".stripMargin
+
+  val tokenBudgetSql: String =
+    s"""WITH $sampleCte,
+       |r AS (
+       |  SELECT source, n_tokens,
+       |         sum(n_tokens) OVER (PARTITION BY source ORDER BY fp, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+       |  FROM sf)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       |       CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+       |FROM r WHERE running <= ${llm.Sampling.TokenBudget}
+       |GROUP BY source ORDER BY source""".stripMargin
+
   val langIdSql: String = {
     val scores = TextAnalysis.LangProfiles.map { case (_, words) =>
       val inList = words.map(w => s"'$w'").mkString(", ")

@@ -65,6 +65,8 @@ object SparkEntry {
     "x_source_sim" -> (llm.Dedup.sourceSimilarity _),
     "x_dedup_pipeline" -> (llm.Dedup.dedupPipeline _),
     "x_vocab" -> (llm.TextAnalysis.vocabulary _),
+    "x_split" -> (llm.Sampling.split _),
+    "x_token_budget" -> (llm.Sampling.tokenBudget _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -418,6 +420,8 @@ object SparkEntry {
     "x_mm_features" -> OracleLlm.mmFeaturesSql,
     "x_sim_lsh" -> OracleLlm.simLshSql,
     "x_sim_ivf" -> OracleLlm.simIvfSql,
+    "x_split" -> OracleLlm.splitSql,
+    "x_token_budget" -> OracleLlm.tokenBudgetSql,
     // get_currency attribute surface + the yesterday-default branch
     // (S-SUBD): "today" is injected as max(o_orderdate)+1 on both sides
     "q_trigger_date" ->

@@ -53,14 +53,27 @@ object RatesSource {
   /** Parse + extract: success gate (S-CHK), JSON-path quote extraction
     * (S-JSONGET), string→date/double casts (T-CAST), `currencies` concat
     * (T-CONCAT, reference main.py:113 `source = from + to`).
+    *
+    * Memoized + cached per (session, sfDir): four consumers (load, FX
+    * join, gate, idempotence) would otherwise each re-run the
+    * distinct-over-orders + JSON round trip; the result is the tiny
+    * canonical broadcast dim (~one row per day), exactly what an engine
+    * keeps hot.
     */
   def rates(spark: SparkSession, sfDir: String): DataFrame =
-    quotes(spark, sfDir)
-      .filter(get_json_object(col("payload"), "$.success") === "true")
-      .select(
-        to_date(get_json_object(col("payload"), "$.date"), "yyyy-MM-dd").as("date"),
-        concat(lit("USD"), lit("UAH")).as("currencies"),
-        get_json_object(col("payload"), s"$$.quotes.$Pair").cast("double").as("rate"))
+    ratesCache.computeIfAbsent((spark, sfDir), { _ =>
+      val df = quotes(spark, sfDir)
+        .filter(get_json_object(col("payload"), "$.success") === "true")
+        .select(
+          to_date(get_json_object(col("payload"), "$.date"), "yyyy-MM-dd").as("date"),
+          concat(lit("USD"), lit("UAH")).as("currencies"),
+          get_json_object(col("payload"), s"$$.quotes.$Pair").cast("double").as("rate"))
+      df.cache()
+      df
+    })
+
+  private val ratesCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Response fixture WITH failures: dates whose day-of-month divides by 7
     * answer `success: false` with a currencylayer-shaped error object and

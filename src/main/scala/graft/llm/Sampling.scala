@@ -1,0 +1,72 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.RollingHash.rolling_hash
+
+/** X-SAMPLE (training-data pipeline): deterministic corpus splitting and
+  * budgeted sampling — the two selection operators every large-scale
+  * data mix needs, expressed so the exact survivor set is reproducible
+  * on any engine (and therefore DuckDB-oracle hash-checkable).
+  *
+  * Both key off the codegen'd 64-bit rolling hash of the document text
+  * ([[graft.functions.RollingHash]]), not `rand()`: a content hash gives
+  * a uniform, stable pseudo-random draw that survives re-runs, repartitions
+  * and backfills — the property a production split needs (a random split
+  * re-shuffles documents between train and test on every run).
+  */
+object Sampling {
+
+  /** 0-7 → train, 8 → val, 9 → test (80/10/10). */
+  val SplitBuckets = 10
+
+  /** pmod of the signed 64-bit content hash — mirrored in SQL as
+    * `((fp % 10) + 10) % 10`.
+    */
+  private def bucket = pmod(rolling_hash(col("text")), lit(SplitBuckets.toLong))
+
+  /** X-SPLIT: deterministic 80/10/10 train/val/test assignment by content
+    * hash, audited per (source, split): doc and token counts. Narrow
+    * per-row work + one partial-aggregated shuffle; no sort, no rand().
+    */
+  def split(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        bucket.as("b"))
+      .withColumn("split",
+        when(col("b") <= 7, "train").when(col("b") === 8, "val").otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+      .orderBy("source", "split")
+
+  /** Per-source token budget for [[tokenBudget]] — sized to keep roughly
+    * half of each fixture source, so both keep and drop paths execute.
+    */
+  val TokenBudget = 600L
+
+  /** X-TOKEN-BUDGET: budgeted downsampling — walk each source's documents
+    * in content-hash order (a stable uniform shuffle; doc_id breaks
+    * exact-duplicate ties) and keep documents while the running token
+    * total stays within budget. This is the standard way a training mix
+    * caps a source's contribution. The running sum is a per-source
+    * window: at scale that is repartition-by-source + sort-within —
+    * bounded by the largest single source, never a global sort.
+    */
+  def tokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("fp", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        rolling_hash(col("text")).as("fp"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("running", sum("n_tokens").over(w))
+      .filter(col("running") <= TokenBudget)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("n_tokens").as("kept_tokens"))
+      .orderBy("source")
+  }
+}

@@ -402,6 +402,26 @@ class GraftSpec extends AnyFunSuite {
       s"planned $planned of $total day-partitions")
   }
 
+  test("x_split: deterministic 80/10/10 covers every document, stable across runs") {
+    val r1 = llm.Sampling.split(spark, sf).collect()
+    val r2 = llm.Sampling.split(spark, sf).collect()
+    assert(r1.toSeq === r2.toSeq) // content-hash split: no rand(), rerun-stable
+    val splits = r1.map(_.getString(1)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")) && splits.contains("train"))
+    val totalDocs = r1.map(_.getLong(2)).sum
+    assert(totalDocs === Tables.documents(spark, sf).count())
+  }
+
+  test("x_token_budget: per-source kept tokens never exceed the budget") {
+    val r = llm.Sampling.tokenBudget(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getLong(1) >= 1, s"source ${row.getString(0)} kept nothing")
+      assert(row.getLong(2) <= llm.Sampling.TokenBudget,
+        s"source ${row.getString(0)} over budget: ${row.getLong(2)}")
+    }
+  }
+
   test("x_skew_join: salted shuffle join, no broadcast, salt in the exchange") {
     val df = queries.ScaleQueries.saltedJoin(spark, sf)
     val plan = df.queryExecution.sparkPlan.toString
