@@ -56,6 +56,8 @@ object SparkEntry {
     "q_dsv2" -> (EtlQueries.qDsv2 _),
     "q_sink_dsv2" -> (EtlQueries.qSinkDsv2 _),
     "q_dsv2_agg" -> (EtlQueries.qDsv2Agg _),
+    "q_stream_load" -> (EtlQueries.qStreamLoad _),
+    "x_hll_merge" -> (llm.Events.approxDistinctMerged _),
     "x_stream_sessions" -> (llm.Events.streamingSessions _),
     "x_skew_salted" -> (ScaleQueries.saltedAgg _),
     "x_skew_join" -> (ScaleQueries.saltedJoin _),
@@ -362,6 +364,15 @@ object SparkEntry {
     // oracle as q_load_fb
     "q_sink_dsv2" ->
       s"""${fbCte}SELECT $flatCols FROM fb ORDER BY ad_id""",
+    // streaming load == batch load, byte for byte ⇒ same oracle
+    "q_stream_load" ->
+      s"""${fbCte}SELECT $flatCols FROM fb ORDER BY ad_id""",
+    // merged daily sketches must estimate the range distinct within 10%
+    "x_hll_merge" ->
+      """SELECT event_type,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       CAST(1 AS BIGINT) AS merged_within_10pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_dsv2_agg" ->
       """WITH mind AS (SELECT min(CAST(o_orderdate AS DATE)) AS d0 FROM orders),
         |fb AS (

@@ -177,6 +177,32 @@ object Events {
     * sketch landed inside the bound. Default rsd is 5%, so 10% is a
     * stable margin; the tighter bound is also asserted in ScalaTest.
     */
+  /** X-HLL-MERGE: the MERGEABLE-sketch pattern a 100 TB rollup needs —
+    * per-(event_type, day) HLL sketches built once (this is what gets
+    * PERSISTED alongside daily aggregates), then union-merged across days
+    * to answer a range-distinct query without touching raw events. The
+    * estimate from merged daily sketches must land within 10% of the
+    * exact range distinct; like X-HLL the oracle-facing columns are the
+    * exact count + the accuracy flag.
+    */
+  def approxDistinctMerged(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val daily = ev
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("au"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact_users"))
+    exact.join(merged, Seq("event_type"))
+      .select(
+        col("event_type"), col("exact_users"),
+        (abs(col("au") - col("exact_users")).cast("double")
+          <= col("exact_users") * 0.1).cast("long").as("merged_within_10pct"))
+      .orderBy("event_type")
+  }
+
   def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy("event_type")

@@ -271,6 +271,34 @@ object EtlQueries {
     flatten(Normalize(back)).orderBy("ad_id")
   }
 
+  /** Q-STREAM-LOAD: the flagship load pipeline as a STREAM — the shape the
+    * reference's per-day triggered batches (README.md Pub/Sub cadence)
+    * take when the spool is continuous: `readStream` over the JSONL
+    * landing zone → the SAME Normalize transform → append into a parquet
+    * file sink; executors write, the driver tracks only the sink
+    * manifest. Reading the sink back and flattening hash-matches the
+    * q_load_fb oracle — proving batch and streaming load paths are
+    * byte-identical. No watermark needed: the pipeline is stateless
+    * row-at-a-time (no aggregation), so append mode emits immediately.
+    */
+  def qStreamLoad(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = FbInsightsSource.jsonlPath(spark, sfDir)
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_load_")
+    val parsed = spark.readStream.text(s"$src/date=*")
+      .select(from_json(col("value"), Schemas.fbInsightsRaw).as("r"))
+      .select(col("r.*"))
+    val outDir = work.resolve("out").toString
+    val q = Normalize(parsed).writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    flatten(spark.read.parquet(outDir)).orderBy("ad_id")
+  }
+
   /** Q-DSV2-AGG: pushed aggregation — the reference asks the API for
     * pre-aggregated rows (`level='ad'`, `time_increment=1`,
     * main.py:175-181); here the count-per-day group-by is answered inside

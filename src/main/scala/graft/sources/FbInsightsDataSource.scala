@@ -144,7 +144,7 @@ case class FbInsightsScan(
     pushed: Array[Filter],
     agg: Option[Aggregation],
     limit: Option[Int] = None)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = agg match {
     case Some(a) => FbInsightsScan.aggSchema(a)
@@ -157,12 +157,33 @@ case class FbInsightsScan(
       s"pushedLimit=${limit.getOrElse(-1)}, " +
       s"readSchema=${readSchema().fieldNames.mkString(",")})"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  private def admittedDirs(): Array[java.io.File] = {
     val root = new java.io.File(path)
-    val dirs = Option(root.listFiles()).getOrElse(Array.empty)
+    Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("date="))
       .sortBy(_.getName)
-    val kept = dirs.filter(d => FbInsightsScan.dateAdmitted(d.getName.substring(5), pushed))
+      .filter(d => FbInsightsScan.dateAdmitted(d.getName.substring(5), pushed))
+  }
+
+  /** PRUNING-AWARE size estimate from file metadata only — what the
+    * optimizer (join strategy, AQE) sees. A one-day-filtered scan reports
+    * one day's bytes, so it stays broadcastable no matter how large the
+    * full table grows.
+    */
+  override def estimateStatistics(): Statistics = {
+    val bytes = admittedDirs().iterator
+      .flatMap(d => d.listFiles().iterator)
+      .filter(_.getName.startsWith("part-"))
+      .map(_.length())
+      .sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val kept = admittedDirs()
     FbInsightsDataSource.lastPlannedPartitions.set(kept.length)
     kept.map { d =>
       val files = d.listFiles().filter(f => f.getName.startsWith("part-")).map(_.getPath)

@@ -524,6 +524,36 @@ class GraftSpec extends AnyFunSuite {
     assert(df.head().getLong(0) === expected)
   }
 
+  test("dsv2 statistics: pruned scan reports pruned bytes") {
+    val path = etl.FbInsightsSource.jsonlPath(spark, sf)
+    val all = sources.FbInsightsScan(path, Schemas.fbInsightsRaw, Array.empty, None)
+    val start = new java.io.File(path).list()
+      .filter(_.startsWith("date=")).map(_.substring(5)).min
+    val oneDay = sources.FbInsightsScan(path, Schemas.fbInsightsRaw,
+      Array(org.apache.spark.sql.sources.EqualTo("date_start", start)), None)
+    val (bAll, bOne) =
+      (all.estimateStatistics().sizeInBytes().getAsLong,
+        oneDay.estimateStatistics().sizeInBytes().getAsLong)
+    assert(bAll > 0 && bOne > 0 && bOne < bAll,
+      s"expected pruned stats: all=$bAll oneDay=$bOne")
+  }
+
+  test("q_stream_load: streaming load equals the batch load") {
+    val s = queries.EtlQueries.qStreamLoad(spark, sf).collect()
+    val b = queries.EtlQueries.qLoadFb(spark, sf).collect()
+    assert(s.nonEmpty)
+    assert(s.toSeq === b.toSeq)
+  }
+
+  test("x_hll_merge: merged daily sketches land within 10% of exact") {
+    val r = llm.Events.approxDistinctMerged(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getLong(1) > 0)
+      assert(row.getLong(2) === 1L, "merged estimate outside 10% of exact")
+    }
+  }
+
   test("dsv2 limit pushdown: scan caps parsed lines per partition") {
     val fmt = classOf[sources.FbInsightsDataSource].getName
     val path = etl.FbInsightsSource.jsonlPath(spark, sf)
