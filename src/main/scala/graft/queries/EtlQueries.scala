@@ -282,20 +282,28 @@ object EtlQueries {
     * row-at-a-time (no aggregation), so append mode emits immediately.
     */
   def qStreamLoad(spark: SparkSession, sfDir: String): DataFrame = {
-    val src = FbInsightsSource.jsonlPath(spark, sfDir)
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_load_")
-    val parsed = spark.readStream.text(s"$src/date=*")
-      .select(from_json(col("value"), Schemas.fbInsightsRaw).as("r"))
-      .select(col("r.*"))
-    val outDir = work.resolve("out").toString
-    val q = Normalize(parsed).writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", work.resolve("ckpt").toString)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    // LOAD-stage semantics, like fb_stat: the stream drains the landing
+    // zone into the sink ONCE (marker-gated — a restart would resume from
+    // the checkpoint, not reprocess); queries read the sink.
+    val path = Sink.scratchPath(sfDir, "fb_stream_load")
+    val marker = java.nio.file.Paths.get(path, "_GRAFT_OK_v1")
+    val outDir = s"$path/out"
+    if (!java.nio.file.Files.exists(marker)) {
+      Sink.dropUncommitted(path)
+      val src = FbInsightsSource.jsonlPath(spark, sfDir)
+      val parsed = spark.readStream.text(s"$src/date=*")
+        .select(from_json(col("value"), Schemas.fbInsightsRaw).as("r"))
+        .select(col("r.*"))
+      val q = Normalize(parsed).writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", s"$path/ckpt")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      java.nio.file.Files.createFile(marker)
+    }
     flatten(spark.read.parquet(outDir)).orderBy("ad_id")
   }
 
