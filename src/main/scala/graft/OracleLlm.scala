@@ -173,6 +173,24 @@ object OracleLlm {
        |  FROM documents)""".stripMargin
   }
 
+  /** decontamination mirror: minhash near-dup pairs (sig/band CTEs)
+    * joined to the content-hash split assignment, cross-split only.
+    */
+  val decontamSql: String =
+    s"""WITH $sigCtes, $pairCtes, $sampleCte,
+       |sp AS (
+       |  SELECT doc_id,
+       |         CASE WHEN ((fp % ${llm.Sampling.SplitBuckets}) + ${llm.Sampling.SplitBuckets}) % ${llm.Sampling.SplitBuckets} <= 7 THEN 'train'
+       |              WHEN ((fp % ${llm.Sampling.SplitBuckets}) + ${llm.Sampling.SplitBuckets}) % ${llm.Sampling.SplitBuckets} = 8 THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM sf)
+       |SELECT id_a, sa.split AS split_a, id_b, sb.split AS split_b, est_jaccard
+       |FROM mh
+       |JOIN sp sa ON sa.doc_id = mh.id_a
+       |JOIN sp sb ON sb.doc_id = mh.id_b
+       |WHERE est_jaccard >= ${llm.Dedup.NearDupThreshold} AND sa.split <> sb.split
+       |ORDER BY id_a, id_b""".stripMargin
+
   val splitSql: String =
     s"""WITH $sampleCte,
        |b AS (SELECT source, n_tokens, ((fp % ${llm.Sampling.SplitBuckets}) + ${llm.Sampling.SplitBuckets}) % ${llm.Sampling.SplitBuckets} AS b FROM sf),

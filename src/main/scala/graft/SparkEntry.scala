@@ -69,6 +69,7 @@ object SparkEntry {
     "x_vocab" -> (llm.TextAnalysis.vocabulary _),
     "x_split" -> (llm.Sampling.split _),
     "x_token_budget" -> (llm.Sampling.tokenBudget _),
+    "x_decontam" -> (llm.Sampling.decontamination _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -433,6 +434,7 @@ object SparkEntry {
     "x_sim_ivf" -> OracleLlm.simIvfSql,
     "x_split" -> OracleLlm.splitSql,
     "x_token_budget" -> OracleLlm.tokenBudgetSql,
+    "x_decontam" -> OracleLlm.decontamSql,
     // get_currency attribute surface + the yesterday-default branch
     // (S-SUBD): "today" is injected as max(o_orderdate)+1 on both sides
     "q_trigger_date" ->

@@ -28,6 +28,17 @@ object Sampling {
     */
   private def bucket = pmod(rolling_hash(col("text")), lit(SplitBuckets.toLong))
 
+  /** Split name of a bucket value (shared by [[split]] and
+    * [[decontamination]]).
+    */
+  def splitName(b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(b <= 7, "train").when(b === 8, "val").otherwise("test")
+
+  /** Per-document split assignment: (doc_id, split). */
+  def assignments(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), splitName(bucket).as("split"))
+
   /** X-SPLIT: deterministic 80/10/10 train/val/test assignment by content
     * hash, audited per (source, split): doc and token counts. Narrow
     * per-row work + one partial-aggregated shuffle; no sort, no rand().
@@ -37,8 +48,7 @@ object Sampling {
       .select(col("source"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
         bucket.as("b"))
-      .withColumn("split",
-        when(col("b") <= 7, "train").when(col("b") === 8, "val").otherwise("test"))
+      .withColumn("split", splitName(col("b")))
       .groupBy("source", "split")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
       .orderBy("source", "split")
@@ -56,6 +66,27 @@ object Sampling {
     * window: at scale that is repartition-by-source + sort-within —
     * bounded by the largest single source, never a global sort.
     */
+  /** X-DECONTAM: train/eval contamination sweep — NEAR-duplicate pairs
+    * (MinHash-banded candidates, slot-agreement estimate ≥ the near-dup
+    * threshold) that landed in DIFFERENT splits. Exact duplicates can
+    * never cross splits here (same text → same content hash → same
+    * split; that is WHY the split keys off the content hash), so every
+    * reported pair is a genuine near-dup leak an eval-decontamination
+    * pass must drop. Reuses the memoized signature table; joins are on
+    * doc ids and banded keys only.
+    */
+  def decontamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Dedup.minhashPairs(spark, sfDir)
+      .filter(col("est_jaccard") >= Dedup.NearDupThreshold)
+    val sp = assignments(spark, sfDir)
+    pairs
+      .join(sp.select(col("doc_id").as("id_a"), col("split").as("split_a")), Seq("id_a"))
+      .join(sp.select(col("doc_id").as("id_b"), col("split").as("split_b")), Seq("id_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("id_a"), col("split_a"), col("id_b"), col("split_b"), col("est_jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
   def tokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("source").orderBy("fp", "doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

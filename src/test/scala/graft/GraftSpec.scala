@@ -412,6 +412,25 @@ class GraftSpec extends AnyFunSuite {
     assert(totalDocs === Tables.documents(spark, sf).count())
   }
 
+  test("x_decontam: cross-split near-dups found; exact dups never cross") {
+    val r = llm.Sampling.decontamination(spark, sf).collect()
+    assert(r.nonEmpty) // the fixture plants near-dup mutations
+    r.foreach { row =>
+      assert(row.getString(1) !== row.getString(3))
+      assert(row.getDouble(4) >= llm.Dedup.NearDupThreshold)
+    }
+    // exact duplicates share the content hash ⇒ always the same split
+    val dupPair = Tables.documents(spark, sf)
+      .groupBy("text").agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) >= 2).select(explode(col("ids")).as("doc_id"), col("text"))
+    val sp = llm.Sampling.assignments(spark, sf)
+    val nSplitsPerText = dupPair.join(sp, Seq("doc_id"))
+      .groupBy("text").agg(countDistinct("split").as("ns"))
+      .agg(max("ns")).head
+    // sf0.001 may hold no exact-dup texts; when it does, they never split
+    if (!nSplitsPerText.isNullAt(0)) assert(nSplitsPerText.getLong(0) === 1L)
+  }
+
   test("x_token_budget: per-source kept tokens never exceed the budget") {
     val r = llm.Sampling.tokenBudget(spark, sf).collect()
     assert(r.nonEmpty)
