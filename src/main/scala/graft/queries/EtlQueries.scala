@@ -257,10 +257,14 @@ object EtlQueries {
     */
   def qSinkDsv2(spark: SparkSession, sfDir: String): DataFrame = {
     val path = Sink.scratchPath(sfDir, "fb_sink_dsv2")
-    val marker = java.nio.file.Paths.get(path, "_GRAFT_OK_v1")
+    val marker = java.nio.file.Paths.get(path, "_GRAFT_OK_v2")
     if (!java.nio.file.Files.exists(marker)) {
       Sink.dropUncommitted(path)
+      // repartition on the partition key first (same discipline as
+      // Sink.appendPartitioned): each writer task then spools ~one day,
+      // one open file — not every task holding a file per day
       FbInsightsSource.raw(spark, sfDir)
+        .repartition(col("date_start"))
         .write.format(classOf[graft.sources.FbInsightsDataSource].getName)
         .option("path", path).mode("append").save()
       java.nio.file.Files.createFile(marker)

@@ -384,6 +384,22 @@ class GraftSpec extends AnyFunSuite {
 
   // ---- Physical-plan assertions (scale hygiene) -----------------------
 
+  test("dynamic partition pruning: dim filter prunes the fact scan at runtime") {
+    // the partitioned parquet layout (not the cache) is the DPP target:
+    // joining it to a filtered tiny dim must inject a dynamic pruning
+    // subquery into the fact side's partition filters
+    queries.EtlQueries.fbStatTable(spark, sf) // ensure written
+    val fact = spark.read.parquet(graft.etl.Sink.scratchPath(sf, "fb_stat"))
+    val dim = graft.etl.RatesSource.rates(spark, sf)
+      .filter(month(col("date")) === 3)
+    val j = fact.join(dim, Seq("date")).groupBy("currencies")
+      .agg(sum("clicks").as("clicks"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning:\n${plan.take(3000)}")
+    assert(j.collect().nonEmpty)
+  }
+
   test("q_prune: single-day read plans with a partition filter") {
     val df = queries.EtlQueries.qPrune(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
