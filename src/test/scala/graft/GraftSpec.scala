@@ -384,6 +384,19 @@ class GraftSpec extends AnyFunSuite {
 
   // ---- Physical-plan assertions (scale hygiene) -----------------------
 
+  test("typed API: fb_stat round-trips through Dataset[FbAdStat] with equal totals") {
+    import spark.implicits._
+    val ds = queries.EtlQueries.fbStat(spark, sf).as[graft.etl.FbAdStat]
+    val typedClicks = ds.map(_.clicks).reduce(_ + _)
+    val untypedClicks = queries.EtlQueries.fbStat(spark, sf)
+      .agg(sum("clicks")).head.getLong(0)
+    assert(typedClicks === untypedClicks)
+    // the encoder preserves the nested action entries
+    val withActions = ds.filter(_.actions.nonEmpty).head()
+    assert(withActions.actions.forall(_.action_type != null))
+    assert(withActions.actions.map(_.action_type) === Seq("link_click", "page_view"))
+  }
+
   test("dynamic partition pruning: dim filter prunes the fact scan at runtime") {
     // the partitioned parquet layout (not the cache) is the DPP target:
     // joining it to a filtered tiny dim must inject a dynamic pruning
