@@ -70,6 +70,8 @@ object SparkEntry {
     "x_split" -> (llm.Sampling.split _),
     "x_token_budget" -> (llm.Sampling.tokenBudget _),
     "x_decontam" -> (llm.Sampling.decontamination _),
+    "x_range_join" -> (ScaleQueries.rangeJoin _),
+    "x_quantiles" -> (llm.Events.quantiles _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -435,6 +437,30 @@ object SparkEntry {
     "x_split" -> OracleLlm.splitSql,
     "x_token_budget" -> OracleLlm.tokenBudgetSql,
     "x_decontam" -> OracleLlm.decontamSql,
+    // oracle is the PLAIN interval join — bucketing must be value-identical
+    "x_range_join" ->
+      s"""WITH $ratesCte,
+         |li AS (
+         |  SELECT CAST(l_shipdate AS DATE) AS lo,
+         |         CAST(l_shipdate AS DATE) + (CAST(floor(l_quantity) AS INT) % 14) AS hi
+         |  FROM lineitem)
+         |SELECT strftime(lo, '%Y-%m') AS ship_month,
+         |       CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(sum(CAST(rate AS DECIMAL(18,2))) AS DOUBLE) AS sum_rate
+         |FROM li JOIN rates ON rates.date >= lo AND rates.date <= hi
+         |GROUP BY 1 ORDER BY ship_month""".stripMargin,
+    // exact percentiles over integer cents (identical interpolation
+    // inputs); the approx sketch's closeness flag asserted as literal 1
+    "x_quantiles" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       round(quantile_cont(cents, 0.5) / 100.0, 6) AS p50,
+        |       round(quantile_cont(cents, 0.9) / 100.0, 6) AS p90,
+        |       CAST(1 AS BIGINT) AS approx_p50_close
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     // get_currency attribute surface + the yesterday-default branch
     // (S-SUBD): "today" is injected as max(o_orderdate)+1 on both sides
     "q_trigger_date" ->

@@ -177,6 +177,34 @@ object Events {
     * sketch landed inside the bound. Default rsd is 5%, so 10% is a
     * stable margin; the tighter bound is also asserted in ScalaTest.
     */
+  /** X-QUANTILES: the quantile aggregate family — exact percentiles for
+    * the oracle plus the KLL-style `approx_percentile` sketch that
+    * actually scales (exact percentile buffers every value per group;
+    * the sketch is bounded-memory and mergeable). Values are lifted to
+    * integer CENTS before interpolating so both engines interpolate
+    * between exact integers; the approx estimate must land within 1% of
+    * the group's value range (flagged 0/1, oracle asserts 1).
+    */
+  def quantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(cents, 0.5)").as("p50c"),
+        expr("percentile(cents, 0.9)").as("p90c"),
+        expr("approx_percentile(cents, 0.5, 10000)").as("a50c"),
+        min("cents").as("cmin"), max("cents").as("cmax"))
+      .select(
+        col("event_type"), col("n"),
+        round(col("p50c") / 100.0, 6).as("p50"),
+        round(col("p90c") / 100.0, 6).as("p90"),
+        (abs(col("a50c") - col("p50c")).cast("double")
+          <= (col("cmax") - col("cmin")).cast("double") * 0.01)
+          .cast("long").as("approx_p50_close"))
+      .orderBy("event_type")
+
   /** X-HLL-MERGE: the MERGEABLE-sketch pattern a 100 TB rollup needs —
     * per-(event_type, day) HLL sketches built once (this is what gets
     * PERSISTED alongside daily aggregates), then union-merged across days

@@ -99,6 +99,34 @@ object ScaleQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** RANGE (interval) join, the scale-safe way. Spark has no native range
+    * join operator — a raw `r.date BETWEEN lo AND hi` join plans as a
+    * nested-loop. The standard distributed answer: explode each interval
+    * into its coarse time BUCKETS (months here; intervals are bounded at
+    * 13 days ⇒ ≤ 2 buckets each), equi-join on the bucket — so the
+    * shuffle key is the bucket, never the pair — then apply the exact
+    * range as a residual filter. Intervals derive deterministically from
+    * lineitem (ship date + quantity-mod-14 days) and join the daily rates
+    * table; the oracle runs the plain BETWEEN join.
+    */
+  def rangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(
+        to_date(col("l_shipdate")).as("lo"),
+        expr("date_add(CAST(l_shipdate AS DATE), CAST(floor(l_quantity) AS INT) % 14)").as("hi"))
+    val rates = graft.etl.RatesSource.rates(spark, sfDir)
+    val liB = li.withColumn("bucket",
+      explode(expr("sequence(trunc(lo, 'MONTH'), trunc(hi, 'MONTH'), interval 1 month)")))
+    val rB = rates.withColumn("bucket", trunc(col("date"), "month"))
+    liB.join(rB, Seq("bucket"))
+      .filter(col("date") >= col("lo") && col("date") <= col("hi"))
+      .groupBy(date_format(col("lo"), "yyyy-MM").as("ship_month"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("rate").cast(DecimalType(18, 2))).cast("double").as("sum_rate"))
+      .orderBy("ship_month")
+  }
+
   /** Bucketed co-located join: lineitem and orders written bucketed by
     * order key (16 buckets, sorted) join WITHOUT a shuffle — the
     * sort-merge join reads co-located buckets directly. At 100 TB this

@@ -470,6 +470,24 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("x_range_join: bucketed interval join plans an equi-join, not a nested loop") {
+    val df = queries.ScaleQueries.rangeJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"expected a bucket equi-join:\n${plan.take(3000)}")
+    assert(plan.contains("bucket"), s"expected bucket join key:\n${plan.take(3000)}")
+    assert(df.count() > 0)
+  }
+
+  test("x_quantiles: approx sketch lands within 1% of the exact percentile") {
+    val r = llm.Events.quantiles(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getDouble(2) <= row.getDouble(3), "p50 must not exceed p90")
+      assert(row.getLong(4) === 1L, "approx p50 outside 1% of range")
+    }
+  }
+
   test("x_skew_join: salted shuffle join, no broadcast, salt in the exchange") {
     val df = queries.ScaleQueries.saltedJoin(spark, sf)
     val plan = df.queryExecution.sparkPlan.toString
