@@ -23,6 +23,7 @@ object SparkEntry {
     "q_load_fb" -> (EtlQueries.qLoadFb _),
     "q_load_fx" -> (EtlQueries.qLoadFx _),
     "q_join_fx" -> (EtlQueries.qJoinFx _),
+    "q_join_fx_asof" -> (EtlQueries.qJoinFxAsof _),
     "q_unnest" -> (EtlQueries.qUnnest _),
     "q_daily" -> (EtlQueries.qDaily _),
     "q_topk" -> (EtlQueries.qTopK _),
@@ -154,6 +155,24 @@ object SparkEntry {
          |       spend * rate AS spend_uah
          |FROM fb JOIN rates ON fb.date = rates.date
          |ORDER BY ad_id""".stripMargin,
+    // as-of = forward-filled daily dim + equi-join; oracle mirrors the
+    // fill with last_value IGNORE NULLS over the same date order
+    "q_join_fx_asof" ->
+      s"""$fbCte, $ratesCte,
+         |g AS (SELECT date, rate FROM rates WHERE EXTRACT(DAY FROM date) % 7 <> 0),
+         |filled AS (
+         |  SELECT r.date,
+         |         last_value(g.rate IGNORE NULLS) OVER (ORDER BY r.date
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rate_asof,
+         |         (g.rate IS NULL) AS carried
+         |  FROM rates r LEFT JOIN g ON g.date = r.date),
+         |f2 AS (SELECT date, rate_asof, carried FROM filled WHERE rate_asof IS NOT NULL)
+         |SELECT strftime(fb.date, '%Y-%m') AS month,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(CASE WHEN carried THEN 1 ELSE 0 END) AS BIGINT) AS n_carried,
+         |       CAST(sum(CAST(spend AS DECIMAL(18,2)) * CAST(rate_asof AS DECIMAL(18,2))) AS DOUBLE) AS spend_uah
+         |FROM fb JOIN f2 ON fb.date = f2.date
+         |GROUP BY 1 ORDER BY month""".stripMargin,
     "q_unnest" ->
       s"""$fbCte
          |SELECT * FROM (

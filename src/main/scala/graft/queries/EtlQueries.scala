@@ -115,6 +115,42 @@ object EtlQueries {
       .orderBy("ad_id")
   }
 
+  /** Q-JOIN-FX-ASOF: the AS-OF join the FX pipeline actually needs when
+    * the provider rejects days (S-CHK's failing branch,
+    * main.py:142-143): spend converts at the LATEST rate at-or-before
+    * the spend date. Spark has no native as-of operator; against a DAILY
+    * dim the scale-safe plan is to forward-fill the (tiny) date
+    * dimension once — a window over ~2.4k rows, deliberately
+    * single-partition because it is dim-side work — and then equi-join,
+    * which broadcasts. The fact table never sorts, never range-joins.
+    * Carried-forward days are counted per month; sums run in exact
+    * DECIMAL (spend 2dp × rate 2dp products are exact).
+    */
+  def qJoinFxAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // gappy rates: only days the gate passed (day-of-month % 7 != 0)
+    val gappy = RatesSource.rates(spark, sfDir)
+      .filter(dayofmonth(col("date")) % 7 =!= 0)
+      .select(col("date"), col("rate"))
+    val days = RatesSource.rates(spark, sfDir).select(col("date"))
+    val w = Window.orderBy("date")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = days.join(gappy, Seq("date"), "left")
+      .withColumn("rate_asof", last("rate", ignoreNulls = true).over(w))
+      .withColumn("carried", col("rate").isNull && col("rate_asof").isNotNull)
+      .filter(col("rate_asof").isNotNull)
+      .select(col("date"), col("rate_asof"), col("carried"))
+    fbStatTable(spark, sfDir)
+      .join(broadcast(filled), Seq("date"))
+      .groupBy(date_format(col("date"), "yyyy-MM").as("month"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("carried"), 1L).otherwise(0L)).as("n_carried"),
+        sum(col("spend").cast(DecimalType(18, 2))
+          * col("rate_asof").cast(DecimalType(18, 2))).cast("double").as("spend_uah"))
+      .orderBy("month")
+  }
+
   /** Q-UNNEST: per-action_type totals — the BigQuery `UNNEST(actions)`
     * pattern the REPEATED RECORD layout was designed for (main.py:33-38).
     * `explode_outer` keeps empty-array rows as a NULL action group.

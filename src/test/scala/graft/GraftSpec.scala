@@ -470,6 +470,18 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("q_join_fx_asof: gap days really carry the latest earlier rate") {
+    val r = queries.EtlQueries.qJoinFxAsof(spark, sf).collect()
+    assert(r.nonEmpty)
+    // the gate rejects day-of-month % 7 == 0, so carried rows must exist
+    assert(r.map(_.getLong(2)).sum > 0, "expected carried-forward days")
+    // no broadcast-nested-loop / sort on the fact side: dim-side fill only
+    val plan = queries.EtlQueries.qJoinFxAsof(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast equi-join of the filled dim:\n${plan.take(3000)}")
+  }
+
   test("x_range_join: bucketed interval join plans an equi-join, not a nested loop") {
     val df = queries.ScaleQueries.rangeJoin(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
