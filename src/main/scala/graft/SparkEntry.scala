@@ -73,6 +73,7 @@ object SparkEntry {
     "x_decontam" -> (llm.Sampling.decontamination _),
     "x_range_join" -> (ScaleQueries.rangeJoin _),
     "x_quantiles" -> (llm.Events.quantiles _),
+    "x_pivot" -> (llm.Events.pivotDaily _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -468,6 +469,14 @@ object SparkEntry {
          |       CAST(sum(CAST(rate AS DECIMAL(18,2))) AS DOUBLE) AS sum_rate
          |FROM li JOIN rates ON rates.date >= lo AND rates.date <= hi
          |GROUP BY 1 ORDER BY ship_month""".stripMargin,
+    "x_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+        |       CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     // exact percentiles over integer cents (identical interpolation
     // inputs); the approx sketch's closeness flag asserted as literal 1
     "x_quantiles" ->

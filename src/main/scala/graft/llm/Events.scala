@@ -177,6 +177,28 @@ object Events {
     * sketch landed inside the bound. Default rsd is 5%, so 10% is a
     * stable margin; the tighter bound is also asserted in ScalaTest.
     */
+  /** Fixture event types, pinned for a deterministic pivot column set
+    * (an inferred pivot would scan twice and make output schema
+    * data-dependent — never do that at scale).
+    */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** X-PIVOT: long→wide reshape — per-day event_type value totals as
+    * columns. With pinned pivot values this is ONE partial+final hash
+    * agg (each pivot cell a conditional sum); sums in exact DECIMAL.
+    */
+  def pivotDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val pivoted = Tables.events(spark, sfDir)
+      .select(col("ts").cast("date").as("day"), col("event_type"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+      .groupBy("day")
+      .pivot("event_type", EventTypes)
+      .agg(sum("v"))
+    pivoted.select(col("day") +:
+        EventTypes.map(t => col(s"`$t`").cast("double").as(t)): _*)
+      .orderBy("day")
+  }
+
   /** X-QUANTILES: the quantile aggregate family — exact percentiles for
     * the oracle plus the KLL-style `approx_percentile` sketch that
     * actually scales (exact percentile buffers every value per group;
