@@ -74,6 +74,8 @@ object SparkEntry {
     "x_range_join" -> (ScaleQueries.rangeJoin _),
     "x_quantiles" -> (llm.Events.quantiles _),
     "x_pivot" -> (llm.Events.pivotDaily _),
+    "x_unpivot" -> (llm.Events.unpivotDaily _),
+    "x_cube" -> (llm.Events.cubeMonthly _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -477,6 +479,20 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
         |       CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    // melt of the pivot = the long form (NULL cells drop on both sides)
+    "x_unpivot" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "x_cube" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |       coalesce(strftime(ts, '%Y-%m'), 'ALL') AS month,
+        |       CAST(GROUPING(event_type) * 2 + GROUPING(strftime(ts, '%Y-%m')) AS BIGINT) AS gid,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY CUBE (event_type, strftime(ts, '%Y-%m'))
+        |ORDER BY event_type, month, gid""".stripMargin,
     // exact percentiles over integer cents (identical interpolation
     // inputs); the approx sketch's closeness flag asserted as literal 1
     "x_quantiles" ->

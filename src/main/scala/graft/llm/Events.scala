@@ -199,6 +199,36 @@ object Events {
       .orderBy("day")
   }
 
+  /** X-UNPIVOT: wide→long melt, the inverse reshape of [[pivotDaily]] —
+    * the pivoted day×type matrix unpivots back to (day, event_type,
+    * total) rows; absent cells (NULL) drop, matching the long form.
+    * Narrow per-row expansion, no extra shuffle beyond the pivot's agg.
+    */
+  def unpivotDaily(spark: SparkSession, sfDir: String): DataFrame =
+    pivotDaily(spark, sfDir)
+      .unpivot(Array(col("day")), EventTypes.map(col).toArray, "event_type", "total_value")
+      .filter(col("total_value").isNotNull)
+      .orderBy("day", "event_type")
+
+  /** X-CUBE: full multi-dimensional aggregation — CUBE over
+    * (event_type, month) emits all four grouping-set combinations with
+    * grouping_id disambiguation (ROLLUP's two-level form is q_rollup).
+    */
+  def cubeMonthly(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM").as("month"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+      .cube("event_type", "month")
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        sum("v").cast("double").as("total_value"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("month"), lit("ALL")).as("month"),
+        col("gid"), col("n"), col("total_value"))
+      .orderBy("event_type", "month", "gid")
+
   /** X-QUANTILES: the quantile aggregate family — exact percentiles for
     * the oracle plus the KLL-style `approx_percentile` sketch that
     * actually scales (exact percentile buffers every value per group;
