@@ -182,13 +182,28 @@ case class FbInsightsScan(
     }
   }
 
+  /** One day per task is right on a wide cluster (1000 executors read
+    * 1000 days concurrently) but floods a small one with tiny tasks
+    * (2.4k days × ~25 rows at sf0.1). Bin-pack contiguous days into at
+    * most 4×parallelism partitions — the connector's analog of
+    * `files.maxPartitionBytes` task-granularity control. Pruning
+    * semantics are untouched: only admitted days are binned, and the
+    * observability hook still reports admitted DAYS.
+    */
   override def planInputPartitions(): Array[InputPartition] = {
     val kept = admittedDirs()
     FbInsightsDataSource.lastPlannedPartitions.set(kept.length)
-    kept.map { d =>
+    val days = kept.map { d =>
       val files = d.listFiles().filter(f => f.getName.startsWith("part-")).map(_.getPath)
-      FbInsightsPartition(d.getName.substring(5), files): InputPartition
+      FbInsightsDay(d.getName.substring(5), files)
     }
+    val parallelism = org.apache.spark.sql.SparkSession.active
+      .sparkContext.defaultParallelism
+    val maxParts = math.max(1, math.min(days.length, 4 * parallelism))
+    val perBin = math.ceil(days.length.toDouble / maxParts).toInt
+    days.grouped(math.max(1, perBin))
+      .map(bin => FbInsightsPartition(bin): InputPartition)
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = agg match {
@@ -258,7 +273,9 @@ object FbInsightsScan {
   }
 }
 
-case class FbInsightsPartition(date: String, files: Array[String]) extends InputPartition
+case class FbInsightsDay(date: String, files: Array[String])
+
+case class FbInsightsPartition(days: Array[FbInsightsDay]) extends InputPartition
 
 class FbInsightsReaderFactory(required: StructType, limit: Option[Int] = None)
     extends PartitionReaderFactory {
@@ -266,19 +283,21 @@ class FbInsightsReaderFactory(required: StructType, limit: Option[Int] = None)
     new FbInsightsJsonlReader(partition.asInstanceOf[FbInsightsPartition], required, limit)
 }
 
-/** Pushed-aggregate reader: one output row per day-partition, computed
-  * from file line counts and the partition's date value only — the
+/** Pushed-aggregate reader: one output row per DAY in the partition,
+  * computed from file line counts and the day's date value only — the
   * connector-side analog of the API returning pre-aggregated rows.
+  * Groups stay disjoint across partitions (a day lives in exactly one
+  * bin), so complete pushdown remains sound.
   */
 class FbInsightsAggReaderFactory(agg: Aggregation) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val p = partition.asInstanceOf[FbInsightsPartition]
-      private var done = false
+      private val dayIter = partition.asInstanceOf[FbInsightsPartition].days.iterator
+      private var current: InternalRow = _
 
-      private def lineCount(): Long = {
+      private def lineCount(d: FbInsightsDay): Long = {
         var n = 0L
-        p.files.foreach { f =>
+        d.files.foreach { f =>
           val src = scala.io.Source.fromFile(f, "UTF-8")
           try src.getLines().foreach(_ => n += 1)
           finally src.close()
@@ -287,22 +306,23 @@ class FbInsightsAggReaderFactory(agg: Aggregation) extends PartitionReaderFactor
       }
 
       override def next(): Boolean =
-        if (done) false
-        else { done = true; true }
-
-      override def get(): InternalRow = {
-        lazy val count = lineCount()
-        val date = UTF8String.fromString(p.date)
-        val groups: Array[Any] = agg.groupByExpressions().map(_ => date: Any)
-        val aggs: Array[Any] = agg.aggregateExpressions().map {
-          case _: CountStar => count: Any
-          case _: Min => date: Any // every row in the partition shares the date
-          case _: Max => date: Any
-          case other => throw new IllegalStateException(s"unsupported agg $other")
+        if (!dayIter.hasNext) false
+        else {
+          val d = dayIter.next()
+          lazy val count = lineCount(d)
+          val date = UTF8String.fromString(d.date)
+          val groups: Array[Any] = agg.groupByExpressions().map(_ => date: Any)
+          val aggs: Array[Any] = agg.aggregateExpressions().map {
+            case _: CountStar => count: Any
+            case _: Min => date: Any // every row of the day shares the date
+            case _: Max => date: Any
+            case other => throw new IllegalStateException(s"unsupported agg $other")
+          }
+          current = new GenericInternalRow(groups ++ aggs)
+          true
         }
-        new GenericInternalRow(groups ++ aggs)
-      }
 
+      override def get(): InternalRow = current
       override def close(): Unit = ()
     }
 }
@@ -316,7 +336,7 @@ class FbInsightsJsonlReader(
 
   private val mapper = new ObjectMapper()
   private var emitted = 0
-  private val fileIter = p.files.iterator
+  private val fileIter = p.days.iterator.flatMap(_.files.iterator)
   // One file handle open at a time; closed when its lines are exhausted
   // and unconditionally in close() — long-lived executors scan many
   // partitions, so leaking a descriptor per file is not an option.
