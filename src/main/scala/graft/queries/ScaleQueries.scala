@@ -78,6 +78,15 @@ object ScaleQueries {
     * pair colliding in several tables scores identically → distinct.
     * Identical left-to-right double arithmetic on both engines makes both
     * the bucket signs and the >= comparison exact.
+    *
+    * Why the oracle mirrors the buckets instead of running exact
+    * all-pairs: sign-LSH recall is < 1 by construction (a cosine-0.4
+    * pair collides in ≥1 of 4 tables only ~25% of the time), so NO
+    * candidate-based plan can hash-match a fixed exact-all-pairs oracle
+    * — the candidate generation itself must be part of the checked
+    * semantics (the x_sim_lsh precedent). Exactness is still pinned from
+    * the other side: a ScalaTest asserts every returned pair is
+    * contained in the exact all-pairs baseline.
     */
   val DupThreshold = 0.4
 
