@@ -500,6 +500,33 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE skew join: runtime splits the hot partition (complement of salting)") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    s2.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // one key carries ~20x the others — unambiguous skew. The dim is a
+    // LOCAL table: OptimizeSkewedJoin only matches SMJ(Sort(Shuffle),
+    // Sort(Shuffle)) — an agg between sort and shuffle disqualifies a side.
+    import s2.implicits._
+    val base = Tables.events(s2, sf).select("event_type", "value")
+    val hot = base.filter(col("event_type") === "click")
+    val fact = (1 to 20).map(_ => hot).foldLeft(base)(_ unionAll _)
+    val dim = Seq(("click", 2L), ("view", 2L), ("error", 2L), ("purchase", 2L), ("signup", 2L))
+      .toDF("event_type", "w")
+    val j = fact.join(dim.hint("merge"), Seq("event_type"))
+      .agg(sum(col("w") * col("value")).as("s"))
+    assert(j.collect().head.getDouble(0) > 0)
+    val finalPlan = j.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("skew=true") && finalPlan.contains("AQEShuffleRead skewed"),
+      s"expected AQE to split the skewed join:\n${finalPlan.take(3000)}")
+  }
+
   test("x_skew_join: salted shuffle join, no broadcast, salt in the exchange") {
     val df = queries.ScaleQueries.saltedJoin(spark, sf)
     val plan = df.queryExecution.sparkPlan.toString
