@@ -66,6 +66,9 @@ class FbInsightsDataSource extends TableProvider {
 object FbInsightsDataSource {
   /** Test/observability hook: day-partitions planned by the last scan. */
   val lastPlannedPartitions = new AtomicInteger(-1)
+
+  /** Malformed lines skipped by permissive-mode readers (cumulative). */
+  val lastSkippedRows = new java.util.concurrent.atomic.AtomicLong(0)
 }
 
 class FbInsightsTable(path: String) extends Table with SupportsRead with SupportsWrite {
@@ -75,7 +78,8 @@ class FbInsightsTable(path: String) extends Table with SupportsRead with Support
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FbInsightsScanBuilder(path)
+    new FbInsightsScanBuilder(path,
+      permissive = "permissive".equalsIgnoreCase(options.getOrDefault("mode", "failfast")))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // K-TBL create-if-missing (reference main.py:63-76): first write
     // creates the table directory; appends attach to the existing layout.
@@ -84,7 +88,7 @@ class FbInsightsTable(path: String) extends Table with SupportsRead with Support
   }
 }
 
-class FbInsightsScanBuilder(path: String)
+class FbInsightsScanBuilder(path: String, permissive: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -122,8 +126,11 @@ class FbInsightsScanBuilder(path: String)
     * partition holds exactly one complete group.
     */
   override def pushAggregation(aggregation: Aggregation): Boolean =
-    if (FbInsightsScan.supportedAgg(aggregation)) { agg = Some(aggregation); true }
-    else false
+    // permissive mode must parse to know which lines are rows — blind
+    // line counts would include malformed lines
+    if (!permissive && FbInsightsScan.supportedAgg(aggregation)) {
+      agg = Some(aggregation); true
+    } else false
 
   /** Complete (no Spark-side final agg) iff grouped by the partition key:
     * day-partitions make the groups disjoint across partitions, so
@@ -132,10 +139,11 @@ class FbInsightsScanBuilder(path: String)
     * per-partition rows.
     */
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    FbInsightsScan.supportedAgg(aggregation) &&
+    !permissive && FbInsightsScan.supportedAgg(aggregation) &&
       aggregation.groupByExpressions().length == 1
 
-  override def build(): Scan = FbInsightsScan(path, required, pushed, agg, limit)
+  override def build(): Scan =
+    FbInsightsScan(path, required, pushed, agg, limit, permissive)
 }
 
 case class FbInsightsScan(
@@ -143,7 +151,8 @@ case class FbInsightsScan(
     required: StructType,
     pushed: Array[Filter],
     agg: Option[Aggregation],
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    permissive: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = agg match {
@@ -208,7 +217,7 @@ case class FbInsightsScan(
 
   override def createReaderFactory(): PartitionReaderFactory = agg match {
     case Some(a) => new FbInsightsAggReaderFactory(a)
-    case None => new FbInsightsReaderFactory(required, limit)
+    case None => new FbInsightsReaderFactory(required, limit, permissive)
   }
 }
 
@@ -277,10 +286,12 @@ case class FbInsightsDay(date: String, files: Array[String])
 
 case class FbInsightsPartition(days: Array[FbInsightsDay]) extends InputPartition
 
-class FbInsightsReaderFactory(required: StructType, limit: Option[Int] = None)
+class FbInsightsReaderFactory(
+    required: StructType, limit: Option[Int] = None, permissive: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new FbInsightsJsonlReader(partition.asInstanceOf[FbInsightsPartition], required, limit)
+    new FbInsightsJsonlReader(
+      partition.asInstanceOf[FbInsightsPartition], required, limit, permissive)
 }
 
 /** Pushed-aggregate reader: one output row per DAY in the partition,
@@ -331,7 +342,8 @@ class FbInsightsAggReaderFactory(agg: Aggregation) extends PartitionReaderFactor
   * the connector-side analog of the API `fields` list.
   */
 class FbInsightsJsonlReader(
-    p: FbInsightsPartition, required: StructType, limit: Option[Int] = None)
+    p: FbInsightsPartition, required: StructType,
+    limit: Option[Int] = None, permissive: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
@@ -353,12 +365,28 @@ class FbInsightsJsonlReader(
     lineIter.hasNext
   }
 
+  /** FAILFAST (default) mirrors the modeled pipeline: it logs and
+    * re-raises on a bad payload. PERMISSIVE is what a production
+    * connector adds: skip the malformed line, count it
+    * ([[FbInsightsDataSource.lastSkippedRows]]), keep reading.
+    */
   override def next(): Boolean =
     if (limit.exists(emitted >= _) || !advance()) { close(); false }
     else {
-      current = convert(mapper.readTree(lineIter.next()))
-      emitted += 1
-      true
+      val line = lineIter.next()
+      try {
+        current = convert(mapper.readTree(line))
+        emitted += 1
+        true
+      } catch {
+        case e: Exception if permissive =>
+          FbInsightsDataSource.lastSkippedRows.incrementAndGet()
+          next()
+        case e: Exception =>
+          close()
+          throw new IllegalArgumentException(
+            s"malformed insights JSONL line (mode=failfast): ${line.take(120)}", e)
+      }
     }
 
   override def get(): InternalRow = current

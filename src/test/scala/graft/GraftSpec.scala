@@ -659,6 +659,31 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("dsv2 modes: permissive skips malformed lines, failfast raises") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_badjsonl")
+    val day = dir.resolve("date=2020-01-01")
+    java.nio.file.Files.createDirectories(day)
+    java.nio.file.Files.writeString(day.resolve("part-0.txt"),
+      """{"date_start":"2020-01-01","ad_id":"a1","clicks":"1"}
+        |{not json at all
+        |{"date_start":"2020-01-01","ad_id":"a2","clicks":"2"}
+        |""".stripMargin)
+    val fmt = classOf[sources.FbInsightsDataSource].getName
+    sources.FbInsightsDataSource.lastSkippedRows.set(0)
+    val ok = spark.read.format(fmt).option("path", dir.toString)
+      .option("mode", "permissive").load()
+    assert(ok.select("ad_id").collect().map(_.getString(0)).sorted.toSeq === Seq("a1", "a2"))
+    assert(sources.FbInsightsDataSource.lastSkippedRows.get() === 1L)
+    // permissive also disables the blind line-count aggregate pushdown
+    assert(ok.count() === 2)
+    val strict = spark.read.format(fmt).option("path", dir.toString).load()
+    val e = intercept[Exception] { strict.select("ad_id").collect() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => Option(c.getMessage).exists(_.contains("malformed"))))
+  }
+
   test("dsv2 limit pushdown: scan caps parsed lines per partition") {
     val fmt = classOf[sources.FbInsightsDataSource].getName
     val path = etl.FbInsightsSource.jsonlPath(spark, sf)
