@@ -42,7 +42,14 @@ object Bench {
         catch { case e: Throwable => failures(name) = msg(e); None }
       }
     }
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // escape ALL control chars too — a \r or \t surviving in a failure
+    // message would make the driver's strict JSON parse reject the line
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val fs = failures.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

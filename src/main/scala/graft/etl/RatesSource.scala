@@ -61,19 +61,16 @@ object RatesSource {
     * keeps hot.
     */
   def rates(spark: SparkSession, sfDir: String): DataFrame =
-    ratesCache.computeIfAbsent((spark, sfDir), { _ =>
-      val df = quotes(spark, sfDir)
+    ratesCache.getOrBuild(spark, sfDir, cache = true) {
+      quotes(spark, sfDir)
         .filter(get_json_object(col("payload"), "$.success") === "true")
         .select(
           to_date(get_json_object(col("payload"), "$.date"), "yyyy-MM-dd").as("date"),
           concat(lit("USD"), lit("UAH")).as("currencies"),
           get_json_object(col("payload"), s"$$.quotes.$Pair").cast("double").as("rate"))
-      df.cache()
-      df
-    })
+    }
 
-  private val ratesCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val ratesCache = new graft.Memo
 
   /** Response fixture WITH failures: dates whose day-of-month divides by 7
     * answer `success: false` with a currencylayer-shaped error object and

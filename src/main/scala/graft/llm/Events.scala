@@ -101,16 +101,9 @@ object Events {
         count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
       .select(col("w.start").cast("date").as("day"), col("event_type"), col("n"), col("total_value"))
-    val outDir = work.resolve("out").toString
-    val q = stream.writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", work.resolve("ckpt").toString)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.read.parquet(outDir).orderBy("day", "event_type")
+    // drain + read back; the staged input copy dies with the drain
+    graft.streaming.Drain.toParquet(stream, work, alsoDelete = Seq(srcDir))
+      .orderBy("day", "event_type")
   }
 
   /** Stateful streaming sessionization via `flatMapGroupsWithState` — the
@@ -152,15 +145,7 @@ object Events {
       .toDF("user_id", "n_events")
     // file sink, not memory: per-session rows land in executor-written
     // parquet; only the final per-user rollup below aggregates them
-    val outDir = work.resolve("out").toString
-    val q = perSession.writeStream
-      .outputMode("append").format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", work.resolve("ckpt").toString)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.read.parquet(outDir)
+    graft.streaming.Drain.toParquet(perSession, work)
       .groupBy("user_id")
       .agg(
         count(lit(1)).as("n_sessions"),

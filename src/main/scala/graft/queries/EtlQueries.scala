@@ -32,14 +32,13 @@ object EtlQueries {
     * load pipeline; downstream queries then get partition pruning +
     * clustered row-group skipping from the parquet layout for free.
     */
-  private val tableCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val tableCache = new graft.Memo
 
   def fbStatTable(spark: SparkSession, sfDir: String): DataFrame =
     // Memoized per (session, sfDir) so every consumer shares ONE DataFrame
     // instance (and therefore one cache entry — a freshly built plan would
     // be a distinct cache key).
-    tableCache.computeIfAbsent((spark, sfDir), { _ =>
+    tableCache.getOrBuild(spark, sfDir, cache = true) {
       val path = Sink.scratchPath(sfDir, "fb_stat")
       val marker = java.nio.file.Paths.get(path, "_GRAFT_OK_v3")
       if (!java.nio.file.Files.exists(marker)) {
@@ -57,7 +56,10 @@ object EtlQueries {
       // path. The catalog keeps the partition index, so the ~2.4k day
       // directories are listed once at RECOVER PARTITIONS instead of
       // re-listed + schema-re-inferred by every downstream query.
-      val tbl = "fb_stat_" + sfDir.replaceAll("[^A-Za-z0-9_]", "_")
+      // sanitization is lossy ("sf0.1" and "sf0_1" collide) — suffix the
+      // raw path's hash so distinct sfDirs can never share a table
+      val tbl = "fb_stat_" + sfDir.replaceAll("[^A-Za-z0-9_]", "_") +
+        "_" + java.lang.Integer.toHexString(sfDir.hashCode)
       if (!spark.catalog.tableExists(tbl)) {
         val cols = Schemas.fbStat.fields
           .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
@@ -70,10 +72,8 @@ object EtlQueries {
       // cache simply holds the working set (storage memory, LRU-evicted if
       // it doesn't fit); at bench scale it removes the repeated tiny-file
       // re-scan entirely.
-      val df = spark.table(tbl)
-      df.cache()
-      df
-    })
+      spark.table(tbl)
+    }
 
   private def decSum(c: String) =
     sum(col(c).cast(DecimalType(18, 2))).cast("double")
@@ -251,14 +251,13 @@ object EtlQueries {
     // — the cached-table fast path would hide it. The DataFrame (and so
     // its file index) is memoized; re-listing 2.4k day dirs per call was
     // ~4s at sf0.1.
-    val tbl = pruneScanCache.computeIfAbsent((spark, sfDir), { _ =>
+    val tbl = pruneScanCache.getOrBuild(spark, sfDir) {
       spark.read.parquet(Sink.scratchPath(sfDir, "fb_stat"))
-    })
+    }
     flatten(tbl.filter(col("date") === to_date(lit(minDate)))).orderBy("ad_id")
   }
 
-  private val pruneScanCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val pruneScanCache = new graft.Memo
 
   /** Q-DSV2: the real-connector path (SURVEY.md §2.1 S-FB stretch goal) —
     * scan insights JSONL through the DataSourceV2 connector with a pushed
@@ -334,14 +333,8 @@ object EtlQueries {
       val parsed = spark.readStream.text(s"$src/date=*")
         .select(from_json(col("value"), Schemas.fbInsightsRaw).as("r"))
         .select(col("r.*"))
-      val q = Normalize(parsed).writeStream
-        .outputMode("append")
-        .format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation", s"$path/ckpt")
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
+      // checkpoint stays in scratch: a restart resumes, not reprocesses
+      graft.streaming.Drain.run(Normalize(parsed), outDir, s"$path/ckpt")
       java.nio.file.Files.createFile(marker)
     }
     flatten(spark.read.parquet(outDir)).orderBy("ad_id")

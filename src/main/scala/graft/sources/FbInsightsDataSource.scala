@@ -177,18 +177,20 @@ case class FbInsightsScan(
   /** PRUNING-AWARE size estimate from file metadata only — what the
     * optimizer (join strategy, AQE) sees. A one-day-filtered scan reports
     * one day's bytes, so it stays broadcastable no matter how large the
-    * full table grows.
+    * full table grows. Computed once per Scan (the scan is immutable per
+    * pushed-filter set): Spark calls estimateStatistics repeatedly during
+    * planning, and re-walking ~2.4k day dirs each time is the tiny-file
+    * tax this engine kills everywhere else.
     */
-  override def estimateStatistics(): Statistics = {
-    val bytes = admittedDirs().iterator
-      .flatMap(d => d.listFiles().iterator)
-      .filter(_.getName.startsWith("part-"))
-      .map(_.length())
-      .sum
-    new Statistics {
-      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
-      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
-    }
+  private lazy val statsBytes: Long = admittedDirs().iterator
+    .flatMap(d => d.listFiles().iterator)
+    .filter(_.getName.startsWith("part-"))
+    .map(_.length())
+    .sum
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(statsBytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
   }
 
   /** One day per task is right on a wide cluster (1000 executors read
@@ -316,22 +318,28 @@ class FbInsightsAggReaderFactory(agg: Aggregation) extends PartitionReaderFactor
         n
       }
 
-      override def next(): Boolean =
-        if (!dayIter.hasNext) false
-        else {
+      override def next(): Boolean = {
+        while (dayIter.hasNext) {
           val d = dayIter.next()
-          lazy val count = lineCount(d)
-          val date = UTF8String.fromString(d.date)
-          val groups: Array[Any] = agg.groupByExpressions().map(_ => date: Any)
-          val aggs: Array[Any] = agg.aggregateExpressions().map {
-            case _: CountStar => count: Any
-            case _: Min => date: Any // every row of the day shares the date
-            case _: Max => date: Any
-            case other => throw new IllegalStateException(s"unsupported agg $other")
+          val count = lineCount(d)
+          // a day directory with no rows contributes NO group/partial —
+          // a raw scan + Spark aggregate would produce none either (and
+          // an empty day must not leak its dir name into min/max)
+          if (count > 0) {
+            val date = UTF8String.fromString(d.date)
+            val groups: Array[Any] = agg.groupByExpressions().map(_ => date: Any)
+            val aggs: Array[Any] = agg.aggregateExpressions().map {
+              case _: CountStar => count: Any
+              case _: Min => date: Any // every row of the day shares the date
+              case _: Max => date: Any
+              case other => throw new IllegalStateException(s"unsupported agg $other")
+            }
+            current = new GenericInternalRow(groups ++ aggs)
+            return true
           }
-          current = new GenericInternalRow(groups ++ aggs)
-          true
         }
+        false
+      }
 
       override def get(): InternalRow = current
       override def close(): Unit = ()
@@ -368,26 +376,30 @@ class FbInsightsJsonlReader(
   /** FAILFAST (default) mirrors the modeled pipeline: it logs and
     * re-raises on a bad payload. PERMISSIVE is what a production
     * connector adds: skip the malformed line, count it
-    * ([[FbInsightsDataSource.lastSkippedRows]]), keep reading.
+    * ([[FbInsightsDataSource.lastSkippedRows]]), keep reading — as a
+    * LOOP, not recursion: a file of consecutive garbage lines must not
+    * grow the stack.
     */
-  override def next(): Boolean =
-    if (limit.exists(emitted >= _) || !advance()) { close(); false }
-    else {
+  override def next(): Boolean = {
+    if (limit.exists(emitted >= _)) { close(); return false }
+    while (advance()) {
       val line = lineIter.next()
       try {
         current = convert(mapper.readTree(line))
         emitted += 1
-        true
+        return true
       } catch {
-        case e: Exception if permissive =>
+        case _: Exception if permissive =>
           FbInsightsDataSource.lastSkippedRows.incrementAndGet()
-          next()
         case e: Exception =>
           close()
           throw new IllegalArgumentException(
             s"malformed insights JSONL line (mode=failfast): ${line.take(120)}", e)
       }
     }
+    close()
+    false
+  }
 
   override def get(): InternalRow = current
   override def close(): Unit =
