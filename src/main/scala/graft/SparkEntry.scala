@@ -76,6 +76,8 @@ object SparkEntry {
     "x_pivot" -> (llm.Events.pivotDaily _),
     "x_unpivot" -> (llm.Events.unpivotDaily _),
     "x_cube" -> (llm.Events.cubeMonthly _),
+    "x_retention" -> (llm.Events.retention _),
+    "x_sliding" -> (llm.Events.slidingDaily _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -479,6 +481,27 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
         |       CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "x_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |l AS (SELECT user_id, day,
+        |        lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        |      FROM a)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+        |       CAST(sum(CASE WHEN prev = day - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
+        |FROM l GROUP BY day ORDER BY day""".stripMargin,
+    // sliding windows expand to an explicit window-start × event range join
+    "x_sliding" ->
+      """WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+        |ws AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |                CAST(d1 - 6 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS win_start
+        |       FROM b),
+        |e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |             CAST(value AS DECIMAL(18,2)) AS v
+        |      FROM events)
+        |SELECT win_start, event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(v) AS DOUBLE) AS total_value
+        |FROM ws JOIN e ON e.day >= win_start AND e.day <= win_start + 6
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     // melt of the pivot = the long form (NULL cells drop on both sides)
     "x_unpivot" ->
       """SELECT CAST(ts AS DATE) AS day, event_type,

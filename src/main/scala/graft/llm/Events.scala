@@ -162,6 +162,50 @@ object Events {
     * sketch landed inside the bound. Default rsd is 5%, so 10% is a
     * stable margin; the tighter bound is also asserted in ScalaTest.
     */
+  /** X-RETENTION: day-over-day user retention — the lag/lead analytic
+    * window family. Distinct (user, day) pairs, `lag(day)` per user in
+    * day order marks who was also active the previous day, then a per-day
+    * rollup. One shuffle by user for the window, one partial+final agg by
+    * day; both key spaces are bounded.
+    */
+  def retention(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val active = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    active
+      .withColumn("prev", lag("day", 1).over(w))
+      .groupBy("day")
+      .agg(
+        count(lit(1)).as("n_active"),
+        sum(when(col("prev") === date_sub(col("day"), 1), 1L).otherwise(0L))
+          .as("n_retained"))
+      .orderBy("day")
+  }
+
+  /** X-SLIDING: 7-day windows sliding by 1 day per event_type — the
+    * overlapping-window aggregation (`window(ts, "7 days", "1 day")`
+    * explodes each event into its ≤7 covering windows; partial agg
+    * collapses map-side before the shuffle). Only windows fully inside
+    * the data range are kept so both engines agree on the boundary set.
+    */
+  def slidingDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val bounds = ev.agg(
+      min(col("ts").cast("date")).as("d0"), max(col("ts").cast("date")).as("d1")).head()
+    val (d0, d1) = (bounds.getDate(0), bounds.getDate(1))
+    ev.groupBy(window(col("ts"), "7 days", "1 day").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(col("w.start").cast("date").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .filter(col("win_start") >= lit(d0) &&
+        date_add(col("win_start"), 6) <= lit(d1))
+      .orderBy("win_start", "event_type")
+  }
+
   /** Fixture event types, pinned for a deterministic pivot column set
     * (an inferred pivot would scan twice and make output schema
     * data-dependent — never do that at scale).
