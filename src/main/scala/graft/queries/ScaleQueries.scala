@@ -111,12 +111,16 @@ object ScaleQueries {
   /** RANGE (interval) join, the scale-safe way. Spark has no native range
     * join operator — a raw `r.date BETWEEN lo AND hi` join plans as a
     * nested-loop. The standard distributed answer: explode each interval
-    * into its coarse time BUCKETS (months here; intervals are bounded at
-    * 13 days ⇒ ≤ 2 buckets each), equi-join on the bucket — so the
+    * into its coarse time BUCKETS (ISO weeks here; intervals are bounded
+    * at 13 days ⇒ ≤ 3 buckets each), equi-join on the bucket — so the
     * shuffle key is the bucket, never the pair — then apply the exact
-    * range as a residual filter. Intervals derive deterministically from
-    * lineitem (ship date + quantity-mod-14 days) and join the daily rates
-    * table; the oracle runs the plain BETWEEN join.
+    * range as a residual filter. Bucket granularity trades replication
+    * against candidate waste: weeks replicate each interval ≤3× and admit
+    * ≤7 candidate days per bucket (months were ≤2× but ≤31 candidates —
+    * ~4× more residual-filter work, measured). Intervals derive
+    * deterministically from lineitem (ship date + quantity-mod-14 days)
+    * and join the daily rates table; the oracle runs the plain BETWEEN
+    * join — bucketing is plan-side only.
     */
   def rangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
@@ -125,8 +129,8 @@ object ScaleQueries {
         expr("date_add(CAST(l_shipdate AS DATE), CAST(floor(l_quantity) AS INT) % 14)").as("hi"))
     val rates = graft.etl.RatesSource.rates(spark, sfDir)
     val liB = li.withColumn("bucket",
-      explode(expr("sequence(trunc(lo, 'MONTH'), trunc(hi, 'MONTH'), interval 1 month)")))
-    val rB = rates.withColumn("bucket", trunc(col("date"), "month"))
+      explode(expr("sequence(trunc(lo, 'WEEK'), trunc(hi, 'WEEK'), interval 7 days)")))
+    val rB = rates.withColumn("bucket", trunc(col("date"), "week"))
     liB.join(rB, Seq("bucket"))
       .filter(col("date") >= col("lo") && col("date") <= col("hi"))
       .groupBy(date_format(col("lo"), "yyyy-MM").as("ship_month"))
