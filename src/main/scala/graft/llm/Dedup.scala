@@ -90,16 +90,16 @@ object Dedup {
       .select(col("doc_id"), graft.functions.MinHashSig.minhash_sig(col("hs")).as("sig"))
       .cache()
 
-  private val sigCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val sigCache = new graft.Memo
 
   /** Memoized per (session, sfDir): `.cache()` on a freshly-built plan is
     * a NEW cache entry — consumers (minhashPairs, dedupPipeline) must
     * share one DataFrame instance or each recomputes the signatures.
     */
   def signatureTable(spark: SparkSession, sfDir: String): DataFrame =
-    sigCache.computeIfAbsent((spark, sfDir),
-      _ => signatures(Tables.documents(spark, sfDir)))
+    sigCache.getOrBuild(spark, sfDir) {
+      signatures(Tables.documents(spark, sfDir))
+    }
 
   /** Polynomial fold of `RowsPerBand` signature slots into one band key —
     * slots < 2^31 and 1000003·(2^31-1) < 2^51, so the fold never
@@ -203,10 +203,21 @@ object Dedup {
   def simhash(c: Column): Column =
     graft.functions.SimHash.simhash(TextAnalysis.tokens(c))
 
+  private val fpCache = new graft.Memo
+
+  /** Memoized + cached fingerprint table: the banded SELF-join below
+    * references it twice, and without a shared cached instance each side
+    * re-tokenizes and re-hashes every document.
+    */
+  def simhashTable(spark: SparkSession, sfDir: String): DataFrame =
+    fpCache.getOrBuild(spark, sfDir, cache = true) {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), simhash(col("text")).as("fp"))
+    }
+
   /** X-DEDUP SimHash: near-dup pairs = same 15-bit band + Hamming ≤ 8. */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val fps = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), simhash(col("text")).as("fp"))
+    val fps = simhashTable(spark, sfDir)
     val bands = fps.select(
       col("doc_id"), col("fp"),
       explode(transform(sequence(lit(0), lit(SimBands - 1)), j =>
