@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
@@ -153,7 +153,23 @@ case class FbInsightsScan(
     agg: Option[Aggregation],
     limit: Option[Int] = None,
     permissive: Boolean = false)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  /** Runtime (join-driven) filters — the DSv2 face of dynamic partition
+    * pruning: at stage execution Spark hands the scan the build side's
+    * date_start values and only the matching day directories are planned.
+    */
+  private var runtime: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("date_start"))
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters.filter {
+      case In("date_start", _) => true
+      case f => FbInsightsScan.isDateFilter(f)
+    }
 
   override def readSchema(): StructType = agg match {
     case Some(a) => FbInsightsScan.aggSchema(a)
@@ -171,7 +187,7 @@ case class FbInsightsScan(
     Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("date="))
       .sortBy(_.getName)
-      .filter(d => FbInsightsScan.dateAdmitted(d.getName.substring(5), pushed))
+      .filter(d => FbInsightsScan.dateAdmitted(d.getName.substring(5), pushed ++ runtime))
   }
 
   /** PRUNING-AWARE size estimate from file metadata only — what the
@@ -245,6 +261,7 @@ object FbInsightsScan {
     case GreaterThanOrEqual(_, v: String) => d >= v
     case LessThan(_, v: String) => d < v
     case LessThanOrEqual(_, v: String) => d <= v
+    case In(Col, vs) => vs.exists(v => v != null && v.toString == d)
     case IsNotNull(_) => true
     case _ => true
   }

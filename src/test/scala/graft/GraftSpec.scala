@@ -659,6 +659,29 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("dsv2 runtime filtering: a join prunes day-partitions at execution") {
+    import spark.implicits._
+    val fmt = classOf[sources.FbInsightsDataSource].getName
+    val path = etl.FbInsightsSource.jsonlPath(spark, sf)
+    val allDays = new java.io.File(path).list()
+      .filter(_.startsWith("date=")).map(_.substring(5)).sorted
+    val wanted = allDays.take(3)
+    sources.FbInsightsDataSource.lastPlannedPartitions.set(-1)
+    val fb = spark.read.format(fmt).option("path", path).load()
+    // the build side must be a real source with a SELECTIVE FILTER NODE —
+    // a filtered local relation gets constant-folded and stops being a
+    // dynamic-pruning candidate
+    val dim = Tables.orders(spark, sf)
+      .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("date_start"))
+      .filter(col("date_start") <= wanted.last)
+      .distinct()
+    val n = fb.join(dim.hint("broadcast"), Seq("date_start")).count()
+    assert(n > 0)
+    val planned = sources.FbInsightsDataSource.lastPlannedPartitions.get()
+    assert(planned === wanted.length,
+      s"expected runtime pruning to ${wanted.length} days, planned $planned of ${allDays.length}")
+  }
+
   test("dsv2 modes: permissive skips malformed lines, failfast raises") {
     val dir = java.nio.file.Files.createTempDirectory("graft_badjsonl")
     val day = dir.resolve("date=2020-01-01")
