@@ -214,6 +214,44 @@ object OracleLlm {
        |FROM r WHERE running <= ${llm.Sampling.TokenBudget}
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** components mirror: the same banded-candidate edge set as
+    * minhashPairsSql, transitively closed with a recursive CTE (fine at
+    * oracle scale; the Spark side uses label propagation instead).
+    */
+  val componentsSql: String =
+    s"""WITH RECURSIVE $sigCtes, $pairCtes,
+       |ed AS (SELECT id_a, id_b FROM mh WHERE est_jaccard >= ${Dedup.NearDupThreshold}),
+       |und AS (SELECT id_a AS a, id_b AS b FROM ed UNION SELECT id_b, id_a FROM ed),
+       |nodes AS (SELECT DISTINCT a AS id FROM und),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT u.b AS id, reach.r AS r FROM reach JOIN und u ON u.a = reach.id),
+       |lab AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+       |SELECT comp AS comp_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(id) AS BIGINT) AS sum_ids
+       |FROM lab GROUP BY comp ORDER BY comp_id""".stripMargin
+
+  /** stratified mirror: the 64-bit content hash of the DECIMAL-format
+    * event id, bucketed mod 100 against the per-stratum percentage.
+    */
+  val stratifiedSql: String = {
+    val pctCase = llm.Sampling.StrataPct.map { case (t, p) =>
+      s"WHEN event_type = '$t' THEN $p"
+    }.mkString("CASE ", " ", " ELSE -1 END")
+    val h = hash64u("CAST(event_id AS VARCHAR)")
+    s"""WITH b AS (
+       |  SELECT event_type, value,
+       |         ((${signed64(h)} % 100) + 100) % 100 AS b,
+       |         $pctCase AS pct
+       |  FROM events)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+       |       CAST(sum(CASE WHEN b < pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(coalesce(sum(CASE WHEN b < pct THEN CAST(value AS DECIMAL(18,2)) END),
+       |            CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS kept_value
+       |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   val langIdSql: String = {
     val scores = TextAnalysis.LangProfiles.map { case (_, words) =>
       val inList = words.map(w => s"'$w'").mkString(", ")

@@ -78,6 +78,10 @@ object SparkEntry {
     "x_cube" -> (llm.Events.cubeMonthly _),
     "x_retention" -> (llm.Events.retention _),
     "x_sliding" -> (llm.Events.slidingDaily _),
+    "x_stream_dedup" -> (llm.StreamingOps.streamingDedup _),
+    "x_stream_join" -> (llm.StreamingOps.streamingJoin _),
+    "x_connected" -> (llm.Graph.components _),
+    "x_stratified" -> (llm.Sampling.stratified _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -528,6 +532,29 @@ object SparkEntry {
         |       round(quantile_cont(cents, 0.9) / 100.0, 6) AS p90,
         |       CAST(1 AS BIGINT) AS approx_p50_close
         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // at-least-once delivery deduped by event_id ⇒ the single-copy
+    // aggregate: the oracle reads the original table once
+    "x_stream_dedup" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the same event-time range join in plain SQL (ns→µs truncation on
+    // both sides, per the sessions-oracle precedent)
+    "x_stream_join" ->
+      """WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |           WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT CAST(p.ts AS DATE) AS day,
+        |       CAST(count(*) AS BIGINT) AS n_attributed,
+        |       CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users,
+        |       CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+        |FROM p JOIN s ON p.user_id = s.user_id
+        |           AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+    "x_connected" -> OracleLlm.componentsSql,
+    "x_stratified" -> OracleLlm.stratifiedSql,
     // get_currency attribute surface + the yesterday-default branch
     // (S-SUBD): "today" is injected as max(o_orderdate)+1 on both sides
     "q_trigger_date" ->

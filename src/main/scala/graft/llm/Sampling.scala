@@ -87,6 +87,42 @@ object Sampling {
       .orderBy("id_a", "id_b")
   }
 
+  /** Per-stratum keep rates (percent of the 100-bucket hash space) for
+    * [[stratified]]: the mix a training pipeline actually wants —
+    * downsample the torrent (views/clicks), keep every rare high-value
+    * event, drop the noise stratum outright. The 0% stratum exercises
+    * the empty-result path.
+    */
+  val StrataPct: Seq[(String, Int)] = Seq(
+    "click" -> 10, "error" -> 0, "purchase" -> 100, "signup" -> 50, "view" -> 5)
+
+  /** X-STRATIFIED: deterministic stratified sampling — per-event_type
+    * keep rates applied via the content hash of the event id, NOT
+    * `rand()` or `sampleBy` (both resample on every run/retry; a lineage
+    * recompute after executor loss would change the sample mid-job).
+    * `pmod(hash64(id), 100) < pct` keeps an exact, stable pseudo-uniform
+    * slice per stratum. Narrow per-row work folded into one partial+final
+    * agg — the keep decision never shuffles unkept rows anywhere.
+    */
+  def stratified(spark: SparkSession, sfDir: String): DataFrame = {
+    val pct = StrataPct.foldLeft(lit(-1)) { case (acc, (t, p)) =>
+      when(col("event_type") === t, lit(p)).otherwise(acc)
+    }
+    import org.apache.spark.sql.types.DecimalType
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"),
+        pmod(rolling_hash(col("event_id").cast("string")), lit(100L)).as("b"),
+        pct.as("pct"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("b") < col("pct"), 1L).otherwise(0L)).as("n_kept"),
+        coalesce(sum(when(col("b") < col("pct"),
+            col("value").cast(DecimalType(18, 2)))), lit(0).cast(DecimalType(18, 2)))
+          .cast("double").as("kept_value"))
+      .orderBy("event_type")
+  }
+
   def tokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("source").orderBy("fp", "doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -794,4 +794,66 @@ class GraftSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), "FX join should broadcast the rates side")
   }
+
+  test("x_stream_dedup: double-delivered stream dedups to the single-copy aggregate") {
+    val deduped = llm.StreamingOps.streamingDedup(spark, sf).collect().map(_.toSeq).toSeq
+    val single = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct("user_id").as("n_users"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_value"))
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    assert(deduped === single)
+  }
+
+  test("x_stream_join: stream-stream range join equals the batch range join") {
+    val streamed = llm.StreamingOps.streamingJoin(spark, sf).collect().map(_.toSeq).toSeq
+    val ev = Tables.events(spark, sf)
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("signup_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+    val batch = p.join(s,
+        col("p_user") === col("s_user") &&
+          col("purchase_ts") >= col("signup_ts") &&
+          col("purchase_ts") <= col("signup_ts") + expr("interval 7 days"))
+      .groupBy(col("purchase_ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n_attributed"),
+        countDistinct("p_user").as("n_users"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("attributed_value"))
+      .orderBy("day").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
+  test("x_connected: components partition the edge set; labels are component minima") {
+    val edges = llm.Dedup.minhashPairs(spark, sf)
+      .filter(col("est_jaccard") >= llm.Dedup.NearDupThreshold)
+      .select("id_a", "id_b")
+    val labels = llm.Graph.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(es.nonEmpty)
+    // every edge endpoint is labeled, both endpoints agree, and the
+    // component label is one of its members (the minimum)
+    es.foreach { case (a, b) =>
+      assert(labels.contains(a) && labels.contains(b))
+      assert(labels(a) === labels(b), s"edge ($a,$b) split across components")
+    }
+    labels.groupBy(_._2).foreach { case (comp, members) =>
+      assert(members.keySet.min === comp, s"component $comp label is not its min member")
+    }
+  }
+
+  test("x_stratified: keep decision is stable across runs and honors 0%/100% strata") {
+    val r1 = llm.Sampling.stratified(spark, sf).collect().map(_.toSeq).toSeq
+    val r2 = llm.Sampling.stratified(spark, sf).collect().map(_.toSeq).toSeq
+    assert(r1 === r2)
+    val byType = r1.map(row => row.head.asInstanceOf[String] -> row).toMap
+    // 0% stratum keeps nothing; 100% stratum keeps everything
+    assert(byType("error")(2) === 0L)
+    assert(byType("purchase")(1) === byType("purchase")(2))
+  }
 }
