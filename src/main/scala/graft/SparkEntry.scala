@@ -82,6 +82,10 @@ object SparkEntry {
     "x_stream_join" -> (llm.StreamingOps.streamingJoin _),
     "x_connected" -> (llm.Graph.components _),
     "x_stratified" -> (llm.Sampling.stratified _),
+    "q_compact" -> (EtlQueries.qCompact _),
+    "q_merge" -> (EtlQueries.qMerge _),
+    "x_window_range" -> (llm.Events.rangeWindow _),
+    "x_zorder" -> (ScaleQueries.zorderQuery _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -555,6 +559,58 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY day""".stripMargin,
     "x_connected" -> OracleLlm.componentsSql,
     "x_stratified" -> OracleLlm.stratifiedSql,
+    // compaction is lossless: per-month rollup of the compacted table ==
+    // the source's
+    "q_compact" ->
+      s"""$fbCte
+         |SELECT strftime(date, '%Y-%m') AS month,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(clicks) AS BIGINT) AS clicks,
+         |       CAST(sum(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS spend
+         |FROM fb GROUP BY 1 ORDER BY month""".stripMargin,
+    // the same deterministic change set merged in SQL via FULL OUTER JOIN
+    "q_merge" ->
+      s"""WITH $ratesCte,
+         |mx AS (SELECT max(date) AS md FROM rates),
+         |upd AS (SELECT date, currencies AS u_currencies, rate + 0.5 AS u_rate
+         |        FROM rates WHERE EXTRACT(DAY FROM date) % 3 = 0),
+         |ins AS (SELECT md + CAST(i AS INT) AS date, 'USDUAH' AS u_currencies,
+         |               30.0 + i AS u_rate
+         |        FROM mx, (SELECT unnest(range(1, 6)) AS i)),
+         |ch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+         |m AS (SELECT coalesce(r.date, c.date) AS date,
+         |        coalesce(c.u_currencies, r.currencies) AS currencies,
+         |        coalesce(c.u_rate, r.rate) AS rate,
+         |        CASE WHEN r.date IS NOT NULL AND c.date IS NOT NULL THEN 'update'
+         |             WHEN r.date IS NULL THEN 'insert' ELSE 'keep' END AS action
+         |      FROM rates r FULL OUTER JOIN ch c ON r.date = c.date)
+         |SELECT date, currencies, rate, action FROM m ORDER BY date""".stripMargin,
+    // DuckDB's native interval RANGE frame == Spark's numeric rangeBetween
+    // over days-since-epoch
+    "x_window_range" ->
+      """WITH d AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         sum(CAST(value AS DECIMAL(18,2))) AS v
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, day,
+        |       CAST(sum(n) OVER w AS BIGINT) AS n7,
+        |       CAST(sum(v) OVER w AS DOUBLE) AS v7
+        |FROM d
+        |WINDOW w AS (PARTITION BY user_id ORDER BY day
+        |             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, day""".stripMargin,
+    // the z-ordered copy must be value-neutral: same box predicate on the
+    // raw table
+    "x_zorder" ->
+      """WITH b AS (SELECT min(CAST(ts AS DATE)) AS dmin, min(user_id) AS umin,
+        |                  max(user_id) AS umax FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events, b
+        |WHERE CAST(ts AS DATE) >= dmin + 7 AND CAST(ts AS DATE) <= dmin + 13
+        |  AND user_id >= umin AND user_id <= umin + (umax - umin) // 10
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // get_currency attribute surface + the yesterday-default branch
     // (S-SUBD): "today" is injected as max(o_orderdate)+1 on both sides
     "q_trigger_date" ->

@@ -206,6 +206,34 @@ object Events {
       .orderBy("win_start", "event_type")
   }
 
+  /** X-WINDOW-RANGE: RANGE-frame analytic window — each user's trailing
+    * 7-day activity (count + value) per active day. Unlike a ROWS frame,
+    * the RANGE frame is defined by the ORDER-BY VALUE distance (days
+    * here), so gaps in activity shrink the window naturally. Spark's
+    * rangeBetween needs a numeric ordering column — days since epoch —
+    * with frame [-6, 0]; DuckDB's native `RANGE BETWEEN INTERVAL 6 DAY
+    * PRECEDING` over the date is the same frame. Pre-aggregating to one
+    * row per (user, day) BEFORE the window bounds the window input (and
+    * the shuffle) to active-days, not raw events; the frame then sums ≤7
+    * exact DECIMAL values — order-insensitive, oracle-identical.
+    */
+  def rangeWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("date").as("day"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+      .groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n"), sum("v").as("v"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(datediff(col("day"), lit("1970-01-01")))
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("n7", sum("n").over(w))
+      .withColumn("v7", sum("v").over(w).cast("double"))
+      .select(col("user_id"), col("day"), col("n7"), col("v7"))
+      .orderBy("user_id", "day")
+  }
+
   /** Fixture event types, pinned for a deterministic pivot column set
     * (an inferred pivot would scan twice and make output schema
     * data-dependent — never do that at scale).

@@ -362,6 +362,85 @@ object EtlQueries {
       .orderBy("date")
   }
 
+  /** Q-COMPACT: small-file compaction — the table-maintenance operator
+    * the reference's architecture eventually forces (per-day triggered
+    * appends, README.md Pub/Sub cadence, make one tiny file per day per
+    * writer; BigQuery auto-compacts behind the scenes — an open-format
+    * lake must do it itself). The day-partitioned fb_stat layout
+    * (~2.4k one-file days at sf0.1) is rewritten into a MONTH-partitioned
+    * layout, `repartition(month)` first so each shuffle task writes
+    * exactly the months it owns — ~80 well-sized files, a ~30× file-count
+    * reduction (spec-asserted). At 100 TB the same plan compacts to a
+    * target file size by repartitioning on (partition, file-group) keys;
+    * the scan-side win is the same: file-open and listing overhead drops
+    * by the compaction ratio. The oracle proves compaction is lossless:
+    * the per-month rollup of the compacted table equals the source's.
+    */
+  def qCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    fbStatTable(spark, sfDir) // ensure the day-partitioned source exists
+    val src = Sink.scratchPath(sfDir, "fb_stat")
+    val dst = Sink.scratchPath(sfDir, "fb_stat_monthly")
+    val marker = java.nio.file.Paths.get(dst, "_GRAFT_OK_v1")
+    if (!java.nio.file.Files.exists(marker)) {
+      Sink.dropUncommitted(dst)
+      spark.read.parquet(src)
+        .withColumn("month", date_format(col("date"), "yyyy-MM"))
+        .repartition(col("month"))
+        .write.partitionBy("month").mode("overwrite").parquet(dst)
+      java.nio.file.Files.createFile(marker)
+    }
+    compactScanCache.getOrBuild(spark, sfDir) { spark.read.parquet(dst) }
+      .groupBy("month")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("clicks").as("clicks"),
+        decSum("spend").as("spend"))
+      .orderBy("month")
+  }
+
+  private val compactScanCache = new graft.Memo
+
+  /** Q-MERGE: upsert (MERGE INTO) semantics — the sink operation the
+    * reference's append-only `insert_rows_json` (main.py:81-91) cannot
+    * express: correcting already-loaded rows. A deterministic change set
+    * (rate corrections for every %3 day, five brand-new days past the
+    * horizon) full-outer-joins the current rates snapshot on the key;
+    * matched rows take the update, unmatched-left stay, unmatched-right
+    * insert — each row tagged with its merge action. At 100 TB this is
+    * copy-on-write MERGE: the change set's keys prune to the partitions
+    * that actually contain them, only those partitions rewrite, and the
+    * join inside each is a broadcast of the (small) change slice — the
+    * full-outer shuffle here is the general fallback when the change set
+    * is NOT small.
+    */
+  def qMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = RatesSource.rates(spark, sfDir)
+    val maxDate = base.agg(max("date")).head().getDate(0)
+    val updates = base
+      .filter(dayofmonth(col("date")) % 3 === 0)
+      .select(col("date"), col("currencies"), (col("rate") + 0.5).as("rate"))
+    val inserts = spark.range(1, 6)
+      .select(
+        date_add(lit(maxDate), col("id").cast("int")).as("date"),
+        lit("USDUAH").as("currencies"),
+        (lit(30.0) + col("id").cast("double")).as("rate"))
+    val changes = updates.unionByName(inserts)
+      .withColumnRenamed("currencies", "u_currencies")
+      .withColumnRenamed("rate", "u_rate")
+      .withColumn("u_present", lit(true))
+    base
+      .withColumn("b_present", lit(true))
+      .join(changes, Seq("date"), "full_outer")
+      .select(
+        col("date"),
+        coalesce(col("u_currencies"), col("currencies")).as("currencies"),
+        coalesce(col("u_rate"), col("rate")).as("rate"),
+        when(col("b_present").isNotNull && col("u_present").isNotNull, "update")
+          .when(col("b_present").isNull, "insert")
+          .otherwise("keep").as("action"))
+      .orderBy("date")
+  }
+
   /** Q-IDEM: at-least-once append fidelity (K-INS, main.py:81-91 has no
     * dedup/transaction — a rerun duplicates rows). Append the rates table
     * twice into a fresh path; counts must double, not upsert.

@@ -140,6 +140,69 @@ object ScaleQueries {
       .orderBy("ship_month")
   }
 
+  /** Z-order interleave of two non-negative ints (≤ [[ZBits]] bits each):
+    * bit i of `d` lands at position 2i, bit i of `u` at 2i+1. Statically
+    * unrolled shift/mask chain — pure codegen-able column arithmetic.
+    */
+  val ZBits = 11
+
+  def zvalue(d: org.apache.spark.sql.Column, u: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until ZBits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(d, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(u, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** X-ZORDER: multi-dimensional data layout — events rewritten in
+    * Z-order on (day, user) so a scan filtered on EITHER or BOTH
+    * dimensions skips most files via parquet min/max row-group stats.
+    * One-dimensional layouts (day partitioning, user bucketing) serve
+    * one predicate each; the space-filling curve serves both from one
+    * copy: `repartitionByRange` on the interleaved z-value makes each
+    * file a z-range, and a z-range is a bounded rectangle in (day, user)
+    * space (spec asserts the per-file bounding boxes are fractions of
+    * the full domain). The query then reads the z-table with a 7-day ×
+    * one-tenth-of-users box predicate; the oracle runs the same box on
+    * the raw table — layout must be value-neutral. At 100 TB the same
+    * write (range-shuffle on z, ~target-size files) is how Delta/Iceberg
+    * OPTIMIZE ZORDER lays out petabyte fact tables.
+    */
+  def zorderLayout(spark: SparkSession, sfDir: String): String = {
+    val dst = Sink.scratchPath(sfDir, "events_zorder")
+    val marker = java.nio.file.Paths.get(dst, "_GRAFT_OK_v1")
+    if (!java.nio.file.Files.exists(marker)) {
+      Sink.dropUncommitted(dst)
+      val ev = graft.Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          col("ts").cast("date").as("day"))
+      val dmin = ev.agg(min("day")).head().getDate(0)
+      ev.withColumn("z", zvalue(datediff(col("day"), lit(dmin)), col("user_id")))
+        .repartitionByRange(16, col("z"))
+        .sortWithinPartitions("z")
+        .write.mode("overwrite").parquet(dst)
+      java.nio.file.Files.createFile(marker)
+    }
+    dst
+  }
+
+  def zorderQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val dst = zorderLayout(spark, sfDir)
+    val z = zorderScanCache.getOrBuild(spark, sfDir) { spark.read.parquet(dst) }
+    val b = z.agg(
+      min("day").as("dmin"), min("user_id").as("umin"), max("user_id").as("umax")).head()
+    val (dmin, umin, umax) = (b.getDate(0), b.getLong(1), b.getLong(2))
+    z.filter(
+        col("day") >= date_add(lit(dmin), 7) && col("day") <= date_add(lit(dmin), 13) &&
+          col("user_id") >= umin && col("user_id") <= umin + (umax - umin) / 10)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .orderBy("event_type")
+  }
+
+  private val zorderScanCache = new graft.Memo
+
   /** Bucketed co-located join: lineitem and orders written bucketed by
     * order key (16 buckets, sorted) join WITHOUT a shuffle — the
     * sort-merge join reads co-located buckets directly. At 100 TB this

@@ -847,6 +847,70 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("q_compact: month layout cuts file count by the compaction ratio") {
+    queries.EtlQueries.qCompact(spark, sf).count() // ensure both layouts exist
+    def parquetFiles(root: String): Int = {
+      val b = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try b.filter(p => p.toString.endsWith(".parquet")).count().toInt finally b.close()
+    }
+    val before = parquetFiles(etl.Sink.scratchPath(sf, "fb_stat"))
+    val after = parquetFiles(etl.Sink.scratchPath(sf, "fb_stat_monthly"))
+    assert(after > 0)
+    assert(before >= after * 10,
+      s"expected >=10x fewer files, got $before -> $after")
+  }
+
+  test("q_merge: five inserts, %3 days updated with +0.5, keeps untouched") {
+    val rows = queries.EtlQueries.qMerge(spark, sf).collect()
+    val byAction = rows.groupBy(_.getString(3))
+    assert(byAction("insert").length === 5)
+    val base = etl.RatesSource.rates(spark, sf)
+      .collect().map(r => r.getDate(0).toString -> r.getDouble(2)).toMap
+    byAction("update").foreach { r =>
+      assert(r.getDouble(2) === base(r.getDate(0).toString) + 0.5) }
+    byAction("keep").foreach { r =>
+      assert(r.getDouble(2) === base(r.getDate(0).toString)) }
+    assert(byAction("update").nonEmpty && byAction("keep").nonEmpty)
+  }
+
+  test("x_window_range: trailing 7-day frame equals a brute-force range self-join") {
+    val got = llm.Events.rangeWindow(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2))).toSeq
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val l = daily.select(col("user_id"), col("day"))
+    val r = daily.select(col("user_id").as("u2"), col("day").as("d2"), col("n"))
+    val brute = l.join(r,
+        col("user_id") === col("u2") &&
+          col("d2") >= date_sub(col("day"), 6) && col("d2") <= col("day"))
+      .groupBy("user_id", "day").agg(sum("n").as("n7"))
+      .collect().map(x => (x.getLong(0), x.getDate(1).toString, x.getLong(2))).toSeq
+    assert(got.sorted === brute.sorted)
+  }
+
+  test("x_zorder: per-file (day,user) bounding boxes are small fractions of the domain") {
+    queries.ScaleQueries.zorderQuery(spark, sf).count() // ensure layout
+    val dst = etl.Sink.scratchPath(sf, "events_zorder")
+    val files = new java.io.File(dst).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+    assert(files.length >= 8)
+    val all = spark.read.parquet(dst)
+    val g = all.agg(
+      (datediff(max("day"), min("day")) + 1).as("dspan"),
+      (max("user_id") - min("user_id") + 1).as("uspan")).head()
+    val area = g.getInt(0).toLong * g.getLong(1)
+    val boxes = files.map { f =>
+      val b = spark.read.parquet(f).agg(
+        (datediff(max("day"), min("day")) + 1).as("d"),
+        (max("user_id") - min("user_id") + 1).as("u")).head()
+      b.getInt(0).toLong * b.getLong(1)
+    }
+    val mean = boxes.sum.toDouble / boxes.length
+    assert(mean <= area / 4.0,
+      s"z-order files should cluster both dims: mean box $mean vs domain $area")
+  }
+
   test("x_stratified: keep decision is stable across runs and honors 0%/100% strata") {
     val r1 = llm.Sampling.stratified(spark, sf).collect().map(_.toSeq).toSeq
     val r2 = llm.Sampling.stratified(spark, sf).collect().map(_.toSeq).toSeq
