@@ -82,6 +82,7 @@ object SparkEntry {
     "x_stream_join" -> (llm.StreamingOps.streamingJoin _),
     "x_connected" -> (llm.Graph.components _),
     "x_stratified" -> (llm.Sampling.stratified _),
+    "x_heavy_hitters" -> (llm.TextAnalysis.heavyHitters _),
     "q_compact" -> (EtlQueries.qCompact _),
     "q_merge" -> (EtlQueries.qMerge _),
     "x_window_range" -> (llm.Events.rangeWindow _),
@@ -559,6 +560,17 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY day""".stripMargin,
     "x_connected" -> OracleLlm.componentsSql,
     "x_stratified" -> OracleLlm.stratifiedSql,
+    // the SpaceSaving guarantee (presence of every > N/capacity token) is
+    // deterministic under any merge order; raw estimates are not — so the
+    // oracle checks exact top-10 counts + the presence flag as literal 1
+    "x_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |           x -> x <> '')) AS token
+        |  FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS freq,
+        |       CAST(1 AS BIGINT) AS in_sketch
+        |FROM t GROUP BY token ORDER BY freq DESC, token LIMIT 10""".stripMargin,
     // compaction is lossless: per-month rollup of the compacted table ==
     // the source's
     "q_compact" ->

@@ -102,7 +102,8 @@ object Events {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
       .select(col("w.start").cast("date").as("day"), col("event_type"), col("n"), col("total_value"))
     // drain + read back; the staged input copy dies with the drain
-    graft.streaming.Drain.toParquet(stream, work, alsoDelete = Seq(srcDir))
+    graft.streaming.Drain.toParquet(stream, work, alsoDelete = Seq(srcDir),
+      shufflePartitions = Some(8))
       .orderBy("day", "event_type")
   }
 
@@ -145,7 +146,7 @@ object Events {
       .toDF("user_id", "n_events")
     // file sink, not memory: per-session rows land in executor-written
     // parquet; only the final per-user rollup below aggregates them
-    graft.streaming.Drain.toParquet(perSession, work)
+    graft.streaming.Drain.toParquet(perSession, work, shufflePartitions = Some(8))
       .groupBy("user_id")
       .agg(
         count(lit(1)).as("n_sessions"),

@@ -58,7 +58,8 @@ object StreamingOps {
     val deduped = eventStream(spark, sfDir, srcDir)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
-    graft.streaming.Drain.toParquet(deduped, work, alsoDelete = Seq(srcDir))
+    graft.streaming.Drain.toParquet(deduped, work, alsoDelete = Seq(srcDir),
+      shufflePartitions = Some(8))
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),
@@ -97,7 +98,8 @@ object StreamingOps {
       col("p_user") === col("s_user") &&
         col("purchase_ts") >= col("signup_ts") &&
         col("purchase_ts") <= col("signup_ts") + expr(s"interval $AttributionWindow"))
-    graft.streaming.Drain.toParquet(joined, work, alsoDelete = Seq(srcDir))
+    graft.streaming.Drain.toParquet(joined, work, alsoDelete = Seq(srcDir),
+      shufflePartitions = Some(8))
       .groupBy(col("purchase_ts").cast("date").as("day"))
       .agg(
         count(lit(1)).as("n_attributed"),

@@ -144,6 +144,39 @@ object TextAnalysis {
       .orderBy(desc("freq"), asc("token"))
       .limit(50)
 
+  /** X-HEAVY-HITTERS: approximate frequent-token detection via the
+    * mergeable SpaceSaving summary ([[graft.functions.HeavyHitters]]) —
+    * the typed-`Aggregator` UDAF surface (SURVEY.md §2.8) and the
+    * bounded-memory alternative to [[vocabulary]]'s full frequency
+    * table: the sketch holds ≤ 256 entries per partial no matter the
+    * vocabulary size, where the exact plan's partial agg state grows
+    * with distinct tokens (at 100 TB a web-scale vocab overflows
+    * partial-agg hash maps into sort-based spill; the sketch never
+    * does). Raw sketch estimates are merge-order-dependent, so the
+    * oracle-checked surface is the SpaceSaving GUARANTEE: every token
+    * with true count > N/capacity must be present in the sketch — the
+    * exact top-10 (all clearing that bound on the fixture corpora,
+    * spec-asserted) each carry an `in_sketch` flag the oracle pins to 1.
+    */
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("token"))
+    val sketch = toks.select(
+      udaf(graft.functions.HeavyHitters.spaceSaving,
+        org.apache.spark.sql.Encoders.STRING)
+        .apply(col("token")).as("sketch"))
+    val exactTop = toks
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("token"))
+      .limit(10)
+    exactTop.crossJoin(broadcast(sketch))
+      .select(col("token"), col("freq"),
+        when(map_contains_key(col("sketch"), col("token")), 1L)
+          .otherwise(0L).as("in_sketch"))
+      .orderBy(desc("freq"), asc("token"))
+  }
+
   /** X-TEXT fingerprinting with the native codegen'd rolling-hash
     * expression — the normalized-text fingerprint that exact dedup groups
     * on at scale (8-byte shuffle key instead of full text).

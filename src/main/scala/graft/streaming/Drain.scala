@@ -11,16 +11,40 @@ import org.apache.spark.sql.DataFrame
   */
 object Drain {
 
-  /** Low-level: run `stream` into `outDir` with `ckptDir`, synchronously. */
-  def run(stream: DataFrame, outDir: String, ckptDir: String): Unit = {
-    val q = stream.writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", ckptDir)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+  /** Low-level: run `stream` into `outDir` with `ckptDir`, synchronously.
+    *
+    * `shufflePartitions` sizes the stateful operators' state-store count
+    * for the stream's data volume (a micro-batch query pins its
+    * partition count at first start from the session conf): every
+    * stateful partition costs checkpointed store files PER MICRO-BATCH
+    * regardless of how little state it holds, so an oversized count is
+    * pure fixed overhead — measured here, a stream-stream join over the
+    * sf0.1 fixture spends most of its wall clock on 32-partition state
+    * churn that 8 partitions absorb. On a real cluster the same knob
+    * scales UP with volume. The session conf is restored after the
+    * drain; batch queries in the session never see the override.
+    */
+  def run(stream: DataFrame, outDir: String, ckptDir: String,
+          shufflePartitions: Option[Int] = None): Unit = {
+    val spark = stream.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.getOption(key)
+    shufflePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try {
+      val q = stream.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally if (shufflePartitions.isDefined) {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 
   /** Temp-dir variant: drain into `work/out`, then immediately delete the
@@ -30,9 +54,10 @@ object Drain {
     * must outlive the call). Without this, every invocation leaked a
     * staged copy of its input plus a checkpoint into the temp dir.
     */
-  def toParquet(stream: DataFrame, work: Path, alsoDelete: Seq[Path] = Nil): DataFrame = {
+  def toParquet(stream: DataFrame, work: Path, alsoDelete: Seq[Path] = Nil,
+                shufflePartitions: Option[Int] = None): DataFrame = {
     val outDir = work.resolve("out").toString
-    run(stream, outDir, work.resolve("ckpt").toString)
+    run(stream, outDir, work.resolve("ckpt").toString, shufflePartitions)
     (work.resolve("ckpt") +: alsoDelete).foreach(deleteRecursively)
     cleanupAtExit(work)
     stream.sparkSession.read.parquet(outDir)

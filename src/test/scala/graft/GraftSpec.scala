@@ -911,6 +911,33 @@ class GraftSpec extends AnyFunSuite {
       s"z-order files should cluster both dims: mean box $mean vs domain $area")
   }
 
+  test("x_heavy_hitters: top-10 clear the N/capacity bound; sketch bounded and overcounting") {
+    import org.apache.spark.sql.Encoders
+    val toks = Tables.documents(spark, sf)
+      .select(explode(llm.TextAnalysis.tokens(col("text"))).as("token"))
+    val n = toks.count()
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // precondition that makes the in_sketch flag deterministic: every
+    // true top-10 token's count exceeds N/capacity
+    val top10 = exact.toSeq.sortBy { case (t, f) => (-f, t) }.take(10)
+    top10.foreach { case (t, f) =>
+      assert(f > n / graft.functions.HeavyHitters.Capacity,
+        s"fixture precondition broken: $t has $f <= N/cap") }
+    val sketch = toks.select(
+        udaf(graft.functions.HeavyHitters.spaceSaving, Encoders.STRING)
+          .apply(col("token")).as("s"))
+      .head().getMap[String, Long](0)
+    assert(sketch.size <= graft.functions.HeavyHitters.Capacity)
+    // SpaceSaving invariant: every stored estimate overcounts
+    sketch.foreach { case (t, est) => assert(est >= exact(t), s"undercount on $t") }
+    // and the guaranteed-present flag is 1 for the whole exact top-10
+    val flags = llm.TextAnalysis.heavyHitters(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(flags.size === 10)
+    assert(flags.values.forall(_ == 1L))
+  }
+
   test("x_stratified: keep decision is stable across runs and honors 0%/100% strata") {
     val r1 = llm.Sampling.stratified(spark, sf).collect().map(_.toSeq).toSeq
     val r2 = llm.Sampling.stratified(spark, sf).collect().map(_.toSeq).toSeq
