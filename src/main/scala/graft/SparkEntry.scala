@@ -83,6 +83,8 @@ object SparkEntry {
     "x_connected" -> (llm.Graph.components _),
     "x_stratified" -> (llm.Sampling.stratified _),
     "x_heavy_hitters" -> (llm.TextAnalysis.heavyHitters _),
+    "x_stream_upsert" -> (etl.Cdc.streamUpsert _),
+    "q_delete" -> (etl.Cdc.delete _),
     "q_compact" -> (EtlQueries.qCompact _),
     "q_merge" -> (EtlQueries.qMerge _),
     "x_window_range" -> (llm.Events.rangeWindow _),
@@ -571,6 +573,31 @@ object SparkEntry {
         |SELECT token, CAST(count(*) AS BIGINT) AS freq,
         |       CAST(1 AS BIGINT) AS in_sketch
         |FROM t GROUP BY token ORDER BY freq DESC, token LIMIT 10""".stripMargin,
+    // the streamed foreachBatch upsert's final snapshot == the batch
+    // MERGE (one change per key, so batching cannot reorder an outcome)
+    "x_stream_upsert" ->
+      s"""WITH $ratesCte,
+         |mx AS (SELECT max(date) AS md FROM rates),
+         |upd AS (SELECT date, currencies AS u_currencies, rate + 0.5 AS u_rate
+         |        FROM rates WHERE EXTRACT(DAY FROM date) % 3 = 0),
+         |ins AS (SELECT md + CAST(i AS INT) AS date, 'USDUAH' AS u_currencies,
+         |               30.0 + i AS u_rate
+         |        FROM mx, (SELECT unnest(range(1, 6)) AS i)),
+         |ch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+         |m AS (SELECT coalesce(r.date, c.date) AS date,
+         |        coalesce(c.u_currencies, r.currencies) AS currencies,
+         |        coalesce(c.u_rate, r.rate) AS rate
+         |      FROM rates r FULL OUTER JOIN ch c ON r.date = c.date)
+         |SELECT date, currencies, rate FROM m ORDER BY date""".stripMargin,
+    // copy-on-write delete must be value-exact: the anti-filter over the
+    // raw table
+    "q_delete" ->
+      """WITH v AS (SELECT min(user_id) + 3 AS victim FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events, v WHERE user_id <> victim
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // compaction is lossless: per-month rollup of the compacted table ==
     // the source's
     "q_compact" ->

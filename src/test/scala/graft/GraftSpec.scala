@@ -938,6 +938,30 @@ class GraftSpec extends AnyFunSuite {
     assert(flags.values.forall(_ == 1L))
   }
 
+  test("x_stream_upsert: foreachBatch CoW snapshots converge to the batch merge") {
+    val streamed = etl.Cdc.streamUpsert(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = queries.EtlQueries.qMerge(spark, sf)
+      .select("date", "currencies", "rate")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+  }
+
+  test("q_delete: victim gone, only z-files containing the victim were rewritten") {
+    val out = etl.Cdc.delete(spark, sf)
+    out.count() // ensure the deleted layout exists
+    val dst = etl.Sink.scratchPath(sf, "events_zorder_deleted")
+    val entries = new java.io.File(dst).listFiles()
+    val rewritten = entries.count(_.getName.startsWith("rw_"))
+    val untouched = entries.count(_.getName.endsWith(".parquet"))
+    assert(rewritten >= 1, "at least one file must contain the victim")
+    assert(untouched >= rewritten,
+      s"z-order should confine the victim to a minority of files: $rewritten rewritten vs $untouched untouched")
+    val remaining = spark.read.option("recursiveFileLookup", "true").parquet(dst)
+    val victim = Tables.events(spark, sf).agg(min("user_id")).head().getLong(0) + 3
+    assert(remaining.filter(col("user_id") === victim).count() === 0)
+  }
+
   test("x_stratified: keep decision is stable across runs and honors 0%/100% strata") {
     val r1 = llm.Sampling.stratified(spark, sf).collect().map(_.toSeq).toSeq
     val r2 = llm.Sampling.stratified(spark, sf).collect().map(_.toSeq).toSeq
