@@ -93,7 +93,10 @@ object Cdc {
     val v = currentVersion(snapRoot)
     val out = spark.read.parquet(snapRoot.resolve(s"v$v").toString)
       .orderBy("date")
+    // checkpoint is dead now; the snapshot chain must outlive the call
+    // (the returned DataFrame reads it lazily) → exit-time cleanup
     graft.streaming.Drain.deleteRecursively(work.resolve("ckpt"))
+    graft.streaming.Drain.cleanupAtExit(work)
     out
   }
 
@@ -112,7 +115,7 @@ object Cdc {
   def delete(spark: SparkSession, sfDir: String): DataFrame = {
     val src = graft.queries.ScaleQueries.zorderLayout(spark, sfDir)
     val dst = Sink.scratchPath(sfDir, "events_zorder_deleted")
-    val marker = java.nio.file.Paths.get(dst, "_GRAFT_OK_v1")
+    val marker = java.nio.file.Paths.get(dst, "_GRAFT_OK_v2")
     if (!java.nio.file.Files.exists(marker)) {
       Sink.dropUncommitted(dst)
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
@@ -121,15 +124,28 @@ object Cdc {
       // file inventory: which files contain the victim? (at 100 TB this
       // is a footer min/max check against the manifest, no data scan;
       // the z-layout keeps the affected set small either way)
+      // input_file_name() yields a (possibly URL-encoded) file: URI;
+      // compare decoded filesystem paths, not raw strings, so scratch
+      // paths with spaces/special chars still match the listing
+      def fsPath(s: String): String =
+        try {
+          val u = new java.net.URI(s)
+          if (u.getPath == null) s else u.getPath
+        } catch { case _: java.net.URISyntaxException => s }
       val affected = all
         .filter(col("user_id") === victim)
         .select(input_file_name().as("f")).distinct()
-        .collect().map(_.getString(0)).toSet
+        .collect().map(r => fsPath(r.getString(0))).toSet
       val files = new java.io.File(src).listFiles()
         .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      if (affected.nonEmpty && !files.exists(affected.contains))
+        throw new IllegalStateException(
+          s"${affected.size} files contain the victim but none matched the " +
+            "directory listing — URI/path normalization mismatch; a silent " +
+            "no-op here would leave the victim's rows in place")
       files.foreach { f =>
         val name = new java.io.File(f).getName
-        if (affected.contains("file://" + f) || affected.contains(f)) {
+        if (affected.contains(f)) {
           spark.read.parquet(f)
             .filter(col("user_id") =!= victim)
             .coalesce(1)

@@ -13,46 +13,69 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Iterative minimum-label propagation: every node starts labeled with
-    * its own id; each round every node takes the min label in its
-    * neighborhood (including itself); fixpoint = connected components.
+  /** Iterative minimum-label propagation WITH pointer jumping: every node
+    * starts labeled with its own id; each round every node takes the min
+    * label in its neighborhood (including itself), then shortcuts through
+    * its label's label (`comp := label(comp)`, the Shiloach–Vishkin
+    * pointer jump). Fixpoint = connected components.
     *
-    * Scale shape: each round is one shuffle of (id, label) pairs on node
-    * id — never edges×edges — and the round count is the graph DIAMETER,
-    * not the node count. Near-dup clusters are shallow (pairs, triangles,
-    * short chains), so this converges in 2-3 rounds; for adversarial
-    * long-chain graphs the classic fix is large-star/small-star
-    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    * SoCC'14) which squares the diameter away with the same join shape.
+    * Scale shape: each round is two shuffles of (id, label) pairs on node
+    * id — never edges×edges — and the pointer jump squares the distance a
+    * label travels per round, so the round count is O(log diameter), not
+    * the diameter itself (a 1M-node chain converges in ~20 rounds; the
+    * same bound large-star/small-star achieves, Kiveris et al., SoCC'14).
     * Convergence is detected by the sum of labels (strictly decreasing
     * while any label still shrinks; stable exactly at the fixpoint), so
-    * each round costs one count-style action on a cached frame.
+    * each round costs one count-style action on a cached frame. Exiting
+    * via the round cap without the fixpoint is an ERROR, never silently
+    * wrong labels.
     */
-  def connectedComponents(edges: DataFrame): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
     // undirected: propagate along both directions of every edge
     val und = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
+    // iterative plans MUST truncate lineage every round: the pointer-jump
+    // self-join doubles the logical plan per iteration, so an uncut
+    // lineage grows exponentially (the driver OOMs stringifying it long
+    // before executors feel it). localCheckpoint materializes the round's
+    // labels and restarts the plan from the stored blocks — the same
+    // discipline GraphFrames applies to its iterative algorithms.
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .cache()
+      .localCheckpoint(true)
     var sum = labels.agg(org.apache.spark.sql.functions.sum("comp")).head().getLong(0)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    while (!converged && rounds < maxRounds) {
+      // fresh aliases on BOTH union branches: the checkpointed frame's
+      // attribute ids must not appear twice in one Union (Catalyst's
+      // constraint rewrite requires distinct child output ids)
       val prop = und.join(labels, und("src") === labels("id"))
-        .select(col("dst").as("id"), col("comp"))
-      val next = labels.select("id", "comp").union(prop)
+        .select(col("dst").as("id"), col("comp").as("comp"))
+      val stepped = labels.select(col("id").as("id"), col("comp").as("comp")).union(prop)
         .groupBy("id").agg(min("comp").as("comp"))
-        .cache()
+      // pointer jump: a label is always some node's id, so re-resolving it
+      // through `stepped` moves every node to its label's (smaller) label
+      val next = stepped.as("a")
+        .join(
+          stepped.select(col("id").as("p_id"), col("comp").as("p_comp")),
+          col("a.comp") === col("p_id"), "left")
+        .select(
+          col("a.id").as("id"),
+          least(col("a.comp"), coalesce(col("p_comp"), col("a.comp"))).as("comp"))
+        .localCheckpoint(true)
       val nextSum = next.agg(org.apache.spark.sql.functions.sum("comp")).head().getLong(0)
-      labels.unpersist()
       labels = next
       converged = nextSum == sum
       sum = nextSum
       rounds += 1
     }
     und.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds — " +
+          "labels would be incorrect; raise maxRounds")
     labels
   }
 

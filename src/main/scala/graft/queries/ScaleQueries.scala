@@ -140,18 +140,24 @@ object ScaleQueries {
       .orderBy("ship_month")
   }
 
-  /** Z-order interleave of two non-negative ints (≤ [[ZBits]] bits each):
+  /** Z-order interleave of two non-negative ints (≤ `bits` bits each):
     * bit i of `d` lands at position 2i, bit i of `u` at 2i+1. Statically
     * unrolled shift/mask chain — pure codegen-able column arithmetic.
+    * `bits` is derived from the observed dimension maxima at layout time
+    * (see [[zorderLayout]]) — a fixed width would silently alias values
+    * past 2^bits into the same interleave and degrade the clustering.
     */
-  val ZBits = 11
-
-  def zvalue(d: org.apache.spark.sql.Column, u: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (0 until ZBits).foldLeft(lit(0L)) { (acc, i) =>
+  def zvalue(d: org.apache.spark.sql.Column, u: org.apache.spark.sql.Column,
+             bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       acc
         .bitwiseOR(shiftleft(shiftright(d, i).bitwiseAND(lit(1L)), 2 * i))
         .bitwiseOR(shiftleft(shiftright(u, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
+
+  /** Bits needed to represent `v` (≥ 1 so zvalue never degenerates). */
+  private def bitsFor(v: Long): Int =
+    math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(math.max(v, 0L)))
 
   /** X-ZORDER: multi-dimensional data layout — events rewritten in
     * Z-order on (day, user) so a scan filtered on EITHER or BOTH
@@ -169,14 +175,25 @@ object ScaleQueries {
     */
   def zorderLayout(spark: SparkSession, sfDir: String): String = {
     val dst = Sink.scratchPath(sfDir, "events_zorder")
-    val marker = java.nio.file.Paths.get(dst, "_GRAFT_OK_v1")
+    val marker = java.nio.file.Paths.get(dst, "_GRAFT_OK_v2")
     if (!java.nio.file.Files.exists(marker)) {
       Sink.dropUncommitted(dst)
       val ev = graft.Tables.events(spark, sfDir)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
           col("ts").cast("date").as("day"))
-      val dmin = ev.agg(min("day")).head().getDate(0)
-      ev.withColumn("z", zvalue(datediff(col("day"), lit(dmin)), col("user_id")))
+      val b = ev.agg(
+        min("day").as("dmin"),
+        max("day").as("dmax"),
+        max("user_id").as("umax")).head()
+      val dmin = b.getDate(0)
+      val dayspan = java.time.temporal.ChronoUnit.DAYS
+        .between(b.getDate(0).toLocalDate, b.getDate(1).toLocalDate)
+      // width follows the data; 2 dims × bits must fit a signed long
+      val bits = math.max(bitsFor(dayspan), bitsFor(b.getLong(2)))
+      require(2 * bits <= 62,
+        s"z-order domain too wide: $bits bits/dim (dayspan=$dayspan, " +
+          s"max user=${b.getLong(2)}) — interleave would overflow a long")
+      ev.withColumn("z", zvalue(datediff(col("day"), lit(dmin)), col("user_id"), bits))
         .repartitionByRange(16, col("z"))
         .sortWithinPartitions("z")
         .write.mode("overwrite").parquet(dst)

@@ -80,5 +80,9 @@ object Drain {
     t
   }
 
-  private def cleanupAtExit(p: Path): Unit = { hook; exitPaths.add(p); () }
+  /** Schedule `p` for recursive deletion at JVM exit — for artifacts a
+    * lazily-evaluated DataFrame still reads, so they must outlive the
+    * producing call but should not outlive the process.
+    */
+  def cleanupAtExit(p: Path): Unit = { hook; exitPaths.add(p); () }
 }

@@ -847,6 +847,22 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents: pointer jumping closes a long chain in O(log d) rounds; cap overrun throws") {
+    import spark.implicits._
+    // a 201-node chain (diameter 200): plain min-propagation needs 200
+    // rounds; pointer jumping squares the reach per round → ~10 suffice
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = llm.Graph.connectedComponents(chain, maxRounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 201)
+    assert(labels.values.forall(_ == 0L), "every chain node must fold to component 0")
+    // non-convergence must be a visible failure, never silently wrong labels
+    val e = intercept[IllegalStateException] {
+      llm.Graph.connectedComponents(chain, maxRounds = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("q_compact: month layout cuts file count by the compaction ratio") {
     queries.EtlQueries.qCompact(spark, sf).count() // ensure both layouts exist
     def parquetFiles(root: String): Int = {
@@ -953,9 +969,12 @@ class GraftSpec extends AnyFunSuite {
     val dst = etl.Sink.scratchPath(sf, "events_zorder_deleted")
     val entries = new java.io.File(dst).listFiles()
     val rewritten = entries.count(_.getName.startsWith("rw_"))
-    val untouched = entries.count(_.getName.endsWith(".parquet"))
+    // rewritten outputs are DIRECTORIES named rw_part-*.parquet — exclude
+    // them or the untouched count double-counts every rewrite
+    val untouched = entries.count(e =>
+      e.getName.endsWith(".parquet") && !e.getName.startsWith("rw_"))
     assert(rewritten >= 1, "at least one file must contain the victim")
-    assert(untouched >= rewritten,
+    assert(untouched > rewritten,
       s"z-order should confine the victim to a minority of files: $rewritten rewritten vs $untouched untouched")
     val remaining = spark.read.option("recursiveFileLookup", "true").parquet(dst)
     val victim = Tables.events(spark, sf).agg(min("user_id")).head().getLong(0) + 3
