@@ -232,6 +232,17 @@ object OracleLlm {
        |       CAST(sum(id) AS BIGINT) AS sum_ids
        |FROM lab GROUP BY comp ORDER BY comp_id""".stripMargin
 
+  /** degree mirror: same edge CTEs, endpoints exploded, count-of-counts. */
+  val degreesSql: String =
+    s"""WITH $sigCtes, $pairCtes,
+       |ed AS (SELECT id_a, id_b FROM mh WHERE est_jaccard >= ${Dedup.NearDupThreshold}),
+       |und AS (SELECT id_a AS id FROM ed UNION ALL SELECT id_b FROM ed),
+       |d AS (SELECT id, count(*) AS degree FROM und GROUP BY id)
+       |SELECT CAST(degree AS BIGINT) AS degree,
+       |       CAST(count(*) AS BIGINT) AS n_nodes,
+       |       CAST(min(id) AS BIGINT) AS min_id
+       |FROM d GROUP BY degree ORDER BY degree""".stripMargin
+
   /** stratified mirror: the 64-bit content hash of the DECIMAL-format
     * event id, bucketed mod 100 against the per-stratum percentage.
     */

@@ -89,6 +89,9 @@ object SparkEntry {
     "q_merge" -> (EtlQueries.qMerge _),
     "x_window_range" -> (llm.Events.rangeWindow _),
     "x_zorder" -> (ScaleQueries.zorderQuery _),
+    "x_bloom_join" -> (ScaleQueries.bloomJoin _),
+    "x_scd2" -> (EtlQueries.qScd2 _),
+    "x_graph_degree" -> (llm.Graph.degrees _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -650,6 +653,42 @@ object SparkEntry {
         |WHERE CAST(ts AS DATE) >= dmin + 7 AND CAST(ts AS DATE) <= dmin + 13
         |  AND user_id >= umin AND user_id <= umin + (umax - umin) // 10
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // oracle = the PLAIN join: the bloom pre-filter (false positives
+    // killed by the exact join) must be value-identical
+    "x_bloom_join" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 17 = 0)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+        |       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events e JOIN dim d ON e.user_id = d.user_id
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    // gaps-and-islands SCD2 build mirrored window-for-window
+    "x_scd2" ->
+      s"""WITH $ratesCte,
+         |l AS (SELECT date, currencies, rate,
+         |        lag(rate) OVER (PARTITION BY currencies ORDER BY date) AS prev
+         |      FROM rates),
+         |m AS (SELECT date, currencies, rate,
+         |        CASE WHEN prev IS NULL OR prev <> rate THEN 1 ELSE 0 END AS chg
+         |      FROM l),
+         |g AS (SELECT date, currencies, rate,
+         |        sum(chg) OVER (PARTITION BY currencies ORDER BY date
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |      FROM m),
+         |i AS (SELECT currencies, island, min(date) AS valid_from,
+         |        min(rate) AS rate
+         |      FROM g GROUP BY 1, 2),
+         |f AS (SELECT currencies, rate, valid_from,
+         |        lead(valid_from) OVER (PARTITION BY currencies
+         |          ORDER BY valid_from) - 1 AS valid_to
+         |      FROM i)
+         |SELECT currencies, rate, valid_from, valid_to,
+         |       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+         |FROM f ORDER BY currencies, valid_from""".stripMargin,
+    "x_graph_degree" -> OracleLlm.degreesSql,
     // get_currency attribute surface + the yesterday-default branch
     // (S-SUBD): "today" is injected as max(o_orderdate)+1 on both sides
     "q_trigger_date" ->

@@ -89,6 +89,26 @@ object Graph {
     * recursive transitive-closure CTE — safe at oracle scale; the
     * label-propagation plan is the one that scales.
     */
+  /** X-GRAPH-DEGREE: degree distribution of the near-dup pair graph — the
+    * dedup-health profile (a fat-degree tail means boilerplate/template
+    * text is gluing unrelated docs into mega-clusters; production dedup
+    * pipelines gate on exactly this before accepting a clustering). One
+    * groupBy per endpoint then a count-of-counts — two key-only shuffles,
+    * no document payload. `min_id` pins a concrete witness per degree so
+    * the oracle checks membership, not just the histogram shape.
+    */
+  def degrees(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = Dedup.minhashPairs(spark, sfDir)
+      .filter(col("est_jaccard") >= Dedup.NearDupThreshold)
+      .select("id_a", "id_b")
+    edges.select(col("id_a").as("id"))
+      .union(edges.select(col("id_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+      .groupBy("degree")
+      .agg(count(lit(1)).as("n_nodes"), min("id").as("min_id"))
+      .orderBy("degree")
+  }
+
   def components(spark: SparkSession, sfDir: String): DataFrame = {
     val edges = Dedup.minhashPairs(spark, sfDir)
       .filter(col("est_jaccard") >= Dedup.NearDupThreshold)

@@ -413,6 +413,37 @@ object EtlQueries {
     * full-outer shuffle here is the general fallback when the change set
     * is NOT small.
     */
+  /** X-SCD2: slowly-changing-dimension type-2 build — the daily FX rate
+    * table collapsed into validity intervals: one row per run of equal
+    * rates with `valid_from`/`valid_to` (null = current) and an
+    * `is_current` flag. This is the dimension shape a warehouse keeps so
+    * fact rows can as-of join history (the reference's BigQuery tables
+    * get this for free from partitioned loads; here it is an explicit
+    * operator). Shape: gaps-and-islands — a lag-compare marks change
+    * points, a running sum numbers the islands, one aggregate per island,
+    * then a lead over islands closes each interval. All windows partition
+    * by `currencies`, so at scale every currency's history is one
+    * independent partition — no global sort, no driver state.
+    */
+  def qScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("currencies").orderBy("date")
+    val islands = RatesSource.rates(spark, sfDir)
+      .withColumn("chg",
+        when(lag("rate", 1).over(w).isNull || lag("rate", 1).over(w) =!= col("rate"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum("chg").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("currencies", "island")
+      .agg(min("date").as("valid_from"), min("rate").as("rate"))
+    val iw = Window.partitionBy("currencies").orderBy("valid_from")
+    islands
+      .withColumn("valid_to", date_sub(lead("valid_from", 1).over(iw), 1))
+      .select(
+        col("currencies"), col("rate"), col("valid_from"), col("valid_to"),
+        when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy("currencies", "valid_from")
+  }
+
   def qMerge(spark: SparkSession, sfDir: String): DataFrame = {
     val base = RatesSource.rates(spark, sfDir)
     val maxDate = base.agg(max("date")).head().getDate(0)

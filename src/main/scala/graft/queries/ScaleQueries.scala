@@ -249,6 +249,51 @@ object ScaleQueries {
     (lt, ot)
   }
 
+  /** X-BLOOM-JOIN: Bloom-filter pre-filtered shuffle join — the manual
+    * form of Spark's runtime row-level filtering
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`, SPARK-32268).
+    * The dim side (a derived key list too large to trust as a broadcast
+    * join at 100 TB but tiny as a SKETCH) aggregates into a Bloom filter
+    * via the same native `BloomFilterAggregate` the optimizer injects;
+    * the fact side filters on `might_contain(xxhash64(key))` BELOW its
+    * shuffle, so rows that cannot match never enter the exchange. False
+    * positives are fine: the exact join follows, so the result is
+    * value-identical to the plain join (= the oracle). At cluster scale
+    * the sketch travels as a scalar-subquery broadcast; collecting the
+    * ~10 KB sketch to the driver here is the same data movement.
+    */
+  def bloomJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftx.ColumnBridge
+
+    val ev = Tables.events(spark, sfDir)
+    val dim = ev
+      .filter(col("event_type") === "purchase" &&
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long") % 17 === 0)
+      .select("user_id").distinct()
+
+    val bloomAgg = ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col("user_id"))),
+        Literal(10000L), Literal(80000L)).toAggregateExpression())
+    val bloomBytes = dim.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+
+    val mightContain = ColumnBridge.column(
+      BloomFilterMightContain(
+        Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
+        ColumnBridge.expression(xxhash64(col("user_id")))))
+
+    ev.filter(mightContain) // sketch pre-filter: cuts the fact shuffle
+      .join(dim, "user_id") // exact join: kills the false positives
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct("user_id").as("n_users"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .orderBy("event_type")
+  }
+
   def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val (lt, ot) = ensureBucketed(spark, sfDir)
     // force sort-merge (a broadcast would bypass the bucket co-location

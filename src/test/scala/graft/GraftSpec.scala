@@ -547,6 +547,62 @@ class GraftSpec extends AnyFunSuite {
     assert(df.collect().toSeq === plain.collect().toSeq)
   }
 
+  test("x_bloom_join: might_contain pre-filter below the join, value-identical to plain join") {
+    val df = queries.ScaleQueries.bloomJoin(spark, sf)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(plan.contains("might_contain"),
+      s"expected a bloom-filter pre-filter in the plan:\n${plan.take(3000)}")
+    val ev = Tables.events(spark, sf)
+    val dim = ev.filter(col("event_type") === "purchase" &&
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long") % 17 === 0)
+      .select("user_id").distinct()
+    val plain = ev.join(dim, "user_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct("user_id").as("n_users"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_value"))
+      .orderBy("event_type")
+    assert(df.collect().toSeq === plain.collect().toSeq)
+  }
+
+  test("x_scd2: intervals tile each currency's history; one current row") {
+    val rows = queries.EtlQueries.qScd2(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCur = rows.groupBy(_.getString(0))
+    byCur.foreach { case (_, rs) =>
+      // exactly one open (current) interval, and it is the last one
+      assert(rs.count(_.isNullAt(3)) === 1)
+      assert(rs.last.isNullAt(3) && rs.last.getLong(4) === 1L)
+      // closed intervals end strictly before the next one starts (no
+      // overlap, no inversion)
+      rs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!a.isNullAt(3), "only the last interval may be open")
+          assert(a.getDate(3).before(b.getDate(2)),
+            s"interval ${a.getDate(2)}..${a.getDate(3)} must close before ${b.getDate(2)}")
+          assert(!a.getDate(2).after(a.getDate(3)), "valid_from must be <= valid_to")
+        case _ => ()
+      }
+      // adjacent intervals must actually differ in rate (else not collapsed)
+      rs.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(1) !== b.getDouble(1))
+        case _ => ()
+      }
+    }
+  }
+
+  test("x_graph_degree: histogram mass equals twice the edge count") {
+    val edges = llm.Dedup.minhashPairs(spark, sf)
+      .filter(col("est_jaccard") >= llm.Dedup.NearDupThreshold)
+      .count()
+    val hist = llm.Graph.degrees(spark, sf).collect()
+    assert(hist.nonEmpty)
+    val mass = hist.map(r => r.getLong(0) * r.getLong(1)).sum
+    assert(mass === 2 * edges, s"sum(degree*n_nodes)=$mass should equal 2*|E|=${2 * edges}")
+  }
+
   test("x_stream_daily: append-mode file sink equals batch daily") {
     val s = llm.Events.streamingDaily(spark, sf).collect()
     val b = llm.Events.daily(spark, sf).collect()
