@@ -92,6 +92,9 @@ object SparkEntry {
     "x_bloom_join" -> (ScaleQueries.bloomJoin _),
     "x_scd2" -> (EtlQueries.qScd2 _),
     "x_graph_degree" -> (llm.Graph.degrees _),
+    "x_tfidf" -> (llm.TextAnalysis.tfidf _),
+    "x_pii" -> (llm.TextAnalysis.piiStats _),
+    "x_text_norm" -> (llm.TextAnalysis.normalizeStats _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -689,6 +692,62 @@ object SparkEntry {
          |       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
          |FROM f ORDER BY currencies, valid_from""".stripMargin,
     "x_graph_degree" -> OracleLlm.degreesSql,
+    // rational idf (N-df+0.5)/(df+0.5): all-IEEE arithmetic, so scores
+    // hash-match bit-for-bit with no ln() libm dependence
+    "x_tfidf" ->
+      s"""WITH t AS (
+         |  SELECT source, unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+         |           x -> x <> '')) AS token
+         |  FROM documents),
+         |tf AS (SELECT source, token, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         |ns AS (SELECT CAST(count(DISTINCT source) AS DOUBLE) AS n FROM documents),
+         |s AS (SELECT tf.source, tf.token, tf.tf, df.df,
+         |        tf.tf * ((ns.n - df.df + 0.5) / (df.df + 0.5)) AS score
+         |      FROM tf JOIN df USING (token), ns),
+         |r AS (SELECT source, token, tf, df, score,
+         |        CAST(row_number() OVER (PARTITION BY source
+         |          ORDER BY score DESC, token) AS BIGINT) AS rank
+         |      FROM s)
+         |SELECT source, rank, token, CAST(tf AS BIGINT) AS tf,
+         |       CAST(df AS BIGINT) AS df, score
+         |FROM r WHERE rank <= ${llm.TextAnalysis.TfIdfTopK}
+         |ORDER BY source, rank""".stripMargin,
+    // the synthetic contact line is injected by the SAME expression on
+    // both sides, so detection/redaction counts are real regexp work
+    "x_pii" ->
+      s"""WITH a AS (
+         |  SELECT source,
+         |         text || CASE WHEN doc_id % 7 = 0
+         |           THEN ' contact user' || doc_id || '@example.com or call +1-555-'
+         |                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |           ELSE '' END AS t2
+         |  FROM documents),
+         |f AS (
+         |  SELECT source,
+         |         CAST(len(regexp_extract_all(t2, '${llm.TextAnalysis.EmailPat}')) AS BIGINT) AS n_em,
+         |         CAST(len(regexp_extract_all(t2, '${llm.TextAnalysis.PhonePat}')) AS BIGINT) AS n_ph,
+         |         CAST(length(regexp_replace(regexp_replace(t2,
+         |           '${llm.TextAnalysis.EmailPat}', '[EMAIL]', 'g'),
+         |           '${llm.TextAnalysis.PhonePat}', '[PHONE]', 'g')) AS BIGINT) AS rlen
+         |  FROM a)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN n_em + n_ph > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+         |       CAST(sum(n_em) AS BIGINT) AS n_emails,
+         |       CAST(sum(n_ph) AS BIGINT) AS n_phones,
+         |       CAST(sum(rlen) AS BIGINT) AS redacted_chars
+         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    "x_text_norm" ->
+      s"""WITH n AS (
+        |  SELECT source, text,
+        |         substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+        |           1, ${llm.TextAnalysis.MaxDocChars}) AS norm
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN norm <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |       CAST(sum(length(text)) AS BIGINT) AS chars_before,
+        |       CAST(sum(length(norm)) AS BIGINT) AS chars_after
+        |FROM n GROUP BY source ORDER BY source""".stripMargin,
     // get_currency attribute surface + the yesterday-default branch
     // (S-SUBD): "today" is injected as max(o_orderdate)+1 on both sides
     "q_trigger_date" ->

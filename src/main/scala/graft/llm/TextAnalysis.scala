@@ -136,6 +136,98 @@ object TextAnalysis {
     * per-token rows but the partial agg collapses them map-side before
     * the shuffle (one row per distinct token per partition).
     */
+  /** X-TFIDF: per-source salient terms — term frequency weighted by a
+    * BM25-style rational idf `(N - df + 0.5) / (df + 0.5)` instead of
+    * `ln(N/df)`. The rational form is deliberate: +,-,*,/ are IEEE
+    * correctly-rounded and therefore bit-identical across engines, while
+    * `ln` is libm-dependent — so the score itself hash-matches the oracle
+    * with no rounding escape hatch. Shape: one explode + two key-only
+    * aggregates (tf on (source, token), df folded from tf) + a broadcast
+    * of the tiny df table back onto tf, then a per-source top-15 window.
+    * At 100 TB the tf aggregate is the only heavy shuffle and it carries
+    * (source, token, count) — never document text.
+    */
+  val TfIdfTopK = 15
+
+  def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    // number of distinct sources: a metadata-scale scalar (a handful of
+    // corpus names even at 100 TB), safe to resolve on the driver
+    val nSources = docs.select("source").distinct().count().toDouble
+    val tf = docs
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(desc("score"), asc("token"))
+    tf.join(df, "token")
+      .withColumn("score",
+        col("tf") * ((lit(nSources) - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TfIdfTopK)
+      .select("source", "rank", "token", "tf", "df", "score")
+      .orderBy("source", "rank")
+  }
+
+  /** RE2/Java-compatible PII patterns (kept simple on purpose so both
+    * engines agree): emails and a fixed-format phone shape.
+    */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePat = "\\+1-555-[0-9]{4}"
+
+  /** X-PII: PII detection + redaction stats — the scrub pass a training
+    * corpus runs before anything else. The fixture text carries no PII,
+    * so a deterministic synthetic contact line is appended to every 7th
+    * doc ON BOTH SIDES (same expression in the oracle SQL); counts and
+    * redacted lengths are then real regexp work, not zeros. Row-local
+    * regexp (codegen'd, no UDF) then one aggregate per source.
+    */
+  def piiStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val withPii = Tables.documents(spark, sfDir)
+      .withColumn("t2", concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+    withPii
+      .select(col("source"),
+        regexp_count(col("t2"), lit(EmailPat)).cast("long").as("n_em"),
+        regexp_count(col("t2"), lit(PhonePat)).cast("long").as("n_ph"),
+        length(regexp_replace(
+          regexp_replace(col("t2"), EmailPat, "[EMAIL]"),
+          PhonePat, "[PHONE]")).cast("long").as("rlen"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_em") + col("n_ph") > 0, 1L).otherwise(0L)).as("n_docs_with_pii"),
+        sum("n_em").as("n_emails"),
+        sum("n_ph").as("n_phones"),
+        sum("rlen").as("redacted_chars"))
+      .orderBy("source")
+  }
+
+  /** X-TEXT-NORM: canonicalization pass (lowercase, collapse runs of
+    * whitespace, trim, clamp to [[MaxDocChars]] chars) with before/after
+    * accounting per source — the first map stage of every text pipeline.
+    * Pure row-local expression work; the aggregate is the only shuffle.
+    */
+  val MaxDocChars = 256
+
+  def normalizeStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("text"),
+        substring(trim(regexp_replace(lower(col("text")), "\\s+", " ")),
+          1, MaxDocChars).as("norm"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("norm") =!= col("text"), 1L).otherwise(0L)).as("n_changed"),
+        sum(length(col("text")).cast("long")).as("chars_before"),
+        sum(length(col("norm")).cast("long")).as("chars_after"))
+      .orderBy("source")
+
   def vocabulary(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(explode(tokens(col("text"))).as("token"))

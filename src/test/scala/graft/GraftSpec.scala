@@ -603,6 +603,46 @@ class GraftSpec extends AnyFunSuite {
     assert(mass === 2 * edges, s"sum(degree*n_nodes)=$mass should equal 2*|E|=${2 * edges}")
   }
 
+  test("x_tfidf: per-source ranks are 1..K with non-increasing scores") {
+    val rows = llm.TextAnalysis.tfidf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val ranks = rs.map(_.getLong(1)).toSeq
+      assert(ranks === (1L to ranks.length).toSeq, s"$src ranks not contiguous")
+      val scores = rs.sortBy(_.getLong(1)).map(_.getDouble(5)).toSeq
+      assert(scores === scores.sorted.reverse, s"$src scores not descending")
+    }
+  }
+
+  test("x_pii: every 7th doc carries PII; emails and phones both detected and redacted") {
+    val perSource = llm.TextAnalysis.piiStats(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val expected = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 7 === 0)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    expected.foreach { case (src, n) =>
+      val r = perSource(src)
+      assert(r.getLong(2) === n, s"$src: docs_with_pii should be the injected count")
+      assert(r.getLong(3) === n && r.getLong(4) === n,
+        s"$src: one email + one phone per injected doc")
+    }
+  }
+
+  test("x_text_norm: clamp shrinks long docs only; totals consistent") {
+    val rows = llm.TextAnalysis.normalizeStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val over = Tables.documents(spark, sf)
+      .filter(length(col("text")) > llm.TextAnalysis.MaxDocChars)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3), "chars_after must not exceed chars_before")
+      assert(r.getLong(2) === over.getOrElse(r.getString(0), 0L),
+        s"${r.getString(0)}: only docs past the clamp should change on this corpus")
+    }
+  }
+
   test("x_stream_daily: append-mode file sink equals batch daily") {
     val s = llm.Events.streamingDaily(spark, sf).collect()
     val b = llm.Events.daily(spark, sf).collect()
