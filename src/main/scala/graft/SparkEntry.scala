@@ -58,6 +58,7 @@ object SparkEntry {
     "q_sink_dsv2" -> (EtlQueries.qSinkDsv2 _),
     "q_dsv2_agg" -> (EtlQueries.qDsv2Agg _),
     "q_stream_load" -> (EtlQueries.qStreamLoad _),
+    "q_stream_dsv2" -> (EtlQueries.qStreamDsv2 _),
     "x_hll_merge" -> (llm.Events.approxDistinctMerged _),
     "x_stream_sessions" -> (llm.Events.streamingSessions _),
     "x_skew_salted" -> (ScaleQueries.saltedAgg _),
@@ -92,6 +93,7 @@ object SparkEntry {
     "x_bloom_join" -> (ScaleQueries.bloomJoin _),
     "x_scd2" -> (EtlQueries.qScd2 _),
     "x_graph_degree" -> (llm.Graph.degrees _),
+    "x_pack" -> (llm.Sampling.pack _),
     "x_tfidf" -> (llm.TextAnalysis.tfidf _),
     "x_pii" -> (llm.TextAnalysis.piiStats _),
     "x_text_norm" -> (llm.TextAnalysis.normalizeStats _),
@@ -411,6 +413,9 @@ object SparkEntry {
     // streaming load == batch load, byte for byte ⇒ same oracle
     "q_stream_load" ->
       s"""${fbCte}SELECT $flatCols FROM fb ORDER BY ad_id""",
+    // DSv2 micro-batch load == batch load ⇒ same oracle
+    "q_stream_dsv2" ->
+      s"""${fbCte}SELECT $flatCols FROM fb ORDER BY ad_id""",
     // merged daily sketches must estimate the range distinct within 10%
     "x_hll_merge" ->
       """SELECT event_type,
@@ -692,6 +697,33 @@ object SparkEntry {
          |       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
          |FROM f ORDER BY currencies, valid_from""".stripMargin,
     "x_graph_degree" -> OracleLlm.degreesSql,
+    // concatenate-then-chunk packing profile: all exact integer
+    // arithmetic over a per-source running token offset
+    "x_pack" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id,
+         |         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |           x -> x <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |o AS (
+         |  SELECT source, n_tokens,
+         |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+         |  FROM t),
+         |s AS (
+         |  SELECT source, n_tokens, end_off,
+         |         end_off - n_tokens AS start_off,
+         |         CASE WHEN (end_off - n_tokens) // ${llm.Sampling.SeqLen}
+         |                   <> (end_off - 1) // ${llm.Sampling.SeqLen}
+         |              THEN 1 ELSE 0 END AS straddles
+         |  FROM o)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |       CAST((max(end_off) + ${llm.Sampling.SeqLen - 1}) // ${llm.Sampling.SeqLen} AS BIGINT) AS n_chunks,
+         |       CAST(sum(straddles) AS BIGINT) AS n_straddlers,
+         |       CAST(max(end_off) - ((max(end_off) + ${llm.Sampling.SeqLen - 1}) // ${llm.Sampling.SeqLen} - 1)
+         |            * ${llm.Sampling.SeqLen} AS BIGINT) AS tail_fill
+         |FROM s GROUP BY source ORDER BY source""".stripMargin,
     // rational idf (N-df+0.5)/(df+0.5): all-IEEE arithmetic, so scores
     // hash-match bit-for-bit with no ln() libm dependence
     "x_tfidf" ->

@@ -123,6 +123,46 @@ object Sampling {
       .orderBy("event_type")
   }
 
+  /** X-PACK: sequence packing — the concatenate-then-chunk step that
+    * turns a document corpus into fixed-length training sequences: per
+    * source, docs concatenate in doc_id order into one token stream and
+    * the stream splits every [[SeqLen]] tokens. Each doc's chunk span
+    * falls out of a running token-offset window (exact integer
+    * arithmetic): first/last chunk = offset div SeqLen, a doc straddles
+    * iff they differ. Output is the packing profile a dataloader needs —
+    * chunk count, straddler count, tail fill. One window per source (the
+    * same shape at 100 TB: each source's stream is an independent
+    * partition; within a source the order is a stable sort on doc_id,
+    * exactly how deterministic training shards are cut).
+    */
+  val SeqLen = 512L
+
+  def pack(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("end_off", sum("n_tokens").over(w))
+      .withColumn("start_off", col("end_off") - col("n_tokens"))
+      .withColumn("straddles", // exact integer div — no float in sight
+        when(expr(s"start_off div $SeqLen") =!= expr(s"(end_off - 1) div $SeqLen"), 1L)
+          .otherwise(0L))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        sum("straddles").as("n_straddlers"),
+        max("end_off").as("stream_len"))
+      .select(
+        col("source"), col("n_docs"), col("total_tokens"),
+        expr(s"(stream_len + ${SeqLen - 1}) div $SeqLen").as("n_chunks"),
+        col("n_straddlers"),
+        (col("stream_len") - (expr(s"(stream_len + ${SeqLen - 1}) div $SeqLen") - 1L) * SeqLen)
+          .as("tail_fill"))
+      .orderBy("source")
+  }
+
   def tokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("source").orderBy("fp", "doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

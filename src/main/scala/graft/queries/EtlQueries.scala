@@ -320,6 +320,30 @@ object EtlQueries {
     * byte-identical. No watermark needed: the pipeline is stateless
     * row-at-a-time (no aggregation), so append mode emits immediately.
     */
+  /** Q-STREAM-DSV2: the streaming LOAD through the connector's own
+    * MICRO_BATCH_READ path — day-partitions admitted a capped number per
+    * micro-batch (the connector's maxFilesPerTrigger), drained once into
+    * the sink (marker-gated; a restart resumes from the checkpoint).
+    * Result must equal the batch load byte-for-byte → q_load_fb's oracle.
+    */
+  def qStreamDsv2(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Sink.scratchPath(sfDir, "fb_stream_dsv2")
+    val marker = java.nio.file.Paths.get(path, "_GRAFT_OK_v1")
+    val outDir = s"$path/out"
+    if (!java.nio.file.Files.exists(marker)) {
+      Sink.dropUncommitted(path)
+      val src = FbInsightsSource.jsonlPath(spark, sfDir)
+      val stream = spark.readStream
+        .format(classOf[graft.sources.FbInsightsDataSource].getName)
+        .option("path", src)
+        .option("maxDaysPerBatch", 500)
+        .load()
+      graft.streaming.Drain.run(Normalize(stream), outDir, s"$path/ckpt")
+      java.nio.file.Files.createFile(marker)
+    }
+    flatten(spark.read.parquet(outDir)).orderBy("ad_id")
+  }
+
   def qStreamLoad(spark: SparkSession, sfDir: String): DataFrame = {
     // LOAD-stage semantics, like fb_stat: the stream drains the landing
     // zone into the sink ONCE (marker-gated — a restart would resume from

@@ -76,10 +76,12 @@ class FbInsightsTable(path: String) extends Table with SupportsRead with Support
   override def name(): String = s"fb_insights($path)"
   override def schema(): StructType = Schemas.fbInsightsRaw
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FbInsightsScanBuilder(path,
-      permissive = "permissive".equalsIgnoreCase(options.getOrDefault("mode", "failfast")))
+      permissive = "permissive".equalsIgnoreCase(options.getOrDefault("mode", "failfast")),
+      maxDaysPerBatch = options.getOrDefault("maxDaysPerBatch", "365").toInt)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // K-TBL create-if-missing (reference main.py:63-76): first write
     // creates the table directory; appends attach to the existing layout.
@@ -88,7 +90,8 @@ class FbInsightsTable(path: String) extends Table with SupportsRead with Support
   }
 }
 
-class FbInsightsScanBuilder(path: String, permissive: Boolean = false)
+class FbInsightsScanBuilder(path: String, permissive: Boolean = false,
+    maxDaysPerBatch: Int = 365)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -143,7 +146,7 @@ class FbInsightsScanBuilder(path: String, permissive: Boolean = false)
       aggregation.groupByExpressions().length == 1
 
   override def build(): Scan =
-    FbInsightsScan(path, required, pushed, agg, limit, permissive)
+    FbInsightsScan(path, required, pushed, agg, limit, permissive, maxDaysPerBatch)
 }
 
 case class FbInsightsScan(
@@ -152,7 +155,8 @@ case class FbInsightsScan(
     pushed: Array[Filter],
     agg: Option[Aggregation],
     limit: Option[Int] = None,
-    permissive: Boolean = false)
+    permissive: Boolean = false,
+    maxDaysPerBatch: Int = 365)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -237,6 +241,94 @@ case class FbInsightsScan(
     case Some(a) => new FbInsightsAggReaderFactory(a)
     case None => new FbInsightsReaderFactory(required, limit, permissive)
   }
+
+  /** Streaming read (MICRO_BATCH_READ): the landing zone consumed as a
+    * stream of day-partitions — the connector-native form of the
+    * reference's daily incremental loads (main.py:162-181 runs once per
+    * day; a streaming connector runs the same day-slices continuously).
+    */
+  override def toMicroBatchStream(checkpointLocation: String) =
+    new FbInsightsMicroBatchStream(path, required, pushed, permissive, maxDaysPerBatch)
+}
+
+/** Micro-batch stream over the day-partition directory list. The offset
+  * is an index into the date-sorted day list — day directories are
+  * append-only in the modeled pipeline (each daily run lands one new
+  * `date=*` dir), so a consumed prefix never changes and an index is a
+  * valid, replayable offset, exactly like a log position. Admission
+  * control ([[org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl]])
+  * caps each micro-batch at `maxDaysPerBatch` days — the connector's
+  * `maxFilesPerTrigger`: at 100 TB a restart that finds 2,000 unread days
+  * must not plan them as one giant batch. Pushed date filters still prune
+  * days BEFORE they enter an offset range, so a filtered stream never
+  * even admits days it would drop.
+  */
+class FbInsightsMicroBatchStream(
+    path: String,
+    required: StructType,
+    pushed: Array[Filter],
+    permissive: Boolean,
+    maxDaysPerBatch: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => StreamOffset, ReadLimit}
+
+  private case class DayIndexOffset(n: Int) extends StreamOffset {
+    override def json(): String = n.toString
+  }
+
+  private def admittedDays(): Array[FbInsightsDay] = {
+    val root = new java.io.File(path)
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("date="))
+      .sortBy(_.getName)
+      .filter(d => FbInsightsScan.dateAdmitted(d.getName.substring(5), pushed))
+      .map { d =>
+        val files = d.listFiles().filter(f => f.getName.startsWith("part-")).map(_.getPath)
+        FbInsightsDay(d.getName.substring(5), files)
+      }
+  }
+
+  override def initialOffset(): StreamOffset = DayIndexOffset(0)
+
+  override def latestOffset(): StreamOffset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used via SupportsAdmissionControl")
+
+  override def latestOffset(start: StreamOffset, limit: ReadLimit): StreamOffset = {
+    val s = start.asInstanceOf[DayIndexOffset].n
+    DayIndexOffset(math.min(s + maxDaysPerBatch, admittedDays().length))
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def deserializeOffset(json: String): StreamOffset =
+    DayIndexOffset(json.trim.toInt)
+
+  override def planInputPartitions(
+      start: StreamOffset, end: StreamOffset): Array[InputPartition] = {
+    val days = admittedDays()
+      .slice(start.asInstanceOf[DayIndexOffset].n, end.asInstanceOf[DayIndexOffset].n)
+    if (days.isEmpty) Array.empty
+    else {
+      // same task-granularity control as the batch scan: bin contiguous
+      // days so a wide batch doesn't become thousands of tiny tasks
+      val parallelism = org.apache.spark.sql.SparkSession.active
+        .sparkContext.defaultParallelism
+      val maxParts = math.max(1, math.min(days.length, 4 * parallelism))
+      val perBin = math.ceil(days.length.toDouble / maxParts).toInt
+      days.grouped(math.max(1, perBin))
+        .map(bin => FbInsightsPartition(bin): InputPartition)
+        .toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FbInsightsReaderFactory(required, None, permissive)
+
+  override def commit(end: StreamOffset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 object FbInsightsScan {

@@ -643,6 +643,45 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("x_pack: chunk accounting is exact — tail fill in (0, SeqLen], straddlers bounded by chunks") {
+    val rows = llm.Sampling.pack(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (total, chunks, straddlers, tail) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(chunks === (total + llm.Sampling.SeqLen - 1) / llm.Sampling.SeqLen)
+      assert(tail > 0 && tail <= llm.Sampling.SeqLen)
+      assert(total === (chunks - 1) * llm.Sampling.SeqLen + tail)
+      // a doc can straddle only at a chunk boundary; there are chunks-1
+      assert(straddlers <= chunks - 1)
+      assert(straddlers > 0, "fixture docs are shorter than SeqLen, so some must straddle")
+    }
+  }
+
+  test("q_stream_dsv2: capped micro-batches through the connector; union equals the batch scan") {
+    val src = etl.FbInsightsSource.jsonlPath(spark, sf)
+    val work = java.nio.file.Files.createTempDirectory("graft_mb_test_")
+    val stream = spark.readStream
+      .format(classOf[sources.FbInsightsDataSource].getName)
+      .option("path", src)
+      .option("maxDaysPerBatch", 200)
+      .load()
+    val q = stream.writeStream.outputMode("append").format("parquet")
+      .option("path", work.resolve("out").toString)
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= 2,
+      s"admission control should split the backlog into multiple micro-batches, got $dataBatches")
+    val streamed = spark.read.parquet(work.resolve("out").toString).count()
+    val batch = spark.read
+      .format(classOf[sources.FbInsightsDataSource].getName)
+      .option("path", src).load().count()
+    assert(streamed === batch, "streamed union must equal the batch scan")
+    graft.streaming.Drain.deleteRecursively(work)
+  }
+
   test("x_stream_daily: append-mode file sink equals batch daily") {
     val s = llm.Events.streamingDaily(spark, sf).collect()
     val b = llm.Events.daily(spark, sf).collect()
