@@ -366,6 +366,31 @@ object OracleLlm {
        |FROM p WHERE cosine >= ${queries.ScaleQueries.DupThreshold}
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** squared euclidean distance mirror of [[llm.Similarity.sqDist]]. */
+  private def sqdist(av: String, bv: String): String =
+    s"""list_sum(list_transform(range(1, 65),
+       |  i -> (CAST($av[CAST(i AS INT)] AS DOUBLE) - CAST($bv[CAST(i AS INT)] AS DOUBLE))
+       |     * (CAST($av[CAST(i AS INT)] AS DOUBLE) - CAST($bv[CAST(i AS INT)] AS DOUBLE))))""".stripMargin
+
+  /** kmeans mirror: brute-force n×k argmin with (d, cent_id) ordering. */
+  val kmeansSql: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+       |  WHERE vec_id % ${llm.Similarity.CentroidStride} = 0),
+       |a AS (
+       |  SELECT e.vec_id, cents.cent_id,
+       |         ${sqdist("e.embedding", "cents.cv")} AS d
+       |  FROM embeddings e, cents),
+       |r AS (
+       |  SELECT vec_id, cent_id,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+       |  FROM a),
+       |asg AS (SELECT vec_id, cent_id FROM r WHERE rn = 1)
+       |SELECT cent_id AS cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |       CAST(min(vec_id) AS BIGINT) AS min_member,
+       |       CAST(sum(vec_id) AS BIGINT) AS sum_members
+       |FROM asg GROUP BY cent_id ORDER BY cluster_id""".stripMargin
+
   val simIvfSql: String =
     s"""WITH $simBaseCtes,
        |cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn FROM c

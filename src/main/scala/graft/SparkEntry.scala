@@ -94,6 +94,9 @@ object SparkEntry {
     "x_scd2" -> (EtlQueries.qScd2 _),
     "x_graph_degree" -> (llm.Graph.degrees _),
     "x_pack" -> (llm.Sampling.pack _),
+    "x_kmeans" -> (llm.Similarity.kmeansAssign _),
+    "q_sql" -> (EtlQueries.qSql _),
+    "x_time_travel" -> (etl.Cdc.timeTravel _),
     "x_tfidf" -> (llm.TextAnalysis.tfidf _),
     "x_pii" -> (llm.TextAnalysis.piiStats _),
     "x_text_norm" -> (llm.TextAnalysis.normalizeStats _),
@@ -697,6 +700,39 @@ object SparkEntry {
          |       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
          |FROM f ORDER BY currencies, valid_from""".stripMargin,
     "x_graph_degree" -> OracleLlm.degreesSql,
+    "x_kmeans" -> OracleLlm.kmeansSql,
+    // the SQL-surface rollup == the DataFrame rollup ⇒ q_daily's oracle
+    "q_sql" ->
+      s"""$fbCte
+         |SELECT date, campaign_id, campaign_name,
+         |       CAST(sum(clicks) AS BIGINT) AS clicks,
+         |       CAST(sum(impressions) AS BIGINT) AS impressions,
+         |       CAST(sum(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS spend
+         |FROM fb GROUP BY 1, 2, 3
+         |ORDER BY date, campaign_id""".stripMargin,
+    // v0 = the original rates load; v1 = the post-MERGE state — both
+    // re-derived in SQL and compared per version
+    "x_time_travel" ->
+      s"""WITH $ratesCte,
+         |mx AS (SELECT max(date) AS md FROM rates),
+         |upd AS (SELECT date, currencies AS u_currencies, rate + 0.5 AS u_rate
+         |        FROM rates WHERE EXTRACT(DAY FROM date) % 3 = 0),
+         |ins AS (SELECT md + CAST(i AS INT) AS date, 'USDUAH' AS u_currencies,
+         |               30.0 + i AS u_rate
+         |        FROM mx, (SELECT unnest(range(1, 6)) AS i)),
+         |ch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+         |m AS (SELECT coalesce(r.date, c.date) AS date,
+         |        coalesce(c.u_rate, r.rate) AS rate
+         |      FROM rates r FULL OUTER JOIN ch c ON r.date = c.date),
+         |v0 AS (SELECT CAST(0 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n,
+         |         min(date) AS min_date, max(date) AS max_date,
+         |         CAST(sum(CAST(rate AS DECIMAL(18,2))) AS DOUBLE) AS sum_rate
+         |       FROM rates),
+         |v1 AS (SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n,
+         |         min(date) AS min_date, max(date) AS max_date,
+         |         CAST(sum(CAST(rate AS DECIMAL(18,2))) AS DOUBLE) AS sum_rate
+         |       FROM m)
+         |SELECT * FROM v0 UNION ALL SELECT * FROM v1 ORDER BY version""".stripMargin,
     // concatenate-then-chunk packing profile: all exact integer
     // arithmetic over a per-source running token offset
     "x_pack" ->

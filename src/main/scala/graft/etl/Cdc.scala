@@ -100,6 +100,46 @@ object Cdc {
     out
   }
 
+  /** X-TIME-TRAVEL: version-pinned reads over the snapshot chain — the
+    * lakehouse `VERSION AS OF` surface on top of the same numbered-dir +
+    * pointer commit protocol streamUpsert writes through. v0 is the
+    * original rates load, v1 the post-MERGE state (q_merge's change set);
+    * reading BOTH versions side by side is exactly a reproducibility
+    * audit ("which rates did yesterday's job see?"). The snapshots are
+    * immutable once the pointer moves past them, so a version read needs
+    * no locks at any scale — it's a plain parquet scan of a frozen dir.
+    */
+  def timeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = Sink.scratchPath(sfDir, "rates_versioned")
+    val marker = java.nio.file.Paths.get(root, "_GRAFT_OK_v1")
+    val rootP = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.exists(marker)) {
+      Sink.dropUncommitted(root)
+      java.nio.file.Files.createDirectories(rootP)
+      RatesSource.rates(spark, sfDir)
+        .write.parquet(rootP.resolve("v0").toString)
+      writePointer(rootP, 0L)
+      graft.queries.EtlQueries.qMerge(spark, sfDir)
+        .select("date", "currencies", "rate")
+        .write.parquet(rootP.resolve("v1").toString)
+      writePointer(rootP, 1L) // commit: v1 becomes the current version
+      java.nio.file.Files.createFile(marker)
+    }
+    require(currentVersion(rootP) == 1L, "pointer must be at the latest version")
+    def at(v: Long): DataFrame =
+      spark.read.parquet(rootP.resolve(s"v$v").toString)
+        .withColumn("version", lit(v))
+    at(0L).unionByName(at(1L))
+      .groupBy("version")
+      .agg(
+        count(lit(1)).as("n"),
+        min("date").as("min_date"),
+        max("date").as("max_date"),
+        sum(col("rate").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_rate"))
+      .orderBy("version")
+  }
+
   /** Q-DELETE: copy-on-write row deletion (the GDPR-erasure shape) over
     * the Z-ordered events copy — delete ONE user's events by rewriting
     * ONLY the files that contain that user, leaving every other file

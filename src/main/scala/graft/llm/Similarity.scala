@@ -168,6 +168,49 @@ object Similarity {
     transform(cents, x =>
       struct((dot(v, x("cv")) / (n * x("cn"))).as("s"), x("cid").as("cid")))
 
+  /** Squared euclidean distance — the same left-to-right double fold as
+    * the DotProduct kernel, so the oracle's `list_sum` mirror agrees.
+    */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0d), (acc, v) => acc + v)
+
+  /** X-KMEANS: one Lloyd assignment step over the embedding corpus —
+    * the clustering pass semantic-dedup and corpus-curation pipelines
+    * run over document embeddings. Same scale shape as IVF: the centroid
+    * set (every [[CentroidStride]]-th vector, the deterministic "model")
+    * collapses into ONE broadcast row and each vector folds its argmin
+    * cell map-side — no n×k shuffle ever materializes; the only exchange
+    * carries (cluster_id, count/min/sum) partials. The checked output is
+    * integer-exact (sizes + member-id checksums that pin the exact
+    * assignment), so no float reaches the hash compare; ties resolve
+    * (min dist, then min centroid id) exactly like the oracle's
+    * `ORDER BY d, cent_id`.
+    */
+  def kmeansAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = graft.Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val centArr = c.filter(col("vec_id") % CentroidStride === 0)
+      .agg(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cv"))).as("cents"))
+    val dists = transform(col("cents"), x =>
+      struct(sqDist(col("embedding"), x("cv")).as("s"), x("cid").as("cid")))
+    val nearest = aggregate(col("ds"),
+      struct(lit(Double.MaxValue).as("s"), lit(Long.MaxValue).as("cid")),
+      (acc, x) =>
+        when(x("s") < acc("s") || (x("s") === acc("s") && x("cid") < acc("cid")), x)
+          .otherwise(acc))
+    c.join(broadcast(centArr))
+      .select(col("vec_id"), dists.as("ds"))
+      .select(col("vec_id"), nearest("cid").as("cluster_id"))
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        min("vec_id").as("min_member"),
+        sum("vec_id").as("sum_members"))
+      .orderBy("cluster_id")
+  }
+
   /** IVF ANN: a deterministic "training sample" of the corpus acts as the
     * centroid set (every [[CentroidStride]]-th vector). Assignment is
     * MAP-ONLY: the centroid set is folded per row from one broadcast

@@ -177,6 +177,24 @@ object EtlQueries {
         decSum("spend").as("spend"))
       .orderBy("date", "campaign_id")
 
+  /** Q-SQL: the same daily rollup through the `spark.sql` surface — the
+    * engine's third API face (DataFrame, Dataset[FbAdStat], SQL) over the
+    * SAME registered catalog table, planned by the same Catalyst pipeline
+    * into the same physical aggregate. A user of the reference writes
+    * BigQuery SQL; this is where that SQL lands here.
+    */
+  def qSql(spark: SparkSession, sfDir: String): DataFrame = {
+    fbStatTable(spark, sfDir).createOrReplaceTempView("fb_stat_v")
+    spark.sql(
+      """SELECT date, campaign_id, campaign_name,
+        |       sum(clicks) AS clicks,
+        |       sum(impressions) AS impressions,
+        |       CAST(sum(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM fb_stat_v
+        |GROUP BY date, campaign_id, campaign_name
+        |ORDER BY date, campaign_id""".stripMargin)
+  }
+
   /** Q-TOPK: top-10 campaigns by lifetime spend (sort + limit; TakeOrdered). */
   def qTopK(spark: SparkSession, sfDir: String): DataFrame =
     fbStatTable(spark, sfDir)

@@ -682,6 +682,35 @@ class GraftSpec extends AnyFunSuite {
     graft.streaming.Drain.deleteRecursively(work)
   }
 
+  test("x_kmeans: clusters partition the corpus; assignment folds map-side (no n*k shuffle)") {
+    val df = llm.Similarity.kmeansAssign(spark, sf)
+    val rows = df.collect()
+    val total = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === total, "every vector assigned exactly once")
+    assert(rows.length > 1, "more than one cluster should be populated")
+    // the only join is the broadcast of the collapsed centroid row
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"assignment must not shuffle an n*k cross product:\n${plan.take(3000)}")
+  }
+
+  test("q_sql: the SQL surface plans to the same result as the DataFrame rollup") {
+    val viaSql = queries.EtlQueries.qSql(spark, sf).collect().map(_.toSeq).toSeq
+    val viaDf = queries.EtlQueries.qDaily(spark, sf).collect().map(_.toSeq).toSeq
+    assert(viaSql.nonEmpty)
+    assert(viaSql === viaDf)
+  }
+
+  test("x_time_travel: v0 is the pre-merge state, v1 reflects exactly the merge deltas") {
+    val rows = etl.Cdc.timeTravel(spark, sf).collect()
+    assert(rows.length === 2)
+    val (v0, v1) = (rows(0), rows(1))
+    assert(v0.getLong(0) === 0L && v1.getLong(0) === 1L)
+    assert(v1.getLong(1) === v0.getLong(1) + 5, "merge inserts exactly five new days")
+    assert(v1.getDate(3).after(v0.getDate(3)), "inserted days extend the max date")
+    assert(v0.getDate(2) === v1.getDate(2), "history before the merge is untouched")
+  }
+
   test("x_stream_daily: append-mode file sink equals batch daily") {
     val s = llm.Events.streamingDaily(spark, sf).collect()
     val b = llm.Events.daily(spark, sf).collect()
