@@ -61,6 +61,7 @@ object SparkEntry {
     "q_stream_dsv2" -> (EtlQueries.qStreamDsv2 _),
     "x_hll_merge" -> (llm.Events.approxDistinctMerged _),
     "x_stream_sessions" -> (llm.Events.streamingSessions _),
+    "x_stream_sessions_inc" -> (llm.Events.streamingSessionsIncremental _),
     "x_skew_salted" -> (ScaleQueries.saltedAgg _),
     "x_skew_join" -> (ScaleQueries.saltedJoin _),
     "x_dedup_embed" -> (ScaleQueries.embedDups _),
@@ -364,6 +365,7 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "x_stream_sessions" -> sessionsSql,
+    "x_stream_sessions_inc" -> sessionsSql,
     "x_events_sessions" -> sessionsSql,
     // X-HLL: the sketch estimate is engine-specific, so the checked
     // surface is exact counts + within-10%-of-exact booleans (0/1) that

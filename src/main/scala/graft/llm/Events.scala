@@ -1,5 +1,7 @@
 package graft.llm
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -107,6 +109,100 @@ object Events {
       .orderBy("day", "event_type")
   }
 
+  /** X-STREAM-SESSIONS-INC: sessionization with state that genuinely
+    * CROSSES micro-batches — the events replay as four chronological
+    * chunks (`maxFilesPerTrigger=1`, explicit file mtimes pin the
+    * order), so a session spanning a chunk boundary must survive in
+    * `GroupState` between batches and a finished session is flushed by
+    * an EVENT-TIME TIMEOUT when the watermark passes its gap horizon.
+    * This is the shape a live 100 TB stream actually runs (open sessions
+    * in the state store, watermark-driven eviction); the single-batch
+    * variant below only exercises the degenerate everything-in-one-batch
+    * case. Same 30-minute gap rule, same oracle as [[sessions]]. The
+    * per-batch work per user is O(events in batch); state is one open
+    * session tuple (start, last, n) — bounded regardless of history.
+    */
+  def streamingSessionsIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = 30L * 60 * 1000 * 1000
+    val raw = Tables.eventsRaw(spark, sfDir)
+    val rawSchema = raw.schema
+    val work = java.nio.file.Files.createTempDirectory(
+      "graft_stream_sessions_inc_" + streamRuns.incrementAndGet() + "_")
+    val srcDir = work.resolve("in")
+    java.nio.file.Files.createDirectories(srcDir)
+
+    // stage 4 chronological chunks (a live stream arrives time-ordered;
+    // ntile stands in for that order on the finite fixture) + sentinel
+    val maxTs = raw.agg(max("ts")).head.getLong(0)
+    val chunked = raw.withColumn("chunk",
+      ntile(4).over(org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")))
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtimeSec: Long): Unit = {
+      val tmp = work.resolve(s"stage_$name")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      val dst = srcDir.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeSec * 1000))
+      graft.streaming.Drain.deleteRecursively(tmp)
+    }
+    (1 to 4).foreach(i => stage(chunked.filter(col("chunk") === i).drop("chunk"), s"chunk$i", i))
+    val sentinel = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        -1L, maxTs + 4L * 24 * 3600 * 1000000000L, -1L, "__wm__", 0.0, null)),
+      rawSchema)
+    stage(sentinel, "chunk5", 5)
+
+    val ds = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      .selectExpr("user_id", "ts div 1000 AS us", "timestamp_micros(ts div 1000) AS ts")
+      .withWatermark("ts", "1 hour")
+      .as[(Long, Long, java.sql.Timestamp)]
+    val perSession = ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no new events: session closed
+            val (_, _, n) = state.get
+            state.remove()
+            Iterator.single(uid -> n)
+          } else {
+            val ts = evs.map(_._2).toArray
+            java.util.Arrays.sort(ts)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var cur = state.getOption // (start, last, n)
+            ts.foreach { t =>
+              cur = cur match {
+                case Some((s, l, n)) if t - l < gapUs => Some((s, t, n + 1))
+                case Some((_, _, n)) => closed += n; Some((t, t, 1L))
+                case None => Some((t, t, 1L))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              // flush when the event-time watermark passes the gap horizon
+              state.setTimeoutTimestamp(c._2 / 1000 + gapUs / 1000)
+            }
+            closed.iterator.map(uid -> _)
+          }
+      }
+      .toDF("user_id", "n_events")
+      .filter(col("user_id") =!= -1L) // the sentinel's own open "session"
+    graft.streaming.Drain.toParquet(perSession, work, alsoDelete = Seq(srcDir),
+      shufflePartitions = Some(8))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"),
+        max("n_events").as("max_session_events"))
+      .orderBy("user_id")
+  }
+
   /** Stateful streaming sessionization via `flatMapGroupsWithState` — the
     * custom-state path for when `session_window` can't express the
     * semantics (per-group imperative state). Same 30-minute gap rule and
@@ -114,7 +210,8 @@ object Events {
     * walks events in time order and splits on gaps >= 30 min. The fixture
     * arrives as one micro-batch, so sessions finalize at batch end; with
     * live data the same function carries open sessions across batches in
-    * `GroupState` (timeout-driven flush).
+    * `GroupState` (timeout-driven flush); the incremental variant above
+    * ([[streamingSessionsIncremental]]) exercises exactly that.
     */
   def streamingSessions(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

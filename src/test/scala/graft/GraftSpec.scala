@@ -711,6 +711,16 @@ class GraftSpec extends AnyFunSuite {
     assert(v0.getDate(2) === v1.getDate(2), "history before the merge is untouched")
   }
 
+  test("x_stream_sessions_inc: cross-batch session state equals the batch sessionization") {
+    val inc = llm.Events.streamingSessionsIncremental(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = llm.Events.sessions(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(inc.nonEmpty)
+    assert(inc === batch,
+      "sessions carried across micro-batches must equal the single-pass result")
+  }
+
   test("x_stream_daily: append-mode file sink equals batch daily") {
     val s = llm.Events.streamingDaily(spark, sf).collect()
     val b = llm.Events.daily(spark, sf).collect()
