@@ -131,21 +131,32 @@ object Dedup {
       .distinct()
   }
 
+  private val pairsCache = new graft.Memo
+
+  /** Memoized + cached estimated-similarity pair table: FIVE consumers
+    * (x_dedup_minhash, x_dedup_pipeline, x_decontam, x_connected,
+    * x_graph_degree) need the banded self-join + signature-compare, and
+    * re-running it per query is the same tiny-tax mistake as re-scanning
+    * fb_stat was — the pair set is small (bounded by banding), so one
+    * cache entry serves them all.
+    */
+  def minhashPairsTable(spark: SparkSession, sfDir: String): DataFrame =
+    pairsCache.getOrBuild(spark, sfDir, cache = true) {
+      val sigs = signatureTable(spark, sfDir)
+      candidatePairs(sigs)
+        .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+        .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        .select(
+          col("id_a"), col("id_b"),
+          (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+            .cast("double") / NumHashes).as("est_jaccard"))
+    }
+
   /** X-DEDUP MinHash: candidate near-dup pairs with the signature-based
     * Jaccard estimate (fraction of agreeing slots).
     */
-  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigs = signatureTable(spark, sfDir)
-    val pairs = candidatePairs(sigs)
-    pairs
-      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .select(
-        col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          .cast("double") / NumHashes).as("est_jaccard"))
-      .orderBy("id_a", "id_b")
-  }
+  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairsTable(spark, sfDir).orderBy("id_a", "id_b")
 
   /** Per-source corpus signatures via the mergeable [[graft.functions.MinHashMerge]]
     * aggregate (elementwise-min union), then pairwise cross-source
@@ -178,7 +189,7 @@ object Dedup {
     val docs = Tables.documents(spark, sfDir)
     val exactKept = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
     val kept = docs.join(exactKept, Seq("doc_id"), "left_semi")
-    val dropNear = minhashPairs(spark, sfDir)
+    val dropNear = minhashPairsTable(spark, sfDir)
       .filter(col("est_jaccard") >= NearDupThreshold)
       .select(col("id_b").as("doc_id")).distinct()
     val survivors = kept.join(dropNear, Seq("doc_id"), "left_anti")

@@ -79,16 +79,6 @@ object Graph {
     labels
   }
 
-  /** X-CONNECTED: near-dup cluster extraction — MinHash-banded candidate
-    * pairs at the near-dup threshold become edges; connected components
-    * give the dedup clusters. Output is one row per cluster: the
-    * canonical (minimum) doc id, the cluster size, and the member-id sum
-    * as a membership checksum so the oracle's hash-compare pins WHICH
-    * docs each cluster holds, not just how many. The oracle re-derives
-    * the same edge set in SQL (OracleLlm CTEs) and closes it with a
-    * recursive transitive-closure CTE — safe at oracle scale; the
-    * label-propagation plan is the one that scales.
-    */
   /** X-GRAPH-DEGREE: degree distribution of the near-dup pair graph — the
     * dedup-health profile (a fat-degree tail means boilerplate/template
     * text is gluing unrelated docs into mega-clusters; production dedup
@@ -98,7 +88,7 @@ object Graph {
     * the oracle checks membership, not just the histogram shape.
     */
   def degrees(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = Dedup.minhashPairs(spark, sfDir)
+    val edges = Dedup.minhashPairsTable(spark, sfDir)
       .filter(col("est_jaccard") >= Dedup.NearDupThreshold)
       .select("id_a", "id_b")
     edges.select(col("id_a").as("id"))
@@ -109,8 +99,18 @@ object Graph {
       .orderBy("degree")
   }
 
+  /** X-CONNECTED: near-dup cluster extraction — MinHash-banded candidate
+    * pairs at the near-dup threshold become edges; connected components
+    * give the dedup clusters. Output is one row per cluster: the
+    * canonical (minimum) doc id, the cluster size, and the member-id sum
+    * as a membership checksum so the oracle's hash-compare pins WHICH
+    * docs each cluster holds, not just how many. The oracle re-derives
+    * the same edge set in SQL (OracleLlm CTEs) and closes it with a
+    * recursive transitive-closure CTE — safe at oracle scale; the
+    * label-propagation plan is the one that scales.
+    */
   def components(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = Dedup.minhashPairs(spark, sfDir)
+    val edges = Dedup.minhashPairsTable(spark, sfDir)
       .filter(col("est_jaccard") >= Dedup.NearDupThreshold)
       .select("id_a", "id_b")
     connectedComponents(edges)

@@ -58,14 +58,6 @@ object Sampling {
     */
   val TokenBudget = 600L
 
-  /** X-TOKEN-BUDGET: budgeted downsampling — walk each source's documents
-    * in content-hash order (a stable uniform shuffle; doc_id breaks
-    * exact-duplicate ties) and keep documents while the running token
-    * total stays within budget. This is the standard way a training mix
-    * caps a source's contribution. The running sum is a per-source
-    * window: at scale that is repartition-by-source + sort-within —
-    * bounded by the largest single source, never a global sort.
-    */
   /** X-DECONTAM: train/eval contamination sweep — NEAR-duplicate pairs
     * (MinHash-banded candidates, slot-agreement estimate ≥ the near-dup
     * threshold) that landed in DIFFERENT splits. Exact duplicates can
@@ -76,7 +68,7 @@ object Sampling {
     * doc ids and banded keys only.
     */
   def decontamination(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = Dedup.minhashPairs(spark, sfDir)
+    val pairs = Dedup.minhashPairsTable(spark, sfDir)
       .filter(col("est_jaccard") >= Dedup.NearDupThreshold)
     val sp = assignments(spark, sfDir)
     pairs
@@ -163,6 +155,14 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** X-TOKEN-BUDGET: budgeted downsampling — walk each source's documents
+    * in content-hash order (a stable uniform shuffle; doc_id breaks
+    * exact-duplicate ties) and keep documents while the running token
+    * total stays within budget. This is the standard way a training mix
+    * caps a source's contribution. The running sum is a per-source
+    * window: at scale that is repartition-by-source + sort-within —
+    * bounded by the largest single source, never a global sort.
+    */
   def tokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.partitionBy("source").orderBy("fp", "doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
