@@ -96,6 +96,7 @@ object SparkEntry {
     "x_graph_degree" -> (llm.Graph.degrees _),
     "x_pack" -> (llm.Sampling.pack _),
     "x_kmeans" -> (llm.Similarity.kmeansAssign _),
+    "x_vec_avg" -> (llm.Similarity.labelCentroids _),
     "q_sql" -> (EtlQueries.qSql _),
     "x_time_travel" -> (etl.Cdc.timeTravel _),
     "x_tfidf" -> (llm.TextAnalysis.tfidf _),
@@ -703,6 +704,21 @@ object SparkEntry {
          |FROM f ORDER BY currencies, valid_from""".stripMargin,
     "x_graph_degree" -> OracleLlm.degreesSql,
     "x_kmeans" -> OracleLlm.kmeansSql,
+    // floor(x*1024) quantization is exact (power-of-two multiply), so
+    // the whole centroid aggregate is integer arithmetic on both sides
+    "x_vec_avg" ->
+      """WITH q AS (
+        |  SELECT label, i - 1 AS dim,
+        |         CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1024) AS BIGINT) AS q
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+        |d AS (SELECT label, dim, sum(q) AS s, count(*) AS n
+        |      FROM q GROUP BY 1, 2)
+        |SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
+        |       CAST(sum(s) AS BIGINT) AS sum_q,
+        |       CAST(sum(s * (dim + 1)) AS BIGINT) AS pos_checksum,
+        |       CAST(min(s) AS BIGINT) AS min_dim_sum,
+        |       CAST(max(s) AS BIGINT) AS max_dim_sum
+        |FROM d GROUP BY label ORDER BY label""".stripMargin,
     // the SQL-surface rollup == the DataFrame rollup ⇒ q_daily's oracle
     "q_sql" ->
       s"""$fbCte

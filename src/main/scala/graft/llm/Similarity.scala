@@ -211,6 +211,35 @@ object Similarity {
       .orderBy("cluster_id")
   }
 
+  /** X-VEC-AVG: per-label centroid aggregation — the grouped VECTOR
+    * aggregate behind domain centroids, class prototypes, and k-means
+    * update steps. Components quantize via `floor(x * 1024)` FIRST
+    * (multiplying a double by 2^10 is exact in binary floating point, so
+    * the quantized value is engine-independent), then everything is
+    * integer arithmetic: per-(label, dim) sums, and per-label positional
+    * checksums that pin every dim's sum without 64 output columns.
+    * Scale shape: posexplode → one partial+final hash agg keyed
+    * (label, dim) — the shuffle carries 64 partial sums per label per
+    * partition, never raw vectors; the per-label fold is a second tiny
+    * agg. At 100 TB this is exactly how a mean-pooled domain embedding
+    * is computed.
+    */
+  def labelCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.embeddings(spark, sfDir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        floor(col("x").cast("double") * 1024).cast("long").as("q"))
+      .groupBy("label", "dim")
+      .agg(sum("q").as("s"), count(lit(1)).as("n"))
+      .groupBy("label")
+      .agg(
+        max("n").as("n_vectors"),
+        sum("s").as("sum_q"),
+        sum(col("s") * (col("dim") + 1)).as("pos_checksum"),
+        min("s").as("min_dim_sum"),
+        max("s").as("max_dim_sum"))
+      .orderBy("label")
+
   /** IVF ANN: a deterministic "training sample" of the corpus acts as the
     * centroid set (every [[CentroidStride]]-th vector). Assignment is
     * MAP-ONLY: the centroid set is folded per row from one broadcast

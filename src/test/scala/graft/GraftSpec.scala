@@ -721,6 +721,40 @@ class GraftSpec extends AnyFunSuite {
       "sessions carried across micro-batches must equal the single-pass result")
   }
 
+  test("x_vec_avg: label partition covers the corpus; checksums bound the dim sums") {
+    val rows = llm.Similarity.labelCentroids(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === total, "every vector in exactly one label group")
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(5), "min_dim_sum <= max_dim_sum")
+      // sum_q is between 64*min and 64*max dim sums
+      assert(r.getLong(2) >= 64 * r.getLong(4) && r.getLong(2) <= 64 * r.getLong(5))
+    }
+  }
+
+  test("connector write abort: a failing job leaves the table unchanged and no temp spool") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_abort_test_").toString
+    val fmt = classOf[sources.FbInsightsDataSource].getName
+    val ok = etl.FbInsightsSource.raw(spark, sf).limit(30)
+    ok.write.format(fmt).option("path", dir).mode("append").save()
+    val before = spark.read.format(fmt).option("path", dir).load().count()
+    assert(before === 30L)
+    // date_start=null violates the writer's partitioning requirement →
+    // the task fails, the job aborts, and commit() never runs
+    val bad = ok.withColumn("date_start",
+      when(col("ad_id").isNotNull, lit(null).cast("string")))
+    val failed = intercept[Exception] {
+      bad.write.format(fmt).option("path", dir).mode("append").save()
+    }
+    assert(failed != null)
+    val after = spark.read.format(fmt).option("path", dir).load().count()
+    assert(after === before, "aborted job must not make any rows visible")
+    val leftovers = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("_tmp-"))
+    assert(leftovers.isEmpty, s"abort must drop the task spool, found: ${leftovers.mkString(",")}")
+    graft.streaming.Drain.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("x_stream_daily: append-mode file sink equals batch daily") {
     val s = llm.Events.streamingDaily(spark, sf).collect()
     val b = llm.Events.daily(spark, sf).collect()
