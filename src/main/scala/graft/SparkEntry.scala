@@ -59,6 +59,7 @@ object SparkEntry {
     "q_dsv2_agg" -> (EtlQueries.qDsv2Agg _),
     "q_stream_load" -> (EtlQueries.qStreamLoad _),
     "q_stream_dsv2" -> (EtlQueries.qStreamDsv2 _),
+    "q_stream_sink" -> (EtlQueries.qStreamSink _),
     "x_hll_merge" -> (llm.Events.approxDistinctMerged _),
     "x_stream_sessions" -> (llm.Events.streamingSessions _),
     "x_stream_sessions_inc" -> (llm.Events.streamingSessionsIncremental _),
@@ -421,6 +422,10 @@ object SparkEntry {
       s"""${fbCte}SELECT $flatCols FROM fb ORDER BY ad_id""",
     // DSv2 micro-batch load == batch load ⇒ same oracle
     "q_stream_dsv2" ->
+      s"""${fbCte}SELECT $flatCols FROM fb ORDER BY ad_id""",
+    // streaming read → streaming write round trip through the connector
+    // is lossless ⇒ same oracle
+    "q_stream_sink" ->
       s"""${fbCte}SELECT $flatCols FROM fb ORDER BY ad_id""",
     // merged daily sketches must estimate the range distinct within 10%
     "x_hll_merge" ->

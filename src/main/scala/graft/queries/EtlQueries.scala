@@ -362,6 +362,40 @@ object EtlQueries {
     flatten(spark.read.parquet(outDir)).orderBy("ad_id")
   }
 
+  /** Q-STREAM-SINK: the connector streaming on BOTH ends — micro-batch
+    * READ from the landing zone (day-index offsets, capped admission)
+    * into the connector's STREAMING_WRITE sink (per-epoch all-or-nothing
+    * commits through the same task-spool → driver-move protocol as the
+    * batch write). This is the reference's daily load re-expressed as a
+    * continuously-running streaming ETL; the round-tripped table must
+    * still equal the batch load byte-for-byte (q_load_fb's oracle).
+    */
+  def qStreamSink(spark: SparkSession, sfDir: String): DataFrame = {
+    val fmt = classOf[graft.sources.FbInsightsDataSource].getName
+    val path = Sink.scratchPath(sfDir, "fb_stream_sink")
+    val marker = java.nio.file.Paths.get(path, "_GRAFT_OK_v1")
+    val dstTable = s"$path/table"
+    if (!java.nio.file.Files.exists(marker)) {
+      Sink.dropUncommitted(path)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+      val src = FbInsightsSource.jsonlPath(spark, sfDir)
+      val stream = spark.readStream.format(fmt)
+        .option("path", src)
+        .option("maxDaysPerBatch", 500)
+        .load()
+      val q = stream.writeStream.format(fmt)
+        .option("path", dstTable)
+        .option("checkpointLocation", s"$path/ckpt")
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      java.nio.file.Files.createFile(marker)
+    }
+    val back = spark.read.format(fmt).option("path", dstTable).load()
+    flatten(Normalize(back)).orderBy("ad_id")
+  }
+
   def qStreamLoad(spark: SparkSession, sfDir: String): DataFrame = {
     // LOAD-stage semantics, like fb_stat: the stream drains the landing
     // zone into the sink ONCE (marker-gated — a restart would resume from

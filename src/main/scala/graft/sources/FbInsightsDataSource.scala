@@ -77,7 +77,7 @@ class FbInsightsTable(path: String) extends Table with SupportsRead with Support
   override def schema(): StructType = Schemas.fbInsightsRaw
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FbInsightsScanBuilder(path,
       permissive = "permissive".equalsIgnoreCase(options.getOrDefault("mode", "failfast")),
@@ -542,7 +542,46 @@ class FbInsightsWriteBuilder(path: String, info: LogicalWriteInfo) extends Write
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new FbInsightsBatchWrite(path, info.schema(), info.queryId())
+    override def toStreaming:
+        org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new FbInsightsStreamingWrite(path, info.schema(), info.queryId())
   }
+}
+
+/** Streaming half of the sink (STREAMING_WRITE): per micro-batch epoch,
+  * task writers spool JSONL exactly like the batch path and the driver's
+  * `commit(epochId, …)` moves only committed-task files into their
+  * `date=*` partitions — so each epoch is all-or-nothing visible and a
+  * failed epoch leaves the table unchanged. Epochs run sequentially per
+  * query, so dropping the spool after each epoch commit also sweeps any
+  * failed speculative attempts of that epoch. Across query RESTARTS the
+  * sink is at-least-once (a re-run epoch re-appends), the same contract
+  * as the reference's `insert_rows_json` and the batch sink (Q-IDEM).
+  */
+class FbInsightsStreamingWrite(path: String, schema: StructType, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private val tmpRoot = s"$path/_tmp-$queryId"
+  private val mover = new FbInsightsBatchWrite(path, schema, queryId)
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo):
+      org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new FbInsightsStreamingWriterFactory(tmpRoot, schema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    mover.commit(messages)
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    mover.abort(messages)
+}
+
+class FbInsightsStreamingWriterFactory(tmpRoot: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    // file names are UUID-unique, so epochs never collide in the spool
+    new FbInsightsJsonlWriter(tmpRoot, schema, partitionId, taskId)
 }
 
 /** One committed file per (task, day): `(date, tempFile, finalName)`. */

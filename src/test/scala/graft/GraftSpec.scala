@@ -755,6 +755,20 @@ class GraftSpec extends AnyFunSuite {
     graft.streaming.Drain.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("q_stream_sink: streaming round trip through the connector equals the batch load") {
+    val streamed = queries.EtlQueries.qStreamSink(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = queries.EtlQueries.qLoadFb(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+    // the sink table must be day-partitioned with no leftover spool
+    val table = new java.io.File(etl.Sink.scratchPath(sf, "fb_stream_sink"), "table")
+    val names = table.listFiles().map(_.getName)
+    assert(names.exists(_.startsWith("date=")))
+    assert(!names.exists(_.startsWith("_tmp-")), "epoch commits must sweep the spool")
+  }
+
   test("x_stream_daily: append-mode file sink equals batch daily") {
     val s = llm.Events.streamingDaily(spark, sf).collect()
     val b = llm.Events.daily(spark, sf).collect()
