@@ -243,6 +243,36 @@ object OracleLlm {
        |       CAST(min(id) AS BIGINT) AS min_id
        |FROM d GROUP BY degree ORDER BY degree""".stripMargin
 
+  /** CMS mirror: the sketch merge is pure addition, so each cell equals
+    * the collision SUM over the exact vocabulary — recomputed here with
+    * the same poly-hashes; estimates then hash-match exactly.
+    */
+  val cmsSql: String = {
+    import graft.functions.CountMin
+    val W = CountMin.Width
+    def cell(expr: String, base: Long) = s"((${polyHash(expr, base)}) % $W)"
+    val sums = CountMin.Bases.zipWithIndex.map { case (b, r) =>
+      s"s$r AS (SELECT ${cell("token", b)} AS cell, sum(freq) AS s FROM v GROUP BY 1)"
+    }.mkString(",\n")
+    val joins = CountMin.Bases.zipWithIndex.map { case (b, r) =>
+      s"JOIN s$r a$r ON ${cell("top.token", b)} = a$r.cell"
+    }.mkString("\n")
+    val est = s"least(${CountMin.Bases.indices.map(r => s"a$r.s").mkString(", ")})"
+    s"""WITH t AS (
+       |  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+       |           x -> x <> '')) AS token
+       |  FROM documents),
+       |v AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM t GROUP BY token),
+       |top AS (SELECT token, freq FROM v ORDER BY freq DESC, token LIMIT 10),
+       |$sums
+       |SELECT top.token, top.freq,
+       |       CAST($est AS BIGINT) AS cms_est,
+       |       CAST(CASE WHEN $est >= top.freq THEN 1 ELSE 0 END AS BIGINT) AS cms_ge_exact
+       |FROM top
+       |$joins
+       |ORDER BY top.freq DESC, top.token""".stripMargin
+  }
+
   /** stratified mirror: the 64-bit content hash of the DECIMAL-format
     * event id, bucketed mod 100 against the per-stratum percentage.
     */

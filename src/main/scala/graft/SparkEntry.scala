@@ -101,6 +101,7 @@ object SparkEntry {
     "q_sql" -> (EtlQueries.qSql _),
     "x_time_travel" -> (etl.Cdc.timeTravel _),
     "x_tfidf" -> (llm.TextAnalysis.tfidf _),
+    "x_cms" -> (llm.TextAnalysis.cmsEstimates _),
     "x_pii" -> (llm.TextAnalysis.piiStats _),
     "x_text_norm" -> (llm.TextAnalysis.normalizeStats _),
   )
@@ -708,6 +709,7 @@ object SparkEntry {
          |       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
          |FROM f ORDER BY currencies, valid_from""".stripMargin,
     "x_graph_degree" -> OracleLlm.degreesSql,
+    "x_cms" -> OracleLlm.cmsSql,
     "x_kmeans" -> OracleLlm.kmeansSql,
     // floor(x*1024) quantization is exact (power-of-two multiply), so
     // the whole centroid aggregate is integer arithmetic on both sides

@@ -269,6 +269,43 @@ object TextAnalysis {
       .orderBy(desc("freq"), asc("token"))
   }
 
+  /** X-CMS: Count-Min frequency estimation over the token stream — the
+    * bounded-memory (8 KB/partial) answer to "how often does token t
+    * occur" at any vocabulary size. Because the CMS merge is pure
+    * addition, the finished sketch — and therefore every RAW estimate —
+    * is deterministic under any partitioning, so the oracle recomputes
+    * the exact estimates (per-row collision sums over the vocabulary
+    * with the same poly-hashes) and hash-matches them, not just bound
+    * flags. Checked per exact top-10 token: exact count, sketch
+    * estimate, and the est ≥ true invariant.
+    */
+  def cmsEstimates(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.CountMin
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("token"))
+    def cell(r: Int): Column =
+      pmod(graft.functions.PolyHash.poly_hash(col("token"), CountMin.Bases(r)),
+        lit(CountMin.Width.toLong)).cast("int")
+    val sketch = toks
+      .select(cell(0).as("c0"), cell(1).as("c1"), cell(2).as("c2"), cell(3).as("c3"))
+      .select(
+        udaf(CountMin.cms,
+          org.apache.spark.sql.Encoders.product[CountMin.Cells])
+          .apply(col("c0"), col("c1"), col("c2"), col("c3")).as("sketch"))
+    val exactTop = toks
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("token"))
+      .limit(10)
+    val est = (0 until CountMin.Depth).map(r =>
+        element_at(col("sketch"), cell(r) + lit(r * CountMin.Width) + 1))
+      .reduce(least(_, _))
+    exactTop.crossJoin(broadcast(sketch))
+      .select(col("token"), col("freq"), est.as("cms_est"),
+        when(est >= col("freq"), 1L).otherwise(0L).as("cms_ge_exact"))
+      .orderBy(desc("freq"), asc("token"))
+  }
+
   /** X-TEXT fingerprinting with the native codegen'd rolling-hash
     * expression — the normalized-text fingerprint that exact dedup groups
     * on at scale (8-byte shuffle key instead of full text).

@@ -769,6 +769,18 @@ class GraftSpec extends AnyFunSuite {
     assert(!names.exists(_.startsWith("_tmp-")), "epoch commits must sweep the spool")
   }
 
+  test("x_cms: estimates overcount but stay deterministic across runs") {
+    val r1 = llm.TextAnalysis.cmsEstimates(spark, sf).collect()
+    assert(r1.length === 10)
+    r1.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"${r.getString(0)}: CMS must never undercount")
+      assert(r.getLong(3) === 1L)
+    }
+    // addition-only merge ⇒ identical sketch on a re-run, any partitioning
+    val r2 = llm.TextAnalysis.cmsEstimates(spark, sf).collect()
+    assert(r1.map(_.toSeq).toSeq === r2.map(_.toSeq).toSeq)
+  }
+
   test("x_stream_daily: append-mode file sink equals batch daily") {
     val s = llm.Events.streamingDaily(spark, sf).collect()
     val b = llm.Events.daily(spark, sf).collect()
