@@ -30,7 +30,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => SimHash(es.head)),
     ("dot_product",
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    ("sq_dist",
+      new ExpressionInfo(classOf[SqDist].getName, "sq_dist"),
+      (es: Seq[Expression]) => SqDist(es(0), es(1))))
 
   /** Register into a live session's function registry. Idempotent. */
   def register(spark: SparkSession): Unit =

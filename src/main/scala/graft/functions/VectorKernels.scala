@@ -59,3 +59,56 @@ object DotProduct {
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
+
+/** Native squared euclidean distance over two `array<float>` columns —
+  * same left-to-right double fold as [[DotProduct]] (and as the oracle's
+  * `list_sum(list_transform(...))` mirror), replacing the
+  * `aggregate(zip_with(...))` HOF formulation that falls out of
+  * whole-stage codegen and allocates an intermediate array per row.
+  */
+case class SqDist(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq_dist"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    (left.dataType, right.dataType) match {
+      case (l, r) if l == org.apache.spark.sql.types.NullType
+          || r == org.apache.spark.sql.types.NullType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sq_dist requires two array<float> vectors, got ${l.sql}, ${r.sql}")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SqDist.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SqDist.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDist =
+    copy(left = newLeft, right = newRight)
+}
+
+object SqDist {
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  def sq_dist(a: Column, b: Column): Column =
+    ColumnBridge.column(SqDist(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -129,12 +129,18 @@ object Sampling {
     */
   val SeqLen = 512L
 
-  def pack(spark: SparkSession, sfDir: String): DataFrame = {
+  def pack(spark: SparkSession, sfDir: String): DataFrame =
+    packProfile(Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")))
+
+  /** Core packing profile over any (source, doc_id, n_tokens) frame —
+    * separated so the property spec can drive it with generated counts.
+    */
+  def packProfile(perDoc: DataFrame): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, sfDir)
-      .select(col("source"), col("doc_id"),
-        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    perDoc
       .withColumn("end_off", sum("n_tokens").over(w))
       .withColumn("start_off", col("end_off") - col("n_tokens"))
       .withColumn("straddles", // exact integer div — no float in sight

@@ -168,14 +168,13 @@ object Similarity {
     transform(cents, x =>
       struct((dot(v, x("cv")) / (n * x("cn"))).as("s"), x("cid").as("cid")))
 
-  /** Squared euclidean distance — the same left-to-right double fold as
-    * the DotProduct kernel, so the oracle's `list_sum` mirror agrees.
+  /** Squared euclidean distance — the native codegen'd kernel
+    * ([[graft.functions.SqDist]]): same left-to-right double fold as the
+    * DotProduct kernel and the oracle's `list_sum` mirror, without the
+    * per-row array allocation of the `aggregate(zip_with(...))` HOF form.
     */
   def sqDist(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0.0d), (acc, v) => acc + v)
+    graft.functions.SqDist.sq_dist(a, b)
 
   /** X-KMEANS: one Lloyd assignment step over the embedding corpus —
     * the clustering pass semantic-dedup and corpus-curation pipelines

@@ -88,6 +88,66 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("law: X-PACK profile matches the sequential reference packing") {
+    import spark.implicits._
+    val seqLen = llm.Sampling.SeqLen
+    forAll(Gen.nonEmptyListOf(Gen.zip(
+      Gen.oneOf("s1", "s2"), Gen.chooseNum(1L, 900L)))) { rows =>
+      val perDoc = rows.zipWithIndex
+        .map { case ((src, n), i) => (src, i.toLong, n) }
+      val got = llm.Sampling.packProfile(
+          perDoc.toDF("source", "doc_id", "n_tokens"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toMap
+      // sequential reference: walk docs in doc_id order, track offsets
+      perDoc.groupBy(_._1).foreach { case (src, docs) =>
+        var off = 0L
+        var straddlers = 0L
+        docs.sortBy(_._2).foreach { case (_, _, n) =>
+          if (off / seqLen != (off + n - 1) / seqLen) straddlers += 1
+          off += n
+        }
+        val chunks = (off + seqLen - 1) / seqLen
+        val expected = (docs.size.toLong, off, chunks, straddlers, off - (chunks - 1) * seqLen)
+        assert(got(src) === expected, s"source $src")
+      }
+    }
+  }
+
+  test("law: X-CMS estimates equal brute-force collision sums and never undercount") {
+    import spark.implicits._
+    import graft.functions.CountMin
+    val M = graft.functions.PolyHashing.Mod
+    def ph(s: String, base: Long): Long =
+      s.codePoints().toArray.foldLeft(0L)((acc, cp) => (acc * base + cp) % M)
+    def cellOf(s: String, base: Long): Int = (ph(s, base) % CountMin.Width).toInt
+    forAll(Gen.nonEmptyListOf(Gen.oneOf(
+      "alpha", "beta", "gamma", "delta", "ε-ünïcode", "zz"))) { tokens =>
+      val toks = tokens.toDF("token")
+      def cell(r: Int) =
+        pmod(graft.functions.PolyHash.poly_hash(col("token"), CountMin.Bases(r)),
+          lit(CountMin.Width.toLong)).cast("int")
+      val sketch = toks
+        .select(cell(0).as("c0"), cell(1).as("c1"), cell(2).as("c2"), cell(3).as("c3"))
+        .select(udaf(CountMin.cms,
+          org.apache.spark.sql.Encoders.product[CountMin.Cells])
+          .apply(col("c0"), col("c1"), col("c2"), col("c3")).as("s"))
+        .head().getSeq[Long](0)
+      val freq = tokens.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      freq.foreach { case (t, f) =>
+        val est = CountMin.Bases.zipWithIndex.map { case (b, r) =>
+          sketch(r * CountMin.Width + cellOf(t, b))
+        }.min
+        val brute = CountMin.Bases.zipWithIndex.map { case (b, r) =>
+          freq.collect { case (u, fu) if cellOf(u, b) == cellOf(t, b) => fu }.sum
+        }.min
+        assert(est === brute, s"token $t: sketch answer must be the collision-sum min")
+        assert(est >= f, s"token $t: CMS must never undercount")
+      }
+    }
+  }
+
   test("law: Q-DAILY-style aggregation invariant under input row order") {
     import spark.implicits._
     forAll(Gen.nonEmptyListOf(Gen.zip(
