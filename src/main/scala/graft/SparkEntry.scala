@@ -44,6 +44,7 @@ object SparkEntry {
     "x_sim_brute" -> (llm.Similarity.bruteTopK _),
     "x_sim_lsh" -> (llm.Similarity.lshTopK _),
     "x_events_daily" -> (llm.Events.daily _),
+    "x_latest" -> (llm.Events.latest _),
     "x_events_sessions" -> (llm.Events.sessions _),
     "x_stream_daily" -> (llm.Events.streamingDaily _),
     "x_hll" -> (llm.Events.approxDistinct _),
@@ -367,6 +368,18 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // latest-per-key: the oracle's window formulation must equal the
+    // engine's struct-max aggregate (event_id uniqueness pins ties)
+    "x_latest" ->
+      """WITH r AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts DESC, event_id DESC) AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS n_events
+        |  FROM events)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        |       ts AS last_ts, event_type AS last_event_type, value AS last_value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "x_stream_sessions" -> sessionsSql,
     "x_stream_sessions_inc" -> sessionsSql,
     "x_events_sessions" -> sessionsSql,

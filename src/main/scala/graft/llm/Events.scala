@@ -32,6 +32,31 @@ object Events {
       .select(col("w.start").cast("date").as("day"), col("event_type"), col("n"), col("total_value"))
       .orderBy("day", "event_type")
 
+  /** X-LATEST: current-state snapshot from the event log — the
+    * latest-record-per-key materialization every CDC/state table needs
+    * ("what is each user's most recent event?"). Implemented as ONE
+    * aggregate of a lexicographic struct max keyed (ts, event_id) — the
+    * unique event_id makes the max deterministic — so the shuffle
+    * carries one partial struct per user per partition and there is NO
+    * per-user window sort (at 100 TB a window formulation re-sorts the
+    * whole log; the struct max is a partial+final hash agg). The oracle
+    * expresses the same semantics as a row_number window — the plans
+    * differ, the values cannot.
+    */
+  def latest(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(struct(col("ts"), col("event_id"), col("event_type"), col("value")))
+          .as("last"))
+      .select(
+        col("user_id"), col("n_events"),
+        col("last.ts").as("last_ts"),
+        col("last.event_type").as("last_event_type"),
+        col("last.value").as("last_value"))
+      .orderBy("user_id")
+
   val SessionGap = "30 minutes"
 
   /** Sessionization: session_window with a 30-minute inactivity gap, then

@@ -769,6 +769,26 @@ class GraftSpec extends AnyFunSuite {
     assert(!names.exists(_.startsWith("_tmp-")), "epoch commits must sweep the spool")
   }
 
+  test("x_latest: one row per user, struct-max agrees with a window formulation, no window in the plan") {
+    val df = llm.Events.latest(spark, sf)
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(!plan.contains("Window"), s"latest-per-key must not window-sort the log:\n${plan.take(2000)}")
+    val rows = df.collect()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.length.toLong === users)
+    // cross-check against the windowed formulation
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(desc("ts"), desc("event_id"))
+    val viaWindow = Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "ts", "event_type", "value")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    rows.foreach { r =>
+      assert(viaWindow(r.getLong(0)) === Seq(r.getTimestamp(2), r.getString(3), r.getDouble(4)))
+    }
+  }
+
   test("x_cms: estimates overcount but stay deterministic across runs") {
     val r1 = llm.TextAnalysis.cmsEstimates(spark, sf).collect()
     assert(r1.length === 10)
