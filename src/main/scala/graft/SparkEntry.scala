@@ -370,13 +370,19 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     // latest-per-key: the oracle's window formulation must equal the
     // engine's struct-max aggregate (event_id uniqueness pins ties)
+    // the µs truncation happens in a CTE BEFORE the window so the
+    // ordering uses the same microsecond precision the engine compares
+    // (an ORDER BY in the defining SELECT would bind to the raw ns column)
     "x_latest" ->
-      """WITH r AS (
-        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value,
+      """WITH b AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
         |         row_number() OVER (PARTITION BY user_id
         |           ORDER BY ts DESC, event_id DESC) AS rn,
         |         count(*) OVER (PARTITION BY user_id) AS n_events
-        |  FROM events)
+        |  FROM b)
         |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
         |       ts AS last_ts, event_type AS last_event_type, value AS last_value
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,

@@ -173,8 +173,13 @@ object Events {
       def stage(df: org.apache.spark.sql.DataFrame, name: String, mtimeSec: Long): Unit = {
         val tmp = work.resolve(s"stage_$name")
         df.coalesce(1).write.parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+        // Files.list holds an open directory stream — close it before the
+        // move/delete below or the handle leaks per staged chunk
+        val listing = java.nio.file.Files.list(tmp)
+        val part =
+          try listing.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+          finally listing.close()
         val dst = srcDir.resolve(s"$name.parquet")
         java.nio.file.Files.move(part, dst)
         java.nio.file.Files.setLastModifiedTime(dst,

@@ -41,9 +41,28 @@ object Graph {
     // before executors feel it). localCheckpoint materializes the round's
     // labels and restarts the plan from the stored blocks — the same
     // discipline GraphFrames applies to its iterative algorithms.
-    var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+    // deterministic release of superseded checkpoint blocks: a reassigned
+    // `labels` only frees its blocks when the ContextCleaner eventually
+    // GCs the unreachable RDD — over tens of rounds that pins dozens of
+    // full (id, comp) snapshots in executor storage. Track the RDD id each
+    // localCheckpoint registers and unpersist the PREVIOUS round's blocks
+    // as soon as the next round is materialized.
+    val sc = edges.sparkSession.sparkContext
+    // materialize the edge cache BEFORE tracking starts, so its persistent
+    // RDD id is never mistaken for a round's checkpoint and swept
+    und.count()
+    var prevCkptIds: Set[Int] = Set.empty
+    def checkpointTracked(df: DataFrame): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      val fresh = (sc.getPersistentRDDs.keySet -- before).toSet
+      prevCkptIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevCkptIds = fresh
+      out
+    }
+    var labels = checkpointTracked(
+      und.select(col("src").as("id")).distinct().withColumn("comp", col("id")))
     var sum = labels.agg(org.apache.spark.sql.functions.sum("comp")).head().getLong(0)
     var converged = false
     var rounds = 0
@@ -57,14 +76,13 @@ object Graph {
         .groupBy("id").agg(min("comp").as("comp"))
       // pointer jump: a label is always some node's id, so re-resolving it
       // through `stepped` moves every node to its label's (smaller) label
-      val next = stepped.as("a")
+      val next = checkpointTracked(stepped.as("a")
         .join(
           stepped.select(col("id").as("p_id"), col("comp").as("p_comp")),
           col("a.comp") === col("p_id"), "left")
         .select(
           col("a.id").as("id"),
-          least(col("a.comp"), coalesce(col("p_comp"), col("a.comp"))).as("comp"))
-        .localCheckpoint(true)
+          least(col("a.comp"), coalesce(col("p_comp"), col("a.comp"))).as("comp")))
       val nextSum = next.agg(org.apache.spark.sql.functions.sum("comp")).head().getLong(0)
       labels = next
       converged = nextSum == sum

@@ -151,19 +151,23 @@ object TextAnalysis {
 
   def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    // number of distinct sources: a metadata-scale scalar (a handful of
-    // corpus names even at 100 TB), safe to resolve on the driver
-    val nSources = docs.select("source").distinct().count().toDouble
+    // number of distinct sources rides along as a broadcast one-row
+    // cross join inside the one query — a column-pruned source-only scan,
+    // not a standalone driver action over the corpus text (and counted
+    // over ALL documents, matching the oracle, not just tokenized ones)
     val tf = docs
       .select(col("source"), explode(tokens(col("text"))).as("token"))
       .groupBy("source", "token")
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val ns = docs.select("source").distinct()
+      .agg(count(lit(1)).cast("double").as("n_sources"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(desc("score"), asc("token"))
     tf.join(df, "token")
+      .crossJoin(broadcast(ns))
       .withColumn("score",
-        col("tf") * ((lit(nSources) - col("df") + 0.5) / (col("df") + 0.5)))
+        col("tf") * ((col("n_sources") - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TfIdfTopK)
       .select("source", "rank", "token", "tf", "df", "score")
@@ -281,8 +285,12 @@ object TextAnalysis {
     */
   def cmsEstimates(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.CountMin
+    // cached: the sketch aggregate and the exact top-10 both consume the
+    // token stream — one tokenize+explode pass instead of two (at scale
+    // the equivalent is a materialized token table both aggregates read)
     val toks = Tables.documents(spark, sfDir)
       .select(explode(tokens(col("text"))).as("token"))
+      .cache()
     def cell(r: Int): Column =
       pmod(graft.functions.PolyHash.poly_hash(col("token"), CountMin.Bases(r)),
         lit(CountMin.Width.toLong)).cast("int")

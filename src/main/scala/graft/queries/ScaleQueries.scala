@@ -268,10 +268,14 @@ object ScaleQueries {
     import org.apache.spark.sql.graftx.ColumnBridge
 
     val ev = Tables.events(spark, sfDir)
+    // cached: the sketch build (an action) and the exact join both read
+    // the dim — without the cache the scan+distinct would run twice
+    // (plan-keyed, so repeated invocations share one entry)
     val dim = ev
       .filter(col("event_type") === "purchase" &&
         (col("value").cast(DecimalType(18, 2)) * 100).cast("long") % 17 === 0)
       .select("user_id").distinct()
+      .cache()
 
     val bloomAgg = ColumnBridge.column(
       new BloomFilterAggregate(

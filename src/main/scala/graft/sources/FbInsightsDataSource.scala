@@ -272,10 +272,17 @@ class FbInsightsMicroBatchStream(
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
-  import org.apache.spark.sql.connector.read.streaming.{Offset => StreamOffset, ReadLimit}
+  import org.apache.spark.sql.connector.read.streaming.{Offset => StreamOffset, ReadLimit, ReadMaxRows}
 
-  private case class DayIndexOffset(n: Int) extends StreamOffset {
-    override def json(): String = n.toString
+  /** `n` = count of consumed days; `last` = the NAME of the last consumed
+    * day. The name makes the append-only assumption checkable: if a
+    * backfill drops an earlier-dated directory into the listing, every
+    * index shifts — planInputPartitions detects the mismatch and fails
+    * loudly instead of silently re-reading consumed days and skipping
+    * new ones.
+    */
+  private case class DayIndexOffset(n: Int, last: String) extends StreamOffset {
+    override def json(): String = if (last.isEmpty) n.toString else s"$n:$last"
   }
 
   private def admittedDays(): Array[FbInsightsDay] = {
@@ -290,7 +297,7 @@ class FbInsightsMicroBatchStream(
       }
   }
 
-  override def initialOffset(): StreamOffset = DayIndexOffset(0)
+  override def initialOffset(): StreamOffset = DayIndexOffset(0, "")
 
   override def latestOffset(): StreamOffset =
     throw new UnsupportedOperationException(
@@ -298,18 +305,38 @@ class FbInsightsMicroBatchStream(
 
   override def latestOffset(start: StreamOffset, limit: ReadLimit): StreamOffset = {
     val s = start.asInstanceOf[DayIndexOffset].n
-    DayIndexOffset(math.min(s + maxDaysPerBatch, admittedDays().length))
+    // the admission unit is DAYS: a maxRows limit (incl. our own default)
+    // caps days-per-batch; anything else falls back to the option
+    val cap = limit match {
+      case r: ReadMaxRows => math.min(r.maxRows().toInt, maxDaysPerBatch)
+      case _ => maxDaysPerBatch
+    }
+    val days = admittedDays()
+    val n = math.min(s + cap, days.length)
+    DayIndexOffset(n, if (n == 0) "" else days(n - 1).date)
   }
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxDaysPerBatch.toLong)
 
   override def deserializeOffset(json: String): StreamOffset =
-    DayIndexOffset(json.trim.toInt)
+    json.trim.split(":", 2) match {
+      case Array(n) => DayIndexOffset(n.toInt, "")
+      case Array(n, last) => DayIndexOffset(n.toInt, last)
+    }
 
   override def planInputPartitions(
       start: StreamOffset, end: StreamOffset): Array[InputPartition] = {
-    val days = admittedDays()
-      .slice(start.asInstanceOf[DayIndexOffset].n, end.asInstanceOf[DayIndexOffset].n)
+    val endOff = end.asInstanceOf[DayIndexOffset]
+    val all = admittedDays()
+    // validate the append-only assumption the index offsets rest on
+    if (endOff.last.nonEmpty && endOff.n > 0 && endOff.n <= all.length &&
+        all(endOff.n - 1).date != endOff.last)
+      throw new IllegalStateException(
+        s"day list changed under committed offsets: position ${endOff.n - 1} is " +
+          s"${all(endOff.n - 1).date}, offset recorded ${endOff.last} — a backfill " +
+          "dropped an earlier-dated directory into the landing zone; reset the " +
+          "checkpoint or load the backfill through the batch path")
+    val days = all.slice(start.asInstanceOf[DayIndexOffset].n, endOff.n)
     if (days.isEmpty) Array.empty
     else {
       // same task-granularity control as the batch scan: bin contiguous
