@@ -45,6 +45,7 @@ object SparkEntry {
     "x_sim_lsh" -> (llm.Similarity.lshTopK _),
     "x_events_daily" -> (llm.Events.daily _),
     "x_latest" -> (llm.Events.latest _),
+    "x_funnel" -> (llm.Events.funnel _),
     "x_events_sessions" -> (llm.Events.sessions _),
     "x_stream_daily" -> (llm.Events.streamingDaily _),
     "x_hll" -> (llm.Events.approxDistinct _),
@@ -370,6 +371,42 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     // latest-per-key: the oracle's window formulation must equal the
     // engine's struct-max aggregate (event_id uniqueness pins ties)
+    // same chained running-min windows over the same (ts, event_id)
+    // total order — µs truncation in a CTE before any window
+    "x_funnel" ->
+      """WITH b AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |w1 AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |         min(CASE WHEN event_type = 'signup' THEN ts END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s0
+        |  FROM b),
+        |w2 AS (
+        |  SELECT user_id, event_id, event_type, ts, s0,
+        |         min(CASE WHEN event_type = 'click' AND s0 IS NOT NULL
+        |                       AND ts > s0 THEN ts END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c0
+        |  FROM w1),
+        |w3 AS (
+        |  SELECT user_id, event_id, event_type, ts, s0, c0,
+        |         min(CASE WHEN event_type = 'purchase' AND c0 IS NOT NULL
+        |                       AND ts > c0 THEN ts END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p0
+        |  FROM w2),
+        |last AS (
+        |  SELECT user_id, s0, c0, p0,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM w3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(count(s0) AS BIGINT) AS n_signup,
+        |       CAST(count(c0) AS BIGINT) AS n_click_after,
+        |       CAST(count(p0) AS BIGINT) AS n_purchase_after
+        |FROM last WHERE rn = 1""".stripMargin,
     // the µs truncation happens in a CTE BEFORE the window so the
     // ordering uses the same microsecond precision the engine compares
     // (an ORDER BY in the defining SELECT would bind to the raw ns column)

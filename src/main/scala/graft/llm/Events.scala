@@ -32,6 +32,40 @@ object Events {
       .select(col("w.start").cast("date").as("day"), col("event_type"), col("n"), col("total_value"))
       .orderBy("day", "event_type")
 
+  /** X-FUNNEL: ordered multi-stage funnel — how many users completed
+    * signup → click → purchase IN THAT EVENT-TIME ORDER (a click before
+    * the signup doesn't count, nor a purchase before the qualifying
+    * click). Expressed as chained running-min windows over one per-user
+    * sort: `s0` = running min signup time; a click qualifies when a
+    * signup strictly precedes it (`ts > s0` at that row); `c0` = running
+    * min qualifying click; purchases chain off `c0` the same way. The
+    * final row per user (struct max on the same total order) carries the
+    * complete funnel state, so the whole query is ONE exchange + ONE sort
+    * per user partition, three window passes over it, and a global
+    * count — no self-joins, no per-stage scans. Total order (ts,
+    * event_id) makes running values deterministic under timestamp ties.
+    */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perRow = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("s0", min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("c0", min(when(col("event_type") === "click" &&
+        col("s0").isNotNull && col("ts") > col("s0"), col("ts"))).over(w))
+      .withColumn("p0", min(when(col("event_type") === "purchase" &&
+        col("c0").isNotNull && col("ts") > col("c0"), col("ts"))).over(w))
+    perRow
+      .groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("s0"), col("c0"), col("p0"))).as("l"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("l.s0")).as("n_signup"),
+        count(col("l.c0")).as("n_click_after"),
+        count(col("l.p0")).as("n_purchase_after"))
+  }
+
   /** X-LATEST: current-state snapshot from the event log — the
     * latest-record-per-key materialization every CDC/state table needs
     * ("what is each user's most recent event?"). Implemented as ONE

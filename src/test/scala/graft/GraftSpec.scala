@@ -789,6 +789,24 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("x_funnel: stage counts are monotone and order-sensitive (not mere type presence)") {
+    val r = llm.Events.funnel(spark, sf).head()
+    val (users, s, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(users > 0 && s > 0, "fixture has signups")
+    assert(users >= s && s >= c && c >= p, s"funnel must narrow: $users >= $s >= $c >= $p")
+    // order-sensitivity: users with all three types present is an UPPER
+    // bound that is strictly loose if any user has them out of order
+    val present = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(
+        max(when(col("event_type") === "signup", 1).otherwise(0)).as("hs"),
+        max(when(col("event_type") === "click", 1).otherwise(0)).as("hc"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("hp"))
+      .filter(col("hs") === 1 && col("hc") === 1 && col("hp") === 1)
+      .count()
+    assert(p <= present, "ordered completion can never exceed unordered presence")
+  }
+
   test("x_cms: estimates overcount but stay deterministic across runs") {
     val r1 = llm.TextAnalysis.cmsEstimates(spark, sf).collect()
     assert(r1.length === 10)
