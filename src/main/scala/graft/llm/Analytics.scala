@@ -1,0 +1,115 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Profiling / maintenance analytics over the `events` table
+  * (SURVEY.md §2.7: X-HISTOGRAM, X-INCR-AGG, X-OVERLAP) — the data-health
+  * and incremental-ETL operators a 100 TB training-data pipeline runs
+  * daily. All three are partial+final hash aggregates whose shuffles
+  * carry keys and counters only, never raw rows.
+  */
+object Analytics {
+
+  /** Histogram bin width (value domain is [0, ~500]); 20 regular bins
+    * plus clamp-into-edge-bins for outliers, the `width_bucket` pattern.
+    */
+  val BinWidth = 25.0
+  val NumBins = 20
+
+  /** X-HISTOGRAM: fixed-bin value histogram per event_type — the value
+    * distribution profile that drives outlier clipping and quality
+    * thresholds. One narrow projection (bucket arithmetic is row-local,
+    * codegen'd) then one partial+final hash agg on (event_type, bucket):
+    * the shuffle carries ≤ `types × NumBins` counter rows per map
+    * partition no matter the input size — the map-side combine IS the
+    * histogram merge, which is why this scales to 100 TB while a
+    * sort-based percentile over raw values would not.
+    *
+    * Bucket bounds are emitted as `bucket × width` products (identical
+    * IEEE doubles in the oracle), money sums in exact DECIMAL. Division
+    * `value / 25.0` is one IEEE op reproduced verbatim in the oracle, so
+    * bucket assignment — and therefore every output cell — hash-matches.
+    */
+  def histogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        least(greatest(floor(col("value") / BinWidth), lit(0.0)), lit((NumBins - 1).toDouble))
+          .cast("long").as("bucket"),
+        col("value"))
+      .groupBy("event_type", "bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(
+        col("event_type"), col("bucket"),
+        (col("bucket").cast("double") * BinWidth).as("bin_lo"),
+        ((col("bucket") + 1).cast("double") * BinWidth).as("bin_hi"),
+        col("n"), col("total_value"))
+      .orderBy("event_type", "bucket")
+
+  /** X-INCR-AGG: incremental materialized-view maintenance — the 100 TB
+    * pattern where a daily rollup is kept current by merging a small
+    * delta's PARTIAL AGGREGATE STATE into the snapshot instead of
+    * rescanning the base. Base (≈90% of events) and delta (≈10%,
+    * `event_id % 10 = 0` — late-arriving rows that touch EXISTING days,
+    * the hard case) are aggregated separately to (day, event_type) →
+    * (n, total) state rows; the merge is a second tiny aggregate over
+    * the UNION of the two state tables. Count states add; sum states
+    * add (DECIMAL, exact); avg is derived sum/count AFTER the merge —
+    * the algebraic-aggregate decomposition that makes the view
+    * maintainable. At scale the base state table is ~days × types rows —
+    * the merge never touches the base FACTS. The oracle is the full
+    * recompute over all events: merged state must be value-identical.
+    */
+  def incrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    def state(df: DataFrame): DataFrame =
+      df.groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).as("total"))
+    val events = Tables.events(spark, sfDir)
+    val base = state(events.filter(col("event_id") % 10 =!= 0))
+    val delta = state(events.filter(col("event_id") % 10 === 0))
+    base.unionAll(delta)
+      .groupBy("day", "event_type")
+      .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
+      .select(
+        col("day"), col("event_type"), col("n"),
+        col("total").cast("double").as("total_value"),
+        (col("total").cast("double") / col("n").cast("double")).as("avg_value"))
+      .orderBy("day", "event_type")
+  }
+
+  /** X-OVERLAP: audience overlap matrix — |users(a) ∩ users(b)| and
+    * Jaccard for every event_type pair, the cross-source contamination /
+    * co-occurrence profile. Scale shape: one distinct over (user_id,
+    * event_type) — the only pass over the facts — then a self-join ON
+    * user_id (shuffle carries 16-byte id/type pairs; each user
+    * contributes ≤ types² join rows), then a counter agg on the type
+    * pair. Per-type distinct counts come from the same distinct table
+    * and broadcast onto the ≤ types² result rows. Jaccard is one IEEE
+    * division per output row, reproduced verbatim in the oracle.
+    */
+  def overlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val ut = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val sizes = ut.groupBy("event_type").agg(count(lit(1)).as("nu"))
+    val inter = ut.as("a")
+      .join(ut.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("event_type").as("type_a"), col("nu").as("n_a"))), "type_a")
+      .join(broadcast(sizes.select(col("event_type").as("type_b"), col("nu").as("n_b"))), "type_b")
+      .select(
+        col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+}
