@@ -106,6 +106,9 @@ object SparkEntry {
     "x_cms" -> (llm.TextAnalysis.cmsEstimates _),
     "x_pii" -> (llm.TextAnalysis.piiStats _),
     "x_text_norm" -> (llm.TextAnalysis.normalizeStats _),
+    "x_histogram" -> (llm.Analytics.histogram _),
+    "x_incr_agg" -> (llm.Analytics.incrementalAgg _),
+    "x_overlap" -> (llm.Analytics.overlap _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -897,6 +900,51 @@ object SparkEntry {
         |       CAST(sum(length(text)) AS BIGINT) AS chars_before,
         |       CAST(sum(length(norm)) AS BIGINT) AS chars_after
         |FROM n GROUP BY source ORDER BY source""".stripMargin,
+    // fixed-bin histogram: the bucket division `value / 25.0` is the SAME
+    // single IEEE op on both sides, so bucket assignment hash-matches;
+    // NULL/NaN excluded by the same predicate the engine applies
+    "x_histogram" ->
+      s"""WITH f AS (
+         |  SELECT event_type,
+         |         CAST(least(greatest(floor(value / ${llm.Analytics.BinWidth}), 0.0),
+         |                    ${(llm.Analytics.NumBins - 1).toDouble}) AS BIGINT) AS bucket,
+         |         value
+         |  FROM events WHERE value IS NOT NULL AND NOT isnan(value))
+         |SELECT event_type, bucket,
+         |       CAST(bucket AS DOUBLE) * ${llm.Analytics.BinWidth} AS bin_lo,
+         |       CAST(bucket + 1 AS DOUBLE) * ${llm.Analytics.BinWidth} AS bin_hi,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM f GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+    // incremental view maintenance: the oracle is the FULL RECOMPUTE over
+    // all events — merged partial state must be value-identical (DECIMAL
+    // sums are exact, so merge order cannot drift)
+    "x_incr_agg" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    // audience overlap: intersection counts are exact integers; jaccard is
+    // one IEEE division over integer-derived doubles on both sides
+    "x_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |sizes AS (SELECT event_type, count(*) AS nu FROM ut GROUP BY 1),
+        |inter AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         count(*) AS n_common
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |                     AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b,
+        |       CAST(sa.nu AS BIGINT) AS n_a, CAST(sb.nu AS BIGINT) AS n_b,
+        |       CAST(n_common AS BIGINT) AS n_common,
+        |       CAST(n_common AS DOUBLE)
+        |         / CAST(sa.nu + sb.nu - n_common AS DOUBLE) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.event_type = type_a
+        |           JOIN sizes sb ON sb.event_type = type_b
+        |ORDER BY type_a, type_b""".stripMargin,
     // get_currency attribute surface + the yesterday-default branch
     // (S-SUBD): "today" is injected as max(o_orderdate)+1 on both sides
     "q_trigger_date" ->

@@ -14,6 +14,8 @@ import graft.Tables
   */
 object Analytics {
 
+  private val overlapCache = new graft.Memo
+
   /** Histogram bin width (value domain is [0, ~500]); 20 regular bins
     * plus clamp-into-edge-bins for outliers, the `width_bucket` pattern.
     */
@@ -33,9 +35,16 @@ object Analytics {
     * IEEE doubles in the oracle), money sums in exact DECIMAL. Division
     * `value / 25.0` is one IEEE op reproduced verbatim in the oracle, so
     * bucket assignment — and therefore every output cell — hash-matches.
+    *
+    * NULL and NaN values are EXCLUDED up front: `greatest`/`least` skip
+    * nulls and order NaN as largest, so without the filter a NULL would
+    * silently land in bucket 0 and a NaN in bucket 19 — misbinned dirty
+    * data instead of an explicit exclusion. The oracle applies the same
+    * predicate.
     */
   def histogram(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull && !isnan(col("value")))
       .select(col("event_type"),
         least(greatest(floor(col("value") / BinWidth), lit(0.0)), lit((NumBins - 1).toDouble))
           .cast("long").as("bucket"),
@@ -72,8 +81,13 @@ object Analytics {
           count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 2))).as("total"))
     val events = Tables.events(spark, sfDir)
-    val base = state(events.filter(col("event_id") % 10 =!= 0))
-    val delta = state(events.filter(col("event_id") % 10 === 0))
+    // Null-complete split: `% 10 === 0` is NULL (not false) for a NULL
+    // event_id under three-valued logic, so BOTH a `=!=` base and a `===`
+    // delta would drop such rows. The base side takes the negation's
+    // complement explicitly so base ∪ delta is provably the whole table.
+    val isDelta = col("event_id") % 10 === 0
+    val base = state(events.filter(!isDelta || col("event_id").isNull))
+    val delta = state(events.filter(isDelta))
     base.unionAll(delta)
       .groupBy("day", "event_type")
       .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
@@ -95,8 +109,14 @@ object Analytics {
     * division per output row, reproduced verbatim in the oracle.
     */
   def overlap(spark: SparkSession, sfDir: String): DataFrame = {
-    val ut = Tables.events(spark, sfDir)
-      .select(col("user_id"), col("event_type")).distinct()
+    // The distinct (user_id, event_type) table feeds THREE consumers
+    // (both self-join sides + the per-type sizes) — memoize and cache it
+    // so the facts are scanned and deduped once, per the repo's
+    // shared-scan convention (Memo).
+    val ut = overlapCache.getOrBuild(spark, sfDir, cache = true) {
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type")).distinct()
+    }
     val sizes = ut.groupBy("event_type").agg(count(lit(1)).as("nu"))
     val inter = ut.as("a")
       .join(ut.as("b"), col("a.user_id") === col("b.user_id") &&

@@ -1253,6 +1253,71 @@ class GraftSpec extends AnyFunSuite {
     assert(remaining.filter(col("user_id") === victim).count() === 0)
   }
 
+  test("x_histogram: buckets clamp to [0,19], counts partition the non-null rows") {
+    val hist = llm.Analytics.histogram(spark, sf).collect()
+    assert(hist.nonEmpty)
+    val buckets = hist.map(_.getLong(1))
+    assert(buckets.forall(b => b >= 0 && b < llm.Analytics.NumBins))
+    // bin bounds are the bucket index times the width, exactly
+    hist.foreach { r =>
+      assert(r.getDouble(2) === r.getLong(1) * llm.Analytics.BinWidth)
+      assert(r.getDouble(3) === (r.getLong(1) + 1) * llm.Analytics.BinWidth)
+    }
+    // the histogram partitions the filtered input: per-type counts match
+    val perType = hist.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(4)).sum)
+    val expected = Tables.events(spark, sf)
+      .filter(col("value").isNotNull && !isnan(col("value")))
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perType.toMap === expected)
+  }
+
+  test("x_incr_agg: merged base+delta state equals the full recompute") {
+    import org.apache.spark.sql.types.DecimalType
+    val merged = llm.Analytics.incrementalAgg(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val full = Tables.events(spark, sf)
+      .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("total"))
+      .select(col("day"), col("event_type"), col("n"),
+        col("total").cast("double").as("total_value"),
+        (col("total").cast("double") / col("n").cast("double")).as("avg_value"))
+      .orderBy("day", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(merged === full)
+  }
+
+  test("x_incr_agg: the base/delta split is null-complete (no row lost to 3VL)") {
+    // a NULL event_id must land in exactly one side of the split
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)]((10L, "a"), (3L, "a"), (null, "a"))
+      .toDF("event_id", "x")
+    val isDelta = col("event_id") % 10 === 0
+    val base = df.filter(!isDelta || col("event_id").isNull).count()
+    val delta = df.filter(isDelta).count()
+    assert(base + delta === df.count())
+  }
+
+  test("x_overlap: intersection bounded by set sizes, jaccard consistent") {
+    val rows = llm.Analytics.overlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, nb, common, jac) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(r.getString(0) < r.getString(1)) // canonical pair order
+      assert(common >= 1 && common <= math.min(na, nb))
+      assert(jac === common.toDouble / (na + nb - common).toDouble)
+    }
+    // spot-check one pair against a direct computation
+    val h = rows.head
+    val direct = Tables.events(spark, sf)
+      .filter(col("event_type").isin(h.getString(0), h.getString(1)))
+      .groupBy("user_id").agg(countDistinct("event_type").as("k"))
+      .filter(col("k") === 2).count()
+    assert(h.getLong(4) === direct)
+  }
+
   test("x_stratified: keep decision is stable across runs and honors 0%/100% strata") {
     val r1 = llm.Sampling.stratified(spark, sf).collect().map(_.toSeq).toSeq
     val r2 = llm.Sampling.stratified(spark, sf).collect().map(_.toSeq).toSeq
