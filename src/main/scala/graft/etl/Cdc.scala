@@ -15,7 +15,7 @@ object Cdc {
 
   private val runs = new java.util.concurrent.atomic.AtomicLong(0)
 
-  private def writePointer(root: java.nio.file.Path, version: Long): Unit = {
+  private[graft] def writePointer(root: java.nio.file.Path, version: Long): Unit = {
     // write-then-move so the pointer flip is atomic for readers
     val tmp = root.resolve("_current.tmp")
     java.nio.file.Files.writeString(tmp, version.toString)
@@ -24,8 +24,32 @@ object Cdc {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  private def currentVersion(root: java.nio.file.Path): Long =
+  private[graft] def currentVersion(root: java.nio.file.Path): Long =
     java.nio.file.Files.readString(root.resolve("_current")).trim.toLong
+
+  /** The foreachBatch body of [[streamUpsert]]: full-outer-merge one
+    * micro-batch of change rows into the current snapshot and commit the
+    * result as the next version (pointer flips last). Factored out so the
+    * restart-recovery spec can drive the SAME merge logic through a
+    * stop-mid-stream + resume-from-checkpoint cycle.
+    */
+  private[graft] def applyChangeBatch(
+      spark: SparkSession, snapRoot: java.nio.file.Path)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val v = currentVersion(snapRoot)
+    val cur = spark.read.parquet(snapRoot.resolve(s"v$v").toString)
+    val ch = batch
+      .withColumnRenamed("currencies", "u_currencies")
+      .withColumnRenamed("rate", "u_rate")
+    val merged = cur.join(ch, Seq("date"), "full_outer")
+      .select(
+        col("date"),
+        coalesce(col("u_currencies"), col("currencies")).as("currencies"),
+        coalesce(col("u_rate"), col("rate")).as("rate"))
+    merged.write.parquet(snapRoot.resolve(s"v${v + 1}").toString)
+    writePointer(snapRoot, v + 1) // commit: readers flip to v+1
+    ()
+  }
 
   /** X-STREAM-UPSERT: a stream of change rows applied to a keyed snapshot
     * with `foreachBatch` — per micro-batch, the current snapshot
@@ -71,21 +95,7 @@ object Cdc {
     val q = changes.writeStream
       .outputMode("append")
       .option("checkpointLocation", work.resolve("ckpt").toString)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val v = currentVersion(snapRoot)
-        val cur = spark.read.parquet(snapRoot.resolve(s"v$v").toString)
-        val ch = batch
-          .withColumnRenamed("currencies", "u_currencies")
-          .withColumnRenamed("rate", "u_rate")
-        val merged = cur.join(ch, Seq("date"), "full_outer")
-          .select(
-            col("date"),
-            coalesce(col("u_currencies"), col("currencies")).as("currencies"),
-            coalesce(col("u_rate"), col("rate")).as("rate"))
-        merged.write.parquet(snapRoot.resolve(s"v${v + 1}").toString)
-        writePointer(snapRoot, v + 1) // commit: readers flip to v+1
-        ()
-      }
+      .foreachBatch(applyChangeBatch(spark, snapRoot) _)
       .start()
     try q.processAllAvailable()
     finally q.stop()

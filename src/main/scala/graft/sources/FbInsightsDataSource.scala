@@ -259,9 +259,13 @@ case class FbInsightsScan(
   * control ([[org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl]])
   * caps each micro-batch at `maxDaysPerBatch` days — the connector's
   * `maxFilesPerTrigger`: at 100 TB a restart that finds 2,000 unread days
-  * must not plan them as one giant batch. Pushed date filters still prune
-  * days BEFORE they enter an offset range, so a filtered stream never
-  * even admits days it would drop.
+  * must not plan them as one giant batch. `pushed` filters, when present,
+  * prune days BEFORE they enter an offset range — but note Spark's
+  * micro-batch planner builds the stream WITHOUT running filter pushdown
+  * (it is batch-only), so in practice the array is empty and a Spark-side
+  * date filter drops rows after the read; admission control is the
+  * operative streaming cap (observed empirically by the restart spec:
+  * offsets advance over the full listing even under a `.filter`).
   */
 class FbInsightsMicroBatchStream(
     path: String,

@@ -1253,6 +1253,137 @@ class GraftSpec extends AnyFunSuite {
     assert(remaining.filter(col("user_id") === victim).count() === 0)
   }
 
+  test("q_stream_sink recovery: killed between epochs, restart resumes from the checkpoint") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val fmt = classOf[graft.sources.FbInsightsDataSource].getName
+    val fullSrc = etl.FbInsightsSource.jsonlPath(spark, sf)
+    val days = new java.io.File(fullSrc).list().filter(_.startsWith("date=")).sorted
+    assert(days.length >= 4)
+    val (firstHalf, secondHalf) = days.splitAt(days.length / 2)
+    val work = Files.createTempDirectory("graft_sink_restart_")
+    val src = work.resolve("landing"); Files.createDirectories(src)
+    val dstTable = work.resolve("table").toString
+    val ckpt = work.resolve("ckpt").toString
+
+    def land(dayDirs: Array[String]): Unit = dayDirs.foreach { d =>
+      val from = Paths.get(fullSrc, d)
+      val to = src.resolve(d); Files.createDirectories(to)
+      val listing = Files.list(from)
+      try listing.iterator().asScala.foreach(f =>
+        Files.copy(f, to.resolve(f.getFileName.toString)))
+      finally listing.close()
+    }
+
+    def run(): Unit = {
+      val q = spark.readStream.format(fmt)
+        .option("path", src.toString).option("maxDaysPerBatch", 5000).load()
+        .writeStream.format(fmt)
+        .option("path", dstTable)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // phase 1: only the first half of the day-partitions has landed; the
+    // stream commits that epoch and is then KILLED (query stopped — the
+    // deterministic stand-in for a crash after an epoch commit)
+    land(firstHalf)
+    run()
+    val raw = etl.FbInsightsSource.raw(spark, sf)
+    val lastFirst = firstHalf.last.substring(5)
+    val expectedPrefix = raw.filter(col("date_start") <= lastFirst).count()
+    val total = raw.count()
+    val afterKill = spark.read.format(fmt).option("path", dstTable).load().count()
+    assert(afterKill === expectedPrefix, "first epoch must be all-or-nothing committed")
+    assert(afterKill < total, "the kill must leave the stream mid-way")
+
+    // phase 2: the second half lands while the query is down (the
+    // append-only landing-zone contract — new days sort after consumed
+    // ones); a NEW query restarts from the SAME checkpoint. The day-index
+    // offset must resume past the committed prefix (its recorded last-day
+    // name validates the listing) and must NOT re-append committed epochs:
+    // the final read-back equals the batch source exactly.
+    land(secondHalf)
+    run()
+    val back = spark.read.format(fmt).option("path", dstTable).load()
+      .select(raw.columns.map(col).toIndexedSeq: _*)
+    // ad_id is NOT unique in the fixture (synthetic lineitem repeats some
+    // (orderkey, linenumber) pairs), so no column sort is total — compare
+    // as a canonically sorted multiset of full-row renderings
+    def canon(df: DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val (got, want) = (canon(back), canon(raw))
+    val missing = want.diff(got)
+    val extra = got.diff(want)
+    assert(missing.isEmpty && extra.isEmpty,
+      s"${missing.size} missing, ${extra.size} extra " +
+        s"(e.g. ${(missing ++ extra).take(1)})")
+    graft.streaming.Drain.deleteRecursively(work)
+  }
+
+  test("x_stream_upsert recovery: stop/restart resumes versions without re-applying batches") {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val work = Files.createTempDirectory("graft_upsert_restart_")
+    val snapRoot = work.resolve("snap"); Files.createDirectories(snapRoot)
+    val base = etl.RatesSource.rates(spark, sf)
+    base.write.parquet(snapRoot.resolve("v0").toString)
+    etl.Cdc.writePointer(snapRoot, 0L)
+    val chDir = work.resolve("changes"); Files.createDirectories(chDir)
+
+    def stage(df: DataFrame, name: String): Unit = {
+      val tmp = work.resolve(s"stage_$name")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part =
+        try listing.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+        finally listing.close()
+      Files.move(part, chDir.resolve(s"$name.parquet"))
+      graft.streaming.Drain.deleteRecursively(tmp)
+    }
+
+    def runOnce(): Unit = {
+      val changes = spark.readStream.schema(base.schema).parquet(chDir.toString)
+      val q = changes.writeStream.outputMode("append")
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .foreachBatch(etl.Cdc.applyChangeBatch(spark, snapRoot) _)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // q_merge's change set, staged as two separate file drops
+    val maxDate = base.agg(max("date")).head().getDate(0)
+    val updates = base.filter(dayofmonth(col("date")) % 3 === 0)
+      .select(col("date"), col("currencies"), (col("rate") + 0.5).as("rate"))
+    val inserts = spark.range(1, 6).select(
+      date_add(lit(maxDate), col("id").cast("int")).as("date"),
+      lit("USDUAH").as("currencies"),
+      (lit(30.0) + col("id").cast("double")).as("rate"))
+
+    stage(updates, "c1")
+    runOnce() // applies c1, then the query is killed
+    val v1 = etl.Cdc.currentVersion(snapRoot)
+    assert(v1 >= 1L, "first run must have committed at least one snapshot")
+
+    stage(inserts, "c2") // lands while the query is down
+    runOnce() // restart from the same checkpoint
+    val vFinal = etl.Cdc.currentVersion(snapRoot)
+    // exactly ONE new version: the checkpoint prevents re-application of
+    // the already-committed c1 batch (re-applying would mint extra
+    // versions even though this change set happens to be idempotent)
+    assert(vFinal === v1 + 1)
+    val got = spark.read.parquet(snapRoot.resolve(s"v$vFinal").toString)
+      .orderBy("date").collect().map(_.toSeq).toSeq
+    val want = queries.EtlQueries.qMerge(spark, sf)
+      .select("date", "currencies", "rate")
+      .orderBy("date").collect().map(_.toSeq).toSeq
+    assert(got === want)
+    graft.streaming.Drain.deleteRecursively(work)
+  }
+
   test("x_histogram: buckets clamp to [0,19], counts partition the non-null rows") {
     val hist = llm.Analytics.histogram(spark, sf).collect()
     assert(hist.nonEmpty)
