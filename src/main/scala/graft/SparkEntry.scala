@@ -106,6 +106,7 @@ object SparkEntry {
     "x_cms" -> (llm.TextAnalysis.cmsEstimates _),
     "x_pii" -> (llm.TextAnalysis.piiStats _),
     "x_text_norm" -> (llm.TextAnalysis.normalizeStats _),
+    "q_dsv2_sql" -> (EtlQueries.qDsv2Sql _),
     "x_histogram" -> (llm.Analytics.histogram _),
     "x_incr_agg" -> (llm.Analytics.incrementalAgg _),
     "x_overlap" -> (llm.Analytics.overlap _),
@@ -486,6 +487,10 @@ object SparkEntry {
     // streaming read → streaming write round trip through the connector
     // is lossless ⇒ same oracle
     "q_stream_sink" ->
+      s"""${fbCte}SELECT $flatCols FROM fb ORDER BY ad_id""",
+    // SQL-DDL round trip (CREATE TABLE / INSERT INTO / SELECT through the
+    // TableCatalog) is the same lossless write→read path ⇒ same oracle
+    "q_dsv2_sql" ->
       s"""${fbCte}SELECT $flatCols FROM fb ORDER BY ad_id""",
     // merged daily sketches must estimate the range distinct within 10%
     "x_hll_merge" ->

@@ -328,6 +328,35 @@ object EtlQueries {
     flatten(Normalize(back)).orderBy("ad_id")
   }
 
+  /** Q-DSV2-SQL: the connector driven through SQL DDL ALONE — the catalog
+    * half of the reference's BigQuery mapping (`CREATE TABLE`,
+    * main.py:63-76; `insert_rows_json`, main.py:81-91; queries read the
+    * table). A [[graft.sources.FbInsightsCatalog]] registered as `fbins`
+    * resolves `fbins.db.fb_sql` to a connector table; CREATE TABLE,
+    * INSERT INTO, and the read-back SELECT are all `spark.sql` — no
+    * `spark.read.format` anywhere on the path. The round trip must equal
+    * the batch load byte-for-byte (q_load_fb's oracle), proving the SQL
+    * face and the DataFrame face hit the same write/read machinery.
+    */
+  def qDsv2Sql(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = Sink.scratchPath(sfDir, "fbins_warehouse")
+    spark.conf.set("spark.sql.catalog.fbins",
+      classOf[graft.sources.FbInsightsCatalog].getName)
+    spark.conf.set("spark.sql.catalog.fbins.warehouse", wh)
+    val marker = java.nio.file.Paths.get(wh, "_GRAFT_DONE_fb_sql_v1")
+    if (!java.nio.file.Files.exists(marker)) {
+      Sink.dropUncommitted(s"$wh/db/fb_sql")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(wh))
+      spark.sql("DROP TABLE IF EXISTS fbins.db.fb_sql")
+      spark.sql(
+        s"CREATE TABLE fbins.db.fb_sql (${Schemas.fbInsightsRaw.toDDL}) USING fbinsights")
+      FbInsightsSource.raw(spark, sfDir).createOrReplaceTempView("fb_raw_src")
+      spark.sql("INSERT INTO fbins.db.fb_sql SELECT * FROM fb_raw_src")
+      java.nio.file.Files.createFile(marker)
+    }
+    flatten(Normalize(spark.sql("SELECT * FROM fbins.db.fb_sql"))).orderBy("ad_id")
+  }
+
   /** Q-STREAM-LOAD: the flagship load pipeline as a STREAM — the shape the
     * reference's per-day triggered batches (README.md Pub/Sub cadence)
     * take when the spool is continuous: `readStream` over the JSONL

@@ -1,0 +1,134 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.etl.Schemas
+
+/** The catalog face of the insights connector (the DDL half of the
+  * reference's BigQuery surface, main.py:44-78): a minimal `TableCatalog`
+  * so `CREATE TABLE`, `INSERT INTO`, `SELECT`, and `DROP TABLE` reach the
+  * DSv2 table through SQL alone — no `spark.read.format(...)` needed.
+  *
+  * Register with
+  * `spark.sql.catalog.<name> = graft.sources.FbInsightsCatalog` and
+  * `spark.sql.catalog.<name>.warehouse = <dir>`; a table named
+  * `<name>.<ns>.<tbl>` then lives at `<warehouse>/<ns>/<tbl>` unless its
+  * CREATE carried an explicit `LOCATION` (kept in an in-JVM registry —
+  * the catalog is directory-derived and otherwise stateless, exactly like
+  * the landing zone itself; external locations re-resolve per JVM, the
+  * same lifetime the scratch fixture tables have).
+  *
+  * The table schema is the connector's fixed insights schema — a declared
+  * schema must match it (the reference enforces its declared BigQuery
+  * schema the same way, main.py:63-76).
+  */
+class FbInsightsCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+  private val locations =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null,
+      s"catalog $name requires spark.sql.catalog.$name.warehouse")
+  }
+
+  override def name(): String = catalogName
+
+  private def key(ident: Identifier): String =
+    (ident.namespace :+ ident.name).mkString("/")
+
+  /** Spark normalizes `LOCATION` clauses to URIs (`file:/tmp/x`); resolve
+    * them back to filesystem paths — `Paths.get("file:/x")` would treat
+    * the scheme as a RELATIVE directory literally named `file:` and
+    * silently write the table under the process cwd.
+    */
+  private def fsPath(s: String): String =
+    try {
+      val u = new java.net.URI(s)
+      if (u.getScheme == null || u.getScheme == "file") {
+        if (u.getPath == null || u.getPath.isEmpty) s else u.getPath
+      } else {
+        throw new IllegalArgumentException(
+          s"fb-insights catalog supports local file locations only, got $s")
+      }
+    } catch { case _: java.net.URISyntaxException => s }
+
+  private def pathFor(ident: Identifier): String =
+    Option(locations.get(key(ident))).getOrElse(s"$warehouse/${key(ident)}")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new java.io.File((warehouse +: namespace).mkString("/"))
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .map(f => Identifier.of(namespace, f.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    new java.io.File(pathFor(ident)).isDirectory
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = pathFor(ident)
+    if (!new java.io.File(p).isDirectory) throw new NoSuchTableException(ident)
+    new FbInsightsTable(p)
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    // the connector's schema is fixed: accept a blank declaration (CTAS /
+    // LOCATION-only) or a structural match (catalogString ignores the
+    // nullability flags SQL parsing defaults differently), reject
+    // anything else loudly
+    require(schema.isEmpty ||
+        schema.catalogString == Schemas.fbInsightsRaw.catalogString,
+      s"fb-insights tables have the fixed insights schema; got ${schema.toDDL}")
+    require(partitions.isEmpty,
+      "fb-insights tables are always day-partitioned by date_start; " +
+        "explicit PARTITIONED BY is not supported")
+    val p = Option(properties.get(TableCatalog.PROP_LOCATION))
+      .map(fsPath)
+      .getOrElse(s"$warehouse/${key(ident)}")
+    locations.put(key(ident), p)
+    Files.createDirectories(Paths.get(p))
+    new FbInsightsTable(p)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "fb-insights tables have a fixed schema; ALTER TABLE is not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = Paths.get(pathFor(ident))
+    locations.remove(key(ident))
+    if (!Files.isDirectory(p)) false
+    else {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      true
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val to = Paths.get(pathFor(newIdent))
+    Files.createDirectories(to.getParent)
+    Files.move(Paths.get(pathFor(oldIdent)), to)
+    locations.remove(key(oldIdent))
+    ()
+  }
+}

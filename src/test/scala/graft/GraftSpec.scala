@@ -1384,6 +1384,48 @@ class GraftSpec extends AnyFunSuite {
     graft.streaming.Drain.deleteRecursively(work)
   }
 
+  test("fbins catalog: SQL DDL drives the connector (create/insert/select/list/drop)") {
+    import java.nio.file.Files
+    val wh = Files.createTempDirectory("graft_fbins_wh_").toString
+    spark.conf.set("spark.sql.catalog.fbins_t",
+      classOf[graft.sources.FbInsightsCatalog].getName)
+    spark.conf.set("spark.sql.catalog.fbins_t.warehouse", wh)
+    val ddl = etl.Schemas.fbInsightsRaw.toDDL
+
+    // managed table at the warehouse-derived path
+    spark.sql(s"CREATE TABLE fbins_t.db.managed ($ddl) USING fbinsights")
+    assert(new java.io.File(s"$wh/db/managed").isDirectory)
+    // external table at an explicit LOCATION
+    val loc = Files.createTempDirectory("graft_fbins_loc_").toString
+    spark.sql(s"CREATE TABLE fbins_t.db.ext ($ddl) USING fbinsights LOCATION '$loc'")
+
+    // INSERT through SQL lands day-partitions at the external location;
+    // SELECT through SQL reads them back losslessly
+    etl.FbInsightsSource.raw(spark, sf).createOrReplaceTempView("fb_cat_src")
+    val n = spark.table("fb_cat_src").count()
+    spark.sql("INSERT INTO fbins_t.db.ext SELECT * FROM fb_cat_src")
+    assert(new java.io.File(loc).list().exists(_.startsWith("date=")))
+    assert(spark.sql("SELECT * FROM fbins_t.db.ext").count() === n)
+
+    // listing is warehouse-derived: the managed table shows, and SHOW
+    // TABLES goes through the catalog plugin
+    val listed = spark.sql("SHOW TABLES IN fbins_t.db")
+      .select("tableName").collect().map(_.getString(0)).toSet
+    assert(listed.contains("managed"))
+
+    // declared schemas must match the connector's fixed insights schema
+    val err = intercept[Exception] {
+      spark.sql("CREATE TABLE fbins_t.db.bad (x INT) USING fbinsights")
+    }
+    assert(err.getMessage.contains("fixed insights schema"))
+
+    // DROP removes the directory
+    spark.sql("DROP TABLE fbins_t.db.managed")
+    assert(!new java.io.File(s"$wh/db/managed").exists())
+    spark.sql("DROP TABLE fbins_t.db.ext")
+    graft.streaming.Drain.deleteRecursively(java.nio.file.Paths.get(wh))
+  }
+
   test("x_histogram: buckets clamp to [0,19], counts partition the non-null rows") {
     val hist = llm.Analytics.histogram(spark, sf).collect()
     assert(hist.nonEmpty)
