@@ -83,4 +83,37 @@ object Sink {
     val key = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     s"${System.getProperty("java.io.tmpdir")}/graft_warehouse/$key/$table"
   }
+
+  /** Target output-file size for table-maintenance rewrites (compaction,
+    * z-order) — the OPTIMIZE knob. 128 MB: big enough that file-open and
+    * footer overhead amortizes, small enough that one file is a sane task
+    * and row-group stats stay selective.
+    */
+  val TargetFileBytes: Long = 128L * 1024 * 1024
+
+  /** Total data bytes under `path` (recursive; skips `_`/`.` metadata
+    * files) — the input-size side of size-targeted rewrites. A listing,
+    * not a scan: at 100 TB this is the manifest's summed file sizes.
+    */
+  def dataBytes(path: String): Long = {
+    val root = Paths.get(path)
+    if (!Files.exists(root)) 0L
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = Files.walk(root)
+      try s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        .map(Files.size)
+        .sum
+      finally s.close()
+    }
+  }
+
+  /** Partition count that lands output files near `targetBytes` for
+    * `bytes` of input — never 0, so empty/tiny inputs still write.
+    */
+  def sizedPartitions(bytes: Long, targetBytes: Long = TargetFileBytes): Int =
+    math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
 }

@@ -15,19 +15,30 @@ object StreamingOps {
 
   private val runs = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** Stage `events.parquet` into a fresh temp landing zone, `copies`
-    * times (each copy a distinct file — the at-least-once delivery the
-    * reference's append-only sink produces on retry, main.py:81-91).
-    * Returns (workDir, srcDir).
+  /** Stage `events.parquet` into a landing zone, `copies` times (each
+    * copy a distinct file — the at-least-once delivery the reference's
+    * append-only sink produces on retry, main.py:81-91). The staging is
+    * deterministic per (sfDir, tag), so it lives in marker-gated scratch:
+    * repeated runs (bench passes) reuse the files instead of re-copying
+    * the fixture every time. The per-run `work` dir holds only the
+    * checkpoint and sink — those MUST stay fresh (a reused checkpoint
+    * would drain nothing on later runs). Returns (workDir, srcDir).
     */
   private def stage(sfDir: String, tag: String, copies: Int): (java.nio.file.Path, java.nio.file.Path) = {
     val work = java.nio.file.Files.createTempDirectory(
       "graft_" + tag + "_" + runs.incrementAndGet() + "_")
-    val srcDir = work.resolve("in"); java.nio.file.Files.createDirectories(srcDir)
-    (1 to copies).foreach { i =>
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(sfDir, "events.parquet"),
-        srcDir.resolve(s"events_$i.parquet"))
+    val srcDirS = graft.etl.Sink.scratchPath(sfDir, s"events_stream_$tag")
+    val srcDir = java.nio.file.Paths.get(srcDirS)
+    val marker = srcDir.resolve("_GRAFT_OK_v1")
+    if (!java.nio.file.Files.exists(marker)) {
+      graft.etl.Sink.dropUncommitted(srcDirS)
+      java.nio.file.Files.createDirectories(srcDir)
+      (1 to copies).foreach { i =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(sfDir, "events.parquet"),
+          srcDir.resolve(s"events_$i.parquet"))
+      }
+      java.nio.file.Files.createFile(marker)
     }
     (work, srcDir)
   }
@@ -58,8 +69,8 @@ object StreamingOps {
     val deduped = eventStream(spark, sfDir, srcDir)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
-    graft.streaming.Drain.toParquet(deduped, work, alsoDelete = Seq(srcDir),
-      shufflePartitions = Some(8))
+    // srcDir is shared scratch staging — it outlives this run
+    graft.streaming.Drain.toParquet(deduped, work, shufflePartitions = Some(8))
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),
@@ -98,8 +109,8 @@ object StreamingOps {
       col("p_user") === col("s_user") &&
         col("purchase_ts") >= col("signup_ts") &&
         col("purchase_ts") <= col("signup_ts") + expr(s"interval $AttributionWindow"))
-    graft.streaming.Drain.toParquet(joined, work, alsoDelete = Seq(srcDir),
-      shufflePartitions = Some(8))
+    // srcDir is shared scratch staging — it outlives this run
+    graft.streaming.Drain.toParquet(joined, work, shufflePartitions = Some(8))
       .groupBy(col("purchase_ts").cast("date").as("day"))
       .agg(
         count(lit(1)).as("n_attributed"),

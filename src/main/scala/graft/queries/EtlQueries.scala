@@ -473,27 +473,20 @@ object EtlQueries {
     * writer; BigQuery auto-compacts behind the scenes — an open-format
     * lake must do it itself). The day-partitioned fb_stat layout
     * (~2.4k one-file days at sf0.1) is rewritten into a MONTH-partitioned
-    * layout, `repartition(month)` first so each shuffle task writes
-    * exactly the months it owns — ~80 well-sized files, a ~30× file-count
-    * reduction (spec-asserted). At 100 TB the same plan compacts to a
-    * target file size by repartitioning on (partition, file-group) keys;
-    * the scan-side win is the same: file-open and listing overhead drops
-    * by the compaction ratio. The oracle proves compaction is lossless:
-    * the per-month rollup of the compacted table equals the source's.
+    * layout sized to a TARGET FILE SIZE: the shuffle partition count is
+    * `input bytes / target` (`Sink.sizedPartitions`), range-partitioned
+    * on (month, date, ad_id) so each task writes one contiguous slice —
+    * at sf0.1 that is ~80 month files (~30× fewer, spec-asserted); at
+    * 100 TB the SAME formula yields thousands of ~128 MB files instead
+    * of one file per month (a month of a 100 TB table does not fit one
+    * writer). The scan-side win is the same either way: file-open and
+    * listing overhead drops by the compaction ratio. The oracle proves
+    * compaction is lossless: the per-month rollup of the compacted table
+    * equals the source's. File sizes landing near the target is
+    * spec-asserted at two scale factors via [[compactSized]].
     */
   def qCompact(spark: SparkSession, sfDir: String): DataFrame = {
-    fbStatTable(spark, sfDir) // ensure the day-partitioned source exists
-    val src = Sink.scratchPath(sfDir, "fb_stat")
-    val dst = Sink.scratchPath(sfDir, "fb_stat_monthly")
-    val marker = java.nio.file.Paths.get(dst, "_GRAFT_OK_v1")
-    if (!java.nio.file.Files.exists(marker)) {
-      Sink.dropUncommitted(dst)
-      spark.read.parquet(src)
-        .withColumn("month", date_format(col("date"), "yyyy-MM"))
-        .repartition(col("month"))
-        .write.partitionBy("month").mode("overwrite").parquet(dst)
-      java.nio.file.Files.createFile(marker)
-    }
+    val dst = compactSized(spark, sfDir, Sink.TargetFileBytes, "fb_stat_monthly")
     compactScanCache.getOrBuild(spark, sfDir) { spark.read.parquet(dst) }
       .groupBy("month")
       .agg(
@@ -501,6 +494,29 @@ object EtlQueries {
         sum("clicks").as("clicks"),
         decSum("spend").as("spend"))
       .orderBy("month")
+  }
+
+  /** Size-targeted compaction rewrite: day-partitioned fb_stat →
+    * month-partitioned copy whose shuffle width is derived from input
+    * bytes / `targetBytes`. Returns the destination path (marker-gated
+    * per (sfDir, table, target)).
+    */
+  private[graft] def compactSized(
+      spark: SparkSession, sfDir: String, targetBytes: Long, table: String): String = {
+    fbStatTable(spark, sfDir) // ensure the day-partitioned source exists
+    val src = Sink.scratchPath(sfDir, "fb_stat")
+    val dst = Sink.scratchPath(sfDir, table)
+    val marker = java.nio.file.Paths.get(dst, s"_GRAFT_OK_v2_t$targetBytes")
+    if (!java.nio.file.Files.exists(marker)) {
+      Sink.dropUncommitted(dst)
+      val n = Sink.sizedPartitions(Sink.dataBytes(src), targetBytes)
+      spark.read.parquet(src)
+        .withColumn("month", date_format(col("date"), "yyyy-MM"))
+        .repartitionByRange(n, col("month"), col("date"), col("ad_id"))
+        .write.partitionBy("month").mode("overwrite").parquet(dst)
+      java.nio.file.Files.createFile(marker)
+    }
+    dst
   }
 
   private val compactScanCache = new graft.Memo

@@ -173,9 +173,17 @@ object ScaleQueries {
     * write (range-shuffle on z, ~target-size files) is how Delta/Iceberg
     * OPTIMIZE ZORDER lays out petabyte fact tables.
     */
+  /** Floor on the z-layout's file count: size-targeting alone would
+    * collapse a small-SF fixture into ONE file, and a single z-file has
+    * no min/max ranges to skip — the layout needs enough z-ranges that
+    * skipping (and the delete path's file confinement) stays meaningful.
+    * At 100 TB `bytes/target` dominates and the floor is irrelevant.
+    */
+  val MinZFiles = 16
+
   def zorderLayout(spark: SparkSession, sfDir: String): String = {
     val dst = Sink.scratchPath(sfDir, "events_zorder")
-    val marker = java.nio.file.Paths.get(dst, "_GRAFT_OK_v2")
+    val marker = java.nio.file.Paths.get(dst, "_GRAFT_OK_v3")
     if (!java.nio.file.Files.exists(marker)) {
       Sink.dropUncommitted(dst)
       val ev = graft.Tables.events(spark, sfDir)
@@ -193,8 +201,12 @@ object ScaleQueries {
       require(2 * bits <= 62,
         s"z-order domain too wide: $bits bits/dim (dayspan=$dayspan, " +
           s"max user=${b.getLong(2)}) — interleave would overflow a long")
+      // file count from input bytes / target file size (with the z-range
+      // floor above) — the OPTIMIZE ZORDER sizing rule, not a constant
+      val n = math.max(MinZFiles,
+        Sink.sizedPartitions(Sink.dataBytes(s"$sfDir/events.parquet")))
       ev.withColumn("z", zvalue(datediff(col("day"), lit(dmin)), col("user_id"), bits))
-        .repartitionByRange(16, col("z"))
+        .repartitionByRange(n, col("z"))
         .sortWithinPartitions("z")
         .write.mode("overwrite").parquet(dst)
       java.nio.file.Files.createFile(marker)

@@ -1426,6 +1426,41 @@ class GraftSpec extends AnyFunSuite {
     graft.streaming.Drain.deleteRecursively(java.nio.file.Paths.get(wh))
   }
 
+  test("q_compact: size-targeted rewrite bounds file sizes by the target at two SFs") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val nBySf = for (sfd <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) yield {
+      val target = 64L * 1024
+      val srcBytes = etl.Sink.dataBytes(etl.Sink.scratchPath(sfd, "fb_stat"))
+      val dst = queries.EtlQueries.compactSized(spark, sfd, target, "fb_stat_sized_spec")
+      val walk = Files.walk(Paths.get(dst))
+      val sizes =
+        try walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && {
+            val n = p.getFileName.toString; !n.startsWith("_") && !n.startsWith(".")
+          })
+          .map(Files.size).toSeq
+        finally walk.close()
+      val n = etl.Sink.sizedPartitions(srcBytes, target)
+      assert(n > 1, s"target must bite at $sfd (srcBytes=$srcBytes)")
+      info(s"$sfd: srcBytes=$srcBytes n=$n files=${sizes.length} " +
+        s"median=${sizes.sorted.apply(sizes.length / 2)} max=${sizes.max}")
+      // the guarantee that matters at scale: NO file exceeds the target
+      // band (input-bytes sizing over-estimates re-encoded output — the
+      // tiny-file source is footer-dominated — so slices only come in
+      // UNDER target; at 100 TB input ≈ output and sizes converge on it)
+      assert(sizes.max <= 2 * target,
+        s"file of ${sizes.max} bytes blows the $target-byte target at $sfd")
+      // file count tracks the sized shuffle width: ~n range slices, each
+      // month boundary can split a slice across two month dirs
+      assert(sizes.length >= n / 2 && sizes.length <= 3 * n + 100,
+        s"file count ${sizes.length} far from sized n=$n at $sfd")
+      n
+    }
+    // the formula responds to input volume: 10x the data, more slices
+    assert(nBySf(1) > nBySf(0), s"sized n must grow with input bytes: $nBySf")
+  }
+
   test("x_histogram: buckets clamp to [0,19], counts partition the non-null rows") {
     val hist = llm.Analytics.histogram(spark, sf).collect()
     assert(hist.nonEmpty)
