@@ -421,6 +421,152 @@ object OracleLlm {
        |       CAST(sum(vec_id) AS BIGINT) AS sum_members
        |FROM asg GROUP BY cent_id ORDER BY cluster_id""".stripMargin
 
+  /** kmeansIter mirror: the full Lloyd loop in the same quantized domain
+    * as [[llm.Similarity.kmeansIter]]. `floor(x*1024)` is exact (power-of-
+    * two multiply, |q| ≪ 2^24 so FLOAT holds it exactly), quantized
+    * distances are exact integers far below 2^53, and each centroid mean
+    * is an exact integer sum, ONE division, and ONE round-to-nearest
+    * REAL cast — so every assignment, tie-break, and convergence count is
+    * bit-identical across engines.
+    */
+  private def lloydAssignCte(name: String, centRel: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, qe, cid AS cluster_id FROM (
+       |    SELECT e.vec_id, e.qe, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${sqdist("e.qe", "c.cv")}, c.cid) AS rn
+       |    FROM e, $centRel c) WHERE rn = 1)""".stripMargin
+
+  private def lloydUpdateCte(name: String, fromAssign: String): String =
+    s"""$name AS (
+       |  SELECT cluster_id AS cid, list(v ORDER BY dim) AS cv FROM (
+       |    SELECT cluster_id, dim,
+       |           CAST(sum(CAST(x AS DOUBLE)) / count(*) AS REAL) AS v FROM (
+       |      SELECT a.cluster_id, t.range AS dim,
+       |             a.qe[CAST(t.range AS INT)] AS x
+       |      FROM $fromAssign a, range(1, 65) t)
+       |    GROUP BY cluster_id, dim)
+       |  GROUP BY cluster_id)""".stripMargin
+
+  /** The shared Lloyd chain: quantized corpus → seed centroids → three
+    * assignments with two centroid updates between (a1..a3) — the CTE
+    * backbone of both kmeansIterSql and semDedupSql.
+    */
+  private val lloydChainCtes: String =
+    s"""e AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS REAL)) AS qe
+       |  FROM embeddings),
+       |c1 AS (SELECT vec_id AS cid, qe AS cv FROM e
+       |       WHERE vec_id % ${llm.Similarity.CentroidStride} = 0),
+       |${lloydAssignCte("a1", "c1")},
+       |${lloydUpdateCte("c2", "a1")},
+       |${lloydAssignCte("a2", "c2")},
+       |${lloydUpdateCte("c3", "a2")},
+       |${lloydAssignCte("a3", "c3")}""".stripMargin
+
+  val kmeansIterSql: String = {
+    def summaryCte(name: String, iter: Int, cur: String, prev: Option[String]): String =
+      prev match {
+        case None =>
+          s"""$name AS (
+             |  SELECT CAST($iter AS INT) AS iter, cluster_id,
+             |         CAST(count(*) AS BIGINT) AS n_members,
+             |         CAST(min(vec_id) AS BIGINT) AS min_member,
+             |         CAST(sum(vec_id) AS BIGINT) AS sum_members,
+             |         CAST(count(*) AS BIGINT) AS n_moved
+             |  FROM $cur GROUP BY cluster_id)""".stripMargin
+        case Some(p) =>
+          s"""$name AS (
+             |  SELECT CAST($iter AS INT) AS iter, a.cluster_id,
+             |         CAST(count(*) AS BIGINT) AS n_members,
+             |         CAST(min(a.vec_id) AS BIGINT) AS min_member,
+             |         CAST(sum(a.vec_id) AS BIGINT) AS sum_members,
+             |         CAST(sum(CASE WHEN a.cluster_id <> p.cluster_id
+             |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+             |  FROM $cur a JOIN $p p ON a.vec_id = p.vec_id
+             |  GROUP BY a.cluster_id)""".stripMargin
+      }
+    s"""WITH $lloydChainCtes,
+       |${summaryCte("s1", 1, "a1", None)},
+       |${summaryCte("s2", 2, "a2", Some("a1"))},
+       |${summaryCte("s3", 3, "a3", Some("a2"))}
+       |SELECT * FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+       |               UNION ALL SELECT * FROM s3)
+       |ORDER BY iter, cluster_id""".stripMargin
+  }
+
+  /** semanticDedup mirror: the same Lloyd chain, then within-cluster
+    * cosine pairs over the quantized vectors (integer-exact dots,
+    * correctly-rounded sqrt norms) and the greedy min-id-keeper profile.
+    * Zero-norm vectors are excluded from pairing exactly as in Spark.
+    */
+  val semDedupSql: String =
+    s"""WITH $lloydChainCtes,
+       |nz AS (
+       |  SELECT cluster_id, vec_id, qe,
+       |         sqrt(list_sum(list_transform(qe,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM a3 WHERE list_sum(list_transform(qe,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+       |p AS (
+       |  SELECT * FROM (
+       |    SELECT a.cluster_id, a.vec_id AS id_a, b.vec_id AS id_b,
+       |           ${cosine("a.qe", "a.nrm", "b.qe", "b.nrm")} AS cosine
+       |    FROM nz a JOIN nz b ON a.cluster_id = b.cluster_id
+       |                       AND a.vec_id < b.vec_id)
+       |  WHERE cosine >= ${llm.Similarity.SemDedupThreshold}),
+       |ps AS (SELECT cluster_id, count(*) AS n_pairs FROM p GROUP BY 1),
+       |dr AS (SELECT cluster_id, count(*) AS n_dropped, sum(id_b) AS sum_dropped
+       |       FROM (SELECT DISTINCT cluster_id, id_b FROM p) GROUP BY 1),
+       |mm AS (SELECT cluster_id, count(*) AS n_members FROM a3 GROUP BY 1)
+       |SELECT mm.cluster_id,
+       |       CAST(mm.n_members AS BIGINT) AS n_members,
+       |       CAST(coalesce(ps.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |       CAST(coalesce(dr.n_dropped, 0) AS BIGINT) AS n_dropped,
+       |       CAST(mm.n_members - coalesce(dr.n_dropped, 0) AS BIGINT) AS n_kept,
+       |       CAST(coalesce(dr.sum_dropped, 0) AS BIGINT) AS sum_dropped
+       |FROM mm LEFT JOIN ps ON mm.cluster_id = ps.cluster_id
+       |        LEFT JOIN dr ON mm.cluster_id = dr.cluster_id
+       |ORDER BY mm.cluster_id""".stripMargin
+
+  /** bm25 mirror: same whitespace tokens, same rational idf, same BM25
+    * constants interpolated from the same Scala doubles (round-tripping
+    * toString → identical bits), per-document term sum folded in token
+    * order on both engines.
+    */
+  val bm25Sql: String = {
+    import llm.TextAnalysis.{Bm25B, Bm25K1, Bm25QueryTerms, Bm25TopK}
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+       |           x -> x <> '')) AS token
+       |  FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*) AS dlen FROM t GROUP BY 1),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |st AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n_docs,
+       |              (SELECT CAST(count(*) AS DOUBLE) FROM t)
+       |                / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS avgdl),
+       |qt AS (SELECT token FROM (SELECT token, count(*) AS gtf FROM t GROUP BY 1)
+       |       ORDER BY gtf DESC, token LIMIT $Bm25QueryTerms),
+       |s AS (
+       |  SELECT tf.doc_id, dl.dlen, tf.token,
+       |         ((st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+       |         ((tf.tf * ${Bm25K1 + 1}) /
+       |           (tf.tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * (dl.dlen / st.avgdl)))) AS s
+       |  FROM tf JOIN qt USING (token) JOIN df USING (token)
+       |          JOIN dl USING (doc_id), st),
+       |a AS (
+       |  SELECT doc_id, dlen, count(*) AS n_terms,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list(s ORDER BY token)), (acc, x) -> acc + x) AS score
+       |  FROM s GROUP BY doc_id, dlen)
+       |SELECT doc_id, CAST(dlen AS BIGINT) AS dlen,
+       |       CAST(n_terms AS BIGINT) AS n_terms, round(score, 6) AS score
+       |FROM a ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+  }
+
   val simIvfSql: String =
     s"""WITH $simBaseCtes,
        |cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn FROM c

@@ -110,6 +110,10 @@ object SparkEntry {
     "x_histogram" -> (llm.Analytics.histogram _),
     "x_incr_agg" -> (llm.Analytics.incrementalAgg _),
     "x_overlap" -> (llm.Analytics.overlap _),
+    "x_kmeans_iter" -> (llm.Similarity.kmeansIter _),
+    "x_semdedup" -> (llm.Similarity.semanticDedup _),
+    "x_bm25" -> (llm.TextAnalysis.bm25 _),
+    "x_anomaly" -> (llm.Analytics.anomaly _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -775,6 +779,9 @@ object SparkEntry {
     "x_graph_degree" -> OracleLlm.degreesSql,
     "x_cms" -> OracleLlm.cmsSql,
     "x_kmeans" -> OracleLlm.kmeansSql,
+    "x_kmeans_iter" -> OracleLlm.kmeansIterSql,
+    "x_semdedup" -> OracleLlm.semDedupSql,
+    "x_bm25" -> OracleLlm.bm25Sql,
     // floor(x*1024) quantization is exact (power-of-two multiply), so
     // the whole centroid aggregate is integer arithmetic on both sides
     "x_vec_avg" ->
@@ -950,6 +957,34 @@ object SparkEntry {
         |FROM inter JOIN sizes sa ON sa.event_type = type_a
         |           JOIN sizes sb ON sb.event_type = type_b
         |ORDER BY type_a, type_b""".stripMargin,
+    // z-score anomaly bands: moments come from EXACT decimal sums (square
+    // multiplied in the decimal domain), so mean/sd are the same one-op
+    // IEEE chains on both sides and the 3-sigma predicate cannot drift
+    "x_anomaly" ->
+      s"""WITH v AS (
+         |  SELECT event_type, value FROM events
+         |  WHERE value IS NOT NULL AND NOT isnan(value)),
+         |m AS (
+         |  SELECT event_type, count(*) AS n,
+         |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+         |         CAST(sum(CAST(value AS DECIMAL(18,2))
+         |                  * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ssq
+         |  FROM v GROUP BY 1),
+         |b AS (
+         |  SELECT event_type, n, s / n AS mean,
+         |         sqrt(greatest(ssq / n - (s / n) * (s / n), 0.0)) AS sd
+         |  FROM m)
+         |SELECT v.event_type, CAST(b.n AS BIGINT) AS n, b.mean, b.sd,
+         |       CAST(sum(CASE WHEN abs(v.value - b.mean)
+         |                          > ${llm.Analytics.AnomalySigmas} * b.sd
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         |       CAST(sum(CASE WHEN abs(v.value - b.mean)
+         |                          > ${llm.Analytics.AnomalySigmas} * b.sd
+         |                     THEN CAST(v.value AS DECIMAL(18,2))
+         |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS outlier_sum
+         |FROM v JOIN b USING (event_type)
+         |GROUP BY v.event_type, b.n, b.mean, b.sd
+         |ORDER BY v.event_type""".stripMargin,
     // get_currency attribute surface + the yesterday-default branch
     // (S-SUBD): "today" is injected as max(o_orderdate)+1 on both sides
     "q_trigger_date" ->

@@ -67,12 +67,27 @@ object Sink {
 
   /** Remove a table directory that has no commit marker — the rerun-after-
     * crash path: an uncommitted half-load must not be appended onto.
+    * Best-effort under concurrency: another engine process sharing the
+    * scratch warehouse can recreate entries between the walk and the
+    * delete (deepest-first delete then hits a repopulated directory) —
+    * retry the sweep once and otherwise leave survivors to that writer's
+    * own marker-gated cleanup instead of failing this loader.
     */
   def dropUncommitted(path: String): Unit = {
     val root = Paths.get(path)
     if (Files.exists(root)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      def sweep(): Boolean =
+        try {
+          Files.walk(root).iterator().asScala.toSeq.reverse
+            .foreach(p => Files.deleteIfExists(p))
+          true
+        } catch {
+          case _: java.nio.file.DirectoryNotEmptyException => false
+          case _: java.nio.file.NoSuchFileException => false
+          case _: java.io.UncheckedIOException => false
+        }
+      if (!sweep()) sweep()
     }
   }
 

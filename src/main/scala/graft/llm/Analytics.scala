@@ -98,6 +98,49 @@ object Analytics {
       .orderBy("day", "event_type")
   }
 
+  /** Z-score multiplier for the anomaly band. */
+  val AnomalySigmas = 3.0
+
+  /** X-ANOMALY: per-type outlier profile — the data-health pass that
+    * flags value anomalies before they poison training statistics. Two
+    * narrow passes over the facts: (1) per-type moments from EXACT
+    * DECIMAL sums (sum and sum-of-squares are exact, so mean and
+    * variance are each ONE IEEE division/multiply chain — bit-identical
+    * in the oracle); (2) the 5-row moment table broadcasts back onto the
+    * facts and each row tests |value − mean| > 3σ map-side. The shuffle
+    * carries per-type counters only. Variance is clamped at zero before
+    * sqrt (float cancellation on near-constant data would otherwise
+    * produce NaN bands — deterministically on both engines, but a NaN
+    * band silently flags nothing). NULL/NaN values are excluded up front
+    * like [[histogram]].
+    */
+  def anomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val vals = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull && !isnan(col("value")))
+      .select(col("event_type"), col("value"))
+    // squares multiply in the DECIMAL domain (2-decimal value × itself →
+    // exact 4-decimal product) so sum/ssq are both exact before the one
+    // double conversion — no double×double rounding reaches an aggregate
+    val dv = col("value").cast(DecimalType(18, 2))
+    val moments = vals.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(dv).cast("double").as("s"),
+        sum(dv * dv).cast("double").as("ssq"))
+      .select(col("event_type"), col("n"),
+        (col("s") / col("n")).as("mean"),
+        sqrt(greatest(col("ssq") / col("n") - (col("s") / col("n")) * (col("s") / col("n")),
+          lit(0.0))).as("sd"))
+    vals.join(broadcast(moments), "event_type")
+      .select(col("event_type"), col("n"), col("mean"), col("sd"), col("value"),
+        (abs(col("value") - col("mean")) > lit(AnomalySigmas) * col("sd")).as("is_out"))
+      .groupBy("event_type", "n", "mean", "sd")
+      .agg(
+        sum(when(col("is_out"), lit(1L)).otherwise(lit(0L))).as("n_outliers"),
+        sum(when(col("is_out"), col("value").cast(DecimalType(18, 2)))
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double").as("outlier_sum"))
+      .orderBy("event_type")
+  }
+
   /** X-OVERLAP: audience overlap matrix — |users(a) ∩ users(b)| and
     * Jaccard for every event_type pair, the cross-source contamination /
     * co-occurrence profile. Scale shape: one distinct over (user_id,

@@ -134,7 +134,7 @@ object Events {
     val rawSchema = raw.schema
     val work = java.nio.file.Files.createTempDirectory(
       "graft_stream_daily_" + streamRuns.incrementAndGet() + "_")
-    val maxTs = raw.agg(max("ts")).head.getLong(0)
+    val maxTs = raw.agg(max("ts")).head().getLong(0)
     // staged landing zone (fixture copy + sentinel) is deterministic per
     // sfDir — marker-gate it in scratch so repeated runs (bench passes)
     // pay only the stream, not a fresh copy each time. The checkpoint and
@@ -219,7 +219,7 @@ object Events {
       // not part of any query path. A live stream needs no staging at all
       // (arrival order is the chunk order), so nothing like this exists at
       // 100 TB.
-      val maxTs = raw.agg(max("ts")).head.getLong(0)
+      val maxTs = raw.agg(max("ts")).head().getLong(0)
       val chunked = raw.withColumn("chunk",
         ntile(4).over(org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")))
       def stage(df: org.apache.spark.sql.DataFrame, name: String, mtimeSec: Long): Unit = {

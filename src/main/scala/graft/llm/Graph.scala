@@ -55,7 +55,7 @@ object Graph {
     def checkpointTracked(df: DataFrame): DataFrame = {
       val before = sc.getPersistentRDDs.keySet
       val out = df.localCheckpoint(true)
-      val fresh = (sc.getPersistentRDDs.keySet -- before).toSet
+      val fresh = sc.getPersistentRDDs.keySet.toSet.diff(before.toSet)
       prevCkptIds.foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       prevCkptIds = fresh

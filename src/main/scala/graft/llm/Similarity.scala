@@ -239,6 +239,186 @@ object Similarity {
         max("s").as("max_dim_sum"))
       .orderBy("label")
 
+  // ---- full Lloyd iteration (X-KMEANS-ITER) ---------------------------
+
+  private val kmCache = new graft.Memo
+
+  /** Lloyd iterations run by [[kmeansIter]]. */
+  val KmeansIters = 3
+
+  /** The corpus with every component quantized `floor(x * 1024)` and kept
+    * as an integer-valued FLOAT (exact: |q| ≪ 2^24), so the [[sqDist]]
+    * kernel applies unchanged. Multiplying by 2^10 is exact in binary
+    * floating point, and sums of the integer values are exact (and
+    * therefore ORDER-INDEPENDENT) far past this corpus size — which is
+    * what makes the centroid-update means engine-reproducible: each mean
+    * is an exact integer sum, ONE IEEE division, and ONE round-to-nearest
+    * float cast. Memoized + cached: three assignment passes and two
+    * update passes share it.
+    */
+  private def quantCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    kmCache.getOrBuild(spark, s"$sfDir#qe", cache = true) {
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1024).cast("float")).as("qe"))
+    }
+
+  /** X-KMEANS-ITER: the REAL clustering pass — [[KmeansIters]] full Lloyd
+    * iterations composing the assign step ([[kmeansAssign]]'s shape) with
+    * the update step ([[labelCentroids]]'s shape), the loop semantic-dedup
+    * and corpus-curation actually run. Per iteration:
+    *
+    *  - ASSIGN: the k centroids collapse into ONE broadcast row; each
+    *    vector folds its argmin cell map-side (ties → min centroid id).
+    *    No n×k shuffle ever materializes — identical scale shape to IVF.
+    *  - UPDATE: posexplode → partial+final hash agg keyed (cluster, dim) —
+    *    the shuffle carries 64 partial sums per cluster per map partition,
+    *    never raw vectors — then a tiny per-cluster fold rebuilds the
+    *    centroid array. Cluster labels (the seed vector ids) are stable
+    *    across iterations; a cluster that empties simply drops out.
+    *
+    * Each iteration's assignment is memoized + cached (the MLlib persist-
+    * per-iteration pattern): iteration t+1's centroids AND iteration t's
+    * convergence join both read assignment t once.
+    *
+    * All arithmetic lives in the quantized domain (see [[quantCorpus]]),
+    * so every centroid component, distance, and tie-break is bit-identical
+    * in the DuckDB oracle. Output is integer-exact per (iteration,
+    * cluster): member count, min/sum member-id checksums pinning the exact
+    * assignment, and `n_moved` — how many members arrived from a different
+    * cluster — the convergence metric (iteration 1 counts every member as
+    * moved).
+    */
+  def kmeansIter(spark: SparkSession, sfDir: String): DataFrame = {
+    val assigns = lloydAssignments(spark, sfDir)
+
+    def summarize(iter: Int, assigned: DataFrame, prev: Option[DataFrame]): DataFrame = {
+      val withMoved = prev match {
+        case None =>
+          assigned.select(col("vec_id"), col("cluster_id"), lit(true).as("moved"))
+        case Some(p) =>
+          assigned.join(p.select(col("vec_id"), col("cluster_id").as("prev_cluster")), "vec_id")
+            .select(col("vec_id"), col("cluster_id"),
+              (col("cluster_id") =!= col("prev_cluster")).as("moved"))
+      }
+      withMoved.groupBy("cluster_id")
+        .agg(
+          count(lit(1)).as("n_members"),
+          min("vec_id").as("min_member"),
+          sum("vec_id").as("sum_members"),
+          sum(when(col("moved"), lit(1L)).otherwise(lit(0L))).as("n_moved"))
+        .select(lit(iter).as("iter"), col("cluster_id"), col("n_members"),
+          col("min_member"), col("sum_members"), col("n_moved"))
+    }
+
+    (1 to KmeansIters)
+      .map(it => summarize(it, assigns(it - 1), if (it == 1) None else Some(assigns(it - 2))))
+      .reduce(_ unionAll _)
+      .orderBy("iter", "cluster_id")
+  }
+
+  /** The memoized+cached per-iteration assignments `(vec_id, qe,
+    * cluster_id)` of the Lloyd loop — iteration t+1's centroids, the
+    * convergence joins, AND downstream consumers ([[semanticDedup]]) all
+    * read each assignment once.
+    */
+  private def lloydAssignments(spark: SparkSession, sfDir: String): IndexedSeq[DataFrame] = {
+    val e = quantCorpus(spark, sfDir)
+
+    def assign(cents: DataFrame): DataFrame = {
+      val centArr = cents.agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+      val dists = transform(col("cents"), x =>
+        struct(sqDist(col("qe"), x("cv")).as("s"), x("cid").as("cid")))
+      val nearest = aggregate(col("ds"),
+        struct(lit(Double.MaxValue).as("s"), lit(Long.MaxValue).as("cid")),
+        (acc, x) =>
+          when(x("s") < acc("s") || (x("s") === acc("s") && x("cid") < acc("cid")), x)
+            .otherwise(acc))
+      e.join(broadcast(centArr))
+        .select(col("vec_id"), col("qe"), dists.as("ds"))
+        .select(col("vec_id"), col("qe"), nearest("cid").as("cluster_id"))
+    }
+
+    // mean per (cluster, dim): exact integer sum, ONE division, one
+    // round-to-nearest float cast — then the 64 dims fold back into an
+    // array ordered by dim
+    def update(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cluster_id"), posexplode(col("qe")).as(Seq("dim", "x")))
+        .groupBy("cluster_id", "dim")
+        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .select(col("cluster_id"), col("dim"), (col("s") / col("n")).cast("float").as("v"))
+        .groupBy("cluster_id")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("v")))),
+          x => x("v")).as("cv"))
+        .select(col("cluster_id").as("cid"), col("cv"))
+
+    val assigns = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    (1 to KmeansIters).foreach { it =>
+      val a = kmCache.getOrBuild(spark, s"$sfDir#assign$it", cache = true) {
+        val cents =
+          if (it == 1)
+            e.filter(col("vec_id") % CentroidStride === 0)
+              .select(col("vec_id").as("cid"), col("qe").as("cv"))
+          else update(assigns(it - 2))
+        assign(cents)
+      }
+      assigns += a
+    }
+    assigns.toIndexedSeq
+  }
+
+  /** Cosine threshold for a semantic duplicate — shared with the LSH
+    * embedding-dedup path ([[graft.queries.ScaleQueries.DupThreshold]])
+    * so the two strategies are directly comparable.
+    */
+  def SemDedupThreshold: Double = graft.queries.ScaleQueries.DupThreshold
+
+  /** X-SEMDEDUP: semantic deduplication (the SemDeDup recipe): cluster
+    * the corpus with the full Lloyd loop ([[kmeansIter]]'s final
+    * assignment, memoized — clustering runs ONCE for both operators),
+    * then find cosine-near pairs ONLY within each final cluster and drop
+    * the higher-id member of every qualifying pair (greedy min-id
+    * keeper, same rule as the text dedup pipeline). Scale shape: the
+    * pair join is an EQUI-join on cluster_id — per-cluster quadratic
+    * work bounded by cluster size (k scales with the corpus, so cluster
+    * size stays ~CentroidStride), never the corpus-wide O(n²); zero-norm
+    * vectors are excluded from pairing on both engines (a NaN cosine
+    * would pass DuckDB's total-order `>=` but fail Spark's — exclusion
+    * keeps the predicate engine-identical).
+    *
+    * Cosines are computed over the SAME quantized vectors the clusters
+    * were built from: integer-exact dots, correctly-rounded sqrt norms,
+    * one multiply + one divide — bit-identical in the oracle. Output is
+    * the integer-exact per-cluster dedup profile (pair count, dropped
+    * count + id checksum, survivors).
+    */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val a3 = lloydAssignments(spark, sfDir).last
+    val nz = a3.select(col("cluster_id"), col("vec_id"), col("qe"), norm(col("qe")).as("nrm"))
+      .filter(col("nrm") > 0)
+    val pairs = nz.as("a").join(nz.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cluster_id").as("cluster_id"),
+        col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        (dot(col("a.qe"), col("b.qe")) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .filter(col("cosine") >= lit(SemDedupThreshold))
+    val pairStats = pairs.groupBy("cluster_id").agg(count(lit(1)).as("n_pairs"))
+    val dropped = pairs.select(col("cluster_id"), col("id_b")).distinct()
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_dropped"), sum("id_b").as("sum_dropped"))
+    a3.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+      .join(pairStats, Seq("cluster_id"), "left")
+      .join(dropped, Seq("cluster_id"), "left")
+      .select(col("cluster_id"), col("n_members"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_members") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"),
+        coalesce(col("sum_dropped"), lit(0L)).as("sum_dropped"))
+      .orderBy("cluster_id")
+  }
+
   /** IVF ANN: a deterministic "training sample" of the corpus acts as the
     * centroid set (every [[CentroidStride]]-th vector). Assignment is
     * MAP-ONLY: the centroid set is folded per row from one broadcast

@@ -174,6 +174,71 @@ object TextAnalysis {
       .orderBy("source", "rank")
   }
 
+  // ---- X-BM25 ---------------------------------------------------------
+
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25QueryTerms = 5
+  val Bm25TopK = 20
+
+  /** X-BM25: full-text relevance ranking — the retrieval scorer behind
+    * corpus search and data-curation "find documents like this" passes.
+    * The query is self-derived and deterministic: the [[Bm25QueryTerms]]
+    * globally most frequent tokens (ties → token asc). Scoring uses the
+    * standard BM25 form with the all-rational idf `(N − df + 0.5) /
+    * (df + 0.5)` (no libm `ln`, same reasoning as [[tfidf]]) and length
+    * normalization `tf·(k1+1) / (tf + k1·(1 − b + b·dlen/avgdl))`.
+    *
+    * Determinism: every constant is interpolated from the same Scala
+    * double into the oracle SQL (Scala's `toString` round-trips, DuckDB
+    * parses to the identical bits); avgdl is an exact integer sum + ONE
+    * division; the per-document sum over matched query terms folds in
+    * token order on both engines (sorted collect vs `list(s ORDER BY
+    * token)`); and the checked score is rounded to 6 dp — the raw chain
+    * is ~15 IEEE ops and engines can differ in the final bit (the same
+    * display-rounding contract the cosine family uses).
+    *
+    * Scale shape: tf on (doc, token) is the only heavy shuffle and it
+    * carries counts, never text; the query-term and corpus-stats tables
+    * are one-row/5-row broadcasts; the final top-[[Bm25TopK]] is
+    * TakeOrderedAndProject (per-partition heads + driver merge of 20),
+    * never a global sort.
+    */
+  def bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dlen = tok.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      .crossJoin(tok.agg(count(lit(1)).cast("double").as("n_tokens")))
+      .select(col("n_docs"), (col("n_tokens") / col("n_docs")).as("avgdl"))
+    val query = tok.groupBy("token").agg(count(lit(1)).as("gtf"))
+      .orderBy(desc("gtf"), asc("token")).limit(Bm25QueryTerms)
+      .select("token")
+    val scored = tf.join(broadcast(query), "token")
+      .join(broadcast(df), "token")
+      .join(dlen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dlen"), col("token"),
+        (((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          ((col("tf") * lit(Bm25K1 + 1)) /
+            (col("tf") + lit(Bm25K1) *
+              (lit(1.0 - Bm25B) + lit(Bm25B) * (col("dlen") / col("avgdl"))))))
+          .as("s"))
+    scored.groupBy("doc_id", "dlen")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("token"), col("s")))), x => x("s")),
+          lit(0.0), _ + _).as("score"))
+      .orderBy(desc("score"), asc("doc_id")).limit(Bm25TopK)
+      // 6-dp display rounding, same as the cosine family: the score is a
+      // ~15-op double chain and engines may differ in the last bit
+      .select(col("doc_id"), col("dlen"), col("n_terms"),
+        round(col("score"), 6).as("score"))
+  }
+
   /** RE2/Java-compatible PII patterns (kept simple on purpose so both
     * engines agree): emails and a fixed-format phone shape.
     */

@@ -694,6 +694,78 @@ class GraftSpec extends AnyFunSuite {
       s"assignment must not shuffle an n*k cross product:\n${plan.take(3000)}")
   }
 
+  test("x_kmeans_iter: Lloyd loop partitions the corpus each iteration and converges") {
+    val rows = llm.Similarity.kmeansIter(spark, sf).collect()
+    val total = Tables.embeddings(spark, sf).count()
+    val byIter = rows.groupBy(_.getInt(0))
+    assert(byIter.keySet === (1 to llm.Similarity.KmeansIters).toSet)
+    byIter.foreach { case (it, rs) =>
+      assert(rs.map(_.getLong(2)).sum === total,
+        s"iteration $it must assign every vector exactly once")
+    }
+    // iteration 1 counts every member as newly arrived
+    byIter(1).foreach(r => assert(r.getLong(5) === r.getLong(2)))
+    // cluster labels are the seed vector ids, stable across iterations
+    val seeds = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % llm.Similarity.CentroidStride === 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(1)).toSet.subsetOf(seeds))
+    // the convergence metric: after the first real update step, most
+    // vectors keep their cluster (seed assignment is already near-optimal)
+    val moved = byIter.map { case (it, rs) => it -> rs.map(_.getLong(5)).sum }
+    assert(moved(2) < moved(1), s"iteration 2 must move fewer than all $total vectors")
+    // assignment folds over the one-row broadcast centroid array; the only
+    // other joins key on vec_id — nothing may plan a cartesian n*k product
+    val plan = llm.Similarity.kmeansIter(spark, sf).queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian n*k product in the Lloyd loop:\n${plan.take(3000)}")
+  }
+
+  test("x_semdedup: per-cluster dedup profile is internally consistent") {
+    val rows = llm.Similarity.semanticDedup(spark, sf).collect()
+    val total = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === total, "clusters partition the corpus")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1), "cannot drop more members than exist")
+      assert(r.getLong(4) === r.getLong(1) - r.getLong(3), "kept + dropped = members")
+      assert(r.getLong(2) >= r.getLong(3), "every dropped id implies >= 1 pair")
+    }
+    // pair generation is an equi-join on cluster_id, never corpus-wide n^2
+    val plan = llm.Similarity.semanticDedup(spark, sf).queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian pair join:\n${plan.take(3000)}")
+  }
+
+  test("x_bm25: top-k ranking is bounded, scored over at most the query terms") {
+    val rows = llm.TextAnalysis.bm25(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= llm.TextAnalysis.Bm25TopK)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= llm.TextAnalysis.Bm25QueryTerms,
+        "matched terms bounded by the query size")
+      assert(r.getLong(1) >= r.getLong(2), "doc length >= distinct matched terms")
+      assert(r.getDouble(3) > 0, "BM25 scores of matched docs are positive")
+    }
+    // the limit plans as TakeOrderedAndProject, not a global sort
+    val plan = llm.TextAnalysis.bm25(spark, sf).queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be take-ordered:\n${plan.take(2000)}")
+  }
+
+  test("x_anomaly: moments cover every non-null value; the 3-sigma band is sane") {
+    val rows = llm.Analytics.anomaly(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.events(spark, sf)
+      .filter(col("value").isNotNull && !isnan(col("value"))).count()
+    assert(rows.map(_.getLong(1)).sum === total, "every clean value in exactly one type")
+    rows.foreach { r =>
+      val (n, mean, sd, nOut) = (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
+      assert(!sd.isNaN && sd >= 0, "variance clamp keeps sd finite")
+      assert(nOut <= n, "outliers bounded by the population")
+      assert(nOut < n / 2 || n < 4, s"a 3-sigma band cannot flag half the data (type=${r.getString(0)})")
+      assert(!mean.isNaN)
+    }
+  }
+
   test("q_sql: the SQL surface plans to the same result as the DataFrame rollup") {
     val viaSql = queries.EtlQueries.qSql(spark, sf).collect().map(_.toSeq).toSeq
     val viaDf = queries.EtlQueries.qDaily(spark, sf).collect().map(_.toSeq).toSeq
