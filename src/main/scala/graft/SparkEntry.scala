@@ -114,6 +114,8 @@ object SparkEntry {
     "x_semdedup" -> (llm.Similarity.semanticDedup _),
     "x_bm25" -> (llm.TextAnalysis.bm25 _),
     "x_anomaly" -> (llm.Analytics.anomaly _),
+    "q_csv" -> (etl.CsvIngest.qCsv _),
+    "q_orc" -> (etl.OrcIngest.qOrc _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -985,6 +987,24 @@ object SparkEntry {
          |FROM v JOIN b USING (event_type)
          |GROUP BY v.event_type, b.n, b.mean, b.sd
          |ORDER BY v.event_type""".stripMargin,
+    // CSV load: the oracle reads the ORIGINAL parquet, so a green row
+    // proves the stage->write->read->parse CSV pipeline is lossless;
+    // the corrupt count is pinned to the injected constant
+    "q_csv" ->
+      s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         |       min(CAST(o_orderdate AS DATE)) AS min_day,
+         |       CAST(${etl.CsvIngest.CorruptLines} AS BIGINT) AS n_corrupt
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // ORC load: oracle reads the ORIGINAL parquet with the same filter —
+    // a green row proves the ORC round-trip lossless; the spec separately
+    // asserts the price predicate lands in the ORC scan's PushedFilters
+    "q_orc" ->
+      s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         |       max(CAST(o_orderdate AS DATE)) AS max_day
+         |FROM orders WHERE o_totalprice >= ${etl.OrcIngest.PriceFloor}
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // get_currency attribute surface + the yesterday-default branch
     // (S-SUBD): "today" is injected as max(o_orderdate)+1 on both sides
     "q_trigger_date" ->

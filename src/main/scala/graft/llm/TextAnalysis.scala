@@ -176,6 +176,8 @@ object TextAnalysis {
 
   // ---- X-BM25 ---------------------------------------------------------
 
+  private val bmCache = new graft.Memo
+
   val Bm25K1 = 1.2
   val Bm25B = 0.75
   val Bm25QueryTerms = 5
@@ -198,22 +200,28 @@ object TextAnalysis {
     * is ~15 IEEE ops and engines can differ in the final bit (the same
     * display-rounding contract the cosine family uses).
     *
-    * Scale shape: tf on (doc, token) is the only heavy shuffle and it
-    * carries counts, never text; the query-term and corpus-stats tables
-    * are one-row/5-row broadcasts; the final top-[[Bm25TopK]] is
+    * Scale shape: the corpus is TOKENIZED ONCE — the (doc, token, tf)
+    * table is memoized + cached and every other input (doc lengths,
+    * document frequencies, corpus stats, the query itself) derives from
+    * it with tiny count-only aggregates; tf is the only heavy shuffle
+    * and it carries counts, never text. The query-term and corpus-stats
+    * tables are one-row/5-row broadcasts; the final top-[[Bm25TopK]] is
     * TakeOrderedAndProject (per-partition heads + driver merge of 20),
     * never a global sort.
     */
   def bm25(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dlen = tok.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+    // one tokenize pass feeds FOUR consumers (dlen, df, stats, query)
+    val tf = bmCache.getOrBuild(spark, s"$sfDir#tf", cache = true) {
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    }
+    val dlen = tf.groupBy("doc_id").agg(sum("tf").as("dlen"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-      .crossJoin(tok.agg(count(lit(1)).cast("double").as("n_tokens")))
+      .crossJoin(tf.agg(sum("tf").cast("double").as("n_tokens")))
       .select(col("n_docs"), (col("n_tokens") / col("n_docs")).as("avgdl"))
-    val query = tok.groupBy("token").agg(count(lit(1)).as("gtf"))
+    val query = tf.groupBy("token").agg(sum("tf").as("gtf"))
       .orderBy(desc("gtf"), asc("token")).limit(Bm25QueryTerms)
       .select("token")
     val scored = tf.join(broadcast(query), "token")

@@ -766,6 +766,24 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("q_csv: CSV round-trip loses no rows; corrupt rows are captured, not dropped") {
+    val rows = etl.CsvIngest.qCsv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === total, "every clean CSV row parses back")
+    rows.foreach(r => assert(r.getLong(4) === etl.CsvIngest.CorruptLines.toLong,
+      "all injected malformed lines land in _corrupt_record"))
+  }
+
+  test("q_orc: the price predicate reaches the ORC scan as a pushed filter") {
+    val df = etl.OrcIngest.qOrc(spark, sf)
+    assert(df.collect().nonEmpty)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") &&
+      scan.replaceAll("\\s+", " ").contains("o_totalprice"),
+      s"price floor must be pushed into the ORC scan:\n${scan.take(2500)}")
+  }
+
   test("q_sql: the SQL surface plans to the same result as the DataFrame rollup") {
     val viaSql = queries.EtlQueries.qSql(spark, sf).collect().map(_.toSeq).toSeq
     val viaDf = queries.EtlQueries.qDaily(spark, sf).collect().map(_.toSeq).toSeq
