@@ -173,6 +173,25 @@ object OracleLlm {
        |  FROM documents)""".stripMargin
   }
 
+  /** interleave mirror: same content-hash per-source rank, alphabetical
+    * dense-rank weights, one division per priority.
+    */
+  val interleaveSql: String =
+    s"""WITH $sampleCte,
+       |w AS (SELECT source,
+       |             CAST(dense_rank() OVER (ORDER BY source) AS DOUBLE) AS wt
+       |      FROM (SELECT DISTINCT source FROM documents)),
+       |r AS (SELECT source, doc_id,
+       |             CAST(row_number() OVER (PARTITION BY source
+       |               ORDER BY fp, doc_id) AS BIGINT) AS rank_in_source
+       |      FROM sf),
+       |p AS (SELECT r.source, r.doc_id, r.rank_in_source,
+       |             CAST(r.rank_in_source AS DOUBLE) / w.wt AS priority
+       |      FROM r JOIN w USING (source))
+       |SELECT source, doc_id, rank_in_source, priority
+       |FROM p ORDER BY priority, source, doc_id
+       |LIMIT ${llm.Sampling.InterleaveN}""".stripMargin
+
   /** decontamination mirror: minhash near-dup pairs (sig/band CTEs)
     * joined to the content-hash split assignment, cross-split only.
     */

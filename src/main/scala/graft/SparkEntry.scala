@@ -116,6 +116,9 @@ object SparkEntry {
     "x_anomaly" -> (llm.Analytics.anomaly _),
     "q_csv" -> (etl.CsvIngest.qCsv _),
     "q_orc" -> (etl.OrcIngest.qOrc _),
+    "x_chunk" -> (llm.TextAnalysis.chunk _),
+    "x_ngram_lm" -> (llm.TextAnalysis.ngramLm _),
+    "x_interleave" -> (llm.Sampling.interleave _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -565,6 +568,7 @@ object SparkEntry {
     "x_split" -> OracleLlm.splitSql,
     "x_token_budget" -> OracleLlm.tokenBudgetSql,
     "x_decontam" -> OracleLlm.decontamSql,
+    "x_interleave" -> OracleLlm.interleaveSql,
     // oracle is the PLAIN interval join — bucketing must be value-identical
     "x_range_join" ->
       s"""WITH $ratesCte,
@@ -996,6 +1000,50 @@ object SparkEntry {
          |       min(CAST(o_orderdate AS DATE)) AS min_day,
          |       CAST(${etl.CsvIngest.CorruptLines} AS BIGINT) AS n_corrupt
          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // overlapping token windows: stride grid + list slice, mirrored with
+    // range() + 1-based inclusive list slicing (both clamp at the end)
+    "x_chunk" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |x AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+         |s AS (SELECT doc_id, toks, n,
+         |             unnest(range(0, n, ${llm.TextAnalysis.ChunkStride})) AS start
+         |      FROM x),
+         |c AS (SELECT doc_id,
+         |             CAST(start // ${llm.TextAnalysis.ChunkStride} AS BIGINT) AS chunk_id,
+         |             toks[CAST(start + 1 AS INT):CAST(start + ${llm.TextAnalysis.ChunkSize} AS INT)] AS chunk
+         |      FROM s)
+         |SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_tokens,
+         |       CAST(length(array_to_string(chunk, ' ')) AS BIGINT) AS n_chars,
+         |       chunk[1] AS first_token, chunk[len(chunk)] AS last_token
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // bigram LM quality score: rational mean-probability (no libm ln);
+    // per-doc sum folds in position order, one division per addend
+    "x_ngram_lm" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |x AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+         |b AS (SELECT doc_id, i - 1 AS i,
+         |             toks[CAST(i AS INT)] AS w1, toks[CAST(i + 1 AS INT)] AS w2
+         |      FROM (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM x)
+         |      WHERE i < len(toks)),
+         |c2 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+         |c1 AS (SELECT w1, sum(c12) AS c1 FROM c2 GROUP BY 1),
+         |p AS (SELECT b.doc_id, b.i,
+         |             CAST(c2.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE) AS p
+         |      FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+         |      WHERE b.doc_id % ${llm.TextAnalysis.LmSampleStride} = 0),
+         |a AS (SELECT doc_id, count(*) AS n_bigrams,
+         |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |               list(p ORDER BY i)), (acc, x) -> acc + x) AS s
+         |      FROM p GROUP BY 1)
+         |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+         |       round(s / n_bigrams, 6) AS score
+         |FROM a ORDER BY doc_id""".stripMargin,
     // ORC load: oracle reads the ORIGINAL parquet with the same filter —
     // a green row proves the ORC round-trip lossless; the spec separately
     // asserts the price predicate lands in the ORC scan's PushedFilters

@@ -182,4 +182,39 @@ object Sampling {
       .agg(count(lit(1)).as("n_kept"), sum("n_tokens").as("kept_tokens"))
       .orderBy("source")
   }
+
+  /** First positions of the mixed stream that get checked. */
+  val InterleaveN = 60
+
+  /** X-INTERLEAVE: deterministic weighted source mixing — the curriculum
+    * / mixture sampler that builds one training stream from several
+    * corpora at target ratios. Every document gets a PRIORITY
+    * `rank_in_source / weight(source)` where the rank orders each source
+    * by content hash (rerun-stable, no rand(), same fp as X-SPLIT);
+    * consuming documents by ascending priority yields source proportions
+    * that converge to the weights — the low-discrepancy stride-mixing
+    * scheme, derandomized. Weights are the alphabetical source rank, so
+    * the operator is literal-free at any source count.
+    *
+    * Scale shape: the rank is a PARTITIONED window (per-source sort, the
+    * token-budget idiom); the weight table is a tiny broadcast (its
+    * dense_rank window runs over the DISTINCT sources — a handful of
+    * rows, not the corpus); the head of the stream is
+    * TakeOrderedAndProject, never a global sort. Priority is one integer
+    * division — bit-identical in the oracle.
+    */
+  def interleave(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val weights = docs.select("source").distinct()
+      .withColumn("wt",
+        dense_rank().over(Window.orderBy("source")).cast("double"))
+    val ranked = docs
+      .select(col("source"), col("doc_id"), rolling_hash(col("text")).as("fp"))
+      .withColumn("rank_in_source",
+        row_number().over(Window.partitionBy("source").orderBy("fp", "doc_id")).cast("long"))
+    ranked.join(broadcast(weights), "source")
+      .select(col("source"), col("doc_id"), col("rank_in_source"),
+        (col("rank_in_source").cast("double") / col("wt")).as("priority"))
+      .orderBy("priority", "source", "doc_id").limit(InterleaveN)
+  }
 }

@@ -247,6 +247,90 @@ object TextAnalysis {
         round(col("score"), 6).as("score"))
   }
 
+  // ---- X-CHUNK --------------------------------------------------------
+
+  val ChunkSize = 32
+  val ChunkOverlap = 8
+  val ChunkStride: Int = ChunkSize - ChunkOverlap
+
+  /** X-CHUNK: overlapping fixed-size token windows — the chunker every
+    * retrieval / context-window pipeline runs before embedding (vs
+    * X-PACK, which concatenates-then-cuts for training sequences; a
+    * chunker must stay within one document and overlap for boundary
+    * recall). Pure row-local work: tokenize once, explode the stride
+    * grid (`sequence(0, len-1, stride)`), slice each window — no shuffle
+    * at all until the display sort, and at scale none (chunks stream to
+    * the sink partition-local). Every output is integer/string-exact:
+    * window token/char counts plus first/last token pin each boundary.
+    */
+  def chunk(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("len"))
+      .filter(col("len") > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), col("len") - 1, lit(ChunkStride))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / lit(ChunkStride)).cast("long").as("chunk_id"),
+        slice(col("toks"), col("start") + 1, lit(ChunkSize)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        length(concat_ws(" ", col("chunk"))).cast("long").as("n_chars"),
+        element_at(col("chunk"), 1).as("first_token"),
+        element_at(col("chunk"), -1).as("last_token"))
+      .orderBy("doc_id", "chunk_id")
+
+  // ---- X-NGRAM-LM -----------------------------------------------------
+
+  /** Every `LmSampleStride`-th doc gets a checked score (the model is
+    * still built from the WHOLE corpus).
+    */
+  val LmSampleStride = 25
+
+  /** X-NGRAM-LM: bigram language-model quality scoring — the statistical
+    * fluency filter (the perplexity idea) corpus curation runs to drop
+    * gibberish. A bigram model is estimated from the whole corpus —
+    * C(w1,w2) and its left-marginal C(w1·) — and each document is scored
+    * by the MEAN conditional probability of its own bigrams,
+    * `mean_i P(w2|w1) = mean_i C(w1,w2)/C(w1·)`. The rational mean
+    * replaces log-perplexity deliberately: no libm `ln`, every addend is
+    * ONE integer-ratio division, and the per-doc sum folds in POSITION
+    * order on both engines (the bm25 ordered-fold pattern), checked at
+    * 6 dp.
+    *
+    * Scale shape: the bigram count table is the only heavy shuffle and
+    * carries (w1, w2, count) — vocab-squared bounded, never documents;
+    * scoring joins the (sampled) doc bigrams against it by equi-key. The
+    * sample stride keeps the checked output small while the model stays
+    * corpus-wide.
+    */
+  def ngramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bi = toks.select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
+          .as(Seq("i", "bg")))
+      .select(col("doc_id"), col("i"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c2.groupBy("w1").agg(sum("c12").as("c1"))
+    bi.filter(col("doc_id") % LmSampleStride === 0)
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .select(col("doc_id"), col("i"),
+        (col("c12").cast("double") / col("c1").cast("double")).as("p"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("i"), col("p")))), x => x("p")),
+          lit(0.0), _ + _).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("s") / col("n_bigrams"), 6).as("score"))
+      .orderBy("doc_id")
+  }
+
   /** RE2/Java-compatible PII patterns (kept simple on purpose so both
     * engines agree): emails and a fixed-format phone shape.
     */

@@ -784,6 +784,60 @@ class GraftSpec extends AnyFunSuite {
       s"price floor must be pushed into the ORC scan:\n${scan.take(2500)}")
   }
 
+  test("x_chunk: stride windows are dense, bounded, and reach both document ends") {
+    val chunks = llm.TextAnalysis.chunk(spark, sf).collect()
+    assert(chunks.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), llm.TextAnalysis.tokens(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    chunks.groupBy(_.getLong(0)).foreach { case (docId, rs) =>
+      val toks = docs(docId)
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.head.getString(4) === toks.head, "first chunk starts the doc")
+      assert(sorted.last.getString(5) === toks.last, "last chunk ends the doc")
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) === i.toLong, "chunk ids are dense")
+        assert(r.getLong(2) >= 1 && r.getLong(2) <= llm.TextAnalysis.ChunkSize)
+      }
+      assert((sorted.length - 1) * llm.TextAnalysis.ChunkStride < toks.length,
+        "no chunk starts past the document")
+    }
+  }
+
+  test("x_ngram_lm: scores are probabilities; bigram counts match doc lengths") {
+    val rows = llm.TextAnalysis.ngramLm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val lens = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(llm.TextAnalysis.tokens(col("text"))).as("len"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val (docId, m, score) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(docId % llm.TextAnalysis.LmSampleStride === 0)
+      assert(m === (lens(docId) - 1).toLong, "every adjacent pair scored once")
+      assert(score > 0 && score <= 1.0, s"mean P(w2|w1) must be a probability, got $score")
+    }
+  }
+
+  test("x_interleave: the stream head mixes sources monotonically with weight") {
+    val rows = llm.Sampling.interleave(spark, sf).collect()
+    assert(rows.length === llm.Sampling.InterleaveN ||
+      rows.length === Tables.documents(spark, sf).count().toInt)
+    // heavier-weighted (alphabetically later) sources appear at least as
+    // often in the head: count_s = floor(T * w_s) is monotone in w
+    val counts = rows.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    val bySource = counts.keys.toSeq.sorted
+    bySource.sliding(2).foreach {
+      case Seq(a, b) => assert(counts(a) <= counts(b) + 1,
+        s"weight-monotone mixing violated: $a=${counts(a)} vs $b=${counts(b)}")
+      case _ =>
+    }
+    // within a source, ranks are consumed in order with no gaps
+    rows.groupBy(_.getString(0)).foreach { case (s, rs) =>
+      val ranks = rs.map(_.getLong(2)).sorted
+      assert(ranks === (1L to ranks.length.toLong), s"rank gap in source $s")
+    }
+  }
+
   test("q_sql: the SQL surface plans to the same result as the DataFrame rollup") {
     val viaSql = queries.EtlQueries.qSql(spark, sf).collect().map(_.toSeq).toSeq
     val viaDf = queries.EtlQueries.qDaily(spark, sf).collect().map(_.toSeq).toSeq
