@@ -578,11 +578,11 @@ object OracleLlm {
        |          JOIN dl USING (doc_id), st),
        |a AS (
        |  SELECT doc_id, dlen, count(*) AS n_terms,
-       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-       |           list(s ORDER BY token)), (acc, x) -> acc + x) AS score
+       |         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list(s ORDER BY token)), (acc, x) -> acc + x), 6) AS score
        |  FROM s GROUP BY doc_id, dlen)
        |SELECT doc_id, CAST(dlen AS BIGINT) AS dlen,
-       |       CAST(n_terms AS BIGINT) AS n_terms, round(score, 6) AS score
+       |       CAST(n_terms AS BIGINT) AS n_terms, score
        |FROM a ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
   }
 

@@ -119,6 +119,7 @@ object SparkEntry {
     "x_chunk" -> (llm.TextAnalysis.chunk _),
     "x_ngram_lm" -> (llm.TextAnalysis.ngramLm _),
     "x_interleave" -> (llm.Sampling.interleave _),
+    "x_mad" -> (llm.Analytics.mad _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -963,6 +964,22 @@ object SparkEntry {
         |FROM inter JOIN sizes sa ON sa.event_type = type_a
         |           JOIN sizes sb ON sb.event_type = type_b
         |ORDER BY type_a, type_b""".stripMargin,
+    // robust location/scale: integer-cents order statistics interpolate
+    // to exact .0/.5 doubles, so median and MAD carry no float drift
+    "x_mad" ->
+      s"""WITH v AS (
+         |  SELECT event_type,
+         |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+         |m AS (SELECT event_type, quantile_cont(cents, 0.5) AS medc
+         |      FROM v GROUP BY 1),
+         |d AS (SELECT v.event_type, m.medc,
+         |             abs(CAST(v.cents AS DOUBLE) - m.medc) AS dev
+         |      FROM v JOIN m USING (event_type))
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |       round(medc / 100.0, 6) AS median,
+         |       round(quantile_cont(dev, 0.5) / 100.0, 6) AS mad
+         |FROM d GROUP BY event_type, medc ORDER BY event_type""".stripMargin,
     // z-score anomaly bands: moments come from EXACT decimal sums (square
     // multiplied in the decimal domain), so mean/sd are the same one-op
     // IEEE chains on both sides and the 3-sigma predicate cannot drift

@@ -67,27 +67,34 @@ object Sink {
 
   /** Remove a table directory that has no commit marker — the rerun-after-
     * crash path: an uncommitted half-load must not be appended onto.
-    * Best-effort under concurrency: another engine process sharing the
-    * scratch warehouse can recreate entries between the walk and the
-    * delete (deepest-first delete then hits a repopulated directory) —
-    * retry the sweep once and otherwise leave survivors to that writer's
-    * own marker-gated cleanup instead of failing this loader.
+    * Transient failures are retried once (another engine process sharing
+    * the scratch warehouse can recreate entries between the walk and the
+    * deepest-first delete), but the POST-CONDITION is verified: if the
+    * directory still exists after both sweeps, this THROWS rather than
+    * letting the caller stamp a commit marker onto a dirty directory —
+    * silent coexistence with a concurrent writer's files would poison
+    * every later marker-gated read.
     */
   def dropUncommitted(path: String): Unit = {
     val root = Paths.get(path)
     if (Files.exists(root)) {
       import scala.jdk.CollectionConverters._
-      def sweep(): Boolean =
-        try {
-          Files.walk(root).iterator().asScala.toSeq.reverse
-            .foreach(p => Files.deleteIfExists(p))
-          true
-        } catch {
-          case _: java.nio.file.DirectoryNotEmptyException => false
-          case _: java.nio.file.NoSuchFileException => false
-          case _: java.io.UncheckedIOException => false
-        }
-      if (!sweep()) sweep()
+      def sweep(): Unit = {
+        val walk = Files.walk(root)
+        val entries =
+          try walk.iterator().asScala.toSeq.reverse
+          finally walk.close()
+        entries.foreach(p => Files.deleteIfExists(p))
+      }
+      try sweep()
+      catch {
+        case _: java.nio.file.DirectoryNotEmptyException => ()
+        case _: java.nio.file.NoSuchFileException => ()
+        case _: java.io.UncheckedIOException => ()
+      }
+      if (Files.exists(root)) sweep() // second failure propagates
+      require(!Files.exists(root),
+        s"uncommitted staging at $path could not be removed (concurrent writer?)")
     }
   }
 

@@ -141,6 +141,43 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** X-MAD: median-absolute-deviation scale profile — the ROBUST sibling
+    * of [[anomaly]]: a z-score band is itself dragged by the outliers it
+    * hunts, while median ± k·MAD is breakdown-point-0.5 robust (the
+    * standard pre-training value-clipping rule; consumers pick k,
+    * typically 3 ≈ 2σ under normality since MAD ≈ 0.6745σ). Exactness:
+    * values quantize to integer cents first (the X-QUANTILES pattern),
+    * so the median interpolates to an exact .0/.5 double, every absolute
+    * deviation is an exact double, and the MAD (median of those) is
+    * again exact — both engines compute identical bands with no float
+    * drift. Two passes: per-type medians (tiny, broadcast back), then
+    * deviations + the MAD/outlier aggregate; shuffles carry per-type
+    * order statistics, the band test runs map-side.
+    *
+    * `percentile` buffers values per group — exact order statistics are
+    * for profiling cadence; the streaming-scale path is
+    * `approx_percentile` (see X-QUANTILES, which checks both).
+    */
+  def mad(spark: SparkSession, sfDir: String): DataFrame = {
+    val vals = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull && !isnan(col("value")))
+      .select(col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    val med = vals.groupBy("event_type")
+      .agg(expr("percentile(cents, 0.5)").as("medc"))
+    vals.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("medc"),
+        abs(col("cents").cast("double") - col("medc")).as("dev"))
+      .groupBy("event_type", "medc")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(dev, 0.5)").as("madc"))
+      .select(col("event_type"), col("n"),
+        round(col("medc") / 100.0, 6).as("median"),
+        round(col("madc") / 100.0, 6).as("mad"))
+      .orderBy("event_type")
+  }
+
   /** X-OVERLAP: audience overlap matrix — |users(a) ∩ users(b)| and
     * Jaccard for every event_type pair, the cross-source contamination /
     * co-occurrence profile. Scale shape: one distinct over (user_id,

@@ -224,8 +224,12 @@ object TextAnalysis {
     val query = tf.groupBy("token").agg(sum("tf").as("gtf"))
       .orderBy(desc("gtf"), asc("token")).limit(Bm25QueryTerms)
       .select("token")
+    // df restricted to the query terms BEFORE the broadcast hint — the
+    // full df table is vocabulary-sized (never driver-collectable at
+    // scale); after the semi-join it is <= Bm25QueryTerms rows
+    val dfq = df.join(query, "token")
     val scored = tf.join(broadcast(query), "token")
-      .join(broadcast(df), "token")
+      .join(broadcast(dfq), "token")
       .join(dlen, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("dlen"), col("token"),
@@ -239,12 +243,14 @@ object TextAnalysis {
         count(lit(1)).as("n_terms"),
         aggregate(
           transform(array_sort(collect_list(struct(col("token"), col("s")))), x => x("s")),
-          lit(0.0), _ + _).as("score"))
-      .orderBy(desc("score"), asc("doc_id")).limit(Bm25TopK)
-      // 6-dp display rounding, same as the cosine family: the score is a
-      // ~15-op double chain and engines may differ in the last bit
+          lit(0.0), _ + _).as("raw"))
+      // 6-dp rounding BEFORE the top-k cut, same contract as the cosine
+      // family: the raw score is a ~15-op double chain and engines may
+      // differ in the last bit — ranking on the rounded value (doc_id
+      // tie-break) keeps the top-20 MEMBERSHIP engine-identical too
       .select(col("doc_id"), col("dlen"), col("n_terms"),
-        round(col("score"), 6).as("score"))
+        round(col("raw"), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id")).limit(Bm25TopK)
   }
 
   // ---- X-CHUNK --------------------------------------------------------

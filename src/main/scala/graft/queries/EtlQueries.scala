@@ -340,21 +340,27 @@ object EtlQueries {
     */
   def qDsv2Sql(spark: SparkSession, sfDir: String): DataFrame = {
     val wh = Sink.scratchPath(sfDir, "fbins_warehouse")
-    spark.conf.set("spark.sql.catalog.fbins",
+    // catalog name is per-sfDir: Spark's CatalogManager caches the
+    // catalog INSTANCE on first resolution, so re-pointing a shared
+    // `fbins.warehouse` conf for a second sfDir would silently keep the
+    // first warehouse (wrong-table reads behind a green marker). A
+    // distinct name per sfDir keys the cache correctly.
+    val cat = "fbins_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    spark.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.FbInsightsCatalog].getName)
-    spark.conf.set("spark.sql.catalog.fbins.warehouse", wh)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     val marker = java.nio.file.Paths.get(wh, "_GRAFT_DONE_fb_sql_v1")
     if (!java.nio.file.Files.exists(marker)) {
       Sink.dropUncommitted(s"$wh/db/fb_sql")
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(wh))
-      spark.sql("DROP TABLE IF EXISTS fbins.db.fb_sql")
+      spark.sql(s"DROP TABLE IF EXISTS $cat.db.fb_sql")
       spark.sql(
-        s"CREATE TABLE fbins.db.fb_sql (${Schemas.fbInsightsRaw.toDDL}) USING fbinsights")
+        s"CREATE TABLE $cat.db.fb_sql (${Schemas.fbInsightsRaw.toDDL}) USING fbinsights")
       FbInsightsSource.raw(spark, sfDir).createOrReplaceTempView("fb_raw_src")
-      spark.sql("INSERT INTO fbins.db.fb_sql SELECT * FROM fb_raw_src")
+      spark.sql(s"INSERT INTO $cat.db.fb_sql SELECT * FROM fb_raw_src")
       java.nio.file.Files.createFile(marker)
     }
-    flatten(Normalize(spark.sql("SELECT * FROM fbins.db.fb_sql"))).orderBy("ad_id")
+    flatten(Normalize(spark.sql(s"SELECT * FROM $cat.db.fb_sql"))).orderBy("ad_id")
   }
 
   /** Q-STREAM-LOAD: the flagship load pipeline as a STREAM — the shape the

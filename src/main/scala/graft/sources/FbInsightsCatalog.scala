@@ -117,7 +117,14 @@ class FbInsightsCatalog extends TableCatalog {
     locations.remove(key(ident))
     if (!Files.isDirectory(p)) false
     else {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      // close the walk stream (it holds directory handles) and tolerate
+      // entries vanishing mid-walk — deleteIfExists keeps the drop
+      // idempotent instead of failing half-deleted
+      val walk = Files.walk(p)
+      val entries =
+        try walk.iterator().asScala.toSeq.reverse
+        finally walk.close()
+      entries.foreach(e => Files.deleteIfExists(e))
       true
     }
   }

@@ -838,6 +838,22 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("x_mad: robust scale is non-negative and bounded by the value range") {
+    val rows = llm.Analytics.mad(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val stats = Tables.events(spark, sf)
+      .filter(col("value").isNotNull && !isnan(col("value")))
+      .agg(min("value"), max("value")).head()
+    val range = stats.getDouble(1) - stats.getDouble(0)
+    rows.foreach { r =>
+      val (median, mad) = (r.getDouble(2), r.getDouble(3))
+      assert(mad >= 0, "MAD is a distance")
+      assert(mad <= range, "MAD cannot exceed the value range")
+      assert(median >= stats.getDouble(0) && median <= stats.getDouble(1),
+        "median lies inside the observed range")
+    }
+  }
+
   test("q_sql: the SQL surface plans to the same result as the DataFrame rollup") {
     val viaSql = queries.EtlQueries.qSql(spark, sf).collect().map(_.toSeq).toSeq
     val viaDf = queries.EtlQueries.qDaily(spark, sf).collect().map(_.toSeq).toSeq
@@ -1575,6 +1591,9 @@ class GraftSpec extends AnyFunSuite {
     import scala.jdk.CollectionConverters._
     val nBySf = for (sfd <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) yield {
       val target = 64L * 1024
+      // stage fb_stat for THIS sf first: on a cold warehouse nothing else
+      // has staged sf0.01, and dataBytes of an absent table is 0
+      queries.EtlQueries.fbStatTable(spark, sfd).head()
       val srcBytes = etl.Sink.dataBytes(etl.Sink.scratchPath(sfd, "fb_stat"))
       val dst = queries.EtlQueries.compactSized(spark, sfd, target, "fb_stat_sized_spec")
       val walk = Files.walk(Paths.get(dst))
