@@ -120,6 +120,7 @@ object SparkEntry {
     "x_ngram_lm" -> (llm.TextAnalysis.ngramLm _),
     "x_interleave" -> (llm.Sampling.interleave _),
     "x_mad" -> (llm.Analytics.mad _),
+    "x_diversity" -> (llm.TextAnalysis.charDiversity _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -1036,6 +1037,22 @@ object SparkEntry {
          |       CAST(length(array_to_string(chunk, ' ')) AS BIGINT) AS n_chars,
          |       chunk[1] AS first_token, chunk[len(chunk)] AS last_token
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // char collision probability: integer numerator/denominator, ONE
+    // division - bit-identical, no rounding needed
+    "x_diversity" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id % ${llm.TextAnalysis.LmSampleStride} = 0 AND length(text) >= 2),
+         |ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM s),
+         |cc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+         |a AS (SELECT doc_id, sum(c) AS n_chars, count(*) AS n_distinct,
+         |             sum(c * (c - 1)) AS coll_num
+         |      FROM cc GROUP BY 1)
+         |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         |       CAST(n_distinct AS BIGINT) AS n_distinct,
+         |       CAST(coll_num AS DOUBLE)
+         |         / CAST(n_chars * (n_chars - 1) AS DOUBLE) AS collision
+         |FROM a ORDER BY doc_id""".stripMargin,
     // bigram LM quality score: rational mean-probability (no libm ln);
     // per-doc sum folds in position order, one division per addend
     "x_ngram_lm" ->

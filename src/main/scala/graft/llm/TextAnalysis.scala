@@ -337,6 +337,31 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** X-DIVERSITY: character collision probability per sampled document —
+    * the repetitiveness/gibberish signal (low diversity ⇒ repeated-char
+    * spam, high ⇒ noise) that complements [[ngramLm]]'s fluency score.
+    * The unbiased collision probability `Σ c·(c−1) / (n·(n−1))` stays in
+    * INTEGER arithmetic until ONE final division, so the score is
+    * bit-identical in the oracle with no rounding escape hatch. Shuffle
+    * carries (doc, char, count) — bounded by alphabet size per doc; the
+    * sample stride bounds the output, and at scale the explode is
+    * row-local map work.
+    */
+  def charDiversity(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % LmSampleStride === 0 && length(col("text")) >= 2)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_chars"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * (col("c") - 1)).as("coll_num"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct"),
+        (col("coll_num").cast("double")
+          / (col("n_chars") * (col("n_chars") - 1)).cast("double")).as("collision"))
+      .orderBy("doc_id")
+
   /** RE2/Java-compatible PII patterns (kept simple on purpose so both
     * engines agree): emails and a fixed-format phone shape.
     */

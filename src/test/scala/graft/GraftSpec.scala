@@ -854,6 +854,20 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("x_diversity: collision probability is a probability; counts reconcile") {
+    val rows = llm.TextAnalysis.charDiversity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val lens = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).as("len"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) === lens(r.getLong(0)).toLong, "every character counted once")
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1))
+      val coll = r.getDouble(3)
+      assert(coll >= 0.0 && coll <= 1.0, s"collision must be a probability, got $coll")
+    }
+  }
+
   test("q_sql: the SQL surface plans to the same result as the DataFrame rollup") {
     val viaSql = queries.EtlQueries.qSql(spark, sf).collect().map(_.toSeq).toSeq
     val viaDf = queries.EtlQueries.qDaily(spark, sf).collect().map(_.toSeq).toSeq
