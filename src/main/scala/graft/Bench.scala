@@ -31,10 +31,17 @@ object Bench {
     def msg(e: Throwable): String =
       Option(e.getMessage).getOrElse(e.getClass.getName).takeWhile(_ != '\n').take(120)
 
-    // Warm-up: run everything once, untimed. Round 2→3 showed ±4× per-query
-    // swings on identical code from cold file listings / first-touch IO.
+    // Warm-up: run everything once, untimed-in-the-total. Round 2→3 showed
+    // ±4× per-query swings on identical code from cold file listings /
+    // first-touch IO. The warm-up duration is still RECORDED (below): a
+    // polluted run shows spiky disagreement across passes, a healthy one
+    // agrees — per-pass data makes box contention visible in the artifact
+    // itself instead of requiring a judge rerun (round 7: driver read 293s
+    // on a contended box vs 65s clean, and only a full rerun could tell).
+    val warmup = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).count()
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); warmup(name) = (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable => failures(name) = msg(e) }
     }
     // Timed passes: skip queries that already failed (their re-run would
@@ -65,9 +72,19 @@ object Bench {
     } + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val fs = failures.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    // Per-query diagnostics: [warmup, pass1, pass2, pass3]. The headline
+    // "queries" stays the median of the timed passes; this map exists so a
+    // reader can distinguish uniform slowness (code) from one spiky pass
+    // (co-scheduled load) without rerunning the suite.
+    def jnum(d: Double) = if (d.isNaN || d.isInfinite) "null" else d.toString
+    val ps = results.map { case (name, _) =>
+      val arr = (warmup.get(name).toSeq ++ passes.flatMap(_.get(name)))
+        .map(jnum).mkString("[", ",", "]")
+      jstr(name) + ":" + arr
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""n_failed":${failures.size},"failures":$fs,"sf":"$sfDir"}"""
+      s""""passes":$ps,"n_failed":${failures.size},"failures":$fs,"sf":"$sfDir"}"""
     // stdout is interleaved with sbt noise (round 1's BENCH json failed to
     // parse out of it) — also write the line to a file the driver can read.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -1061,19 +1061,19 @@ object SparkEntry {
          |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
          |  FROM documents),
          |x AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
-         |b AS (SELECT doc_id, i - 1 AS i,
+         |b AS (SELECT doc_id, i - 1 AS pos,
          |             toks[CAST(i AS INT)] AS w1, toks[CAST(i + 1 AS INT)] AS w2
          |      FROM (SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM x)
          |      WHERE i < len(toks)),
          |c2 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
          |c1 AS (SELECT w1, sum(c12) AS c1 FROM c2 GROUP BY 1),
-         |p AS (SELECT b.doc_id, b.i,
+         |p AS (SELECT b.doc_id, b.pos,
          |             CAST(c2.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE) AS p
          |      FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
          |      WHERE b.doc_id % ${llm.TextAnalysis.LmSampleStride} = 0),
          |a AS (SELECT doc_id, count(*) AS n_bigrams,
          |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |               list(p ORDER BY i)), (acc, x) -> acc + x) AS s
+         |               list(p ORDER BY pos)), (acc, x) -> acc + x) AS s
          |      FROM p GROUP BY 1)
          |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
          |       round(s / n_bigrams, 6) AS score

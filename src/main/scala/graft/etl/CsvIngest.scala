@@ -34,15 +34,25 @@ import graft.Tables
   */
 object CsvIngest {
 
-  val CorruptLines = 3
+  /** Injected malformed lines: fully-bogus ones (every field fails) PLUS
+    * one PARTIALLY-parseable short row whose first field is a valid long —
+    * the case where `o_orderkey` parses non-null while `_corrupt_record`
+    * is still set. That row is the regression fixture for the corrupt
+    * predicate: counting on `_corrupt_record IS NOT NULL AND o_orderkey IS
+    * NULL` would silently drop it from BOTH the clean aggregate and the
+    * corrupt count.
+    */
+  val CorruptLines = 4
   private val TsFormat = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
   /** One-time, marker-gated CSV staging of `orders` (+ the corrupt file).
     * Deterministic: content is the fixture table; file COUNT varies with
     * write parallelism but every consumer aggregates the whole directory.
+    * (dir is versioned: fixture content changed in round 8, and the marker
+    * gate would otherwise keep serving a stale pre-change directory.)
     */
   def csvPath(spark: SparkSession, sfDir: String): String = {
-    val dir = Sink.scratchPath(sfDir, "orders_csv")
+    val dir = Sink.scratchPath(sfDir, "orders_csv_v2")
     val marker = Paths.get(dir, "_STAGED")
     if (!Files.exists(marker)) {
       val orders = Tables.orders(spark, sfDir)
@@ -52,8 +62,10 @@ object CsvIngest {
         .option("timestampFormat", TsFormat)
         .csv(dir)
       val header = orders.schema.fieldNames.mkString(",")
-      val bad = (1 to CorruptLines).map(i => s"corrupt-line-$i").mkString("\n")
-      Files.writeString(Paths.get(dir, "zz_corrupt.csv"), s"$header\n$bad\n")
+      val bad = (1 to CorruptLines - 1).map(i => s"corrupt-line-$i") :+
+        "987654321,partial-row-bad-tail"
+      Files.writeString(Paths.get(dir, "zz_corrupt.csv"),
+        s"$header\n${bad.mkString("\n")}\n")
       Files.createFile(marker)
     }
     dir
@@ -71,23 +83,33 @@ object CsvIngest {
     // rows into a NULL-status group while the corrupt counter catches
     // them. Whole-row parsing makes `_corrupt_record` a property of the
     // ROW, which is the only semantics a load-validation contract can
-    // promise. (CSV-only conf; parquet scans elsewhere are unaffected.)
-    spark.conf.set("spark.sql.csv.parser.columnPruning.enabled", "false")
+    // promise. Per-READ option (not a session conf): no other query in
+    // this long-lived engine process inherits whole-row parsing.
     val schema = Tables.orders(spark, sfDir).schema.add("_corrupt_record", StringType)
+    // `.cache()`: Spark refuses a query whose only surviving CSV column is
+    // the internal corrupt one (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the SQL
+    // migration guide's sanctioned path is caching the parsed result and
+    // querying that. It also collapses the clean-agg + corrupt-count pair
+    // from two full CSV parses into ONE (the load-validation pattern at any
+    // scale: parse once, fan out checks; a production load would write the
+    // parsed result and get the same effect).
     val raw = spark.read
       .schema(schema)
       .option("header", "true")
       .option("timestampFormat", TsFormat)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("columnPruning", "false")
       .csv(dir)
-    // the conjunction with o_orderkey IS NULL is semantically redundant (a
-    // malformed line never yields a parsed long) but required: Spark
-    // refuses a query whose only referenced CSV column is the internal
-    // corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+      .cache()
+    // A row is corrupt iff `_corrupt_record` is set — a partially-parseable
+    // line (first fields parse, a later one fails) has BOTH a non-null key
+    // and a non-null corrupt record; narrowing the predicate with
+    // `o_orderkey IS NULL` would drop such a row from the clean aggregate
+    // AND the corrupt count (silently lost, violating the contract).
     val corrupt = raw.agg(
-      sum(when(col("_corrupt_record").isNotNull && col("o_orderkey").isNull, lit(1L))
-        .otherwise(lit(0L))).as("n_corrupt"))
+      sum(when(col("_corrupt_record").isNotNull, lit(1L)).otherwise(lit(0L)))
+        .as("n_corrupt"))
     raw.filter(col("_corrupt_record").isNull)
       .groupBy("o_orderstatus")
       .agg(

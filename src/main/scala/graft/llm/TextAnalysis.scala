@@ -350,7 +350,13 @@ object TextAnalysis {
   def charDiversity(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .filter(col("doc_id") % LmSampleStride === 0 && length(col("text")) >= 2)
-      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      // empty-string split semantics are Spark-version-dependent (pre-3.4 a
+      // trailing empty token — SPARK-40194) and per UTF-16 code UNIT, where
+      // DuckDB's string_split('') is per code POINT; the empty filter makes
+      // the n_chars == length(text) invariant version-robust, and the
+      // fixture is ASCII so unit==point holds (non-BMP text would need a
+      // code-point-safe split on both sides).
+      .select(col("doc_id"), explode(filter(split(col("text"), ""), _ =!= "")).as("ch"))
       .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(
