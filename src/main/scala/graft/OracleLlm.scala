@@ -364,6 +364,37 @@ object OracleLlm {
        |SELECT qid, rank, cid, round(cosine, 6) AS cosine
        |FROM r WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
+  /** [[rankSelect]] plus the recall@k grading column: rank the ANN
+    * candidate CTE `s`, recompute the BRUTE top-k from the shared c/q
+    * CTEs, and attach `recall_hits` = |ANN top-k ∩ brute top-k| per qid
+    * (0 for a query whose ANN rows all miss).
+    */
+  private def rankRecallSelect(k: Int): String =
+    s"""r AS (
+       |  SELECT qid, cid, cosine,
+       |         CAST(row_number() OVER (PARTITION BY qid
+       |                ORDER BY cosine DESC, cid) AS BIGINT) AS rank
+       |  FROM s),
+       |ann AS (SELECT qid, rank, cid, cosine FROM r WHERE rank <= $k),
+       |bs AS (
+       |  SELECT q.qid, c.vec_id AS cid,
+       |         ${cosine("q.qv", "q.qn", "c.embedding", "c.nrm")} AS cosine
+       |  FROM c, q WHERE c.vec_id <> q.qid),
+       |bt AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+       |             ORDER BY cosine DESC, cid) AS rank
+       |    FROM bs) WHERE rank <= $k),
+       |h AS (
+       |  SELECT ann.qid, count(*) AS hits
+       |  FROM ann JOIN bt ON ann.qid = bt.qid AND ann.cid = bt.cid
+       |  GROUP BY ann.qid)
+       |SELECT ann.qid AS qid, ann.rank AS rank, ann.cid AS cid,
+       |       round(ann.cosine, 6) AS cosine,
+       |       CAST(coalesce(h.hits, 0) AS BIGINT) AS recall_hits
+       |FROM ann LEFT JOIN h ON ann.qid = h.qid
+       |ORDER BY ann.qid, ann.rank""".stripMargin
+
   /** Sign-bucket of a vector expression in hash table `t` (column ref):
     * bit j = (Σ_d ±v[d]) >= 0 with the kernel's plane-sign literal.
     */
@@ -393,7 +424,7 @@ object OracleLlm {
        |         ${cosine("qb.qv", "qb.qn", "cb.embedding", "cb.nrm")} AS cosine
        |  FROM cb JOIN qb ON cb.t = qb.t AND cb.bucket = qb.bucket
        |                 AND cb.vec_id <> qb.qid),
-       |${rankSelect(llm.Similarity.K)}""".stripMargin
+       |${rankRecallSelect(llm.Similarity.K)}""".stripMargin
 
   /** embedDups mirror: LSH bucket-collision candidates (same plane-sign
     * literal as simLshSql) verified with the exact cosine threshold.
@@ -612,7 +643,7 @@ object OracleLlm {
        |  JOIN q ON q.qid = p.qid
        |  JOIN c ON c.vec_id = cl.vec_id
        |  WHERE c.vec_id <> q.qid),
-       |${rankSelect(llm.Similarity.K)}""".stripMargin
+       |${rankRecallSelect(llm.Similarity.K)}""".stripMargin
 
   /** fakeDecode mirror: the payload is the UTF-8 encoding of `text`, and
     * the fixture is ASCII (asserted in ScalaTest), so bytes == codepoints.

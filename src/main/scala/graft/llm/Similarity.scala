@@ -118,13 +118,36 @@ object Similarity {
     array((0 until NumTables).map(t =>
       struct(lit(t).as("t"), bucketOf(v, t).as("bucket"))): _*)
 
+  /** Recall@k grading column: `recall_hits` = |ANN top-k ∩ brute top-k|
+    * per query — the accuracy half of the ANN contract (the bucketing
+    * avoids O(n²); this states what that buys). Both sides are ≤ K rows
+    * per query, so the intersection count and the join back onto the ANN
+    * rows are broadcast-sized. The brute pass this grades against runs
+    * over the SAME strided query sample the operator serves — at 100 TB
+    * recall is graded on a query sample exactly like this, never by
+    * brute-forcing the corpus per serving query.
+    */
+  def withRecall(ann: DataFrame, embeddings: DataFrame, stride: Int): DataFrame = {
+    val brute = bruteTopKOf(embeddings, stride).select(col("qid"), col("cid"))
+    val hits = ann.select(col("qid"), col("cid"))
+      .join(brute, Seq("qid", "cid"))
+      .groupBy("qid").agg(count(lit(1)).as("recall_hits"))
+    ann.join(broadcast(hits), Seq("qid"), "left")
+      .select(col("qid"), col("rank"), col("cid"), col("cosine"),
+        coalesce(col("recall_hits"), lit(0L)).as("recall_hits"))
+      .orderBy("qid", "rank")
+  }
+
   /** ANN top-k: exact cosine, but only over same-bucket candidates from
     * any of the [[NumTables]] hash tables. At 100 TB the corpus is
     * hash-partitioned by (table, bucket); each query probes NumTables
-    * buckets instead of scanning the corpus.
+    * buckets instead of scanning the corpus. Carries the recall@k
+    * grading column ([[withRecall]]).
     */
-  def lshTopK(spark: SparkSession, sfDir: String): DataFrame =
-    lshTopKOf(Tables.embeddings(spark, sfDir), QueryStride)
+  def lshTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    withRecall(lshTopKOf(e, QueryStride), e, QueryStride)
+  }
 
   def lshTopKOf(embeddings: DataFrame, stride: Int): DataFrame = {
     val base = corpusOf(embeddings)
@@ -429,8 +452,10 @@ object Similarity {
     * partition read, not a scan; this plan shuffles nothing but the
     * final k-rows-per-query top-k.
     */
-  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame =
-    ivfTopKOf(Tables.embeddings(spark, sfDir), QueryStride)
+  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    withRecall(ivfTopKOf(e, QueryStride), e, QueryStride)
+  }
 
   def ivfTopKOf(embeddings: DataFrame, stride: Int): DataFrame = {
     val c = corpusOf(embeddings)
