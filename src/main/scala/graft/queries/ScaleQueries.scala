@@ -47,6 +47,9 @@ object ScaleQueries {
     * engine may not support broadcast). The oracle is the PLAIN join —
     * salting must change no values. Weighted sums run in exact DECIMAL ×
     * BIGINT, so re-association across salt partials cannot drift.
+    * The ENGINE-NATIVE sibling of this manual pattern — AQE's
+    * OptimizeSkewedJoin splitting the hot partition at runtime — is
+    * spec-asserted over the same fixture (GraftSpec "AQE skew-join").
     */
   def saltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)

@@ -1761,6 +1761,65 @@ class GraftSpec extends AnyFunSuite {
     assert(byType("purchase")(1) === byType("purchase")(2))
   }
 
+  test("AQE skew-join: the engine-native path splits the hot partition (sibling of manual salting)") {
+    // x_skew_join salts by hand; this pins the engine-native alternative —
+    // AQE's OptimizeSkewedJoin — over the same skewed fixture, so both
+    // mitigation shapes are proven. Thresholds are lowered to make the
+    // fixture's hot event_type partition legally "skewed" at test scale;
+    // at 100 TB the defaults (256 MB / 5× median) fire on their own.
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      // no broadcast: the skew path needs a shuffled join on both sides
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // the sf0.001 fixture's event_type counts are near-uniform (the
+      // x_skew story is few-giant-keys at scale, not count imbalance at
+      // 1k rows), so amplify the hot key deterministically: every
+      // 'click' row replicated 50× — the shape the defaults would see
+      // at 100 TB, at thresholds this test can afford
+      // repartition(8) first: a skewed reduce partition is split along its
+      // MAP-output boundaries, so a single-mapper stage (one tiny parquet
+      // file) can never be split no matter how skewed it reads
+      val ev = Tables.events(spark, sf)
+        .repartition(8)
+        .withColumn("rep", explode(sequence(lit(1),
+          when(col("event_type") === "click", lit(50)).otherwise(lit(1)))))
+      // dim pre-materialized to a local table: OptimizeSkewedJoin only
+      // matches Sort directly over the shuffle stage — an aggregate
+      // between them (distinct()) hides the join from the rule
+      import spark.implicits._
+      val dim = ev.select(col("event_type")).distinct().as[String].collect().sorted.toSeq
+        .toDF("event_type")
+        .withColumn("weight", (length(col("event_type")) % 5 + 1).cast("long"))
+      // no aggregate on the join key downstream: AQE refuses to split a
+      // skewed partition whose output partitioning a parent still needs
+      val joined = ev.join(dim, Seq("event_type"))
+        .select(col("event_type"), col("event_id"), col("rep"), col("weight"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"expected AQE to mark the hot partition skewed and split it:\n${plan.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("SURVEY audit: every registered query maps 1:1 to a named SURVEY.md ID") {
     // SURVEY §2 claims a provably exhaustive inventory; this pins it
     // mechanically — every SparkEntry.queries entry must name its SURVEY
