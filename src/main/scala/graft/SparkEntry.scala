@@ -121,6 +121,7 @@ object SparkEntry {
     "x_interleave" -> (llm.Sampling.interleave _),
     "x_mad" -> (llm.Analytics.mad _),
     "x_diversity" -> (llm.TextAnalysis.charDiversity _),
+    "x_vacuum" -> (etl.Cdc.vacuum _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -1053,6 +1054,33 @@ object SparkEntry {
          |       CAST(coll_num AS DOUBLE)
          |         / CAST(n_chars * (n_chars - 1) AS DOUBLE) AS collision
          |FROM a ORDER BY doc_id""".stripMargin,
+    // snapshot retention profile: expired versions carry NULL stats
+    // (their data is gone by construction); kept versions' stats are
+    // recomputed from the DERIVED chain content the oracle mirrors
+    "x_vacuum" -> {
+      val per = (0 until etl.Cdc.VacuumVersions).map { k =>
+        val kept = k >= etl.Cdc.VacuumVersions - etl.Cdc.VacuumKeep
+        if (!kept)
+          s"""SELECT CAST($k AS BIGINT) AS version, false AS kept,
+             |       CAST(NULL AS BIGINT) AS n, CAST(NULL AS DATE) AS min_date,
+             |       CAST(NULL AS DATE) AS max_date, CAST(NULL AS DOUBLE) AS sum_rate""".stripMargin
+        else
+          s"""SELECT CAST($k AS BIGINT) AS version, true AS kept,
+             |       CAST(count(*) AS BIGINT) AS n, min(date) AS min_date,
+             |       max(date) AS max_date,
+             |       CAST(sum(CAST(rate AS DECIMAL(18,2))) AS DOUBLE) AS sum_rate
+             |FROM (
+             |  SELECT date,
+             |         rate + (CASE WHEN EXTRACT(DAY FROM date) % 3 = 0
+             |                 THEN ${k * 0.25} ELSE 0.0 END) AS rate
+             |  FROM rates
+             |  UNION ALL
+             |  SELECT md + CAST(i AS INT) AS date, 30.0 + i AS rate
+             |  FROM mx, (SELECT unnest(range(1, ${k + 1})) AS i))""".stripMargin
+      }
+      s"WITH $ratesCte, mx AS (SELECT max(date) AS md FROM rates)\n" +
+        per.mkString("\nUNION ALL\n") + "\nORDER BY version"
+    },
     // bigram LM quality score: rational mean-probability (no libm ln);
     // per-doc sum folds in position order, one division per addend
     "x_ngram_lm" ->

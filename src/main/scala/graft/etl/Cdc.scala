@@ -150,6 +150,133 @@ object Cdc {
       .orderBy("version")
   }
 
+  // ---- snapshot retention (X-VACUUM) ---------------------------------
+
+  /** Versions staged by [[vacuum]] (v0..v3) and how many trailing ones
+    * retention keeps. keepLast=2 ⇒ v0/v1 expire, v2/v3 survive.
+    */
+  val VacuumVersions = 4
+  val VacuumKeep = 2
+
+  /** Expire every snapshot older than the last `keepLast` versions: delete
+    * the snapshot dirs and record the versions in a `_vacuumed` tombstone
+    * file so later version reads fail LOUDLY ([[readVersion]]) instead of
+    * with a generic missing-path error. The pointer is never touched — the
+    * current version is always inside the kept window. Idempotent: already
+    * -removed versions are skipped, tombstones accumulate exactly once.
+    * This is the retention half every CoW table needs (Iceberg
+    * expire_snapshots / Delta VACUUM): without it [[streamUpsert]] /
+    * [[timeTravel]] chains grow one full table copy per commit, forever.
+    */
+  private[graft] def expireSnapshots(root: java.nio.file.Path, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "retention must keep at least the current version")
+    val cur = currentVersion(root)
+    val cutoff = cur - keepLast + 1 // keep [cutoff, cur]
+    val removed = (0L until cutoff)
+      .filter(v => java.nio.file.Files.exists(root.resolve(s"v$v")))
+    removed.foreach(v =>
+      graft.streaming.Drain.deleteRecursively(root.resolve(s"v$v")))
+    if (removed.nonEmpty) {
+      val all = (vacuumedVersions(root) ++ removed).distinct.sorted
+      val tmp = root.resolve("_vacuumed.tmp")
+      java.nio.file.Files.writeString(tmp, all.mkString("\n"))
+      java.nio.file.Files.move(tmp, root.resolve("_vacuumed"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    removed
+  }
+
+  private[graft] def vacuumedVersions(root: java.nio.file.Path): Seq[Long] = {
+    val f = root.resolve("_vacuumed")
+    if (!java.nio.file.Files.exists(f)) Seq.empty
+    else java.nio.file.Files.readString(f).split("\n").toSeq
+      .filter(_.nonEmpty).map(_.trim.toLong)
+  }
+
+  /** `VERSION AS OF` read that distinguishes "expired by retention" (a
+    * tombstoned version — deliberate, loud) from "never existed".
+    */
+  private[graft] def readVersion(
+      spark: SparkSession, root: java.nio.file.Path, v: Long): DataFrame = {
+    if (vacuumedVersions(root).contains(v))
+      throw new IllegalStateException(
+        s"version $v was expired by snapshot retention (vacuum); " +
+          s"oldest readable version is ${currentVersion(root) - VacuumKeep + 1}")
+    val dir = root.resolve(s"v$v")
+    if (!java.nio.file.Files.exists(dir))
+      throw new IllegalArgumentException(s"version $v does not exist")
+    spark.read.parquet(dir.toString)
+  }
+
+  /** X-VACUUM: snapshot retention over the versioned CoW chain. Stages a
+    * 4-version rates chain (v_k = base rates with +k·0.25 on every
+    * day%3==0 row, plus k appended days — each version deterministically
+    * derivable so the oracle can recompute kept-version stats from the
+    * fixture), expires all but the last [[VacuumKeep]] versions, and
+    * emits the retention profile: every version ever committed, kept or
+    * removed, with data stats for survivors (recomputed from the actual
+    * surviving parquet — the hash proves vacuum didn't corrupt what it
+    * kept) and NULL stats for expired ones (their data is GONE; a
+    * non-null here could only come from a stale copy). The pointer stays
+    * on the newest version throughout. At scale this is the maintenance
+    * job that bounds table storage to keepLast copies.
+    */
+  def vacuum(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(Sink.scratchPath(sfDir, "rates_vacuum"))
+    val marker = root.resolve("_GRAFT_OK_v1")
+    if (!java.nio.file.Files.exists(marker)) {
+      Sink.dropUncommitted(root.toString)
+      java.nio.file.Files.createDirectories(root)
+      (0 until VacuumVersions).foreach { k =>
+        vacuumVersionK(spark, sfDir, k)
+          .write.parquet(root.resolve(s"v$k").toString)
+        writePointer(root, k.toLong)
+      }
+      java.nio.file.Files.createFile(marker)
+    }
+    expireSnapshots(root, VacuumKeep) // idempotent across calls
+    val cur = currentVersion(root)
+    require(cur == VacuumVersions - 1, "pointer must stay on the newest version")
+    val gone = vacuumedVersions(root).toSet
+    val profile = (0L to cur).map { v =>
+      if (gone.contains(v))
+        spark.range(1).select(
+          lit(v).as("version"), lit(false).as("kept"),
+          lit(null).cast("bigint").as("n"),
+          lit(null).cast("date").as("min_date"),
+          lit(null).cast("date").as("max_date"),
+          lit(null).cast("double").as("sum_rate"))
+      else
+        readVersion(spark, root, v).agg(
+          count(lit(1)).as("n"),
+          min("date").as("min_date"),
+          max("date").as("max_date"),
+          sum(col("rate").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_rate"))
+          .select(lit(v).as("version"), lit(true).as("kept"),
+            col("n"), col("min_date"), col("max_date"), col("sum_rate"))
+    }
+    profile.reduce(_ unionByName _).orderBy("version")
+  }
+
+  /** Content of chain version k (deterministic, oracle-mirrorable). */
+  private[graft] def vacuumVersionK(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    val base = RatesSource.rates(spark, sfDir)
+    if (k == 0) base
+    else {
+      val maxDate = base.agg(max("date")).head().getDate(0)
+      val upd = base.select(col("date"), col("currencies"),
+        (col("rate") + when(dayofmonth(col("date")) % 3 === 0, lit(k * 0.25))
+          .otherwise(lit(0.0))).as("rate"))
+      val ins = spark.range(1, k + 1).select(
+        date_add(lit(maxDate), col("id").cast("int")).as("date"),
+        lit("USDUAH").as("currencies"),
+        (lit(30.0) + col("id").cast("double")).as("rate"))
+      upd.unionByName(ins)
+    }
+  }
+
   /** Q-DELETE: copy-on-write row deletion (the GDPR-erasure shape) over
     * the Z-ordered events copy — delete ONE user's events by rewriting
     * ONLY the files that contain that user, leaving every other file
@@ -165,7 +292,7 @@ object Cdc {
   def delete(spark: SparkSession, sfDir: String): DataFrame = {
     val src = graft.queries.ScaleQueries.zorderLayout(spark, sfDir)
     val dst = Sink.scratchPath(sfDir, "events_zorder_deleted")
-    val marker = java.nio.file.Paths.get(dst, "_GRAFT_OK_v2")
+    val marker = java.nio.file.Paths.get(dst, "_GRAFT_OK_v3")
     if (!java.nio.file.Files.exists(marker)) {
       Sink.dropUncommitted(dst)
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
@@ -193,21 +320,7 @@ object Cdc {
           s"${affected.size} files contain the victim but none matched the " +
             "directory listing — URI/path normalization mismatch; a silent " +
             "no-op here would leave the victim's rows in place")
-      files.foreach { f =>
-        val name = new java.io.File(f).getName
-        if (affected.contains(f)) {
-          spark.read.parquet(f)
-            .filter(col("user_id") =!= victim)
-            .coalesce(1)
-            .write.parquet(s"$dst/rw_$name")
-        } else {
-          // untouched files carry over as-is (copied here because the
-          // scratch dirs are independent; a manifest format would just
-          // keep referencing the original file)
-          java.nio.file.Files.copy(
-            java.nio.file.Paths.get(f), java.nio.file.Paths.get(dst, name))
-        }
-      }
+      rewriteAffected(spark, files, affected, victim, dst)
       java.nio.file.Files.createFile(marker)
     }
     val remaining = spark.read.option("recursiveFileLookup", "true").parquet(dst)
@@ -219,5 +332,33 @@ object Cdc {
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
           .cast("double").as("total_value"))
       .orderBy("event_type")
+  }
+
+  /** The CoW rewrite step of [[delete]]: ALL affected files are rewritten
+    * by ONE Spark job (a multi-path scan + anti-filter + write — each tiny
+    * input file is its own task, so the rewrite parallelizes across the
+    * affected set), and untouched files carry over as driver-side copies
+    * (metadata work: a manifest format would just keep referencing them).
+    * A victim spread over hundreds of files was previously a driver-serial
+    * per-file loop — one Spark job PER file; job count is now independent
+    * of the affected-file count (spec-asserted ≤ 2).
+    */
+  private[graft] def rewriteAffected(
+      spark: SparkSession,
+      files: Seq[String],
+      affected: Set[String],
+      victim: Long,
+      dst: String): Unit = {
+    val hit = files.filter(affected.contains)
+    if (hit.nonEmpty) {
+      spark.read.parquet(hit: _*)
+        .filter(col("user_id") =!= victim)
+        .write.parquet(s"$dst/rw_batch")
+    }
+    files.filterNot(affected.contains).foreach { f =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(f),
+        java.nio.file.Paths.get(dst, new java.io.File(f).getName))
+    }
   }
 }

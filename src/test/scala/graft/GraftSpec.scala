@@ -1462,17 +1462,86 @@ class GraftSpec extends AnyFunSuite {
     out.count() // ensure the deleted layout exists
     val dst = etl.Sink.scratchPath(sf, "events_zorder_deleted")
     val entries = new java.io.File(dst).listFiles()
-    val rewritten = entries.count(_.getName.startsWith("rw_"))
-    // rewritten outputs are DIRECTORIES named rw_part-*.parquet — exclude
-    // them or the untouched count double-counts every rewrite
+    // untouched source files carry over as top-level copies; rewritten
+    // ones land inside the single rw_batch output dir
     val untouched = entries.count(e =>
       e.getName.endsWith(".parquet") && !e.getName.startsWith("rw_"))
-    assert(rewritten >= 1, "at least one file must contain the victim")
-    assert(untouched > rewritten,
-      s"z-order should confine the victim to a minority of files: $rewritten rewritten vs $untouched untouched")
+    val srcFiles = new java.io.File(graft.queries.ScaleQueries.zorderLayout(spark, sf))
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val affected = srcFiles - untouched
+    assert(affected >= 1, "at least one file must contain the victim")
+    assert(untouched > affected,
+      s"z-order should confine the victim to a minority of files: $affected rewritten vs $untouched untouched")
     val remaining = spark.read.option("recursiveFileLookup", "true").parquet(dst)
     val victim = Tables.events(spark, sf).agg(min("user_id")).head().getLong(0) + 3
     assert(remaining.filter(col("user_id") === victim).count() === 0)
+  }
+
+  test("q_delete rewrite: Spark job count independent of affected-file count (≤2)") {
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graft_delete_jobs_")
+    val srcDir = work.resolve("src").toString
+    val dstDir = work.resolve("dst").toString
+    Files.createDirectories(java.nio.file.Paths.get(dstDir))
+    // a victim smeared over MANY files — the case the old per-file loop
+    // serialized into one Spark job per file
+    Tables.events(spark, sf).repartition(8).write.parquet(srcDir)
+    val victim = Tables.events(spark, sf).agg(min("user_id")).head().getLong(0)
+    val files = new java.io.File(srcDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+    val affected = files.filter(f =>
+      spark.read.parquet(f).filter(col("user_id") === victim).head(1).nonEmpty).toSet
+    assert(affected.size >= 3, s"fixture must smear the victim (got ${affected.size} files)")
+    spark.sparkContext.setJobGroup("graft-rewrite-audit", "rewrite job count audit")
+    try etl.Cdc.rewriteAffected(spark, files, affected, victim, dstDir)
+    finally spark.sparkContext.clearJobGroup()
+    // the status store is fed asynchronously; poll until it stabilizes
+    def groupJobs() = spark.sparkContext.statusTracker
+      .getJobIdsForGroup("graft-rewrite-audit").length
+    val deadline = System.nanoTime() + 10e9.toLong
+    var n = groupJobs()
+    while (System.nanoTime() < deadline && { Thread.sleep(100); groupJobs() != n })
+      n = groupJobs()
+    assert(n >= 1 && n <= 2,
+      s"rewrite of ${affected.size} affected files must be ≤2 jobs, got $n")
+    // and the rewrite is still value-exact: victim gone, everything else kept
+    val remaining = spark.read.option("recursiveFileLookup", "true").parquet(dstDir)
+    assert(remaining.filter(col("user_id") === victim).count() === 0)
+    val expect = Tables.events(spark, sf).filter(col("user_id") =!= victim).count()
+    assert(remaining.count() === expect)
+  }
+
+  test("x_vacuum: expired versions fail loudly; pointer and survivors intact") {
+    val profile = etl.Cdc.vacuum(spark, sf).collect()
+    assert(profile.length === etl.Cdc.VacuumVersions)
+    val keepFrom = etl.Cdc.VacuumVersions - etl.Cdc.VacuumKeep
+    profile.foreach { r =>
+      val (v, kept) = (r.getLong(0), r.getBoolean(1))
+      assert(kept === (v >= keepFrom), s"version $v kept=$kept")
+      if (kept) assert(!r.isNullAt(2) && r.getLong(2) > 0)
+      else assert(r.isNullAt(2) && r.isNullAt(5),
+        s"expired version $v must carry NULL stats — its data is gone")
+    }
+    val root = java.nio.file.Paths.get(etl.Sink.scratchPath(sf, "rates_vacuum"))
+    // pointer untouched, newest version readable and value-exact
+    assert(etl.Cdc.currentVersion(root) === (etl.Cdc.VacuumVersions - 1).toLong)
+    val last = etl.Cdc.readVersion(spark, root, etl.Cdc.VacuumVersions - 1)
+    val expect = etl.Cdc.vacuumVersionK(spark, sf, etl.Cdc.VacuumVersions - 1)
+    assert(last.count() === expect.count())
+    assert(last.agg(sum(col("rate").cast("decimal(18,2)"))).head().getDecimal(0)
+      === expect.agg(sum(col("rate").cast("decimal(18,2)"))).head().getDecimal(0))
+    // vacuumed version reads are a deliberate, explanatory failure
+    val e = intercept[IllegalStateException] {
+      etl.Cdc.readVersion(spark, root, 0L)
+    }
+    assert(e.getMessage.contains("retention"), e.getMessage)
+    // never-committed versions are a different error
+    intercept[IllegalArgumentException] {
+      etl.Cdc.readVersion(spark, root, 99L)
+    }
+    // idempotent: a second maintenance run changes nothing
+    val again = etl.Cdc.vacuum(spark, sf).collect()
+    assert(again.map(_.toSeq).toSeq === profile.map(_.toSeq).toSeq)
   }
 
   test("q_stream_sink recovery: killed between epochs, restart resumes from the checkpoint") {
@@ -1874,7 +1943,8 @@ class GraftSpec extends AnyFunSuite {
       "x_skew_salted" -> "X-SKEW", "x_skew_join" -> "X-SKEW",
       "x_range_join" -> "X-RANGE", "x_zorder" -> "X-ZORDER",
       "x_bloom_join" -> "X-BLOOM-JOIN", "x_bucket_join" -> "X-BUCKET-JOIN",
-      "x_scd2" -> "X-SCD2", "x_time_travel" -> "X-TIME-TRAVEL")
+      "x_scd2" -> "X-SCD2", "x_time_travel" -> "X-TIME-TRAVEL",
+      "x_vacuum" -> "X-VACUUM")
     val registered = SparkEntry.queries.keySet
     val unmapped = registered -- idOf.keySet
     assert(unmapped.isEmpty, s"queries with no SURVEY ID mapping: $unmapped")
