@@ -21,10 +21,12 @@ import graft.etl.Schemas
   * `spark.sql.catalog.<name> = graft.sources.FbInsightsCatalog` and
   * `spark.sql.catalog.<name>.warehouse = <dir>`; a table named
   * `<name>.<ns>.<tbl>` then lives at `<warehouse>/<ns>/<tbl>` unless its
-  * CREATE carried an explicit `LOCATION` (kept in an in-JVM registry —
-  * the catalog is directory-derived and otherwise stateless, exactly like
-  * the landing zone itself; external locations re-resolve per JVM, the
-  * same lifetime the scratch fixture tables have).
+  * CREATE carried an explicit `LOCATION`. External locations are DURABLE:
+  * ident→path persists in `_locations.properties` under the warehouse
+  * (written atomically, loaded at initialize), so a fresh session — or a
+  * fresh catalog instance in another JVM — resolves external tables the
+  * way the reference's BigQuery catalog resolves its datasets. Managed
+  * tables need no registry entry (their path derives from the ident).
   *
   * The table schema is the connector's fixed insights schema — a declared
   * schema must match it (the reference enforces its declared BigQuery
@@ -34,6 +36,8 @@ class FbInsightsCatalog extends TableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
+  // external (explicit-LOCATION) tables only; managed paths derive from
+  // the ident. Cache of the durable _locations.properties registry.
   private val locations =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -42,6 +46,34 @@ class FbInsightsCatalog extends TableCatalog {
     warehouse = options.get("warehouse")
     require(warehouse != null,
       s"catalog $name requires spark.sql.catalog.$name.warehouse")
+    val f = locationsFile
+    if (Files.exists(f)) {
+      val props = new java.util.Properties()
+      val in = Files.newInputStream(f)
+      try props.load(in) finally in.close()
+      props.stringPropertyNames().asScala.foreach(k =>
+        locations.put(k, props.getProperty(k)))
+    }
+  }
+
+  private def locationsFile = Paths.get(warehouse, "_locations.properties")
+
+  /** Persist the external-location registry: write-then-atomic-move, same
+    * protocol as every other commit point in this engine — a reader (or a
+    * concurrently initializing catalog) sees the old complete file or the
+    * new complete file, never a torn one.
+    */
+  private def persistLocations(): Unit = synchronized {
+    val props = new java.util.Properties()
+    locations.asScala.foreach { case (k, v) => props.setProperty(k, v) }
+    Files.createDirectories(Paths.get(warehouse))
+    val tmp = Paths.get(warehouse, "_locations.properties.tmp")
+    val out = Files.newOutputStream(tmp)
+    try props.store(out, "fb-insights external table locations")
+    finally out.close()
+    Files.move(tmp, locationsFile,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   override def name(): String = catalogName
@@ -70,9 +102,16 @@ class FbInsightsCatalog extends TableCatalog {
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = new java.io.File((warehouse +: namespace).mkString("/"))
-    Option(dir.listFiles()).getOrElse(Array.empty)
+    val managed = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(_.isDirectory)
       .map(f => Identifier.of(namespace, f.getName))
+    // external tables live outside the warehouse — the registry is their
+    // only listing (filter on namespace prefix of the "ns/…/tbl" key)
+    val nsPrefix = namespace.mkString("", "/", "/")
+    val external = locations.keySet.asScala.toArray
+      .filter(k => k.startsWith(nsPrefix) && !k.drop(nsPrefix.length).contains("/"))
+      .map(k => Identifier.of(namespace, k.drop(nsPrefix.length)))
+    (managed ++ external).distinct
   }
 
   override def tableExists(ident: Identifier): Boolean =
@@ -100,10 +139,12 @@ class FbInsightsCatalog extends TableCatalog {
     require(partitions.isEmpty,
       "fb-insights tables are always day-partitioned by date_start; " +
         "explicit PARTITIONED BY is not supported")
-    val p = Option(properties.get(TableCatalog.PROP_LOCATION))
-      .map(fsPath)
-      .getOrElse(s"$warehouse/${key(ident)}")
-    locations.put(key(ident), p)
+    val external = Option(properties.get(TableCatalog.PROP_LOCATION)).map(fsPath)
+    val p = external.getOrElse(s"$warehouse/${key(ident)}")
+    external.foreach { loc =>
+      locations.put(key(ident), loc)
+      persistLocations() // durable: a fresh session must resolve this table
+    }
     Files.createDirectories(Paths.get(p))
     new FbInsightsTable(p)
   }
@@ -114,7 +155,7 @@ class FbInsightsCatalog extends TableCatalog {
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = Paths.get(pathFor(ident))
-    locations.remove(key(ident))
+    if (locations.remove(key(ident)) != null) persistLocations()
     if (!Files.isDirectory(p)) false
     else {
       // close the walk stream (it holds directory handles) and tolerate
@@ -135,7 +176,8 @@ class FbInsightsCatalog extends TableCatalog {
     val to = Paths.get(pathFor(newIdent))
     Files.createDirectories(to.getParent)
     Files.move(Paths.get(pathFor(oldIdent)), to)
-    locations.remove(key(oldIdent))
+    // the data now lives at the new ident's (managed) path
+    if (locations.remove(key(oldIdent)) != null) persistLocations()
     ()
   }
 }

@@ -1511,6 +1511,45 @@ class GraftSpec extends AnyFunSuite {
     assert(remaining.count() === expect)
   }
 
+  test("catalog: external LOCATION tables survive into a fresh catalog instance") {
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graft_catalog_durable_")
+    val wh = work.resolve("wh").toString
+    val external = work.resolve("ext_data").toString
+    // first catalog instance: CREATE ... LOCATION through SQL DDL
+    val cat = "fbdur_" + System.nanoTime()
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.FbInsightsCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.db.ext USING fbinsights LOCATION '$external'")
+    etl.FbInsightsSource.raw(spark, sf).limit(7).createOrReplaceTempView("cat_dur_src")
+    spark.sql(s"INSERT INTO $cat.db.ext SELECT * FROM cat_dur_src")
+    // a FRESH catalog instance over the same warehouse — the in-JVM map is
+    // empty; only the durable _locations.properties can resolve the table
+    val fresh = new graft.sources.FbInsightsCatalog
+    fresh.initialize("fresh", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse", wh)))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "ext")
+    assert(fresh.tableExists(ident), "fresh instance must resolve the external table")
+    // and through a fresh SQL-registered catalog: SELECT succeeds with data
+    val cat2 = "fbdur2_" + System.nanoTime()
+    spark.conf.set(s"spark.sql.catalog.$cat2",
+      classOf[graft.sources.FbInsightsCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat2.warehouse", wh)
+    assert(spark.sql(s"SELECT * FROM $cat2.db.ext").count() === 7L)
+    assert(spark.sql(s"SHOW TABLES IN $cat2.db").collect()
+      .map(_.getString(1)).contains("ext"), "external table must be listed")
+    // registry entry removed with the table
+    val d = new graft.sources.FbInsightsCatalog
+    d.initialize("d", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse", wh)))
+    d.dropTable(ident)
+    val postDrop = new graft.sources.FbInsightsCatalog
+    postDrop.initialize("pd", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse", wh)))
+    assert(!postDrop.tableExists(ident), "dropped external table must not resurrect")
+  }
+
   test("x_vacuum: expired versions fail loudly; pointer and survivors intact") {
     val profile = etl.Cdc.vacuum(spark, sf).collect()
     assert(profile.length === etl.Cdc.VacuumVersions)
