@@ -122,6 +122,7 @@ object SparkEntry {
     "x_mad" -> (llm.Analytics.mad _),
     "x_diversity" -> (llm.TextAnalysis.charDiversity _),
     "x_vacuum" -> (etl.Cdc.vacuum _),
+    "q_evolve" -> (etl.SchemaEvolve.qEvolve _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -1054,6 +1055,20 @@ object SparkEntry {
          |       CAST(coll_num AS DOUBLE)
          |         / CAST(n_chars * (n_chars - 1) AS DOUBLE) AS collision
          |FROM a ORDER BY doc_id""".stripMargin,
+    // schema-evolution read: epoch1 (even keys) predates the channel
+    // column, so its rows must surface as 'legacy'; the oracle derives
+    // the same two-epoch split from the ORIGINAL table
+    "q_evolve" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN
+        |         CASE WHEN o_orderkey % 3 = 0 THEN 'web'
+        |              WHEN o_orderkey % 3 = 1 THEN 'store'
+        |              ELSE 'app' END
+        |       ELSE 'legacy' END AS channel,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       min(CAST(o_orderdate AS DATE)) AS min_day,
+        |       max(CAST(o_orderdate AS DATE)) AS max_day
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // snapshot retention profile: expired versions carry NULL stats
     // (their data is gone by construction); kept versions' stats are
     // recomputed from the DERIVED chain content the oracle mirrors

@@ -1550,6 +1550,31 @@ class GraftSpec extends AnyFunSuite {
     assert(!postDrop.tableExists(ident), "dropped external table must not resurrect")
   }
 
+  test("q_evolve: old-epoch rows surface the added column as NULL; scan stays pruned") {
+    val df = etl.SchemaEvolve.qEvolve(spark, sf)
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).contains("legacy"), "epoch1 rows must appear as legacy")
+    assert(rows.length === 4, "web/store/app/legacy")
+    val total = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === total, "no row lost across epochs")
+    // column pruning survives footer merging: the scan must not read the
+    // untouched columns (o_orderstatus never referenced)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(!scan.contains("o_orderstatus"),
+      s"merged-schema scan must stay pruned:\n${scan.take(2000)}")
+    // the pitfall pinned: WITHOUT mergeSchema Spark trusts one footer —
+    // if it picks an epoch1 file the evolved column silently vanishes;
+    // reading epoch1 alone proves the old files truly lack the column
+    val dir = etl.SchemaEvolve.evolvePath(spark, sf)
+    val old = spark.read.parquet(s"$dir/epoch1")
+    assert(!old.columns.contains("channel"), "epoch1 predates the column")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/epoch1", s"$dir/epoch2")
+    assert(merged.columns.contains("channel"))
+    assert(merged.filter(col("channel").isNull).count() ===
+      Tables.orders(spark, sf).filter(col("o_orderkey") % 2 === 0).count())
+  }
+
   test("x_vacuum: expired versions fail loudly; pointer and survivors intact") {
     val profile = etl.Cdc.vacuum(spark, sf).collect()
     assert(profile.length === etl.Cdc.VacuumVersions)
@@ -1983,7 +2008,7 @@ class GraftSpec extends AnyFunSuite {
       "x_range_join" -> "X-RANGE", "x_zorder" -> "X-ZORDER",
       "x_bloom_join" -> "X-BLOOM-JOIN", "x_bucket_join" -> "X-BUCKET-JOIN",
       "x_scd2" -> "X-SCD2", "x_time_travel" -> "X-TIME-TRAVEL",
-      "x_vacuum" -> "X-VACUUM")
+      "x_vacuum" -> "X-VACUUM", "q_evolve" -> "Q-SCHEMA-EVOLVE")
     val registered = SparkEntry.queries.keySet
     val unmapped = registered -- idOf.keySet
     assert(unmapped.isEmpty, s"queries with no SURVEY ID mapping: $unmapped")
