@@ -123,6 +123,8 @@ object SparkEntry {
     "x_diversity" -> (llm.TextAnalysis.charDiversity _),
     "x_vacuum" -> (etl.Cdc.vacuum _),
     "q_evolve" -> (etl.SchemaEvolve.qEvolve _),
+    "x_change_feed" -> (etl.Cdc.changeFeed _),
+    "x_embed_quant" -> (llm.Quantize.embedQuant _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -1055,6 +1057,61 @@ object SparkEntry {
          |       CAST(coll_num AS DOUBLE)
          |         / CAST(n_chars * (n_chars - 1) AS DOUBLE) AS collision
          |FROM a ORDER BY doc_id""".stripMargin,
+    // per-dimension int8 quantization: calibration min/max, floor(·+0.5)
+    // quantize, integer row-local folds summed (order-independent), max
+    // reconstruction error — every IEEE chain mirrored left-to-right
+    "x_embed_quant" ->
+      """WITH dims AS (
+        |  SELECT d, min(x) AS mn, max(x) AS mx FROM (
+        |    SELECT unnest(range(1, 65)) AS d,
+        |           unnest(list_transform(range(1, 65),
+        |             i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE))) AS x
+        |    FROM embeddings) GROUP BY d),
+        |st AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM dims),
+        |per AS (
+        |  SELECT label, mns, mxs, embedding,
+        |    list_transform(range(1, 65), i ->
+        |      CASE WHEN mxs[CAST(i AS INT)] = mns[CAST(i AS INT)] THEN CAST(0 AS BIGINT)
+        |           ELSE CAST(floor((CAST(embedding[CAST(i AS INT)] AS DOUBLE) - mns[CAST(i AS INT)])
+        |                / (mxs[CAST(i AS INT)] - mns[CAST(i AS INT)]) * 255 + 0.5) AS BIGINT) END) AS q
+        |  FROM embeddings, st),
+        |pv AS (
+        |  SELECT label,
+        |    list_sum(q) AS q_sum,
+        |    list_sum(list_transform(range(1, 65), i -> q[CAST(i AS INT)] * i)) AS q_pos,
+        |    len(list_filter(q, v -> v = 0 OR v = 255)) AS n_sat,
+        |    list_max(list_transform(range(1, 65), i ->
+        |      abs(CAST(q[CAST(i AS INT)] AS DOUBLE) / 255 * (mxs[CAST(i AS INT)] - mns[CAST(i AS INT)])
+        |          + mns[CAST(i AS INT)] - CAST(embedding[CAST(i AS INT)] AS DOUBLE)))) AS max_err
+        |  FROM per)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+        |       CAST(sum(q_sum) AS BIGINT) AS sum_q,
+        |       CAST(sum(q_pos) AS BIGINT) AS sum_qpos,
+        |       CAST(sum(n_sat) AS BIGINT) AS n_saturated,
+        |       round(max(max_err), 6) AS worst_err
+        |FROM pv GROUP BY label ORDER BY label""".stripMargin,
+    // CDC change feed: diff of the v0/v1 snapshot states re-derived from
+    // the fixture; unchanged rows are NOT emitted (sparse by contract)
+    "x_change_feed" ->
+      s"""WITH $ratesCte,
+         |mx AS (SELECT max(date) AS md FROM rates),
+         |upd AS (SELECT date, rate + 0.5 AS u_rate
+         |        FROM rates WHERE EXTRACT(DAY FROM date) % 3 = 0),
+         |ins AS (SELECT md + CAST(i AS INT) AS date, 30.0 + i AS u_rate
+         |        FROM mx, (SELECT unnest(range(1, 6)) AS i)),
+         |ch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+         |m AS (SELECT coalesce(r.date, c.date) AS date,
+         |             r.rate AS old_rate,
+         |             coalesce(c.u_rate, r.rate) AS new_rate
+         |      FROM rates r FULL OUTER JOIN ch c ON r.date = c.date),
+         |t AS (SELECT date, old_rate, new_rate,
+         |        CASE WHEN old_rate IS NULL THEN 'insert'
+         |             WHEN new_rate IS NULL THEN 'delete'
+         |             WHEN old_rate <> new_rate THEN 'update'
+         |             ELSE 'nochange' END AS change_type
+         |      FROM m)
+         |SELECT date, old_rate, new_rate, change_type
+         |FROM t WHERE change_type <> 'nochange' ORDER BY date""".stripMargin,
     // schema-evolution read: epoch1 (even keys) predates the channel
     // column, so its rows must surface as 'legacy'; the oracle derives
     // the same two-epoch split from the ORIGINAL table

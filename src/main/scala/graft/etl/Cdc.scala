@@ -150,6 +150,34 @@ object Cdc {
       .orderBy("version")
   }
 
+  /** X-CHANGE-FEED: the READ half of CDC — the row-level diff between two
+    * committed snapshot versions (`table_changes(v0, v1)` / readChangeFeed
+    * semantics): every key tagged insert / update / delete with its old
+    * and new values, unchanged rows NOT emitted (a change feed is sparse
+    * by contract — downstream incremental consumers must never reprocess
+    * the unchanged majority). Computed as a full-outer join of the two
+    * immutable snapshot dirs on the key — at scale this prunes to the
+    * partitions the commit touched (and a format with a changelog reads
+    * that instead; the join is the format-agnostic fallback that needs
+    * only the snapshots themselves). Chain is [[timeTravel]]'s (v0 = the
+    * rates load, v1 = post-MERGE): updates on day%3==0, five inserts, no
+    * deletes — the oracle re-derives both states and the same diff.
+    */
+  def changeFeed(spark: SparkSession, sfDir: String): DataFrame = {
+    timeTravel(spark, sfDir).head() // marker-gated: ensures v0/v1 committed
+    val root = java.nio.file.Paths.get(Sink.scratchPath(sfDir, "rates_versioned"))
+    val v0 = readVersion(spark, root, 0L).select(col("date"), col("rate").as("old_rate"))
+    val v1 = readVersion(spark, root, 1L).select(col("date"), col("rate").as("new_rate"))
+    v0.join(v1, Seq("date"), "full_outer")
+      .select(col("date"), col("old_rate"), col("new_rate"),
+        when(col("old_rate").isNull, "insert")
+          .when(col("new_rate").isNull, "delete")
+          .when(col("old_rate") =!= col("new_rate"), "update")
+          .otherwise("nochange").as("change_type"))
+      .filter(col("change_type") =!= "nochange")
+      .orderBy("date")
+  }
+
   // ---- snapshot retention (X-VACUUM) ---------------------------------
 
   /** Versions staged by [[vacuum]] (v0..v3) and how many trailing ones

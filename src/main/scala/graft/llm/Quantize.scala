@@ -1,0 +1,81 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** X-EMBED-QUANT: per-dimension affine int8 quantization of the embedding
+  * corpus — the storage operator of a large embedding store (4× smaller
+  * than float32 before any codec; scalar quantization is the first rung
+  * every production ANN index climbs before PQ). Two passes:
+  *
+  *  1. per-dimension min/max over the corpus — one posexplode +
+  *     partial+final hash agg keyed (dim); the 64-row result collapses
+  *     into ONE broadcast row (the "calibration" model, same shape as
+  *     IVF's centroid broadcast).
+  *  2. map-only quantize: `q_d = floor((x_d − mn_d) / (mx_d − mn_d) ·
+  *     255 + 0.5)` — floor(·+0.5) instead of round() because floor is
+  *     unambiguous on both engines, and every step is the same
+  *     left-to-right IEEE chain in the DuckDB mirror.
+  *
+  * The checked profile is per label: integer-exact quantized sums and
+  * positional checksums (each derived by a ROW-LOCAL fold in index
+  * order, then summed — BIGINT addition is order-independent, so the
+  * shuffle order can't drift the hash), the count of saturated cells
+  * (q ∈ {0, 255} — the clipping health metric), and the worst per-label
+  * reconstruction error (max is order-independent for doubles; the
+  * quality half of the quantization contract, exactly like ANN's
+  * recall_hits column). At 100 TB both passes are one shuffle of
+  * 64 partials per partition + a map — never raw-vector exchanges.
+  */
+object Quantize {
+
+  private val Levels = 255
+
+  /** (mn_d, mx_d) calibration arrays collapsed into one broadcast row. */
+  private def calibration(e: DataFrame): DataFrame =
+    e.select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("mn")))), s => s("mn")).as("mns"),
+        transform(array_sort(collect_list(struct(col("dim"), col("mx")))), s => s("mx")).as("mxs"))
+
+  /** q_d for element x at 0-based index d (LONG; degenerate dims pin 0). */
+  private def qOf(x: Column, d: Column): Column = {
+    val mn = element_at(col("mns"), (d + 1).cast("int"))
+    val mx = element_at(col("mxs"), (d + 1).cast("int"))
+    when(mx === mn, lit(0L))
+      .otherwise(floor((x.cast("double") - mn) / (mx - mn) * Levels + lit(0.5)))
+  }
+
+  /** x̂_d: dequantized value of q at 0-based index d. */
+  private def deqOf(q: Column, d: Column): Column = {
+    val mn = element_at(col("mns"), (d + 1).cast("int"))
+    val mx = element_at(col("mxs"), (d + 1).cast("int"))
+    q.cast("double") / Levels * (mx - mn) + mn
+  }
+
+  def embedQuant(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir).select(col("label"), col("embedding"))
+    val perVec = e.join(broadcast(calibration(e)))
+      .select(col("label"),
+        transform(col("embedding"), (x, d) => qOf(x, d)).as("q"),
+        transform(col("embedding"), (x, d) => abs(deqOf(qOf(x, d), d) - x.cast("double"))).as("err"))
+      .select(col("label"),
+        aggregate(col("q"), lit(0L), _ + _).as("q_sum"),
+        aggregate(zip_with(col("q"),
+          sequence(lit(1L), lit(64L)), _ * _), lit(0L), _ + _).as("q_pos"),
+        size(filter(col("q"), q => q === 0L || q === lit(Levels.toLong))).cast("long").as("n_sat"),
+        array_max(col("err")).as("max_err"))
+    perVec.groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        sum("q_sum").as("sum_q"),
+        sum("q_pos").as("sum_qpos"),
+        sum("n_sat").as("n_saturated"),
+        round(max("max_err"), 6).as("worst_err"))
+      .orderBy("label")
+  }
+}

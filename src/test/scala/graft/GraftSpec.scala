@@ -1575,6 +1575,44 @@ class GraftSpec extends AnyFunSuite {
       Tables.orders(spark, sf).filter(col("o_orderkey") % 2 === 0).count())
   }
 
+  test("x_embed_quant: bounded reconstruction error, full coverage, map-only quantize") {
+    val df = llm.Quantize.embedQuant(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val total = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === total, "every vector quantized exactly once")
+    rows.foreach { r =>
+      // affine int8 over [mn, mx]: error is bounded by half a step of the
+      // widest dimension — for N(0,1)-ish floats that is well under 0.05
+      assert(r.getDouble(5) < 0.05, s"worst_err ${r.getDouble(5)} too large")
+      assert(r.getLong(4) >= 2, "per-dim min and max rows saturate by construction")
+    }
+    // scale shape: the quantize pass is map-only — no shuffle between the
+    // broadcast of the calibration row and the per-label aggregate's own
+    // partial agg (one Exchange total, for the final groupBy(label))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastQueryStage"),
+      s"calibration must broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("hashpartitioning(vec_id"),
+      "the corpus must not be shuffled to quantize")
+  }
+
+  test("x_change_feed: sparse diff with correct change taxonomy") {
+    val rows = etl.Cdc.changeFeed(spark, sf).collect()
+    val byType = rows.groupBy(_.getString(3))
+    assert(!byType.contains("nochange"), "a change feed must be sparse")
+    assert(byType("insert").length === 5, "five appended days")
+    assert(!byType.contains("delete"), "this chain deletes nothing")
+    val expUpdates = etl.RatesSource.rates(spark, sf)
+      .filter(dayofmonth(col("date")) % 3 === 0).count()
+    assert(byType("update").length.toLong === expUpdates)
+    byType("update").foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(1) - 0.5) < 1e-12,
+        "update rows carry old AND new values")
+    }
+    byType("insert").foreach(r => assert(r.isNullAt(1), "inserts have no old value"))
+  }
+
   test("x_vacuum: expired versions fail loudly; pointer and survivors intact") {
     val profile = etl.Cdc.vacuum(spark, sf).collect()
     assert(profile.length === etl.Cdc.VacuumVersions)
@@ -2008,7 +2046,8 @@ class GraftSpec extends AnyFunSuite {
       "x_range_join" -> "X-RANGE", "x_zorder" -> "X-ZORDER",
       "x_bloom_join" -> "X-BLOOM-JOIN", "x_bucket_join" -> "X-BUCKET-JOIN",
       "x_scd2" -> "X-SCD2", "x_time_travel" -> "X-TIME-TRAVEL",
-      "x_vacuum" -> "X-VACUUM", "q_evolve" -> "Q-SCHEMA-EVOLVE")
+      "x_vacuum" -> "X-VACUUM", "q_evolve" -> "Q-SCHEMA-EVOLVE",
+      "x_change_feed" -> "X-CHANGE-FEED", "x_embed_quant" -> "X-EMBED-QUANT")
     val registered = SparkEntry.queries.keySet
     val unmapped = registered -- idOf.keySet
     assert(unmapped.isEmpty, s"queries with no SURVEY ID mapping: $unmapped")
