@@ -1991,6 +1991,24 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("DPP: a dim-side filter prunes the day-partitioned fact at runtime") {
+    // the engine-native sibling of the connector's SupportsRuntimeFiltering
+    // spec: over plain partitioned parquet, Catalyst's dynamic partition
+    // pruning must inject the join's build-side date values into the fact
+    // scan's partition filters — at 100 TB this is the difference between
+    // scanning 3 day-partitions and scanning 2,400
+    queries.EtlQueries.fbStatTable(spark, sf) // ensure the layout exists
+    val fact = spark.read.parquet(etl.Sink.scratchPath(sf, "fb_stat"))
+    val dim = etl.RatesSource.rates(spark, sf)
+      .filter(dayofmonth(col("date")) === 15) // selective, data-derived
+      .select(col("date"))
+    val joined = fact.join(dim, Seq("date")).select(col("date"), col("ad_id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"fact scan must carry a runtime partition filter:\n${plan.take(3000)}")
+    assert(joined.collect().nonEmpty)
+  }
+
   test("SURVEY audit: every registered query maps 1:1 to a named SURVEY.md ID") {
     // SURVEY §2 claims a provably exhaustive inventory; this pins it
     // mechanically — every SparkEntry.queries entry must name its SURVEY
