@@ -617,6 +617,35 @@ object OracleLlm {
        |FROM a ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
   }
 
+  /** multi-probe mirror of [[simLshSql]]: the query side probes its own
+    * bucket plus every single-bit-flip neighbor; the corpus side is
+    * byte-identical to the single-probe index.
+    */
+  val simMultiprobeSql: String =
+    s"""WITH $simBaseCtes,
+       |pl AS (SELECT ${llm.Similarity.planeSigns.mkString("[", ", ", "]")} AS ps),
+       |tb AS (SELECT unnest(range(0, ${llm.Similarity.NumTables})) AS t),
+       |cb AS (
+       |  SELECT c.vec_id, c.embedding, c.nrm, tb.t AS t,
+       |         ${bucketExpr("c.embedding", "tb.t")} AS bucket
+       |  FROM c, tb, pl),
+       |qb0 AS (
+       |  SELECT q.qid, q.qv, q.qn, tb.t AS t,
+       |         ${bucketExpr("q.qv", "tb.t")} AS bucket
+       |  FROM q, tb, pl),
+       |qb AS (
+       |  SELECT qid, qv, qn, t,
+       |         unnest(list_prepend(bucket,
+       |           list_transform(range(0, ${llm.Similarity.BitsPerTable}),
+       |             j -> xor(bucket, CAST(1 AS BIGINT) << CAST(j AS INT))))) AS bucket
+       |  FROM qb0),
+       |s AS (
+       |  SELECT DISTINCT qb.qid, cb.vec_id AS cid,
+       |         ${cosine("qb.qv", "qb.qn", "cb.embedding", "cb.nrm")} AS cosine
+       |  FROM cb JOIN qb ON cb.t = qb.t AND cb.bucket = qb.bucket
+       |                 AND cb.vec_id <> qb.qid),
+       |${rankRecallSelect(llm.Similarity.K)}""".stripMargin
+
   val simIvfSql: String =
     s"""WITH $simBaseCtes,
        |cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn FROM c

@@ -125,6 +125,7 @@ object SparkEntry {
     "q_evolve" -> (etl.SchemaEvolve.qEvolve _),
     "x_change_feed" -> (etl.Cdc.changeFeed _),
     "x_embed_quant" -> (llm.Quantize.embedQuant _),
+    "x_sim_multiprobe" -> (llm.Similarity.multiprobeTopK _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -570,6 +571,7 @@ object SparkEntry {
     "x_lang_id" -> OracleLlm.langIdSql,
     "x_mm_features" -> OracleLlm.mmFeaturesSql,
     "x_sim_lsh" -> OracleLlm.simLshSql,
+    "x_sim_multiprobe" -> OracleLlm.simMultiprobeSql,
     "x_sim_ivf" -> OracleLlm.simIvfSql,
     "x_split" -> OracleLlm.splitSql,
     "x_token_budget" -> OracleLlm.tokenBudgetSql,

@@ -222,9 +222,14 @@ class GraftSpec extends AnyFunSuite {
       }
       recalls.sum / recalls.size
     }
-    audit(Similarity.lshTopK(spark, sf)) // exactness only — see below
+    val lshMeanFixture = audit(Similarity.lshTopK(spark, sf)) // exactness; floor below
     val ivfMean = audit(Similarity.ivfTopK(spark, sf))
     assert(ivfMean >= 0.7, s"ivf mean recall@10 = $ivfMean")
+    // multi-probe: same index, query-side bucket expansion — must beat
+    // single-probe recall even on the structureless fixture
+    val mpMean = audit(Similarity.multiprobeTopK(spark, sf))
+    assert(mpMean > lshMeanFixture,
+      s"multi-probe recall ($mpMean) must beat single-probe ($lshMeanFixture)")
     // The fixture's vectors are uniform-random — the NO-STRUCTURE worst
     // case for bucketed ANN (every "neighbor" is barely closer than a
     // random point, so bucket collisions carry no signal; LSH measures
@@ -2065,7 +2070,8 @@ class GraftSpec extends AnyFunSuite {
       "x_bloom_join" -> "X-BLOOM-JOIN", "x_bucket_join" -> "X-BUCKET-JOIN",
       "x_scd2" -> "X-SCD2", "x_time_travel" -> "X-TIME-TRAVEL",
       "x_vacuum" -> "X-VACUUM", "q_evolve" -> "Q-SCHEMA-EVOLVE",
-      "x_change_feed" -> "X-CHANGE-FEED", "x_embed_quant" -> "X-EMBED-QUANT")
+      "x_change_feed" -> "X-CHANGE-FEED", "x_embed_quant" -> "X-EMBED-QUANT",
+      "x_sim_multiprobe" -> "X-SIM")
     val registered = SparkEntry.queries.keySet
     val unmapped = registered -- idOf.keySet
     assert(unmapped.isEmpty, s"queries with no SURVEY ID mapping: $unmapped")
