@@ -57,8 +57,13 @@ object Quantize {
     q.cast("double") / Levels * (mx - mn) + mn
   }
 
-  def embedQuant(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir).select(col("label"), col("embedding"))
+  def embedQuant(spark: SparkSession, sfDir: String): DataFrame =
+    embedQuantOf(Tables.embeddings(spark, sfDir).select(col("label"), col("embedding")))
+
+  /** The operator over any (label, embedding: array<float/double>) input —
+    * the property-law entry point.
+    */
+  def embedQuantOf(e: DataFrame): DataFrame = {
     val perVec = e.join(broadcast(calibration(e)))
       .select(col("label"),
         transform(col("embedding"), (x, d) => qOf(x, d)).as("q"),

@@ -158,4 +158,34 @@ class PropertySpec extends AnyFunSuite {
       assert(agg(rows) === agg(scala.util.Random.shuffle(rows)))
     }
   }
+
+  test("law: X-EMBED-QUANT error ≤ half a quantization step; order-invariant") {
+    import spark.implicits._
+    // 64-dim vectors with negatives, outliers, and a CONSTANT dim (dim 0)
+    // — the degenerate mx==mn guard must pin q=0, not divide by zero
+    val vecGen: Gen[Seq[Float]] = for {
+      base <- Gen.listOfN(63, Gen.chooseNum(-5.0, 5.0))
+      spike <- Gen.oneOf(0.0, 40.0, -40.0)
+    } yield (1.0 +: (base.init :+ (base.last + spike))).map(_.toFloat)
+    val corpusGen = Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("a", "b"), vecGen))
+    forAll(corpusGen, cases = 3) { rows =>
+      def run(rs: List[(String, Seq[Float])]) =
+        llm.Quantize.embedQuantOf(rs.toDF("label", "embedding"))
+          .collect().map(_.toSeq).toSeq
+      val out = run(rows)
+      // bound: worst reconstruction error ≤ half the widest dim's step
+      val dims = rows.head._2.indices
+      val maxStep = dims.map { d =>
+        val xs = rows.map(_._2(d).toDouble)
+        (xs.max - xs.min) / 255.0
+      }.max
+      out.foreach { r =>
+        val worst = r(5).asInstanceOf[Double]
+        assert(worst <= maxStep / 2 + 1e-6,
+          s"worst_err $worst exceeds half-step bound ${maxStep / 2}")
+      }
+      // calibration + integer checksums are order-independent
+      assert(run(scala.util.Random.shuffle(rows)) === out)
+    }
+  }
 }
