@@ -127,8 +127,22 @@ object Similarity {
     * recall is graded on a query sample exactly like this, never by
     * brute-forcing the corpus per serving query.
     */
-  def withRecall(ann: DataFrame, embeddings: DataFrame, stride: Int): DataFrame = {
-    val brute = bruteTopKOf(embeddings, stride).select(col("qid"), col("cid"))
+  def withRecall(ann: DataFrame, embeddings: DataFrame, stride: Int): DataFrame =
+    withRecallBrute(ann, bruteTopKOf(embeddings, stride))
+
+  /** Memoized+cached brute baseline per sfDir: the three fixture ANN
+    * queries (LSH / multi-probe / IVF) all grade against the SAME ≤K-rows
+    * -per-query result — one build, one cache entry, not three brute
+    * passes per bench round.
+    */
+  private val bruteCache = new graft.Memo
+  private def bruteFor(spark: SparkSession, sfDir: String): DataFrame =
+    bruteCache.getOrBuild(spark, s"$sfDir#brute", cache = true) {
+      bruteTopK(spark, sfDir)
+    }
+
+  private def withRecallBrute(ann: DataFrame, bruteTopK: DataFrame): DataFrame = {
+    val brute = bruteTopK.select(col("qid"), col("cid"))
     val hits = ann.select(col("qid"), col("cid"))
       .join(brute, Seq("qid", "cid"))
       .groupBy("qid").agg(count(lit(1)).as("recall_hits"))
@@ -144,10 +158,9 @@ object Similarity {
     * buckets instead of scanning the corpus. Carries the recall@k
     * grading column ([[withRecall]]).
     */
-  def lshTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
-    withRecall(lshTopKOf(e, QueryStride), e, QueryStride)
-  }
+  def lshTopK(spark: SparkSession, sfDir: String): DataFrame =
+    withRecallBrute(lshTopKOf(Tables.embeddings(spark, sfDir), QueryStride),
+      bruteFor(spark, sfDir))
 
   def lshTopKOf(embeddings: DataFrame, stride: Int): DataFrame = {
     val base = corpusOf(embeddings)
@@ -178,10 +191,9 @@ object Similarity {
     * is a QUERY-side knob, which is exactly why production systems
     * prefer it to more tables.
     */
-  def multiprobeTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
-    withRecall(multiprobeTopKOf(e, QueryStride), e, QueryStride)
-  }
+  def multiprobeTopK(spark: SparkSession, sfDir: String): DataFrame =
+    withRecallBrute(multiprobeTopKOf(Tables.embeddings(spark, sfDir), QueryStride),
+      bruteFor(spark, sfDir))
 
   def multiprobeTopKOf(embeddings: DataFrame, stride: Int): DataFrame = {
     val base = corpusOf(embeddings)
@@ -491,10 +503,9 @@ object Similarity {
     * partition read, not a scan; this plan shuffles nothing but the
     * final k-rows-per-query top-k.
     */
-  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
-    withRecall(ivfTopKOf(e, QueryStride), e, QueryStride)
-  }
+  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame =
+    withRecallBrute(ivfTopKOf(Tables.embeddings(spark, sfDir), QueryStride),
+      bruteFor(spark, sfDir))
 
   def ivfTopKOf(embeddings: DataFrame, stride: Int): DataFrame = {
     val c = corpusOf(embeddings)
