@@ -126,6 +126,7 @@ object SparkEntry {
     "x_change_feed" -> (etl.Cdc.changeFeed _),
     "x_embed_quant" -> (llm.Quantize.embedQuant _),
     "x_sim_multiprobe" -> (llm.Similarity.multiprobeTopK _),
+    "x_profile" -> (llm.Profile.profile _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -1059,6 +1060,23 @@ object SparkEntry {
          |       CAST(coll_num AS DOUBLE)
          |         / CAST(n_chars * (n_chars - 1) AS DOUBLE) AS collision
          |FROM a ORDER BY doc_id""".stripMargin,
+    // table profile: per-column null/exact-distinct counts over the
+    // deterministically null-injected view (same injection both engines)
+    "x_profile" -> {
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+      val per = cols.map { c =>
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+           |FROM e""".stripMargin
+      }
+      s"""WITH e AS (
+         |  SELECT event_id, ts, user_id, event_type,
+         |         CASE WHEN event_id % 17 = 0 THEN NULL ELSE value END AS value,
+         |         CASE WHEN event_id % 23 = 0 THEN NULL ELSE props END AS props
+         |  FROM events)
+         |""".stripMargin + per.mkString("\nUNION ALL\n") + "\nORDER BY col_name"
+    },
     // per-dimension int8 quantization: calibration min/max, floor(·+0.5)
     // quantize, integer row-local folds summed (order-independent), max
     // reconstruction error — every IEEE chain mirrored left-to-right

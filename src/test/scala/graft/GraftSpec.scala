@@ -1602,6 +1602,21 @@ class GraftSpec extends AnyFunSuite {
       "the corpus must not be shuffled to quantize")
   }
 
+  test("x_profile: one row per column; injected nulls counted exactly; keys identified") {
+    val rows = llm.Profile.profile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val total = Tables.events(spark, sf).count()
+    assert(rows.size === 6)
+    rows.values.foreach { case (n, _, _) => assert(n === total) }
+    val expValueNulls = Tables.events(spark, sf)
+      .filter(col("event_id") % 17 === 0).count()
+    assert(rows("value")._2 === expValueNulls, "injected null pattern counted exactly")
+    assert(rows("event_id")._2 === 0L)
+    // distincts identify the key vs the enum
+    assert(rows("event_id")._3 === total, "event_id is the unique key")
+    assert(rows("event_type")._3 === 5L, "event_type is a small enum")
+  }
+
   test("x_change_feed: sparse diff with correct change taxonomy") {
     val rows = etl.Cdc.changeFeed(spark, sf).collect()
     val byType = rows.groupBy(_.getString(3))
@@ -2071,7 +2086,7 @@ class GraftSpec extends AnyFunSuite {
       "x_scd2" -> "X-SCD2", "x_time_travel" -> "X-TIME-TRAVEL",
       "x_vacuum" -> "X-VACUUM", "q_evolve" -> "Q-SCHEMA-EVOLVE",
       "x_change_feed" -> "X-CHANGE-FEED", "x_embed_quant" -> "X-EMBED-QUANT",
-      "x_sim_multiprobe" -> "X-SIM")
+      "x_sim_multiprobe" -> "X-SIM", "x_profile" -> "X-PROFILE")
     val registered = SparkEntry.queries.keySet
     val unmapped = registered -- idOf.keySet
     assert(unmapped.isEmpty, s"queries with no SURVEY ID mapping: $unmapped")
