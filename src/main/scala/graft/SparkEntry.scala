@@ -127,6 +127,8 @@ object SparkEntry {
     "x_embed_quant" -> (llm.Quantize.embedQuant _),
     "x_sim_multiprobe" -> (llm.Similarity.multiprobeTopK _),
     "x_profile" -> (llm.Profile.profile _),
+    "x_optout" -> (etl.OptOut.optOut _),
+    "x_boilerplate" -> (llm.TextAnalysis.boilerplate _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -1060,6 +1062,41 @@ object SparkEntry {
          |       CAST(coll_num AS DOUBLE)
          |         / CAST(n_chars * (n_chars - 1) AS DOUBLE) AS collision
          |FROM a ORDER BY doc_id""".stripMargin,
+    // template-shingle profile: distinct per-doc bigrams, (source, gram)
+    // doc frequency, integer 20% threshold (df*5 >= n_docs)
+    "x_boilerplate" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, doc_id,
+        |         list_distinct(list_transform(range(1, len(toks)),
+        |           i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)])) AS grams
+        |  FROM t WHERE len(toks) >= 2),
+        |x AS (SELECT source, unnest(grams) AS gram FROM g),
+        |df AS (SELECT source, gram, count(*) AS df FROM x GROUP BY 1, 2),
+        |nd AS (SELECT source, count(*) AS n_docs FROM t GROUP BY 1)
+        |SELECT df.source AS source, CAST(max(nd.n_docs) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(sum(CASE WHEN df.df * 5 >= nd.n_docs THEN 1 ELSE 0 END) AS BIGINT) AS n_template,
+        |       CAST(sum(CASE WHEN df.df * 5 >= nd.n_docs THEN df.df ELSE 0 END) AS BIGINT) AS template_df_sum,
+        |       CAST(max(df.df) AS BIGINT) AS max_df
+        |FROM df JOIN nd ON df.source = nd.source
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // suppression-list split: anti (kept) and semi (audit) sides both
+    // recomputed with NOT IN / IN over the same deterministic list
+    "x_optout" ->
+      """WITH opt AS (SELECT c_custkey FROM customer WHERE c_custkey % 7 = 0)
+        |SELECT o_orderstatus,
+        |       CAST(sum(CASE WHEN o_custkey NOT IN (SELECT c_custkey FROM opt)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM opt)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed,
+        |       CAST(sum(CASE WHEN o_custkey NOT IN (SELECT c_custkey FROM opt)
+        |                THEN CAST(o_totalprice AS DECIMAL(18,2))
+        |                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS kept_total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // table profile: per-column null/exact-distinct counts over the
     // deterministically null-injected view (same injection both engines)
     "x_profile" -> {

@@ -259,6 +259,44 @@ object TextAnalysis {
   val ChunkOverlap = 8
   val ChunkStride: Int = ChunkSize - ChunkOverlap
 
+  /** X-BOILERPLATE: template-shingle detection per source — the
+    * boilerplate pass web-corpus pipelines (CCNet / RefinedWeb style)
+    * run to find navigation chrome, legal footers, and template text:
+    * a bigram shingle appearing in ≥ 20% of a SOURCE's documents is
+    * template, not content. Per-doc DISTINCT bigrams (presence, not
+    * frequency — a doc repeating its own header still counts once), one
+    * (source, gram) doc-frequency agg — the only heavy shuffle, carrying
+    * shingle keys — then a per-source rollup against the tiny broadcast
+    * doc-count dim. The 20% threshold is integer arithmetic
+    * (`df·5 ≥ n_docs`): no float compare to drift between engines. At
+    * 100 TB the df table is exactly a heavy-hitters problem — the
+    * SpaceSaving/CMS sketches (X-HEAVY-HITTERS, X-CMS) replace the exact
+    * agg with bounded memory; this operator states the exact contract
+    * those sketches approximate.
+    */
+  def boilerplate(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), tokens(col("text")).as("toks"))
+    val grams = toks.filter(size(col("toks")) >= 2)
+      .select(col("source"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("toks")) - 2),
+          i => concat(element_at(col("toks"), (i + 1).cast("int")), lit(" "),
+            element_at(col("toks"), (i + 2).cast("int")))))).as("gram"))
+    val df = grams.groupBy("source", "gram").agg(count(lit(1)).as("df"))
+    val nd = toks.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    df.join(broadcast(nd), Seq("source"))
+      .groupBy("source")
+      .agg(
+        max("n_docs").as("n_docs"),
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") * 5 >= col("n_docs"), lit(1L)).otherwise(lit(0L)))
+          .as("n_template"),
+        sum(when(col("df") * 5 >= col("n_docs"), col("df")).otherwise(lit(0L)))
+          .as("template_df_sum"),
+        max("df").as("max_df"))
+      .orderBy("source")
+  }
+
   /** X-CHUNK: overlapping fixed-size token windows — the chunker every
     * retrieval / context-window pipeline runs before embedding (vs
     * X-PACK, which concatenates-then-cuts for training sequences; a

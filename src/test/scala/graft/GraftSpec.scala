@@ -1617,6 +1617,41 @@ class GraftSpec extends AnyFunSuite {
     assert(rows("event_type")._3 === 5L, "event_type is a small enum")
   }
 
+  test("x_optout: anti/semi split is exact, list is broadcast, fact never shuffled to filter") {
+    val df = etl.OptOut.optOut(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val total = Tables.orders(spark, sf).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum === total,
+      "kept + suppressed must partition the fact table")
+    assert(rows.map(_.getLong(2)).sum > 0, "the suppression list must bite")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti") && plan.contains("LeftSemi"),
+      s"both governance verbs must appear:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastQueryStage"),
+      "the suppression list must broadcast")
+    assert(!plan.contains("hashpartitioning(o_custkey"),
+      "the fact table must not shuffle to be filtered")
+  }
+
+  test("x_boilerplate: presence-based df, integer threshold, non-vacuous on the fixture") {
+    val rows = llm.TextAnalysis.boilerplate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+    val nSources = docs.select("source").distinct().count()
+    assert(rows.length.toLong === nSources, "one profile row per source")
+    rows.foreach { r =>
+      val (nDocs, nGrams, nTemplate, dfSum, maxDf) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(maxDf <= nDocs, "presence-based df is bounded by the doc count")
+      assert(nTemplate <= nGrams)
+      assert(dfSum >= nTemplate, "each template gram contributes df ≥ 1")
+    }
+    // the fixture's shared vocabulary must make the threshold bite
+    // somewhere — a uniformly-zero template count would be vacuous
+    assert(rows.map(_.getLong(3)).sum > 0, "threshold must fire on the fixture")
+  }
+
   test("x_change_feed: sparse diff with correct change taxonomy") {
     val rows = etl.Cdc.changeFeed(spark, sf).collect()
     val byType = rows.groupBy(_.getString(3))
@@ -2086,7 +2121,8 @@ class GraftSpec extends AnyFunSuite {
       "x_scd2" -> "X-SCD2", "x_time_travel" -> "X-TIME-TRAVEL",
       "x_vacuum" -> "X-VACUUM", "q_evolve" -> "Q-SCHEMA-EVOLVE",
       "x_change_feed" -> "X-CHANGE-FEED", "x_embed_quant" -> "X-EMBED-QUANT",
-      "x_sim_multiprobe" -> "X-SIM", "x_profile" -> "X-PROFILE")
+      "x_sim_multiprobe" -> "X-SIM", "x_profile" -> "X-PROFILE",
+      "x_optout" -> "X-OPTOUT", "x_boilerplate" -> "X-BOILERPLATE")
     val registered = SparkEntry.queries.keySet
     val unmapped = registered -- idOf.keySet
     assert(unmapped.isEmpty, s"queries with no SURVEY ID mapping: $unmapped")
