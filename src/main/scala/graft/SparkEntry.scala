@@ -129,6 +129,7 @@ object SparkEntry {
     "x_profile" -> (llm.Profile.profile _),
     "x_optout" -> (etl.OptOut.optOut _),
     "x_boilerplate" -> (llm.TextAnalysis.boilerplate _),
+    "x_vocab_coverage" -> (llm.TextAnalysis.vocabCoverage _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -1084,6 +1085,28 @@ object SparkEntry {
         |       CAST(max(df.df) AS BIGINT) AS max_df
         |FROM df JOIN nd ON df.source = nd.source
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // vocabulary coverage curve: per-K conditional sums over the exact
+    // (c DESC, token) rank — integer sums, ONE division per checkpoint
+    "x_vocab_coverage" -> {
+      val ks = llm.TextAnalysis.CoverageKs
+      s"""WITH tok AS (
+         |  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+         |           x -> x <> '')) AS token
+         |  FROM documents),
+         |cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+         |tot AS (SELECT sum(c) AS total_tokens, count(*) AS n_types FROM cnt),
+         |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rank FROM cnt)
+         |""".stripMargin +
+        ks.map(k =>
+          s"""SELECT CAST($k AS BIGINT) AS k,
+             |       CAST(sum(CASE WHEN rank <= $k THEN c ELSE 0 END) AS BIGINT) AS covered_tokens,
+             |       CAST(max(tot.total_tokens) AS BIGINT) AS total_tokens,
+             |       CAST(max(tot.n_types) AS BIGINT) AS n_types,
+             |       CAST(sum(CASE WHEN rank <= $k THEN c ELSE 0 END) AS DOUBLE)
+             |         / CAST(max(tot.total_tokens) AS DOUBLE) AS coverage
+             |FROM r, tot""".stripMargin).mkString("\nUNION ALL\n") +
+        "\nORDER BY k"
+    },
     // suppression-list split: anti (kept) and semi (audit) sides both
     // recomputed with NOT IN / IN over the same deterministic list
     "x_optout" ->

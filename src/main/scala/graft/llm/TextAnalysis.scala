@@ -472,6 +472,45 @@ object TextAnalysis {
       .orderBy(desc("freq"), asc("token"))
       .limit(50)
 
+  /** Coverage checkpoints for [[vocabCoverage]]. */
+  val CoverageKs = Seq(10, 50, 100, 250)
+
+  /** X-VOCAB-COVERAGE: vocabulary coverage curve — what fraction of the
+    * corpus's TOKEN OCCURRENCES the top-K most frequent types cover, at
+    * pinned checkpoints. This is the tokenizer-design metric: it says how
+    * big a vocabulary must be before OOV mass is negligible, and how
+    * heavy the head is (Zipf corpora cover most mass with few types).
+    *
+    * Scale shape: the (token, count) agg is the one heavy shuffle (shared
+    * semantics with X-VOCAB); the global top-max(K) ranking then runs
+    * through the custom TopKPerKey bounded-heap operator with a CONSTANT
+    * key — partial heaps of max(K) entries per partition, never a global
+    * sort of the vocabulary. Coverage fractions are exact-integer sums
+    * with ONE final division each.
+    */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c").as("total_tokens"),
+      count(lit(1)).as("n_types"))
+    val kMax = CoverageKs.max
+    val top = graft.plans.TopKPerKey(counts.withColumn("g", lit(1)),
+        keys = Seq("g"), order = Seq(("c", true), ("token", false)), k = kMax)
+      .select(col("rank"), col("c"))
+    val covAggs = CoverageKs.map(k =>
+      sum(when(col("rank") <= k, col("c")).otherwise(lit(0L))).as(s"cov_$k"))
+    val covered = top.agg(covAggs.head, covAggs.tail: _*)
+    val one = covered.crossJoin(broadcast(total))
+    val rows = CoverageKs.map(k =>
+      one.select(lit(k.toLong).as("k"), col(s"cov_$k").as("covered_tokens"),
+        col("total_tokens"), col("n_types"),
+        (col(s"cov_$k").cast("double") / col("total_tokens").cast("double"))
+          .as("coverage")))
+    rows.reduce(_ unionByName _).orderBy("k")
+  }
+
   /** X-HEAVY-HITTERS: approximate frequent-token detection via the
     * mergeable SpaceSaving summary ([[graft.functions.HeavyHitters]]) —
     * the typed-`Aggregator` UDAF surface (SURVEY.md §2.8) and the

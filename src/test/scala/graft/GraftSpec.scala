@@ -1652,6 +1652,23 @@ class GraftSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).sum > 0, "threshold must fire on the fixture")
   }
 
+  test("x_vocab_coverage: monotone curve, exact totals, heap-ranked not sorted") {
+    val df = llm.TextAnalysis.vocabCoverage(spark, sf)
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).toSeq === llm.TextAnalysis.CoverageKs.map(_.toLong))
+    val totalToks = Tables.documents(spark, sf)
+      .select(explode(llm.TextAnalysis.tokens(col("text"))).as("t")).count()
+    rows.foreach(r => assert(r.getLong(2) === totalToks, "total pinned to the corpus"))
+    val covs = rows.map(_.getDouble(4)).toSeq
+    assert(covs === covs.sorted, "coverage must be monotone in K")
+    assert(covs.last <= 1.0 + 1e-12 && covs.head > 0.0)
+    // once K reaches the type count the curve saturates at exactly 1
+    val nTypes = rows.head.getLong(3)
+    rows.filter(_.getLong(0) >= nTypes).foreach(r => assert(r.getDouble(4) === 1.0))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"global ranking must be the bounded heap:\n${plan.take(2000)}")
+  }
+
   test("x_change_feed: sparse diff with correct change taxonomy") {
     val rows = etl.Cdc.changeFeed(spark, sf).collect()
     val byType = rows.groupBy(_.getString(3))
@@ -2122,7 +2139,8 @@ class GraftSpec extends AnyFunSuite {
       "x_vacuum" -> "X-VACUUM", "q_evolve" -> "Q-SCHEMA-EVOLVE",
       "x_change_feed" -> "X-CHANGE-FEED", "x_embed_quant" -> "X-EMBED-QUANT",
       "x_sim_multiprobe" -> "X-SIM", "x_profile" -> "X-PROFILE",
-      "x_optout" -> "X-OPTOUT", "x_boilerplate" -> "X-BOILERPLATE")
+      "x_optout" -> "X-OPTOUT", "x_boilerplate" -> "X-BOILERPLATE",
+      "x_vocab_coverage" -> "X-VOCAB-COVERAGE")
     val registered = SparkEntry.queries.keySet
     val unmapped = registered -- idOf.keySet
     assert(unmapped.isEmpty, s"queries with no SURVEY ID mapping: $unmapped")
