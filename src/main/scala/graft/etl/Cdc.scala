@@ -202,8 +202,11 @@ object Cdc {
     val cutoff = cur - keepLast + 1 // keep [cutoff, cur]
     val removed = (0L until cutoff)
       .filter(v => java.nio.file.Files.exists(root.resolve(s"v$v")))
-    removed.foreach(v =>
-      graft.streaming.Drain.deleteRecursively(root.resolve(s"v$v")))
+    // tombstone FIRST, delete SECOND: a crash between the two leaves a
+    // tombstoned version whose dir still exists — reads stay loud, and
+    // the next maintenance run re-lists and re-deletes it (tombstones
+    // dedup). The reverse order would leave a deleted version with no
+    // tombstone: reads degrade to a generic missing-path error.
     if (removed.nonEmpty) {
       val all = (vacuumedVersions(root) ++ removed).distinct.sorted
       val tmp = root.resolve("_vacuumed.tmp")
@@ -212,6 +215,8 @@ object Cdc {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
+    removed.foreach(v =>
+      graft.streaming.Drain.deleteRecursively(root.resolve(s"v$v")))
     removed
   }
 

@@ -1718,6 +1718,25 @@ class GraftSpec extends AnyFunSuite {
     assert(again.map(_.toSeq).toSeq === profile.map(_.toSeq).toSeq)
   }
 
+  test("x_vacuum crash-safety: tombstone-first stays loud and self-heals") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_vacuum_crash_")
+    (0 to 2).foreach { v =>
+      spark.range(v + 1).write.parquet(root.resolve(s"v$v").toString)
+      etl.Cdc.writePointer(root, v.toLong)
+    }
+    // simulate a crash AFTER the tombstone write, BEFORE the dir delete
+    Files.writeString(root.resolve("_vacuumed"), "0")
+    // the tombstone alone keeps the read loud even with the dir present
+    intercept[IllegalStateException](etl.Cdc.readVersion(spark, root, 0L))
+    // the next maintenance run self-heals: re-lists v0 and deletes it
+    val removed = etl.Cdc.expireSnapshots(root, 2)
+    assert(removed === Seq(0L))
+    assert(!Files.exists(root.resolve("v0")))
+    assert(etl.Cdc.vacuumedVersions(root) === Seq(0L))
+    assert(etl.Cdc.readVersion(spark, root, 2L).count() === 3L)
+  }
+
   test("q_stream_sink recovery: killed between epochs, restart resumes from the checkpoint") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
