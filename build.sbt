@@ -24,6 +24,14 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 scalacOptions += "-deprecation"
+// Suppress sbt's trailing "[success] Total time: ..." line: the bench/verify
+// drivers parse the LAST line of the run's output as machine-readable JSON,
+// and sbt's success banner otherwise lands after graft.Bench's println.
+Global / showSuccess := false
+// Write forked-run output straight through, unprefixed: sbt's default logger
+// wraps every stdout line in "[info] " (stderr in "[error] "), which turns
+// the bench's machine-readable line into `[info] {"metric":...}` — unparseable.
+run / outputStrategy := Some(StdoutOutput)
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -83,16 +83,25 @@ object Bench {
       jstr(name) + ":" + arr
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Full-fidelity artifact (full precision + per-pass diagnostics) goes to
+    // the file; stdout gets a COMPACT line (3-decimal medians, no passes).
+    // The driver parses the run's LAST output line as JSON and only keeps a
+    // ~2000-char tail of the log, so the stdout line must stay short —
+    // round 8's passes map pushed it past 14KB and the artifact recorded
+    // `parsed: null`.
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""passes":$ps,"n_failed":${failures.size},"failures":$fs,"sf":"$sfDir"}"""
-    // stdout is interleaved with sbt noise (round 1's BENCH json failed to
-    // parse out of it) — also write the line to a file the driver can read.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case _: Throwable => () }
+    def j3(d: Double) = if (d.isNaN || d.isInfinite) "null" else f"$d%.3f"
+    val qs3 = results.map { case (k, v) => jstr(k) + ":" + j3(v) }.mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs3,""" +
+      s""""n_failed":${failures.size},"failures":$fs,"sf":"$sfDir"}"""
     spark.stop()
-    // print LAST, after Spark's shutdown noise, so a tail of the log ends
-    // with the machine-readable line (the driver's parse reads the tail)
-    println(json)
+    // print LAST, after Spark's shutdown noise, so the final output line is
+    // the machine-readable one (build.sbt suppresses sbt's success banner
+    // and un-prefixes forked stdout for the same reason).
+    println(compact)
   }
 }

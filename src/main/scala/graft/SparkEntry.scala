@@ -1143,14 +1143,14 @@ object SparkEntry {
     "x_embed_quant" ->
       """WITH dims AS (
         |  SELECT d, min(x) AS mn, max(x) AS mx FROM (
-        |    SELECT unnest(range(1, 65)) AS d,
-        |           unnest(list_transform(range(1, 65),
+        |    SELECT unnest(range(1, len(embedding) + 1)) AS d,
+        |           unnest(list_transform(range(1, len(embedding) + 1),
         |             i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE))) AS x
         |    FROM embeddings) GROUP BY d),
         |st AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM dims),
         |per AS (
         |  SELECT label, mns, mxs, embedding,
-        |    list_transform(range(1, 65), i ->
+        |    list_transform(range(1, len(embedding) + 1), i ->
         |      CASE WHEN mxs[CAST(i AS INT)] = mns[CAST(i AS INT)] THEN CAST(0 AS BIGINT)
         |           ELSE CAST(floor((CAST(embedding[CAST(i AS INT)] AS DOUBLE) - mns[CAST(i AS INT)])
         |                / (mxs[CAST(i AS INT)] - mns[CAST(i AS INT)]) * 255 + 0.5) AS BIGINT) END) AS q
@@ -1158,9 +1158,9 @@ object SparkEntry {
         |pv AS (
         |  SELECT label,
         |    list_sum(q) AS q_sum,
-        |    list_sum(list_transform(range(1, 65), i -> q[CAST(i AS INT)] * i)) AS q_pos,
+        |    list_sum(list_transform(range(1, len(q) + 1), i -> q[CAST(i AS INT)] * i)) AS q_pos,
         |    len(list_filter(q, v -> v = 0 OR v = 255)) AS n_sat,
-        |    list_max(list_transform(range(1, 65), i ->
+        |    list_max(list_transform(range(1, len(q) + 1), i ->
         |      abs(CAST(q[CAST(i AS INT)] AS DOUBLE) / 255 * (mxs[CAST(i AS INT)] - mns[CAST(i AS INT)])
         |          + mns[CAST(i AS INT)] - CAST(embedding[CAST(i AS INT)] AS DOUBLE)))) AS max_err
         |  FROM per)

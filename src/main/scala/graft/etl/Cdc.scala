@@ -164,8 +164,12 @@ object Cdc {
     * deletes — the oracle re-derives both states and the same diff.
     */
   def changeFeed(spark: SparkSession, sfDir: String): DataFrame = {
-    timeTravel(spark, sfDir).head() // marker-gated: ensures v0/v1 committed
     val root = java.nio.file.Paths.get(Sink.scratchPath(sfDir, "rates_versioned"))
+    // gate on the commit marker directly (like every other staged fixture);
+    // only an uncommitted chain pays timeTravel's two-version staging job —
+    // running the full aggregate on every call just to stage was waste
+    if (!java.nio.file.Files.exists(root.resolve("_GRAFT_OK_v1")))
+      timeTravel(spark, sfDir).head() // stages v0/v1 and writes the marker
     val v0 = readVersion(spark, root, 0L).select(col("date"), col("rate").as("old_rate"))
     val v1 = readVersion(spark, root, 1L).select(col("date"), col("rate").as("new_rate"))
     v0.join(v1, Seq("date"), "full_outer")

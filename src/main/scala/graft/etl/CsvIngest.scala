@@ -3,6 +3,7 @@ package graft.etl
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, StringType}
 
@@ -86,13 +87,6 @@ object CsvIngest {
     // promise. Per-READ option (not a session conf): no other query in
     // this long-lived engine process inherits whole-row parsing.
     val schema = Tables.orders(spark, sfDir).schema.add("_corrupt_record", StringType)
-    // `.cache()`: Spark refuses a query whose only surviving CSV column is
-    // the internal corrupt one (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the SQL
-    // migration guide's sanctioned path is caching the parsed result and
-    // querying that. It also collapses the clean-agg + corrupt-count pair
-    // from two full CSV parses into ONE (the load-validation pattern at any
-    // scale: parse once, fan out checks; a production load would write the
-    // parsed result and get the same effect).
     val raw = spark.read
       .schema(schema)
       .option("header", "true")
@@ -101,23 +95,36 @@ object CsvIngest {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .option("columnPruning", "false")
       .csv(dir)
-      .cache()
-    // A row is corrupt iff `_corrupt_record` is set — a partially-parseable
-    // line (first fields parse, a later one fails) has BOTH a non-null key
-    // and a non-null corrupt record; narrowing the predicate with
-    // `o_orderkey IS NULL` would drop such a row from the clean aggregate
-    // AND the corrupt count (silently lost, violating the contract).
-    val corrupt = raw.agg(
-      sum(when(col("_corrupt_record").isNotNull, lit(1L)).otherwise(lit(0L)))
-        .as("n_corrupt"))
-    raw.filter(col("_corrupt_record").isNull)
-      .groupBy("o_orderstatus")
+    // ONE parse for both checks, no cache: corrupt rows group under a
+    // sentinel key alongside the per-status groups, the sentinel's count is
+    // window-totaled across the handful of aggregated rows, and the
+    // sentinel row is dropped. Round 8 instead `.cache()`d the parsed CSV
+    // and ran two aggregates over it — same single parse, but the cached
+    // relation (a full orders fixture per sfDir) stayed pinned in executor
+    // storage memory for the JVM lifetime. The unpartitioned window is
+    // fine: it runs over the ≤(status-count+1)-row AGGREGATED result, not
+    // the scan. A row is corrupt iff `_corrupt_record` is set — a
+    // partially-parseable line (first fields parse, a later one fails) has
+    // BOTH a non-null key and a non-null corrupt record; narrowing the
+    // predicate with `o_orderkey IS NULL` would drop such a row from the
+    // clean aggregate AND the corrupt count (silently lost).
+    val Sentinel = "__CORRUPT__"
+    val all = Window.partitionBy()
+    raw
+      .select(
+        when(col("_corrupt_record").isNotNull, lit(Sentinel))
+          .otherwise(col("o_orderstatus")).as("st"),
+        col("o_totalprice"), col("o_orderdate"))
+      .groupBy("st")
       .agg(
         count(lit(1)).as("n"),
         sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"),
         min(col("o_orderdate").cast("date")).as("min_day"))
-      .crossJoin(broadcast(corrupt))
-      .select("o_orderstatus", "n", "total", "min_day", "n_corrupt")
+      .withColumn("n_corrupt",
+        coalesce(max(when(col("st") === Sentinel, col("n"))).over(all), lit(0L)))
+      .filter(col("st") =!= Sentinel)
+      .select(col("st").as("o_orderstatus"), col("n"), col("total"),
+        col("min_day"), col("n_corrupt"))
       .orderBy("o_orderstatus")
   }
 }

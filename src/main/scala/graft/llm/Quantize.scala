@@ -70,8 +70,10 @@ object Quantize {
         transform(col("embedding"), (x, d) => abs(deqOf(qOf(x, d), d) - x.cast("double"))).as("err"))
       .select(col("label"),
         aggregate(col("q"), lit(0L), _ + _).as("q_sum"),
+        // size-driven positions: a non-64-dim input must weight every
+        // element, not null-pad the zip (which would NULL the whole fold)
         aggregate(zip_with(col("q"),
-          sequence(lit(1L), lit(64L)), _ * _), lit(0L), _ + _).as("q_pos"),
+          sequence(lit(1L), size(col("q")).cast("long")), _ * _), lit(0L), _ + _).as("q_pos"),
         size(filter(col("q"), q => q === 0L || q === lit(Levels.toLong))).cast("long").as("n_sat"),
         array_max(col("err")).as("max_err"))
     perVec.groupBy("label")

@@ -58,12 +58,27 @@ class FbInsightsCatalog extends TableCatalog {
 
   private def locationsFile = Paths.get(warehouse, "_locations.properties")
 
-  /** Persist the external-location registry: write-then-atomic-move, same
-    * protocol as every other commit point in this engine — a reader (or a
-    * concurrently initializing catalog) sees the old complete file or the
-    * new complete file, never a torn one.
+  /** Persist the external-location registry: READ-merge-write-then-atomic-
+    * move. The reload-and-merge step matters when several catalog instances
+    * share one warehouse (the test suite does): an instance that rewrote
+    * the file from only its own in-memory snapshot would clobber entries a
+    * sibling persisted after this instance initialized, last-writer-wins.
+    * Merging keeps sibling registrations (this instance's entries win per
+    * key) and refreshes this instance's cache with them; `removed` carries
+    * this call's intentional deletions so the merge can't resurrect them.
+    * The atomic move means a reader sees the old complete file or the new
+    * complete file, never a torn one.
     */
-  private def persistLocations(): Unit = synchronized {
+  private def persistLocations(removed: Set[String] = Set.empty): Unit = synchronized {
+    val f = locationsFile
+    if (Files.exists(f)) {
+      val disk = new java.util.Properties()
+      val in = Files.newInputStream(f)
+      try disk.load(in) finally in.close()
+      disk.stringPropertyNames().asScala.foreach { k =>
+        if (!removed.contains(k)) locations.putIfAbsent(k, disk.getProperty(k))
+      }
+    }
     val props = new java.util.Properties()
     locations.asScala.foreach { case (k, v) => props.setProperty(k, v) }
     Files.createDirectories(Paths.get(warehouse))
@@ -155,7 +170,10 @@ class FbInsightsCatalog extends TableCatalog {
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = Paths.get(pathFor(ident))
-    if (locations.remove(key(ident)) != null) persistLocations()
+    // persist the removal even if this instance never cached the entry — a
+    // sibling catalog may have registered it on disk after we initialized
+    locations.remove(key(ident))
+    persistLocations(removed = Set(key(ident)))
     if (!Files.isDirectory(p)) false
     else {
       // close the walk stream (it holds directory handles) and tolerate
@@ -177,7 +195,8 @@ class FbInsightsCatalog extends TableCatalog {
     Files.createDirectories(to.getParent)
     Files.move(Paths.get(pathFor(oldIdent)), to)
     // the data now lives at the new ident's (managed) path
-    if (locations.remove(key(oldIdent)) != null) persistLocations()
+    locations.remove(key(oldIdent))
+    persistLocations(removed = Set(key(oldIdent)))
     ()
   }
 }

@@ -161,13 +161,19 @@ class PropertySpec extends AnyFunSuite {
 
   test("law: X-EMBED-QUANT error ≤ half a quantization step; order-invariant") {
     import spark.implicits._
-    // 64-dim vectors with negatives, outliers, and a CONSTANT dim (dim 0)
-    // — the degenerate mx==mn guard must pin q=0, not divide by zero
-    val vecGen: Gen[Seq[Float]] = for {
-      base <- Gen.listOfN(63, Gen.chooseNum(-5.0, 5.0))
+    // corpus-wide random dimensionality (NOT pinned to the fixture's 64 —
+    // the positional checksum must be size-driven, round 8 hardcoded
+    // sequence(1,64) and a non-64-dim input null-padded the fold), with
+    // negatives, outliers, and a CONSTANT dim (dim 0) — the degenerate
+    // mx==mn guard must pin q=0, not divide by zero
+    def vecGen(nd: Int): Gen[Seq[Float]] = for {
+      base <- Gen.listOfN(nd - 1, Gen.chooseNum(-5.0, 5.0))
       spike <- Gen.oneOf(0.0, 40.0, -40.0)
     } yield (1.0 +: (base.init :+ (base.last + spike))).map(_.toFloat)
-    val corpusGen = Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("a", "b"), vecGen))
+    val corpusGen = for {
+      nd <- Gen.chooseNum(4, 96)
+      rows <- Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("a", "b"), vecGen(nd)))
+    } yield rows
     forAll(corpusGen, cases = 3) { rows =>
       def run(rs: List[(String, Seq[Float])]) =
         llm.Quantize.embedQuantOf(rs.toDF("label", "embedding"))
@@ -180,6 +186,7 @@ class PropertySpec extends AnyFunSuite {
         (xs.max - xs.min) / 255.0
       }.max
       out.foreach { r =>
+        assert(r(3) != null, "sum_qpos must not null-pad on non-64-dim input")
         val worst = r(5).asInstanceOf[Double]
         assert(worst <= maxStep / 2 + 1e-6,
           s"worst_err $worst exceeds half-step bound ${maxStep / 2}")
