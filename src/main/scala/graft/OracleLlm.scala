@@ -686,4 +686,43 @@ object OracleLlm {
        |       round(CAST(len(list_filter(cs, c -> c % 8 = 0)) AS DOUBLE) / greatest(n, 1), 6) AS f0,
        |       round(CAST(len(list_filter(cs, c -> c % 8 = 1)) AS DOUBLE) / greatest(n, 1), 6) AS f1
        |FROM cc ORDER BY doc_id""".stripMargin
+
+  /** cooccur mirror: same tokenizer, same df·4 ≥ N gate, same exact
+    * integer association score (`//` is DuckDB floor division = Spark's
+    * `div` on the all-positive operands here).
+    */
+  val cooccurSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))) AS t
+       |  FROM documents),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY t),
+       |kept AS (
+       |  SELECT tok.doc_id, tok.t, dfreq.df
+       |  FROM tok JOIN dfreq ON dfreq.t = tok.t CROSS JOIN nd
+       |  WHERE dfreq.df * ${TextAnalysis.CooccurMinDfTimes4} >= nd.n_docs),
+       |p AS (
+       |  SELECT a.t AS ta, a.df AS c_x, b.t AS tb, b.df AS c_y,
+       |         CAST(count(*) AS BIGINT) AS c_xy
+       |  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.t < b.t
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT ta, tb, c_xy, c_x, c_y,
+       |       CAST((c_xy * nd.n_docs * 1000000) // (c_x * c_y) AS BIGINT) AS score
+       |FROM p CROSS JOIN nd
+       |ORDER BY score DESC, ta, tb LIMIT 30""".stripMargin
+
+  /** sampleTopK mirror: the window formulation of per-key top-k — the
+    * semantics TopKPerKey's bounded-heap physical plan must reproduce.
+    */
+  val sampleTopKSql: String =
+    s"""WITH sf AS (
+       |  SELECT source, doc_id, ${signed64(hash64u("text"))} AS fp FROM documents),
+       |r AS (
+       |  SELECT source, doc_id, fp,
+       |         CAST(row_number() OVER (PARTITION BY source ORDER BY fp, doc_id) AS BIGINT) AS "rank"
+       |  FROM sf)
+       |SELECT source, "rank", doc_id, fp FROM r
+       |WHERE "rank" <= ${llm.Sampling.SamplePerKey}
+       |ORDER BY source, "rank"""".stripMargin
 }

@@ -130,6 +130,11 @@ object SparkEntry {
     "x_optout" -> (etl.OptOut.optOut _),
     "x_boilerplate" -> (llm.TextAnalysis.boilerplate _),
     "x_vocab_coverage" -> (llm.TextAnalysis.vocabCoverage _),
+    "x_pagerank" -> (llm.Graph.pageRank _),
+    "x_grouping_sets" -> (llm.Events.groupingSets _),
+    "x_window_funcs" -> (llm.Events.windowFuncs _),
+    "x_cooccur" -> (llm.TextAnalysis.cooccur _),
+    "x_sample_topk" -> (llm.Sampling.sampleTopK _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -1300,5 +1305,87 @@ object SparkEntry {
         |       CAST(sum(CAST(CASE WHEN ok THEN rate ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS sum_ok_rate,
         |       max(CASE WHEN ok THEN NULL ELSE 'historical rate not supported' END) AS reject_info
         |FROM c""".stripMargin,
+    // weighted PageRank, 3 unrolled iterations — identical IEEE chains
+    // per term (0.15/0.85 as literals on BOTH sides, same division
+    // order); only the cross-term summation order differs → round 6
+    "x_pagerank" -> {
+      val d = llm.Graph.PrDamping
+      val rest = llm.Graph.PrRest
+      def iter(i: Int): String = {
+        val p = s"r${i - 1}"
+        s"""c$i AS (
+           |  SELECT e.dst AS id, sum($p.r * CAST(e.w AS DOUBLE) / ow.outw) AS c
+           |  FROM e JOIN $p ON $p.id = e.src JOIN ow ON ow.src = e.src
+           |  GROUP BY e.dst),
+           |d$i AS (SELECT coalesce(sum(r), 0.0) AS dang FROM $p
+           |        WHERE id NOT IN (SELECT src FROM e)),
+           |r$i AS (
+           |  SELECT nodes.id,
+           |         $rest / nn.n + $d * (coalesce(c$i.c, 0.0) + d$i.dang / nn.n) AS r
+           |  FROM nodes CROSS JOIN nn CROSS JOIN d$i
+           |  LEFT JOIN c$i ON c$i.id = nodes.id)""".stripMargin
+      }
+      val last = s"r${llm.Graph.PrIterations}"
+      s"""WITH e AS (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         |         CAST(count(*) AS BIGINT) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2),
+         |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |ow AS (SELECT src, CAST(sum(w) AS DOUBLE) AS outw FROM e GROUP BY src),
+         |r0 AS (SELECT id, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+         |${(1 to llm.Graph.PrIterations).map(iter).mkString(",\n")},
+         |iw AS (SELECT dst, CAST(sum(w) AS BIGINT) AS in_w FROM e GROUP BY dst),
+         |o2 AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM e GROUP BY src)
+         |SELECT nat.n_name,
+         |       CAST(coalesce(iw.in_w, 0) AS BIGINT) AS in_w,
+         |       CAST(coalesce(o2.out_w, 0) AS BIGINT) AS out_w,
+         |       round($last.r, 6) AS "rank"
+         |FROM $last
+         |JOIN nation nat ON nat.n_nationkey = $last.id
+         |LEFT JOIN iw ON iw.dst = $last.id
+         |LEFT JOIN o2 ON o2.src = $last.id
+         |ORDER BY n_name""".stripMargin
+    },
+    // grouping sets: Spark dayofweek is 1=Sunday..7; DuckDB's is 0-based
+    "x_grouping_sets" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+        |         CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events)
+        |SELECT coalesce(event_type, 'ALL') AS event_type,
+        |       CAST(coalesce(dow, -1) AS BIGINT) AS dow,
+        |       CAST(GROUPING(event_type) * 2 + GROUPING(dow) AS BIGINT) AS gid,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(v) AS DOUBLE) AS total_value
+        |FROM e
+        |GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow), ())
+        |ORDER BY event_type, dow, gid""".stripMargin,
+    // analytic-window breadth: every rank function over the same total
+    // order (value, event_id); NULL lag-gap rows fall to the 0 branch on
+    // both sides
+    "x_window_funcs" ->
+      """WITH v AS (
+        |  SELECT event_type, event_id, CAST(value AS DECIMAL(18,2)) AS value
+        |  FROM events WHERE value IS NOT NULL),
+        |w AS (
+        |  SELECT event_type, value,
+        |         ntile(4) OVER win AS q,
+        |         percent_rank() OVER win AS pr,
+        |         cume_dist() OVER win AS cd,
+        |         CAST(value - lag(value, 1) OVER win AS DOUBLE) AS gap
+        |  FROM v WINDOW win AS (PARTITION BY event_type ORDER BY value, event_id))
+        |SELECT event_type, CAST(q AS BIGINT) AS q, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(value) AS DOUBLE) AS total_value,
+        |       round(avg(pr), 6) AS mean_pr,
+        |       max(cd) AS max_cd,
+        |       CAST(sum(CASE WHEN gap > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_big_gaps
+        |FROM w GROUP BY 1, 2 ORDER BY event_type, q""".stripMargin,
+    "x_cooccur" -> OracleLlm.cooccurSql,
+    "x_sample_topk" -> OracleLlm.sampleTopKSql,
   )
 }

@@ -475,6 +475,69 @@ object Events {
         col("gid"), col("n"), col("total_value"))
       .orderBy("event_type", "month", "gid")
 
+  /** X-GROUPING-SETS: arbitrary grouping-set aggregation — the general
+    * form cube/rollup are shorthands of (a reporting layer asks for
+    * exactly the marginals it renders, not the full 2ⁿ cube). Sets here:
+    * (type, dow), (type), (dow), () — per-cell, two one-dimension
+    * marginals, and the grand total. Spark computes ALL sets in ONE
+    * Expand + one aggregate exchange (each input row is replicated once
+    * per set, partial-aggregated map-side) — same plan shape as cube but
+    * with 4 replicas instead of 2ⁿ; at 100 TB the replication factor IS
+    * the cost knob, which is why grouping sets beat a cube you'd filter.
+    * `dayofweek` is 1=Sunday..7 in Spark; the oracle adds 1 to DuckDB's
+    * 0-based result.
+    */
+  def groupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+      .groupingSets(
+        Seq(Seq(col("event_type"), col("dow")), Seq(col("event_type")),
+          Seq(col("dow")), Seq()),
+        col("event_type"), col("dow"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        sum("v").cast("double").as("total_value"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("dow"), lit(-1L)).as("dow"),
+        col("gid"), col("n"), col("total_value"))
+      .orderBy("event_type", "dow", "gid")
+
+  /** X-WINDOW-FUNCS: the analytic-window breadth pack — ntile quartiles,
+    * percent_rank, cume_dist, and lag deltas over ONE per-type sort
+    * (value, event_id — a total order, so every rank function is
+    * deterministic), then aggregated per (type, quartile) so the checked
+    * result is small while pinning every function's full column: exact
+    * counts and DECIMAL value sums per quartile, round-6 mean
+    * percent_rank, exact max cume_dist, and the count of lag-gaps above
+    * half a unit. Plan: one exchange on event_type + one sort + one
+    * window pass + one partial-aggregated shuffle — the window partition
+    * key (event_type) is the scale guard; nothing windows over an
+    * unpartitioned frame.
+    */
+  def windowFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        col("value").cast(DecimalType(18, 2)).as("value"))
+      .withColumn("q", ntile(4).over(w).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("gap", (col("value") - lag("value", 1).over(w)).cast("double"))
+      .groupBy("event_type", "q")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("value").cast("double").as("total_value"),
+        round(avg("pr"), 6).as("mean_pr"),
+        max("cd").as("max_cd"),
+        sum(when(col("gap") > 0.5, 1L).otherwise(0L)).as("n_big_gaps"))
+      .orderBy("event_type", "q")
+  }
+
   /** X-QUANTILES: the quantile aggregate family — exact percentiles for
     * the oracle plus the KLL-style `approx_percentile` sketch that
     * actually scales (exact percentile buffers every value per group;

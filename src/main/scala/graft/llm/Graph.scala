@@ -139,4 +139,113 @@ object Graph {
       .select(col("comp").as("comp_id"), col("n_docs"), col("sum_ids"))
       .orderBy("comp_id")
   }
+
+  // ---- PageRank (X-PAGERANK) -----------------------------------------
+
+  /** Fixed iteration count: the oracle unrolls the same number of
+    * iterations as CTEs, so the two sides compute the identical partial
+    * sums (PageRank is a fixpoint; a checked operator needs a determinate
+    * truncation of it, exactly like kmeansIter's fixed Lloyd rounds).
+    */
+  val PrIterations = 3
+
+  /** Damping as two literals (0.85 / 0.15), NOT `1 - 0.85` on one side
+    * and `0.15` on the other — the two IEEE doubles differ in the last
+    * ulp and the correctness gate is exact equality after round(…, 6).
+    */
+  val PrDamping = 0.85
+  val PrRest = 0.15
+
+  /** The nation-level trade graph: one weighted edge per (customer
+    * nation → supplier nation) pair, weight = lineitem count flowing
+    * between them. The SCALE work is all here — lineitem is the 100 TB
+    * fact; orders/customer/supplier are broadcast dims, so the plan is
+    * broadcast-join map work plus ONE partial-aggregated shuffle that
+    * carries ≤ |nations|² rows. The rank iteration then runs on the
+    * aggregated graph, which is tiny regardless of fact-table scale —
+    * the standard two-phase shape for entity-graph analytics over logs.
+    */
+  def tradeEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = graft.Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+    val ord = graft.Tables.load(spark, sfDir, "orders").select("o_orderkey", "o_custkey")
+    val cust = graft.Tables.load(spark, sfDir, "customer").select("c_custkey", "c_nationkey")
+    val supp = graft.Tables.load(spark, sfDir, "supplier").select("s_suppkey", "s_nationkey")
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Weighted PageRank over an (src, dst, w) edge frame: r'(j) =
+    * rest/N + d·(Σ_{i→j} r(i)·w_ij/outw(i) + dangling/N), with dangling
+    * mass (rank on nodes with no out-edges) redistributed uniformly.
+    * Each iteration is one join-aggregate over the edge frame plus a
+    * one-row dangling aggregate; lineage is cut per round
+    * ([[connectedComponents]]' discipline) so the plan stays flat however
+    * many rounds run. Edges and out-weights are computed once and cached
+    * — they are loop invariants.
+    */
+  def pageRankOf(edges: DataFrame, iterations: Int = PrIterations): DataFrame = {
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct().cache()
+    val outw = edges.groupBy("src").agg(sum("w").cast("double").as("outw"))
+    // edge frame pre-joined with its out-weight: r(i)·w/outw(i) needs only
+    // the current ranks joined in per round
+    val ew = edges.join(outw, "src")
+      .select(col("src"), col("dst"), (col("w").cast("double")).as("w"), col("outw"))
+      .cache()
+    ew.count() // materialize invariants BEFORE the per-round checkpoints
+    val nDouble = nodes.count().toDouble
+    var ranks = nodes.withColumn("r", lit(1.0) / lit(nDouble)).localCheckpoint(true)
+    (1 to iterations).foreach { _ =>
+      val contrib = ew.join(ranks, ew("src") === ranks("id"))
+        .select(col("dst"), (col("r") * col("w") / col("outw")).as("c"))
+        .groupBy("dst").agg(sum("c").as("c"))
+      // dangling mass: rank sitting on nodes with no out-edges
+      val dangling = ranks.join(ew.select("src").distinct(),
+          ranks("id") === col("src"), "left_anti")
+        .agg(coalesce(sum("r"), lit(0.0)).as("dang"))
+      ranks = nodes
+        .join(contrib, nodes("id") === contrib("dst"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"),
+          (lit(PrRest) / lit(nDouble) +
+            lit(PrDamping) * (coalesce(col("c"), lit(0.0)) + col("dang") / lit(nDouble)))
+            .as("r"))
+        .localCheckpoint(true)
+    }
+    // the returned ranks are materialized (localCheckpoint), so the loop
+    // invariants can be released immediately — no JVM-lifetime pins
+    ew.unpersist()
+    nodes.unpersist()
+    ranks
+  }
+
+  /** X-PAGERANK: rank the nation trade graph. Output carries the rank
+    * (round 6 — double summation order is the only engine-dependent bit)
+    * plus EXACT integer in/out edge weights as integrity columns, keyed
+    * by nation name.
+    */
+  def pageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    // cached: the AGGREGATED ≤|nations|² graph (a few KB however big the
+    // fact table), consumed by the rank loop AND the in/out integrity
+    // aggregates — the bounded loop invariant a rank computation is built
+    // around, not a fixture-scale relation
+    val e = tradeEdges(spark, sfDir).cache()
+    val ranks = pageRankOf(e)
+    val inw = e.groupBy(col("dst").as("id")).agg(sum("w").as("in_w"))
+    val outTot = e.groupBy(col("src").as("id")).agg(sum("w").as("out_w"))
+    val nation = graft.Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey").as("id"), col("n_name"))
+    ranks
+      .join(inw, Seq("id"), "left")
+      .join(outTot, Seq("id"), "left")
+      .join(broadcast(nation), Seq("id"))
+      .select(col("n_name"),
+        coalesce(col("in_w"), lit(0L)).as("in_w"),
+        coalesce(col("out_w"), lit(0L)).as("out_w"),
+        round(col("r"), 6).as("rank"))
+      .orderBy("n_name")
+  }
 }

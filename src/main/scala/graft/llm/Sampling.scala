@@ -217,4 +217,34 @@ object Sampling {
         (col("rank_in_source").cast("double") / col("wt")).as("priority"))
       .orderBy("priority", "source", "doc_id").limit(InterleaveN)
   }
+
+  /** Sample size per key for [[sampleTopK]]. */
+  val SamplePerKey = 7
+
+  /** X-SAMPLE-TOPK: deterministic fixed-size per-key sampling — "give me
+    * K representative documents per source" — as hash-order top-k: keep
+    * each source's K smallest content hashes (doc_id tiebreak). A content-
+    * hash order is a uniform pseudo-random draw that is rerun- and
+    * backfill-stable (the [[split]] argument), which makes this the
+    * distributed form of per-key reservoir sampling with none of a
+    * reservoir's sequential state.
+    *
+    * Physical plan: the custom [[graft.plans.TopKPerKey]] operator —
+    * partial bounded heaps per input partition, so the exchange carries
+    * ≤ K rows per source per partition instead of every row that the
+    * `row_number() ≤ K` window formulation (the oracle's) would shuffle
+    * and sort. Same partial/final shape as an aggregate, applied to
+    * selection — at 100 TB the shuffle is K·partitions rows per key,
+    * not the corpus.
+    */
+  def sampleTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val ranked = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), rolling_hash(col("text")).as("fp"))
+    graft.plans.TopKPerKey(ranked,
+        keys = Seq("source"),
+        order = Seq(("fp", false), ("doc_id", false)),
+        k = SamplePerKey)
+      .select(col("source"), col("rank"), col("doc_id"), col("fp"))
+      .orderBy("source", "rank")
+  }
 }

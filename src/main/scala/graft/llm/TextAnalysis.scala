@@ -585,6 +585,53 @@ object TextAnalysis {
       .orderBy(desc("freq"), asc("token"))
   }
 
+  /** X-COOCCUR min document-frequency gate: a token participates in pair
+    * counting only when `df · 4 ≥ N` (present in ≥ 25% of docs). The gate
+    * is the SCALE bound of co-occurrence mining — the within-doc pair
+    * blow-up is quadratic in the doc's kept-vocabulary size, so capping
+    * the vocabulary to frequent terms caps the pair count per doc. The
+    * integer-ratio form (df·4 ≥ N, never df/N ≥ 0.25) keeps the predicate
+    * exact on both engines.
+    */
+  val CooccurMinDfTimes4 = 4L
+
+  /** X-COOCCUR: within-document token co-occurrence — the PMI/association
+    * table feeding collocation extraction and phrase mining. For each
+    * frequent-token pair (a < b): `c_xy` = docs containing both, `c_x` /
+    * `c_y` = each token's df, and an exact integer association score,
+    * `⌊c_xy·N·10⁶ / (c_x·c_y)⌋` — PMI's argument scaled to a BIGINT
+    * (PMI = log of it /10⁶; the log is monotone, so ranking by the exact
+    * integer IS the PMI ranking, with no libm in either engine). Top 30
+    * by (score, pair) via TakeOrdered.
+    *
+    * Plan: one tokenize+explode (distinct within doc), one df aggregate
+    * (broadcast back as the gate), one within-doc self-join whose per-doc
+    * cost the df gate bounds, one pair aggregate, broadcast df lookups,
+    * TakeOrdered 30. Shuffles carry (doc, token) and (pair) keys only —
+    * never document text.
+    */
+  def cooccur(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(tokens(col("text")))).as("t"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val dfreq = tok.groupBy("t").agg(count(lit(1)).as("df"))
+    val gate = dfreq.crossJoin(broadcast(n))
+      .filter(col("df") * CooccurMinDfTimes4 >= col("n_docs"))
+      .select(col("t"), col("df"))
+    val kept = tok.join(broadcast(gate), "t")
+    val pairs = kept.select(col("doc_id"), col("t").as("ta"), col("df").as("c_x"))
+      .join(kept.select(col("doc_id"), col("t").as("tb"), col("df").as("c_y")), "doc_id")
+      .filter(col("ta") < col("tb"))
+      .groupBy("ta", "c_x", "tb", "c_y")
+      .agg(count(lit(1)).as("c_xy"))
+    pairs.crossJoin(broadcast(n))
+      .select(col("ta"), col("tb"), col("c_xy"), col("c_x"), col("c_y"),
+        expr("CAST((c_xy * n_docs * 1000000) div (c_x * c_y) AS BIGINT)").as("score"))
+      .orderBy(desc("score"), asc("ta"), asc("tb"))
+      .limit(30)
+  }
+
   /** X-TEXT fingerprinting with the native codegen'd rolling-hash
     * expression — the normalized-text fingerprint that exact dedup groups
     * on at scale (8-byte shuffle key instead of full text).

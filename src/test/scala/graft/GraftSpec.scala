@@ -2100,6 +2100,101 @@ class GraftSpec extends AnyFunSuite {
     assert(joined.collect().nonEmpty)
   }
 
+  test("x_pagerank: ranks conserve probability mass; dims broadcast in the edge build") {
+    val df = llm.Graph.pageRank(spark, sf)
+    val rows = df.collect()
+    assert(rows.length > 1)
+    // PageRank is a probability distribution: with dangling redistribution
+    // the ranks sum to 1 up to round-6 per-row truncation
+    val mass = rows.map(_.getDouble(3)).sum
+    assert(math.abs(mass - 1.0) < 1e-4, s"rank mass $mass drifted from 1")
+    rows.foreach(r => assert(r.getDouble(3) > 0.0, s"rank must be positive: $r"))
+    // the fact-side joins must be broadcast — the edge build is the only
+    // part of the operator that touches fixture-scale data
+    val plan = llm.Graph.tradeEdges(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast dim joins in the edge build:\n${plan.take(2000)}")
+  }
+
+  test("x_pagerank: a dangling sink keeps mass conserved and outranks its feeders") {
+    import spark.implicits._
+    // star: 1..4 all point at 5; 5 has no out-edges (dangling)
+    val edges = Seq((1L, 5L, 1L), (2L, 5L, 1L), (3L, 5L, 1L), (4L, 5L, 2L))
+      .toDF("src", "dst", "w")
+    val r = llm.Graph.pageRankOf(edges).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-12, s"mass not conserved: $r")
+    assert(r(5L) > r(1L) * 3, s"sink must dominate its feeders: $r")
+    assert(Seq(1L, 2L, 3L, 4L).map(r).distinct.size === 1,
+      "symmetric feeders must tie exactly")
+  }
+
+  test("x_grouping_sets: marginals re-aggregate the per-cell set exactly") {
+    val rows = llm.Events.groupingSets(spark, sf).collect()
+    def bucket(gid: Long) = rows.filter(_.getLong(2) == gid)
+    val cells = bucket(0) // (event_type, dow)
+    val byType = bucket(1) // (event_type) — dow grouped out
+    val total = bucket(3) // ()
+    assert(total.length === 1 && cells.nonEmpty && byType.nonEmpty)
+    assert(total.head.getLong(3) === cells.map(_.getLong(3)).sum,
+      "grand total must equal the sum of the per-cell counts")
+    byType.foreach { m =>
+      val t = m.getString(0)
+      assert(m.getLong(3) === cells.filter(_.getString(0) == t).map(_.getLong(3)).sum,
+        s"per-type marginal for $t must re-aggregate its cells")
+    }
+    // one Expand feeding one aggregate — all four sets in a single pass
+    val plan = llm.Events.groupingSets(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), "grouping sets must plan as Expand, not a union of scans")
+  }
+
+  test("x_window_funcs: ntile balance and percent_rank bounds per partition") {
+    val rows = llm.Events.windowFuncs(spark, sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (t, qs) =>
+      assert(qs.length === 4, s"$t: expected 4 quartiles, got ${qs.length}")
+      val sizes = qs.map(_.getLong(2))
+      assert(sizes.max - sizes.min <= 1, s"$t: ntile sizes must differ by ≤1: ${sizes.toSeq}")
+      qs.foreach { r =>
+        assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0, s"mean_pr out of [0,1]: $r")
+        assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0, s"max_cd out of (0,1]: $r")
+      }
+      // the top quartile's cume_dist reaches exactly 1 (last row of the partition)
+      assert(qs.maxBy(_.getLong(1)).getDouble(5) === 1.0)
+    }
+  }
+
+  test("x_cooccur: df gate bounds the pair space; counts are consistent") {
+    val rows = llm.TextAnalysis.cooccur(spark, sf).collect()
+    assert(rows.length === 30)
+    rows.foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      val (cxy, cx, cy) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(ta < tb, s"pairs must be canonical (a < b): $r")
+      assert(cxy <= math.min(cx, cy), s"pair count cannot exceed either df: $r")
+      assert(r.getLong(5) > 0, s"association score must be positive: $r")
+      // 'dup' sits at 5% df in the fixture — the 25% gate must drop it
+      assert(ta != "dup" && tb != "dup", s"rare token must be gated out: $r")
+    }
+  }
+
+  test("x_sample_topk: TopKPerKey matches the row_number window formulation exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val got = llm.Sampling.sampleTopK(spark, sf)
+    val ranked = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        RollingHash.rolling_hash(col("text")).as("fp"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("source").orderBy("fp", "doc_id")).cast("long"))
+      .filter(col("rank") <= llm.Sampling.SamplePerKey)
+      .select("source", "rank", "doc_id", "fp")
+      .orderBy("source", "rank")
+    assert(got.collect().toSeq === ranked.collect().toSeq,
+      "bounded-heap top-k must reproduce the window semantics bit-for-bit")
+    // and the custom operator must actually be in the plan
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"expected the custom physical operator:\n${plan.take(2000)}")
+  }
+
   test("SURVEY audit: every registered query maps 1:1 to a named SURVEY.md ID") {
     // SURVEY §2 claims a provably exhaustive inventory; this pins it
     // mechanically — every SparkEntry.queries entry must name its SURVEY
@@ -2158,6 +2253,9 @@ class GraftSpec extends AnyFunSuite {
       "x_vacuum" -> "X-VACUUM", "q_evolve" -> "Q-SCHEMA-EVOLVE",
       "x_change_feed" -> "X-CHANGE-FEED", "x_embed_quant" -> "X-EMBED-QUANT",
       "x_sim_multiprobe" -> "X-SIM", "x_profile" -> "X-PROFILE",
+      "x_pagerank" -> "X-PAGERANK", "x_grouping_sets" -> "X-GROUPING-SETS",
+      "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",
+      "x_sample_topk" -> "X-SAMPLE-TOPK",
       "x_optout" -> "X-OPTOUT", "x_boilerplate" -> "X-BOILERPLATE",
       "x_vocab_coverage" -> "X-VOCAB-COVERAGE")
     val registered = SparkEntry.queries.keySet
