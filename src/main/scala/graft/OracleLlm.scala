@@ -712,6 +712,78 @@ object OracleLlm {
        |FROM p CROSS JOIN nd
        |ORDER BY score DESC, ta, tb LIMIT 30""".stripMargin
 
+  /** Shared Gopher-feature CTE: per-doc token count, summed token length,
+    * stopword occurrences, trigram occurrence/distinct counts — the
+    * repNgram/gopherRules mirror of `gopherFeatures`.
+    */
+  private val gopherCte: String = {
+    val stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""f AS (
+       |  SELECT source,
+       |         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT source,
+       |         CAST(len(toks) AS BIGINT) AS n_tok,
+       |         CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
+       |         CAST(len(list_filter(toks, t -> t IN ($stop))) AS BIGINT) AS n_stop,
+       |         CAST(CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 0 END AS BIGINT) AS n_tri,
+       |         CAST(CASE WHEN len(toks) >= 3 THEN
+       |           len(list_distinct(list_transform(range(1, len(toks) - 1),
+       |             i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)] || ' ' || toks[CAST(i + 2 AS INT)])))
+       |         ELSE 0 END AS BIGINT) AS n_tri_d
+       |  FROM f)""".stripMargin
+  }
+
+  val repNgramSql: String =
+    s"""WITH $gopherCte
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tri - n_tri_d) AS BIGINT) AS dup_occ,
+       |       CAST(sum(n_tri) AS BIGINT) AS tri_occ,
+       |       CAST(sum(CASE WHEN (n_tri - n_tri_d) * ${TextAnalysis.GopherRepTimes} > n_tri
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+       |       CAST(sum(n_tri - n_tri_d) AS DOUBLE) / CAST(sum(n_tri) AS DOUBLE) AS rep_rate
+       |FROM g GROUP BY source ORDER BY source""".stripMargin
+
+  val gopherRulesSql: String = {
+    import TextAnalysis._
+    val wcOk = s"(n_tok >= $GopherMinTokens AND n_tok <= $GopherMaxTokens)"
+    val mwlOk = s"(sum_len >= n_tok * $GopherMinMeanLen AND sum_len <= n_tok * $GopherMaxMeanLen)"
+    val stopOk = s"(n_stop >= $GopherMinStopwords)"
+    val repOk = s"((n_tri - n_tri_d) * $GopherRepTimes <= n_tri)"
+    def fails(ok: String) = s"CAST(sum(CASE WHEN $ok THEN 0 ELSE 1 END) AS BIGINT)"
+    s"""WITH $gopherCte
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       ${fails(wcOk)} AS n_fail_wordcount,
+       |       ${fails(mwlOk)} AS n_fail_wordlen,
+       |       ${fails(stopOk)} AS n_fail_stopwords,
+       |       ${fails(repOk)} AS n_fail_repetition,
+       |       CAST(sum(CASE WHEN $wcOk AND $mwlOk AND $stopOk AND $repOk
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+       |FROM g GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** triangles mirror: same degree orientation and wedge closure over the
+    * banded candidate graph (`cand` — un-thresholded by design).
+    */
+  val trianglesSql: String =
+    s"""WITH $sigCtes, $pairCtes,
+       |e AS (SELECT id_a, id_b FROM cand),
+       |und AS (SELECT id_a AS u FROM e UNION ALL SELECT id_b FROM e),
+       |deg AS (SELECT u AS id, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u),
+       |o AS (
+       |  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.id_a < e.id_b)
+       |              THEN e.id_a ELSE e.id_b END AS s,
+       |         CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.id_a < e.id_b)
+       |              THEN e.id_b ELSE e.id_a END AS t
+       |  FROM e JOIN deg da ON da.id = e.id_a JOIN deg db ON db.id = e.id_b),
+       |wdg AS (SELECT x.t AS v, y.t AS w FROM o x JOIN o y ON x.s = y.s AND x.t < y.t)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM wdg) AS n_wedges,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM wdg
+       |        JOIN e ON e.id_a = wdg.v AND e.id_b = wdg.w) AS n_triangles""".stripMargin
+
   /** sampleTopK mirror: the window formulation of per-key top-k — the
     * semantics TopKPerKey's bounded-heap physical plan must reproduce.
     */

@@ -135,6 +135,9 @@ object SparkEntry {
     "x_window_funcs" -> (llm.Events.windowFuncs _),
     "x_cooccur" -> (llm.TextAnalysis.cooccur _),
     "x_sample_topk" -> (llm.Sampling.sampleTopK _),
+    "x_rep_ngram" -> (llm.TextAnalysis.repNgram _),
+    "x_gopher" -> (llm.TextAnalysis.gopherRules _),
+    "x_triangles" -> (llm.Graph.triangles _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -1387,5 +1390,8 @@ object SparkEntry {
         |FROM w GROUP BY 1, 2 ORDER BY event_type, q""".stripMargin,
     "x_cooccur" -> OracleLlm.cooccurSql,
     "x_sample_topk" -> OracleLlm.sampleTopKSql,
+    "x_rep_ngram" -> OracleLlm.repNgramSql,
+    "x_gopher" -> OracleLlm.gopherRulesSql,
+    "x_triangles" -> OracleLlm.trianglesSql,
   )
 }

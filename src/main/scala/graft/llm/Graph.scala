@@ -140,6 +140,55 @@ object Graph {
       .orderBy("comp_id")
   }
 
+  // ---- Triangle census (X-TRIANGLES) ---------------------------------
+
+  /** Degree-oriented triangle counting over an undirected canonical
+    * (id_a < id_b, distinct) edge frame. Each edge is oriented from its
+    * lower-(degree, id) endpoint to the higher; wedges are the self-join
+    * of the oriented list on the source; a wedge (v, w) closes into a
+    * triangle iff (v, w) is an edge. The orientation is THE scale move:
+    * out-degrees in the oriented graph are O(√m), so the wedge join is
+    * bounded by Σ outdeg² = O(m^1.5) (the node-iterator bound) instead
+    * of the hub-degree² blowup a naive neighbor self-join hits on skewed
+    * graphs — and every triangle has exactly one wedge source, so the
+    * count needs no /3 correction. Shuffles carry (id, id) pairs only.
+    */
+  def trianglesOf(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("id_a").as("u"))
+      .union(edges.select(col("id_b").as("u")))
+      .groupBy("u").agg(count(lit(1)).as("d"))
+    val ea = edges
+      .join(deg.select(col("u").as("id_a"), col("d").as("da")), "id_a")
+      .join(deg.select(col("u").as("id_b"), col("d").as("db")), "id_b")
+    val fwd = col("da") < col("db") ||
+      (col("da") === col("db") && col("id_a") < col("id_b"))
+    val oriented = ea.select(
+      when(fwd, col("id_a")).otherwise(col("id_b")).as("s"),
+      when(fwd, col("id_b")).otherwise(col("id_a")).as("t"))
+    // x.t < y.t keeps the wedge endpoints in id order — the canonical
+    // form the edge frame itself uses, so closure is a direct equi-join
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.s") === col("y.s") && col("x.t") < col("y.t"))
+      .select(col("x.t").as("id_a"), col("y.t").as("id_b"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    val nWedges = wedges.agg(count(lit(1)).as("n_wedges"))
+    val nTri = wedges.join(edges, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    nNodes.crossJoin(nEdges).crossJoin(nWedges).crossJoin(nTri)
+  }
+
+  /** X-TRIANGLES: triangle census of the banded near-dup candidate graph
+    * — the cohesion diagnostic between X-GRAPH-DEGREE (how connected) and
+    * X-CONNECTED (what merges): a high triangle count means candidate
+    * clusters are mutually-similar cliques (safe to collapse), a
+    * wedge-heavy/triangle-poor graph means chains gluing unrelated docs
+    * through a shared template. Runs on the UN-thresholded candidate
+    * set — the census grades the banding itself, not the verified edges.
+    */
+  def triangles(spark: SparkSession, sfDir: String): DataFrame =
+    trianglesOf(Dedup.minhashPairsTable(spark, sfDir).select("id_a", "id_b"))
+
   // ---- PageRank (X-PAGERANK) -----------------------------------------
 
   /** Fixed iteration count: the oracle unrolls the same number of

@@ -632,6 +632,94 @@ object TextAnalysis {
       .limit(30)
   }
 
+  // ---- Gopher-style corpus quality rules (X-REP-NGRAM / X-GOPHER) ----
+
+  /** Integer thresholds for the rule pack (all comparisons stay in exact
+    * integer arithmetic — `sum·k ≥ n·m` instead of a float ratio):
+    * word count ∈ [30, 200]; mean word length ∈ [4, 6]; ≥ 2 stopword
+    * occurrences; repeated-trigram occurrence share ≤ 2% (dup·50 ≤ total).
+    * The shape is the Gopher/MassiveText rule family (Rae et al. 2021,
+    * §A1.1); the numbers are calibrated to the fixture so every rule has
+    * both passing and failing documents.
+    */
+  val GopherMinTokens = 30L
+  val GopherMaxTokens = 200L
+  val GopherMinMeanLen = 4L
+  val GopherMaxMeanLen = 6L
+  val GopherMinStopwords = 2L
+  val GopherRepTimes = 50L
+
+  /** Per-document row-local quality features shared by [[repNgram]] and
+    * [[gopherRules]]: token count, summed token length, stopword
+    * occurrences, and the trigram occurrence/distinct pair (duplicated
+    * trigram mass is the Gopher repetition signal). Everything is
+    * higher-order-function work inside the row — zero shuffle; the
+    * `size ≥ 3` guard matters because Spark's `sequence(1, n)` runs
+    * DESCENDING for n < 1 rather than returning empty.
+    */
+  private def gopherFeatures(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val tris = when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(
+      col("source"),
+      size(toks).cast("long").as("n_tok"),
+      aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _).as("sum_len"),
+      size(filter(toks, t => t.isin(Stopwords: _*))).cast("long").as("n_stop"),
+      size(tris).cast("long").as("n_tri"),
+      size(array_distinct(tris)).cast("long").as("n_tri_d"))
+  }
+
+  /** X-REP-NGRAM: repeated-trigram mass per source — the Gopher
+    * repetition signal (machine-generated/boilerplate text repeats
+    * n-grams; natural text rarely does). `rep_rate` is ONE division of
+    * two exact corpus-level BIGINTs (deterministic to the bit on both
+    * engines — no per-doc float ratios to sum); `n_repetitive` counts
+    * docs over the 2% threshold in exact integer form.
+    */
+  def repNgram(spark: SparkSession, sfDir: String): DataFrame =
+    gopherFeatures(Tables.documents(spark, sfDir))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tri") - col("n_tri_d")).as("dup_occ"),
+        sum("n_tri").as("tri_occ"),
+        sum(when((col("n_tri") - col("n_tri_d")) * GopherRepTimes > col("n_tri"), 1L)
+          .otherwise(0L)).as("n_repetitive"))
+      .withColumn("rep_rate",
+        col("dup_occ").cast("double") / col("tri_occ").cast("double"))
+      .select("source", "n_docs", "dup_occ", "tri_occ", "n_repetitive", "rep_rate")
+      .orderBy("source")
+
+  /** X-GOPHER: the composite quality-rule pack per source — word-count
+    * bounds, mean-word-length bounds, stopword floor, repetition cap —
+    * with per-rule failure counts (the tuning view: which rule is doing
+    * the filtering) and the all-rules pass count (the survivor corpus).
+    * One narrow row-local pass + one partial-aggregated shuffle.
+    */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val wcOk = col("n_tok") >= GopherMinTokens && col("n_tok") <= GopherMaxTokens
+    val mwlOk = col("sum_len") >= col("n_tok") * GopherMinMeanLen &&
+      col("sum_len") <= col("n_tok") * GopherMaxMeanLen
+    val stopOk = col("n_stop") >= GopherMinStopwords
+    val repOk = (col("n_tri") - col("n_tri_d")) * GopherRepTimes <= col("n_tri")
+    def fails(ok: org.apache.spark.sql.Column) =
+      sum(when(ok, 0L).otherwise(1L))
+    gopherFeatures(Tables.documents(spark, sfDir))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        fails(wcOk).as("n_fail_wordcount"),
+        fails(mwlOk).as("n_fail_wordlen"),
+        fails(stopOk).as("n_fail_stopwords"),
+        fails(repOk).as("n_fail_repetition"),
+        sum(when(wcOk && mwlOk && stopOk && repOk, 1L).otherwise(0L)).as("n_pass"))
+      .orderBy("source")
+  }
+
   /** X-TEXT fingerprinting with the native codegen'd rolling-hash
     * expression — the normalized-text fingerprint that exact dedup groups
     * on at scale (8-byte shuffle key instead of full text).

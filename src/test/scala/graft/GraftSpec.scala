@@ -2195,6 +2195,63 @@ class GraftSpec extends AnyFunSuite {
     assert(plan.contains("TopKPerKey"), s"expected the custom physical operator:\n${plan.take(2000)}")
   }
 
+  test("x_rep_ngram / x_gopher: exact-integer rules, every rule exercised both ways") {
+    val rep = llm.TextAnalysis.repNgram(spark, sf).collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3), s"dup_occ cannot exceed tri_occ: $r")
+      val rate = r.getDouble(5)
+      assert(rate >= 0.0 && rate < 1.0, s"rep_rate out of range: $r")
+      // one division of two exact BIGINTs — recompute and demand bit equality
+      assert(rate === r.getLong(2).toDouble / r.getLong(3).toDouble)
+    }
+    val g = llm.TextAnalysis.gopherRules(spark, sf).collect()
+    val nDocs = g.map(_.getLong(1)).sum
+    def failCol(i: Int) = g.map(_.getLong(i)).sum
+    // calibration contract: every rule must have both failing and passing
+    // docs in the fixture, or the rule's predicate is untested
+    (2 to 5).foreach { i =>
+      assert(failCol(i) > 0, s"rule col $i never fails — threshold vacuous")
+      assert(failCol(i) < nDocs, s"rule col $i always fails — threshold vacuous")
+    }
+    val nPass = g.map(_.getLong(6)).sum
+    assert(nPass > 0 && nPass < nDocs, "composite pass must split the corpus")
+    g.foreach { r =>
+      val maxFail = (2 to 5).map(r.getLong).max
+      assert(r.getLong(6) <= r.getLong(1) - maxFail,
+        s"n_pass cannot exceed n_docs minus the worst rule's failures: $r")
+    }
+  }
+
+  test("x_triangles: census invariants on the candidate graph + closed-form clique check") {
+    val row = llm.Graph.triangles(spark, sf).head()
+    val (nodes, edges, wedges, tris) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(nodes > 0 && edges > 0)
+    assert(tris <= wedges, "every triangle is a closed wedge")
+    assert(tris > 0, "fixture near-dup clusters must contain at least one triangle")
+    // closed-form check: K4 has exactly 4 triangles, 0 extra wedges open
+    import spark.implicits._
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val k4row = llm.Graph.trianglesOf(k4).head()
+    assert(k4row.getLong(3) === 4L, s"K4 must have 4 triangles: $k4row")
+    assert(k4row.getLong(2) === 4L, s"K4's degree orientation yields exactly 4 wedges: $k4row")
+    // path graph: the orientation points both edges INTO the high-degree
+    // center, so no node holds two out-edges — 0 wedges, 0 triangles
+    // (exactly the property that kills hub-degree² blowup on skewed graphs)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val prow = llm.Graph.trianglesOf(path).head()
+    assert(prow.getLong(2) === 0L && prow.getLong(3) === 0L)
+    // open wedge that the orientation DOES keep: center 1 has the lowest
+    // degree, so both its edges orient outward; (2,3) is absent → no close
+    val open = Seq((1L, 2L), (1L, 3L), (2L, 4L), (2L, 5L), (3L, 6L), (3L, 7L))
+      .toDF("id_a", "id_b")
+    val orow = llm.Graph.trianglesOf(open).head()
+    assert(orow.getLong(2) === 1L && orow.getLong(3) === 0L,
+      s"expected one open wedge at the low-degree center: $orow")
+  }
+
   test("SURVEY audit: every registered query maps 1:1 to a named SURVEY.md ID") {
     // SURVEY §2 claims a provably exhaustive inventory; this pins it
     // mechanically — every SparkEntry.queries entry must name its SURVEY
@@ -2255,7 +2312,8 @@ class GraftSpec extends AnyFunSuite {
       "x_sim_multiprobe" -> "X-SIM", "x_profile" -> "X-PROFILE",
       "x_pagerank" -> "X-PAGERANK", "x_grouping_sets" -> "X-GROUPING-SETS",
       "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",
-      "x_sample_topk" -> "X-SAMPLE-TOPK",
+      "x_sample_topk" -> "X-SAMPLE-TOPK", "x_rep_ngram" -> "X-REP-NGRAM",
+      "x_gopher" -> "X-GOPHER", "x_triangles" -> "X-TRIANGLES",
       "x_optout" -> "X-OPTOUT", "x_boilerplate" -> "X-BOILERPLATE",
       "x_vocab_coverage" -> "X-VOCAB-COVERAGE")
     val registered = SparkEntry.queries.keySet
