@@ -784,6 +784,21 @@ object OracleLlm {
        |       (SELECT CAST(count(*) AS BIGINT) FROM wdg
        |        JOIN e ON e.id_a = wdg.v AND e.id_b = wdg.w) AS n_triangles""".stripMargin
 
+  /** globalIds mirror: the single-partition window formulation the
+    * range-partition + partition-offset implementation must equal.
+    */
+  val globalIdsSql: String =
+    s"""WITH sf AS (
+       |  SELECT source, doc_id, ${signed64(hash64u("text"))} AS fp FROM documents),
+       |r AS (SELECT source, doc_id,
+       |             CAST(row_number() OVER (ORDER BY fp, doc_id) - 1 AS BIGINT) AS id
+       |      FROM sf)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       min(id) AS min_id, max(id) AS max_id,
+       |       CAST(sum(id) AS BIGINT) AS sum_id,
+       |       CAST(sum(id * doc_id) AS BIGINT) AS id_checksum
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   /** sampleTopK mirror: the window formulation of per-key top-k — the
     * semantics TopKPerKey's bounded-heap physical plan must reproduce.
     */

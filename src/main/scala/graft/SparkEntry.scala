@@ -138,6 +138,7 @@ object SparkEntry {
     "x_rep_ngram" -> (llm.TextAnalysis.repNgram _),
     "x_gopher" -> (llm.TextAnalysis.gopherRules _),
     "x_triangles" -> (llm.Graph.triangles _),
+    "x_global_ids" -> (llm.Sampling.globalIds _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -1393,5 +1394,6 @@ object SparkEntry {
     "x_rep_ngram" -> OracleLlm.repNgramSql,
     "x_gopher" -> OracleLlm.gopherRulesSql,
     "x_triangles" -> OracleLlm.trianglesSql,
+    "x_global_ids" -> OracleLlm.globalIdsSql,
   )
 }

@@ -247,4 +247,62 @@ object Sampling {
       .select(col("source"), col("rank"), col("doc_id"), col("fp"))
       .orderBy("source", "rank")
   }
+
+  /** Deterministic partition count for [[globalIds]]' range exchange. The
+    * assigned ids are INDEPENDENT of this number (they depend only on the
+    * total order), so at scale it is a free tuning knob.
+    */
+  val GlobalIdPartitions = 8
+
+  /** X-GLOBAL-IDS: contiguous 0-based global sample ids over a
+    * deterministic total order (content hash, doc_id) — the "assign every
+    * training example a stable dense id" op (shard manifests, example
+    * dedup ledgers, resumable data loaders all want dense stable ids).
+    *
+    * The SCALABLE formulation, not the window one: `row_number() OVER
+    * (ORDER BY …)` funnels the corpus through ONE partition. Instead:
+    * range-repartition on the order key + sort within partitions (a
+    * global sort's exchange, each partition an ordered disjoint range),
+    * count rows per partition (one metadata-sized aggregate — ≤ one row
+    * per partition), prefix-sum those counts into per-partition offsets
+    * broadcast back, and add `offset + local index` per partition. The
+    * per-partition zip is genuine imperative per-partition logic — the
+    * documented `mapPartitions` case. Ids equal the window formulation's
+    * exactly (the oracle IS `row_number() - 1`) because range partitions
+    * are ordered and disjoint whatever boundaries the range sampler
+    * picks — the unique (fp, doc_id) key means no tie straddles a
+    * boundary.
+    */
+  def globalIds(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ranged = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), rolling_hash(col("text")).as("fp"))
+      .repartitionByRange(GlobalIdPartitions, col("fp"), col("doc_id"))
+      .sortWithinPartitions("fp", "doc_id")
+      .as[(String, Long, Long)]
+    // one light job: per-partition row counts (metadata-sized: ≤ one row
+    // per partition, same license as the Bloom sketch bytes)
+    val counts = ranged.mapPartitions { it =>
+      Iterator.single(org.apache.spark.TaskContext.getPartitionId() -> it.size.toLong)
+    }.collect().toMap
+    val offsets = (0 until GlobalIdPartitions).scanLeft(0L) {
+      case (acc, pid) => acc + counts.getOrElse(pid, 0L)
+    }.toArray // offsets(pid) = rows before partition pid
+    val bc = spark.sparkContext.broadcast(offsets)
+    val withIds = ranged.mapPartitions { it =>
+      val base = bc.value(org.apache.spark.TaskContext.getPartitionId())
+      it.zipWithIndex.map { case ((source, docId, fp), i) =>
+        (source, docId, fp, base + i)
+      }
+    }.toDF("source", "doc_id", "fp", "id")
+    withIds
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("id").as("min_id"),
+        max("id").as("max_id"),
+        sum("id").as("sum_id"),
+        sum(col("id") * col("doc_id")).as("id_checksum"))
+      .orderBy("source")
+  }
 }

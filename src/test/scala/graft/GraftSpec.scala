@@ -2252,6 +2252,28 @@ class GraftSpec extends AnyFunSuite {
       s"expected one open wedge at the low-degree center: $orow")
   }
 
+  test("x_global_ids: dense 0..N-1 permutation, equal to the window formulation") {
+    val rows = llm.Sampling.globalIds(spark, sf).collect()
+    val n = rows.map(_.getLong(1)).sum
+    assert(n > 0)
+    assert(rows.map(_.getLong(2)).min === 0L, "global min id must be 0")
+    assert(rows.map(_.getLong(3)).max === n - 1, "global max id must be N-1")
+    assert(rows.map(_.getLong(4)).sum === n * (n - 1) / 2,
+      "id sum must be the 0..N-1 triangular number — ids are a dense permutation")
+    // the partition-offset implementation must equal row_number() - 1
+    // bit-for-bit, checksum included
+    import org.apache.spark.sql.expressions.Window
+    val win = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        RollingHash.rolling_hash(col("text")).as("fp"))
+      .withColumn("id", (row_number().over(Window.orderBy("fp", "doc_id")) - 1).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), min("id").as("min_id"), max("id").as("max_id"),
+        sum("id").as("sum_id"), sum(col("id") * col("doc_id")).as("id_checksum"))
+      .orderBy("source")
+    assert(rows.toSeq === win.collect().toSeq)
+  }
+
   test("SURVEY audit: every registered query maps 1:1 to a named SURVEY.md ID") {
     // SURVEY §2 claims a provably exhaustive inventory; this pins it
     // mechanically — every SparkEntry.queries entry must name its SURVEY
@@ -2314,6 +2336,7 @@ class GraftSpec extends AnyFunSuite {
       "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",
       "x_sample_topk" -> "X-SAMPLE-TOPK", "x_rep_ngram" -> "X-REP-NGRAM",
       "x_gopher" -> "X-GOPHER", "x_triangles" -> "X-TRIANGLES",
+      "x_global_ids" -> "X-GLOBAL-IDS",
       "x_optout" -> "X-OPTOUT", "x_boilerplate" -> "X-BOILERPLATE",
       "x_vocab_coverage" -> "X-VOCAB-COVERAGE")
     val registered = SparkEntry.queries.keySet
