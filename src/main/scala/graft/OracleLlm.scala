@@ -725,7 +725,10 @@ object OracleLlm {
        |g AS (
        |  SELECT source,
        |         CAST(len(toks) AS BIGINT) AS n_tok,
-       |         CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
+       |         -- coalesce: DuckDB's list_sum([]) is NULL where Spark's
+       |         -- aggregate(..., 0L, _+_) fold is 0 — an empty doc must
+       |         -- not diverge the mean-word-length rule between engines
+       |         CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS sum_len,
        |         CAST(len(list_filter(toks, t -> t IN ($stop))) AS BIGINT) AS n_stop,
        |         CAST(CASE WHEN len(toks) >= 3 THEN len(toks) - 2 ELSE 0 END AS BIGINT) AS n_tri,
        |         CAST(CASE WHEN len(toks) >= 3 THEN

@@ -122,7 +122,10 @@ object CsvIngest {
         min(col("o_orderdate").cast("date")).as("min_day"))
       .withColumn("n_corrupt",
         coalesce(max(when(col("st") === Sentinel, col("n"))).over(all), lit(0L)))
-      .filter(col("st") =!= Sentinel)
+      // null-SAFE comparison: a clean row whose o_orderstatus parsed as
+      // NULL groups under st = NULL, and `NULL =!= sentinel` is NULL —
+      // a plain filter would silently drop that group from the output
+      .filter(!(col("st") <=> Sentinel))
       .select(col("st").as("o_orderstatus"), col("n"), col("total"),
         col("min_day"), col("n_corrupt"))
       .orderBy("o_orderstatus")

@@ -275,11 +275,18 @@ object Sampling {
     */
   def globalIds(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // CACHED before the counts job: the counts job and the id-assignment
+    // job must see the SAME partitioning, and repartitionByRange re-samples
+    // its boundaries per execution (the sampler's seed varies per run, and
+    // at real scale the reservoir only sees a subset, so two executions can
+    // legitimately split rows differently around boundary values). Caching
+    // pins the materialized partitions; both jobs then read the one layout.
     val ranged = Tables.documents(spark, sfDir)
       .select(col("source"), col("doc_id"), rolling_hash(col("text")).as("fp"))
       .repartitionByRange(GlobalIdPartitions, col("fp"), col("doc_id"))
       .sortWithinPartitions("fp", "doc_id")
       .as[(String, Long, Long)]
+      .persist()
     // one light job: per-partition row counts (metadata-sized: ≤ one row
     // per partition, same license as the Bloom sketch bytes)
     val counts = ranged.mapPartitions { it =>
@@ -295,7 +302,9 @@ object Sampling {
         (source, docId, fp, base + i)
       }
     }.toDF("source", "doc_id", "fp", "id")
-    withIds
+    // materialize the per-source rollup eagerly (it is ≤ one row per
+    // source) so the corpus-sized cache can be released before returning
+    val out = withIds
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -304,5 +313,8 @@ object Sampling {
         sum("id").as("sum_id"),
         sum(col("id") * col("doc_id")).as("id_checksum"))
       .orderBy("source")
+      .localCheckpoint(true)
+    ranged.unpersist()
+    out
   }
 }

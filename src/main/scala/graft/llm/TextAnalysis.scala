@@ -619,7 +619,11 @@ object TextAnalysis {
     val gate = dfreq.crossJoin(broadcast(n))
       .filter(col("df") * CooccurMinDfTimes4 >= col("n_docs"))
       .select(col("t"), col("df"))
-    val kept = tok.join(broadcast(gate), "t")
+    // materialized once (eager localCheckpoint): the self-join below
+    // consumes `kept` on BOTH sides, and without a shared materialization
+    // each side re-tokenizes and re-gates the whole corpus — the same
+    // double-scan Dedup's signature cache exists to avoid
+    val kept = tok.join(broadcast(gate), "t").localCheckpoint(true)
     val pairs = kept.select(col("doc_id"), col("t").as("ta"), col("df").as("c_x"))
       .join(kept.select(col("doc_id"), col("t").as("tb"), col("df").as("c_y")), "doc_id")
       .filter(col("ta") < col("tb"))

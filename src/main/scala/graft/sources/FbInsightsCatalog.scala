@@ -58,38 +58,63 @@ class FbInsightsCatalog extends TableCatalog {
 
   private def locationsFile = Paths.get(warehouse, "_locations.properties")
 
-  /** Persist the external-location registry: READ-merge-write-then-atomic-
-    * move. The reload-and-merge step matters when several catalog instances
-    * share one warehouse (the test suite does): an instance that rewrote
-    * the file from only its own in-memory snapshot would clobber entries a
-    * sibling persisted after this instance initialized, last-writer-wins.
-    * Merging keeps sibling registrations (this instance's entries win per
-    * key) and refreshes this instance's cache with them; `removed` carries
-    * this call's intentional deletions so the merge can't resurrect them.
-    * The atomic move means a reader sees the old complete file or the new
-    * complete file, never a torn one.
-    */
-  private def persistLocations(removed: Set[String] = Set.empty): Unit = synchronized {
+  private def readDisk(): Map[String, String] = {
     val f = locationsFile
-    if (Files.exists(f)) {
+    if (!Files.exists(f)) Map.empty
+    else {
       val disk = new java.util.Properties()
       val in = Files.newInputStream(f)
       try disk.load(in) finally in.close()
-      disk.stringPropertyNames().asScala.foreach { k =>
-        if (!removed.contains(k)) locations.putIfAbsent(k, disk.getProperty(k))
-      }
+      disk.stringPropertyNames().asScala.map(k => k -> disk.getProperty(k)).toMap
     }
-    val props = new java.util.Properties()
-    locations.asScala.foreach { case (k, v) => props.setProperty(k, v) }
-    Files.createDirectories(Paths.get(warehouse))
-    val tmp = Paths.get(warehouse, "_locations.properties.tmp")
-    val out = Files.newOutputStream(tmp)
-    try props.store(out, "fb-insights external table locations")
-    finally out.close()
-    Files.move(tmp, locationsFile,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
+
+  /** Re-sync the in-memory cache from the durable registry. The file is
+    * the source of truth for everything this instance did not just change:
+    * a sibling catalog instance over the same warehouse may have added OR
+    * dropped entries since this instance initialized, and serving either
+    * stale presence or stale absence mis-resolves paths (a drop routed
+    * through a stale cache would delete the registry entry yet miss the
+    * external directory). Called before every registry-dependent operation
+    * — the file is a handful of lines, so the re-read is metadata-cost.
+    */
+  private def refreshLocations(): Unit = FbInsightsCatalog.registryLock.synchronized {
+    val disk = readDisk()
+    locations.keySet.asScala.toSeq.foreach { k =>
+      if (!disk.contains(k)) locations.remove(k)
+    }
+    disk.foreach { case (k, v) => locations.put(k, v) }
+  }
+
+  /** Persist the external-location registry: read-RECONCILE-write-then-
+    * atomic-move, serialized across instances in this JVM. The durable
+    * file is the source of truth plus exactly this call's delta
+    * (`added` / `removed`); the in-memory cache is REPLACED by that
+    * reconciled view rather than merged over it, so a sibling's drop is
+    * never resurrected by this instance's stale cache and a sibling's add
+    * is never clobbered — every mutation is routed through here right as
+    * it happens, which is what makes "disk + this delta" complete. The
+    * atomic move means a reader sees the old complete file or the new
+    * complete file, never a torn one.
+    */
+  private def persistLocations(
+      added: Map[String, String] = Map.empty,
+      removed: Set[String] = Set.empty): Unit =
+    FbInsightsCatalog.registryLock.synchronized {
+      val next = (readDisk() -- removed) ++ added
+      locations.clear()
+      next.foreach { case (k, v) => locations.put(k, v) }
+      val props = new java.util.Properties()
+      next.foreach { case (k, v) => props.setProperty(k, v) }
+      Files.createDirectories(Paths.get(warehouse))
+      val tmp = Paths.get(warehouse, "_locations.properties.tmp")
+      val out = Files.newOutputStream(tmp)
+      try props.store(out, "fb-insights external table locations")
+      finally out.close()
+      Files.move(tmp, locationsFile,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
 
   override def name(): String = catalogName
 
@@ -116,6 +141,7 @@ class FbInsightsCatalog extends TableCatalog {
     Option(locations.get(key(ident))).getOrElse(s"$warehouse/${key(ident)}")
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
+    refreshLocations()
     val dir = new java.io.File((warehouse +: namespace).mkString("/"))
     val managed = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(_.isDirectory)
@@ -129,10 +155,13 @@ class FbInsightsCatalog extends TableCatalog {
     (managed ++ external).distinct
   }
 
-  override def tableExists(ident: Identifier): Boolean =
+  override def tableExists(ident: Identifier): Boolean = {
+    refreshLocations()
     new java.io.File(pathFor(ident)).isDirectory
+  }
 
   override def loadTable(ident: Identifier): Table = {
+    refreshLocations()
     val p = pathFor(ident)
     if (!new java.io.File(p).isDirectory) throw new NoSuchTableException(ident)
     new FbInsightsTable(p)
@@ -157,8 +186,8 @@ class FbInsightsCatalog extends TableCatalog {
     val external = Option(properties.get(TableCatalog.PROP_LOCATION)).map(fsPath)
     val p = external.getOrElse(s"$warehouse/${key(ident)}")
     external.foreach { loc =>
-      locations.put(key(ident), loc)
-      persistLocations() // durable: a fresh session must resolve this table
+      // durable: a fresh session must resolve this table
+      persistLocations(added = Map(key(ident) -> loc))
     }
     Files.createDirectories(Paths.get(p))
     new FbInsightsTable(p)
@@ -169,10 +198,11 @@ class FbInsightsCatalog extends TableCatalog {
       "fb-insights tables have a fixed schema; ALTER TABLE is not supported")
 
   override def dropTable(ident: Identifier): Boolean = {
+    // resolve the path AFTER syncing from disk: a sibling instance may
+    // have registered this ident externally since we initialized, and a
+    // stale cache would route the delete at the wrong (managed) path
+    refreshLocations()
     val p = Paths.get(pathFor(ident))
-    // persist the removal even if this instance never cached the entry — a
-    // sibling catalog may have registered it on disk after we initialized
-    locations.remove(key(ident))
     persistLocations(removed = Set(key(ident)))
     if (!Files.isDirectory(p)) false
     else {
@@ -195,8 +225,15 @@ class FbInsightsCatalog extends TableCatalog {
     Files.createDirectories(to.getParent)
     Files.move(Paths.get(pathFor(oldIdent)), to)
     // the data now lives at the new ident's (managed) path
-    locations.remove(key(oldIdent))
     persistLocations(removed = Set(key(oldIdent)))
     ()
   }
+}
+
+object FbInsightsCatalog {
+  /** Serializes registry read-reconcile-write cycles across catalog
+    * instances in one JVM (the cross-JVM story is the atomic move — last
+    * complete write wins, never a torn file).
+    */
+  private[sources] val registryLock = new Object
 }
