@@ -2274,6 +2274,38 @@ class GraftSpec extends AnyFunSuite {
     assert(rows.toSeq === win.collect().toSeq)
   }
 
+  test("plan lint: no cartesian blowups or fixture-scale global windows in ANY registered query") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    // Unpartitioned windows documented as bounded-input at their def
+    // sites — every other query must window over a partition key:
+    //   q_join_fx_asof — forward-fill over the ~2.4k-row date DIM
+    //   q_csv          — corrupt-count total over the ≤5-row AGGREGATED frame
+    //   x_interleave   — dense_rank over the DISTINCT sources (a handful)
+    val globalWindowOk = Set("q_join_fx_asof", "q_csv", "x_interleave")
+    // streaming queries execute their stream at construction — covered by
+    // their own specs; the lint targets the batch plan surface
+    val skip = SparkEntry.queries.keySet.filter(_.contains("stream"))
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => skip(q._1)).flatMap { case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.optimizedPlan
+        // a condition-free join is a cartesian UNLESS one side is bounded
+        // to a single row (the broadcast-one-row-aggregate idiom Catalyst
+        // proves via maxRows — the documented stat-join pattern)
+        val crosses = plan.collect {
+          case j: Join if j.condition.isEmpty &&
+            !j.left.maxRows.exists(_ <= 1L) && !j.right.maxRows.exists(_ <= 1L) => j
+        }
+        val gwins =
+          if (globalWindowOk(name)) Nil
+          else plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+        (if (crosses.nonEmpty) Seq(s"$name: ${crosses.size} unbounded cartesian join(s)")
+         else Nil) ++
+          (if (gwins.nonEmpty) Seq(s"$name: ${gwins.size} unpartitioned window(s)") else Nil)
+      }
+    assert(violations.isEmpty,
+      s"scale-hostile plan shapes detected:\n${violations.mkString("\n")}")
+  }
+
   test("SURVEY audit: every registered query maps 1:1 to a named SURVEY.md ID") {
     // SURVEY §2 claims a provably exhaustive inventory; this pins it
     // mechanically — every SparkEntry.queries entry must name its SURVEY
