@@ -787,6 +787,36 @@ object OracleLlm {
        |       (SELECT CAST(count(*) AS BIGINT) FROM wdg
        |        JOIN e ON e.id_a = wdg.v AND e.id_b = wdg.w) AS n_triangles""".stripMargin
 
+  /** fuzzyJoin mirror: same deterministic typo model, same 2-gram
+    * banding, same Levenshtein metric (DuckDB and Spark both compute
+    * unit-cost edit distance), same (distance, token) best-match order.
+    */
+  val fuzzyJoinSql: String = {
+    def bigrams(expr: String): String =
+      s"list_distinct(list_transform(range(1, length($expr)), bi -> substr($expr, CAST(bi AS INT), 2)))"
+    s"""WITH tok AS (
+       |  SELECT DISTINCT unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS token
+       |  FROM documents),
+       |v AS (SELECT token FROM tok WHERE length(token) >= 4),
+       |d AS (
+       |  SELECT DISTINCT
+       |    substr(token, 1, (length(token) % 3 + 1) - 1)
+       |      || substr(token, (length(token) % 3 + 1) + 1,
+       |                length(token) - (length(token) % 3 + 1)) AS variant
+       |  FROM v),
+       |dg AS (SELECT variant, unnest(${bigrams("variant")}) AS g FROM d),
+       |vg AS (SELECT token, unnest(${bigrams("token")}) AS g FROM v),
+       |c AS (SELECT DISTINCT dg.variant, vg.token FROM dg JOIN vg USING (g)),
+       |cl AS (SELECT variant, token,
+       |              CAST(levenshtein(variant, token) AS BIGINT) AS lev FROM c),
+       |nc AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_cands FROM cl GROUP BY variant),
+       |b AS (SELECT variant, token, lev,
+       |             row_number() OVER (PARTITION BY variant ORDER BY lev, token) AS rn
+       |      FROM cl WHERE lev <= 1)
+       |SELECT b.variant, nc.n_cands, b.token AS best_token, b.lev
+       |FROM b JOIN nc USING (variant) WHERE rn = 1 ORDER BY variant""".stripMargin
+  }
+
   /** globalIds mirror: the single-partition window formulation the
     * range-partition + partition-offset implementation must equal.
     */

@@ -139,6 +139,7 @@ object SparkEntry {
     "x_gopher" -> (llm.TextAnalysis.gopherRules _),
     "x_triangles" -> (llm.Graph.triangles _),
     "x_global_ids" -> (llm.Sampling.globalIds _),
+    "x_fuzzy_join" -> (llm.Dedup.fuzzyJoin _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -1395,5 +1396,6 @@ object SparkEntry {
     "x_gopher" -> OracleLlm.gopherRulesSql,
     "x_triangles" -> OracleLlm.trianglesSql,
     "x_global_ids" -> OracleLlm.globalIdsSql,
+    "x_fuzzy_join" -> OracleLlm.fuzzyJoinSql,
   )
 }

@@ -274,4 +274,54 @@ object Dedup {
       .withColumn("jaccard", col("n_common").cast("double") / col("n_union").cast("double"))
       .orderBy("id_a")
   }
+
+  // ---- fuzzy string matching (X-FUZZY-JOIN) --------------------------
+
+  /** Distinct character 2-grams of a string — the fuzzy-join banding key
+    * (an edit-distance-1 pair always shares at least one 2-gram when both
+    * strings are ≥ 3 chars: one deletion destroys at most two grams).
+    */
+  private def bigramsOf(c: Column): Column =
+    array_distinct(transform(sequence(lit(1), length(c) - 1), i => c.substr(i, lit(2))))
+
+  /** X-FUZZY-JOIN: edit-distance entity resolution — match DIRTY strings
+    * (here: each vocabulary token with one deterministically-dropped
+    * character, the canonical typo model) back to the clean vocabulary.
+    * The scale shape is the MinHash-LSH one re-applied to edit distance:
+    * candidates come from an EQUI-join on shared character 2-grams
+    * (never a cross join with `levenshtein` in the condition — that is
+    * the O(n·m) trap), the exact Levenshtein verify runs only on the
+    * banded candidate set, and the best match per dirty string is a
+    * partitioned row_number over (distance, token). `n_cands` rides
+    * along as the banding-effectiveness audit. All output is strings +
+    * exact integers — hash-exact on both engines (DuckDB's `levenshtein`
+    * computes the same unit-cost metric as Spark's).
+    */
+  def fuzzyJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .distinct()
+      .filter(length(col("token")) >= 4)
+    // deterministic typo: drop the char at position length%3 + 1
+    val p = length(col("token")) % 3 + 1
+    val dirty = vocab.select(
+      concat(col("token").substr(lit(1), p - 1),
+        col("token").substr(p + 1, length(col("token")) - p)).as("variant"))
+      .distinct()
+    val dGrams = dirty.select(col("variant"), explode(bigramsOf(col("variant"))).as("g"))
+    val vGrams = vocab.select(col("token"), explode(bigramsOf(col("token"))).as("g"))
+    val cands = dGrams.join(vGrams, "g")
+      .select("variant", "token").distinct()
+      .withColumn("lev", levenshtein(col("variant"), col("token")))
+    val nCands = cands.groupBy("variant").agg(count(lit(1)).as("n_cands"))
+    val best = cands.filter(col("lev") <= 1)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("variant").orderBy("lev", "token")))
+      .filter(col("rn") === 1)
+    best.join(nCands, "variant")
+      .select(col("variant"), col("n_cands"),
+        col("token").as("best_token"), col("lev").cast("long").as("lev"))
+      .orderBy("variant")
+  }
 }

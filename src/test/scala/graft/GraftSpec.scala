@@ -2274,6 +2274,22 @@ class GraftSpec extends AnyFunSuite {
     assert(rows.toSeq === win.collect().toSeq)
   }
 
+  test("x_fuzzy_join: every variant resolves to an edit-distance-1 (or exact) token via banding") {
+    val rows = llm.Dedup.fuzzyJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= 1L, s"best match must be within distance 1: $r")
+      assert(r.getLong(1) >= 1L, s"the matched token must be among the candidates: $r")
+      // the banding promise: an edit-distance-1 pair shares a 2-gram, so
+      // the true match is never pruned — each variant (one deletion from
+      // a real ≥4-char token) must surface a match
+    }
+    // typo model sanity: most variants are one deletion from their source
+    // token, so distance 1 must dominate (distance 0 only when the typo
+    // collides with another real vocabulary word)
+    assert(rows.count(_.getLong(3) == 1L) >= rows.length / 2)
+  }
+
   test("plan lint: no cartesian blowups or fixture-scale global windows in ANY registered query") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
     // Unpartitioned windows documented as bounded-input at their def
@@ -2368,7 +2384,7 @@ class GraftSpec extends AnyFunSuite {
       "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",
       "x_sample_topk" -> "X-SAMPLE-TOPK", "x_rep_ngram" -> "X-REP-NGRAM",
       "x_gopher" -> "X-GOPHER", "x_triangles" -> "X-TRIANGLES",
-      "x_global_ids" -> "X-GLOBAL-IDS",
+      "x_global_ids" -> "X-GLOBAL-IDS", "x_fuzzy_join" -> "X-FUZZY-JOIN",
       "x_optout" -> "X-OPTOUT", "x_boilerplate" -> "X-BOILERPLATE",
       "x_vocab_coverage" -> "X-VOCAB-COVERAGE")
     val registered = SparkEntry.queries.keySet
