@@ -140,6 +140,7 @@ object SparkEntry {
     "x_triangles" -> (llm.Graph.triangles _),
     "x_global_ids" -> (llm.Sampling.globalIds _),
     "x_fuzzy_join" -> (llm.Dedup.fuzzyJoin _),
+    "x_transitions" -> (llm.Events.transitions _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -1397,5 +1398,22 @@ object SparkEntry {
     "x_triangles" -> OracleLlm.trianglesSql,
     "x_global_ids" -> OracleLlm.globalIdsSql,
     "x_fuzzy_join" -> OracleLlm.fuzzyJoinSql,
+    // per-user ordered transition counts; rate is one division of two
+    // exact BIGINTs (deterministic), ties pinned by (ts, event_id)
+    "x_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |m AS (
+        |  SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (
+        |  SELECT prev_type, next_type, n,
+        |         CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total
+        |  FROM m)
+        |SELECT prev_type, next_type, n, row_total,
+        |       CAST(n AS DOUBLE) / CAST(row_total AS DOUBLE) AS rate
+        |FROM t ORDER BY prev_type, next_type""".stripMargin,
   )
 }

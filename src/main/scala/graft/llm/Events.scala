@@ -373,6 +373,32 @@ object Events {
       .orderBy("day")
   }
 
+  /** X-TRANSITIONS: the per-user event-type transition matrix — Markov
+    * counts (prev_type → type) over each user's event-time-ordered
+    * stream, plus the row-share of each transition among its source
+    * type's outgoing edges as an exact integer pair (n, row_total) and
+    * their single-division rate. The sequence-mining complement of
+    * X-FUNNEL (the funnel checks ONE prescribed path; the matrix
+    * measures every observed step). One exchange by user + one sorted
+    * window pass + one partial-aggregated rollup over a ≤|types|² key
+    * space; total order (ts, event_id) pins ties.
+    */
+  def transitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val steps = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = Window.partitionBy("prev_type")
+    steps
+      .withColumn("row_total", sum("n").over(totals))
+      .withColumn("rate", col("n").cast("double") / col("row_total").cast("double"))
+      .orderBy("prev_type", "next_type")
+  }
+
   /** X-SLIDING: 7-day windows sliding by 1 day per event_type — the
     * overlapping-window aggregation (`window(ts, "7 days", "1 day")`
     * explodes each event into its ≤7 covering windows; partial agg

@@ -2290,6 +2290,24 @@ class GraftSpec extends AnyFunSuite {
     assert(rows.count(_.getLong(3) == 1L) >= rows.length / 2)
   }
 
+  test("x_transitions: rows are a stochastic matrix over observed steps") {
+    val rows = llm.Events.transitions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // per prev_type: rates sum to 1 (exact rationals n/row_total over one
+    // shared denominator, so the double sum is exact up to one ulp each)
+    rows.groupBy(_.getString(0)).foreach { case (p, rs) =>
+      val total = rs.head.getLong(3)
+      assert(rs.forall(_.getLong(3) == total), s"$p: row_total must be shared")
+      assert(rs.map(_.getLong(2)).sum === total, s"$p: counts must sum to the row total")
+      assert(math.abs(rs.map(_.getDouble(4)).sum - 1.0) < 1e-9, s"$p: rates must sum to 1")
+    }
+    // total steps = events per user minus one first-event per user
+    val ev = Tables.events(spark, sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum === expected,
+      "every non-first event contributes exactly one transition")
+  }
+
   test("plan lint: no cartesian blowups or fixture-scale global windows in ANY registered query") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
     // Unpartitioned windows documented as bounded-input at their def
@@ -2385,6 +2403,7 @@ class GraftSpec extends AnyFunSuite {
       "x_sample_topk" -> "X-SAMPLE-TOPK", "x_rep_ngram" -> "X-REP-NGRAM",
       "x_gopher" -> "X-GOPHER", "x_triangles" -> "X-TRIANGLES",
       "x_global_ids" -> "X-GLOBAL-IDS", "x_fuzzy_join" -> "X-FUZZY-JOIN",
+      "x_transitions" -> "X-TRANSITIONS",
       "x_optout" -> "X-OPTOUT", "x_boilerplate" -> "X-BOILERPLATE",
       "x_vocab_coverage" -> "X-VOCAB-COVERAGE")
     val registered = SparkEntry.queries.keySet
