@@ -195,4 +195,44 @@ class PropertySpec extends AnyFunSuite {
       assert(run(scala.util.Random.shuffle(rows)) === out)
     }
   }
+
+  /** Random canonical edge set over ≤ n nodes: distinct (a < b) pairs. */
+  private def edgeGen(maxNodes: Int): Gen[List[(Long, Long)]] =
+    Gen.nonEmptyListOf(for {
+      a <- Gen.chooseNum(1, maxNodes)
+      b <- Gen.chooseNum(1, maxNodes).suchThat(_ != a)
+    } yield (math.min(a, b).toLong, math.max(a, b).toLong)).map(_.distinct)
+
+  test("law: X-TRIANGLES equals brute-force 3-clique enumeration on random graphs") {
+    import spark.implicits._
+    forAll(edgeGen(10), cases = 4) { edges =>
+      val row = llm.Graph.trianglesOf(edges.toDF("id_a", "id_b")).head()
+      val es = edges.toSet
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val brute = (for {
+        i <- nodes; j <- nodes if i < j; k <- nodes if j < k
+        if es((i, j)) && es((j, k)) && es((i, k))
+      } yield 1).size.toLong
+      assert(row.getLong(3) === brute,
+        s"oriented wedge count disagrees with brute force on $edges")
+      assert(row.getLong(0) === nodes.size.toLong)
+      assert(row.getLong(1) === edges.size.toLong)
+    }
+  }
+
+  test("law: X-PAGERANK conserves probability mass on random weighted graphs") {
+    import spark.implicits._
+    val wEdgeGen = edgeGen(8).flatMap { es =>
+      Gen.listOfN(es.size, Gen.chooseNum(1L, 5L)).map(ws =>
+        es.zip(ws).map { case ((a, b), w) => (a, b, w) })
+    }
+    forAll(wEdgeGen, cases = 3) { edges =>
+      // directed as generated (a < b), so high-id sinks are dangling —
+      // the redistribution path is exercised on every case
+      val r = llm.Graph.pageRankOf(edges.toDF("src", "dst", "w")).collect()
+      val mass = r.map(_.getDouble(1)).sum
+      assert(math.abs(mass - 1.0) < 1e-9, s"mass $mass drifted on $edges")
+      r.foreach(row => assert(row.getDouble(1) > 0.0, s"rank must stay positive: $row"))
+    }
+  }
 }
