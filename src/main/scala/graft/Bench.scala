@@ -108,14 +108,25 @@ object Bench {
     val slowest = results.sortBy(-_._2)
     val entries = scala.collection.mutable.ListBuffer.empty[String]
     var used = 0
+    var full = false
     slowest.foreach { case (k, v) =>
       val e = jstr(k) + ":" + j3(v)
-      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+      // stop at the FIRST entry that doesn't fit — slipping a shorter,
+      // faster query in after skipping a slower one would break the
+      // "slowest first" contract of the truncated map
+      if (!full && used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+      else full = true
     }
     val qs3 = entries.mkString("{", ",", "}")
+    // failures are bounded too (a missing fixture fails ALL queries, and
+    // an unbounded map would blow the line past the driver's tail window
+    // in exactly the run where the accounting matters); n_failed always
+    // carries the true count, bench_out.json the full map
+    val fsCompact = failures.take(8).map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":${j3(total)},"unit":"sec",""" +
       s""""n_queries":${results.size},"queries":$qs3,""" +
-      s""""n_failed":${failures.size},"failures":$fs,"sf":"$sfDir"}"""
+      s""""n_failed":${failures.size},"failures":$fsCompact,"sf":"$sfDir"}"""
     spark.stop()
     // print LAST, after Spark's shutdown noise, so the final output line is
     // the machine-readable one (build.sbt suppresses sbt's success banner

@@ -252,9 +252,11 @@ object Dedup {
 
   // ---- exact n-gram Jaccard ------------------------------------------
 
-  /** Distinct character 3-grams (oracle-reproducible in DuckDB list SQL). */
-  def trigrams(c: Column): Column =
-    array_distinct(transform(sequence(lit(1), length(c) - 2), i => c.substr(i, lit(3))))
+  /** Distinct character k-grams (oracle-reproducible in DuckDB list SQL). */
+  def grams(c: Column, k: Int): Column =
+    array_distinct(transform(sequence(lit(1), length(c) - (k - 1)), i => c.substr(i, lit(k))))
+
+  def trigrams(c: Column): Column = grams(c, 3)
 
   /** X-DEDUP n-gram Jaccard on a bounded candidate set (consecutive
     * doc_ids): exact intersection/union — int division done identically
@@ -277,12 +279,11 @@ object Dedup {
 
   // ---- fuzzy string matching (X-FUZZY-JOIN) --------------------------
 
-  /** Distinct character 2-grams of a string — the fuzzy-join banding key
-    * (an edit-distance-1 pair always shares at least one 2-gram when both
-    * strings are ≥ 3 chars: one deletion destroys at most two grams).
+  /** Fuzzy-join banding key: [[grams]] at k=2 (an edit-distance-1 pair
+    * always shares at least one 2-gram when both strings are ≥ 3 chars:
+    * one deletion destroys at most two grams).
     */
-  private def bigramsOf(c: Column): Column =
-    array_distinct(transform(sequence(lit(1), length(c) - 1), i => c.substr(i, lit(2))))
+  private def bigramsOf(c: Column): Column = grams(c, 2)
 
   /** X-FUZZY-JOIN: edit-distance entity resolution — match DIRTY strings
     * (here: each vocabulary token with one deterministically-dropped
@@ -311,15 +312,18 @@ object Dedup {
       .distinct()
     val dGrams = dirty.select(col("variant"), explode(bigramsOf(col("variant"))).as("g"))
     val vGrams = vocab.select(col("token"), explode(bigramsOf(col("token"))).as("g"))
+    // ONE consumption of the banding stage: the candidate audit count and
+    // the best-match rank are both windows over the same per-variant
+    // partition, so the gram explode + equi-join + distinct runs once —
+    // no second scan, no materialization to pin
     val cands = dGrams.join(vGrams, "g")
       .select("variant", "token").distinct()
       .withColumn("lev", levenshtein(col("variant"), col("token")))
-    val nCands = cands.groupBy("variant").agg(count(lit(1)).as("n_cands"))
-    val best = cands.filter(col("lev") <= 1)
+      .withColumn("n_cands", count(lit(1)).over(Window.partitionBy("variant")))
+    cands.filter(col("lev") <= 1)
       .withColumn("rn", row_number().over(
         Window.partitionBy("variant").orderBy("lev", "token")))
       .filter(col("rn") === 1)
-    best.join(nCands, "variant")
       .select(col("variant"), col("n_cands"),
         col("token").as("best_token"), col("lev").cast("long").as("lev"))
       .orderBy("variant")

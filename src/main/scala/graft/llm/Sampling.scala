@@ -315,6 +315,21 @@ object Sampling {
       .orderBy("source")
       .localCheckpoint(true)
     ranged.unpersist()
+    // LOUD dense-permutation gate: the cache pins one partitioning for
+    // both jobs, but a cache is best-effort — if an executor died and a
+    // partition recomputed through a re-sampled range exchange, the
+    // offsets no longer match and ids gap/duplicate. That must never be
+    // silent: the eager rollup is already on the driver's side of a
+    // localCheckpoint, so the 0..N-1 invariants are one cheap collect.
+    val rows = out.collect()
+    val n = rows.map(_.getLong(1)).sum
+    val ok = rows.map(_.getLong(2)).min == 0L &&
+      rows.map(_.getLong(3)).max == n - 1 &&
+      rows.map(_.getLong(4)).sum == n * (n - 1) / 2
+    if (!ok) throw new IllegalStateException(
+      "globalIds lost its pinned partitioning between the counts job and " +
+        "the id-assignment job (cache eviction/executor loss) — ids are " +
+        "not a dense 0..N-1 permutation; rerun")
     out
   }
 }

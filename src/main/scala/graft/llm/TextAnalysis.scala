@@ -619,11 +619,14 @@ object TextAnalysis {
     val gate = dfreq.crossJoin(broadcast(n))
       .filter(col("df") * CooccurMinDfTimes4 >= col("n_docs"))
       .select(col("t"), col("df"))
-    // materialized once (eager localCheckpoint): the self-join below
-    // consumes `kept` on BOTH sides, and without a shared materialization
-    // each side re-tokenizes and re-gates the whole corpus — the same
-    // double-scan Dedup's signature cache exists to avoid
-    val kept = tok.join(broadcast(gate), "t").localCheckpoint(true)
+    // LAZILY cached: the self-join below consumes `kept` on BOTH sides,
+    // and without a shared relation each side re-tokenizes and re-gates
+    // the whole corpus (the double-scan Dedup's signature cache exists to
+    // avoid). persist — not an eager localCheckpoint — so constructing
+    // the DataFrame stays job-free and repeated calls share ONE cache
+    // entry (CacheManager dedups by canonicalized plan, the same license
+    // as Dedup's memoized pair table).
+    val kept = tok.join(broadcast(gate), "t").persist()
     val pairs = kept.select(col("doc_id"), col("t").as("ta"), col("df").as("c_x"))
       .join(kept.select(col("doc_id"), col("t").as("tb"), col("df").as("c_y")), "doc_id")
       .filter(col("ta") < col("tb"))

@@ -37,23 +37,19 @@ class FbInsightsCatalog extends TableCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
   // external (explicit-LOCATION) tables only; managed paths derive from
-  // the ident. Cache of the durable _locations.properties registry.
-  private val locations =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // the ident. Cache of the durable _locations.properties registry — an
+  // IMMUTABLE snapshot swapped atomically, so a reader racing a writer
+  // sees the old complete view or the new complete view, never a
+  // half-populated map (a clear-then-repopulate window would mis-resolve
+  // an external table to its managed path mid-write).
+  @volatile private var locations: Map[String, String] = Map.empty
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     warehouse = options.get("warehouse")
     require(warehouse != null,
       s"catalog $name requires spark.sql.catalog.$name.warehouse")
-    val f = locationsFile
-    if (Files.exists(f)) {
-      val props = new java.util.Properties()
-      val in = Files.newInputStream(f)
-      try props.load(in) finally in.close()
-      props.stringPropertyNames().asScala.foreach(k =>
-        locations.put(k, props.getProperty(k)))
-    }
+    locations = readDisk()
   }
 
   private def locationsFile = Paths.get(warehouse, "_locations.properties")
@@ -79,11 +75,7 @@ class FbInsightsCatalog extends TableCatalog {
     * — the file is a handful of lines, so the re-read is metadata-cost.
     */
   private def refreshLocations(): Unit = FbInsightsCatalog.registryLock.synchronized {
-    val disk = readDisk()
-    locations.keySet.asScala.toSeq.foreach { k =>
-      if (!disk.contains(k)) locations.remove(k)
-    }
-    disk.foreach { case (k, v) => locations.put(k, v) }
+    locations = readDisk()
   }
 
   /** Persist the external-location registry: read-RECONCILE-write-then-
@@ -102,8 +94,7 @@ class FbInsightsCatalog extends TableCatalog {
       removed: Set[String] = Set.empty): Unit =
     FbInsightsCatalog.registryLock.synchronized {
       val next = (readDisk() -- removed) ++ added
-      locations.clear()
-      next.foreach { case (k, v) => locations.put(k, v) }
+      locations = next
       val props = new java.util.Properties()
       next.foreach { case (k, v) => props.setProperty(k, v) }
       Files.createDirectories(Paths.get(warehouse))
@@ -138,7 +129,7 @@ class FbInsightsCatalog extends TableCatalog {
     } catch { case _: java.net.URISyntaxException => s }
 
   private def pathFor(ident: Identifier): String =
-    Option(locations.get(key(ident))).getOrElse(s"$warehouse/${key(ident)}")
+    locations.getOrElse(key(ident), s"$warehouse/${key(ident)}")
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     refreshLocations()
@@ -149,7 +140,7 @@ class FbInsightsCatalog extends TableCatalog {
     // external tables live outside the warehouse — the registry is their
     // only listing (filter on namespace prefix of the "ns/…/tbl" key)
     val nsPrefix = namespace.mkString("", "/", "/")
-    val external = locations.keySet.asScala.toArray
+    val external = locations.keysIterator.toArray
       .filter(k => k.startsWith(nsPrefix) && !k.drop(nsPrefix.length).contains("/"))
       .map(k => Identifier.of(namespace, k.drop(nsPrefix.length)))
     (managed ++ external).distinct
@@ -197,10 +188,12 @@ class FbInsightsCatalog extends TableCatalog {
     throw new UnsupportedOperationException(
       "fb-insights tables have a fixed schema; ALTER TABLE is not supported")
 
-  override def dropTable(ident: Identifier): Boolean = {
-    // resolve the path AFTER syncing from disk: a sibling instance may
-    // have registered this ident externally since we initialized, and a
-    // stale cache would route the delete at the wrong (managed) path
+  override def dropTable(ident: Identifier): Boolean = FbInsightsCatalog.registryLock.synchronized {
+    // the whole refresh→resolve→unregister sequence holds the registry
+    // lock (reentrant with persistLocations'), so a sibling's concurrent
+    // create of the same ident can't land between the path resolution and
+    // the removal persist — the path we delete is the path the registry
+    // named when we committed to the drop. Cross-JVM remains last-writer.
     refreshLocations()
     val p = Paths.get(pathFor(ident))
     persistLocations(removed = Set(key(ident)))
@@ -218,7 +211,7 @@ class FbInsightsCatalog extends TableCatalog {
     }
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = FbInsightsCatalog.registryLock.synchronized {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     val to = Paths.get(pathFor(newIdent))
