@@ -141,6 +141,7 @@ object SparkEntry {
     "x_global_ids" -> (llm.Sampling.globalIds _),
     "x_fuzzy_join" -> (llm.Dedup.fuzzyJoin _),
     "x_transitions" -> (llm.Events.transitions _),
+    "q_join_fx_asof_tol" -> (EtlQueries.qJoinFxAsofTol _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -241,6 +242,31 @@ object SparkEntry {
          |       CAST(sum(CAST(spend AS DECIMAL(18,2)) * CAST(rate_asof AS DECIMAL(18,2))) AS DOUBLE) AS spend_uah
          |FROM fb JOIN f2 ON fb.date = f2.date
          |GROUP BY 1 ORDER BY month""".stripMargin,
+    // as-of with a staleness bound: same fill, but conversions beyond
+    // the tolerance are voided and counted/summed separately
+    "q_join_fx_asof_tol" ->
+      s"""$fbCte, $ratesCte,
+         |g AS (SELECT date, rate FROM rates
+         |      WHERE EXTRACT(DAY FROM date) % 7 NOT IN (0, 1)),
+         |filled AS (
+         |  SELECT r.date,
+         |         last_value(g.rate IGNORE NULLS) OVER w AS rate_asof,
+         |         r.date - last_value(CASE WHEN g.rate IS NOT NULL THEN g.date END
+         |           IGNORE NULLS) OVER w AS staleness
+         |  FROM rates r LEFT JOIN g ON g.date = r.date
+         |  WINDOW w AS (ORDER BY r.date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |j AS (
+         |  SELECT strftime(fb.date, '%Y-%m') AS month, spend, rate_asof, staleness,
+         |         (rate_asof IS NOT NULL AND staleness <= ${EtlQueries.AsofToleranceDays}) AS ok
+         |  FROM fb JOIN filled ON fb.date = filled.date)
+         |SELECT month, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(CASE WHEN ok AND staleness >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_carried,
+         |       CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_stale,
+         |       CAST(sum(CASE WHEN ok THEN CAST(spend AS DECIMAL(18,2)) * CAST(rate_asof AS DECIMAL(18,2))
+         |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS spend_uah,
+         |       CAST(sum(CASE WHEN ok THEN CAST(0 AS DECIMAL(18,2))
+         |                     ELSE CAST(spend AS DECIMAL(18,2)) END) AS DOUBLE) AS unpriced_spend
+         |FROM j GROUP BY 1 ORDER BY month""".stripMargin,
     "q_unnest" ->
       s"""$fbCte
          |SELECT * FROM (

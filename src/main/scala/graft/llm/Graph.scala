@@ -172,10 +172,15 @@ object Graph {
       .select(col("x.t").as("id_a"), col("y.t").as("id_b"))
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
     val nEdges = edges.agg(count(lit(1)).as("n_edges"))
-    val nWedges = wedges.agg(count(lit(1)).as("n_wedges"))
-    val nTri = wedges.join(edges, Seq("id_a", "id_b"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
-    nNodes.crossJoin(nEdges).crossJoin(nWedges).crossJoin(nTri)
+    // one pass over the wedge stream for BOTH counts: a left join against
+    // the (distinct, canonical) edge set tags each wedge closed/open, so
+    // the wedge self-join runs once instead of once per aggregate
+    val closed = wedges
+      .join(edges.withColumn("closed", lit(1L)), Seq("id_a", "id_b"), "left")
+      .agg(
+        count(lit(1)).as("n_wedges"),
+        coalesce(sum("closed"), lit(0L)).as("n_triangles"))
+    nNodes.crossJoin(nEdges).crossJoin(closed)
   }
 
   /** X-TRIANGLES: triangle census of the banded near-dup candidate graph

@@ -151,6 +151,56 @@ object EtlQueries {
       .orderBy("month")
   }
 
+  /** Max forward-fill distance for [[qJoinFxAsofTol]] — one day. The
+    * fixture's widened gaps (two consecutive rejected days) make both
+    * branches real: the first gap day converts at yesterday's rate
+    * (carried), the second is BEYOND tolerance and must surface as
+    * unconverted rather than silently use a two-day-old rate.
+    */
+  val AsofToleranceDays = 1
+
+  /** Q-JOIN-FX-ASOF-TOL: as-of join with a STALENESS BOUND — the
+    * `merge_asof(..., tolerance=...)` semantics every FX/compliance
+    * pipeline actually wants: converting at an arbitrarily old rate is a
+    * correctness bug, not a convenience. Same scale shape as
+    * [[qJoinFxAsof]] (forward-fill the tiny date dim once, dim-side
+    * window, broadcast equi-join — the fact never sorts); the fill
+    * additionally tracks the SOURCE date of the carried rate, and
+    * `datediff > tolerance` voids the conversion. Stale/unpriced spend is
+    * counted and summed separately — it must stay visible, not vanish.
+    */
+  def qJoinFxAsofTol(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // wider gaps than qJoinFxAsof: TWO consecutive rejected days per
+    // cycle, so staleness reaches 2 and the tolerance actually bites
+    val gappy = RatesSource.rates(spark, sfDir)
+      .filter(!(dayofmonth(col("date")) % 7).isin(0, 1))
+      .select(col("date"), col("rate"))
+    val days = RatesSource.rates(spark, sfDir).select(col("date"))
+    val w = Window.orderBy("date")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = days.join(gappy, Seq("date"), "left")
+      .withColumn("rate_asof", last("rate", ignoreNulls = true).over(w))
+      .withColumn("rate_date",
+        last(when(col("rate").isNotNull, col("date")), ignoreNulls = true).over(w))
+      .withColumn("staleness", datediff(col("date"), col("rate_date")))
+      .select(col("date"), col("rate_asof"), col("staleness"))
+    val ok = col("rate_asof").isNotNull && col("staleness") <= AsofToleranceDays
+    fbStatTable(spark, sfDir)
+      .join(broadcast(filled), Seq("date"))
+      .groupBy(date_format(col("date"), "yyyy-MM").as("month"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(ok && col("staleness") >= 1, 1L).otherwise(0L)).as("n_carried"),
+        sum(when(!ok, 1L).otherwise(0L)).as("n_stale"),
+        sum(when(ok, col("spend").cast(DecimalType(18, 2))
+          * col("rate_asof").cast(DecimalType(18, 2))).otherwise(lit(0).cast(DecimalType(18, 2))))
+          .cast("double").as("spend_uah"),
+        sum(when(!ok, col("spend").cast(DecimalType(18, 2)))
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double").as("unpriced_spend"))
+      .orderBy("month")
+  }
+
   /** Q-UNNEST: per-action_type totals — the BigQuery `UNNEST(actions)`
     * pattern the REPEATED RECORD layout was designed for (main.py:33-38).
     * `explode_outer` keeps empty-array rows as a NULL action group.

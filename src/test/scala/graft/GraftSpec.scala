@@ -2308,14 +2308,31 @@ class GraftSpec extends AnyFunSuite {
       "every non-first event contributes exactly one transition")
   }
 
+  test("q_join_fx_asof_tol: tolerance voids stale conversions without losing the rows") {
+    val rows = queries.EtlQueries.qJoinFxAsofTol(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // both branches must be real: the two-day fixture gaps put day one
+    // within tolerance (carried) and day two beyond it (stale)
+    assert(rows.map(_.getLong(2)).sum > 0, "no carried conversions — fill not exercised")
+    assert(rows.map(_.getLong(3)).sum > 0, "no stale rows — the tolerance never bit")
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) <= r.getLong(1),
+        s"carried + stale cannot exceed the month's rows: $r")
+      // stale spend is surfaced, never silently converted
+      if (r.getLong(3) > 0) assert(r.getDouble(5) > 0.0, s"stale rows must carry unpriced spend: $r")
+    }
+  }
+
   test("plan lint: no cartesian blowups or fixture-scale global windows in ANY registered query") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
     // Unpartitioned windows documented as bounded-input at their def
     // sites — every other query must window over a partition key:
-    //   q_join_fx_asof — forward-fill over the ~2.4k-row date DIM
-    //   q_csv          — corrupt-count total over the ≤5-row AGGREGATED frame
-    //   x_interleave   — dense_rank over the DISTINCT sources (a handful)
-    val globalWindowOk = Set("q_join_fx_asof", "q_csv", "x_interleave")
+    //   q_join_fx_asof     — forward-fill over the ~2.4k-row date DIM
+    //   q_join_fx_asof_tol — same dim-side fill, plus its staleness track
+    //   q_csv              — corrupt-count total over the ≤5-row AGGREGATED frame
+    //   x_interleave       — dense_rank over the DISTINCT sources (a handful)
+    val globalWindowOk =
+      Set("q_join_fx_asof", "q_join_fx_asof_tol", "q_csv", "x_interleave")
     // streaming queries execute their stream at construction — covered by
     // their own specs; the lint targets the batch plan surface.
     // x_global_ids is OPAQUE to a logical lint: its output is an eager
@@ -2408,6 +2425,7 @@ class GraftSpec extends AnyFunSuite {
       "x_gopher" -> "X-GOPHER", "x_triangles" -> "X-TRIANGLES",
       "x_global_ids" -> "X-GLOBAL-IDS", "x_fuzzy_join" -> "X-FUZZY-JOIN",
       "x_transitions" -> "X-TRANSITIONS",
+      "q_join_fx_asof_tol" -> "Q-JOIN-FX-ASOF-TOL",
       "x_optout" -> "X-OPTOUT", "x_boilerplate" -> "X-BOILERPLATE",
       "x_vocab_coverage" -> "X-VOCAB-COVERAGE")
     val registered = SparkEntry.queries.keySet
