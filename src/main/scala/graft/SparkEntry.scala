@@ -140,8 +140,10 @@ object SparkEntry {
     "x_triangles" -> (llm.Graph.triangles _),
     "x_global_ids" -> (llm.Sampling.globalIds _),
     "x_fuzzy_join" -> (llm.Dedup.fuzzyJoin _),
+    "x_decay" -> (llm.Events.decayed _),
     "x_transitions" -> (llm.Events.transitions _),
     "q_join_fx_asof_tol" -> (EtlQueries.qJoinFxAsofTol _),
+    "x_decay" -> (llm.Events.decayed _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -1426,6 +1428,23 @@ object SparkEntry {
     "x_fuzzy_join" -> OracleLlm.fuzzyJoinSql,
     // per-user ordered transition counts; rate is one division of two
     // exact BIGINTs (deterministic), ties pinned by (ts, event_id)
+    // stepped half-life decay: 2^-h weights are exact dyadic doubles on
+    // both engines; only the summation order differs -> round 6
+    "x_decay" ->
+      s"""WITH e AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT max(day) AS d1 FROM e),
+        |w AS (
+        |  SELECT event_type, day, cents,
+        |         1.0 / CAST(CAST(1 AS BIGINT) << least((d1 - day) // 7, ${llm.Events.DecayCapHalfLives}) AS DOUBLE) AS w
+        |  FROM e CROSS JOIN m)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       max(day) AS last_day,
+        |       round(sum(w), 6) AS decayed_n,
+        |       round(sum(CAST(cents AS DOUBLE) * w), 6) AS decayed_cents
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
     "x_transitions" ->
       """WITH s AS (
         |  SELECT user_id, event_type,

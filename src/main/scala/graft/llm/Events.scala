@@ -399,6 +399,42 @@ object Events {
       .orderBy("prev_type", "next_type")
   }
 
+  /** X-DECAY half-life: one week, applied in WHOLE half-life steps
+    * (`Δdays div 7`, capped at 63) so the weight is `2^-h` — an exact
+    * dyadic double on every engine. `pow(0.5, Δ/7.0)` would be the
+    * smooth version, but libm's pow is not bit-identical across engines
+    * and the correctness gate is exact; the stepped weight keeps every
+    * per-row product exact, leaving summation order as the only
+    * engine-dependent bit (round 6). The 63 cap is where `1L << h`
+    * would overflow — by then the weight is 1e-19, i.e. zero.
+    */
+  val DecayCapHalfLives = 63
+
+  /** X-DECAY: recency-weighted engagement — exponentially decayed counts
+    * and value per event type (the "recent activity matters more" score
+    * every ranking/retention feature store keeps). Weight derives from
+    * the corpus max day (broadcast one-row aggregate), so the operator
+    * is deterministic for a fixed dataset. Map-only weighting + one
+    * partial-aggregated shuffle.
+    */
+  def decayed(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).filter(col("value").isNotNull)
+      .select(col("event_type"), col("ts").cast("date").as("day"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    val maxDay = ev.agg(max("day").as("d1"))
+    ev.crossJoin(broadcast(maxDay))
+      .withColumn("h", least(expr("CAST((datediff(d1, day) div 7) AS INT)"),
+        lit(DecayCapHalfLives)))
+      .withColumn("w", lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), h)").cast("double"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        max("day").as("last_day"),
+        round(sum("w"), 6).as("decayed_n"),
+        round(sum(col("cents").cast("double") * col("w")), 6).as("decayed_cents"))
+      .orderBy("event_type")
+  }
+
   /** X-SLIDING: 7-day windows sliding by 1 day per event_type — the
     * overlapping-window aggregation (`window(ts, "7 days", "1 day")`
     * explodes each event into its ≤7 covering windows; partial agg

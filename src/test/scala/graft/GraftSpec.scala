@@ -2323,6 +2323,28 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("x_decay: decayed counts bounded by raw counts and dominated by recent mass") {
+    val rows = llm.Events.decayed(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, dn) = (r.getLong(1), r.getDouble(3))
+      assert(dn > 0.0 && dn <= n.toDouble, s"decayed_n must lie in (0, n]: $r")
+    }
+    // weights are capped dyadics: recompute one type brute-force
+    import org.apache.spark.sql.Row
+    val ev = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .select(col("event_type"), col("ts").cast("date").as("day")).collect()
+    val d1 = ev.map(_.getDate(1).toLocalDate).max(Ordering.by[java.time.LocalDate, Long](_.toEpochDay))
+    val t = rows.head.getString(0)
+    val brute = ev.filter(_.getString(0) == t).map { r =>
+      val h = math.min((d1.toEpochDay - r.getDate(1).toLocalDate.toEpochDay) / 7,
+        llm.Events.DecayCapHalfLives.toLong)
+      1.0 / (1L << h).toDouble
+    }.sum
+    assert(math.abs(rows.head.getDouble(3) - brute) < 1e-6,
+      s"decayed_n for $t must match the brute-force weight sum")
+  }
+
   test("plan lint: no cartesian blowups or fixture-scale global windows in ANY registered query") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
     // Unpartitioned windows documented as bounded-input at their def
@@ -2425,7 +2447,7 @@ class GraftSpec extends AnyFunSuite {
       "x_gopher" -> "X-GOPHER", "x_triangles" -> "X-TRIANGLES",
       "x_global_ids" -> "X-GLOBAL-IDS", "x_fuzzy_join" -> "X-FUZZY-JOIN",
       "x_transitions" -> "X-TRANSITIONS",
-      "q_join_fx_asof_tol" -> "Q-JOIN-FX-ASOF-TOL",
+      "q_join_fx_asof_tol" -> "Q-JOIN-FX-ASOF-TOL", "x_decay" -> "X-DECAY",
       "x_optout" -> "X-OPTOUT", "x_boilerplate" -> "X-BOILERPLATE",
       "x_vocab_coverage" -> "X-VOCAB-COVERAGE")
     val registered = SparkEntry.queries.keySet
