@@ -251,6 +251,28 @@ object OracleLlm {
        |       CAST(sum(id) AS BIGINT) AS sum_ids
        |FROM lab GROUP BY comp ORDER BY comp_id""".stripMargin
 
+  /** BFS mirror: same edge CTEs, seeds = nodes with id % 10 == 0, the
+    * recursive walk enumerates (node, path-length) pairs up to the same
+    * round cap the Spark loop enforces (UNION dedups pairs, so the
+    * recursion is bounded by cap × |nodes|); min(dist) per node is the
+    * BFS distance, histogrammed like the Spark side.
+    */
+  val shortestPathSql: String =
+    s"""WITH RECURSIVE $sigCtes, $pairCtes,
+       |ed AS (SELECT id_a, id_b FROM mh WHERE est_jaccard >= ${Dedup.NearDupThreshold}),
+       |und AS (SELECT id_a AS a, id_b AS b FROM ed UNION SELECT id_b, id_a FROM ed),
+       |nodes AS (SELECT DISTINCT a AS id FROM und),
+       |walk(id, d) AS (
+       |  SELECT id, CAST(0 AS BIGINT) FROM nodes WHERE id % 10 = 0
+       |  UNION
+       |  SELECT u.b AS id, walk.d + 1 AS d FROM walk JOIN und u ON u.a = walk.id
+       |  WHERE walk.d < 40),
+       |bfs AS (SELECT id, min(d) AS dist FROM walk GROUP BY id)
+       |SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes,
+       |       CAST(min(id) AS BIGINT) AS min_id,
+       |       CAST(sum(id) AS BIGINT) AS sum_ids
+       |FROM bfs GROUP BY dist ORDER BY dist""".stripMargin
+
   /** degree mirror: same edge CTEs, endpoints exploded, count-of-counts. */
   val degreesSql: String =
     s"""WITH $sigCtes, $pairCtes,

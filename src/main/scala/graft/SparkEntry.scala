@@ -143,7 +143,8 @@ object SparkEntry {
     "x_decay" -> (llm.Events.decayed _),
     "x_transitions" -> (llm.Events.transitions _),
     "q_join_fx_asof_tol" -> (EtlQueries.qJoinFxAsofTol _),
-    "x_decay" -> (llm.Events.decayed _),
+    "x_shortest_path" -> (llm.Graph.shortestPaths _),
+    "x_rfm" -> (llm.Analytics.rfm _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -709,6 +710,7 @@ object SparkEntry {
         |           AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
         |GROUP BY 1 ORDER BY day""".stripMargin,
     "x_connected" -> OracleLlm.componentsSql,
+    "x_shortest_path" -> OracleLlm.shortestPathSql,
     "x_stratified" -> OracleLlm.stratifiedSql,
     // the SpaceSaving guarantee (presence of every > N/capacity token) is
     // deterministic under any merge order; raw estimates are not — so the

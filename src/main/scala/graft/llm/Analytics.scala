@@ -212,4 +212,56 @@ object Analytics {
           (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
       .orderBy("type_a", "type_b")
   }
+
+  /** X-RFM: recency/frequency/monetary customer segmentation — the
+    * classic CRM scoring grid (Hughes, "Strategic Database Marketing"),
+    * computed per market segment so every window is PARTITIONED (the
+    * scale guard x_window_funcs establishes: an unpartitioned ntile is a
+    * single-reducer sort).
+    *
+    * Scale shape: the only fact-sized work is the per-customer aggregate
+    * over orders — one partial+final hash agg whose shuffle carries
+    * (custkey, day, count, cents) — after which the frame is dim-sized
+    * (one row per ordering customer). The corpus max order date is a
+    * broadcast one-row aggregate (X-DECAY's pattern). All three metrics
+    * are exact integers (days / counts / cents), so quartile assignment
+    * is bit-deterministic; each ntile's ORDER BY ends in custkey, making
+    * the total order unique and the tiling engine-independent. R tiles
+    * ascend by staleness (1 = most recent), F and M descend (1 = most
+    * frequent / highest spend) — the conventional "111 is the best
+    * customer" orientation. Output is the ≤ segments×4³ scoring grid
+    * with exact counts, a witness key, and the cell's total cents.
+    */
+  def rfm(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    val maxDay = orders.agg(max("day").as("max_day"))
+    val perCust = orders
+      .groupBy("o_custkey")
+      .agg(max("day").as("last_day"), count(lit(1)).as("frequency"),
+        sum("cents").as("monetary_cents"))
+      .crossJoin(broadcast(maxDay))
+      .select(col("o_custkey"),
+        datediff(col("max_day"), col("last_day")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+    val cust = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val scored = perCust
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .withColumn("r_tile", ntile(4).over(Window.partitionBy("c_mktsegment")
+        .orderBy(col("recency_days").asc, col("c_custkey").asc)).cast("long"))
+      .withColumn("f_tile", ntile(4).over(Window.partitionBy("c_mktsegment")
+        .orderBy(col("frequency").desc, col("c_custkey").asc)).cast("long"))
+      .withColumn("m_tile", ntile(4).over(Window.partitionBy("c_mktsegment")
+        .orderBy(col("monetary_cents").desc, col("c_custkey").asc)).cast("long"))
+    scored
+      .groupBy("c_mktsegment", "r_tile", "f_tile", "m_tile")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        min("c_custkey").as("min_custkey"),
+        sum("monetary_cents").as("cell_cents"))
+      .orderBy("c_mktsegment", "r_tile", "f_tile", "m_tile")
+  }
 }

@@ -302,4 +302,93 @@ object Graph {
         round(col("r"), 6).as("rank"))
       .orderBy("n_name")
   }
+
+  // ---- Multi-source BFS (X-SHORTEST-PATH) ----------------------------
+
+  /** Multi-source BFS over an undirected (id_a, id_b) edge frame:
+    * every node matching `seed` starts at distance 0; each round relaxes
+    * one hop (`dist' = min(dist, neighbor dist + 1)`) until a fixpoint.
+    * Returns (id, dist) for every node REACHABLE from a seed — unreached
+    * nodes are absent by contract (their distance is undefined, and
+    * emitting a sentinel would make the histogram lie).
+    *
+    * Scale shape: each round shuffles (id, dist) pairs only — never the
+    * edge payload twice — and the loop state is localCheckpoint'ed with
+    * the previous round's blocks released eagerly
+    * ([[connectedComponents]]' lineage/storage discipline). Round count
+    * is the graph's seed-eccentricity (true BFS depth), each round one
+    * join + one min-aggregate; convergence is detected by the
+    * (reached-count, distance-sum) pair, which changes on every
+    * productive round and is stable exactly at the fixpoint. Exiting via
+    * the round cap without converging THROWS — a truncated BFS is wrong,
+    * not approximate.
+    */
+  def shortestPathsOf(edges: DataFrame, seed: org.apache.spark.sql.Column,
+      maxRounds: Int = 40): DataFrame = {
+    val und = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    val sc = edges.sparkSession.sparkContext
+    und.count() // materialize BEFORE checkpoint tracking (id hygiene)
+    var prevCkptIds: Set[Int] = Set.empty
+    def checkpointTracked(df: DataFrame): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      val fresh = sc.getPersistentRDDs.keySet.toSet.diff(before.toSet)
+      prevCkptIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevCkptIds = fresh
+      out
+    }
+    val nodes = und.select(col("src").as("id")).distinct()
+    var dist = checkpointTracked(
+      nodes.filter(seed).withColumn("dist", lit(0L)))
+    def sig(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)), coalesce(sum("dist"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var state = sig(dist)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val prop = und.join(dist, und("src") === dist("id"))
+        .select(col("dst").as("id"), (col("dist") + 1L).as("dist"))
+      val next = checkpointTracked(
+        dist.select(col("id").as("id"), col("dist").as("dist")).union(prop)
+          .groupBy("id").agg(min("dist").as("dist")))
+      val nextState = sig(next)
+      dist = next
+      converged = nextState == state
+      state = nextState
+      rounds += 1
+    }
+    und.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"shortestPathsOf did not converge within $maxRounds rounds — " +
+          "distances would be truncated; raise maxRounds")
+    dist
+  }
+
+  /** X-SHORTEST-PATH: BFS distance profile of the near-dup graph from
+    * the decile seed set (graph nodes with doc_id % 10 == 0) — "how far
+    * is every near-duplicate from an audited anchor document", the
+    * provenance-radius question a contamination audit asks (distance 1 =
+    * direct near-dup of an anchor, 2 = dup-of-a-dup, …). One row per
+    * distance with a count, a witness, and a membership checksum; the
+    * oracle closes the same edge set with a recursive CTE
+    * ([[OracleLlm.shortestPathSql]]).
+    */
+  def shortestPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = Dedup.minhashPairsTable(spark, sfDir)
+      .filter(col("est_jaccard") >= Dedup.NearDupThreshold)
+      .select("id_a", "id_b")
+    shortestPathsOf(edges, col("id") % 10 === 0)
+      .groupBy("dist")
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        min("id").as("min_id"),
+        sum("id").as("sum_ids"))
+      .orderBy("dist")
+  }
 }

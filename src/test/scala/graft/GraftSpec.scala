@@ -1346,6 +1346,31 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("x_shortest_path: BFS distances on a known topology; cap overrun throws") {
+    import spark.implicits._
+    // chain 0-1-2-3-4 plus isolated pair (10,11); seed = node 0 only
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val d = llm.Graph.shortestPathsOf(edges, col("id") === 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L),
+      "chain distances must be exact hops; the unreached pair must be absent")
+    // multi-source: nearest seed wins
+    val d2 = llm.Graph.shortestPathsOf(edges, col("id") === 0L || col("id") === 4L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d2 === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 0L))
+    // a round cap below the eccentricity must throw, never truncate
+    val e = intercept[IllegalStateException] {
+      llm.Graph.shortestPathsOf(edges, col("id") === 0L, maxRounds = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // fixture query: histogram is non-empty and dist 0 rows are the seeds
+    val hist = graft.SparkEntry.queries("x_shortest_path")(spark, sf).collect()
+    assert(hist.nonEmpty)
+    val d0 = hist.find(_.getLong(0) == 0L)
+    assert(d0.isDefined, "seed rows (dist 0) must exist in the fixture graph")
+  }
+
   test("connectedComponents: pointer jumping closes a long chain in O(log d) rounds; cap overrun throws") {
     import spark.implicits._
     // a 201-node chain (diameter 200): plain min-propagation needs 200
@@ -2449,7 +2474,8 @@ class GraftSpec extends AnyFunSuite {
       "x_transitions" -> "X-TRANSITIONS",
       "q_join_fx_asof_tol" -> "Q-JOIN-FX-ASOF-TOL", "x_decay" -> "X-DECAY",
       "x_optout" -> "X-OPTOUT", "x_boilerplate" -> "X-BOILERPLATE",
-      "x_vocab_coverage" -> "X-VOCAB-COVERAGE")
+      "x_vocab_coverage" -> "X-VOCAB-COVERAGE",
+      "x_shortest_path" -> "X-SHORTEST-PATH")
     val registered = SparkEntry.queries.keySet
     val unmapped = registered -- idOf.keySet
     assert(unmapped.isEmpty, s"queries with no SURVEY ID mapping: $unmapped")
