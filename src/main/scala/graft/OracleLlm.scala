@@ -252,10 +252,12 @@ object OracleLlm {
        |FROM lab GROUP BY comp ORDER BY comp_id""".stripMargin
 
   /** BFS mirror: same edge CTEs, seeds = nodes with id % 10 == 0, the
-    * recursive walk enumerates (node, path-length) pairs up to the same
-    * round cap the Spark loop enforces (UNION dedups pairs, so the
-    * recursion is bounded by cap × |nodes|); min(dist) per node is the
-    * BFS distance, histogrammed like the Spark side.
+    * recursive walk enumerates (node, path-length) pairs (UNION dedups,
+    * so the recursion is bounded by cap × |nodes|); min(dist) per node
+    * is the BFS distance, histogrammed like the Spark side. The Spark
+    * loop's maxRounds=40 spends one round detecting the fixpoint, so it
+    * completes only for eccentricity ≤ 39 — the walk caps at d < 39
+    * (max depth 39) so both engines cover exactly the same radius.
     */
   val shortestPathSql: String =
     s"""WITH RECURSIVE $sigCtes, $pairCtes,
@@ -266,7 +268,7 @@ object OracleLlm {
        |  SELECT id, CAST(0 AS BIGINT) FROM nodes WHERE id % 10 = 0
        |  UNION
        |  SELECT u.b AS id, walk.d + 1 AS d FROM walk JOIN und u ON u.a = walk.id
-       |  WHERE walk.d < 40),
+       |  WHERE walk.d < 39),
        |bfs AS (SELECT id, min(d) AS dist FROM walk GROUP BY id)
        |SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes,
        |       CAST(min(id) AS BIGINT) AS min_id,

@@ -1447,6 +1447,35 @@ object SparkEntry {
         |       round(sum(w), 6) AS decayed_n,
         |       round(sum(CAST(cents AS DOUBLE) * w), 6) AS decayed_cents
         |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // RFM grid: all three metrics exact integers (days/counts/cents);
+    // every ntile's ORDER BY ends in custkey -> unique total order, so
+    // quartile assignment is engine-independent
+    "x_rfm" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |mx AS (SELECT max(day) AS max_day FROM o),
+        |pc AS (
+        |  SELECT o_custkey,
+        |         CAST((SELECT max_day FROM mx) - max(day) AS BIGINT) AS recency_days,
+        |         CAST(count(*) AS BIGINT) AS frequency,
+        |         CAST(sum(cents) AS BIGINT) AS monetary_cents
+        |  FROM o GROUP BY o_custkey),
+        |sc AS (
+        |  SELECT c.c_mktsegment, pc.o_custkey, pc.monetary_cents,
+        |         CAST(ntile(4) OVER (PARTITION BY c.c_mktsegment
+        |           ORDER BY pc.recency_days ASC, pc.o_custkey ASC) AS BIGINT) AS r_tile,
+        |         CAST(ntile(4) OVER (PARTITION BY c.c_mktsegment
+        |           ORDER BY pc.frequency DESC, pc.o_custkey ASC) AS BIGINT) AS f_tile,
+        |         CAST(ntile(4) OVER (PARTITION BY c.c_mktsegment
+        |           ORDER BY pc.monetary_cents DESC, pc.o_custkey ASC) AS BIGINT) AS m_tile
+        |  FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey)
+        |SELECT c_mktsegment, r_tile, f_tile, m_tile,
+        |       CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(min(o_custkey) AS BIGINT) AS min_custkey,
+        |       CAST(sum(monetary_cents) AS BIGINT) AS cell_cents
+        |FROM sc GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
     "x_transitions" ->
       """WITH s AS (
         |  SELECT user_id, event_type,

@@ -134,7 +134,8 @@ object Events {
     val rawSchema = raw.schema
     val work = java.nio.file.Files.createTempDirectory(
       "graft_stream_daily_" + streamRuns.incrementAndGet() + "_")
-    val maxTs = raw.agg(max("ts")).head().getLong(0)
+    val maxUs = raw.selectExpr(Tables.tsMicrosExpr(rawSchema) + " AS us")
+      .agg(max("us")).head().getLong(0)
     // staged landing zone (fixture copy + sentinel) is deterministic per
     // sfDir — marker-gate it in scratch so repeated runs (bench passes)
     // pay only the stream, not a fresh copy each time. The checkpoint and
@@ -142,20 +143,24 @@ object Events {
     // later run an empty no-op.
     val srcDirS = graft.etl.Sink.scratchPath(sfDir, "events_stream_daily")
     val srcDir = java.nio.file.Paths.get(srcDirS)
-    val marker = srcDir.resolve("_GRAFT_OK_v1")
+    val marker = srcDir.resolve("_GRAFT_OK_v2")
     if (!java.nio.file.Files.exists(marker)) {
       graft.etl.Sink.dropUncommitted(srcDirS)
       java.nio.file.Files.createDirectories(srcDir)
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(sfDir, "events.parquet"),
         srcDir.resolve("events.parquet"))
-      // sentinel: nanos, 4 days past the max event time (watermark delay
-      // is 1 hour — every real 1-day window ends well before this)
-      val sentinelTs = maxTs + 4L * 24 * 3600 * 1000000000L
-      val sentinel = spark.createDataFrame(
-        java.util.List.of(org.apache.spark.sql.Row(
-          -1L, sentinelTs, -1L, "__wm__", 0.0, null)),
-        rawSchema)
+      // sentinel: 4 days past the max event time (watermark delay is
+      // 1 hour — every real 1-day window ends well before this), typed
+      // to match the raw fixture's ts vintage
+      val sentinelUs = maxUs + 4L * 24 * 3600 * 1000000L
+      val sentinel = spark.range(1).select(
+        lit(-1L).as("event_id"),
+        Tables.tsLit(rawSchema, sentinelUs).as("ts"),
+        lit(-1L).as("user_id"),
+        lit("__wm__").as("event_type"),
+        lit(0.0).as("value"),
+        lit(null).cast("string").as("props"))
       sentinel.coalesce(1).write.mode("append").parquet(srcDir.toString)
       java.nio.file.Files.createFile(marker)
     }
@@ -166,9 +171,9 @@ object Events {
     // ever advances the watermark; predicates referencing the watermark
     // attribute stay above it.
     val stream = spark.readStream.schema(rawSchema).parquet(srcDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr(Tables.tsTimestampExpr(rawSchema)))
       .withWatermark("ts", "1 hour")
-      .filter(col("ts") <= timestamp_micros(lit(maxTs / 1000)))
+      .filter(col("ts") <= timestamp_micros(lit(maxUs)))
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
@@ -207,7 +212,7 @@ object Events {
     // sort + four writes each time
     val srcDirS = graft.etl.Sink.scratchPath(sfDir, "events_chunked")
     val srcDir = java.nio.file.Paths.get(srcDirS)
-    val marker = srcDir.resolve("_GRAFT_OK_v1")
+    val marker = srcDir.resolve("_GRAFT_OK_v2")
     if (!java.nio.file.Files.exists(marker)) {
       graft.etl.Sink.dropUncommitted(srcDirS)
       java.nio.file.Files.createDirectories(srcDir)
@@ -219,7 +224,8 @@ object Events {
       // not part of any query path. A live stream needs no staging at all
       // (arrival order is the chunk order), so nothing like this exists at
       // 100 TB.
-      val maxTs = raw.agg(max("ts")).head().getLong(0)
+      val maxUs = raw.selectExpr(Tables.tsMicrosExpr(rawSchema) + " AS us")
+        .agg(max("us")).head().getLong(0)
       val chunked = raw.withColumn("chunk",
         ntile(4).over(org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")))
       def stage(df: org.apache.spark.sql.DataFrame, name: String, mtimeSec: Long): Unit = {
@@ -239,17 +245,21 @@ object Events {
         graft.streaming.Drain.deleteRecursively(tmp)
       }
       (1 to 4).foreach(i => stage(chunked.filter(col("chunk") === i).drop("chunk"), s"chunk$i", i))
-      val sentinel = spark.createDataFrame(
-        java.util.List.of(org.apache.spark.sql.Row(
-          -1L, maxTs + 4L * 24 * 3600 * 1000000000L, -1L, "__wm__", 0.0, null)),
-        rawSchema)
+      val sentinel = spark.range(1).select(
+        lit(-1L).as("event_id"),
+        Tables.tsLit(rawSchema, maxUs + 4L * 24 * 3600 * 1000000L).as("ts"),
+        lit(-1L).as("user_id"),
+        lit("__wm__").as("event_type"),
+        lit(0.0).as("value"),
+        lit(null).cast("string").as("props"))
       stage(sentinel, "chunk5", 5)
       java.nio.file.Files.createFile(marker)
     }
 
     val ds = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
-      .selectExpr("user_id", "ts div 1000 AS us", "timestamp_micros(ts div 1000) AS ts")
+      .selectExpr("user_id", Tables.tsMicrosExpr(rawSchema) + " AS us",
+        Tables.tsTimestampExpr(rawSchema) + " AS ts")
       .withWatermark("ts", "1 hour")
       .as[(Long, Long, java.sql.Timestamp)]
     val perSession = ds.groupByKey(_._1)
@@ -313,7 +323,7 @@ object Events {
       "graft_stream_sessions_" + streamRuns.incrementAndGet() + "_")
     val ds = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .selectExpr("user_id", "ts div 1000 AS us")
+      .selectExpr("user_id", Tables.tsMicrosExpr(rawSchema) + " AS us")
       .as[(Long, Long)]
     val perSession = ds.groupByKey(_._1)
       .flatMapGroupsWithState[Array[Long], (Long, Long)](

@@ -44,21 +44,18 @@ object Graph {
     // deterministic release of superseded checkpoint blocks: a reassigned
     // `labels` only frees its blocks when the ContextCleaner eventually
     // GCs the unreachable RDD — over tens of rounds that pins dozens of
-    // full (id, comp) snapshots in executor storage. Track the RDD id each
-    // localCheckpoint registers and unpersist the PREVIOUS round's blocks
-    // as soon as the next round is materialized.
-    val sc = edges.sparkSession.sparkContext
-    // materialize the edge cache BEFORE tracking starts, so its persistent
-    // RDD id is never mistaken for a round's checkpoint and swept
-    und.count()
-    var prevCkptIds: Set[Int] = Set.empty
+    // full (id, comp) snapshots in executor storage. Hold the exact RDD
+    // each localCheckpoint registers (via the frame's LogicalRDD) and
+    // unpersist the PREVIOUS round's blocks as soon as the next round is
+    // materialized — never a registry diff, which would sweep RDDs other
+    // threads persist concurrently.
+    und.count() // materialize the edge cache before the round loop
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     def checkpointTracked(df: DataFrame): DataFrame = {
-      val before = sc.getPersistentRDDs.keySet
       val out = df.localCheckpoint(true)
-      val fresh = sc.getPersistentRDDs.keySet.toSet.diff(before.toSet)
-      prevCkptIds.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-      prevCkptIds = fresh
+      val fresh = org.apache.spark.sql.graftx.ColumnBridge.checkpointRdd(out)
+      prevCkpt.foreach(_.unpersist(blocking = false))
+      prevCkpt = fresh
       out
     }
     var labels = checkpointTracked(
@@ -328,16 +325,13 @@ object Graph {
     val und = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
-    val sc = edges.sparkSession.sparkContext
-    und.count() // materialize BEFORE checkpoint tracking (id hygiene)
-    var prevCkptIds: Set[Int] = Set.empty
+    und.count() // materialize the edge cache before the round loop
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     def checkpointTracked(df: DataFrame): DataFrame = {
-      val before = sc.getPersistentRDDs.keySet
       val out = df.localCheckpoint(true)
-      val fresh = sc.getPersistentRDDs.keySet.toSet.diff(before.toSet)
-      prevCkptIds.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-      prevCkptIds = fresh
+      val fresh = org.apache.spark.sql.graftx.ColumnBridge.checkpointRdd(out)
+      prevCkpt.foreach(_.unpersist(blocking = false))
+      prevCkpt = fresh
       out
     }
     val nodes = und.select(col("src").as("id")).distinct()

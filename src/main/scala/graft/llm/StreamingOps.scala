@@ -29,7 +29,7 @@ object StreamingOps {
       "graft_" + tag + "_" + runs.incrementAndGet() + "_")
     val srcDirS = graft.etl.Sink.scratchPath(sfDir, s"events_stream_$tag")
     val srcDir = java.nio.file.Paths.get(srcDirS)
-    val marker = srcDir.resolve("_GRAFT_OK_v1")
+    val marker = srcDir.resolve("_GRAFT_OK_v2")
     if (!java.nio.file.Files.exists(marker)) {
       graft.etl.Sink.dropUncommitted(srcDirS)
       java.nio.file.Files.createDirectories(srcDir)
@@ -47,7 +47,7 @@ object StreamingOps {
   private def eventStream(spark: SparkSession, sfDir: String, srcDir: java.nio.file.Path): DataFrame = {
     val rawSchema = Tables.eventsRaw(spark, sfDir).schema // also sets nanosAsLong
     spark.readStream.schema(rawSchema).parquet(srcDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr(Tables.tsTimestampExpr(rawSchema)))
   }
 
   /** X-STREAM-DEDUP: streaming exact deduplication — the stateful

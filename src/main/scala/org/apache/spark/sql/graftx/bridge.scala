@@ -24,4 +24,17 @@ object ColumnBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The exact persisted RDD behind a `localCheckpoint`ed Dataset (its
+    * analyzed plan is a LogicalRDD wrapping the checkpoint blocks).
+    * Iterative algorithms need THIS handle to release a superseded
+    * round's blocks — diffing `sc.getPersistentRDDs` before/after would
+    * misattribute any RDD persisted concurrently by another thread.
+    */
+  def checkpointRdd(df: org.apache.spark.sql.DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+        case _ => None
+      }
 }

@@ -2475,7 +2475,7 @@ class GraftSpec extends AnyFunSuite {
       "q_join_fx_asof_tol" -> "Q-JOIN-FX-ASOF-TOL", "x_decay" -> "X-DECAY",
       "x_optout" -> "X-OPTOUT", "x_boilerplate" -> "X-BOILERPLATE",
       "x_vocab_coverage" -> "X-VOCAB-COVERAGE",
-      "x_shortest_path" -> "X-SHORTEST-PATH")
+      "x_shortest_path" -> "X-SHORTEST-PATH", "x_rfm" -> "X-RFM")
     val registered = SparkEntry.queries.keySet
     val unmapped = registered -- idOf.keySet
     assert(unmapped.isEmpty, s"queries with no SURVEY ID mapping: $unmapped")
