@@ -221,6 +221,85 @@ object OracleLlm {
        |       CAST(sum(n_tokens) AS BIGINT) AS tokens
        |FROM s GROUP BY 1, 2 ORDER BY source, split""".stripMargin
 
+  /** dsir mirror: same pmod-100 hash bucket, per-source rate from the
+    * source suffix, whole copies + fractional slice in exact integers.
+    */
+  val dsirSql: String =
+    s"""WITH $sampleCte,
+       |p AS (
+       |  SELECT source, n_tokens, ((fp % 100) + 100) % 100 AS b,
+       |         (CAST(substr(source, 4) AS BIGINT) % 5) * 60 AS pct
+       |  FROM sf),
+       |c AS (
+       |  SELECT source, n_tokens,
+       |         pct // 100 + CASE WHEN b < pct % 100 THEN 1 ELSE 0 END AS copies
+       |  FROM p)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(sum(copies) AS BIGINT) AS n_sampled,
+       |       CAST(sum(copies * n_tokens) AS BIGINT) AS sampled_tokens
+       |FROM c GROUP BY source ORDER BY source""".stripMargin
+
+  /** mixture mirror: exact integer token counts, ONE division per source. */
+  val mixtureSql: String =
+    s"""WITH $sampleCte,
+       |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |              CAST(sum(n_tokens) AS BIGINT) AS tokens
+       |       FROM sf GROUP BY source),
+       |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens FROM ps)
+       |SELECT source, n_docs, tokens,
+       |       CAST((CAST(substr(source, 4) AS BIGINT) % 4 + 1) * 2 AS BIGINT) AS target_pct,
+       |       CAST((CAST(substr(source, 4) AS BIGINT) % 4 + 1) * 2 * total_tokens AS DOUBLE)
+       |         / CAST(tokens * 100 AS DOUBLE) AS weight
+       |FROM ps, t ORDER BY source""".stripMargin
+
+  /** shardManifest mirror: the window formulation of the token prefix
+    * sum — the semantics the range-exchange + broadcast-offsets path
+    * must reproduce exactly (same cut rule, same total order).
+    */
+  val shardManifestSql: String =
+    s"""WITH $sampleCte,
+       |r AS (
+       |  SELECT doc_id, n_tokens,
+       |         coalesce(sum(n_tokens) OVER (ORDER BY fp, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+       |  FROM sf),
+       |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM sf),
+       |s AS (SELECT doc_id, n_tokens,
+       |             CAST((cb * ${llm.Sampling.NShards}) // tot AS BIGINT) AS shard_id
+       |      FROM r, t)
+       |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       |       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** novelty mirror: distinct word bigrams per doc, corpus-wide
+    * first-occurrence by min doc_id, per-source exact counts + one
+    * division.
+    */
+  val noveltySql: String =
+    s"""WITH f AS (
+       |  SELECT source, doc_id,
+       |         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+       |  FROM documents),
+       |b AS (
+       |  SELECT source, doc_id,
+       |         unnest(list_distinct(list_transform(range(1, len(toks)),
+       |           i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i + 1 AS INT)]))) AS bg
+       |  FROM f WHERE len(toks) >= 2),
+       |fst AS (SELECT bg, min(doc_id) AS first_doc FROM b GROUP BY bg),
+       |fl AS (
+       |  SELECT b.source, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |         CAST(sum(CASE WHEN b.doc_id = fst.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+       |  FROM b JOIN fst USING (bg) GROUP BY b.source),
+       |d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source)
+       |SELECT d.source, d.n_docs,
+       |       CAST(coalesce(fl.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |       CAST(coalesce(fl.n_novel, 0) AS BIGINT) AS n_novel,
+       |       CAST(coalesce(fl.n_novel, 0) AS DOUBLE)
+       |         / CAST(coalesce(fl.n_bigrams, 1) AS DOUBLE) AS novelty_rate
+       |FROM d LEFT JOIN fl USING (source) ORDER BY d.source""".stripMargin
+
   val tokenBudgetSql: String =
     s"""WITH $sampleCte,
        |r AS (

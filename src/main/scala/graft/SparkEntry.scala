@@ -145,6 +145,10 @@ object SparkEntry {
     "q_join_fx_asof_tol" -> (EtlQueries.qJoinFxAsofTol _),
     "x_shortest_path" -> (llm.Graph.shortestPaths _),
     "x_rfm" -> (llm.Analytics.rfm _),
+    "x_dsir" -> (llm.Sampling.dsir _),
+    "x_mixture" -> (llm.Sampling.mixture _),
+    "x_shard_manifest" -> (llm.Sampling.shardManifest _),
+    "x_novelty" -> (llm.TextAnalysis.ngramNovelty _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -619,6 +623,10 @@ object SparkEntry {
     "x_sim_ivf" -> OracleLlm.simIvfSql,
     "x_split" -> OracleLlm.splitSql,
     "x_token_budget" -> OracleLlm.tokenBudgetSql,
+    "x_dsir" -> OracleLlm.dsirSql,
+    "x_mixture" -> OracleLlm.mixtureSql,
+    "x_shard_manifest" -> OracleLlm.shardManifestSql,
+    "x_novelty" -> OracleLlm.noveltySql,
     "x_decontam" -> OracleLlm.decontamSql,
     "x_interleave" -> OracleLlm.interleaveSql,
     // oracle is the PLAIN interval join — bucketing must be value-identical

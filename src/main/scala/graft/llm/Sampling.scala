@@ -332,4 +332,145 @@ object Sampling {
         "not a dense 0..N-1 permutation; rerun")
     out
   }
+
+  /** Per-source resampling rate in PERCENT of the 100-bucket hash space
+    * for [[dsir]], derived from the source's numeric suffix so the
+    * oracle mirrors it with one `substr`+cast: (idx mod 5) * 60 →
+    * {0, 60, 120, 180, 240}. The grid deliberately spans all three
+    * regimes — drop entirely (0), downsample (60), and upsample with
+    * whole-corpus repetition plus a fractional slice (120..240).
+    */
+  def dsirPct(source: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (substring(source, 4, 10).cast("long") % 5L) * 60L
+
+  /** X-DSIR: importance resampling by per-domain target rates — the
+    * DSIR-style "reweight the mix toward target domains" selection step.
+    * A rate above 100% means repetition: every document contributes
+    * `rate div 100` whole copies plus one more iff its content-hash
+    * bucket falls under `rate mod 100` — so the expected copy count is
+    * exactly rate/100, the draw is stable across reruns/backfills (a
+    * `rand()` draw would resample on every lineage recompute), and the
+    * survivor multiset is bit-reproducible on any engine. Narrow per-row
+    * work (hash, one multiply-add) folded into one partial+final agg —
+    * unkept rows never shuffle.
+    */
+  def dsir(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        pmod(rolling_hash(col("text")), lit(100L)).as("b"),
+        dsirPct(col("source")).as("pct"))
+      .withColumn("copies",
+        expr("pct div 100") + when(col("b") < col("pct") % 100L, 1L).otherwise(0L))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("copies").as("n_sampled"),
+        sum(col("copies") * col("n_tokens")).as("sampled_tokens"))
+      .orderBy("source")
+
+  /** Per-source target token share in percent for [[mixture]] —
+    * (idx mod 4 + 1) * 2 over the 20 fixture sources sums to exactly
+    * 100; mirrored in SQL from the source suffix like [[dsirPct]].
+    */
+  def mixturePct(source: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (substring(source, 4, 10).cast("long") % 4L + 1L) * 2L
+
+  /** X-MIXTURE: domain-mixing weights — given a target token share per
+    * source, the per-source sampling weight that transforms the observed
+    * mix into the target mix: `w = target_share · total_tokens /
+    * (100 · source_tokens)`. This is the planning step ahead of X-DSIR:
+    * the weight table it emits IS the rate input a resampling pass
+    * consumes (w < 1 downsample, w > 1 repeat). Exact integer token
+    * counts on both sides of ONE division per source (bit-deterministic
+    * on both engines); corpus total via a broadcast one-row aggregate,
+    * so the fact-sized work is a single partial+final agg.
+    */
+  def mixture(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSource = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+    val total = perSource.agg(sum("tokens").as("total_tokens"))
+    perSource
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        mixturePct(col("source")).as("target_pct"),
+        ((mixturePct(col("source")) * col("total_tokens")).cast("double") /
+          (col("tokens") * 100L).cast("double")).as("weight"))
+      .orderBy("source")
+  }
+
+  /** Shard count for [[shardManifest]]. Like [[GlobalIdPartitions]], the
+    * cut points depend only on the total order and the corpus token sum,
+    * never on this exchange's partition count.
+    */
+  val NShards = 8
+
+  /** X-SHARD: token-balanced contiguous shard manifest — cut the corpus,
+    * walked in the stable (content hash, doc_id) total order, into
+    * [[NShards]] shards of near-equal TOKEN mass (not doc count): shard
+    * of a doc = `tokens_before · N div total_tokens`, all exact integers.
+    * This is the manifest a distributed trainer actually loads from —
+    * equal-token shards equalize step time; equal-doc shards don't (doc
+    * length is heavy-tailed).
+    *
+    * Scale shape: [[globalIds]]' prefix-sum machinery with token sums in
+    * place of row counts — range exchange on the order key, one
+    * metadata-sized per-partition token-sum job, broadcast offsets, then
+    * a per-partition running sum (`mapPartitions` — genuine sequential
+    * per-partition state). No global window, no single-reducer sort.
+    */
+  def shardManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // cache pins one range partitioning for both jobs ([[globalIds]])
+    val ranged = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), rolling_hash(col("text")).as("fp"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .repartitionByRange(GlobalIdPartitions, col("fp"), col("doc_id"))
+      .sortWithinPartitions("fp", "doc_id")
+      .as[(Long, Long, Long)]
+      .persist()
+    val tokSums = ranged.mapPartitions { it =>
+      var s = 0L; it.foreach(s += _._3)
+      Iterator.single(org.apache.spark.TaskContext.getPartitionId() -> s)
+    }.collect().toMap
+    val offsets = (0 until GlobalIdPartitions).scanLeft(0L) {
+      case (acc, pid) => acc + tokSums.getOrElse(pid, 0L)
+    }.toArray // offsets(pid) = tokens before partition pid
+    val totalTokens = offsets.last
+    require(totalTokens > 0, "shardManifest: empty corpus")
+    val bc = spark.sparkContext.broadcast(offsets)
+    val n = NShards.toLong
+    val sharded = ranged.mapPartitions { it =>
+      var before = bc.value(org.apache.spark.TaskContext.getPartitionId())
+      it.map { case (docId, _, nTok) =>
+        val shard = before * n / totalTokens
+        before += nTok
+        (shard, docId, nTok)
+      }
+    }.toDF("shard_id", "doc_id", "n_tokens")
+    val out = sharded
+      .groupBy("shard_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("tokens"),
+        sum("doc_id").as("sum_doc_id"))
+      .orderBy("shard_id")
+      .localCheckpoint(true)
+    ranged.unpersist()
+    // LOUD conservation gate (globalIds' discipline): every doc lands in
+    // exactly one valid shard and the token mass is conserved — a cache
+    // eviction between the offsets job and the assignment job would
+    // silently misplace boundary docs otherwise.
+    val rows = out.collect()
+    val ok = rows.map(_.getLong(2)).sum == totalTokens &&
+      rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < n)
+    if (!ok) throw new IllegalStateException(
+      "shardManifest lost its pinned partitioning between the offsets " +
+        "job and the assignment job — token mass not conserved; rerun")
+    out
+  }
 }

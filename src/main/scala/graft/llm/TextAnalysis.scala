@@ -324,6 +324,50 @@ object TextAnalysis {
         element_at(col("chunk"), -1).as("last_token"))
       .orderBy("doc_id", "chunk_id")
 
+  // ---- X-NOVELTY ------------------------------------------------------
+
+  /** X-NOVELTY: per-source novel-bigram contribution — for each document
+    * (in stable doc_id corpus order) the fraction of its DISTINCT word
+    * bigrams whose corpus-wide first occurrence is that document. The
+    * data-curation "does this doc add anything new" signal: boilerplate
+    * and template glue score near 0, genuinely fresh text near 1; per
+    * source it measures marginal contribution to corpus diversity
+    * (the selection criterion dedup-aware mixing uses beyond X-DIVERSITY's
+    * char-level view). Counts are exact integers; the rate is ONE
+    * division of two exact BIGINTs per source.
+    *
+    * Scale shape: distinct bigrams explode once; first-occurrence is a
+    * (bigram → min doc_id) partial+final agg; the join back is equi-keyed
+    * on the bigram and reuses the aggregate's hash partitioning (no
+    * second exchange of the exploded side); the rollup shuffles one row
+    * per source. Nothing is ever all-pairs and no window spans the
+    * corpus.
+    */
+  def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val bi = docs
+      .select(col("source"), col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("source"), col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))")))
+          .as("bg"))
+    val first = bi.groupBy("bg").agg(min("doc_id").as("first_doc"))
+    val flagged = bi.join(first, Seq("bg"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)).as("n_novel"))
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(flagged, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast("double") /
+          coalesce(col("n_bigrams"), lit(1L)).cast("double")).as("novelty_rate"))
+      .orderBy("source")
+  }
+
   // ---- X-NGRAM-LM -----------------------------------------------------
 
   /** Every `LmSampleStride`-th doc gets a checked score (the model is

@@ -2370,6 +2370,77 @@ class GraftSpec extends AnyFunSuite {
       s"decayed_n for $t must match the brute-force weight sum")
   }
 
+  test("x_dsir: copy counts exact per rate regime and expectation-bounded") {
+    val rows = llm.Sampling.dsir(spark, sf).collect()
+    assert(rows.length == 20, "all 20 sources present, sampled or not")
+    rows.foreach { r =>
+      val (src, nDocs, sampled) = (r.getString(0), r.getLong(1), r.getLong(3))
+      val pct = (src.stripPrefix("src").toLong % 5) * 60
+      val whole = pct / 100
+      assert(sampled >= whole * nDocs && sampled <= (whole + 1) * nDocs,
+        s"$src: copies must be per-doc {${whole},${whole + 1}}: $r")
+      if (pct == 0) assert(sampled == 0, s"rate-0 source must drop everything: $r")
+    }
+    // the three regimes all execute on the fixture
+    assert(rows.exists(_.getLong(3) == 0), "a dropped source")
+    assert(rows.exists(r => r.getLong(3) > 0 && r.getLong(3) < r.getLong(1)),
+      "a downsampled source")
+    assert(rows.exists(r => r.getLong(3) > r.getLong(1)), "an upsampled source")
+  }
+
+  test("x_mixture: weights transform the observed mix into the target mix") {
+    val rows = llm.Sampling.mixture(spark, sf).collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getLong(3)).sum == 100L, "target shares sum to 100%")
+    val total = rows.map(_.getLong(2)).sum.toDouble
+    rows.foreach { r =>
+      val (tokens, target, w) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(w > 0.0, s"weight must be positive: $r")
+      // the defining identity: w * tokens = target share of the corpus
+      assert(math.abs(w * tokens - target * total / 100.0) < 1e-6, s"identity fails: $r")
+    }
+  }
+
+  test("x_shard_manifest: token mass conserved, shards contiguous and near-balanced") {
+    val rows = llm.Sampling.shardManifest(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(size(llm.TextAnalysis.tokens(col("text"))).cast("long").as("n"), col("doc_id"))
+      .agg(sum("n"), count(lit(1)), sum("doc_id")).head()
+    val (totalTokens, nDocs, sumDocIds) = (docs.getLong(0), docs.getLong(1), docs.getLong(2))
+    assert(rows.map(_.getLong(2)).sum == totalTokens, "token mass conserved")
+    assert(rows.map(_.getLong(1)).sum == nDocs, "every doc in exactly one shard")
+    assert(rows.map(_.getLong(3)).sum == sumDocIds, "doc_id checksum conserved")
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < llm.Sampling.NShards))
+    // balance: each shard within one max-doc-length of the ideal cut
+    val maxDoc = Tables.documents(spark, sf)
+      .agg(max(size(llm.TextAnalysis.tokens(col("text"))))).head().getInt(0).toLong
+    val ideal = totalTokens.toDouble / llm.Sampling.NShards
+    rows.foreach { r =>
+      assert(math.abs(r.getLong(2) - ideal) <= maxDoc + 1,
+        s"shard ${r.getLong(0)} off the ideal cut by more than one doc: $r")
+    }
+  }
+
+  test("x_novelty: every distinct corpus bigram is novel exactly once") {
+    val rows = llm.TextAnalysis.ngramNovelty(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (nBi, nNov, rate) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nNov >= 0 && nNov <= nBi, s"novel must be within distinct: $r")
+      assert(rate >= 0.0 && rate <= 1.0, s"rate must be a fraction: $r")
+    }
+    // conservation: a bigram's first occurrence flags exactly one doc, so
+    // the novel total IS the corpus-wide distinct bigram count
+    val distinctBigrams = Tables.documents(spark, sf)
+      .select(llm.TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))")).as("bg"))
+      .distinct().count()
+    assert(rows.map(_.getLong(3)).sum == distinctBigrams,
+      "sum of novel bigrams must equal corpus distinct bigrams")
+  }
+
   test("plan lint: no cartesian blowups or fixture-scale global windows in ANY registered query") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
     // Unpartitioned windows documented as bounded-input at their def
@@ -2475,7 +2546,9 @@ class GraftSpec extends AnyFunSuite {
       "q_join_fx_asof_tol" -> "Q-JOIN-FX-ASOF-TOL", "x_decay" -> "X-DECAY",
       "x_optout" -> "X-OPTOUT", "x_boilerplate" -> "X-BOILERPLATE",
       "x_vocab_coverage" -> "X-VOCAB-COVERAGE",
-      "x_shortest_path" -> "X-SHORTEST-PATH", "x_rfm" -> "X-RFM")
+      "x_shortest_path" -> "X-SHORTEST-PATH", "x_rfm" -> "X-RFM",
+      "x_dsir" -> "X-DSIR", "x_mixture" -> "X-MIXTURE",
+      "x_shard_manifest" -> "X-SHARD", "x_novelty" -> "X-NOVELTY")
     val registered = SparkEntry.queries.keySet
     val unmapped = registered -- idOf.keySet
     assert(unmapped.isEmpty, s"queries with no SURVEY ID mapping: $unmapped")
