@@ -221,6 +221,42 @@ object OracleLlm {
        |       CAST(sum(n_tokens) AS BIGINT) AS tokens
        |FROM s GROUP BY 1, 2 ORDER BY source, split""".stripMargin
 
+  /** bpe mirror: the identical merge loop unrolled into CTEs — same
+    * word-type table, same pair counting, same (count desc, pair asc)
+    * argmax, and the merge applied with the SAME replace-to-fixpoint
+    * string procedure ([[llm.TextAnalysis.BpeReplaceDepth]]), so every
+    * round's decision and the merged corpus agree bit-for-bit.
+    */
+  val bpeSql: String = {
+    val k = llm.TextAnalysis.BpeMergeCount
+    def fused(i: Int): String =
+      (1 to llm.TextAnalysis.BpeReplaceDepth).foldLeft("seq") { case (acc, _) =>
+        s"replace($acc, ' ' || b$i.l || ' ' || b$i.r || ' ', ' ' || b$i.l || b$i.r || ' ')"
+      }
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT l, r, CAST(sum(c) AS BIGINT) AS pc FROM (
+         |    SELECT c, ts[CAST(j AS INT)] AS l, ts[CAST(j + 1 AS INT)] AS r FROM (
+         |      SELECT c, ts, unnest(range(1, len(ts))) AS j FROM (
+         |        SELECT c, regexp_split_to_array(trim(seq), ' ') AS ts FROM w${i - 1})))
+         |  GROUP BY l, r),
+         |b$i AS (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
+         |w$i AS (SELECT ${fused(i)} AS seq, c FROM w${i - 1}, b$i)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, pc AS pair_count FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS w
+       |  FROM documents),
+       |w0 AS (
+       |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq,
+       |         CAST(count(*) AS BIGINT) AS c
+       |  FROM toks GROUP BY 1),
+       |$rounds
+       |SELECT * FROM ($out) ORDER BY merge_rank""".stripMargin
+  }
+
   /** dsir mirror: same pmod-100 hash bucket, per-source rate from the
     * source suffix, whole copies + fractional slice in exact integers.
     */

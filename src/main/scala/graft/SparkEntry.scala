@@ -149,6 +149,7 @@ object SparkEntry {
     "x_mixture" -> (llm.Sampling.mixture _),
     "x_shard_manifest" -> (llm.Sampling.shardManifest _),
     "x_novelty" -> (llm.TextAnalysis.ngramNovelty _),
+    "x_bpe" -> (llm.TextAnalysis.bpeMerges _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -627,6 +628,7 @@ object SparkEntry {
     "x_mixture" -> OracleLlm.mixtureSql,
     "x_shard_manifest" -> OracleLlm.shardManifestSql,
     "x_novelty" -> OracleLlm.noveltySql,
+    "x_bpe" -> OracleLlm.bpeSql,
     "x_decontam" -> OracleLlm.decontamSql,
     "x_interleave" -> OracleLlm.interleaveSql,
     // oracle is the PLAIN interval join — bucketing must be value-identical

@@ -324,6 +324,80 @@ object TextAnalysis {
         element_at(col("chunk"), -1).as("last_token"))
       .orderBy("doc_id", "chunk_id")
 
+  // ---- X-BPE ----------------------------------------------------------
+
+  /** Merge steps to induce for [[bpeMerges]]. */
+  val BpeMergeCount = 4
+
+  /** Replace-to-fixpoint depth for one merge application: a plain
+    * non-overlapping left-to-right `replace` misses occurrences that
+    * share a boundary space with a just-replaced one (" a a a a " →
+    * " aa a a "), and each further application halves the stragglers, so
+    * 6 rounds closes any ≤64-symbol word. Both engines implement
+    * `replace` with identical resume-after-replacement semantics, which
+    * is what makes the merged corpus bit-identical.
+    */
+  val BpeReplaceDepth = 6
+
+  /** X-BPE: byte-pair-encoding tokenizer induction — the classic
+    * iterative merge loop (Sennrich et al.) over the corpus word-type
+    * table: count adjacent symbol pairs weighted by word frequency, pick
+    * the most frequent (ties: lexicographic — bit-deterministic), fuse
+    * it everywhere, repeat. Words are represented as space-joined symbol
+    * sequences so a merge IS a plain-string replace of " l r " with
+    * " lr " (symbols never contain spaces), applied to fixpoint — the
+    * same procedure, literally the same string ops, on both engines.
+    *
+    * Scale shape: the corpus-sized work is ONE explode + word-count agg;
+    * every merge round then runs over the WORD-TYPE table (vocab-bounded,
+    * not corpus-bounded — the reason real BPE trainers tokenize word
+    * types), shuffling (l, r, count) pairs only. The per-round argmax is
+    * a 1-row driver decision — inherent to the algorithm (each round's
+    * merge depends on the last) and metadata-sized by license. The
+    * word-type frame is cached once; rounds stack narrow replace
+    * expressions on it.
+    */
+  def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("seq"), col("c"))
+      .persist()
+    words.count()
+    var cur: DataFrame = words
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= BpeMergeCount && !exhausted) {
+      val top = cur
+        .select(col("c"), split(trim(col("seq")), " ").as("ts"))
+        // single-symbol words have no pairs — and Spark's sequence(0, -1)
+        // DESCENDS, so without the guard ts[1] faults under ANSI
+        .filter(size(col("ts")) >= 2)
+        .select(col("c"), explode(expr(
+          "transform(sequence(0, size(ts)-2), i -> struct(ts[i] AS l, ts[i+1] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("c").as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, pc) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((k.toLong, l, r, pc))
+        val pat = s" $l $r "
+        val rep = s" $l$r "
+        val fused = (1 to BpeReplaceDepth).foldLeft(col("seq")) {
+          case (acc, _) => org.apache.spark.sql.functions.replace(acc, lit(pat), lit(rep))
+        }
+        cur = cur.select(fused.as("seq"), col("c"))
+        k += 1
+      }
+    }
+    words.unpersist()
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count").orderBy("merge_rank")
+  }
+
   // ---- X-NOVELTY ------------------------------------------------------
 
   /** X-NOVELTY: per-source novel-bigram contribution — for each document

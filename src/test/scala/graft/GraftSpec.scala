@@ -2441,6 +2441,31 @@ class GraftSpec extends AnyFunSuite {
       "sum of novel bigrams must equal corpus distinct bigrams")
   }
 
+  test("x_bpe: merge counts non-increasing and round 1 matches brute force") {
+    val rows = llm.TextAnalysis.bpeMerges(spark, sf).collect()
+    assert(rows.length == llm.TextAnalysis.BpeMergeCount)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq, "dense ranks")
+    // pc_k <= pc_{k-1} is a theorem: old pair counts never increase and a
+    // pair minted by merge k-1 occurs at most as often as that merge did
+    val pcs = rows.map(_.getLong(3))
+    assert(pcs.zip(pcs.tail).forall { case (a, b) => b <= a }, s"counts must not increase: ${pcs.toSeq}")
+    // brute-force round 1: most frequent adjacent char pair, word-weighted
+    val words = Tables.documents(spark, sf)
+      .select(explode(llm.TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c")).collect()
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    words.foreach { r =>
+      val (w, c) = (r.getString(0), r.getLong(1))
+      w.sliding(2).filter(_.length == 2).foreach { p =>
+        val k = (p.substring(0, 1), p.substring(1))
+        counts(k) = counts.getOrElse(k, 0L) + c
+      }
+    }
+    val best = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+    assert((rows(0).getString(1), rows(0).getString(2)) == best._1 &&
+      rows(0).getLong(3) == best._2, s"round 1 must be the brute-force argmax: ${rows(0)} vs $best")
+  }
+
   test("plan lint: no cartesian blowups or fixture-scale global windows in ANY registered query") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
     // Unpartitioned windows documented as bounded-input at their def
@@ -2548,7 +2573,8 @@ class GraftSpec extends AnyFunSuite {
       "x_vocab_coverage" -> "X-VOCAB-COVERAGE",
       "x_shortest_path" -> "X-SHORTEST-PATH", "x_rfm" -> "X-RFM",
       "x_dsir" -> "X-DSIR", "x_mixture" -> "X-MIXTURE",
-      "x_shard_manifest" -> "X-SHARD", "x_novelty" -> "X-NOVELTY")
+      "x_shard_manifest" -> "X-SHARD", "x_novelty" -> "X-NOVELTY",
+      "x_bpe" -> "X-BPE")
     val registered = SparkEntry.queries.keySet
     val unmapped = registered -- idOf.keySet
     assert(unmapped.isEmpty, s"queries with no SURVEY ID mapping: $unmapped")
