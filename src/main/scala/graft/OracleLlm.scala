@@ -257,6 +257,53 @@ object OracleLlm {
        |SELECT * FROM ($out) ORDER BY merge_rank""".stripMargin
   }
 
+  /** gini mirror: exact DECIMAL(38,0) squares, final IEEE divisions. */
+  val giniSql: String =
+    s"""WITH t AS (
+       |  SELECT source,
+       |         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w
+       |  FROM documents),
+       |c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+       |s AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |             CAST(count(*) AS BIGINT) AS vocab,
+       |             CAST(max(c) AS BIGINT) AS max_c,
+       |             sum(CAST(c AS DECIMAL(38, 0)) * c) AS sumsq
+       |      FROM c GROUP BY source)
+       |SELECT source, n_tokens, vocab,
+       |       CAST(max_c AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_share,
+       |       CAST(CAST(n_tokens AS DECIMAL(38, 0)) * n_tokens - sumsq AS DOUBLE)
+       |         / CAST(CAST(n_tokens AS DECIMAL(38, 0)) * n_tokens AS DOUBLE) AS gini
+       |FROM s ORDER BY source""".stripMargin
+
+  /** drift mirror: same day-parity cohorts, integer CDF cross products,
+    * one division.
+    */
+  val driftSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |         CAST(CAST(value AS DECIMAL(18, 2)) * 100 AS BIGINT) AS cents,
+       |         (CAST(ts AS DATE) - DATE '1970-01-01') % 2 AS cohort
+       |  FROM events WHERE value IS NOT NULL),
+       |pv AS (SELECT event_type, cents,
+       |              CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |              CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |       FROM e GROUP BY 1, 2),
+       |r AS (SELECT event_type, ca, cb,
+       |             sum(ca) OVER (PARTITION BY event_type ORDER BY cents
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fa,
+       |             sum(cb) OVER (PARTITION BY event_type ORDER BY cents
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fb,
+       |             sum(ca) OVER (PARTITION BY event_type) AS na,
+       |             sum(cb) OVER (PARTITION BY event_type) AS nb
+       |      FROM pv)
+       |SELECT event_type, CAST(max(na) AS BIGINT) AS n_a,
+       |       CAST(max(nb) AS BIGINT) AS n_b,
+       |       CAST(max(abs(fa * nb - fb * na)) AS BIGINT) AS d_scaled,
+       |       CAST(max(abs(fa * nb - fb * na)) AS DOUBLE)
+       |         / CAST(max(na) * max(nb) AS DOUBLE) AS ks
+       |FROM r WHERE na > 0 AND nb > 0
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** dsir mirror: same pmod-100 hash bucket, per-source rate from the
     * source suffix, whole copies + fractional slice in exact integers.
     */

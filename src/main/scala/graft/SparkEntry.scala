@@ -150,6 +150,8 @@ object SparkEntry {
     "x_shard_manifest" -> (llm.Sampling.shardManifest _),
     "x_novelty" -> (llm.TextAnalysis.ngramNovelty _),
     "x_bpe" -> (llm.TextAnalysis.bpeMerges _),
+    "x_gini" -> (llm.TextAnalysis.gini _),
+    "x_drift" -> (llm.Analytics.drift _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -629,6 +631,8 @@ object SparkEntry {
     "x_shard_manifest" -> OracleLlm.shardManifestSql,
     "x_novelty" -> OracleLlm.noveltySql,
     "x_bpe" -> OracleLlm.bpeSql,
+    "x_gini" -> OracleLlm.giniSql,
+    "x_drift" -> OracleLlm.driftSql,
     "x_decontam" -> OracleLlm.decontamSql,
     "x_interleave" -> OracleLlm.interleaveSql,
     // oracle is the PLAIN interval join — bucketing must be value-identical

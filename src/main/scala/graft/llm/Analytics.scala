@@ -264,4 +264,50 @@ object Analytics {
         sum("monetary_cents").as("cell_cents"))
       .orderBy("c_mktsegment", "r_tile", "f_tile", "m_tile")
   }
+
+  /** X-DRIFT: two-sample distribution drift per event type — the exact
+    * Kolmogorov–Smirnov distance between the `value` distributions of
+    * two deterministic cohorts (even vs odd epoch-day), the check a
+    * training pipeline runs to catch feature drift between data windows
+    * before a model trains on the shifted mix. The statistic is computed
+    * in EXACT integer form: values as cents, CDFs as running counts, and
+    * `D = max |F_a·n_b − F_b·n_a|` over the merged support — all BIGINT —
+    * with the final `ks = D / (n_a·n_b)` the only (deterministic IEEE)
+    * float op. Scale shape: one partial+final agg to per-(type, cents,
+    * cohort) counts — the shuffle carries distinct values, not events —
+    * then windows PARTITIONED by event type over the distinct-value
+    * frame; types with an empty cohort are excluded (the statistic is
+    * undefined), which the oracle mirrors.
+    */
+  def drift(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
+        pmod(datediff(col("ts").cast("date"), to_date(lit("1970-01-01"))).cast("long"), lit(2L))
+          .as("cohort"))
+    val perValue = ev
+      .groupBy("event_type", "cents")
+      .agg(
+        sum(when(col("cohort") === 0L, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("cohort") === 1L, 1L).otherwise(0L)).as("cb"))
+    val w = Window.partitionBy("event_type").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy("event_type")
+    perValue
+      .withColumn("fa", sum("ca").over(w))
+      .withColumn("fb", sum("cb").over(w))
+      .withColumn("na", sum("ca").over(wt))
+      .withColumn("nb", sum("cb").over(wt))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .groupBy("event_type")
+      .agg(
+        max("na").as("n_a"),
+        max("nb").as("n_b"),
+        max(abs(col("fa") * col("nb") - col("fb") * col("na"))).as("d_scaled"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("d_scaled"),
+        (col("d_scaled").cast("double") / (col("n_a") * col("n_b")).cast("double")).as("ks"))
+      .orderBy("event_type")
+  }
 }

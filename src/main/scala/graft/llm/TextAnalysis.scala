@@ -324,6 +324,40 @@ object TextAnalysis {
         element_at(col("chunk"), -1).as("last_token"))
       .orderBy("doc_id", "chunk_id")
 
+  // ---- X-GINI ---------------------------------------------------------
+
+  /** X-GINI: per-source token-distribution concentration — Gini impurity
+    * `1 - Σ(c_i/n)² = (n² - Σc_i²)/n²` plus the top-token share. The
+    * lexical-diversity / mode-collapse signal a corpus monitor tracks
+    * (a source whose impurity drops is converging on boilerplate), and
+    * the libm-free complement of entropy: every sum is exact (the
+    * squares accumulate in DECIMAL(38,0) so the arithmetic survives
+    * per-token counts far past 2^31), and the only floating point is the
+    * final deterministic IEEE divisions. Scale shape: one explode + two
+    * partial+final aggs, shuffling (source, word, count) then one row
+    * per source.
+    */
+  def gini(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    counts
+      .groupBy("source")
+      .agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        max("c").as("max_c"),
+        sum(col("c").cast(DecimalType(38, 0)) * col("c")).as("sumsq"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        (col("max_c").cast("double") / col("n_tokens").cast("double")).as("top_share"),
+        ((col("n_tokens").cast(DecimalType(38, 0)) * col("n_tokens") - col("sumsq"))
+          .cast("double") /
+          (col("n_tokens").cast(DecimalType(38, 0)) * col("n_tokens")).cast("double"))
+          .as("gini"))
+      .orderBy("source")
+  }
+
   // ---- X-BPE ----------------------------------------------------------
 
   /** Merge steps to induce for [[bpeMerges]]. */

@@ -2466,6 +2466,51 @@ class GraftSpec extends AnyFunSuite {
       rows(0).getLong(3) == best._2, s"round 1 must be the brute-force argmax: ${rows(0)} vs $best")
   }
 
+  test("x_gini: impurity and top share bounded, one source matches brute force") {
+    val rows = llm.TextAnalysis.gini(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (n, vocab, top, g) = (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(vocab >= 1 && vocab <= n, s"vocab within token count: $r")
+      assert(top > 0.0 && top <= 1.0 && g >= 0.0 && g < 1.0, s"bounded: $r")
+    }
+    val src = rows.head.getString(0)
+    val counts = Tables.documents(spark, sf).filter(col("source") === src)
+      .select(explode(llm.TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").count().collect().map(_.getLong(1))
+    val n = counts.sum.toDouble
+    val brute = (n * n - counts.map(c => c.toDouble * c).sum) / (n * n)
+    assert(math.abs(rows.head.getDouble(4) - brute) < 1e-12,
+      s"$src gini must match brute force: ${rows.head.getDouble(4)} vs $brute")
+  }
+
+  test("x_drift: KS statistic exact-integer core matches brute force") {
+    val rows = llm.Analytics.drift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, nb, d, ks) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(d >= 0 && d <= na * nb, s"scaled distance within range: $r")
+      assert(ks >= 0.0 && ks <= 1.0, s"ks is a probability distance: $r")
+      assert(ks == d.toDouble / (na * nb).toDouble, "ks is exactly the one division")
+    }
+    // brute-force one type on the driver
+    val t = rows.head.getString(0)
+    val ev = Tables.events(spark, sf).filter(col("value").isNotNull && col("event_type") === t)
+      .select((col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long").as("cents"),
+        pmod(datediff(col("ts").cast("date"), to_date(lit("1970-01-01"))).cast("long"), lit(2L))
+          .as("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val a = ev.filter(_._2 == 0L).map(_._1).sorted
+    val b = ev.filter(_._2 == 1L).map(_._1).sorted
+    val support = (a ++ b).distinct.sorted
+    val d = support.map { v =>
+      math.abs(a.count(_ <= v).toLong * b.length - b.count(_ <= v).toLong * a.length)
+    }.max
+    assert(rows.head.getLong(3) == d && rows.head.getLong(1) == a.length &&
+      rows.head.getLong(2) == b.length, s"brute force mismatch for $t")
+  }
+
   test("plan lint: no cartesian blowups or fixture-scale global windows in ANY registered query") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
     // Unpartitioned windows documented as bounded-input at their def
@@ -2574,7 +2619,7 @@ class GraftSpec extends AnyFunSuite {
       "x_shortest_path" -> "X-SHORTEST-PATH", "x_rfm" -> "X-RFM",
       "x_dsir" -> "X-DSIR", "x_mixture" -> "X-MIXTURE",
       "x_shard_manifest" -> "X-SHARD", "x_novelty" -> "X-NOVELTY",
-      "x_bpe" -> "X-BPE")
+      "x_bpe" -> "X-BPE", "x_gini" -> "X-GINI", "x_drift" -> "X-DRIFT")
     val registered = SparkEntry.queries.keySet
     val unmapped = registered -- idOf.keySet
     assert(unmapped.isEmpty, s"queries with no SURVEY ID mapping: $unmapped")
