@@ -279,14 +279,20 @@ object Analytics {
     * frame; types with an empty cohort are excluded (the statistic is
     * undefined), which the oracle mirrors.
     */
-  def drift(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(spark, sfDir)
+  def drift(spark: SparkSession, sfDir: String): DataFrame =
+    driftOf(Tables.events(spark, sfDir)
       .filter(col("value").isNotNull)
       .select(col("event_type"),
         (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
         pmod(datediff(col("ts").cast("date"), to_date(lit("1970-01-01"))).cast("long"), lit(2L))
-          .as("cohort"))
+          .as("cohort")))
+
+  /** Core KS computation over any (event_type, cents, cohort∈{0,1})
+    * frame — separated so the property law can drive it with generated
+    * samples against a sequential reference.
+    */
+  def driftOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val perValue = ev
       .groupBy("event_type", "cents")
       .agg(

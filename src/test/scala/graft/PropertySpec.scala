@@ -220,6 +220,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("law: X-DRIFT equals sequential KS on random samples; identical cohorts give 0") {
+    import spark.implicits._
+    val sampleGen: Gen[List[(Long, Long)]] =
+      Gen.nonEmptyListOf(for {
+        v <- Gen.chooseNum(0L, 20L)
+        c <- Gen.oneOf(0L, 1L)
+      } yield (v, c)).suchThat(s => s.exists(_._2 == 0L) && s.exists(_._2 == 1L))
+    forAll(sampleGen, cases = 4) { sample =>
+      val df = sample.map { case (v, c) => ("t", v, c) }.toDF("event_type", "cents", "cohort")
+      val r = llm.Analytics.driftOf(df).head()
+      val a = sample.filter(_._2 == 0L).map(_._1)
+      val b = sample.filter(_._2 == 1L).map(_._1)
+      val d = (a ++ b).distinct.map { v =>
+        math.abs(a.count(_ <= v).toLong * b.length - b.count(_ <= v).toLong * a.length)
+      }.max
+      assert(r.getLong(1) == a.length && r.getLong(2) == b.length && r.getLong(3) == d,
+        s"KS core disagrees with the sequential reference on $sample")
+    }
+    // mirrored cohorts: every value appears once in each -> D = 0
+    val eq = (1L to 5L).flatMap(v => Seq(("t", v, 0L), ("t", v, 1L)))
+      .toDF("event_type", "cents", "cohort")
+    assert(llm.Analytics.driftOf(eq).head().getLong(3) == 0L)
+  }
+
   test("law: X-PAGERANK conserves probability mass on random weighted graphs") {
     import spark.implicits._
     val wEdgeGen = edgeGen(8).flatMap { es =>
