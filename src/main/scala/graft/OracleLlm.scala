@@ -275,6 +275,21 @@ object OracleLlm {
        |         / CAST(CAST(n_tokens AS DECIMAL(38, 0)) * n_tokens AS DOUBLE) AS gini
        |FROM s ORDER BY source""".stripMargin
 
+  /** equidepth mirror: same unique (cents, event_id) tiling order. */
+  val equidepthSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |         CAST(CAST(value AS DECIMAL(18, 2)) * 100 AS BIGINT) AS cents, event_id
+       |  FROM events WHERE value IS NOT NULL),
+       |b AS (SELECT event_type, cents,
+       |             CAST(ntile(4) OVER (PARTITION BY event_type
+       |               ORDER BY cents, event_id) AS BIGINT) AS bin
+       |      FROM e)
+       |SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n,
+       |       CAST(min(cents) AS BIGINT) AS lo_cents,
+       |       CAST(max(cents) AS BIGINT) AS hi_cents
+       |FROM b GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin
+
   /** drift mirror: same day-parity cohorts, integer CDF cross products,
     * one division.
     */

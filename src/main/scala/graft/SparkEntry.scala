@@ -152,6 +152,7 @@ object SparkEntry {
     "x_bpe" -> (llm.TextAnalysis.bpeMerges _),
     "x_gini" -> (llm.TextAnalysis.gini _),
     "x_drift" -> (llm.Analytics.drift _),
+    "x_equidepth" -> (llm.Analytics.equidepth _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -633,6 +634,7 @@ object SparkEntry {
     "x_bpe" -> OracleLlm.bpeSql,
     "x_gini" -> OracleLlm.giniSql,
     "x_drift" -> OracleLlm.driftSql,
+    "x_equidepth" -> OracleLlm.equidepthSql,
     "x_decontam" -> OracleLlm.decontamSql,
     "x_interleave" -> OracleLlm.interleaveSql,
     // oracle is the PLAIN interval join — bucketing must be value-identical

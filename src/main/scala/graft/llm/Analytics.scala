@@ -265,6 +265,33 @@ object Analytics {
       .orderBy("c_mktsegment", "r_tile", "f_tile", "m_tile")
   }
 
+  /** X-EQUIDEPTH: exact equi-depth value binning per event type — each
+    * type's non-null values (as exact cents) split into 4 equal-count
+    * bins by `ntile` over the unique (cents, event_id) total order; the
+    * output is each bin's count and [min, max] cents — the discretizer
+    * table a feature pipeline persists (equi-WIDTH is X-HISTOGRAM; depth
+    * binning is robust to the heavy tail that makes width bins useless).
+    * Deterministic because the tiling order is unique; every window is
+    * PARTITIONED by event type. Scale: one exchange by type + sort — the
+    * same shape as any per-key ranking — then a partial+final rollup.
+    */
+  def equidepth(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
+        col("event_id"))
+      .withColumn("bin", ntile(4).over(Window.partitionBy("event_type")
+        .orderBy(col("cents"), col("event_id"))).cast("long"))
+      .groupBy("event_type", "bin")
+      .agg(
+        count(lit(1)).as("n"),
+        min("cents").as("lo_cents"),
+        max("cents").as("hi_cents"))
+      .orderBy("event_type", "bin")
+  }
+
   /** X-DRIFT: two-sample distribution drift per event type — the exact
     * Kolmogorov–Smirnov distance between the `value` distributions of
     * two deterministic cohorts (even vs odd epoch-day), the check a

@@ -2511,6 +2511,23 @@ class GraftSpec extends AnyFunSuite {
       rows.head.getLong(2) == b.length, s"brute force mismatch for $t")
   }
 
+  test("x_equidepth: bins contiguous, near-equal, and count-conserving") {
+    val rows = llm.Analytics.equidepth(spark, sf).collect()
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (t, bins) =>
+      assert(bins.map(_.getLong(1)).sorted.toSeq == (1L to 4L), s"$t: 4 dense bins")
+      val ns = bins.sortBy(_.getLong(1)).map(_.getLong(2))
+      assert(ns.max - ns.min <= 1, s"$t: equi-depth within one row: ${ns.toSeq}")
+      // value ranges must not interleave: bin k's max <= bin k+1's min
+      val sorted = bins.sortBy(_.getLong(1))
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a.getLong(4) <= b.getLong(3), s"$t: bins overlap: $a vs $b")
+      }
+    }
+    val total = Tables.events(spark, sf).filter(col("value").isNotNull).count()
+    assert(rows.map(_.getLong(2)).sum == total, "every non-null value binned once")
+  }
+
   test("plan lint: no cartesian blowups or fixture-scale global windows in ANY registered query") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
     // Unpartitioned windows documented as bounded-input at their def
@@ -2619,7 +2636,8 @@ class GraftSpec extends AnyFunSuite {
       "x_shortest_path" -> "X-SHORTEST-PATH", "x_rfm" -> "X-RFM",
       "x_dsir" -> "X-DSIR", "x_mixture" -> "X-MIXTURE",
       "x_shard_manifest" -> "X-SHARD", "x_novelty" -> "X-NOVELTY",
-      "x_bpe" -> "X-BPE", "x_gini" -> "X-GINI", "x_drift" -> "X-DRIFT")
+      "x_bpe" -> "X-BPE", "x_gini" -> "X-GINI", "x_drift" -> "X-DRIFT",
+      "x_equidepth" -> "X-EQUIDEPTH")
     val registered = SparkEntry.queries.keySet
     val unmapped = registered -- idOf.keySet
     assert(unmapped.isEmpty, s"queries with no SURVEY ID mapping: $unmapped")
