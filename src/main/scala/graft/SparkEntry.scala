@@ -153,6 +153,7 @@ object SparkEntry {
     "x_gini" -> (llm.TextAnalysis.gini _),
     "x_drift" -> (llm.Analytics.drift _),
     "x_equidepth" -> (llm.Analytics.equidepth _),
+    "x_stream_enrich" -> (llm.StreamingOps.streamingEnrich _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -635,6 +636,17 @@ object SparkEntry {
     "x_gini" -> OracleLlm.giniSql,
     "x_drift" -> OracleLlm.driftSql,
     "x_equidepth" -> OracleLlm.equidepthSql,
+    // the stream-static enrichment drains to a sink whose rollup must
+    // equal the plain batch join over the single-copy table
+    "x_stream_enrich" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT event_type,
+        |         CAST(length(event_type) % 5 + 1 AS BIGINT) AS weight
+        |  FROM events)
+        |SELECT e.event_type, d.weight, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(e.value AS DECIMAL(18, 2)) * d.weight) AS DOUBLE) AS weighted_value
+        |FROM events e JOIN dim d USING (event_type)
+        |GROUP BY 1, 2 ORDER BY e.event_type""".stripMargin,
     "x_decontam" -> OracleLlm.decontamSql,
     "x_interleave" -> OracleLlm.interleaveSql,
     // oracle is the PLAIN interval join — bucketing must be value-identical

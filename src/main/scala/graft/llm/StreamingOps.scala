@@ -79,6 +79,33 @@ object StreamingOps {
       .orderBy("event_type")
   }
 
+  /** X-STREAM-ENRICH: stream–static enrichment join — the third join
+    * shape Structured Streaming supports beside stream-stream
+    * ([[streamingJoin]]) and windowed aggregation: an unbounded stream
+    * joined against a bounded dimension. STATELESS by construction — no
+    * watermark, no state store, nothing buffers; the dim broadcasts and
+    * every micro-batch is a map-side hash join, so at 100 TB/day the
+    * stream never shuffles at all. The dim derives per-type weights from
+    * the type string (x_skew_join's dim), so the oracle is the identical
+    * plain batch join over the single-copy table.
+    */
+  def streamingEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val (work, srcDir) = stage(sfDir, "stream_enrich", copies = 1)
+    val dim = Tables.events(spark, sfDir)
+      .select(col("event_type")).distinct()
+      .withColumn("weight", (length(col("event_type")) % 5 + 1).cast("long"))
+    val enriched = eventStream(spark, sfDir, srcDir)
+      .join(broadcast(dim), "event_type")
+      .select(col("event_type"), col("weight"), col("value"))
+    graft.streaming.Drain.toParquet(enriched, work, shufflePartitions = Some(8))
+      .groupBy("event_type", "weight")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2)) * col("weight"))
+          .cast("double").as("weighted_value"))
+      .orderBy("event_type")
+  }
+
   /** Attribution window: a purchase credits a signup within 7 days. */
   val AttributionWindow = "7 days"
 

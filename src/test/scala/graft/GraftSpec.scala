@@ -2528,6 +2528,21 @@ class GraftSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum == total, "every non-null value binned once")
   }
 
+  test("x_stream_enrich: drained stream-static join equals the batch join") {
+    val streamed = llm.StreamingOps.streamingEnrich(spark, sf).collect()
+    val dim = Tables.events(spark, sf).select(col("event_type")).distinct()
+      .withColumn("weight", (length(col("event_type")) % 5 + 1).cast("long"))
+    val batch = Tables.events(spark, sf)
+      .join(dim, "event_type")
+      .groupBy("event_type", "weight")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * col("weight"))
+          .cast("double").as("weighted_value"))
+      .orderBy("event_type").collect()
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq,
+      "stateless enrichment must be exactly the batch join")
+  }
+
   test("plan lint: no cartesian blowups or fixture-scale global windows in ANY registered query") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
     // Unpartitioned windows documented as bounded-input at their def
@@ -2637,7 +2652,7 @@ class GraftSpec extends AnyFunSuite {
       "x_dsir" -> "X-DSIR", "x_mixture" -> "X-MIXTURE",
       "x_shard_manifest" -> "X-SHARD", "x_novelty" -> "X-NOVELTY",
       "x_bpe" -> "X-BPE", "x_gini" -> "X-GINI", "x_drift" -> "X-DRIFT",
-      "x_equidepth" -> "X-EQUIDEPTH")
+      "x_equidepth" -> "X-EQUIDEPTH", "x_stream_enrich" -> "X-STREAM-ENRICH")
     val registered = SparkEntry.queries.keySet
     val unmapped = registered -- idOf.keySet
     assert(unmapped.isEmpty, s"queries with no SURVEY ID mapping: $unmapped")
