@@ -257,6 +257,35 @@ object OracleLlm {
        |SELECT * FROM ($out) ORDER BY merge_rank""".stripMargin
   }
 
+  /** decontam-ngram mirror: same content-hash split, same distinct
+    * 8-gram explode, flagged train docs via IN against the test grams.
+    */
+  val decontamNgramSql: String = {
+    val n = llm.Sampling.DecontamGramN
+    val b = llm.Sampling.SplitBuckets
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |         ((${signed64(hash64u("text"))} % $b) + $b) % $b AS b,
+       |         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT source, doc_id, b,
+       |         unnest(list_distinct(list_transform(range(1, len(toks) - $n + 2),
+       |           i -> array_to_string(toks[CAST(i AS INT):CAST(i + $n - 1 AS INT)], ' ')))) AS gm
+       |  FROM d WHERE len(toks) >= $n),
+       |tg AS (SELECT DISTINCT gm FROM g WHERE b = 9),
+       |fl AS (SELECT DISTINCT source, doc_id FROM g
+       |       WHERE b <= 7 AND gm IN (SELECT gm FROM tg)),
+       |tr AS (SELECT source, CAST(count(*) AS BIGINT) AS n_train
+       |       FROM d WHERE b <= 7 GROUP BY source),
+       |fc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_flagged FROM fl GROUP BY source)
+       |SELECT tr.source, tr.n_train,
+       |       CAST(coalesce(fc.n_flagged, 0) AS BIGINT) AS n_flagged,
+       |       CAST(coalesce(fc.n_flagged, 0) AS DOUBLE)
+       |         / CAST(tr.n_train AS DOUBLE) AS flag_rate
+       |FROM tr LEFT JOIN fc USING (source) ORDER BY tr.source""".stripMargin
+  }
+
   /** gini mirror: exact DECIMAL(38,0) squares, final IEEE divisions. */
   val giniSql: String =
     s"""WITH t AS (

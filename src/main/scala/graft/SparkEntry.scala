@@ -154,6 +154,7 @@ object SparkEntry {
     "x_drift" -> (llm.Analytics.drift _),
     "x_equidepth" -> (llm.Analytics.equidepth _),
     "x_stream_enrich" -> (llm.StreamingOps.streamingEnrich _),
+    "x_decontam_ngram" -> (llm.Sampling.decontaminationNgram _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -629,6 +630,7 @@ object SparkEntry {
     "x_split" -> OracleLlm.splitSql,
     "x_token_budget" -> OracleLlm.tokenBudgetSql,
     "x_dsir" -> OracleLlm.dsirSql,
+    "x_decontam_ngram" -> OracleLlm.decontamNgramSql,
     "x_mixture" -> OracleLlm.mixtureSql,
     "x_shard_manifest" -> OracleLlm.shardManifestSql,
     "x_novelty" -> OracleLlm.noveltySql,

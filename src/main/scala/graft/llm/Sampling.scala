@@ -79,6 +79,53 @@ object Sampling {
       .orderBy("id_a", "id_b")
   }
 
+  /** N-gram width for [[decontaminationNgram]] — wide enough that a
+    * shared gram means copied text, not phrase reuse (the GPT-3-style
+    * 13-gram rule, sized down to the fixture's ~short docs).
+    */
+  val DecontamGramN = 8
+
+  /** X-DECONTAM-NGRAM: exact n-gram eval decontamination — flag every
+    * TRAIN document sharing at least one [[DecontamGramN]]-word-gram with
+    * any TEST document (the exact-overlap rule eval decontamination
+    * actually ships with, complementing X-DECONTAM's near-dup sweep:
+    * that catches paraphrase-level leaks, this one verbatim spans).
+    * Splits are the X-SPLIT content-hash assignment, so the flagged set
+    * is deterministic end-to-end.
+    *
+    * Scale shape: the test side is the small side by construction (an
+    * eval set vs a 100 TB corpus — there it broadcasts outright); grams
+    * explode once per side and meet in one equi-join on the gram string;
+    * flagged docs come back as a LEFT SEMI (no row multiplication from
+    * multi-gram matches), then one partial+final rollup per source.
+    */
+  def decontaminationNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = DecontamGramN
+    val sp = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), splitName(bucket).as("split"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+    def grams(df: DataFrame): DataFrame = df
+      .filter(size(col("toks")) >= n)
+      .select(col("source"), col("doc_id"),
+        explode(array_distinct(expr(
+          s"transform(sequence(0, size(toks)-$n), i -> array_join(slice(toks, i+1, $n), ' '))")))
+          .as("g"))
+    val testGrams = grams(sp.filter(col("split") === "test"))
+      .select(col("g")).distinct()
+    val train = sp.filter(col("split") === "train")
+    val flagged = grams(train)
+      .join(testGrams, Seq("g"), "left_semi")
+      .select(col("source"), col("doc_id")).distinct()
+    train.groupBy("source").agg(count(lit(1)).as("n_train"))
+      .join(flagged.groupBy("source").agg(count(lit(1)).as("n_flagged")),
+        Seq("source"), "left")
+      .select(col("source"), col("n_train"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        (coalesce(col("n_flagged"), lit(0L)).cast("double") /
+          col("n_train").cast("double")).as("flag_rate"))
+      .orderBy("source")
+  }
+
   /** Per-stratum keep rates (percent of the 100-bucket hash space) for
     * [[stratified]]: the mix a training pipeline actually wants —
     * downsample the torrent (views/clicks), keep every rare high-value

@@ -2543,6 +2543,29 @@ class GraftSpec extends AnyFunSuite {
       "stateless enrichment must be exactly the batch join")
   }
 
+  test("x_decontam_ngram: flagged counts equal the brute-force 8-gram overlap") {
+    val rows = llm.Sampling.decontaminationNgram(spark, sf).collect()
+    val n = llm.Sampling.DecontamGramN
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        llm.Sampling.splitName(pmod(graft.functions.RollingHash.rolling_hash(col("text")),
+          lit(llm.Sampling.SplitBuckets.toLong))).as("split"),
+        llm.TextAnalysis.tokens(col("text")).as("toks"))
+      .collect()
+    def grams(toks: Seq[String]): Set[String] =
+      if (toks.length < n) Set.empty else toks.sliding(n).map(_.mkString(" ")).toSet
+    val testGrams = docs.filter(_.getString(2) == "test")
+      .flatMap(r => grams(r.getSeq[String](3))).toSet
+    val expected = docs.filter(_.getString(2) == "train")
+      .filter(r => grams(r.getSeq[String](3)).exists(testGrams.contains))
+      .groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) == expected.getOrElse(r.getString(0), 0L),
+        s"flag count disagrees with brute force: $r")
+    }
+    assert(rows.map(_.getLong(2)).sum == expected.values.sum)
+  }
+
   test("plan lint: no cartesian blowups or fixture-scale global windows in ANY registered query") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
     // Unpartitioned windows documented as bounded-input at their def
@@ -2652,7 +2675,8 @@ class GraftSpec extends AnyFunSuite {
       "x_dsir" -> "X-DSIR", "x_mixture" -> "X-MIXTURE",
       "x_shard_manifest" -> "X-SHARD", "x_novelty" -> "X-NOVELTY",
       "x_bpe" -> "X-BPE", "x_gini" -> "X-GINI", "x_drift" -> "X-DRIFT",
-      "x_equidepth" -> "X-EQUIDEPTH", "x_stream_enrich" -> "X-STREAM-ENRICH")
+      "x_equidepth" -> "X-EQUIDEPTH", "x_stream_enrich" -> "X-STREAM-ENRICH",
+      "x_decontam_ngram" -> "X-DECONTAM-NGRAM")
     val registered = SparkEntry.queries.keySet
     val unmapped = registered -- idOf.keySet
     assert(unmapped.isEmpty, s"queries with no SURVEY ID mapping: $unmapped")
