@@ -393,7 +393,8 @@ object OracleLlm {
        |  FROM sf),
        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM sf),
        |s AS (SELECT doc_id, n_tokens,
-       |             CAST((cb * ${llm.Sampling.NShards}) // tot AS BIGINT) AS shard_id
+       |             CAST(least((cb * ${llm.Sampling.NShards}) // tot,
+       |                        ${llm.Sampling.NShards - 1}) AS BIGINT) AS shard_id
        |      FROM r, t)
        |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
        |       CAST(sum(n_tokens) AS BIGINT) AS tokens,

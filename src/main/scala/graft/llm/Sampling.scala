@@ -470,12 +470,21 @@ object Sampling {
     * a per-partition running sum (`mapPartitions` — genuine sequential
     * per-partition state). No global window, no single-reducer sort.
     */
-  def shardManifest(spark: SparkSession, sfDir: String): DataFrame = {
+  def shardManifest(spark: SparkSession, sfDir: String): DataFrame =
+    shardManifestOf(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), rolling_hash(col("text")).as("fp"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")))
+
+  /** Core shard-cut over any (doc_id, fp, n_tokens) frame — separated so
+    * the property law can drive it with generated corpora against a
+    * sequential prefix-sum reference.
+    */
+  def shardManifestOf(perDoc: DataFrame): DataFrame = {
+    val spark = perDoc.sparkSession
     import spark.implicits._
     // cache pins one range partitioning for both jobs ([[globalIds]])
-    val ranged = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), rolling_hash(col("text")).as("fp"),
-        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val ranged = perDoc
+      .select(col("doc_id"), col("fp"), col("n_tokens"))
       .repartitionByRange(GlobalIdPartitions, col("fp"), col("doc_id"))
       .sortWithinPartitions("fp", "doc_id")
       .as[(Long, Long, Long)]
@@ -494,7 +503,10 @@ object Sampling {
     val sharded = ranged.mapPartitions { it =>
       var before = bc.value(org.apache.spark.TaskContext.getPartitionId())
       it.map { case (docId, _, nTok) =>
-        val shard = before * n / totalTokens
+        // clamp: a zero-token doc sitting at the exact end of the order
+        // has tokens-before == total and would index one past the last
+        // shard; it belongs in the last shard
+        val shard = math.min(before * n / totalTokens, n - 1)
         before += nTok
         (shard, docId, nTok)
       }

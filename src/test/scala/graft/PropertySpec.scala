@@ -244,6 +244,38 @@ class PropertySpec extends AnyFunSuite {
     assert(llm.Analytics.driftOf(eq).head().getLong(3) == 0L)
   }
 
+  test("law: X-SHARD cut equals the sequential prefix-sum reference on random corpora") {
+    import spark.implicits._
+    val corpusGen: Gen[List[(Long, Long, Long)]] =
+      Gen.nonEmptyListOf(for {
+        id <- Gen.chooseNum(1L, 1000L)
+        fp <- Gen.chooseNum(-50L, 50L)
+        nt <- Gen.chooseNum(0L, 9L)
+      } yield (id, fp, nt))
+        .map(_.groupBy(_._1).map(_._2.head).toList) // unique doc ids
+        .suchThat(_.map(_._3).sum > 0)
+    forAll(corpusGen, cases = 4) { corpus =>
+      val out = llm.Sampling.shardManifestOf(
+        corpus.toDF("doc_id", "fp", "n_tokens")).collect()
+      val total = corpus.map(_._3).sum
+      val n = llm.Sampling.NShards.toLong
+      // sequential reference: walk (fp, doc_id) order, cut on tokens-before
+      var before = 0L
+      val ref = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+      corpus.sortBy(c => (c._2, c._1)).foreach { case (id, _, nt) =>
+        val s = math.min(before * n / total, n - 1)
+        val (d, t, ids) = ref.getOrElse(s, (0L, 0L, 0L))
+        ref(s) = (d + 1, t + nt, ids + id)
+        before += nt
+      }
+      assert(out.length == ref.size, s"shard count differs on $corpus")
+      out.foreach { r =>
+        assert(ref(r.getLong(0)) == ((r.getLong(1), r.getLong(2), r.getLong(3))),
+          s"shard ${r.getLong(0)} differs from the reference on $corpus")
+      }
+    }
+  }
+
   test("law: X-PAGERANK conserves probability mass on random weighted graphs") {
     import spark.implicits._
     val wEdgeGen = edgeGen(8).flatMap { es =>
