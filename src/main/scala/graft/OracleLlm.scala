@@ -227,7 +227,11 @@ object OracleLlm {
     * string procedure ([[llm.TextAnalysis.BpeReplaceDepth]]), so every
     * round's decision and the merged corpus agree bit-for-bit.
     */
-  val bpeSql: String = {
+  /** Shared CTE chain for the BPE mirrors: word-type table (with the
+    * word carried through every round) + k rounds of pair-count /
+    * argmax / fixpoint-replace.
+    */
+  private val bpeCtes: String = {
     val k = llm.TextAnalysis.BpeMergeCount
     def fused(i: Int): String =
       (1 to llm.TextAnalysis.BpeReplaceDepth).foldLeft("seq") { case (acc, _) =>
@@ -241,20 +245,46 @@ object OracleLlm {
          |        SELECT c, regexp_split_to_array(trim(seq), ' ') AS ts FROM w${i - 1})))
          |  GROUP BY l, r),
          |b$i AS (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
-         |w$i AS (SELECT ${fused(i)} AS seq, c FROM w${i - 1}, b$i)""".stripMargin
+         |w$i AS (SELECT w, ${fused(i)} AS seq, c FROM w${i - 1}, b$i)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to k).map(i =>
-      s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, pc AS pair_count FROM b$i")
-      .mkString("\nUNION ALL ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS w
        |  FROM documents),
        |w0 AS (
-       |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq,
+       |  SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS seq,
        |         CAST(count(*) AS BIGINT) AS c
-       |  FROM toks GROUP BY 1),
-       |$rounds
+       |  FROM toks GROUP BY w),
+       |$rounds""".stripMargin
+  }
+
+  val bpeSql: String = {
+    val k = llm.TextAnalysis.BpeMergeCount
+    val out = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, pc AS pair_count FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH $bpeCtes
        |SELECT * FROM ($out) ORDER BY merge_rank""".stripMargin
+  }
+
+  /** bpeApply mirror: the final round's word → sequence map joined back
+    * to the per-doc token stream; fertility is the same single division.
+    */
+  val bpeApplySql: String = {
+    val k = llm.TextAnalysis.BpeMergeCount
+    s"""WITH $bpeCtes,
+       |map AS (
+       |  SELECT w, CAST(len(regexp_split_to_array(trim(seq), ' ')) AS BIGINT) AS syms
+       |  FROM w$k),
+       |tok AS (
+       |  SELECT source,
+       |         unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS w
+       |  FROM documents)
+       |SELECT tok.source, CAST(count(*) AS BIGINT) AS n_tokens,
+       |       CAST(sum(length(tok.w)) AS BIGINT) AS n_chars,
+       |       CAST(sum(map.syms) AS BIGINT) AS n_symbols,
+       |       CAST(sum(map.syms) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fertility
+       |FROM tok JOIN map USING (w)
+       |GROUP BY tok.source ORDER BY tok.source""".stripMargin
   }
 
   /** decontam-ngram mirror: same content-hash split, same distinct

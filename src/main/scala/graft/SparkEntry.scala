@@ -155,6 +155,7 @@ object SparkEntry {
     "x_equidepth" -> (llm.Analytics.equidepth _),
     "x_stream_enrich" -> (llm.StreamingOps.streamingEnrich _),
     "x_decontam_ngram" -> (llm.Sampling.decontaminationNgram _),
+    "x_bpe_apply" -> (llm.TextAnalysis.bpeApply _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -635,6 +636,7 @@ object SparkEntry {
     "x_shard_manifest" -> OracleLlm.shardManifestSql,
     "x_novelty" -> OracleLlm.noveltySql,
     "x_bpe" -> OracleLlm.bpeSql,
+    "x_bpe_apply" -> OracleLlm.bpeApplySql,
     "x_gini" -> OracleLlm.giniSql,
     "x_drift" -> OracleLlm.driftSql,
     "x_equidepth" -> OracleLlm.equidepthSql,

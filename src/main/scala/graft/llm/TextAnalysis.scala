@@ -391,45 +391,87 @@ object TextAnalysis {
     * word-type frame is cached once; rounds stack narrow replace
     * expressions on it.
     */
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Seq[(Long, String, String, Long)], DataFrame)]()
+
+  /** The trained state: the merge table plus the word-type → fused
+    * symbol-sequence map (vocab-sized; eagerly checkpointed so the
+    * stacked replace expressions never recompute downstream). Memoized
+    * per (session, sfDir) — [[bpeMerges]] and [[bpeApply]] share one
+    * training run, the way a tokenizer is trained once and applied many
+    * times.
+    */
+  private def bpeTrain(spark: SparkSession, sfDir: String): (Seq[(Long, String, String, Long)], DataFrame) =
+    bpeCache.computeIfAbsent((spark, sfDir), { _ =>
+      val words = Tables.documents(spark, sfDir)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .select(col("w"),
+          concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("seq"), col("c"))
+        .persist()
+      words.count()
+      var cur: DataFrame = words
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+      var k = 1
+      var exhausted = false
+      while (k <= BpeMergeCount && !exhausted) {
+        val top = cur
+          .select(col("c"), split(trim(col("seq")), " ").as("ts"))
+          // single-symbol words have no pairs — and Spark's sequence(0, -1)
+          // DESCENDS, so without the guard ts[1] faults under ANSI
+          .filter(size(col("ts")) >= 2)
+          .select(col("c"), explode(expr(
+            "transform(sequence(0, size(ts)-2), i -> struct(ts[i] AS l, ts[i+1] AS r))")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("c").as("pc"))
+          .orderBy(col("pc").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (l, r, pc) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((k.toLong, l, r, pc))
+          val pat = s" $l $r "
+          val rep = s" $l$r "
+          val fused = (1 to BpeReplaceDepth).foldLeft(col("seq")) {
+            case (acc, _) => org.apache.spark.sql.functions.replace(acc, lit(pat), lit(rep))
+          }
+          cur = cur.select(col("w"), fused.as("seq"), col("c"))
+          k += 1
+        }
+      }
+      val fin = cur.localCheckpoint(true)
+      words.unpersist()
+      (merges.toSeq, fin)
+    })
+
   def bpeMerges(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val words = Tables.documents(spark, sfDir)
-      .select(explode(tokens(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c"))
-      .select(concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("seq"), col("c"))
-      .persist()
-    words.count()
-    var cur: DataFrame = words
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    var k = 1
-    var exhausted = false
-    while (k <= BpeMergeCount && !exhausted) {
-      val top = cur
-        .select(col("c"), split(trim(col("seq")), " ").as("ts"))
-        // single-symbol words have no pairs — and Spark's sequence(0, -1)
-        // DESCENDS, so without the guard ts[1] faults under ANSI
-        .filter(size(col("ts")) >= 2)
-        .select(col("c"), explode(expr(
-          "transform(sequence(0, size(ts)-2), i -> struct(ts[i] AS l, ts[i+1] AS r))")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("c").as("pc"))
-        .orderBy(col("pc").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val (l, r, pc) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((k.toLong, l, r, pc))
-        val pat = s" $l $r "
-        val rep = s" $l$r "
-        val fused = (1 to BpeReplaceDepth).foldLeft(col("seq")) {
-          case (acc, _) => org.apache.spark.sql.functions.replace(acc, lit(pat), lit(rep))
-        }
-        cur = cur.select(fused.as("seq"), col("c"))
-        k += 1
-      }
-    }
-    words.unpersist()
-    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count").orderBy("merge_rank")
+    bpeTrain(spark, sfDir)._1
+      .toDF("merge_rank", "lhs", "rhs", "pair_count").orderBy("merge_rank")
+  }
+
+  /** X-BPE-APPLY: apply the trained merges back to the corpus — the
+    * tokenizer-fertility profile (symbols per word, chars per symbol)
+    * per source that decides whether a tokenizer is good enough to ship.
+    * The word-type → symbol-count map is vocab-sized (broadcasts at
+    * 100 TB); the corpus-sized work is one explode + equi-join on the
+    * word + partial+final rollup. Fertility is ONE division of two exact
+    * BIGINTs.
+    */
+  def bpeApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val map = bpeTrain(spark, sfDir)._2
+      .select(col("w"), size(split(trim(col("seq")), " ")).cast("long").as("syms"))
+    Tables.documents(spark, sfDir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .join(broadcast(map), "w")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum("syms").as("n_symbols"))
+      .select(col("source"), col("n_tokens"), col("n_chars"), col("n_symbols"),
+        (col("n_symbols").cast("double") / col("n_tokens").cast("double")).as("fertility"))
+      .orderBy("source")
   }
 
   // ---- X-NOVELTY ------------------------------------------------------

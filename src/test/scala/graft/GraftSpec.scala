@@ -2566,6 +2566,34 @@ class GraftSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum == expected.values.sum)
   }
 
+  test("x_bpe_apply: fertility bounds and totals match a driver-side re-tokenization") {
+    val rows = llm.TextAnalysis.bpeApply(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (nt, nc, ns, f) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nt <= ns && ns <= nc, s"tokens <= symbols <= chars: $r")
+      assert(f == ns.toDouble / nt.toDouble, s"fertility is the one division: $r")
+    }
+    // re-tokenize one source on the driver with the SAME fixpoint procedure
+    val merges = llm.TextAnalysis.bpeMerges(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    def symbols(word: String): Int = {
+      var s = " " + word.map(ch => s"$ch ").mkString
+      merges.foreach { case (l, r) =>
+        (1 to llm.TextAnalysis.BpeReplaceDepth).foreach { _ =>
+          s = s.replace(s" $l $r ", s" $l$r ")
+        }
+      }
+      s.trim.split(" ").length
+    }
+    val src = rows.head.getString(0)
+    val toks = Tables.documents(spark, sf).filter(col("source") === src)
+      .select(explode(llm.TextAnalysis.tokens(col("text"))).as("w"))
+      .collect().map(_.getString(0))
+    assert(rows.head.getLong(3) == toks.map(symbols).map(_.toLong).sum,
+      s"$src symbol total must match the sequential re-tokenization")
+  }
+
   test("plan lint: no cartesian blowups or fixture-scale global windows in ANY registered query") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
     // Unpartitioned windows documented as bounded-input at their def
@@ -2676,7 +2704,7 @@ class GraftSpec extends AnyFunSuite {
       "x_shard_manifest" -> "X-SHARD", "x_novelty" -> "X-NOVELTY",
       "x_bpe" -> "X-BPE", "x_gini" -> "X-GINI", "x_drift" -> "X-DRIFT",
       "x_equidepth" -> "X-EQUIDEPTH", "x_stream_enrich" -> "X-STREAM-ENRICH",
-      "x_decontam_ngram" -> "X-DECONTAM-NGRAM")
+      "x_decontam_ngram" -> "X-DECONTAM-NGRAM", "x_bpe_apply" -> "X-BPE-APPLY")
     val registered = SparkEntry.queries.keySet
     val unmapped = registered -- idOf.keySet
     assert(unmapped.isEmpty, s"queries with no SURVEY ID mapping: $unmapped")
