@@ -156,6 +156,9 @@ object SparkEntry {
     "x_stream_enrich" -> (llm.StreamingOps.streamingEnrich _),
     "x_decontam_ngram" -> (llm.Sampling.decontaminationNgram _),
     "x_bpe_apply" -> (llm.TextAnalysis.bpeApply _),
+    "x_linreg" -> (llm.Analytics.linreg _),
+    "x_winsorize" -> (llm.Analytics.winsorize _),
+    "x_observe" -> (llm.Analytics.observeMetrics _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -1523,5 +1526,77 @@ object SparkEntry {
         |SELECT prev_type, next_type, n, row_total,
         |       CAST(n AS DOUBLE) / CAST(row_total AS DOUBLE) AS rate
         |FROM t ORDER BY prev_type, next_type""".stripMargin,
+    // OLS moments exact BIGINT; slope/intercept are the identical IEEE
+    // expression over correctly-rounded BIGINT->double casts
+    "x_linreg" ->
+      s"""WITH o AS (
+        |  SELECT o_custkey,
+        |         CAST(CAST(o_orderdate AS DATE) - DATE '${llm.Analytics.LinregEpoch}' AS BIGINT) AS x,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM orders),
+        |m AS (
+        |  SELECT c.c_mktsegment,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY c.c_mktsegment),
+        |s AS (
+        |  SELECT *,
+        |         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+        |  FROM m)
+        |SELECT c_mktsegment, n, sx, sy, sxy, sxx, slope,
+        |       (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+        |         AS intercept
+        |FROM s ORDER BY c_mktsegment""".stripMargin,
+    // percentile_disc bounds at 1-based rank ceil(p*n) over the unique
+    // (cents, custkey) order; clamped sum stays exact BIGINT
+    "x_winsorize" ->
+      s"""WITH b AS (
+        |  SELECT c_mktsegment,
+        |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |         c_custkey
+        |  FROM customer),
+        |r AS (
+        |  SELECT *,
+        |         CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |           ORDER BY cents, c_custkey) AS BIGINT) AS rn,
+        |         CAST(count(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS cnt
+        |  FROM b),
+        |bd AS (
+        |  SELECT c_mktsegment,
+        |         max(CASE WHEN rn = (cnt * ${llm.Analytics.WinsorPct} + 99) // 100
+        |             THEN cents END) AS lo_cents,
+        |         max(CASE WHEN rn = (cnt * ${100 - llm.Analytics.WinsorPct} + 99) // 100
+        |             THEN cents END) AS hi_cents
+        |  FROM r GROUP BY c_mktsegment)
+        |SELECT b.c_mktsegment,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(max(bd.lo_cents) AS BIGINT) AS lo_cents,
+        |       CAST(max(bd.hi_cents) AS BIGINT) AS hi_cents,
+        |       CAST(sum(greatest(least(b.cents, bd.hi_cents), bd.lo_cents)) AS BIGINT)
+        |         AS win_sum_cents,
+        |       CAST(sum(b.cents) AS BIGINT) AS raw_sum_cents,
+        |       CAST(sum(greatest(least(b.cents, bd.hi_cents), bd.lo_cents)) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS win_mean
+        |FROM b JOIN bd USING (c_mktsegment)
+        |GROUP BY b.c_mktsegment ORDER BY b.c_mktsegment""".stripMargin,
+    // observe() metrics are the pass-through aggregates stated directly
+    "x_observe" ->
+      s"""SELECT 'in' AS stage, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |         AS sum_cents
+        |FROM orders
+        |UNION ALL
+        |SELECT 'out' AS stage, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |         AS sum_cents
+        |FROM orders WHERE ${llm.Analytics.ObservePredicate}
+        |ORDER BY stage""".stripMargin,
   )
 }

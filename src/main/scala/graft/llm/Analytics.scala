@@ -343,4 +343,134 @@ object Analytics {
         (col("d_scaled").cast("double") / (col("n_a") * col("n_b")).cast("double")).as("ks"))
       .orderBy("event_type")
   }
+
+  /** Regression time origin: day 0 of the order-date domain. */
+  val LinregEpoch = "1995-01-01"
+
+  /** X-LINREG: per-segment ordinary-least-squares trend — spend (exact
+    * cents) regressed on order age (days since [[LinregEpoch]]), the
+    * "is this segment's ticket size drifting?" monitor a pipeline runs
+    * per data window. The distributed part is ONE partial+final hash
+    * aggregate producing the five exact BIGINT moments (n, Σx, Σy, Σxy,
+    * Σx²) — the shuffle carries five counters per segment per map
+    * partition, never rows, which is the textbook reason OLS scales: the
+    * sufficient statistics are algebraic. Slope and intercept are then
+    * derived from the moments with one fixed IEEE expression reproduced
+    * verbatim in the oracle (BIGINT→double casts are correctly rounded
+    * in both engines, and every double op on identical operands is
+    * bit-deterministic). Σy² is deliberately NOT computed: cents² sums
+    * overflow int64 at scale, so r² would need 128-bit sums whose
+    * double-rounding is engine-dependent — the moments emitted are
+    * exactly the ones int64 carries exactly.
+    */
+  def linreg(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), to_date(lit(LinregEpoch)))
+          .cast("long").as("x"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("y"))
+    val cust = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val m = o.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"),
+        sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    val nD = col("n").cast("double")
+    val cov = nD * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+    val varx = nD * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    m.withColumn("slope", cov / varx)
+      .withColumn("intercept",
+        (col("sy").cast("double") - col("slope") * col("sx").cast("double")) / nD)
+      .orderBy("c_mktsegment")
+  }
+
+  /** Winsorization tail fraction: clamp below P5 and above P95. */
+  val WinsorPct = 5
+
+  /** X-WINSORIZE: robust per-segment mean via percentile clamping — the
+    * outlier treatment feature pipelines apply before z-scoring (a MEAN
+    * is wrecked by one fat-finger row; winsorizing bounds the damage
+    * without dropping data like a filter would). Bounds are exact
+    * `percentile_disc`-style order statistics: the value at 1-based rank
+    * ⌈p·n⌉ of each segment's (cents, custkey) total order — the tie-break
+    * key makes the rank assignment unique, and because equal cents sort
+    * adjacently the SELECTED VALUE is tie-order independent anyway.
+    * Everything stays exact integers (ranks, bounds, clamped sum); the
+    * single division at the end is one deterministic IEEE op. Scale
+    * shape: one exchange per segment for the ranking window (the same
+    * shape as any per-key ranking — at 100 TB the per-segment sort is
+    * the irreducible cost of an EXACT percentile; the approximate
+    * sibling is x_quantiles), then a broadcast of the ≤|segments| bound
+    * rows back onto the frame.
+    */
+  def winsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.load(spark, sfDir, "customer")
+      .select(col("c_mktsegment"),
+        (col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
+        col("c_custkey"))
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("cents"), col("c_custkey"))
+    val ranked = base
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("c_mktsegment")))
+    // 1-based rank of the percentile_disc bound: ceil(p*n) = (p*n + 99) div 100
+    val loIdx = (col("cnt") * WinsorPct + 99).divide(100).cast("long")
+    val hiIdx = (col("cnt") * (100 - WinsorPct) + 99).divide(100).cast("long")
+    val bounds = ranked
+      .groupBy("c_mktsegment")
+      .agg(
+        max(when(col("rn") === loIdx, col("cents"))).as("lo_cents"),
+        max(when(col("rn") === hiIdx, col("cents"))).as("hi_cents"))
+    base.join(broadcast(bounds), Seq("c_mktsegment"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n"),
+        max("lo_cents").as("lo_cents"),
+        max("hi_cents").as("hi_cents"),
+        sum(greatest(least(col("cents"), col("hi_cents")), col("lo_cents")))
+          .as("win_sum_cents"),
+        sum("cents").as("raw_sum_cents"))
+      .withColumn("win_mean",
+        col("win_sum_cents").cast("double") / col("n").cast("double"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Observed-metrics pipeline filter: the reference's load keeps only
+    * spend-carrying rows; here the monitored stage keeps urgent orders.
+    */
+  val ObservePredicate = "o_orderpriority = '1-URGENT'"
+
+  /** X-OBSERVE: pipeline observability via `Dataset.observe` — named
+    * accumulator-style metrics (row counts, exact cent sums) collected
+    * on the rows FLOWING THROUGH a pass, before and after a filter
+    * stage. This is the production monitoring idiom: the metrics cost
+    * zero extra jobs (they piggyback on the one pass as
+    * `CollectMetrics` nodes — a separate `count()` per stage would
+    * rescan the 100 TB input twice) and they surface exactly what the
+    * executed query saw, not what a drifted side-query recomputes. The
+    * driver materializes the two metric rows — metrics-sized, not
+    * data-sized — into the result frame. Oracle: the same aggregates
+    * stated directly over the table.
+    */
+  def observeMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.Observation
+    val obsIn = Observation("in")
+    val obsOut = Observation("out")
+    val monitored = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .observe(obsIn, count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+      .filter(expr(ObservePredicate))
+      .observe(obsOut, count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+    monitored.write.format("noop").mode("overwrite").save()
+    val rows = Seq(
+      ("in", obsIn.get("n_rows").asInstanceOf[Long], obsIn.get("sum_cents").asInstanceOf[Long]),
+      ("out", obsOut.get("n_rows").asInstanceOf[Long], obsOut.get("sum_cents").asInstanceOf[Long]))
+    import spark.implicits._
+    rows.toDF("stage", "n_rows", "sum_cents").orderBy("stage")
+  }
 }

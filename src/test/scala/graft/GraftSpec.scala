@@ -2704,7 +2704,9 @@ class GraftSpec extends AnyFunSuite {
       "x_shard_manifest" -> "X-SHARD", "x_novelty" -> "X-NOVELTY",
       "x_bpe" -> "X-BPE", "x_gini" -> "X-GINI", "x_drift" -> "X-DRIFT",
       "x_equidepth" -> "X-EQUIDEPTH", "x_stream_enrich" -> "X-STREAM-ENRICH",
-      "x_decontam_ngram" -> "X-DECONTAM-NGRAM", "x_bpe_apply" -> "X-BPE-APPLY")
+      "x_decontam_ngram" -> "X-DECONTAM-NGRAM", "x_bpe_apply" -> "X-BPE-APPLY",
+      "x_linreg" -> "X-LINREG", "x_winsorize" -> "X-WINSORIZE",
+      "x_observe" -> "X-OBSERVE")
     val registered = SparkEntry.queries.keySet
     val unmapped = registered -- idOf.keySet
     assert(unmapped.isEmpty, s"queries with no SURVEY ID mapping: $unmapped")
