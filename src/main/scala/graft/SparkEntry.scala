@@ -159,6 +159,7 @@ object SparkEntry {
     "x_linreg" -> (llm.Analytics.linreg _),
     "x_winsorize" -> (llm.Analytics.winsorize _),
     "x_observe" -> (llm.Analytics.observeMetrics _),
+    "x_gapfill" -> (llm.Analytics.gapfill _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -1598,5 +1599,36 @@ object SparkEntry {
         |         AS sum_cents
         |FROM orders WHERE ${llm.Analytics.ObservePredicate}
         |ORDER BY stage""".stripMargin,
+    // forward fill mirrored with the engine-agnostic count-over (fill
+    // group id) + max-per-group trick; spine via generate_series
+    "x_gapfill" ->
+      s"""WITH j AS (
+        |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders
+        |  WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |          > ${llm.Analytics.JumboCents}),
+        |d AS (
+        |  SELECT priority, day, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(cents) AS BIGINT) AS day_cents
+        |  FROM j GROUP BY priority, day),
+        |s0 AS (SELECT priority, min(day) AS d0, max(day) AS d1 FROM d GROUP BY priority),
+        |sp AS (
+        |  SELECT priority,
+        |         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM s0),
+        |f AS (
+        |  SELECT sp.priority, sp.day, d.n, d.day_cents
+        |  FROM sp LEFT JOIN d USING (priority, day)),
+        |g AS (
+        |  SELECT *, count(day_cents) OVER (PARTITION BY priority ORDER BY day) AS grp
+        |  FROM f)
+        |SELECT priority, day,
+        |       coalesce(n, CAST(0 AS BIGINT)) AS n,
+        |       coalesce(day_cents, CAST(0 AS BIGINT)) AS day_cents,
+        |       CAST(max(day_cents) OVER (PARTITION BY priority, grp) AS BIGINT)
+        |         AS ffill_cents,
+        |       (n IS NULL) AS is_gap
+        |FROM g ORDER BY priority, day""".stripMargin,
   )
 }

@@ -439,6 +439,49 @@ object Analytics {
       .orderBy("c_mktsegment")
   }
 
+  /** Gap-fill series threshold: "jumbo" orders over $480,000 — rare
+    * enough (~115 observed days across a ~2,380-day span at sf0.01) that
+    * the calendar spine genuinely has gaps to fill.
+    */
+  val JumboCents = 48000000L
+
+  /** X-GAPFILL: calendar-spine densification + forward fill — the
+    * time-series repair every daily-reporting pipeline needs (the
+    * reference's BigQuery consumers GROUP BY date; a day with no rows
+    * silently vanishes from that output, and downstream
+    * window/decay/drift math over the gapped series is wrong). Per
+    * priority: the sparse per-day rollup is left-joined onto the full
+    * min..max day spine; gap days get an explicit zero count and the
+    * last observed day's total carried forward (`last(..., ignoreNulls)`
+    * over an ordered partitioned window). Scale shape: the only
+    * fact-sized work is the one partial+final daily aggregate — the
+    * spine (keys × days) and everything after is dimension-sized, so
+    * densification costs nothing at 100 TB. The oracle mirrors the fill
+    * with the engine-agnostic count-over/max-per-group trick.
+    */
+  def gapfill(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("day"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .filter(col("cents") > JumboCents)
+      .groupBy("priority", "day")
+      .agg(count(lit(1)).as("n"), sum("cents").as("day_cents"))
+    val spine = daily.groupBy("priority")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("priority"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy("priority").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("priority", "day"), "left")
+      .select(col("priority"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("day_cents"), lit(0L)).as("day_cents"),
+        last(col("day_cents"), ignoreNulls = true).over(w).as("ffill_cents"),
+        col("n").isNull.as("is_gap"))
+      .orderBy("priority", "day")
+  }
+
   /** Observed-metrics pipeline filter: the reference's load keeps only
     * spend-carrying rows; here the monitored stage keeps urgent orders.
     */
