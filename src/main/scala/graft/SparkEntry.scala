@@ -160,6 +160,7 @@ object SparkEntry {
     "x_winsorize" -> (llm.Analytics.winsorize _),
     "x_observe" -> (llm.Analytics.observeMetrics _),
     "x_gapfill" -> (llm.Analytics.gapfill _),
+    "x_bitmap_distinct" -> (llm.Events.bitmapDistinct _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -1630,5 +1631,21 @@ object SparkEntry {
         |         AS ffill_cents,
         |       (n IS NULL) AS is_gap
         |FROM g ORDER BY priority, day""".stripMargin,
+    // bitmap merge is exact set union -> both the naive additive rollup
+    // and the merged exact count are plain COUNT(DISTINCT) mirrors
+    "x_bitmap_distinct" ->
+      """WITH pd AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS nd
+        |  FROM events GROUP BY event_type, day),
+        |ex AS (
+        |  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS nu
+        |  FROM events GROUP BY event_type)
+        |SELECT pd.event_type,
+        |       CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(sum(pd.nd) AS BIGINT) AS daily_distinct_sum,
+        |       CAST(max(ex.nu) AS BIGINT) AS distinct_exact
+        |FROM pd JOIN ex USING (event_type)
+        |GROUP BY pd.event_type ORDER BY pd.event_type""".stripMargin,
   )
 }

@@ -2706,7 +2706,8 @@ class GraftSpec extends AnyFunSuite {
       "x_equidepth" -> "X-EQUIDEPTH", "x_stream_enrich" -> "X-STREAM-ENRICH",
       "x_decontam_ngram" -> "X-DECONTAM-NGRAM", "x_bpe_apply" -> "X-BPE-APPLY",
       "x_linreg" -> "X-LINREG", "x_winsorize" -> "X-WINSORIZE",
-      "x_observe" -> "X-OBSERVE", "x_gapfill" -> "X-GAPFILL")
+      "x_observe" -> "X-OBSERVE", "x_gapfill" -> "X-GAPFILL",
+      "x_bitmap_distinct" -> "X-BITMAP-DISTINCT")
     val registered = SparkEntry.queries.keySet
     val unmapped = registered -- idOf.keySet
     assert(unmapped.isEmpty, s"queries with no SURVEY ID mapping: $unmapped")

@@ -291,4 +291,32 @@ class PropertySpec extends AnyFunSuite {
       r.foreach(row => assert(row.getDouble(1) > 0.0, s"rank must stay positive: $row"))
     }
   }
+
+  test("law: X-BITMAP-DISTINCT codec round-trips and distributed merge equals set union") {
+    import graft.functions.Bitmap
+    val idsGen = Gen.listOf(Gen.chooseNum(0L, 5000L))
+    forAll(idsGen, cases = 6) { ids =>
+      // codec round-trip on the raw set (includes the empty set)
+      val set = scala.collection.mutable.HashSet.from(ids)
+      val back = scala.collection.mutable.HashSet.empty[Long]
+      val n = Bitmap.decodeInto(Bitmap.encode(set), back)
+      assert(n == set.size.toLong && back == set, s"codec broke on $ids")
+      // distributed two-stage agg == exact distinct, regardless of the
+      // (day-keyed) partial split the ids land in
+      if (ids.nonEmpty) {
+        import spark.implicits._
+        val df = ids.zipWithIndex
+          .map { case (id, i) => (i % 3, id) }.toDF("cell", "id")
+          .repartition(4)
+        val merged = df
+          .groupBy("cell")
+          .agg(udaf(Bitmap.build, org.apache.spark.sql.Encoders.scalaLong)
+            .apply(col("id")).as("bm"))
+          .agg(udaf(Bitmap.mergeCount, org.apache.spark.sql.Encoders.BINARY)
+            .apply(col("bm.bytes")))
+          .head().getLong(0)
+        assert(merged == ids.distinct.size.toLong, s"merge drifted on $ids")
+      }
+    }
+  }
 }
