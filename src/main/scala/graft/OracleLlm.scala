@@ -1106,4 +1106,57 @@ object OracleLlm {
        |SELECT source, "rank", doc_id, fp FROM r
        |WHERE "rank" <= ${llm.Sampling.SamplePerKey}
        |ORDER BY source, "rank"""".stripMargin
+
+  /** kmv mirror: identical 31-bit poly hash over the id's decimal
+    * string, sketches as k-smallest order statistics via windows, the
+    * estimator CASE reproduced verbatim.
+    */
+  val kmvSql: String = {
+    val k = llm.Events.KmvK
+    val est = s"""CASE WHEN max(cnt) <= $k THEN CAST(max(cnt) AS DOUBLE)
+       |         ELSE CAST(${(k - 1).toLong * PolyHashing.Mod} AS DOUBLE)
+       |           / CAST(max(h) AS DOUBLE) END""".stripMargin
+    s"""WITH uh AS (
+       |  SELECT DISTINCT event_type,
+       |         ${polyHash("CAST(user_id AS VARCHAR)", llm.Events.KmvBase)} AS h
+       |  FROM events),
+       |r AS (
+       |  SELECT event_type, h,
+       |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY h) AS BIGINT) AS rn,
+       |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS cnt
+       |  FROM uh),
+       |sk AS (SELECT * FROM r WHERE rn <= $k),
+       |st AS (
+       |  SELECT event_type, $est AS est_distinct
+       |  FROM sk GROUP BY event_type),
+       |pt AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b
+       |  FROM st a, st b WHERE a.event_type < b.event_type),
+       |v0 AS (
+       |  SELECT pt.type_a, pt.type_b, sk.h,
+       |         CAST(1 AS BIGINT) AS in_a, CAST(0 AS BIGINT) AS in_b
+       |  FROM pt JOIN sk ON sk.event_type = pt.type_a
+       |  UNION ALL
+       |  SELECT pt.type_a, pt.type_b, sk.h,
+       |         CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+       |  FROM pt JOIN sk ON sk.event_type = pt.type_b),
+       |v1 AS (
+       |  SELECT type_a, type_b, h, max(in_a) AS in_a, max(in_b) AS in_b
+       |  FROM v0 GROUP BY type_a, type_b, h),
+       |v2 AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY type_a, type_b
+       |    ORDER BY h) AS BIGINT) AS urn
+       |  FROM v1),
+       |p AS (
+       |  SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS l_size,
+       |         CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+       |  FROM v2 WHERE urn <= $k GROUP BY type_a, type_b)
+       |SELECT p.type_a, p.type_b, p.l_size, p.n_both,
+       |       CAST(p.n_both AS DOUBLE) / CAST(p.l_size AS DOUBLE) AS jaccard_est,
+       |       sa.est_distinct AS est_a, sb.est_distinct AS est_b
+       |FROM p
+       |JOIN st sa ON sa.event_type = p.type_a
+       |JOIN st sb ON sb.event_type = p.type_b
+       |ORDER BY type_a, type_b""".stripMargin
+  }
 }

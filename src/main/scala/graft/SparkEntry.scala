@@ -161,6 +161,7 @@ object SparkEntry {
     "x_observe" -> (llm.Analytics.observeMetrics _),
     "x_gapfill" -> (llm.Analytics.gapfill _),
     "x_bitmap_distinct" -> (llm.Events.bitmapDistinct _),
+    "x_kmv" -> (llm.Events.kmvSketch _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -1647,5 +1648,6 @@ object SparkEntry {
         |       CAST(max(ex.nu) AS BIGINT) AS distinct_exact
         |FROM pd JOIN ex USING (event_type)
         |GROUP BY pd.event_type ORDER BY pd.event_type""".stripMargin,
+    "x_kmv" -> OracleLlm.kmvSql,
   )
 }

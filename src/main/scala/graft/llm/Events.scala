@@ -680,6 +680,81 @@ object Events {
           <= col("ee") * 0.1).cast("long").as("approx_events_within_10pct"))
       .orderBy("event_type")
 
+  /** KMV sketch size: 64 minimum hash values per set. */
+  val KmvK = 64
+
+  /** KMV hash base (31-bit poly hash over the id's decimal string). */
+  val KmvBase = 131L
+
+  /** X-KMV: k-minimum-values sketch — bounded-size distinct estimation
+    * WITH set intersection, the operation HLL cannot do (HLL unions
+    * losslessly but has no intersection; x_overlap computes the exact
+    * answer with a fact-sized self-join). Per event type the sketch is
+    * the [[KmvK]] smallest distinct poly-hash values of its user set
+    * (`est = (k−1)·M/h_k`, Bar-Yossef et al. 2002); for each type pair
+    * the k smallest of the UNION of the two sketches vote — the
+    * fraction of those present in BOTH sketches estimates Jaccard, all
+    * from k-sized state per set. Determinism: the sketch is an order
+    * statistic of a deterministic hash — no randomness, independent of
+    * partitioning — and the hash is the same 31-bit poly hash the
+    * signature family mirrors in SQL, so estimates (not just bounds)
+    * are oracle-checked. Scale shape: one distinct-projection
+    * partial+final agg over the facts, one per-type ranking window over
+    * the deduped (type, hash) frame, then everything pairwise happens
+    * on ≤ types·k sketch rows — never an all-pairs join over users.
+    */
+  def kmvSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{PolyHash, PolyHashing}
+    val uh = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        PolyHash.poly_hash(col("user_id").cast("string"), KmvBase).as("h"))
+      .distinct()
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val ranked = uh
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("event_type")))
+    val sketch = ranked.filter(col("rn") <= KmvK)
+    val stats = sketch.groupBy("event_type").agg(
+      max("cnt").as("n_hashes"),
+      count(lit(1)).as("k_used"),
+      max("h").as("kth_hash"))
+      .withColumn("est_distinct",
+        when(col("n_hashes") <= KmvK, col("n_hashes").cast("double"))
+          .otherwise(lit((KmvK - 1) * PolyHashing.Mod).cast("double")
+            / col("kth_hash").cast("double")))
+    val pairTypes = stats.select(col("event_type").as("type_a"))
+      .crossJoin(stats.select(col("event_type").as("type_b")))
+      .filter(col("type_a") < col("type_b"))
+    val fromA = pairTypes
+      .join(sketch.select(col("event_type").as("type_a"), col("h")), Seq("type_a"))
+      .select(col("type_a"), col("type_b"), col("h"),
+        lit(1L).as("in_a"), lit(0L).as("in_b"))
+    val fromB = pairTypes
+      .join(sketch.select(col("event_type").as("type_b"), col("h")), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("h"),
+        lit(0L).as("in_a"), lit(1L).as("in_b"))
+    val voters = fromA.union(fromB)
+      .groupBy("type_a", "type_b", "h")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+      .withColumn("urn", row_number().over(
+        Window.partitionBy("type_a", "type_b").orderBy("h")).cast("long"))
+      .filter(col("urn") <= KmvK)
+    val pairs = voters.groupBy("type_a", "type_b").agg(
+      count(lit(1)).as("l_size"),
+      sum(col("in_a") * col("in_b")).as("n_both"))
+      .withColumn("jaccard_est",
+        col("n_both").cast("double") / col("l_size").cast("double"))
+    pairs
+      .join(broadcast(stats.select(col("event_type").as("type_a"),
+        col("est_distinct").as("est_a"))), Seq("type_a"))
+      .join(broadcast(stats.select(col("event_type").as("type_b"),
+        col("est_distinct").as("est_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("l_size"), col("n_both"),
+        col("jaccard_est"), col("est_a"), col("est_b"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** X-BITMAP-DISTINCT: exact re-aggregable distinct counts via bitmap
     * partials ([[graft.functions.Bitmap]]) — the materialized-rollup
     * pattern (ClickHouse `groupBitmap`, Druid bitmap metrics): one
