@@ -1107,6 +1107,48 @@ object OracleLlm {
        |WHERE "rank" <= ${llm.Sampling.SamplePerKey}
        |ORDER BY source, "rank"""".stripMargin
 
+  /** dupSpans mirror: same 8-gram windows (1-based positions), same
+    * 64-bit rolling hash, same ≥2-distinct-docs filter and
+    * gaps-and-islands span merge.
+    */
+  val dupSpansSql: String = {
+    val n = Dedup.SpanGramN
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+       |  FROM documents),
+       |g0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - ${n - 2}), gi ->
+       |    struct_pack(pos := gi,
+       |      g := array_to_string(toks[CAST(gi AS INT):CAST(gi + ${n - 1} AS INT)], ' ')))) AS u
+       |  FROM f WHERE len(toks) >= $n),
+       |g1 AS (
+       |  SELECT doc_id, CAST(u.pos AS BIGINT) AS pos,
+       |         ${signed64(hash64u("u.g"))} AS gh
+       |  FROM g0),
+       |dh AS (SELECT gh FROM g1 GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+       |dp AS (SELECT g1.doc_id, g1.pos FROM g1 JOIN dh USING (gh)),
+       |i0 AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |                > ${Dedup.SpanMergeGap} THEN 1 ELSE 0 END AS brk
+       |  FROM dp),
+       |i1 AS (
+       |  SELECT doc_id, pos,
+       |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM i0),
+       |sp AS (
+       |  SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS n_grams,
+       |         CAST(max(pos) - min(pos) + $n AS BIGINT) AS span_tokens
+       |  FROM i1 GROUP BY doc_id, grp)
+       |SELECT doc_id,
+       |       CAST(sum(n_grams) AS BIGINT) AS n_dup_ngrams,
+       |       CAST(count(*) AS BIGINT) AS n_spans,
+       |       CAST(max(span_tokens) AS BIGINT) AS max_span_tokens,
+       |       CAST(sum(span_tokens) AS BIGINT) AS covered_tokens
+       |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** kmv mirror: identical 31-bit poly hash over the id's decimal
     * string, sketches as k-smallest order statistics via windows, the
     * estimator CASE reproduced verbatim.

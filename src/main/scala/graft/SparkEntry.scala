@@ -162,6 +162,7 @@ object SparkEntry {
     "x_gapfill" -> (llm.Analytics.gapfill _),
     "x_bitmap_distinct" -> (llm.Events.bitmapDistinct _),
     "x_kmv" -> (llm.Events.kmvSketch _),
+    "x_dup_spans" -> (llm.Dedup.dupSpans _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -1649,5 +1650,6 @@ object SparkEntry {
         |FROM pd JOIN ex USING (event_type)
         |GROUP BY pd.event_type ORDER BY pd.event_type""".stripMargin,
     "x_kmv" -> OracleLlm.kmvSql,
+    "x_dup_spans" -> OracleLlm.dupSpansSql,
   )
 }

@@ -328,4 +328,65 @@ object Dedup {
         col("token").as("best_token"), col("lev").cast("long").as("lev"))
       .orderBy("variant")
   }
+
+  // ---- X-DUP-SPANS ----------------------------------------------------
+
+  /** Duplicated-span n-gram width (tokens). */
+  val SpanGramN = 8
+
+  /** Two dup positions merge into one span while their token intervals
+    * touch or overlap: gap ≤ [[SpanGramN]].
+    */
+  val SpanMergeGap = SpanGramN
+
+  /** X-DUP-SPANS: cross-document duplicated-substring spans — the core
+    * of exact-substring dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL 2022: duplicated spans, not
+    * whole-doc near-dups, are what LMs memorize; X-DEDUP-* dedups
+    * documents, this finds the COPIED PASSAGES inside otherwise-distinct
+    * documents). Every [[SpanGramN]]-token window is keyed by its 64-bit
+    * rolling hash; a position is duplicated when its hash occurs in ≥ 2
+    * DISTINCT docs (within-doc repetition is X-REP-NGRAM's signal, not
+    * this one); per doc, duplicated positions whose token intervals
+    * touch/overlap merge into maximal spans (gaps-and-islands over the
+    * position order). Output per affected doc: duplicated-window count,
+    * span count, longest span, and covered tokens — the numbers that
+    * decide cut-the-span vs drop-the-doc. Scale shape: the inverted
+    * index shuffles (hash, doc, pos) — hashes, never gram text; the
+    * dup-hash filter is a partial+final agg reusing that partitioning;
+    * span merging is one per-doc sorted window. Nothing is all-pairs.
+    */
+  def dupSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = SpanGramN
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"i -> struct(i AS pos, concat_ws(' ', slice(toks, i, $n)) AS g))")).as("u"))
+      .select(col("doc_id"), col("u.pos").cast("long").as("pos"),
+        rolling_hash(col("u.g")).as("gh"))
+    val dupHashes = grams
+      .groupBy("gh").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("gh")
+    val dupPos = grams.join(dupHashes, Seq("gh"))
+    val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+    val islands = dupPos
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(wOrd) > SpanMergeGap, 1L).otherwise(0L))
+      .withColumn("grp", sum("brk").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "grp")
+      .agg(count(lit(1)).as("n_grams"),
+        (max("pos") - min("pos") + n).as("span_tokens"))
+    islands.groupBy("doc_id")
+      .agg(
+        sum("n_grams").as("n_dup_ngrams"),
+        count(lit(1)).as("n_spans"),
+        max("span_tokens").as("max_span_tokens"),
+        sum("span_tokens").as("covered_tokens"))
+      .orderBy("doc_id")
+  }
 }

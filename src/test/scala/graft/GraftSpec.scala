@@ -2707,7 +2707,8 @@ class GraftSpec extends AnyFunSuite {
       "x_decontam_ngram" -> "X-DECONTAM-NGRAM", "x_bpe_apply" -> "X-BPE-APPLY",
       "x_linreg" -> "X-LINREG", "x_winsorize" -> "X-WINSORIZE",
       "x_observe" -> "X-OBSERVE", "x_gapfill" -> "X-GAPFILL",
-      "x_bitmap_distinct" -> "X-BITMAP-DISTINCT", "x_kmv" -> "X-KMV")
+      "x_bitmap_distinct" -> "X-BITMAP-DISTINCT", "x_kmv" -> "X-KMV",
+      "x_dup_spans" -> "X-DUP-SPANS")
     val registered = SparkEntry.queries.keySet
     val unmapped = registered -- idOf.keySet
     assert(unmapped.isEmpty, s"queries with no SURVEY ID mapping: $unmapped")
