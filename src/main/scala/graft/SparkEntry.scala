@@ -163,6 +163,7 @@ object SparkEntry {
     "x_bitmap_distinct" -> (llm.Events.bitmapDistinct _),
     "x_kmv" -> (llm.Events.kmvSketch _),
     "x_dup_spans" -> (llm.Dedup.dupSpans _),
+    "x_stream_join_outer" -> (llm.StreamingOps.streamingJoinOuter _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -1651,5 +1652,25 @@ object SparkEntry {
         |GROUP BY pd.event_type ORDER BY pd.event_type""".stripMargin,
     "x_kmv" -> OracleLlm.kmvSql,
     "x_dup_spans" -> OracleLlm.dupSpansSql,
+    // streaming left-outer join == the identical batch LEFT JOIN once the
+    // sentinel-driven watermark has flushed every real outer row
+    "x_stream_join_outer" ->
+      """WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |           WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT CAST(p.ts AS DATE) AS day,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN s.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_matched,
+        |       CAST(sum(CASE WHEN s.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_unmatched,
+        |       CAST(sum(CASE WHEN s.user_id IS NULL
+        |                THEN CAST(p.value AS DECIMAL(18,2))
+        |                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |         AS unattributed_value
+        |FROM p LEFT JOIN s ON p.user_id = s.user_id
+        |           AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
+        |GROUP BY 1 ORDER BY day""".stripMargin,
   )
 }

@@ -145,4 +145,86 @@ object StreamingOps {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("attributed_value"))
       .orderBy("day")
   }
+
+  /** X-STREAM-JOIN-OUTER: stream-stream LEFT OUTER join with event-time
+    * range bounds — [[streamingJoin]]'s inner join answers "which
+    * purchases were attributed"; the OUTER join answers the question a
+    * revenue pipeline actually ships: EVERY purchase, attributed or
+    * not, with the unattributed tail quantified per day. Outer
+    * stream-stream rows cannot emit on arrival — an unmatched purchase
+    * is only provably unmatched once the SIGNUP side's watermark passes
+    * its whole match window — so emission is watermark-driven and state
+    * per side stays a bounded ~8-day slice, exactly the inner join's
+    * bound plus the deferred-emission wait.
+    *
+    * A finite fixture would end with the watermark short of the last
+    * purchases' match windows, silently swallowing their outer rows, so
+    * the staged landing zone carries one typed SENTINEL per side
+    * (streamingDaily's technique): a far-future signup (+40 d) and
+    * purchase (+20 d) with negative user ids. Each passes its side's
+    * TYPE filter (a sentinel filtered by a non-watermark predicate
+    * would be pushed below the EventTimeWatermark node and never
+    * advance it), drives the global watermark past every real window
+    * (min(40, 20) d − 1 h), cannot join anything real (negative ids,
+    * disjoint timestamps — purchase sentinel 20 d BEFORE the signup
+    * one), and its own outer row is dropped by the post-join
+    * `p_user >= 0` filter (which also never emits: +20 d + 7 d is past
+    * the global watermark). Oracle: the identical LEFT JOIN in plain
+    * SQL over the single-copy table.
+    */
+  def streamingJoinOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory(
+      "graft_stream_join_outer_" + runs.incrementAndGet() + "_")
+    val raw = Tables.eventsRaw(spark, sfDir)
+    val rawSchema = raw.schema
+    val maxUs = raw.selectExpr(Tables.tsMicrosExpr(rawSchema) + " AS us")
+      .agg(max("us")).head().getLong(0)
+    val srcDirS = graft.etl.Sink.scratchPath(sfDir, "events_stream_join_outer")
+    val srcDir = java.nio.file.Paths.get(srcDirS)
+    val marker = srcDir.resolve("_GRAFT_OK_v1")
+    if (!java.nio.file.Files.exists(marker)) {
+      graft.etl.Sink.dropUncommitted(srcDirS)
+      java.nio.file.Files.createDirectories(srcDir)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(sfDir, "events.parquet"),
+        srcDir.resolve("events.parquet"))
+      def sentinel(typ: String, userId: Long, plusDays: Long) =
+        spark.range(1).select(
+          lit(-1L).as("event_id"),
+          Tables.tsLit(rawSchema, maxUs + plusDays * 24 * 3600 * 1000000L).as("ts"),
+          lit(userId).as("user_id"),
+          lit(typ).as("event_type"),
+          lit(0.0).as("value"),
+          lit(null).cast("string").as("props"))
+      sentinel("signup", -1L, 40L).unionAll(sentinel("purchase", -2L, 20L))
+        .coalesce(1).write.mode("append").parquet(srcDir.toString)
+      java.nio.file.Files.createFile(marker)
+    }
+    def side(typ: String) = spark.readStream.schema(rawSchema).parquet(srcDir.toString)
+      .withColumn("ts", expr(Tables.tsTimestampExpr(rawSchema)))
+      .filter(col("event_type") === typ)
+    val signups = side("signup")
+      .select(col("user_id").as("s_user"), col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", "1 hour")
+    val purchases = side("purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = purchases.join(signups,
+        col("p_user") === col("s_user") &&
+          col("purchase_ts") >= col("signup_ts") &&
+          col("purchase_ts") <= col("signup_ts") + expr(s"interval $AttributionWindow"),
+        "left_outer")
+      .filter(col("p_user") >= 0)
+    graft.streaming.Drain.toParquet(joined, work, shufflePartitions = Some(8))
+      .groupBy(col("purchase_ts").cast("date").as("day"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("s_user").isNotNull, 1L).otherwise(0L)).as("n_matched"),
+        sum(when(col("s_user").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+        sum(when(col("s_user").isNull, col("value").cast(DecimalType(18, 2)))
+          .otherwise(lit(0).cast(DecimalType(18, 2))))
+          .cast("double").as("unattributed_value"))
+      .orderBy("day")
+  }
 }

@@ -2708,7 +2708,8 @@ class GraftSpec extends AnyFunSuite {
       "x_linreg" -> "X-LINREG", "x_winsorize" -> "X-WINSORIZE",
       "x_observe" -> "X-OBSERVE", "x_gapfill" -> "X-GAPFILL",
       "x_bitmap_distinct" -> "X-BITMAP-DISTINCT", "x_kmv" -> "X-KMV",
-      "x_dup_spans" -> "X-DUP-SPANS")
+      "x_dup_spans" -> "X-DUP-SPANS",
+      "x_stream_join_outer" -> "X-STREAM-JOIN-OUTER")
     val registered = SparkEntry.queries.keySet
     val unmapped = registered -- idOf.keySet
     assert(unmapped.isEmpty, s"queries with no SURVEY ID mapping: $unmapped")
