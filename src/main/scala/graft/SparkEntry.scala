@@ -164,6 +164,9 @@ object SparkEntry {
     "x_kmv" -> (llm.Events.kmvSketch _),
     "x_dup_spans" -> (llm.Dedup.dupSpans _),
     "x_stream_join_outer" -> (llm.StreamingOps.streamingJoinOuter _),
+    "x_basket" -> (llm.Analytics.basket _),
+    "x_ab_test" -> (llm.Analytics.abTest _),
+    "x_skyline" -> (ScaleQueries.skyline _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -1672,5 +1675,73 @@ object SparkEntry {
         |FROM p LEFT JOIN s ON p.user_id = s.user_id
         |           AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 7 DAY
         |GROUP BY 1 ORDER BY day""".stripMargin,
+    // pair/marginal counts exact BIGINT; lift casts the integer products
+    "x_basket" ->
+      s"""WITH ob AS (
+        |  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |no AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM ob),
+        |m AS (SELECT brand, CAST(count(*) AS BIGINT) AS nb FROM ob GROUP BY brand),
+        |pr AS (
+        |  SELECT a.brand AS brand_a, b.brand AS brand_b,
+        |         CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+        |  GROUP BY 1, 2)
+        |SELECT pr.brand_a, pr.brand_b, pr.n_ab,
+        |       ma.nb AS n_a, mb.nb AS n_b, no.n_orders,
+        |       CAST(no.n_orders * pr.n_ab AS DOUBLE)
+        |         / CAST(ma.nb * mb.nb AS DOUBLE) AS lift
+        |FROM pr
+        |JOIN m ma ON ma.brand = pr.brand_a
+        |JOIN m mb ON mb.brand = pr.brand_b, no
+        |ORDER BY n_ab DESC, brand_a, brand_b
+        |LIMIT ${llm.Analytics.BasketTopN}""".stripMargin,
+    // one per-user agg then exact counts; z2 is one fixed IEEE expression
+    "x_ab_test" ->
+      s"""WITH u0 AS (
+        |  SELECT user_id,
+        |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+        |  FROM events GROUP BY user_id),
+        |u AS (
+        |  SELECT user_id,
+        |         CASE WHEN np >= ${llm.Analytics.PowerBuyerMin} THEN 1 ELSE 0 END AS conv,
+        |         user_id % 2 AS variant
+        |  FROM u0),
+        |g AS (
+        |  SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+        |         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |         CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+        |  FROM u)
+        |SELECT n_a, c_a, n_b, c_b,
+        |       CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+        |       CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+        |       CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN 0.0
+        |       ELSE ((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |          - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |        * (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |          - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+        |       / ((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |          * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |          * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |       END AS z2
+        |FROM g""".stripMargin,
+    // oracle is the O(n^2) dominance NOT EXISTS (fine at fixture scale);
+    // exact (price, size) ties dedup to the min partkey on both sides
+    "x_skyline" ->
+      """WITH pp AS (
+        |  SELECT p_partkey,
+        |         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+        |         CAST(p_size AS BIGINT) AS size
+        |  FROM part)
+        |SELECT a.p_partkey, a.price_cents, a.size
+        |FROM pp a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pp q
+        |  WHERE (q.price_cents <= a.price_cents AND q.size >= a.size
+        |         AND (q.price_cents < a.price_cents OR q.size > a.size))
+        |     OR (q.price_cents = a.price_cents AND q.size = a.size
+        |         AND q.p_partkey < a.p_partkey))
+        |ORDER BY price_cents, p_partkey""".stripMargin,
   )
 }

@@ -482,6 +482,100 @@ object Analytics {
       .orderBy("priority", "day")
   }
 
+  /** Market-basket output size (top pairs by co-occurrence). */
+  val BasketTopN = 20
+
+  /** X-BASKET: market-basket pair mining — brand pairs co-purchased in
+    * one order, with support counts and LIFT (the association-rule
+    * core of frequent-itemset mining, Agrawal & Srikant's A-priori at
+    * the k=2 level where virtually all retail signal lives). Scale
+    * shape: the basket explode is bounded — the per-order brand SET is
+    * small (≤ a handful of lines), so the self-join on orderkey has
+    * bounded fanout per key and shuffles (orderkey, brand) pairs, never
+    * a cross join over items; brand marginals and the order total are
+    * dim-sized broadcasts. Lift = N·n_ab / (n_a·n_b) from exact BIGINT
+    * counts (< 2^53, so the one double expression is bit-deterministic);
+    * ties broken by the pair key for a unique top-N.
+    */
+  def basket(spark: SparkSession, sfDir: String): DataFrame = {
+    val brands = Tables.load(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    val ob = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(brands), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+      .distinct()
+    val nOrders = ob.select(countDistinct("okey").as("n_orders"))
+    val marginals = ob.groupBy("brand").agg(count(lit(1)).as("n_b"))
+    val pairs = ob.as("a")
+      .join(ob.as("b"), col("a.okey") === col("b.okey") &&
+        col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(marginals.select(col("brand").as("brand_a"), col("n_b").as("n_a"))),
+        Seq("brand_a"))
+      .join(broadcast(marginals.select(col("brand").as("brand_b"), col("n_b").as("n_bb"))),
+        Seq("brand_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("brand_a"), col("brand_b"), col("n_ab"),
+        col("n_a"), col("n_bb").as("n_b"), col("n_orders"),
+        ((col("n_orders") * col("n_ab")).cast("double")
+          / (col("n_a") * col("n_bb")).cast("double")).as("lift"))
+      .orderBy(desc("n_ab"), asc("brand_a"), asc("brand_b"))
+      .limit(BasketTopN)
+  }
+
+  /** Conversion threshold: a "power buyer" makes ≥ this many purchases
+    * (the per-user purchase-count median is 13–14 at every fixture SF,
+    * so both outcomes are populated).
+    */
+  val PowerBuyerMin = 14
+
+  /** X-AB-TEST: two-proportion experiment readout — users split into
+    * deterministic variants (`user_id mod 2`, standing in for the
+    * hash-bucket assignment every experimentation system uses — never
+    * `rand()`, the draw must survive reruns), conversion = the user is
+    * a power buyer (≥ [[PowerBuyerMin]] purchases); the readout is
+    * per-variant counts plus the pooled two-proportion z² statistic
+    * (squared z-score ≡ the 2×2 chi-square, with the usual z² ≈ 3.84 ⇒
+    * p < 0.05 reading). All inputs are exact BIGINT counts from ONE
+    * per-user partial+final agg over the facts (the shuffle carries
+    * user ids once — conversion is a per-user count, not a
+    * distinct-count per variant), then the statistic is a single fixed
+    * IEEE expression over <2^53 integers, reproduced verbatim in the
+    * oracle; an all-converted / none-converted pool has z² undefined
+    * and is pinned to 0 by an exact INTEGER guard on both sides.
+    * Output is one metrics-sized row.
+    */
+  def abTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val users = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("is_p"))
+      .groupBy("user_id")
+      .agg(sum("is_p").as("np"))
+      .select(col("user_id"),
+        when(col("np") >= PowerBuyerMin, 1L).otherwise(0L).as("conv"),
+        pmod(col("user_id"), lit(2L)).as("variant"))
+    val g = users.groupBy().agg(
+      sum(when(col("variant") === 0L, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === 0L, col("conv")).otherwise(0L)).as("c_a"),
+      sum(when(col("variant") === 1L, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === 1L, col("conv")).otherwise(0L)).as("c_b"))
+    val ra = col("c_a").cast("double") / col("n_a").cast("double")
+    val rb = col("c_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("c_a") + col("c_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    g.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+      ra.as("rate_a"), rb.as("rate_b"),
+      when(col("c_a") + col("c_b") === 0L ||
+          col("c_a") + col("c_b") === col("n_a") + col("n_b"), lit(0.0))
+        .otherwise((ra - rb) * (ra - rb) /
+          (pp * (lit(1.0) - pp) *
+            (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double"))))
+        .as("z2"))
+  }
+
   /** Observed-metrics pipeline filter: the reference's load keeps only
     * spend-carrying rows; here the monitored stage keeps urgent orders.
     */

@@ -327,4 +327,50 @@ object ScaleQueries {
         sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
       .orderBy("o_orderpriority")
   }
+
+  /** Skyline price-bucket width in cents ($10 over the [900, 1000) part
+    * price domain ⇒ ~10 buckets).
+    */
+  val SkylineBucketCents = 1000L
+
+  /** X-SKYLINE: Pareto frontier (skyline) of parts on (retail price ↓
+    * better, size ↑ better) — "no other part is both cheaper and at
+    * least as large" — the multi-objective shortlist query. The naive
+    * formulations are both scale-dead: the all-pairs NOT EXISTS
+    * dominance join is O(n²) (the oracle runs exactly that, on fixture
+    * scale), and the textbook single sort + running max is ONE
+    * unpartitioned window — a single-reducer funnel. The scalable
+    * formulation is divide-and-conquer: partition by coarse price
+    * bucket, local skyline per bucket (PARTITIONED window: running
+    * strictly-preceding max size over the (price, size desc, partkey)
+    * order — the tie-break also dedups exact (price, size) ties to the
+    * min partkey, which the oracle mirrors as dominance-or-earlier-tie),
+    * then one bucket-level prefix-max table (≤ #buckets rows, broadcast
+    * self-join, never a global window) eliminates rows beaten by any
+    * strictly-cheaper bucket. Correct because every part in a lower
+    * bucket is strictly cheaper than every part in a higher one.
+    */
+  def skyline(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = Tables.load(spark, sfDir, "part")
+      .select(col("p_partkey"),
+        (col("p_retailprice").cast(DecimalType(18, 2)) * 100).cast("long").as("price_cents"),
+        col("p_size").cast("long").as("size"))
+      .withColumn("bucket", (col("price_cents") / SkylineBucketCents).cast("long"))
+    val wLocal = Window.partitionBy("bucket")
+      .orderBy(col("price_cents").asc, col("size").desc, col("p_partkey").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parts
+      .withColumn("prev_max", max("size").over(wLocal))
+      .filter(col("prev_max").isNull || col("size") > col("prev_max"))
+    val bucketMax = parts.groupBy("bucket").agg(max("size").as("bmax"))
+    val prefix = bucketMax.as("x")
+      .join(bucketMax.as("y"), col("y.bucket") < col("x.bucket"), "left")
+      .groupBy(col("x.bucket").as("bucket"))
+      .agg(max(col("y.bmax")).as("cheaper_max"))
+    local.join(broadcast(prefix), Seq("bucket"))
+      .filter(col("cheaper_max").isNull || col("size") > col("cheaper_max"))
+      .select(col("p_partkey"), col("price_cents"), col("size"))
+      .orderBy("price_cents", "p_partkey")
+  }
 }

@@ -2709,7 +2709,9 @@ class GraftSpec extends AnyFunSuite {
       "x_observe" -> "X-OBSERVE", "x_gapfill" -> "X-GAPFILL",
       "x_bitmap_distinct" -> "X-BITMAP-DISTINCT", "x_kmv" -> "X-KMV",
       "x_dup_spans" -> "X-DUP-SPANS",
-      "x_stream_join_outer" -> "X-STREAM-JOIN-OUTER")
+      "x_stream_join_outer" -> "X-STREAM-JOIN-OUTER",
+      "x_basket" -> "X-BASKET", "x_ab_test" -> "X-AB-TEST",
+      "x_skyline" -> "X-SKYLINE")
     val registered = SparkEntry.queries.keySet
     val unmapped = registered -- idOf.keySet
     assert(unmapped.isEmpty, s"queries with no SURVEY ID mapping: $unmapped")
