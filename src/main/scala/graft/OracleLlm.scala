@@ -573,7 +573,11 @@ object OracleLlm {
        |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
-  val langIdSql: String = {
+  /** Shared lang-id prediction CTE chain (`tk` → `sc` → `pr`), used by
+    * both the confusion matrix (x_lang_id) and the derived eval metrics
+    * (x_eval_metrics).
+    */
+  private val langPrCtes: String = {
     val scores = TextAnalysis.LangProfiles.map { case (_, words) =>
       val inList = words.map(w => s"'$w'").mkString(", ")
       s"CAST(len(list_filter(toks, t -> t IN ($inList))) AS BIGINT)"
@@ -581,7 +585,7 @@ object OracleLlm {
     val cases = TextAnalysis.LangProfiles.map(_._1).zipWithIndex.map { case (lang, i) =>
       s"WHEN scores[${i + 1}] = list_max(scores) THEN '$lang'"
     }.mkString("\n    ")
-    s"""WITH tk AS (
+    s"""tk AS (
        |  SELECT lang, list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
        |  FROM documents),
        |sc AS (SELECT lang, $scores AS scores FROM tk),
@@ -589,10 +593,42 @@ object OracleLlm {
        |    WHEN list_max(scores) = 0 THEN 'und'
        |    $cases
        |    ELSE 'und' END AS predicted
-       |  FROM sc)
+       |  FROM sc)""".stripMargin
+  }
+
+  val langIdSql: String =
+    s"""WITH $langPrCtes
        |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
        |FROM pr GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
-  }
+
+  /** evalMetrics mirror: same prediction chain, per-class counts, then
+    * the prec/rec/f1 expressions computed from the COALESCED final
+    * columns with exact integer guards — form-identical to the engine.
+    */
+  val evalMetricsSql: String =
+    s"""WITH $langPrCtes,
+       |conf AS (
+       |  SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+       |  FROM pr GROUP BY 1, 2),
+       |a AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_actual FROM conf GROUP BY lang),
+       |pd AS (SELECT predicted AS lang, CAST(sum(n) AS BIGINT) AS n_predicted
+       |       FROM conf GROUP BY predicted),
+       |tp0 AS (SELECT lang, n AS tp FROM conf WHERE lang = predicted),
+       |j AS (
+       |  SELECT a.lang, a.n_actual,
+       |         coalesce(pd.n_predicted, CAST(0 AS BIGINT)) AS n_predicted,
+       |         coalesce(tp0.tp, CAST(0 AS BIGINT)) AS tp
+       |  FROM a LEFT JOIN pd USING (lang) LEFT JOIN tp0 USING (lang))
+       |SELECT lang, n_actual, n_predicted, tp,
+       |       CASE WHEN n_predicted = 0 THEN 0.0
+       |            ELSE CAST(tp AS DOUBLE) / CAST(n_predicted AS DOUBLE) END AS prec,
+       |       CAST(tp AS DOUBLE) / CAST(n_actual AS DOUBLE) AS rec,
+       |       CASE WHEN tp = 0 THEN 0.0
+       |            ELSE 2.0 * (CAST(tp AS DOUBLE) / CAST(n_predicted AS DOUBLE))
+       |                     * (CAST(tp AS DOUBLE) / CAST(n_actual AS DOUBLE))
+       |               / ((CAST(tp AS DOUBLE) / CAST(n_predicted AS DOUBLE))
+       |                + (CAST(tp AS DOUBLE) / CAST(n_actual AS DOUBLE))) END AS f1
+       |FROM j ORDER BY lang""".stripMargin
 
   // ---- similarity (LSH / IVF) ----------------------------------------
 

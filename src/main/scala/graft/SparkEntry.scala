@@ -167,6 +167,7 @@ object SparkEntry {
     "x_basket" -> (llm.Analytics.basket _),
     "x_ab_test" -> (llm.Analytics.abTest _),
     "x_skyline" -> (ScaleQueries.skyline _),
+    "x_eval_metrics" -> (llm.TextAnalysis.evalMetrics _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -1743,5 +1744,6 @@ object SparkEntry {
         |     OR (q.price_cents = a.price_cents AND q.size = a.size
         |         AND q.p_partkey < a.p_partkey))
         |ORDER BY price_cents, p_partkey""".stripMargin,
+    "x_eval_metrics" -> OracleLlm.evalMetricsSql,
   )
 }

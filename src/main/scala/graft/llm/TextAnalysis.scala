@@ -131,6 +131,43 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "predicted")
 
+  /** X-EVAL-METRICS: classifier evaluation — per-class precision,
+    * recall, and F1 derived from the [[langId]] confusion matrix
+    * against the fixture's ground-truth `lang` column (the eval report
+    * every model-assisted curation step ships next to its predictions;
+    * a filter whose precision nobody measured is how a corpus silently
+    * loses a language). Classes are the ACTUAL labels; a prediction
+    * bucket with no true member ('und') contributes to `n_predicted`
+    * denominators via the confusion matrix but gets no row. Corpus-
+    * sized work is the one prediction+count pass the confusion matrix
+    * already does; everything here is classes²-sized. Zero-denominator
+    * guards are exact INTEGER comparisons (n_predicted = 0, tp = 0), so
+    * the one-division metrics are bit-deterministic in both engines.
+    */
+  def evalMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val conf = langId(spark, sfDir)
+    val actual = conf.groupBy("lang").agg(sum("n").as("n_actual"))
+    val predicted = conf.groupBy("predicted")
+      .agg(sum("n").as("n_predicted"))
+      .withColumnRenamed("predicted", "lang")
+    val tp = conf.filter(col("lang") === col("predicted"))
+      .select(col("lang"), col("n").as("tp"))
+    val j = actual
+      .join(predicted, Seq("lang"), "left")
+      .join(tp, Seq("lang"), "left")
+      .select(col("lang"), col("n_actual"),
+        coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+    val prec = col("tp").cast("double") / col("n_predicted").cast("double")
+    val rec = col("tp").cast("double") / col("n_actual").cast("double")
+    j.select(col("lang"), col("n_actual"), col("n_predicted"), col("tp"),
+      when(col("n_predicted") === 0L, lit(0.0)).otherwise(prec).as("prec"),
+      rec.as("rec"),
+      when(col("tp") === 0L, lit(0.0))
+        .otherwise(lit(2.0) * prec * rec / (prec + rec)).as("f1"))
+      .orderBy("lang")
+  }
+
   /** X-TEXT vocabulary extraction: corpus-wide token frequencies, top 50
     * — explode → hash agg → TakeOrdered. At 100 TB the explode fans out
     * per-token rows but the partial agg collapses them map-side before

@@ -2711,7 +2711,7 @@ class GraftSpec extends AnyFunSuite {
       "x_dup_spans" -> "X-DUP-SPANS",
       "x_stream_join_outer" -> "X-STREAM-JOIN-OUTER",
       "x_basket" -> "X-BASKET", "x_ab_test" -> "X-AB-TEST",
-      "x_skyline" -> "X-SKYLINE")
+      "x_skyline" -> "X-SKYLINE", "x_eval_metrics" -> "X-EVAL-METRICS")
     val registered = SparkEntry.queries.keySet
     val unmapped = registered -- idOf.keySet
     assert(unmapped.isEmpty, s"queries with no SURVEY ID mapping: $unmapped")
