@@ -500,11 +500,16 @@ object Analytics {
   def basket(spark: SparkSession, sfDir: String): DataFrame = {
     val brands = Tables.load(spark, sfDir, "part")
       .select(col("p_partkey"), col("p_brand"))
+    // cached: the deduped basket frame feeds the order total, the brand
+    // marginals AND both sides of the pair join — one lineitem scan +
+    // dedup instead of four (at scale the equivalent is a materialized
+    // basket table all three aggregates read)
     val ob = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey"))
       .join(broadcast(brands), col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
       .distinct()
+      .cache()
     val nOrders = ob.select(countDistinct("okey").as("n_orders"))
     val marginals = ob.groupBy("brand").agg(count(lit(1)).as("n_b"))
     val pairs = ob.as("a")

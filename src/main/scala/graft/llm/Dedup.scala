@@ -367,6 +367,10 @@ object Dedup {
           s"i -> struct(i AS pos, concat_ws(' ', slice(toks, i, $n)) AS g))")).as("u"))
       .select(col("doc_id"), col("u.pos").cast("long").as("pos"),
         rolling_hash(col("u.g")).as("gh"))
+      // cached: the exploded gram frame feeds the dup-hash aggregate AND
+      // the inverted-index join back onto it — one tokenize+explode pass
+      // instead of two (BM25's memoized-tokenization pattern)
+      .cache()
     val dupHashes = grams
       .groupBy("gh").agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= 2)
