@@ -371,7 +371,15 @@ object Analytics {
         (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("y"))
     val cust = Tables.load(spark, sfDir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
-    val m = o.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    linregOf(o.join(broadcast(cust), col("o_custkey") === col("c_custkey")))
+  }
+
+  /** Core grouped-OLS over any (c_mktsegment, x, y) frame — separated so
+    * the property law can drive it with generated samples against a
+    * sequential BigInt-moment reference.
+    */
+  def linregOf(xy: DataFrame): DataFrame = {
+    val m = xy
       .groupBy("c_mktsegment")
       .agg(
         count(lit(1)).as("n"),

@@ -356,10 +356,17 @@ object Dedup {
     * dup-hash filter is a partial+final agg reusing that partitioning;
     * span merging is one per-doc sorted window. Nothing is all-pairs.
     */
-  def dupSpans(spark: SparkSession, sfDir: String): DataFrame = {
+  def dupSpans(spark: SparkSession, sfDir: String): DataFrame =
+    dupSpansOf(Tables.documents(spark, sfDir))
+
+  /** Core span detection over any (doc_id, text) frame — separated so
+    * the property law can plant known shared passages and check the
+    * reported spans exactly.
+    */
+  def dupSpansOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = SpanGramN
-    val grams = Tables.documents(spark, sfDir)
+    val grams = docs
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), explode(expr(

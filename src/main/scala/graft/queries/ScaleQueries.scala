@@ -350,12 +350,19 @@ object ScaleQueries {
     * strictly-cheaper bucket. Correct because every part in a lower
     * bucket is strictly cheaper than every part in a higher one.
     */
-  def skyline(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val parts = Tables.load(spark, sfDir, "part")
+  def skyline(spark: SparkSession, sfDir: String): DataFrame =
+    skylineOf(Tables.load(spark, sfDir, "part")
       .select(col("p_partkey"),
         (col("p_retailprice").cast(DecimalType(18, 2)) * 100).cast("long").as("price_cents"),
-        col("p_size").cast("long").as("size"))
+        col("p_size").cast("long").as("size")))
+
+  /** Core divide-and-conquer skyline over any (p_partkey, price_cents,
+    * size) frame — separated so the property law can drive it with
+    * generated point sets against a brute-force dominance reference.
+    */
+  def skylineOf(points: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = points
       .withColumn("bucket", (col("price_cents") / SkylineBucketCents).cast("long"))
     val wLocal = Window.partitionBy("bucket")
       .orderBy(col("price_cents").asc, col("size").desc, col("p_partkey").asc)

@@ -292,6 +292,84 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("law: X-SKYLINE bucketed frontier equals brute-force dominance on random points") {
+    import spark.implicits._
+    val ptsGen = Gen.listOf(for {
+      p <- Gen.chooseNum(0L, 5000L) // spans several SkylineBucketCents buckets
+      s <- Gen.chooseNum(0L, 10L)   // small domain -> exact ties exercised
+    } yield (p, s)).map(_.zipWithIndex.map { case ((p, s), i) => (i.toLong, p, s) })
+    forAll(ptsGen, cases = 5) { pts =>
+      val got = graft.queries.ScaleQueries.skylineOf(
+          pts.toDF("p_partkey", "price_cents", "size"))
+        .collect().map(_.getLong(0)).toSet
+      val want = pts.filter { case (id, price, size) =>
+        !pts.exists { case (qid, qp, qs) =>
+          (qp <= price && qs >= size && (qp < price || qs > size)) ||
+          (qp == price && qs == size && qid < id)
+        }
+      }.map(_._1).toSet
+      assert(got == want, s"skyline drifted on $pts")
+    }
+  }
+
+  test("law: X-LINREG distributed moments equal the sequential BigInt reference") {
+    import spark.implicits._
+    val xyGen = Gen.listOf(for {
+      g <- Gen.oneOf("s1", "s2")
+      x <- Gen.chooseNum(0L, 2500L)
+      y <- Gen.chooseNum(-100000L, 5000000L)
+    } yield (g, x, y)).map(l =>
+      // two distinct x per group so var(x) != 0 and the slope is defined
+      l ++ Seq(("s1", 0L, 7L), ("s1", 1L, 9L), ("s2", 0L, 3L), ("s2", 2L, 5L)))
+    forAll(xyGen, cases = 5) { xs =>
+      val got = llm.Analytics.linregOf(xs.toDF("c_mktsegment", "x", "y"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getDouble(6), r.getDouble(7))).toMap
+      xs.groupBy(_._1).foreach { case (g, rows) =>
+        val n = rows.size.toLong
+        val sx = rows.map(_._2).sum
+        val sy = rows.map(_._3).sum
+        val sxy = rows.map(r => r._2 * r._3).sum
+        val sxx = rows.map(r => r._2 * r._2).sum
+        val slope = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+          (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble)
+        val intercept = (sy.toDouble - slope * sx.toDouble) / n.toDouble
+        assert(got(g) == ((n, sx, sy, sxy, sxx, slope, intercept)),
+          s"linreg drifted for $g on $rows: ${got(g)}")
+      }
+    }
+  }
+
+  test("law: X-DUP-SPANS finds exactly the planted shared passage") {
+    import spark.implicits._
+    val caseGen = for {
+      passLen <- Gen.chooseNum(8, 15)   // >= SpanGramN so it is detectable
+      fillA <- Gen.chooseNum(0, 20)
+      fillB <- Gen.chooseNum(0, 20)
+      fillC <- Gen.chooseNum(0, 20)
+    } yield (passLen, fillA, fillB, fillC)
+    forAll(caseGen, cases = 5) { case (passLen, fa, fb, fc) =>
+      val pass = (0 until passLen).map(i => s"p$i")
+      def doc(tag: String, pre: Int, post: Int) =
+        ((0 until pre).map(i => s"${tag}a$i") ++ pass ++
+          (0 until post).map(i => s"${tag}b$i")).mkString(" ")
+      val docs = Seq(
+        (1L, doc("x", fa, fb)),
+        (2L, doc("y", fc, 0)),
+        (3L, (0 until 30).map(i => s"z$i").mkString(" ")))
+      val got = llm.Dedup.dupSpansOf(docs.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      // every fully-inside window of the passage is duplicated; boundary
+      // windows carry a doc-unique filler token and are not
+      val grams = (passLen - llm.Dedup.SpanGramN + 1).toLong
+      val expect = (grams, 1L, passLen.toLong, passLen.toLong)
+      assert(got == Map(1L -> expect, 2L -> expect),
+        s"spans drifted on ($passLen,$fa,$fb,$fc): $got")
+    }
+  }
+
   test("law: X-BITMAP-DISTINCT codec round-trips and distributed merge equals set union") {
     import graft.functions.Bitmap
     val idsGen = Gen.listOf(Gen.chooseNum(0L, 5000L))
