@@ -168,6 +168,8 @@ object SparkEntry {
     "x_ab_test" -> (llm.Analytics.abTest _),
     "x_skyline" -> (ScaleQueries.skyline _),
     "x_eval_metrics" -> (llm.TextAnalysis.evalMetrics _),
+    "x_json_extract" -> (llm.Events.jsonExtract _),
+    "x_cohort" -> (llm.Events.cohort _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -1745,5 +1747,37 @@ object SparkEntry {
         |         AND q.p_partkey < a.p_partkey))
         |ORDER BY price_cents, p_partkey""".stripMargin,
     "x_eval_metrics" -> OracleLlm.evalMetricsSql,
+    // typed JSON extraction mirror: json_extract_string + cast
+    "x_json_extract" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(k) AS BIGINT) AS n_with_k,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       CAST(min(k) AS BIGINT) AS min_k,
+        |       CAST(max(k) AS BIGINT) AS max_k,
+        |       CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // weekly cohort triangle: week = date_trunc both engines, offset an
+    // exact integer day difference over 7
+    "x_cohort" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        |  FROM events),
+        |a AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id),
+        |sz AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_n
+        |       FROM a GROUP BY cohort_week),
+        |m AS (
+        |  SELECT a.cohort_week,
+        |         CAST((uw.week - a.cohort_week) // 7 AS BIGINT) AS week_offset,
+        |         CAST(count(*) AS BIGINT) AS n_active
+        |  FROM uw JOIN a USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT m.cohort_week, m.week_offset, m.n_active, sz.cohort_n,
+        |       CAST(m.n_active AS DOUBLE) / CAST(sz.cohort_n AS DOUBLE) AS rate
+        |FROM m JOIN sz USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
   )
 }

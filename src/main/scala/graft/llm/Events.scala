@@ -680,6 +680,64 @@ object Events {
           <= col("ee") * 0.1).cast("long").as("approx_events_within_10pct"))
       .orderBy("event_type")
 
+  /** X-JSON-EXTRACT: typed semi-structured extraction — the `props`
+    * JSON column parsed with an EXPLICIT schema (`from_json(props,
+    * "k BIGINT")`), then profiled per event type. The explicit schema
+    * is the scale decision: schema-on-read with inference
+    * (`schema_of_json` / sampling) re-derives the schema per run and
+    * can silently widen types mid-pipeline, while a declared schema
+    * makes the parse a single codegen'd `JsonToStructs` projection —
+    * row-local, no shuffle, malformed rows become NULLs that the
+    * profile counts instead of killing the job (the same
+    * PERMISSIVE-over-failfast stance as Q-LOAD-CSV). One partial+final
+    * agg after the narrow parse; the oracle mirrors with
+    * `json_extract_string` + cast.
+    */
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("k")).as("n_with_k"),
+        sum("k").as("sum_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"),
+        countDistinct("k").as("n_distinct_k"))
+      .orderBy("event_type")
+
+  /** X-COHORT: weekly signup-cohort retention matrix — users grouped by
+    * their FIRST active week, each later active week counted at its
+    * week offset: the classic growth triangle (cohort rows, age
+    * columns) that X-RETENTION's day-over-day view cannot express
+    * because it has no per-user anchor. Exact arithmetic: weeks are
+    * `date_trunc('week', …)` dates in both engines and the offset is an
+    * integer day difference divided by 7 (always a multiple). Scale
+    * shape: one distinct-projection partial+final agg to (user, week),
+    * a per-user min-agg for the anchor (reusing the user partitioning),
+    * an equi-join back, then a cohort²-sized rollup with the cohort
+    * size riding along for the one-division retention rate.
+    */
+  def cohort(spark: SparkSession, sfDir: String): DataFrame = {
+    val uw = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    val anchor = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val sized = anchor.groupBy("cohort_week").agg(count(lit(1)).as("cohort_n"))
+    uw.join(anchor, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sized), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"), col("cohort_n"),
+        (col("n_active").cast("double") / col("cohort_n").cast("double")).as("rate"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** KMV sketch size: 64 minimum hash values per set. */
   val KmvK = 64
 

@@ -2711,7 +2711,8 @@ class GraftSpec extends AnyFunSuite {
       "x_dup_spans" -> "X-DUP-SPANS",
       "x_stream_join_outer" -> "X-STREAM-JOIN-OUTER",
       "x_basket" -> "X-BASKET", "x_ab_test" -> "X-AB-TEST",
-      "x_skyline" -> "X-SKYLINE", "x_eval_metrics" -> "X-EVAL-METRICS")
+      "x_skyline" -> "X-SKYLINE", "x_eval_metrics" -> "X-EVAL-METRICS",
+      "x_json_extract" -> "X-JSON-EXTRACT", "x_cohort" -> "X-COHORT")
     val registered = SparkEntry.queries.keySet
     val unmapped = registered -- idOf.keySet
     assert(unmapped.isEmpty, s"queries with no SURVEY ID mapping: $unmapped")
