@@ -170,6 +170,7 @@ object SparkEntry {
     "x_eval_metrics" -> (llm.TextAnalysis.evalMetrics _),
     "x_json_extract" -> (llm.Events.jsonExtract _),
     "x_cohort" -> (llm.Events.cohort _),
+    "x_star_join" -> (ScaleQueries.starJoin _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -1779,5 +1780,19 @@ object SparkEntry {
         |       CAST(m.n_active AS DOUBLE) / CAST(sz.cohort_n AS DOUBLE) AS rate
         |FROM m JOIN sz USING (cohort_week)
         |ORDER BY cohort_week, week_offset""".stripMargin,
+    // TPC-H Q5 shape: revenue in exact scale-4 DECIMAL, one final cast
+    "x_star_join" ->
+      s"""SELECT n.n_name, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+        |         AS DOUBLE) AS revenue
+        |FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+        |WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+        |  AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        |  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+        |  AND r.r_name = '${ScaleQueries.StarRegion}'
+        |  AND o.o_orderdate >= TIMESTAMP '${ScaleQueries.StarYearStart}'
+        |  AND o.o_orderdate < TIMESTAMP '${ScaleQueries.StarYearEnd}'
+        |GROUP BY n.n_name ORDER BY revenue DESC, n_name""".stripMargin,
   )
 }

@@ -328,6 +328,59 @@ object ScaleQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Star-join filter constants (TPC-H Q5's shape: one region, one year). */
+  val StarRegion = "ASIA"
+  val StarYearStart = "1996-01-01"
+  val StarYearEnd = "1997-01-01"
+
+  /** X-STAR-JOIN: the classic six-table star join (TPC-H Q5's
+    * local-supplier-volume shape) — revenue by nation for one region
+    * and one order year, where the customer and the line's supplier
+    * share a nation. This is THE join-planning stress shape a warehouse
+    * engine must get right at 100 TB, and the plan here is built the
+    * way the optimizer should leave it: selective dimension filters
+    * FIRST (the order-date range prunes orders before any join — at
+    * scale that's partition pruning; the region filter shrinks nation
+    * to one region's rows), the two fact-sized equi-joins
+    * (lineitem⋈orders on orderkey, then ⋈customer on custkey) carry
+    * only the columns the query needs, and every remaining dimension
+    * (supplier, region-filtered nation) BROADCASTS — zero shuffles
+    * beyond the two irreducible fact exchanges. The local-supplier
+    * predicate (c_nationkey = s_nationkey) applies map-side after the
+    * supplier broadcast. Revenue in exact DECIMAL
+    * (price × (1 − discount), scale-4 exact rationals) summed before
+    * one cast to double, oracle-identical.
+    */
+  def starJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(StarYearStart).cast("timestamp") &&
+        col("o_orderdate") < lit(StarYearEnd).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))))
+          .as("rev"))
+    val c = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val s = Tables.load(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nr = Tables.load(spark, sfDir, "nation")
+      .join(broadcast(Tables.load(spark, sfDir, "region")
+        .filter(col("r_name") === StarRegion)
+        .select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n"), sum("rev").cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
   /** Skyline price-bucket width in cents ($10 over the [900, 1000) part
     * price domain ⇒ ~10 buckets).
     */

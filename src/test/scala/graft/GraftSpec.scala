@@ -2712,7 +2712,8 @@ class GraftSpec extends AnyFunSuite {
       "x_stream_join_outer" -> "X-STREAM-JOIN-OUTER",
       "x_basket" -> "X-BASKET", "x_ab_test" -> "X-AB-TEST",
       "x_skyline" -> "X-SKYLINE", "x_eval_metrics" -> "X-EVAL-METRICS",
-      "x_json_extract" -> "X-JSON-EXTRACT", "x_cohort" -> "X-COHORT")
+      "x_json_extract" -> "X-JSON-EXTRACT", "x_cohort" -> "X-COHORT",
+      "x_star_join" -> "X-STAR-JOIN")
     val registered = SparkEntry.queries.keySet
     val unmapped = registered -- idOf.keySet
     assert(unmapped.isEmpty, s"queries with no SURVEY ID mapping: $unmapped")
