@@ -1143,6 +1143,38 @@ object OracleLlm {
        |WHERE "rank" <= ${llm.Sampling.SamplePerKey}
        |ORDER BY source, "rank"""".stripMargin
 
+  /** lshRecall mirror: same shingle CTEs, same df-capped truth index
+    * with the exact-integer threshold, same banded candidate set; the
+    * scalars are correlated subqueries so an empty truth set still
+    * yields the one metrics row (recall pinned 1.0).
+    */
+  val lshRecallSql: String =
+    s"""WITH $sigCtes, $pairCtes,
+       |h2 AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+       |okh AS (SELECT h FROM h2 GROUP BY h
+       |        HAVING count(*) >= 2 AND count(*) <= ${Dedup.ShingleDfCap}),
+       |i2 AS (SELECT doc_id, h FROM h2 JOIN okh USING (h)),
+       |cnts AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS nsh FROM hs WHERE len(hs) > 0),
+       |truth AS (
+       |  SELECT s.id_a, s.id_b
+       |  FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |               CAST(count(*) AS BIGINT) AS shared
+       |        FROM i2 a JOIN i2 b ON a.h = b.h AND a.doc_id < b.doc_id
+       |        GROUP BY 1, 2) s
+       |  JOIN cnts ca ON ca.doc_id = s.id_a
+       |  JOIN cnts cb ON cb.doc_id = s.id_b
+       |  WHERE s.shared * 3 >= ca.nsh + cb.nsh),
+       |mk AS (
+       |  SELECT t.id_a, t.id_b,
+       |         CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+       |  FROM truth t LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM mk) AS n_true,
+       |       (SELECT CAST(coalesce(sum(caught), 0) AS BIGINT) FROM mk) AS n_caught,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_lsh_cand,
+       |       CASE WHEN (SELECT count(*) FROM mk) = 0 THEN 1.0
+       |            ELSE CAST((SELECT sum(caught) FROM mk) AS DOUBLE)
+       |               / CAST((SELECT count(*) FROM mk) AS DOUBLE) END AS recall""".stripMargin
+
   /** dupSpans mirror: same 8-gram windows (1-based positions), same
     * 64-bit rolling hash, same ≥2-distinct-docs filter and
     * gaps-and-islands span merge.

@@ -171,6 +171,7 @@ object SparkEntry {
     "x_json_extract" -> (llm.Events.jsonExtract _),
     "x_cohort" -> (llm.Events.cohort _),
     "x_star_join" -> (ScaleQueries.starJoin _),
+    "x_lsh_recall" -> (llm.Dedup.lshRecall _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -1794,5 +1795,6 @@ object SparkEntry {
         |  AND o.o_orderdate >= TIMESTAMP '${ScaleQueries.StarYearStart}'
         |  AND o.o_orderdate < TIMESTAMP '${ScaleQueries.StarYearEnd}'
         |GROUP BY n.n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "x_lsh_recall" -> OracleLlm.lshRecallSql,
   )
 }

@@ -329,6 +329,68 @@ object Dedup {
       .orderBy("variant")
   }
 
+  // ---- X-LSH-RECALL ---------------------------------------------------
+
+  /** Truth-index discriminativeness cap: shingles present in more than
+    * this many docs are dropped from the TRUTH candidate index (the
+    * standard prefix-filter trade — a pair similar only through
+    * ubiquitous shingles is invisible to the capped index on BOTH
+    * engines, so truth stays mirrored).
+    */
+  val ShingleDfCap = 50
+
+  /** X-LSH-RECALL: the recall half of the MinHash-LSH banding contract —
+    * x_dedup_minhash proves the banding's candidate set and estimates
+    * are deterministic, but never says what fraction of TRULY similar
+    * pairs the bands catch (the ANN paths carry `recall_hits` for
+    * exactly this reason; this is the dedup twin). Ground truth: pairs
+    * with true shingle-set Jaccard ≥ [[NearDupThreshold]], found by a
+    * discriminative-shingle inverted index (df ∈ [2, [[ShingleDfCap]]])
+    * — an EQUI-join on shingle hash with bounded fanout, never an
+    * all-pairs cross join — with the threshold test in EXACT integers
+    * (`3·shared ≥ |A|+|B|` ⟺ J ≥ ½). Candidates: the same banded pair
+    * set every dedup consumer uses. Output is one metrics row:
+    * n_true / n_caught / n_lsh_cand / recall (empty truth pinned to
+    * recall 1.0 by an integer guard). At 16 bands × 4 rows the expected
+    * catch rate at J = 0.5 is 1−(1−2⁻⁴)¹⁶ ≈ 0.64 and →1 as J→1; the
+    * fixture's planted near-dups sit well above threshold, which the
+    * spec floor asserts.
+    */
+  def lshRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), shingleHashes(col("text")).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val counts = sh.select(col("doc_id"), size(col("shs")).cast("long").as("nsh"))
+    // cached: the exploded shingle index feeds the df gate AND the
+    // pair join back onto itself (memoized-intermediate pattern)
+    val inv = sh.select(col("doc_id"), explode(col("shs")).as("h")).cache()
+    val okShingles = inv.groupBy("h").agg(count(lit(1)).as("dfh"))
+      .filter(col("dfh") >= 2 && col("dfh") <= ShingleDfCap)
+      .select("h")
+    val inv2 = inv.join(okShingles, Seq("h"))
+    val truth = inv2.as("a")
+      .join(inv2.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(counts.select(col("doc_id").as("id_a"), col("nsh").as("n_a")), Seq("id_a"))
+      .join(counts.select(col("doc_id").as("id_b"), col("nsh").as("n_b")), Seq("id_b"))
+      .filter(col("shared") * 3 >= col("n_a") + col("n_b"))
+      .select("id_a", "id_b")
+    val lsh = candidatePairs(signatureTable(spark, sfDir))
+    val nl = lsh.agg(count(lit(1)).as("n_lsh_cand"))
+    truth
+      .join(lsh.withColumn("caught", lit(1L)), Seq("id_a", "id_b"), "left")
+      .agg(
+        count(lit(1)).as("n_true"),
+        coalesce(sum("caught"), lit(0L)).as("n_caught"))
+      .crossJoin(broadcast(nl))
+      .select(col("n_true"), col("n_caught"), col("n_lsh_cand"),
+        when(col("n_true") === 0L, lit(1.0))
+          .otherwise(col("n_caught").cast("double") / col("n_true").cast("double"))
+          .as("recall"))
+  }
+
   // ---- X-DUP-SPANS ----------------------------------------------------
 
   /** Duplicated-span n-gram width (tokens). */

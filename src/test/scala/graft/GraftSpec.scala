@@ -513,6 +513,17 @@ class GraftSpec extends AnyFunSuite {
     if (!nSplitsPerText.isNullAt(0)) assert(nSplitsPerText.getLong(0) === 1L)
   }
 
+  test("x_lsh_recall: banding catches at least half of truly-similar pairs") {
+    val r = llm.Dedup.lshRecall(spark, sf).head()
+    val (nTrue, nCaught, nCand, recall) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(nCaught <= nTrue, "caught pairs must be a subset of truth")
+    assert(nCaught <= nCand, "caught pairs must come from the candidate set")
+    // 16 bands x 4 rows gives ~0.64 expected catch at J=0.5 and ->1 as
+    // J->1; the fixture's planted near-dups sit well above threshold
+    assert(recall >= 0.5, s"banding recall $recall below floor ($nCaught/$nTrue)")
+  }
+
   test("x_token_budget: per-source kept tokens never exceed the budget") {
     val r = llm.Sampling.tokenBudget(spark, sf).collect()
     assert(r.nonEmpty)
@@ -2713,7 +2724,7 @@ class GraftSpec extends AnyFunSuite {
       "x_basket" -> "X-BASKET", "x_ab_test" -> "X-AB-TEST",
       "x_skyline" -> "X-SKYLINE", "x_eval_metrics" -> "X-EVAL-METRICS",
       "x_json_extract" -> "X-JSON-EXTRACT", "x_cohort" -> "X-COHORT",
-      "x_star_join" -> "X-STAR-JOIN")
+      "x_star_join" -> "X-STAR-JOIN", "x_lsh_recall" -> "X-LSH-RECALL")
     val registered = SparkEntry.queries.keySet
     val unmapped = registered -- idOf.keySet
     assert(unmapped.isEmpty, s"queries with no SURVEY ID mapping: $unmapped")
