@@ -172,6 +172,7 @@ object SparkEntry {
     "x_cohort" -> (llm.Events.cohort _),
     "x_star_join" -> (ScaleQueries.starJoin _),
     "x_lsh_recall" -> (llm.Dedup.lshRecall _),
+    "x_stream_late" -> (llm.StreamingOps.streamingLateMetrics _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -1796,5 +1797,17 @@ object SparkEntry {
         |  AND o.o_orderdate < TIMESTAMP '${ScaleQueries.StarYearEnd}'
         |GROUP BY n.n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "x_lsh_recall" -> OracleLlm.lshRecallSql,
+    // the drop counter must equal the re-delivered first day's row count;
+    // the sink rollup must equal the single-copy batch aggregate
+    "x_stream_late" ->
+      """WITH b AS (
+        |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_cells,
+        |       (SELECT CAST(sum(n) AS BIGINT) FROM b) AS n_events,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM events
+        |        WHERE ts < (SELECT date_trunc('day', min(ts)) + INTERVAL 1 DAY
+        |                    FROM events)) AS n_dropped""".stripMargin,
   )
 }

@@ -146,6 +146,93 @@ object StreamingOps {
       .orderBy("day")
   }
 
+  /** X-STREAM-LATE: late-data observability — how many late rows the
+    * watermark discarded, as a CHECKED result: the streaming twin of
+    * X-OBSERVE's batch metrics (a pipeline that silently drops late
+    * events is how a revenue dashboard undercounts with no alarm; this
+    * row is the alarm). The landing zone replays three pinned
+    * micro-batches (`maxFilesPerTrigger = 1`, explicit mtimes): the
+    * full table, a far-future watermark sentinel, then the ENTIRE FIRST
+    * DAY re-delivered — by then the watermark sits past every real
+    * window, so the re-delivery is provably 100 % late and the drop
+    * count is exact and deterministic, not timing-dependent. The drop
+    * count is derived as engine-reported `numInputRows` minus the
+    * sentinel minus the rows that reached the sink — NOT from
+    * `numRowsDroppedByWatermark`, which only counts late rows reaching
+    * a state store while the derived watermark filter ahead of it
+    * removes the rest uncounted (measured here: 5 of 364). If the
+    * engine ever failed to drop the late rows, both the rollup and the
+    * derived count would shift and the oracle row would mismatch. The
+    * oracle recomputes all three from the single-copy table
+    * (`n_dropped` = the day-1 row count).
+    */
+  def streamingLateMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Tables.eventsRaw(spark, sfDir)
+    val rawSchema = raw.schema
+    val work = java.nio.file.Files.createTempDirectory(
+      "graft_stream_late_" + runs.incrementAndGet() + "_")
+    val bounds = raw.selectExpr(Tables.tsMicrosExpr(rawSchema) + " AS us")
+      .agg(min("us").as("mn"), max("us").as("mx")).head()
+    val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
+    val dayUs = 86400000000L
+    val lateCutUs = (minUs / dayUs + 1) * dayUs // end of the first day (UTC)
+    val srcDirS = graft.etl.Sink.scratchPath(sfDir, "events_stream_late")
+    val srcDir = java.nio.file.Paths.get(srcDirS)
+    val marker = srcDir.resolve("_GRAFT_OK_v1")
+    if (!java.nio.file.Files.exists(marker)) {
+      graft.etl.Sink.dropUncommitted(srcDirS)
+      java.nio.file.Files.createDirectories(srcDir)
+      def pin(p: java.nio.file.Path, mtimeSec: Long): Unit =
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeSec * 1000))
+      def stageOne(df: DataFrame, name: String, mtimeSec: Long): Unit = {
+        val tmp = work.resolve(s"stage_$name")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val listing = java.nio.file.Files.list(tmp)
+        val part =
+          try {
+            import scala.jdk.CollectionConverters._
+            listing.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+          } finally listing.close()
+        val dst = srcDir.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part, dst)
+        pin(dst, mtimeSec)
+        graft.streaming.Drain.deleteRecursively(tmp)
+      }
+      val main = srcDir.resolve("batch1.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(sfDir, "events.parquet"), main)
+      pin(main, 1)
+      val sentinel = spark.range(1).select(
+        lit(-1L).as("event_id"),
+        Tables.tsLit(rawSchema, maxUs + 4L * 24 * 3600 * 1000000L).as("ts"),
+        lit(-1L).as("user_id"),
+        lit("__wm__").as("event_type"),
+        lit(0.0).as("value"),
+        lit(null).cast("string").as("props"))
+      stageOne(sentinel, "batch2", 2)
+      stageOne(raw.filter(
+        expr(Tables.tsMicrosExpr(rawSchema)) < lateCutUs), "batch3", 3)
+      java.nio.file.Files.createFile(marker)
+    }
+    val stream = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      .withColumn("ts", expr(Tables.tsTimestampExpr(rawSchema)))
+      .withWatermark("ts", "1 hour")
+      // sentinel dropped by a predicate on the WATERMARK column — a
+      // non-watermark predicate would be pushed below the watermark node
+      .filter(col("ts") <= timestamp_micros(lit(maxUs)))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("date").as("day"), col("event_type"), col("n"))
+    val (sink, stats) = graft.streaming.Drain.toParquetWithStats(
+      stream, work, shufflePartitions = Some(8))
+    sink.agg(count(lit(1)).as("n_cells"), sum("n").as("n_events"))
+      .select(col("n_cells"), col("n_events"),
+        (lit(stats.inputRows) - 1L - col("n_events")).as("n_dropped"))
+  }
+
   /** X-STREAM-JOIN-OUTER: stream-stream LEFT OUTER join with event-time
     * range bounds — [[streamingJoin]]'s inner join answers "which
     * purchases were attributed"; the OUTER join answers the question a

@@ -24,8 +24,20 @@ object Drain {
     * scales UP with volume. The session conf is restored after the
     * drain; batch queries in the session never see the override.
     */
+  /** Engine-reported drain accounting from StreamingQueryProgress.
+    * NOTE `droppedByWatermark` counts only late rows that REACH a state
+    * store; the derived watermark filter ahead of the stateful operator
+    * removes most late rows without incrementing it — so drop totals
+    * should be derived from `inputRows` minus sink output, with this
+    * counter as a supporting signal only.
+    */
+  case class DrainStats(inputRows: Long, droppedByWatermark: Long)
+
+  /** Returns [[DrainStats]] summed across the drained micro-batches
+    * (most callers ignore it; x_stream_late asserts on it).
+    */
   def run(stream: DataFrame, outDir: String, ckptDir: String,
-          shufflePartitions: Option[Int] = None): Unit = {
+          shufflePartitions: Option[Int] = None): DrainStats = {
     val spark = stream.sparkSession
     val key = "spark.sql.shuffle.partitions"
     val saved = spark.conf.getOption(key)
@@ -37,8 +49,13 @@ object Drain {
         .option("path", outDir)
         .option("checkpointLocation", ckptDir)
         .start()
-      try q.processAllAvailable()
-      finally q.stop()
+      try {
+        q.processAllAvailable()
+        val ps = q.recentProgress.toSeq
+        DrainStats(
+          ps.map(_.numInputRows).sum,
+          ps.flatMap(_.stateOperators.toSeq).map(_.numRowsDroppedByWatermark).sum)
+      } finally q.stop()
     } finally if (shufflePartitions.isDefined) {
       saved match {
         case Some(v) => spark.conf.set(key, v)
@@ -55,12 +72,17 @@ object Drain {
     * staged copy of its input plus a checkpoint into the temp dir.
     */
   def toParquet(stream: DataFrame, work: Path, alsoDelete: Seq[Path] = Nil,
-                shufflePartitions: Option[Int] = None): DataFrame = {
+                shufflePartitions: Option[Int] = None): DataFrame =
+    toParquetWithStats(stream, work, alsoDelete, shufflePartitions)._1
+
+  /** [[toParquet]] plus the drain's [[DrainStats]]. */
+  def toParquetWithStats(stream: DataFrame, work: Path, alsoDelete: Seq[Path] = Nil,
+                         shufflePartitions: Option[Int] = None): (DataFrame, DrainStats) = {
     val outDir = work.resolve("out").toString
-    run(stream, outDir, work.resolve("ckpt").toString, shufflePartitions)
+    val stats = run(stream, outDir, work.resolve("ckpt").toString, shufflePartitions)
     (work.resolve("ckpt") +: alsoDelete).foreach(deleteRecursively)
     cleanupAtExit(work)
-    stream.sparkSession.read.parquet(outDir)
+    (stream.sparkSession.read.parquet(outDir), stats)
   }
 
   def deleteRecursively(p: Path): Unit =

@@ -2724,7 +2724,8 @@ class GraftSpec extends AnyFunSuite {
       "x_basket" -> "X-BASKET", "x_ab_test" -> "X-AB-TEST",
       "x_skyline" -> "X-SKYLINE", "x_eval_metrics" -> "X-EVAL-METRICS",
       "x_json_extract" -> "X-JSON-EXTRACT", "x_cohort" -> "X-COHORT",
-      "x_star_join" -> "X-STAR-JOIN", "x_lsh_recall" -> "X-LSH-RECALL")
+      "x_star_join" -> "X-STAR-JOIN", "x_lsh_recall" -> "X-LSH-RECALL",
+      "x_stream_late" -> "X-STREAM-LATE")
     val registered = SparkEntry.queries.keySet
     val unmapped = registered -- idOf.keySet
     assert(unmapped.isEmpty, s"queries with no SURVEY ID mapping: $unmapped")
