@@ -173,6 +173,7 @@ object SparkEntry {
     "x_star_join" -> (ScaleQueries.starJoin _),
     "x_lsh_recall" -> (llm.Dedup.lshRecall _),
     "x_stream_late" -> (llm.StreamingOps.streamingLateMetrics _),
+    "x_expectations" -> (etl.Expectations.expectations _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -1809,5 +1810,44 @@ object SparkEntry {
         |       (SELECT CAST(count(*) AS BIGINT) FROM events
         |        WHERE ts < (SELECT date_trunc('day', min(ts)) + INTERVAL 1 DAY
         |                    FROM events)) AS n_dropped""".stripMargin,
+    // mirrored deterministic corruption (all CASEs key on the ORIGINAL
+    // o_orderkey), then the same five rule counts
+    "x_expectations" ->
+      s"""WITH inj AS (
+        |  SELECT CASE WHEN o_orderkey % 113 = 0 THEN o_orderkey + 1
+        |              ELSE o_orderkey END AS o_orderkey,
+        |         CASE WHEN o_orderkey % 103 = 0 THEN -o_custkey
+        |              ELSE o_custkey END AS o_custkey,
+        |         CASE WHEN o_orderkey % 97 = 0 THEN 'X'
+        |              ELSE o_orderstatus END AS o_orderstatus,
+        |         CASE WHEN o_orderkey % 101 = 0 THEN -o_totalprice
+        |              ELSE o_totalprice END AS o_totalprice,
+        |         CASE WHEN o_orderkey % 109 = 0 THEN TIMESTAMP '1970-01-01'
+        |              ELSE o_orderdate END AS o_orderdate
+        |  FROM orders),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        |         CAST(sum(CASE WHEN o_orderstatus NOT IN
+        |             (${etl.Expectations.ValidStatuses.map(s => s"'$s'").mkString(", ")})
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS status_viol,
+        |         CAST(sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS price_viol,
+        |         CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '${etl.Expectations.DateLo}'
+        |             OR o_orderdate >= TIMESTAMP '${etl.Expectations.DateHi}'
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS date_viol
+        |  FROM inj),
+        |fk AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS fk_viol FROM inj
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                    WHERE c.c_custkey = inj.o_custkey))
+        |SELECT rule, n_checked, n_violations, n_violations = 0 AS passed FROM (
+        |  SELECT 'date_in_range' AS rule, a.n AS n_checked,
+        |         a.date_viol AS n_violations FROM a
+        |  UNION ALL SELECT 'fk_custkey', a.n, fk.fk_viol FROM a, fk
+        |  UNION ALL SELECT 'positive_price', a.n, a.price_viol FROM a
+        |  UNION ALL SELECT 'status_domain', a.n, a.status_viol FROM a
+        |  UNION ALL SELECT 'unique_orderkey', a.n, a.n - a.n_keys FROM a) t
+        |ORDER BY rule""".stripMargin,
   )
 }

@@ -2725,7 +2725,8 @@ class GraftSpec extends AnyFunSuite {
       "x_skyline" -> "X-SKYLINE", "x_eval_metrics" -> "X-EVAL-METRICS",
       "x_json_extract" -> "X-JSON-EXTRACT", "x_cohort" -> "X-COHORT",
       "x_star_join" -> "X-STAR-JOIN", "x_lsh_recall" -> "X-LSH-RECALL",
-      "x_stream_late" -> "X-STREAM-LATE")
+      "x_stream_late" -> "X-STREAM-LATE",
+      "x_expectations" -> "X-EXPECTATIONS")
     val registered = SparkEntry.queries.keySet
     val unmapped = registered -- idOf.keySet
     assert(unmapped.isEmpty, s"queries with no SURVEY ID mapping: $unmapped")
