@@ -772,7 +772,11 @@ object Events {
     val ranked = uh
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy("event_type")))
-    val sketch = ranked.filter(col("rn") <= KmvK)
+    // cached: the ≤ types·k sketch frame feeds the per-type stats AND
+    // both sides of every pair vote — without it each consumer re-ranks
+    // the distinct-hash frame from the fact scan (memoized-intermediate
+    // pattern; at scale this is the persisted sketch table)
+    val sketch = ranked.filter(col("rn") <= KmvK).cache()
     val stats = sketch.groupBy("event_type").agg(
       max("cnt").as("n_hashes"),
       count(lit(1)).as("k_used"),
