@@ -174,6 +174,7 @@ object SparkEntry {
     "x_lsh_recall" -> (llm.Dedup.lshRecall _),
     "x_stream_late" -> (llm.StreamingOps.streamingLateMetrics _),
     "x_expectations" -> (etl.Expectations.expectations _),
+    "x_sessions_dynamic" -> (llm.Events.sessionsDynamic _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -1849,5 +1850,33 @@ object SparkEntry {
         |  UNION ALL SELECT 'status_domain', a.n, a.status_viol FROM a
         |  UNION ALL SELECT 'unique_orderkey', a.n, a.n - a.n_keys FROM a) t
         |ORDER BY rule""".stripMargin,
+    // dynamic-gap sessions = merged interval union of [ts, ts+gap) per
+    // user: new session exactly when ts >= every preceding horizon
+    "x_sessions_dynamic" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |         ts + CASE WHEN event_type = 'purchase' THEN INTERVAL 60 MINUTE
+        |                   ELSE INTERVAL 30 MINUTE END AS endt
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, endt,
+        |         max(endt) OVER (PARTITION BY user_id ORDER BY ts, endt
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, ts, endt,
+        |         sum(CASE WHEN prev_max IS NULL OR ts >= prev_max THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, endt) AS grp
+        |  FROM s),
+        |sess AS (
+        |  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS n_events,
+        |         min(ts) AS st, max(endt) AS en
+        |  FROM g GROUP BY user_id, grp)
+        |SELECT user_id,
+        |       CAST(count(*) AS BIGINT) AS n_sessions,
+        |       CAST(sum(n_events) AS BIGINT) AS n_events,
+        |       CAST(max(n_events) AS BIGINT) AS max_session_events,
+        |       CAST(sum(epoch_us(en) - epoch_us(st)) AS BIGINT) AS total_session_us
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

@@ -680,6 +680,36 @@ object Events {
           <= col("ee") * 0.1).cast("long").as("approx_events_within_10pct"))
       .orderBy("event_type")
 
+  /** X-SESSIONS-DYNAMIC: sessionization with a PER-EVENT gap — Spark's
+    * dynamic-gap `session_window` (the gap is an expression, not a
+    * constant): purchases hold a session open for 60 minutes, everything
+    * else 30 — the "a conversion keeps the visit alive longer" rule
+    * real attribution models use, inexpressible with the fixed-gap
+    * operator (X-EVENTS sessions). Semantically each event contributes
+    * the interval [ts, ts+gap) and a user's sessions are the merged
+    * interval union; the oracle mirrors that with a running
+    * strictly-preceding `max(ts+gap)` per user (a new session starts
+    * exactly when ts ≥ every preceding event's horizon) — an
+    * order-insensitive formulation, so timestamp ties cannot drift.
+    * Durations are exact epoch-microsecond differences. Scale shape:
+    * one exchange by (session key) for the session aggregation + one
+    * per-user rollup — identical to the fixed-gap operator's cost.
+    */
+  def sessionsDynamic(spark: SparkSession, sfDir: String): DataFrame = {
+    val gap = when(col("event_type") === "purchase", lit("60 minutes"))
+      .otherwise(lit("30 minutes"))
+    val perSession = Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    perSession.groupBy("user_id").agg(
+      count(lit(1)).as("n_sessions"),
+      sum("n_events").as("n_events"),
+      max("n_events").as("max_session_events"),
+      sum(unix_micros(col("w.end")) - unix_micros(col("w.start")))
+        .as("total_session_us"))
+      .orderBy("user_id")
+  }
+
   /** X-JSON-EXTRACT: typed semi-structured extraction — the `props`
     * JSON column parsed with an EXPLICIT schema (`from_json(props,
     * "k BIGINT")`), then profiled per event type. The explicit schema

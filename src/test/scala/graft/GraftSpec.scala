@@ -2726,7 +2726,8 @@ class GraftSpec extends AnyFunSuite {
       "x_json_extract" -> "X-JSON-EXTRACT", "x_cohort" -> "X-COHORT",
       "x_star_join" -> "X-STAR-JOIN", "x_lsh_recall" -> "X-LSH-RECALL",
       "x_stream_late" -> "X-STREAM-LATE",
-      "x_expectations" -> "X-EXPECTATIONS")
+      "x_expectations" -> "X-EXPECTATIONS",
+      "x_sessions_dynamic" -> "X-SESSIONS-DYNAMIC")
     val registered = SparkEntry.queries.keySet
     val unmapped = registered -- idOf.keySet
     assert(unmapped.isEmpty, s"queries with no SURVEY ID mapping: $unmapped")
