@@ -82,6 +82,15 @@ object OracleLlm {
     s"""WITH $sigCtes, $pairCtes
        |SELECT id_a, id_b, est_jaccard FROM mh ORDER BY id_a, id_b""".stripMargin
 
+  /** dedupIncremental mirror: the FULL pair formulation restricted to
+    * pairs touching the delta — the incremental shortcut must equal it.
+    */
+  val dedupIncrSql: String =
+    s"""WITH $sigCtes, $pairCtes
+       |SELECT id_a, id_b, est_jaccard FROM mh
+       |WHERE id_a % 10 = 0 OR id_b % 10 = 0
+       |ORDER BY id_a, id_b""".stripMargin
+
   val sourceSimSql: String =
     s"""WITH $sigCtes,
        |ex AS (SELECT source, unnest(sig) AS s, unnest(range(1, ${MinHashSig.NumHashes + 1})) AS i FROM sig),

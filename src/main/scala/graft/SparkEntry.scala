@@ -175,6 +175,7 @@ object SparkEntry {
     "x_stream_late" -> (llm.StreamingOps.streamingLateMetrics _),
     "x_expectations" -> (etl.Expectations.expectations _),
     "x_sessions_dynamic" -> (llm.Events.sessionsDynamic _),
+    "x_dedup_incr" -> (llm.Dedup.dedupIncremental _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -1878,5 +1879,6 @@ object SparkEntry {
         |       CAST(max(n_events) AS BIGINT) AS max_session_events,
         |       CAST(sum(epoch_us(en) - epoch_us(st)) AS BIGINT) AS total_session_us
         |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "x_dedup_incr" -> OracleLlm.dedupIncrSql,
   )
 }

