@@ -524,6 +524,30 @@ class GraftSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"banding recall $recall below floor ($nCaught/$nTrue)")
   }
 
+  test("x_dedup_incr: incremental pair set equals the full pair set's delta slice") {
+    val full = llm.Dedup.minhashPairsTable(spark, sf)
+      .filter(col("id_a") % 10 === 0 || col("id_b") % 10 === 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incr = llm.Dedup.dedupIncremental(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incr == full, "delta-only banding must reproduce the full delta slice")
+  }
+
+  test("x_sessions_dynamic: a gap that only grows never splits a fixed-gap session") {
+    // dynamic gap is 30m or 60m >= the fixed 30m gap, so interval unions
+    // only merge further: per-user session count must be <= the fixed one
+    val dyn = llm.Events.sessionsDynamic(spark, sf)
+      .select("user_id", "n_sessions").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fixed = llm.Events.sessions(spark, sf)
+      .select("user_id", "n_sessions").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dyn.keySet == fixed.keySet)
+    fixed.foreach { case (u, nFixed) =>
+      assert(dyn(u) <= nFixed, s"user $u: dynamic ${dyn(u)} > fixed $nFixed")
+    }
+  }
+
   test("x_token_budget: per-source kept tokens never exceed the budget") {
     val r = llm.Sampling.tokenBudget(spark, sf).collect()
     assert(r.nonEmpty)
