@@ -1184,6 +1184,51 @@ object OracleLlm {
        |            ELSE CAST((SELECT sum(caught) FROM mk) AS DOUBLE)
        |               / CAST((SELECT count(*) FROM mk) AS DOUBLE) END AS recall""".stripMargin
 
+  /** pipeline mirror: the same stage semantics composed from the same
+    * mirrored fragments (quality predicate, min-doc_id exact dedup,
+    * ≥-threshold banded near-dup drop, (fp, doc_id)-ordered budget).
+    */
+  val pipelineSql: String = {
+    val stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    def stage(label: String, rel: String): String =
+      s"""SELECT '$label' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens FROM $rel""".stripMargin
+    s"""WITH $sigCtes, $pairCtes,
+       |f AS (
+       |  SELECT doc_id, source, text,
+       |         CAST(length(text) AS BIGINT) AS n_chars,
+       |         ${wsTokens("text")} AS n_tokens,
+       |         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |           t -> t IN ($stop))) AS BIGINT) AS n_stop,
+       |         CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+       |  FROM documents),
+       |s1 AS (
+       |  SELECT * FROM f
+       |  WHERE n_tokens >= 20 AND n_tokens <= 2000
+       |    AND CAST(n_stop AS DOUBLE) <= CAST(n_tokens AS DOUBLE) * 0.5
+       |    AND CAST(n_punct AS DOUBLE) <= CAST(n_chars AS DOUBLE) * 0.1),
+       |ek AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY text),
+       |s2 AS (SELECT s1.* FROM s1 JOIN ek USING (doc_id)),
+       |dn AS (
+       |  SELECT DISTINCT id_b AS doc_id FROM mh
+       |  WHERE est_jaccard >= ${Dedup.NearDupThreshold}
+       |    AND id_a IN (SELECT doc_id FROM s2)
+       |    AND id_b IN (SELECT doc_id FROM s2)),
+       |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM dn)),
+       |r AS (
+       |  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY fp, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+       |  FROM (SELECT s3.*, ${signed64(hash64u("text"))} AS fp FROM s3) q),
+       |s4 AS (SELECT * FROM r WHERE running <= ${llm.Sampling.TokenBudget})
+       |SELECT stage, n_docs, n_tokens FROM (
+       |  ${stage("0_raw", "f")}
+       |  UNION ALL ${stage("1_quality", "s1")}
+       |  UNION ALL ${stage("2_exact_dedup", "s2")}
+       |  UNION ALL ${stage("3_near_dedup", "s3")}
+       |  UNION ALL ${stage("4_token_budget", "s4")}) t
+       |ORDER BY stage""".stripMargin
+  }
+
   /** dupSpans mirror: same 8-gram windows (1-based positions), same
     * 64-bit rolling hash, same ≥2-distinct-docs filter and
     * gaps-and-islands span merge.

@@ -176,6 +176,7 @@ object SparkEntry {
     "x_expectations" -> (etl.Expectations.expectations _),
     "x_sessions_dynamic" -> (llm.Events.sessionsDynamic _),
     "x_dedup_incr" -> (llm.Dedup.dedupIncremental _),
+    "x_pipeline" -> (llm.Pipeline.stageCounts _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -1880,5 +1881,6 @@ object SparkEntry {
         |       CAST(sum(epoch_us(en) - epoch_us(st)) AS BIGINT) AS total_session_us
         |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
     "x_dedup_incr" -> OracleLlm.dedupIncrSql,
+    "x_pipeline" -> OracleLlm.pipelineSql,
   )
 }

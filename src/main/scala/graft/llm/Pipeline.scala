@@ -1,0 +1,66 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.RollingHash.rolling_hash
+
+/** X-PIPELINE: the end-to-end corpus-curation pipeline as ONE query —
+  * quality filter → exact dedup → near-dedup → per-source token budget,
+  * with per-stage (docs, tokens) accounting. This is the composition the
+  * whole X-* family exists for: a training-data run is not one operator
+  * but this funnel, and the numbers that matter operationally are the
+  * per-stage losses (how much did quality filtering cost, how much was
+  * duplicated, what survived to the budget cut). Every stage reuses the
+  * exact semantics of its standalone operator — the same quality
+  * predicate (x_quality_filter), the same min-doc_id exact-dedup rule
+  * and ≥-threshold near-dup drop (x_dedup_pipeline), the same
+  * (fp, doc_id)-ordered running token budget (x_token_budget) — so the
+  * oracle composes the same mirrored fragments.
+  *
+  * Scale shape: the corpus is scanned once into the cached feature
+  * frame; each subsequent stage is a key-only join/window over the
+  * shrinking survivor set (text-hash group, banded-pair semi/anti
+  * joins, per-source ranking window); the five stage rollups are
+  * metrics-sized aggregates off the cached frames.
+  */
+object Pipeline {
+
+  def stageCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val enr = TextAnalysis.qualityFeatures(docs)
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .cache()
+    val s1 = enr.filter(
+      col("n_tokens") >= 20 && col("n_tokens") <= 2000 &&
+        col("n_stopwords").cast("double") <= col("n_tokens").cast("double") * 0.5 &&
+        col("n_punct").cast("double") <= col("n_chars").cast("double") * 0.1)
+      .cache()
+    val exactKeep = s1.groupBy("text").agg(min("doc_id").as("doc_id")).select("doc_id")
+    val s2 = s1.join(exactKeep, Seq("doc_id"), "left_semi").cache()
+    val s2ids = s2.select("doc_id")
+    val dropNear = Dedup.minhashPairsTable(spark, sfDir)
+      .filter(col("est_jaccard") >= Dedup.NearDupThreshold)
+      .join(s2ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
+      .join(s2ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
+      .select(col("id_b").as("doc_id")).distinct()
+    val s3 = s2.join(dropNear, Seq("doc_id"), "left_anti").cache()
+    val w = Window.partitionBy("source").orderBy("fp", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s4 = s3.withColumn("fp", rolling_hash(col("text")))
+      .withColumn("running", sum("n_tokens").over(w))
+      .filter(col("running") <= Sampling.TokenBudget)
+    def stat(df: DataFrame, label: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("n_tokens"), lit(0L)).as("n_tokens"))
+        .select(lit(label).as("stage"), col("n_docs"), col("n_tokens"))
+    stat(enr, "0_raw")
+      .unionAll(stat(s1, "1_quality"))
+      .unionAll(stat(s2, "2_exact_dedup"))
+      .unionAll(stat(s3, "3_near_dedup"))
+      .unionAll(stat(s4, "4_token_budget"))
+      .orderBy("stage")
+  }
+}

@@ -2752,7 +2752,7 @@ class GraftSpec extends AnyFunSuite {
       "x_stream_late" -> "X-STREAM-LATE",
       "x_expectations" -> "X-EXPECTATIONS",
       "x_sessions_dynamic" -> "X-SESSIONS-DYNAMIC",
-      "x_dedup_incr" -> "X-DEDUP-INCR")
+      "x_dedup_incr" -> "X-DEDUP-INCR", "x_pipeline" -> "X-PIPELINE")
     val registered = SparkEntry.queries.keySet
     val unmapped = registered -- idOf.keySet
     assert(unmapped.isEmpty, s"queries with no SURVEY ID mapping: $unmapped")
