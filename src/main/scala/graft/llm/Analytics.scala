@@ -415,12 +415,18 @@ object Analytics {
     * sibling is x_quantiles), then a broadcast of the ≤|segments| bound
     * rows back onto the frame.
     */
-  def winsorize(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = Tables.load(spark, sfDir, "customer")
+  def winsorize(spark: SparkSession, sfDir: String): DataFrame =
+    winsorizeOf(Tables.load(spark, sfDir, "customer")
       .select(col("c_mktsegment"),
         (col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
-        col("c_custkey"))
+        col("c_custkey")))
+
+  /** Core percentile clamp over any (c_mktsegment, cents, c_custkey)
+    * frame — separated so the property law can drive it with generated
+    * samples against a sequential order-statistic reference.
+    */
+  def winsorizeOf(base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("c_mktsegment").orderBy(col("cents"), col("c_custkey"))
     val ranked = base
       .withColumn("rn", row_number().over(w).cast("long"))
@@ -467,15 +473,21 @@ object Analytics {
     * densification costs nothing at 100 TB. The oracle mirrors the fill
     * with the engine-agnostic count-over/max-per-group trick.
     */
-  def gapfill(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val daily = Tables.orders(spark, sfDir)
+  def gapfill(spark: SparkSession, sfDir: String): DataFrame =
+    gapfillOf(Tables.orders(spark, sfDir)
       .select(col("o_orderpriority").as("priority"),
         to_date(col("o_orderdate")).as("day"),
         (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
       .filter(col("cents") > JumboCents)
       .groupBy("priority", "day")
-      .agg(count(lit(1)).as("n"), sum("cents").as("day_cents"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("day_cents")))
+
+  /** Core spine+fill over any sparse (priority, day, n, day_cents)
+    * frame — separated so the property law can drive it with generated
+    * sparse series against a sequential carry-forward reference.
+    */
+  def gapfillOf(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val spine = daily.groupBy("priority")
       .agg(min("day").as("d0"), max("day").as("d1"))
       .select(col("priority"), explode(sequence(col("d0"), col("d1"))).as("day"))

@@ -370,6 +370,64 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("law: X-GAPFILL spine is hole-free and the fill equals a sequential carry") {
+    import spark.implicits._
+    val seriesGen = Gen.nonEmptyListOf(for {
+      p <- Gen.oneOf("p1", "p2")
+      off <- Gen.chooseNum(0, 30)
+      n <- Gen.chooseNum(1L, 5L)
+      c <- Gen.chooseNum(1L, 9999L)
+    } yield (p, off, n, c)).map(_.distinctBy(r => (r._1, r._2)))
+    forAll(seriesGen, cases = 5) { rows =>
+      val daily = rows.toDF("priority", "off", "n", "day_cents")
+        .select(col("priority"),
+          date_add(lit("2020-01-01").cast("date"), col("off")).as("day"),
+          col("n"), col("day_cents"))
+      val got = llm.Analytics.gapfillOf(daily).collect()
+        .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay.toInt,
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      val epoch0 = java.time.LocalDate.parse("2020-01-01").toEpochDay.toInt
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (p, rs) =>
+        val byOff = rs.map(r => r._2 -> (r._3, r._4)).toMap
+        val (lo, hi) = (byOff.keys.min, byOff.keys.max)
+        var carry = 0L
+        (lo to hi).map { off =>
+          val obs = byOff.get(off)
+          carry = obs.map(_._2).getOrElse(carry)
+          (p, epoch0 + off, obs.map(_._1).getOrElse(0L),
+            obs.map(_._2).getOrElse(0L), carry, obs.isEmpty)
+        }
+      }.sortBy(r => (r._1, r._2))
+      assert(got.toSeq == want, s"gapfill drifted on $rows")
+    }
+  }
+
+  test("law: X-WINSORIZE bounds and clamped sums equal the sequential order statistics") {
+    import spark.implicits._
+    val segGen = Gen.nonEmptyListOf(for {
+      s <- Gen.oneOf("s1", "s2")
+      c <- Gen.chooseNum(-1000L, 1000L) // small domain -> heavy ties
+    } yield (s, c)).map(_.zipWithIndex.map { case ((s, c), i) => (s, c, i.toLong) })
+    forAll(segGen, cases = 5) { rows =>
+      val got = llm.Analytics.winsorizeOf(rows.toDF("c_mktsegment", "cents", "c_custkey"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getDouble(6))).toMap
+      rows.groupBy(_._1).foreach { case (s, rs) =>
+        val sorted = rs.map(r => (r._2, r._3)).sortBy(identity).map(_._1)
+        val n = sorted.size
+        val p = llm.Analytics.WinsorPct
+        val lo = sorted((n * p + 99) / 100 - 1)
+        val hi = sorted((n * (100 - p) + 99) / 100 - 1)
+        val winSum = rs.map(r => math.max(lo, math.min(hi, r._2))).sum
+        val rawSum = rs.map(_._2).sum
+        val mean = winSum.toDouble / n.toDouble
+        assert(got(s) == ((n.toLong, lo, hi, winSum, rawSum, mean)),
+          s"winsorize drifted for $s on $rs: ${got(s)}")
+      }
+    }
+  }
+
   test("law: X-BITMAP-DISTINCT codec round-trips and distributed merge equals set union") {
     import graft.functions.Bitmap
     val idsGen = Gen.listOf(Gen.chooseNum(0L, 5000L))
