@@ -31,6 +31,11 @@ object OracleLlm {
   private def cps(expr: String, v: String = "ci"): String =
     s"list_transform(range(1, length($expr) + 1), $v -> CAST(unicode(substr($expr, CAST($v AS INT), 1)) AS BIGINT))"
 
+  /** Public mirror of the 31-bit poly hash for oracles outside this
+    * object (q_dsv2_fn's V2 catalog function).
+    */
+  def polyHashSql(expr: String, base: Long): String = polyHash(expr, base)
+
   /** 31-bit polynomial codepoint hash of a string expression. */
   private def polyHash(expr: String, base: Long): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), ${cps(expr)}), (pa2, pb2) -> (pa2 * $base + pb2) % $M)"

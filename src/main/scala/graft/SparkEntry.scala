@@ -177,6 +177,7 @@ object SparkEntry {
     "x_sessions_dynamic" -> (llm.Events.sessionsDynamic _),
     "x_dedup_incr" -> (llm.Dedup.dedupIncremental _),
     "x_pipeline" -> (llm.Pipeline.stageCounts _),
+    "q_dsv2_fn" -> (EtlQueries.qDsv2Fn _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -1882,5 +1883,12 @@ object SparkEntry {
         |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
     "x_dedup_incr" -> OracleLlm.dedupIncrSql,
     "x_pipeline" -> OracleLlm.pipelineSql,
+    // V2 catalog function == the PolyHash expression == the SQL fold
+    "q_dsv2_fn" ->
+      s"""$fbCte
+        |SELECT campaign_id,
+        |       ${OracleLlm.polyHashSql("campaign_id", 131L)} AS h,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM fb GROUP BY campaign_id ORDER BY campaign_id""".stripMargin,
   )
 }

@@ -388,13 +388,16 @@ object EtlQueries {
     * the batch load byte-for-byte (q_load_fb's oracle), proving the SQL
     * face and the DataFrame face hit the same write/read machinery.
     */
-  def qDsv2Sql(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Register the per-sfDir catalog + marker-gated `db.fb_sql` table;
+    * returns the catalog name. Catalog name is per-sfDir: Spark's
+    * CatalogManager caches the catalog INSTANCE on first resolution, so
+    * re-pointing a shared `fbins.warehouse` conf for a second sfDir
+    * would silently keep the first warehouse (wrong-table reads behind
+    * a green marker). A distinct name per sfDir keys the cache
+    * correctly.
+    */
+  private def ensureFbSqlTable(spark: SparkSession, sfDir: String): String = {
     val wh = Sink.scratchPath(sfDir, "fbins_warehouse")
-    // catalog name is per-sfDir: Spark's CatalogManager caches the
-    // catalog INSTANCE on first resolution, so re-pointing a shared
-    // `fbins.warehouse` conf for a second sfDir would silently keep the
-    // first warehouse (wrong-table reads behind a green marker). A
-    // distinct name per sfDir keys the cache correctly.
     val cat = "fbins_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
     spark.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.FbInsightsCatalog].getName)
@@ -410,7 +413,30 @@ object EtlQueries {
       spark.sql(s"INSERT INTO $cat.db.fb_sql SELECT * FROM fb_raw_src")
       java.nio.file.Files.createFile(marker)
     }
+    cat
+  }
+
+  def qDsv2Sql(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = ensureFbSqlTable(spark, sfDir)
     flatten(Normalize(spark.sql(s"SELECT * FROM $cat.db.fb_sql"))).orderBy("ad_id")
+  }
+
+  /** Q-DSV2-FN: a V2 CATALOG FUNCTION called from plain SQL —
+    * `<catalog>.db.poly_hash31(campaign_id, 131)` resolves through the
+    * connector's `FunctionCatalog` face, binds to a typed
+    * `ScalarFunction` whose magic `invoke(UTF8String, long)` compiles
+    * into whole-stage codegen, and is value-identical to the
+    * [[graft.functions.PolyHash]] expression — so the oracle mirrors it
+    * with the same SQL poly-hash fold. This is how a warehouse ships
+    * engine-side kernels to SQL-only users: through the catalog, not a
+    * per-session UDF registry. One partial+final agg on campaign.
+    */
+  def qDsv2Fn(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = ensureFbSqlTable(spark, sfDir)
+    spark.sql(
+      s"""SELECT campaign_id, $cat.db.poly_hash31(campaign_id, 131) AS h,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM $cat.db.fb_sql GROUP BY campaign_id ORDER BY campaign_id""".stripMargin)
   }
 
   /** Q-STREAM-LOAD: the flagship load pipeline as a STREAM — the shape the

@@ -4,11 +4,14 @@ import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.etl.Schemas
 
@@ -32,7 +35,24 @@ import graft.etl.Schemas
   * schema must match it (the reference enforces its declared BigQuery
   * schema the same way, main.py:63-76).
   */
-class FbInsightsCatalog extends TableCatalog {
+class FbInsightsCatalog extends TableCatalog with FunctionCatalog {
+
+  // ---- FunctionCatalog face (V2 catalog functions) --------------------
+  // The modern extension tier BELOW session extensions: a function the
+  // CATALOG itself ships (`SELECT <catalog>.<ns>.poly_hash31(col, 131)`),
+  // resolved through the same plugin as its tables — how a warehouse
+  // exposes engine-side kernels to plain-SQL users. The bound function
+  // declares a magic `invoke(UTF8String, long)` so Spark compiles the
+  // call to a direct method invocation inside whole-stage codegen (no
+  // row boxing), with `produceResult` as the interpreted fallback.
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, FbInsightsCatalog.FnName))
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name().equalsIgnoreCase(FbInsightsCatalog.FnName))
+      FbInsightsCatalog.PolyHash31Unbound
+    else throw new NoSuchFunctionException(ident)
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -229,4 +249,38 @@ object FbInsightsCatalog {
     * complete write wins, never a torn file).
     */
   private[sources] val registryLock = new Object
+
+  /** Name of the catalog-shipped V2 scalar function. */
+  val FnName = "poly_hash31"
+
+  /** `poly_hash31(str, base)` — the signature family's 31-bit poly hash
+    * as a V2 catalog function, value-identical to the
+    * [[graft.functions.PolyHash]] expression (and therefore to the
+    * oracle's SQL mirror).
+    */
+  object PolyHash31Unbound extends UnboundFunction {
+    override def name(): String = FnName
+    override def description(): String =
+      s"$FnName(str, base): 31-bit polynomial codepoint hash"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2 &&
+        inputType.fields(0).dataType == StringType &&
+        (inputType.fields(1).dataType == LongType ||
+          inputType.fields(1).dataType == IntegerType),
+        s"$FnName(string, integral) got ${inputType.simpleString}")
+      PolyHash31Bound
+    }
+  }
+
+  object PolyHash31Bound extends ScalarFunction[java.lang.Long] {
+    override def inputTypes(): Array[DataType] = Array(StringType, LongType)
+    override def resultType(): DataType = LongType
+    override def name(): String = FnName
+    override def canonicalName(): String = s"graft.$FnName"
+    /** Magic method: codegen compiles the call to a direct invoke. */
+    def invoke(s: UTF8String, base: Long): Long =
+      graft.functions.PolyHashing.polyHash(s, base)
+    override def produceResult(input: InternalRow): java.lang.Long =
+      invoke(input.getUTF8String(0), input.getLong(1))
+  }
 }

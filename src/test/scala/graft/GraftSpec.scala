@@ -524,6 +524,22 @@ class GraftSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"banding recall $recall below floor ($nCaught/$nTrue)")
   }
 
+  test("q_dsv2_fn: V2 catalog function binds and equals the PolyHash kernel") {
+    val rows = queries.EtlQueries.qDsv2Fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expect = graft.functions.PolyHashing.polyHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)), 131L)
+      assert(r.getLong(1) === expect, s"catalog fn drifted for ${r.getString(0)}")
+    }
+    // unknown function name through the same catalog face fails loudly
+    val cat = new sources.FbInsightsCatalog
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException] {
+      cat.loadFunction(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("db"), "no_such_fn"))
+    }
+  }
+
   test("x_dedup_incr: incremental pair set equals the full pair set's delta slice") {
     val full = llm.Dedup.minhashPairsTable(spark, sf)
       .filter(col("id_a") % 10 === 0 || col("id_b") % 10 === 0)
@@ -2752,7 +2768,8 @@ class GraftSpec extends AnyFunSuite {
       "x_stream_late" -> "X-STREAM-LATE",
       "x_expectations" -> "X-EXPECTATIONS",
       "x_sessions_dynamic" -> "X-SESSIONS-DYNAMIC",
-      "x_dedup_incr" -> "X-DEDUP-INCR", "x_pipeline" -> "X-PIPELINE")
+      "x_dedup_incr" -> "X-DEDUP-INCR", "x_pipeline" -> "X-PIPELINE",
+      "q_dsv2_fn" -> "Q-DSV2-FN")
     val registered = SparkEntry.queries.keySet
     val unmapped = registered -- idOf.keySet
     assert(unmapped.isEmpty, s"queries with no SURVEY ID mapping: $unmapped")
