@@ -570,7 +570,27 @@ class FbInsightsJsonlReader(
 // ---- write path (K-INS as a connector) --------------------------------
 
 class FbInsightsWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder {
-  override def build(): Write = new Write {
+
+  /** The write REQUESTS day-clustered, day-sorted input
+    * (`RequiresDistributionAndOrdering`): Spark plans a shuffle on
+    * `date_start` + a within-partition sort ahead of the write, so each
+    * task owns whole days and the spool emits exactly ONE file per
+    * (date, batch) instead of one per (date, input partition) — the
+    * small-files problem solved at the SINK's request, the way real
+    * table formats (Iceberg's write distribution modes) do it, instead
+    * of hoping callers remember to repartition. `requiredNumPartitions`
+    * stays 0 so AQE still sizes the shuffle.
+    */
+  override def build(): Write = new Write
+      with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+    import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+    import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder}
+    override def requiredDistribution(): Distribution =
+      Distributions.clustered(Array(Expressions.identity("date_start")))
+    override def requiredNumPartitions(): Int = 0
+    override def requiredOrdering(): Array[SortOrder] =
+      Array(Expressions.sort(Expressions.identity("date_start"),
+        SortDirection.ASCENDING, NullOrdering.NULLS_FIRST))
     override def toBatch: BatchWrite =
       new FbInsightsBatchWrite(path, info.schema(), info.queryId())
     override def toStreaming:

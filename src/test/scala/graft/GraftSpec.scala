@@ -1033,6 +1033,32 @@ class GraftSpec extends AnyFunSuite {
     graft.streaming.Drain.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("connector write distribution: sink-requested day clustering yields one file per date") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_distrib_test_").toString
+    val fmt = classOf[sources.FbInsightsDataSource].getName
+    // force 3 dates scattered over 8 input partitions: without the
+    // sink's RequiresDistributionAndOrdering each of the 8 partitions
+    // would spool its own file per date (up to 8 per date); with it,
+    // Spark shuffles on date_start first and each date lands in one task
+    val scattered = etl.FbInsightsSource.raw(spark, sf).limit(120)
+      .withColumn("date_start",
+        element_at(array(lit("2024-01-01"), lit("2024-01-02"), lit("2024-01-03")),
+          (pmod(hash(col("ad_id")), lit(3)) + 1).cast("int")))
+      .repartition(8)
+    scattered.write.format(fmt).option("path", dir).mode("append").save()
+    val back = spark.read.format(fmt).option("path", dir).load()
+    assert(back.count() === 120L)
+    val dateDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("date="))
+    assert(dateDirs.length === 3)
+    dateDirs.foreach { d =>
+      val files = d.listFiles().filter(_.isFile)
+      assert(files.length === 1,
+        s"${d.getName}: expected 1 clustered file, got ${files.length}")
+    }
+    graft.streaming.Drain.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("q_stream_sink: streaming round trip through the connector equals the batch load") {
     val streamed = queries.EtlQueries.qStreamSink(spark, sf)
       .collect().map(_.toSeq).toSeq
