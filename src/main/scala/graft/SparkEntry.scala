@@ -178,6 +178,8 @@ object SparkEntry {
     "x_dedup_incr" -> (llm.Dedup.dedupIncremental _),
     "x_pipeline" -> (llm.Pipeline.stageCounts _),
     "q_dsv2_fn" -> (EtlQueries.qDsv2Fn _),
+    "x_dau" -> (llm.Events.dauWauMau _),
+    "x_seasonality" -> (llm.Events.seasonality _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -1890,5 +1892,47 @@ object SparkEntry {
         |       ${OracleLlm.polyHashSql("campaign_id", 131L)} AS h,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM fb GROUP BY campaign_id ORDER BY campaign_id""".stripMargin,
+    // rolling distinct via the same contribution explode; report days =
+    // days with a DAU row (inner join), mirroring the engine
+    "x_dau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |dau AS (SELECT day AS rday, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |        FROM ud GROUP BY day),
+        |w AS (
+        |  SELECT rday, CAST(count(DISTINCT user_id) AS BIGINT) AS wau FROM (
+        |    SELECT user_id, CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+        |      CAST(day AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS rday
+        |    FROM ud) q GROUP BY rday),
+        |m AS (
+        |  SELECT rday, CAST(count(DISTINCT user_id) AS BIGINT) AS mau FROM (
+        |    SELECT user_id, CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+        |      CAST(day AS TIMESTAMP) + INTERVAL 29 DAY, INTERVAL 1 DAY)) AS DATE) AS rday
+        |    FROM ud) q GROUP BY rday)
+        |SELECT dau.rday AS day, dau.dau, w.wau, m.mau,
+        |       CAST(dau.dau AS DOUBLE) / CAST(m.mau AS DOUBLE) AS stickiness
+        |FROM dau JOIN w USING (rday) JOIN m USING (rday)
+        |ORDER BY day""".stripMargin,
+    // weekday numbering aligned: DuckDB dayofweek (0=Sun) == Spark
+    // dayofweek - 1
+    "x_seasonality" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (
+        |  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(cents) AS BIGINT) AS dow_cents
+        |  FROM b GROUP BY event_type, dow),
+        |t AS (
+        |  SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total,
+        |         CAST(sum(dow_cents) AS BIGINT) AS total_cents
+        |  FROM g GROUP BY event_type)
+        |SELECT g.event_type, g.dow, g.n, g.dow_cents,
+        |       CAST(g.dow_cents * t.n_total AS DOUBLE)
+        |         / CAST(g.n * t.total_cents AS DOUBLE) AS dow_index
+        |FROM g JOIN t USING (event_type)
+        |ORDER BY event_type, dow""".stripMargin,
   )
 }

@@ -680,6 +680,67 @@ object Events {
           <= col("ee") * 0.1).cast("long").as("approx_events_within_10pct"))
       .orderBy("event_type")
 
+  /** X-DAU: rolling active-user counts (DAU / WAU / MAU + stickiness) —
+    * the engagement dashboard every product ships. Rolling DISTINCT
+    * counts don't fit window functions (distinct isn't decomposable
+    * over sliding frames), and the naive per-day "scan the trailing 30
+    * days of raw events" is 30 corpus scans; the scalable formulation
+    * is the CONTRIBUTION EXPLODE: dedup to (user, active day) once —
+    * one partial+final agg over the facts — then each pair emits the 7
+    * (resp. 30) report days it contributes to, and a distinct-count per
+    * report day does the rest. Work is |active pairs|·37, independent
+    * of event volume, and every step is an agg on (day, user) keys.
+    * Report days clamped to the observed range so edge windows are
+    * partial by construction (mirrored). Stickiness = dau/mau, the one
+    * IEEE division.
+    */
+  def dauWauMau(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+      .cache()
+    def rolling(span: Int, name: String): DataFrame = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), span - 1))).as("rday"))
+      .groupBy("rday").agg(countDistinct("user_id").as(name))
+    val dau = ud.groupBy(col("day").as("rday")).agg(countDistinct("user_id").as("dau"))
+    // report days = days with >= 1 active user (the inner join also
+    // discards contribution days past the observed range — a rolling
+    // window is only reported where a DAU row exists, oracle-mirrored)
+    dau
+      .join(rolling(7, "wau"), Seq("rday"))
+      .join(rolling(30, "mau"), Seq("rday"))
+      .select(col("rday").as("day"), col("dau"), col("wau"), col("mau"),
+        (col("dau").cast("double") / col("mau").cast("double")).as("stickiness"))
+      .orderBy("day")
+  }
+
+  /** X-SEASONALITY: day-of-week profile per event type — mean value by
+    * weekday vs the type's overall mean, as a seasonality INDEX (the
+    * detrending table a forecast or anomaly monitor divides by). All
+    * inputs exact: per-(type, dow) count + cents sum from one
+    * partial+final agg, type totals folded from the same frame
+    * (dim-sized), index = (dow_cents·n_total)/(n_dow·total_cents) — one
+    * IEEE expression over <2^53 integers mirrored verbatim. Weekday
+    * numbering aligned across engines (0 = Sunday).
+    */
+  def seasonality(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n"), sum("cents").as("dow_cents"))
+    val totals = base.groupBy("event_type")
+      .agg(sum("n").as("n_total"), sum("dow_cents").as("total_cents"))
+    base.join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("dow"), col("n"), col("dow_cents"),
+        ((col("dow_cents") * col("n_total")).cast("double") /
+          (col("n") * col("total_cents")).cast("double")).as("dow_index"))
+      .orderBy("event_type", "dow")
+  }
+
   /** X-SESSIONS-DYNAMIC: sessionization with a PER-EVENT gap — Spark's
     * dynamic-gap `session_window` (the gap is an expression, not a
     * constant): purchases hold a session open for 60 minutes, everything

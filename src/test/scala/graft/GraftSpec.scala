@@ -2795,7 +2795,8 @@ class GraftSpec extends AnyFunSuite {
       "x_expectations" -> "X-EXPECTATIONS",
       "x_sessions_dynamic" -> "X-SESSIONS-DYNAMIC",
       "x_dedup_incr" -> "X-DEDUP-INCR", "x_pipeline" -> "X-PIPELINE",
-      "q_dsv2_fn" -> "Q-DSV2-FN")
+      "q_dsv2_fn" -> "Q-DSV2-FN", "x_dau" -> "X-DAU",
+      "x_seasonality" -> "X-SEASONALITY")
     val registered = SparkEntry.queries.keySet
     val unmapped = registered -- idOf.keySet
     assert(unmapped.isEmpty, s"queries with no SURVEY ID mapping: $unmapped")
