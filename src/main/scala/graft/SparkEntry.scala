@@ -180,6 +180,7 @@ object SparkEntry {
     "q_dsv2_fn" -> (EtlQueries.qDsv2Fn _),
     "x_dau" -> (llm.Events.dauWauMau _),
     "x_seasonality" -> (llm.Events.seasonality _),
+    "x_scd2_join" -> (EtlQueries.qScd2Join _),
   )
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
@@ -1934,5 +1935,35 @@ object SparkEntry {
         |         / CAST(g.n * t.total_cents AS DOUBLE) AS dow_index
         |FROM g JOIN t USING (event_type)
         |ORDER BY event_type, dow""".stripMargin,
+    // point-in-time join: same SCD2 interval chain, one version per fact
+    "x_scd2_join" ->
+      s"""WITH $ratesCte,
+         |l AS (SELECT date, currencies, rate,
+         |        lag(rate) OVER (PARTITION BY currencies ORDER BY date) AS prev
+         |      FROM rates),
+         |m AS (SELECT date, currencies, rate,
+         |        CASE WHEN prev IS NULL OR prev <> rate THEN 1 ELSE 0 END AS chg
+         |      FROM l),
+         |g AS (SELECT date, currencies, rate,
+         |        sum(chg) OVER (PARTITION BY currencies ORDER BY date
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |      FROM m),
+         |i AS (SELECT currencies, island, min(date) AS valid_from,
+         |        min(rate) AS rate
+         |      FROM g GROUP BY 1, 2),
+         |v AS (SELECT rate, valid_from,
+         |        lead(valid_from) OVER (PARTITION BY currencies
+         |          ORDER BY valid_from) - 1 AS valid_to
+         |      FROM i WHERE currencies = 'USDUAH'),
+         |o AS (SELECT CAST(o_orderdate AS DATE) AS day,
+         |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |      FROM orders)
+         |SELECT v.valid_from, v.valid_to, v.rate,
+         |       CAST(count(*) AS BIGINT) AS n_orders,
+         |       CAST(sum(o.cents) AS BIGINT) AS sum_cents,
+         |       CAST(sum(o.cents) AS DOUBLE) / (v.rate * 100.0) AS converted
+         |FROM o JOIN v ON o.day >= v.valid_from
+         |             AND (v.valid_to IS NULL OR o.day <= v.valid_to)
+         |GROUP BY 1, 2, 3 ORDER BY valid_from""".stripMargin,
   )
 }

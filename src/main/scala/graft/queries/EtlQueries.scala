@@ -647,6 +647,35 @@ object EtlQueries {
       .orderBy("currencies", "valid_from")
   }
 
+  /** X-SCD2-JOIN: point-in-time enrichment — facts joined to the SCD2
+    * dimension VERSION valid at each fact's event time (`valid_from ≤
+    * day ≤ valid_to`, open-ended current version), the canonical
+    * warehouse temporal pattern an as-of join approximates and an SCD2
+    * table exists to answer exactly. Every order binds to exactly ONE
+    * version because the intervals partition the timeline and the rate
+    * dim spans the order-date domain — so the inner join conserves the
+    * fact count (spec-asserted). Scale shape: a versioned CURRENCY dim
+    * is dim-sized at any corpus scale, so the interval predicate is
+    * applied map-side under a BROADCAST — zero extra shuffles; a
+    * fact-sized versioned dim would use the bucketed interval join
+    * (X-RANGE) instead. Money stays exact cents until the one per-
+    * version division.
+    */
+  def qScd2Join(spark: SparkSession, sfDir: String): DataFrame = {
+    val versions = qScd2(spark, sfDir).filter(col("currencies") === "USDUAH")
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    orders.join(broadcast(versions),
+        col("day") >= col("valid_from") &&
+          (col("valid_to").isNull || col("day") <= col("valid_to")))
+      .groupBy("valid_from", "valid_to", "rate")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("sum_cents"))
+      .withColumn("converted",
+        col("sum_cents").cast("double") / (col("rate") * 100.0))
+      .orderBy("valid_from")
+  }
+
   def qMerge(spark: SparkSession, sfDir: String): DataFrame = {
     val base = RatesSource.rates(spark, sfDir)
     val maxDate = base.agg(max("date")).head().getDate(0)

@@ -524,6 +524,14 @@ class GraftSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"banding recall $recall below floor ($nCaught/$nTrue)")
   }
 
+  test("x_scd2_join: point-in-time join conserves the fact count exactly") {
+    val joined = queries.EtlQueries.qScd2Join(spark, sf)
+      .agg(sum("n_orders")).head().getLong(0)
+    val facts = Tables.orders(spark, sf).count()
+    assert(joined === facts,
+      "SCD2 intervals partition the timeline: every order binds to exactly one version")
+  }
+
   test("q_dsv2_fn: V2 catalog function binds and equals the PolyHash kernel") {
     val rows = queries.EtlQueries.qDsv2Fn(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -2796,7 +2804,7 @@ class GraftSpec extends AnyFunSuite {
       "x_sessions_dynamic" -> "X-SESSIONS-DYNAMIC",
       "x_dedup_incr" -> "X-DEDUP-INCR", "x_pipeline" -> "X-PIPELINE",
       "q_dsv2_fn" -> "Q-DSV2-FN", "x_dau" -> "X-DAU",
-      "x_seasonality" -> "X-SEASONALITY")
+      "x_seasonality" -> "X-SEASONALITY", "x_scd2_join" -> "X-SCD2-JOIN")
     val registered = SparkEntry.queries.keySet
     val unmapped = registered -- idOf.keySet
     assert(unmapped.isEmpty, s"queries with no SURVEY ID mapping: $unmapped")
