@@ -654,21 +654,29 @@ object EtlQueries {
     * table exists to answer exactly. Every order binds to exactly ONE
     * version because the intervals partition the timeline and the rate
     * dim spans the order-date domain — so the inner join conserves the
-    * fact count (spec-asserted). Scale shape: a versioned CURRENCY dim
-    * is dim-sized at any corpus scale, so the interval predicate is
-    * applied map-side under a BROADCAST — zero extra shuffles; a
-    * fact-sized versioned dim would use the bucketed interval join
-    * (X-RANGE) instead. Money stays exact cents until the one per-
-    * version division.
+    * fact count (spec-asserted).
+    *
+    * Scale shape: a RAW interval predicate under a broadcast plans a
+    * nested-loop join — O(versions) predicate evaluations PER FACT ROW
+    * (measured: 2.4 s vs 0.4 s at sf0.1 with ~2.4k versions; at 100 TB
+    * it is fatal). Because the intervals PARTITION the timeline, the
+    * fix is to expand each version to its day grid — still dim-sized
+    * (days × currencies) — and hash EQUI-join on the day: map-side
+    * broadcast lookup, zero extra shuffles, one probe per fact row.
+    * The current version's open end expands to the observed max fact
+    * day. Money stays exact cents until the one per-version division.
     */
   def qScd2Join(spark: SparkSession, sfDir: String): DataFrame = {
     val versions = qScd2(spark, sfDir).filter(col("currencies") === "USDUAH")
     val orders = graft.Tables.orders(spark, sfDir)
       .select(to_date(col("o_orderdate")).as("day"),
         (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
-    orders.join(broadcast(versions),
-        col("day") >= col("valid_from") &&
-          (col("valid_to").isNull || col("day") <= col("valid_to")))
+    val maxDay = orders.agg(max("day").as("max_day"))
+    val dailyVersions = versions.crossJoin(broadcast(maxDay))
+      .select(col("rate"), col("valid_from"), col("valid_to"),
+        explode(sequence(col("valid_from"),
+          coalesce(col("valid_to"), col("max_day")))).as("day"))
+    orders.join(broadcast(dailyVersions), Seq("day"))
       .groupBy("valid_from", "valid_to", "rate")
       .agg(count(lit(1)).as("n_orders"), sum("cents").as("sum_cents"))
       .withColumn("converted",
