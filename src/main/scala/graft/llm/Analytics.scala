@@ -344,7 +344,9 @@ object Analytics {
       .orderBy("event_type")
   }
 
-  /** Regression time origin: day 0 of the order-date domain. */
+  /** Regression time origin: this FIXTURE's min order date (verified
+    * 1995-01-01 at every SF), so x = days-since is non-negative.
+    */
   val LinregEpoch = "1995-01-01"
 
   /** X-LINREG: per-segment ordinary-least-squares trend — spend (exact

@@ -423,7 +423,9 @@ object Dedup {
       .join(counts.select(col("doc_id").as("id_b"), col("nsh").as("n_b")), Seq("id_b"))
       .filter(col("shared") * 3 >= col("n_a") + col("n_b"))
       .select("id_a", "id_b")
-    val lsh = candidatePairs(signatureTable(spark, sfDir))
+    // reuse the memoized+cached pair table (rebuilding the banded
+    // self-join here would run it twice — once per consumer subtree)
+    val lsh = minhashPairsTable(spark, sfDir).select("id_a", "id_b")
     val nl = lsh.agg(count(lit(1)).as("n_lsh_cand"))
     truth
       .join(lsh.withColumn("caught", lit(1L)), Seq("id_a", "id_b"), "left")

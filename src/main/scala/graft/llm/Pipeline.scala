@@ -29,9 +29,19 @@ object Pipeline {
 
   def stageCounts(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, sfDir)
-    val enr = TextAnalysis.qualityFeatures(docs)
-      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+    // one projection computes the quality features ALONGSIDE the text
+    // column the dedup stages need (qualityFeatures drops text; joining
+    // it back would scan documents twice + shuffle) — same feature
+    // expressions as TextAnalysis.qualityFeatures
+    val toks = TextAnalysis.tokens(col("text"))
+    val enr = Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"), col("source"), col("text"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => t.isin(TextAnalysis.Stopwords.map(lit): _*)))
+          .cast("long").as("n_stopwords"),
+        length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("long").as("n_punct"))
       .cache()
     val s1 = enr.filter(
       col("n_tokens") >= 20 && col("n_tokens") <= 2000 &&

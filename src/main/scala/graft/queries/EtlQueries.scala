@@ -672,7 +672,12 @@ object EtlQueries {
       .select(to_date(col("o_orderdate")).as("day"),
         (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
     val maxDay = orders.agg(max("day").as("max_day"))
+    // versions opening after the last fact day can match nothing and —
+    // for the open current version — would make sequence() run BACKWARD
+    // (start > stop emits a descending grid, double-binding facts), so
+    // they are excluded before the expansion
     val dailyVersions = versions.crossJoin(broadcast(maxDay))
+      .filter(col("valid_from") <= col("max_day"))
       .select(col("rate"), col("valid_from"), col("valid_to"),
         explode(sequence(col("valid_from"),
           coalesce(col("valid_to"), col("max_day")))).as("day"))

@@ -46,11 +46,18 @@ class FbInsightsCatalog extends TableCatalog with FunctionCatalog {
   // call to a direct method invocation inside whole-stage codegen (no
   // row boxing), with `produceResult` as the interpreted fallback.
 
+  /** Catalog functions live in the fixed `db` namespace (matching the
+    * warehouse's table namespace convention) — other namespaces fail
+    * loudly like the table face does.
+    */
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, FbInsightsCatalog.FnName))
+    if (namespace.sameElements(FbInsightsCatalog.FnNamespace))
+      Array(Identifier.of(namespace, FbInsightsCatalog.FnName))
+    else Array.empty
 
   override def loadFunction(ident: Identifier): UnboundFunction =
-    if (ident.name().equalsIgnoreCase(FbInsightsCatalog.FnName))
+    if (ident.namespace().sameElements(FbInsightsCatalog.FnNamespace) &&
+        ident.name().equalsIgnoreCase(FbInsightsCatalog.FnName))
       FbInsightsCatalog.PolyHash31Unbound
     else throw new NoSuchFunctionException(ident)
 
@@ -252,6 +259,9 @@ object FbInsightsCatalog {
 
   /** Name of the catalog-shipped V2 scalar function. */
   val FnName = "poly_hash31"
+
+  /** Fixed namespace catalog functions resolve under. */
+  val FnNamespace: Array[String] = Array("db")
 
   /** `poly_hash31(str, base)` — the signature family's 31-bit poly hash
     * as a V2 catalog function, value-identical to the

@@ -52,6 +52,15 @@ object Drain {
       try {
         q.processAllAvailable()
         val ps = q.recentProgress.toSeq
+        // recentProgress is a RING (spark.sql.streaming.numRecentProgressUpdates,
+        // default 100): a drain with more micro-batches than the ring
+        // would silently UNDERCOUNT inputRows — fail loudly instead
+        val cap = spark.conf.get(
+          "spark.sql.streaming.numRecentProgressUpdates", "100").toInt
+        require(ps.length < cap,
+          s"drain produced >= $cap micro-batches; recentProgress ring " +
+            "overflowed and DrainStats would undercount — raise " +
+            "spark.sql.streaming.numRecentProgressUpdates for this drain")
         DrainStats(
           ps.map(_.numInputRows).sum,
           ps.flatMap(_.stateOperators.toSeq).map(_.numRowsDroppedByWatermark).sum)
