@@ -249,15 +249,21 @@ object StreamingOps {
     * the staged landing zone carries one typed SENTINEL per side
     * (streamingDaily's technique): a far-future signup (+40 d) and
     * purchase (+20 d) with negative user ids. Each passes its side's
-    * TYPE filter (a sentinel filtered by a non-watermark predicate
-    * would be pushed below the EventTimeWatermark node and never
-    * advance it), drives the global watermark past every real window
-    * (min(40, 20) d − 1 h), cannot join anything real (negative ids,
-    * disjoint timestamps — purchase sentinel 20 d BEFORE the signup
-    * one), and its own outer row is dropped by the post-join
-    * `p_user >= 0` filter (which also never emits: +20 d + 7 d is past
-    * the global watermark). Oracle: the identical LEFT JOIN in plain
-    * SQL over the single-copy table.
+    * TYPE filter, drives the global watermark past every real window
+    * (min(40, 20) d − 1 h), and cannot join anything real (negative
+    * ids, disjoint timestamps — purchase sentinel 20 d BEFORE the
+    * signup one, and its own outer row never emits: +20 d + 7 d is
+    * past the global watermark).
+    *
+    * The sentinel-exclusion predicate MUST be on the WATERMARK column
+    * (`purchase_ts <= max real ts`): a post-join filter on the USER
+    * ids is pushed below the left watermark node — and via constraint
+    * inference through the equi-condition below the RIGHT one too — so
+    * the sentinels would be dropped before ever advancing either
+    * watermark, silently swallowing the final hour's outer rows
+    * (caught at sf0.1: two last-day unmatched purchases missing).
+    * Oracle: the identical LEFT JOIN in plain SQL over the single-copy
+    * table.
     */
   def streamingJoinOuter(spark: SparkSession, sfDir: String): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory(
@@ -302,7 +308,11 @@ object StreamingOps {
           col("purchase_ts") >= col("signup_ts") &&
           col("purchase_ts") <= col("signup_ts") + expr(s"interval $AttributionWindow"),
         "left_outer")
-      .filter(col("p_user") >= 0)
+      // sentinel exclusion via the WATERMARK column only (see Scaladoc):
+      // every real purchase has purchase_ts <= maxUs; both sentinels are
+      // far past it, and a user-id predicate here would be pushed below
+      // the watermark nodes and neutralize them
+      .filter(col("purchase_ts") <= timestamp_micros(lit(maxUs)))
     graft.streaming.Drain.toParquet(joined, work, shufflePartitions = Some(8))
       .groupBy(col("purchase_ts").cast("date").as("day"))
       .agg(
