@@ -694,11 +694,16 @@ object Events {
     * partial by construction (mirrored). Stickiness = dau/mau, the one
     * IEEE division.
     */
-  def dauWauMau(spark: SparkSession, sfDir: String): DataFrame = {
-    val ud = Tables.events(spark, sfDir)
-      .select(col("user_id"), col("ts").cast("date").as("day"))
-      .distinct()
-      .cache()
+  def dauWauMau(spark: SparkSession, sfDir: String): DataFrame =
+    dauWauMauOf(Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("date").as("day")))
+
+  /** Core rolling-actives computation over any (user_id, day) frame —
+    * separated so the property law can drive it with generated sparse
+    * activity against a brute-force rolling-distinct reference.
+    */
+  def dauWauMauOf(activity: DataFrame): DataFrame = {
+    val ud = activity.distinct().cache()
     def rolling(span: Int, name: String): DataFrame = ud
       .select(col("user_id"),
         explode(sequence(col("day"), date_add(col("day"), span - 1))).as("rday"))

@@ -428,6 +428,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("law: X-DAU contribution explode equals brute-force rolling distinct") {
+    import spark.implicits._
+    val actGen = Gen.nonEmptyListOf(for {
+      u <- Gen.chooseNum(0L, 8L)
+      off <- Gen.chooseNum(0, 40) // sparse days with real gaps
+    } yield (u, off)).map(_.distinct)
+    forAll(actGen, cases = 5) { acts =>
+      val df = acts.toDF("user_id", "off")
+        .select(col("user_id"),
+          date_add(lit("2020-01-01").cast("date"), col("off")).as("day"))
+      val got = llm.Events.dauWauMauOf(df).collect()
+        .map(r => r.getDate(0).toLocalDate.toEpochDay ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val epoch0 = java.time.LocalDate.parse("2020-01-01").toEpochDay
+      val days = acts.map(_._2).distinct.sorted
+      days.foreach { d =>
+        val dau = acts.filter(_._2 == d).map(_._1).distinct.size.toLong
+        val wau = acts.filter(a => a._2 <= d && a._2 > d - 7).map(_._1).distinct.size.toLong
+        val mau = acts.filter(a => a._2 <= d && a._2 > d - 30).map(_._1).distinct.size.toLong
+        assert(got(epoch0 + d) == ((dau, wau, mau)),
+          s"rolling actives drifted at day $d on $acts: ${got(epoch0 + d)}")
+      }
+      // report days are exactly the active days (inner-join contract)
+      assert(got.keySet == days.map(epoch0 + _).toSet)
+    }
+  }
+
   test("law: X-BITMAP-DISTINCT codec round-trips and distributed merge equals set union") {
     import graft.functions.Bitmap
     val idsGen = Gen.listOf(Gen.chooseNum(0L, 5000L))
