@@ -1328,4 +1328,126 @@ object OracleLlm {
        |JOIN st sb ON sb.event_type = p.type_b
        |ORDER BY type_a, type_b""".stripMargin
   }
+
+  /** X-ATTRIB-LAST mirror: same fill-down (last touch over preceding
+    * rows, IGNORE NULLS) with the identical (ts, event_id) tie-break and
+    * lookback predicate; the µs truncation happens in the base CTE so
+    * the window orders on the precision the engine compares.
+    */
+  val attribLastSql: String = {
+    val d = llm.Attribution.LookbackDays
+    s"""WITH b AS (
+       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+       |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events),
+       |f AS (
+       |  SELECT *, last_value(CASE WHEN event_type IN ('click', 'view') THEN
+       |           {'ts': ts, 'event_id': event_id, 'et': event_type} END IGNORE NULLS)
+       |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t
+       |  FROM b),
+       |conv AS (
+       |  SELECT CASE WHEN t IS NOT NULL AND t.ts >= ts - INTERVAL $d DAY
+       |              THEN t.et ELSE 'none' END AS channel,
+       |         cents, user_id
+       |  FROM f WHERE event_type = 'purchase')
+       |SELECT channel, CAST(count(*) AS BIGINT) AS n_conv,
+       |       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+       |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       |FROM conv GROUP BY channel ORDER BY channel""".stripMargin
+  }
+
+  /** X-ATTRIB-POS mirror: identical U-shaped ppm split (integer div +
+    * earliest-middle remainder) and exact cents allocation (floor share
+    * + shortfall cents to the earliest touches).
+    */
+  val attribPosSql: String = {
+    val d = llm.Attribution.LookbackDays
+    s"""WITH b AS (
+       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+       |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events),
+       |conv AS (SELECT user_id AS cu, ts AS cts, event_id AS cid, cents
+       |         FROM b WHERE event_type = 'purchase'),
+       |tch AS (SELECT user_id AS tu, ts, event_id, event_type
+       |        FROM b WHERE event_type IN ('click', 'view')),
+       |pairs AS (
+       |  SELECT c.cid, c.cents, t.event_type, t.event_id,
+       |         row_number() OVER (PARTITION BY c.cid ORDER BY t.ts, t.event_id) AS rn,
+       |         count(t.event_id) OVER (PARTITION BY c.cid) AS k
+       |  FROM conv c LEFT JOIN tch t ON c.cu = t.tu
+       |    AND t.ts <= c.cts AND t.ts > c.cts - INTERVAL $d DAY),
+       |ppm AS (
+       |  SELECT *, CASE WHEN k <= 1 THEN 1000000
+       |                 WHEN k = 2 THEN 500000
+       |                 WHEN rn = 1 OR rn = k THEN 400000
+       |                 ELSE 200000 // (k - 2)
+       |                      + CASE WHEN rn - 1 <= 200000 % (k - 2) THEN 1 ELSE 0 END
+       |            END AS ppm
+       |  FROM pairs),
+       |cc AS (
+       |  SELECT *, cents * ppm // 1000000 AS base_cents,
+       |         cents - sum(cents * ppm // 1000000) OVER (PARTITION BY cid) AS short
+       |  FROM ppm)
+       |SELECT coalesce(event_type, 'none') AS channel,
+       |       CAST(sum(ppm) AS BIGINT) AS credit_ppm,
+       |       CAST(sum(base_cents + CASE WHEN rn <= short THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS credit_cents,
+       |       CAST(count(event_id) AS BIGINT) AS n_touches
+       |FROM cc GROUP BY channel ORDER BY channel""".stripMargin
+  }
+
+  /** X-INTERVAL-MERGE mirror: running max(end) over preceding rows with
+    * the same (us, event_id) tie-break, boundary flag, running-sum
+    * island id — all epoch-micros BIGINT.
+    */
+  val intervalMergeSql: String = {
+    val iv = llm.Attribution.ActivityIntervalUs
+    s"""WITH b AS (
+       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+       |  FROM events),
+       |w AS (
+       |  SELECT user_id, us, us + $iv AS en,
+       |         max(us + $iv) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM b),
+       |fl AS (
+       |  SELECT user_id, us, en,
+       |         CASE WHEN prev_end IS NULL OR us >= prev_end THEN 1 ELSE 0 END AS ni
+       |  FROM w),
+       |isl AS (
+       |  SELECT user_id, us, en,
+       |         sum(ni) OVER (PARTITION BY user_id ORDER BY us, en
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+       |  FROM fl),
+       |g AS (SELECT user_id, isl_id, min(us) AS s, max(en) AS e,
+       |             count(*) AS n
+       |      FROM isl GROUP BY user_id, isl_id)
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+       |       CAST(sum(e - s) AS BIGINT) AS covered_us,
+       |       CAST(max(e - s) AS BIGINT) AS longest_us,
+       |       CAST(sum(n) AS BIGINT) AS n_events
+       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  /** X-FREQ-CAP mirror: Monday-start date_trunc weeks, identical rank
+    * tie-break and cap constant.
+    */
+  val freqCapSql: String = {
+    val cap = llm.Attribution.WeeklyCap
+    s"""WITH b AS (
+       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+       |  FROM events WHERE event_type IN ('view', 'click')),
+       |r AS (
+       |  SELECT user_id, date_trunc('week', ts) AS wk, ts, event_id,
+       |         row_number() OVER (PARTITION BY user_id, date_trunc('week', ts)
+       |           ORDER BY ts, event_id) AS rn
+       |  FROM b)
+       |SELECT CAST(wk AS DATE) AS week,
+       |       CAST(count(*) FILTER (rn <= $cap) AS BIGINT) AS served,
+       |       CAST(count(*) FILTER (rn > $cap) AS BIGINT) AS suppressed,
+       |       CAST(count(DISTINCT CASE WHEN rn > $cap THEN user_id END) AS BIGINT)
+       |         AS capped_users
+       |FROM r GROUP BY wk ORDER BY week""".stripMargin
+  }
 }

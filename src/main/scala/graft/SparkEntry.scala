@@ -153,6 +153,10 @@ object SparkEntry {
     "x_gini" -> (llm.TextAnalysis.gini _),
     "x_drift" -> (llm.Analytics.drift _),
     "x_equidepth" -> (llm.Analytics.equidepth _),
+    "x_attrib_last" -> (llm.Attribution.lastTouch _),
+    "x_attrib_pos" -> (llm.Attribution.positionCredit _),
+    "x_interval_merge" -> (llm.Attribution.intervalMerge _),
+    "x_freq_cap" -> (llm.Attribution.freqCap _),
     "x_stream_enrich" -> (llm.StreamingOps.streamingEnrich _),
     "x_decontam_ngram" -> (llm.Sampling.decontaminationNgram _),
     "x_bpe_apply" -> (llm.TextAnalysis.bpeApply _),
@@ -665,6 +669,10 @@ object SparkEntry {
     "x_gini" -> OracleLlm.giniSql,
     "x_drift" -> OracleLlm.driftSql,
     "x_equidepth" -> OracleLlm.equidepthSql,
+    "x_attrib_last" -> OracleLlm.attribLastSql,
+    "x_attrib_pos" -> OracleLlm.attribPosSql,
+    "x_interval_merge" -> OracleLlm.intervalMergeSql,
+    "x_freq_cap" -> OracleLlm.freqCapSql,
     // the stream-static enrichment drains to a sink whose rollup must
     // equal the plain batch join over the single-copy table
     "x_stream_enrich" ->

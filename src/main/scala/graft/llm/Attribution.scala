@@ -1,0 +1,203 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Conversion-attribution and delivery-pacing operators over the
+  * `events` table (SURVEY.md §2.7: X-ATTRIB-LAST, X-ATTRIB-POS,
+  * X-INTERVAL-MERGE, X-FREQ-CAP) — the reporting family the reference's
+  * ads domain (main.py's insights feed: clicks/impressions/conversions)
+  * delegates to its warehouse. Touches are `click`/`view` events,
+  * conversions are `purchase` events, and revenue is `value` in exact
+  * integer cents, so every credit split is bit-deterministic.
+  */
+object Attribution {
+
+  /** Conversion lookback: a touch attributes only within this window. */
+  val LookbackDays = 7
+
+  /** X-INTERVAL-MERGE: each event opens this long an activity interval. */
+  val ActivityIntervalUs: Long = 12L * 3600L * 1000000L
+
+  /** X-FREQ-CAP: max impressions served per user per calendar week. */
+  val WeeklyCap = 4
+
+  private def base(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+
+  /** X-ATTRIB-LAST: last-touch conversion attribution — each `purchase`
+    * is credited to the user's most recent `click`/`view` within the
+    * 7-day lookback (the warehouse-side report the reference's insights
+    * ETL feeds); conversions with no in-window touch report as channel
+    * `none`, so revenue is conserved: the channel rows partition every
+    * purchase exactly once.
+    *
+    * Scale shape: NO join — one shuffle by user_id + an in-partition
+    * sort, then a running `last(..., ignoreNulls)` carries the latest
+    * touch struct forward over the interleaved event stream (the
+    * streaming fill-down pattern; an as-of join on user would re-shuffle
+    * both sides to the same layout and add a range-match). Per-user state
+    * during the scan is ONE struct, so a user with millions of events
+    * costs a sort, never a cross product. The final per-channel rollup is
+    * a ≤3-row aggregate. Deterministic: the fill-down order ends in
+    * event_id, making the "latest" touch unique even under timestamp
+    * ties.
+    */
+  def lastTouch(spark: SparkSession, sfDir: String): DataFrame = {
+    val fill = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin("click", "view"),
+      struct(col("ts").as("ts"), col("event_id").as("event_id"),
+        col("event_type").as("et")))
+    base(spark, sfDir)
+      .withColumn("t", last(touch, ignoreNulls = true).over(fill))
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(col("t").isNotNull &&
+            col("t.ts") >= col("ts") - expr(s"INTERVAL $LookbackDays DAYS"),
+          col("t.et")).otherwise(lit("none")).as("channel"),
+        col("cents"), col("user_id"))
+      .groupBy("channel")
+      .agg(
+        count(lit(1)).as("n_conv"),
+        sum("cents").as("revenue_cents"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("channel")
+  }
+
+  /** X-ATTRIB-POS: position-based (U-shaped) multi-touch attribution
+    * with EXACT integer credit — per conversion, the in-lookback touch
+    * sequence splits 1,000,000 ppm of credit as 40/20/40 (k=1 → all,
+    * k=2 → half each, k≥3 → 400k to first and last, the middle 200k
+    * integer-divided with the remainder to the earliest middles), and
+    * the conversion's revenue cents are allocated pro rata with the
+    * shortfall cents (floor-division residue) assigned to the earliest
+    * touches — so BOTH `sum(credit_ppm) = 1e6 × conversions` and
+    * `sum(credit_cents) = total purchase cents` hold exactly (asserted
+    * as a spec law). Everything is BIGINT: no decimal(38) revenue blowup
+    * at 100 TB because credit is distributed per conversion, never
+    * accumulated as cents×ppm products.
+    *
+    * Scale shape: one equi-join on user_id with the lookback range
+    * predicate — candidate pairs are bounded by (touches in 7 days) per
+    * conversion, not by per-user history, so a heavy user costs its
+    * active-window width, not its lifetime. The position windows
+    * partition by conversion id (millions of small groups — the healthy
+    * window shape), and the final rollup is channel-sized. A left join
+    * keeps zero-touch conversions as the `none` channel.
+    */
+  def positionCredit(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = base(spark, sfDir)
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("cu"), col("ts").as("cts"),
+        col("event_id").as("cid"), col("cents"))
+    val tch = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id").as("tu"), col("ts"), col("event_id"),
+        col("event_type"))
+    val rankW = Window.partitionBy("cid").orderBy(col("ts"), col("event_id"))
+    val convW = Window.partitionBy("cid")
+    val pairs = conv.join(tch,
+        col("cu") === col("tu") && col("ts") <= col("cts") &&
+          col("ts") > col("cts") - expr(s"INTERVAL $LookbackDays DAYS"),
+        "left")
+      .withColumn("rn", row_number().over(rankW))
+      .withColumn("k", count(col("event_id")).over(convW))
+    val withPpm = pairs.withColumn("ppm",
+      when(col("k") <= 1, lit(1000000L))
+        .when(col("k") === 2, lit(500000L))
+        .when(col("rn") === 1 || col("rn") === col("k"), lit(400000L))
+        .otherwise(expr(
+          "200000L div (k - 2) + IF(rn - 1 <= 200000L % (k - 2), 1L, 0L)")))
+    // exact cents allocation: floor each touch's share, then hand the
+    // conversion's shortfall (< k cents) to the earliest touches
+    val withCents = withPpm
+      .withColumn("base_cents", expr("cents * ppm div 1000000L"))
+      .withColumn("short", col("cents") - sum("base_cents").over(convW))
+      .withColumn("credit_cents",
+        col("base_cents") + when(col("rn") <= col("short"), 1L).otherwise(0L))
+    withCents
+      .withColumn("channel", coalesce(col("event_type"), lit("none")))
+      .groupBy("channel")
+      .agg(
+        sum("ppm").as("credit_ppm"),
+        sum("credit_cents").as("credit_cents"),
+        count(col("event_id")).as("n_touches"))
+      .orderBy("channel")
+  }
+
+  /** X-INTERVAL-MERGE: per-user activity-interval union (gaps-and-
+    * islands) — every event opens a 12-hour interval [ts, ts+12h); the
+    * operator merges strict overlaps into maximal islands and reports
+    * per user the island count, total covered microseconds, longest
+    * island, and event count. This is the interval-coverage primitive
+    * behind "time actually active" billing and union-of-validity-range
+    * queries — NOT expressible as a plain groupBy because coverage
+    * depends on the merge order.
+    *
+    * Scale shape: one shuffle by user_id + sort; the island boundary is
+    * a running `max(end)` over preceding rows (lag alone is WRONG — an
+    * earlier long interval can swallow a later short one), the island id
+    * a running sum of boundary flags — both in the same window layout,
+    * so ONE exchange feeds every step. All arithmetic is epoch-micros
+    * BIGINT; ordering ends in event_id, so island assignment is unique
+    * under timestamp ties.
+    */
+  def intervalMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val ordered = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val prior = ordered.rowsBetween(Window.unboundedPreceding, -1)
+    val toHere = ordered.rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("en", col("us") + ActivityIntervalUs)
+      .withColumn("prev_end", max("en").over(prior))
+      .withColumn("ni",
+        when(col("prev_end").isNull || col("us") >= col("prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum("ni").over(toHere))
+      .groupBy("user_id", "isl")
+      .agg(min("us").as("s"), max("en").as("e"), count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_islands"),
+        sum(col("e") - col("s")).as("covered_us"),
+        max(col("e") - col("s")).as("longest_us"),
+        sum("n").as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** X-FREQ-CAP: weekly frequency capping — impressions (`view`/`click`)
+    * rank within (user, calendar week) by (ts, event_id); the first
+    * [[WeeklyCap]] are served, the rest suppressed. The output is the
+    * per-week pacing report (served, suppressed, users who hit the cap)
+    * an ads-delivery pipeline publishes. Weeks are Monday-start
+    * `date_trunc`, identical in the oracle.
+    *
+    * Scale shape: one shuffle by (user_id, week) — a FINER key than
+    * user alone, so a heavy user's history spreads across weeks instead
+    * of one hot partition — then a partial+final rollup to ≤52 rows per
+    * year. The rank window and the groupBy use the same (user, week)
+    * grain, so AQE coalesces rather than re-exchanges.
+    */
+  def freqCap(spark: SparkSession, sfDir: String): DataFrame = {
+    val rank = Window.partitionBy("user_id", "wk").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("wk", date_trunc("week", col("ts")))
+      .withColumn("rn", row_number().over(rank))
+      .groupBy(col("wk").cast("date").as("week"))
+      .agg(
+        sum(when(col("rn") <= WeeklyCap, 1L).otherwise(0L)).as("served"),
+        sum(when(col("rn") > WeeklyCap, 1L).otherwise(0L)).as("suppressed"),
+        countDistinct(when(col("rn") > WeeklyCap, col("user_id")))
+          .as("capped_users"))
+      .orderBy("week")
+  }
+}

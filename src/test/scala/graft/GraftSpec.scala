@@ -2789,6 +2789,8 @@ class GraftSpec extends AnyFunSuite {
       "x_shard_manifest" -> "X-SHARD", "x_novelty" -> "X-NOVELTY",
       "x_bpe" -> "X-BPE", "x_gini" -> "X-GINI", "x_drift" -> "X-DRIFT",
       "x_equidepth" -> "X-EQUIDEPTH", "x_stream_enrich" -> "X-STREAM-ENRICH",
+      "x_attrib_last" -> "X-ATTRIB-LAST", "x_attrib_pos" -> "X-ATTRIB-POS",
+      "x_interval_merge" -> "X-INTERVAL-MERGE", "x_freq_cap" -> "X-FREQ-CAP",
       "x_decontam_ngram" -> "X-DECONTAM-NGRAM", "x_bpe_apply" -> "X-BPE-APPLY",
       "x_linreg" -> "X-LINREG", "x_winsorize" -> "X-WINSORIZE",
       "x_observe" -> "X-OBSERVE", "x_gapfill" -> "X-GAPFILL",
@@ -2817,5 +2819,49 @@ class GraftSpec extends AnyFunSuite {
       s"(?<![A-Z0-9-])${java.util.regex.Pattern.quote(id)}(?![A-Z0-9-])".r
         .findFirstIn(survey).isDefined)
     assert(missing.isEmpty, s"SURVEY.md has no row for: $missing")
+  }
+
+  // ---- X-ATTRIB / X-INTERVAL-MERGE conservation laws ------------------
+
+  test("X-ATTRIB: last-touch and U-shaped credit both partition purchases exactly") {
+    val purchases = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(count(lit(1)).cast("long"),
+        sum((col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long")))
+      .head()
+    val (nConv, cents) = (purchases.getLong(0), purchases.getLong(1))
+
+    val lastAgg = graft.llm.Attribution.lastTouch(spark, sf)
+      .agg(sum("n_conv"), sum("revenue_cents")).head()
+    assert(lastAgg.getLong(0) === nConv)
+    assert(lastAgg.getLong(1) === cents)
+
+    // ppm conservation is EXACT (1e6 per conversion) and cents
+    // conservation is EXACT (floor shares + shortfall cents): the
+    // largest-remainder arithmetic must never leak or double-count
+    val posAgg = graft.llm.Attribution.positionCredit(spark, sf)
+      .agg(sum("credit_ppm"), sum("credit_cents")).head()
+    assert(posAgg.getLong(0) === 1000000L * nConv)
+    assert(posAgg.getLong(1) === cents)
+  }
+
+  test("X-INTERVAL-MERGE: island counts and coverage respect interval bounds") {
+    val iv = graft.llm.Attribution.ActivityIntervalUs
+    val rows = graft.llm.Attribution.intervalMerge(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nIsl, covered, longest, nEv) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      assert(nIsl >= 1L && nIsl <= nEv)
+      // each island spans at least one interval; coverage can never
+      // exceed one interval per event (merging only shrinks coverage)
+      assert(covered >= nIsl * iv)
+      assert(covered <= nEv * iv)
+      assert(longest >= iv && longest <= covered)
+    }
+    // total event count conservation vs the raw table
+    val totalEv = rows.map(_.getLong(4)).sum
+    assert(totalEv === graft.Tables.events(spark, sf).count())
   }
 }
