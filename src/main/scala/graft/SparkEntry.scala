@@ -155,6 +155,7 @@ object SparkEntry {
     "x_equidepth" -> (llm.Analytics.equidepth _),
     "x_attrib_last" -> (llm.Attribution.lastTouch _),
     "x_attrib_pos" -> (llm.Attribution.positionCredit _),
+    "x_stream_attrib" -> (llm.Attribution.streamingAttribution _),
     "x_interval_merge" -> (llm.Attribution.intervalMerge _),
     "x_freq_cap" -> (llm.Attribution.freqCap _),
     "x_stream_enrich" -> (llm.StreamingOps.streamingEnrich _),
@@ -670,6 +671,8 @@ object SparkEntry {
     "x_drift" -> OracleLlm.driftSql,
     "x_equidepth" -> OracleLlm.equidepthSql,
     "x_attrib_last" -> OracleLlm.attribLastSql,
+    // the streaming form must reproduce the batch report bit-for-bit
+    "x_stream_attrib" -> OracleLlm.attribLastSql,
     "x_attrib_pos" -> OracleLlm.attribPosSql,
     "x_interval_merge" -> OracleLlm.intervalMergeSql,
     "x_freq_cap" -> OracleLlm.freqCapSql,

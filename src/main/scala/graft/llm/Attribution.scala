@@ -49,14 +49,21 @@ object Attribution {
     * event_id, making the "latest" touch unique even under timestamp
     * ties.
     */
-  def lastTouch(spark: SparkSession, sfDir: String): DataFrame = {
+  def lastTouch(spark: SparkSession, sfDir: String): DataFrame =
+    lastTouchOf(base(spark, sfDir))
+
+  /** Core over any (user_id, ts, event_id, event_type, cents) frame —
+    * separated so the property law can drive it with generated streams
+    * against a sequential reference.
+    */
+  def lastTouchOf(events: DataFrame): DataFrame = {
     val fill = Window.partitionBy("user_id")
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val touch = when(col("event_type").isin("click", "view"),
       struct(col("ts").as("ts"), col("event_id").as("event_id"),
         col("event_type").as("et")))
-    base(spark, sfDir)
+    events
       .withColumn("t", last(touch, ignoreNulls = true).over(fill))
       .filter(col("event_type") === "purchase")
       .select(
@@ -93,8 +100,13 @@ object Attribution {
     * window shape), and the final rollup is channel-sized. A left join
     * keeps zero-touch conversions as the `none` channel.
     */
-  def positionCredit(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = base(spark, sfDir)
+  def positionCredit(spark: SparkSession, sfDir: String): DataFrame =
+    positionCreditOf(base(spark, sfDir))
+
+  /** Core over any (user_id, ts, event_id, event_type, cents) frame —
+    * separated for the generated-data conservation law.
+    */
+  def positionCreditOf(ev: DataFrame): DataFrame = {
     val conv = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("cu"), col("ts").as("cts"),
         col("event_id").as("cid"), col("cents"))
@@ -149,13 +161,22 @@ object Attribution {
     * BIGINT; ordering ends in event_id, so island assignment is unique
     * under timestamp ties.
     */
-  def intervalMerge(spark: SparkSession, sfDir: String): DataFrame = {
+  def intervalMerge(spark: SparkSession, sfDir: String): DataFrame =
+    intervalMergeOf(
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id")),
+      ActivityIntervalUs)
+
+  /** Core over any (user_id, us, event_id) frame with a caller-chosen
+    * interval — separated so the property law can check the running
+    * max-end merge against a brute-force interval union.
+    */
+  def intervalMergeOf(events: DataFrame, intervalUs: Long): DataFrame = {
     val ordered = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
     val prior = ordered.rowsBetween(Window.unboundedPreceding, -1)
     val toHere = ordered.rowsBetween(Window.unboundedPreceding, 0)
-    Tables.events(spark, sfDir)
-      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
-      .withColumn("en", col("us") + ActivityIntervalUs)
+    events
+      .withColumn("en", col("us") + intervalUs)
       .withColumn("prev_end", max("en").over(prior))
       .withColumn("ni",
         when(col("prev_end").isNull || col("us") >= col("prev_end"), 1L)
@@ -170,6 +191,96 @@ object Attribution {
         max(col("e") - col("s")).as("longest_us"),
         sum("n").as("n_events"))
       .orderBy("user_id")
+  }
+
+  private val runs = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** X-STREAM-ATTRIB: last-touch attribution as a STATEFUL STREAM — the
+    * continuous form of [[lastTouch]], and the operator a live ads
+    * pipeline actually runs (attribute conversions as they arrive, don't
+    * re-scan history nightly). Events replay as [[graft.llm.Events
+    * .chunkedEventStaging]]'s four chronological micro-batches, so a
+    * touch in one batch MUST survive in `GroupState` to attribute a
+    * purchase arriving batches later. Per-user state is ONE touch tuple
+    * (ts, event_id, type) — bounded regardless of history — updated by
+    * each batch's (ts, event_id)-sorted group iterator; purchases emit
+    * on arrival with the batch operator's exact lookback rule, so the
+    * drained sink's rollup must equal [[lastTouch]] BIT-FOR-BIT (the
+    * oracle is literally the same SQL).
+    *
+    * State is evicted by EVENT-TIME TIMEOUT once the watermark passes
+    * `touch_ts + lookback`: after that no future purchase can be inside
+    * the lookback (the staged replay is time-ordered, and a post-timeout
+    * purchase is > lookback + watermark-delay behind — provably `none`
+    * either way), which is what keeps the state store at one live tuple
+    * per RECENTLY-ACTIVE user on an unbounded stream, not one per user
+    * ever seen. The timeout emits nothing — expiry is eviction, not
+    * output.
+    */
+  def streamingAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val lookUs = LookbackDays.toLong * 86400000000L
+    val work = java.nio.file.Files.createTempDirectory(
+      "graft_stream_attrib_" + runs.incrementAndGet() + "_")
+    val srcDir = Events.chunkedEventStaging(spark, sfDir, work)
+    val rawSchema = Tables.eventsRaw(spark, sfDir).schema
+    val ds = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      .selectExpr("user_id", Tables.tsMicrosExpr(rawSchema) + " AS us",
+        "event_id", "event_type",
+        "CAST(CAST(value AS DECIMAL(18, 2)) * 100 AS LONG) AS cents",
+        Tables.tsTimestampExpr(rawSchema) + " AS ts")
+      .withWatermark("ts", "1 hour")
+      .as[(Long, Long, Long, String, Long, java.sql.Timestamp)]
+    // state: latest touch (us, event_id, type); output: (uid, channel, cents)
+    val attributed = ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String), (Long, String, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[(Long, Long, Long, String, Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long, String)]) =>
+          if (state.hasTimedOut) {
+            // watermark passed touch+lookback: no future purchase can match
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = evs.toArray.sortBy(e => (e._2, e._3))
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+            var touch = state.getOption
+            batch.foreach { case (_, us, eid, typ, cents, _) =>
+              if (typ == "click" || typ == "view") touch = Some((us, eid, typ))
+              else if (typ == "purchase") {
+                val channel = touch match {
+                  case Some((tus, _, tt)) if tus >= us - lookUs => tt
+                  case _ => "none"
+                }
+                out += ((uid, channel, cents))
+              }
+            }
+            touch match {
+              case Some(t) =>
+                // a group invoked by NON-touch events can carry state whose
+                // horizon the watermark already passed — a timeout in the
+                // past throws, and the touch is provably expired for every
+                // future purchase, so evict it here instead
+                val horizonMs = t._1 / 1000 + lookUs / 1000
+                if (horizonMs > state.getCurrentWatermarkMs()) {
+                  state.update(t)
+                  state.setTimeoutTimestamp(horizonMs)
+                } else state.remove()
+              case None => // no touch yet for this user — nothing to evict
+            }
+            out.iterator
+          }
+      }
+      .toDF("user_id", "channel", "cents")
+    graft.streaming.Drain.toParquet(attributed, work, shufflePartitions = Some(8))
+      .groupBy("channel")
+      .agg(
+        count(lit(1)).as("n_conv"),
+        sum("cents").as("revenue_cents"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("channel")
   }
 
   /** X-FREQ-CAP: weekly frequency capping — impressions (`view`/`click`)

@@ -185,45 +185,29 @@ object Events {
       .orderBy("day", "event_type")
   }
 
-  /** X-STREAM-SESSIONS-INC: sessionization with state that genuinely
-    * CROSSES micro-batches — the events replay as four chronological
-    * chunks (`maxFilesPerTrigger=1`, explicit file mtimes pin the
-    * order), so a session spanning a chunk boundary must survive in
-    * `GroupState` between batches and a finished session is flushed by
-    * an EVENT-TIME TIMEOUT when the watermark passes its gap horizon.
-    * This is the shape a live 100 TB stream actually runs (open sessions
-    * in the state store, watermark-driven eviction); the single-batch
-    * variant below only exercises the degenerate everything-in-one-batch
-    * case. Same 30-minute gap rule, same oracle as [[sessions]]. The
-    * per-batch work per user is O(events in batch); state is one open
-    * session tuple (start, last, n) — bounded regardless of history.
+  /** Stage the events table as FOUR chronological chunk files plus a
+    * far-future watermark sentinel (`maxFilesPerTrigger=1` + explicit
+    * mtimes pin replay order) — the shared fixture for every operator
+    * that exercises cross-micro-batch `GroupState`
+    * ([[streamingSessionsIncremental]], X-STREAM-ATTRIB). Deterministic
+    * per sfDir, so it is marker-gated in scratch: repeated runs (bench
+    * passes) pay only the stream, never the re-stage. The no-partition
+    * ntile window IS a single-partition global sort — safe HERE ONLY
+    * because this is one-time test-fixture prep over the small events
+    * table; a live stream needs no staging at all (arrival order is the
+    * chunk order), so nothing like this exists at 100 TB. `work` hosts
+    * the transient single-file writes only.
     */
-  def streamingSessionsIncremental(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val gapUs = 30L * 60 * 1000 * 1000
+  private[llm] def chunkedEventStaging(spark: SparkSession, sfDir: String,
+      work: java.nio.file.Path): java.nio.file.Path = {
     val raw = Tables.eventsRaw(spark, sfDir)
     val rawSchema = raw.schema
-    val work = java.nio.file.Files.createTempDirectory(
-      "graft_stream_sessions_inc_" + streamRuns.incrementAndGet() + "_")
-
-    // chunk staging is deterministic per sfDir — marker-gate it in scratch
-    // so repeated runs (bench passes) pay only the stream, not a global
-    // sort + four writes each time
     val srcDirS = graft.etl.Sink.scratchPath(sfDir, "events_chunked")
     val srcDir = java.nio.file.Paths.get(srcDirS)
     val marker = srcDir.resolve("_GRAFT_OK_v2")
     if (!java.nio.file.Files.exists(marker)) {
       graft.etl.Sink.dropUncommitted(srcDirS)
       java.nio.file.Files.createDirectories(srcDir)
-      // 4 chronological chunks (a live stream arrives time-ordered;
-      // ntile stands in for that order on the finite fixture) + sentinel.
-      // The no-partition ntile window IS a single-partition global sort —
-      // safe HERE ONLY because this is one-time test-fixture prep over the
-      // small events table, gated to run once per scratch lifetime; it is
-      // not part of any query path. A live stream needs no staging at all
-      // (arrival order is the chunk order), so nothing like this exists at
-      // 100 TB.
       val maxUs = raw.selectExpr(Tables.tsMicrosExpr(rawSchema) + " AS us")
         .agg(max("us")).head().getLong(0)
       val chunked = raw.withColumn("chunk",
@@ -255,6 +239,31 @@ object Events {
       stage(sentinel, "chunk5", 5)
       java.nio.file.Files.createFile(marker)
     }
+    srcDir
+  }
+
+  /** X-STREAM-SESSIONS-INC: sessionization with state that genuinely
+    * CROSSES micro-batches — the events replay as four chronological
+    * chunks (`maxFilesPerTrigger=1`, explicit file mtimes pin the
+    * order), so a session spanning a chunk boundary must survive in
+    * `GroupState` between batches and a finished session is flushed by
+    * an EVENT-TIME TIMEOUT when the watermark passes its gap horizon.
+    * This is the shape a live 100 TB stream actually runs (open sessions
+    * in the state store, watermark-driven eviction); the single-batch
+    * variant below only exercises the degenerate everything-in-one-batch
+    * case. Same 30-minute gap rule, same oracle as [[sessions]]. The
+    * per-batch work per user is O(events in batch); state is one open
+    * session tuple (start, last, n) — bounded regardless of history.
+    */
+  def streamingSessionsIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = 30L * 60 * 1000 * 1000
+    val raw = Tables.eventsRaw(spark, sfDir)
+    val rawSchema = raw.schema
+    val work = java.nio.file.Files.createTempDirectory(
+      "graft_stream_sessions_inc_" + streamRuns.incrementAndGet() + "_")
+    val srcDir = chunkedEventStaging(spark, sfDir, work)
 
     val ds = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)

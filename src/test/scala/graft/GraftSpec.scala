@@ -2790,6 +2790,7 @@ class GraftSpec extends AnyFunSuite {
       "x_bpe" -> "X-BPE", "x_gini" -> "X-GINI", "x_drift" -> "X-DRIFT",
       "x_equidepth" -> "X-EQUIDEPTH", "x_stream_enrich" -> "X-STREAM-ENRICH",
       "x_attrib_last" -> "X-ATTRIB-LAST", "x_attrib_pos" -> "X-ATTRIB-POS",
+      "x_stream_attrib" -> "X-STREAM-ATTRIB",
       "x_interval_merge" -> "X-INTERVAL-MERGE", "x_freq_cap" -> "X-FREQ-CAP",
       "x_decontam_ngram" -> "X-DECONTAM-NGRAM", "x_bpe_apply" -> "X-BPE-APPLY",
       "x_linreg" -> "X-LINREG", "x_winsorize" -> "X-WINSORIZE",

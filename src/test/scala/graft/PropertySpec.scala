@@ -482,4 +482,91 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("law: X-ATTRIB-POS U-shaped credit matches a sequential reference and conserves exactly") {
+    import spark.implicits._
+    val dayUs = 86400000000L
+    val evGen: Gen[List[(Long, Long, String, Long)]] =
+      Gen.nonEmptyListOf(for {
+        u <- Gen.chooseNum(0L, 4L)
+        us <- Gen.chooseNum(0L, 20L * dayUs)
+        t <- Gen.oneOf("click", "view", "purchase", "error")
+        c <- Gen.chooseNum(0L, 99999L)
+      } yield (u, us, t, c))
+    forAll(evGen, cases = 4) { rows =>
+      val ev = rows.zipWithIndex.map { case ((u, us, t, c), i) =>
+        (u, us, i.toLong, t, c)
+      }
+      val df = ev.toDF("user_id", "us", "event_id", "event_type", "cents")
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+          col("event_id"), col("event_type"), col("cents"))
+      val got = graft.llm.Attribution.positionCreditOf(df).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      // sequential reference: per purchase, enumerate in-lookback
+      // touches, apply the same ppm grid and shortfall-cents rule
+      val look = graft.llm.Attribution.LookbackDays * dayUs
+      val want = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
+      def add(ch: String, ppm: Long, cents: Long, touches: Long): Unit = {
+        val (a, b, c0) = want.getOrElse(ch, (0L, 0L, 0L))
+        want(ch) = (a + ppm, b + cents, c0 + touches)
+      }
+      for ((u, cus, cid, t, cents) <- ev if t == "purchase") {
+        val tch = ev.filter { case (tu, tus, tid, tt, _) =>
+          tu == u && (tt == "click" || tt == "view") &&
+            tus <= cus && tus > cus - look
+        }.sortBy { case (_, tus, tid, _, _) => (tus, tid) }
+        val k = tch.size
+        if (k == 0) add("none", 1000000L, cents, 0L)
+        else {
+          val ppm = (1 to k).map { rn =>
+            if (k == 1) 1000000L
+            else if (k == 2) 500000L
+            else if (rn == 1 || rn == k) 400000L
+            else 200000L / (k - 2) + (if (rn - 1 <= 200000L % (k - 2)) 1L else 0L)
+          }
+          val base = ppm.map(p => cents * p / 1000000L)
+          val short = cents - base.sum
+          tch.zipWithIndex.foreach { case ((_, _, _, tt, _), i) =>
+            add(tt, ppm(i), base(i) + (if (i + 1 <= short) 1L else 0L), 1L)
+          }
+        }
+      }
+      assert(got == want.toMap, s"attribution drifted: got $got want $want")
+      val purchases = ev.filter(_._4 == "purchase")
+      assert(got.values.map(_._1).sum == 1000000L * purchases.size)
+      assert(got.values.map(_._2).sum == purchases.map(_._5).sum)
+    }
+  }
+
+  test("law: X-INTERVAL-MERGE equals brute-force interval union, ties included") {
+    import spark.implicits._
+    val iv = 1000L
+    val ptsGen: Gen[List[(Long, Long)]] =
+      Gen.nonEmptyListOf(for {
+        u <- Gen.chooseNum(0L, 3L)
+        us <- Gen.chooseNum(0L, 20000L) // dense: forces overlaps and ties
+      } yield (u, us))
+    forAll(ptsGen, cases = 4) { pts =>
+      val ev = pts.zipWithIndex.map { case ((u, us), i) => (u, us, i.toLong) }
+      val got = graft.llm.Attribution
+        .intervalMergeOf(ev.toDF("user_id", "us", "event_id"), iv)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      val want = ev.groupBy(_._1).map { case (u, rows) =>
+        val sorted = rows.map(_._2).sorted
+        val islands = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+        for (us <- sorted) {
+          if (islands.nonEmpty && us < islands.last._2)
+            islands(islands.size - 1) =
+              (islands.last._1, math.max(islands.last._2, us + iv))
+          else islands += ((us, us + iv))
+        }
+        val spans = islands.map { case (s, e) => e - s }
+        u -> ((islands.size.toLong, spans.sum, spans.max, rows.size.toLong))
+      }
+      assert(got == want, s"interval merge drifted: got $got want $want")
+    }
+  }
 }
