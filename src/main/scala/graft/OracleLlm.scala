@@ -1397,6 +1397,51 @@ object OracleLlm {
        |FROM cc GROUP BY channel ORDER BY channel""".stripMargin
   }
 
+  /** X-ATTRIB-DECAY mirror: identical power-of-two weights, pro-rata
+    * integer ppm with remainder to the most recent touches, and the same
+    * shortfall-cents rule.
+    */
+  val attribDecaySql: String = {
+    val d = llm.Attribution.LookbackDays
+    val half = llm.Attribution.DecayHalfLifeUs
+    val cap = llm.Attribution.DecayCapHalfLives
+    s"""WITH b AS (
+       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+       |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events),
+       |conv AS (SELECT user_id AS cu, ts AS cts, event_id AS cid, cents
+       |         FROM b WHERE event_type = 'purchase'),
+       |tch AS (SELECT user_id AS tu, ts, event_id, event_type
+       |        FROM b WHERE event_type IN ('click', 'view')),
+       |pairs AS (
+       |  SELECT c.cid, c.cents, t.event_type, t.event_id,
+       |         CASE WHEN t.event_id IS NULL THEN 0
+       |              ELSE (CAST(1 AS BIGINT) << ($cap - CAST(least(
+       |                (epoch_us(c.cts) - epoch_us(t.ts)) // $half, $cap) AS INT)))
+       |         END AS w,
+       |         row_number() OVER (PARTITION BY c.cid
+       |           ORDER BY t.ts DESC, t.event_id DESC) AS rrn
+       |  FROM conv c LEFT JOIN tch t ON c.cu = t.tu
+       |    AND t.ts <= c.cts AND t.ts > c.cts - INTERVAL $d DAY),
+       |tw AS (SELECT *, sum(w) OVER (PARTITION BY cid) AS tw FROM pairs),
+       |p1 AS (
+       |  SELECT *, CASE WHEN tw = 0 THEN 1000000 ELSE 1000000 * w // tw END AS fp
+       |  FROM tw),
+       |p2 AS (SELECT *, fp + CASE WHEN rrn <=
+       |         1000000 - sum(fp) OVER (PARTITION BY cid) THEN 1 ELSE 0 END AS ppm
+       |       FROM p1),
+       |cc AS (
+       |  SELECT *, cents * ppm // 1000000 AS base_cents,
+       |         cents - sum(cents * ppm // 1000000) OVER (PARTITION BY cid) AS short
+       |  FROM p2)
+       |SELECT coalesce(event_type, 'none') AS channel,
+       |       CAST(sum(ppm) AS BIGINT) AS credit_ppm,
+       |       CAST(sum(base_cents + CASE WHEN rrn <= short THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS credit_cents,
+       |       CAST(count(event_id) AS BIGINT) AS n_touches
+       |FROM cc GROUP BY channel ORDER BY channel""".stripMargin
+  }
+
   /** X-INTERVAL-MERGE mirror: running max(end) over preceding rows with
     * the same (us, event_id) tie-break, boundary flag, running-sum
     * island id — all epoch-micros BIGINT.

@@ -155,6 +155,7 @@ object SparkEntry {
     "x_equidepth" -> (llm.Analytics.equidepth _),
     "x_attrib_last" -> (llm.Attribution.lastTouch _),
     "x_attrib_pos" -> (llm.Attribution.positionCredit _),
+    "x_attrib_decay" -> (llm.Attribution.timeDecayCredit _),
     "x_stream_attrib" -> (llm.Attribution.streamingAttribution _),
     "x_interval_merge" -> (llm.Attribution.intervalMerge _),
     "x_freq_cap" -> (llm.Attribution.freqCap _),
@@ -674,6 +675,7 @@ object SparkEntry {
     // the streaming form must reproduce the batch report bit-for-bit
     "x_stream_attrib" -> OracleLlm.attribLastSql,
     "x_attrib_pos" -> OracleLlm.attribPosSql,
+    "x_attrib_decay" -> OracleLlm.attribDecaySql,
     "x_interval_merge" -> OracleLlm.intervalMergeSql,
     "x_freq_cap" -> OracleLlm.freqCapSql,
     // the stream-static enrichment drains to a sink whose rollup must

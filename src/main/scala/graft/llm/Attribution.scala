@@ -193,6 +193,77 @@ object Attribution {
       .orderBy("user_id")
   }
 
+  /** X-ATTRIB-DECAY: half-life in micros (2 days) and the cap on counted
+    * half-lives (lookback/half = 3 fits the 7-day window).
+    */
+  val DecayHalfLifeUs: Long = 2L * 86400000000L
+  val DecayCapHalfLives = 3
+
+  /** X-ATTRIB-DECAY: time-decay multi-touch attribution with EXACT
+    * integer credit — each in-lookback touch weighs `2^(cap − elapsed
+    * half-lives)` (newest heaviest, weights are small exact BIGINTs, the
+    * same powers-of-two trick X-DECAY uses to keep decay bit-exact), and
+    * each conversion's 1,000,000 ppm split pro rata by weight with the
+    * floor-division remainder granted to the MOST RECENT touches (the
+    * model favors recency; largest-remainder would also work but the
+    * recency rule is simpler to mirror and equally deterministic).
+    * Revenue cents allocate the same way. Together with [[lastTouch]]
+    * (one winner) and [[positionCredit]] (position grid) this completes
+    * the three standard attribution models; all three conserve exactly
+    * and share one oracle-checkable integer discipline.
+    *
+    * Scale shape: identical to [[positionCredit]] — user equi-join
+    * bounded by the lookback, per-conversion windows, channel rollup.
+    */
+  def timeDecayCredit(spark: SparkSession, sfDir: String): DataFrame =
+    timeDecayCreditOf(base(spark, sfDir))
+
+  /** Core over any (user_id, ts, event_id, event_type, cents) frame. */
+  def timeDecayCreditOf(ev: DataFrame): DataFrame = {
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("cu"), col("ts").as("cts"),
+        col("event_id").as("cid"), col("cents"))
+    val tch = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id").as("tu"), col("ts"), col("event_id"),
+        col("event_type"))
+    val recency = Window.partitionBy("cid")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val convW = Window.partitionBy("cid")
+    val pairs = conv.join(tch,
+        col("cu") === col("tu") && col("ts") <= col("cts") &&
+          col("ts") > col("cts") - expr(s"INTERVAL $LookbackDays DAYS"),
+        "left")
+      .withColumn("w",
+        when(col("event_id").isNull, lit(0L)).otherwise(expr(
+          s"shiftleft(1L, $DecayCapHalfLives - CAST(least(" +
+            s"(unix_micros(cts) - unix_micros(ts)) div $DecayHalfLifeUs, " +
+            s"$DecayCapHalfLives) AS INT))")))
+      .withColumn("rrn", row_number().over(recency))
+      .withColumn("tw", sum("w").over(convW))
+    // tw=0 (unattributed left-join row) takes the full 1e6 directly, so
+    // its remainder is naturally zero — and the guard must live INSIDE
+    // the expression (ANSI division by zero would throw even under a
+    // window sum that a `when` branch can't shield)
+    val withPpm = pairs
+      .withColumn("fp", expr("IF(tw = 0, 1000000L, 1000000L * w div tw)"))
+      .withColumn("ppm", col("fp") +
+        when(col("rrn") <= lit(1000000L) - sum("fp").over(convW), 1L)
+          .otherwise(0L))
+    val withCents = withPpm
+      .withColumn("base_cents", expr("cents * ppm div 1000000L"))
+      .withColumn("short", col("cents") - sum("base_cents").over(convW))
+      .withColumn("credit_cents",
+        col("base_cents") + when(col("rrn") <= col("short"), 1L).otherwise(0L))
+    withCents
+      .withColumn("channel", coalesce(col("event_type"), lit("none")))
+      .groupBy("channel")
+      .agg(
+        sum("ppm").as("credit_ppm"),
+        sum("credit_cents").as("credit_cents"),
+        count(col("event_id")).as("n_touches"))
+      .orderBy("channel")
+  }
+
   private val runs = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** X-STREAM-ATTRIB: last-touch attribution as a STATEFUL STREAM — the

@@ -2791,6 +2791,7 @@ class GraftSpec extends AnyFunSuite {
       "x_equidepth" -> "X-EQUIDEPTH", "x_stream_enrich" -> "X-STREAM-ENRICH",
       "x_attrib_last" -> "X-ATTRIB-LAST", "x_attrib_pos" -> "X-ATTRIB-POS",
       "x_stream_attrib" -> "X-STREAM-ATTRIB",
+      "x_attrib_decay" -> "X-ATTRIB-DECAY",
       "x_interval_merge" -> "X-INTERVAL-MERGE", "x_freq_cap" -> "X-FREQ-CAP",
       "x_decontam_ngram" -> "X-DECONTAM-NGRAM", "x_bpe_apply" -> "X-BPE-APPLY",
       "x_linreg" -> "X-LINREG", "x_winsorize" -> "X-WINSORIZE",
@@ -2845,6 +2846,30 @@ class GraftSpec extends AnyFunSuite {
       .agg(sum("credit_ppm"), sum("credit_cents")).head()
     assert(posAgg.getLong(0) === 1000000L * nConv)
     assert(posAgg.getLong(1) === cents)
+
+    val decayAgg = graft.llm.Attribution.timeDecayCredit(spark, sf)
+      .agg(sum("credit_ppm"), sum("credit_cents")).head()
+    assert(decayAgg.getLong(0) === 1000000L * nConv)
+    assert(decayAgg.getLong(1) === cents)
+  }
+
+  test("X-ATTRIB/X-INTERVAL-MERGE plan shape: the facts shuffle ONCE by user") {
+    // lastTouch: one user exchange for the fill-down window; the channel
+    // rollup afterwards exchanges a ≤3-row aggregate, never the facts
+    val lastPlan = graft.llm.Attribution.lastTouch(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(user_id".r.findAllIn(lastPlan).size == 1,
+      s"lastTouch must exchange by user exactly once:\n${lastPlan.take(2000)}")
+    // intervalMerge: the user exchange feeds both windows AND both
+    // rollups — HashPartitioning(user_id) satisfies the (user_id, isl)
+    // clustering, so no second fact-sized exchange appears
+    val mergePlan = graft.llm.Attribution.intervalMerge(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(user_id".r.findAllIn(mergePlan).size == 1,
+      s"intervalMerge must exchange by user exactly once:\n${mergePlan.take(2000)}")
+    assert(!mergePlan.contains("hashpartitioning(user_id#") ||
+      !mergePlan.contains("hashpartitioning(isl"),
+      "island rollup must reuse the user partitioning")
   }
 
   test("X-INTERVAL-MERGE: island counts and coverage respect interval bounds") {

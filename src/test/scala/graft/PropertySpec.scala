@@ -539,6 +539,110 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("law: X-ATTRIB-DECAY power-of-two credit matches a sequential reference and conserves") {
+    import spark.implicits._
+    val dayUs = 86400000000L
+    val evGen: Gen[List[(Long, Long, String, Long)]] =
+      Gen.nonEmptyListOf(for {
+        u <- Gen.chooseNum(0L, 4L)
+        us <- Gen.chooseNum(0L, 20L * dayUs)
+        t <- Gen.oneOf("click", "view", "purchase", "error")
+        c <- Gen.chooseNum(0L, 99999L)
+      } yield (u, us, t, c))
+    forAll(evGen, cases = 4) { rows =>
+      val ev = rows.zipWithIndex.map { case ((u, us, t, c), i) =>
+        (u, us, i.toLong, t, c)
+      }
+      val df = ev.toDF("user_id", "us", "event_id", "event_type", "cents")
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+          col("event_id"), col("event_type"), col("cents"))
+      val got = graft.llm.Attribution.timeDecayCreditOf(df).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      val look = graft.llm.Attribution.LookbackDays * dayUs
+      val half = graft.llm.Attribution.DecayHalfLifeUs
+      val cap = graft.llm.Attribution.DecayCapHalfLives
+      val want = scala.collection.mutable.Map.empty[String, (Long, Long, Long)]
+      def add(ch: String, ppm: Long, cents: Long, touches: Long): Unit = {
+        val (a, b, c0) = want.getOrElse(ch, (0L, 0L, 0L))
+        want(ch) = (a + ppm, b + cents, c0 + touches)
+      }
+      for ((u, cus, _, t, cents) <- ev if t == "purchase") {
+        // most-recent-first: remainder ppm and shortfall cents go to the
+        // front of this ordering
+        val tch = ev.filter { case (tu, tus, _, tt, _) =>
+          tu == u && (tt == "click" || tt == "view") &&
+            tus <= cus && tus > cus - look
+        }.sortBy { case (_, tus, tid, _, _) => (-tus, -tid) }
+        if (tch.isEmpty) add("none", 1000000L, cents, 0L)
+        else {
+          val w = tch.map { case (_, tus, _, _, _) =>
+            1L << (cap - math.min((cus - tus) / half, cap.toLong)).toInt
+          }
+          val tw = w.sum
+          val floors = w.map(x => 1000000L * x / tw)
+          val rem = 1000000L - floors.sum
+          val ppm = floors.zipWithIndex.map { case (p, i) =>
+            p + (if (i + 1 <= rem) 1L else 0L)
+          }
+          val base = ppm.map(p => cents * p / 1000000L)
+          val short = cents - base.sum
+          tch.zipWithIndex.foreach { case ((_, _, _, tt, _), i) =>
+            add(tt, ppm(i), base(i) + (if (i + 1 <= short) 1L else 0L), 1L)
+          }
+        }
+      }
+      assert(got == want.toMap, s"decay attribution drifted: got $got want $want")
+      val purchases = ev.filter(_._4 == "purchase")
+      assert(got.values.map(_._1).sum == 1000000L * purchases.size)
+      assert(got.values.map(_._2).sum == purchases.map(_._5).sum)
+    }
+  }
+
+  test("law: X-ATTRIB-LAST fill-down matches a sequential last-touch reference") {
+    import spark.implicits._
+    val dayUs = 86400000000L
+    val evGen: Gen[List[(Long, Long, String, Long)]] =
+      Gen.nonEmptyListOf(for {
+        u <- Gen.chooseNum(0L, 4L)
+        us <- Gen.chooseNum(0L, 20L * dayUs)
+        t <- Gen.oneOf("click", "view", "purchase", "error")
+        c <- Gen.chooseNum(0L, 99999L)
+      } yield (u, us, t, c))
+    forAll(evGen, cases = 4) { rows =>
+      val ev = rows.zipWithIndex.map { case ((u, us, t, c), i) =>
+        (u, us, i.toLong, t, c)
+      }
+      val df = ev.toDF("user_id", "us", "event_id", "event_type", "cents")
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+          col("event_id"), col("event_type"), col("cents"))
+      val got = graft.llm.Attribution.lastTouchOf(df).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      // sequential reference: walk each user's (us, event_id)-ordered
+      // stream carrying the latest touch, apply the lookback at purchase
+      val look = graft.llm.Attribution.LookbackDays * dayUs
+      val agg = scala.collection.mutable.Map.empty[String, (Long, Long, scala.collection.mutable.Set[Long])]
+      for ((u, evsOfU) <- ev.groupBy(_._1)) {
+        var touch: Option[(Long, String)] = None
+        for ((_, us, _, t, c) <- evsOfU.sortBy(e => (e._2, e._3))) {
+          if (t == "click" || t == "view") touch = Some((us, t))
+          else if (t == "purchase") {
+            val ch = touch match {
+              case Some((tus, tt)) if tus >= us - look => tt
+              case _ => "none"
+            }
+            val (n, cs, users) = agg.getOrElseUpdate(ch,
+              (0L, 0L, scala.collection.mutable.Set.empty[Long]))
+            agg(ch) = (n + 1, cs + c, users += u)
+          }
+        }
+      }
+      val want = agg.view.mapValues { case (n, cs, us) => (n, cs, us.size.toLong) }.toMap
+      assert(got == want, s"last-touch drifted: got $got want $want")
+    }
+  }
+
   test("law: X-INTERVAL-MERGE equals brute-force interval union, ties included") {
     import spark.implicits._
     val iv = 1000L
