@@ -1452,17 +1452,21 @@ object OracleLlm {
        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
        |  FROM events),
        |w AS (
-       |  SELECT user_id, us, us + $iv AS en,
+       |  SELECT user_id, us, event_id, us + $iv AS en,
        |         max(us + $iv) OVER (PARTITION BY user_id ORDER BY us, event_id
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
        |  FROM b),
        |fl AS (
-       |  SELECT user_id, us, en,
+       |  SELECT user_id, us, event_id, en,
        |         CASE WHEN prev_end IS NULL OR us >= prev_end THEN 1 ELSE 0 END AS ni
        |  FROM w),
        |isl AS (
+       |  -- island-id order must end in event_id: a timestamp tie at an
+       |  -- island boundary carries flags (1,0), and an ambiguous order
+       |  -- could put the 0-row before the 1-row, re-homing it into the
+       |  -- previous island
        |  SELECT user_id, us, en,
-       |         sum(ni) OVER (PARTITION BY user_id ORDER BY us, en
+       |         sum(ni) OVER (PARTITION BY user_id ORDER BY us, event_id
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
        |  FROM fl),
        |g AS (SELECT user_id, isl_id, min(us) AS s, max(en) AS e,
