@@ -1347,7 +1347,7 @@ object OracleLlm {
        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t
        |  FROM b),
        |conv AS (
-       |  SELECT CASE WHEN t IS NOT NULL AND t.ts >= ts - INTERVAL $d DAY
+       |  SELECT CASE WHEN t IS NOT NULL AND t.ts > ts - INTERVAL $d DAY
        |              THEN t.et ELSE 'none' END AS channel,
        |         cents, user_id
        |  FROM f WHERE event_type = 'purchase')
@@ -1376,7 +1376,8 @@ object OracleLlm {
        |         row_number() OVER (PARTITION BY c.cid ORDER BY t.ts, t.event_id) AS rn,
        |         count(t.event_id) OVER (PARTITION BY c.cid) AS k
        |  FROM conv c LEFT JOIN tch t ON c.cu = t.tu
-       |    AND t.ts <= c.cts AND t.ts > c.cts - INTERVAL $d DAY),
+       |    AND (t.ts < c.cts OR (t.ts = c.cts AND t.event_id < c.cid))
+       |    AND t.ts > c.cts - INTERVAL $d DAY),
        |ppm AS (
        |  SELECT *, CASE WHEN k <= 1 THEN 1000000
        |                 WHEN k = 2 THEN 500000
@@ -1422,7 +1423,8 @@ object OracleLlm {
        |         row_number() OVER (PARTITION BY c.cid
        |           ORDER BY t.ts DESC, t.event_id DESC) AS rrn
        |  FROM conv c LEFT JOIN tch t ON c.cu = t.tu
-       |    AND t.ts <= c.cts AND t.ts > c.cts - INTERVAL $d DAY),
+       |    AND (t.ts < c.cts OR (t.ts = c.cts AND t.event_id < c.cid))
+       |    AND t.ts > c.cts - INTERVAL $d DAY),
        |tw AS (SELECT *, sum(w) OVER (PARTITION BY cid) AS tw FROM pairs),
        |p1 AS (
        |  SELECT *, CASE WHEN tw = 0 THEN 1000000 ELSE 1000000 * w // tw END AS fp

@@ -17,8 +17,22 @@ import graft.Tables
   */
 object Attribution {
 
-  /** Conversion lookback: a touch attributes only within this window. */
+  /** Conversion lookback: a touch attributes only within this window.
+    * The in-window definition is ONE rule shared by every model (last /
+    * position / decay / streaming): the touch must STRICTLY PRECEDE the
+    * conversion in (ts, event_id) stream order (a same-microsecond touch
+    * with a later event_id is not yet seen), and sit strictly inside the
+    * lookback: `touch_ts > conv_ts − 7 days`.
+    */
   val LookbackDays = 7
+
+  /** The shared in-window join predicate over (conv: cts, cid) ×
+    * (touch: ts, event_id) — see [[LookbackDays]] for the rule.
+    */
+  private def inLookback =
+    (col("ts") < col("cts") ||
+      (col("ts") === col("cts") && col("event_id") < col("cid"))) &&
+      col("ts") > col("cts") - expr(s"INTERVAL $LookbackDays DAYS")
 
   /** X-INTERVAL-MERGE: each event opens this long an activity interval. */
   val ActivityIntervalUs: Long = 12L * 3600L * 1000000L
@@ -68,7 +82,7 @@ object Attribution {
       .filter(col("event_type") === "purchase")
       .select(
         when(col("t").isNotNull &&
-            col("t.ts") >= col("ts") - expr(s"INTERVAL $LookbackDays DAYS"),
+            col("t.ts") > col("ts") - expr(s"INTERVAL $LookbackDays DAYS"),
           col("t.et")).otherwise(lit("none")).as("channel"),
         col("cents"), col("user_id"))
       .groupBy("channel")
@@ -103,38 +117,34 @@ object Attribution {
   def positionCredit(spark: SparkSession, sfDir: String): DataFrame =
     positionCreditOf(base(spark, sfDir))
 
-  /** Core over any (user_id, ts, event_id, event_type, cents) frame —
-    * separated for the generated-data conservation law.
+  /** Shared multi-touch scaffolding: conversions LEFT-joined to their
+    * in-window touches (zero-touch conversions survive for the `none`
+    * channel); rows carry (cid, cents, cts) from the conversion and
+    * (ts, event_id, event_type) from the touch.
     */
-  def positionCreditOf(ev: DataFrame): DataFrame = {
+  private def touchPairs(ev: DataFrame): DataFrame = {
     val conv = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("cu"), col("ts").as("cts"),
         col("event_id").as("cid"), col("cents"))
     val tch = ev.filter(col("event_type").isin("click", "view"))
       .select(col("user_id").as("tu"), col("ts"), col("event_id"),
         col("event_type"))
-    val rankW = Window.partitionBy("cid").orderBy(col("ts"), col("event_id"))
+    conv.join(tch, col("cu") === col("tu") && inLookback, "left")
+  }
+
+  /** Shared settlement: given pairs carrying an exact `ppm` column and a
+    * priority rank (1 = first claim on leftovers), allocate each
+    * conversion's revenue cents exactly — floor share plus the
+    * floor-division shortfall (< k cents) granted one cent each to the
+    * highest-priority touches — then roll up per channel.
+    */
+  private def settle(withPpm: DataFrame, priority: String): DataFrame = {
     val convW = Window.partitionBy("cid")
-    val pairs = conv.join(tch,
-        col("cu") === col("tu") && col("ts") <= col("cts") &&
-          col("ts") > col("cts") - expr(s"INTERVAL $LookbackDays DAYS"),
-        "left")
-      .withColumn("rn", row_number().over(rankW))
-      .withColumn("k", count(col("event_id")).over(convW))
-    val withPpm = pairs.withColumn("ppm",
-      when(col("k") <= 1, lit(1000000L))
-        .when(col("k") === 2, lit(500000L))
-        .when(col("rn") === 1 || col("rn") === col("k"), lit(400000L))
-        .otherwise(expr(
-          "200000L div (k - 2) + IF(rn - 1 <= 200000L % (k - 2), 1L, 0L)")))
-    // exact cents allocation: floor each touch's share, then hand the
-    // conversion's shortfall (< k cents) to the earliest touches
-    val withCents = withPpm
+    withPpm
       .withColumn("base_cents", expr("cents * ppm div 1000000L"))
       .withColumn("short", col("cents") - sum("base_cents").over(convW))
       .withColumn("credit_cents",
-        col("base_cents") + when(col("rn") <= col("short"), 1L).otherwise(0L))
-    withCents
+        col("base_cents") + when(col(priority) <= col("short"), 1L).otherwise(0L))
       .withColumn("channel", coalesce(col("event_type"), lit("none")))
       .groupBy("channel")
       .agg(
@@ -142,6 +152,24 @@ object Attribution {
         sum("credit_cents").as("credit_cents"),
         count(col("event_id")).as("n_touches"))
       .orderBy("channel")
+  }
+
+  /** Core over any (user_id, ts, event_id, event_type, cents) frame —
+    * separated for the generated-data conservation law.
+    */
+  def positionCreditOf(ev: DataFrame): DataFrame = {
+    val rankW = Window.partitionBy("cid").orderBy(col("ts"), col("event_id"))
+    val convW = Window.partitionBy("cid")
+    val withPpm = touchPairs(ev)
+      .withColumn("rn", row_number().over(rankW))
+      .withColumn("k", count(col("event_id")).over(convW))
+      .withColumn("ppm",
+        when(col("k") <= 1, lit(1000000L))
+          .when(col("k") === 2, lit(500000L))
+          .when(col("rn") === 1 || col("rn") === col("k"), lit(400000L))
+          .otherwise(expr(
+            "200000L div (k - 2) + IF(rn - 1 <= 200000L % (k - 2), 1L, 0L)")))
+    settle(withPpm, "rn")
   }
 
   /** X-INTERVAL-MERGE: per-user activity-interval union (gaps-and-
@@ -220,19 +248,14 @@ object Attribution {
 
   /** Core over any (user_id, ts, event_id, event_type, cents) frame. */
   def timeDecayCreditOf(ev: DataFrame): DataFrame = {
-    val conv = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("cu"), col("ts").as("cts"),
-        col("event_id").as("cid"), col("cents"))
-    val tch = ev.filter(col("event_type").isin("click", "view"))
-      .select(col("user_id").as("tu"), col("ts"), col("event_id"),
-        col("event_type"))
     val recency = Window.partitionBy("cid")
       .orderBy(col("ts").desc, col("event_id").desc)
     val convW = Window.partitionBy("cid")
-    val pairs = conv.join(tch,
-        col("cu") === col("tu") && col("ts") <= col("cts") &&
-          col("ts") > col("cts") - expr(s"INTERVAL $LookbackDays DAYS"),
-        "left")
+    // tw=0 (unattributed left-join row) takes the full 1e6 directly, so
+    // its remainder is naturally zero — and the guard must live INSIDE
+    // the expression (ANSI division by zero would throw even under a
+    // window sum that a `when` branch can't shield)
+    val withPpm = touchPairs(ev)
       .withColumn("w",
         when(col("event_id").isNull, lit(0L)).otherwise(expr(
           s"shiftleft(1L, $DecayCapHalfLives - CAST(least(" +
@@ -240,28 +263,11 @@ object Attribution {
             s"$DecayCapHalfLives) AS INT))")))
       .withColumn("rrn", row_number().over(recency))
       .withColumn("tw", sum("w").over(convW))
-    // tw=0 (unattributed left-join row) takes the full 1e6 directly, so
-    // its remainder is naturally zero — and the guard must live INSIDE
-    // the expression (ANSI division by zero would throw even under a
-    // window sum that a `when` branch can't shield)
-    val withPpm = pairs
       .withColumn("fp", expr("IF(tw = 0, 1000000L, 1000000L * w div tw)"))
       .withColumn("ppm", col("fp") +
         when(col("rrn") <= lit(1000000L) - sum("fp").over(convW), 1L)
           .otherwise(0L))
-    val withCents = withPpm
-      .withColumn("base_cents", expr("cents * ppm div 1000000L"))
-      .withColumn("short", col("cents") - sum("base_cents").over(convW))
-      .withColumn("credit_cents",
-        col("base_cents") + when(col("rrn") <= col("short"), 1L).otherwise(0L))
-    withCents
-      .withColumn("channel", coalesce(col("event_type"), lit("none")))
-      .groupBy("channel")
-      .agg(
-        sum("ppm").as("credit_ppm"),
-        sum("credit_cents").as("credit_cents"),
-        count(col("event_id")).as("n_touches"))
-      .orderBy("channel")
+    settle(withPpm, "rrn")
   }
 
   private val runs = new java.util.concurrent.atomic.AtomicLong(0)
@@ -322,7 +328,7 @@ object Attribution {
               if (typ == "click" || typ == "view") touch = Some((us, eid, typ))
               else if (typ == "purchase") {
                 val channel = touch match {
-                  case Some((tus, _, tt)) if tus >= us - lookUs => tt
+                  case Some((tus, _, tt)) if tus > us - lookUs => tt
                   case _ => "none"
                 }
                 out += ((uid, channel, cents))

@@ -204,14 +204,20 @@ object Events {
     val rawSchema = raw.schema
     val srcDirS = graft.etl.Sink.scratchPath(sfDir, "events_chunked")
     val srcDir = java.nio.file.Paths.get(srcDirS)
-    val marker = srcDir.resolve("_GRAFT_OK_v2")
+    val marker = srcDir.resolve("_GRAFT_OK_v3")
     if (!java.nio.file.Files.exists(marker)) {
       graft.etl.Sink.dropUncommitted(srcDirS)
       java.nio.file.Files.createDirectories(srcDir)
       val maxUs = raw.selectExpr(Tables.tsMicrosExpr(rawSchema) + " AS us")
         .agg(max("us")).head().getLong(0)
+      // chunk order must match the MICROSECOND (ts, event_id) tie-break
+      // every batch operator compares against — on the long-nanos
+      // vintage, ordering by raw ts would let sub-µs digits flip a
+      // same-µs pair across a chunk boundary in the opposite order of
+      // the batch window, breaking X-STREAM-ATTRIB's bit-equality
       val chunked = raw.withColumn("chunk",
-        ntile(4).over(org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")))
+        ntile(4).over(org.apache.spark.sql.expressions.Window.orderBy(
+          expr(Tables.tsMicrosExpr(rawSchema)), col("event_id"))))
       def stage(df: org.apache.spark.sql.DataFrame, name: String, mtimeSec: Long): Unit = {
         val tmp = work.resolve(s"stage_$name")
         df.coalesce(1).write.parquet(tmp.toString)

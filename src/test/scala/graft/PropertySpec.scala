@@ -514,7 +514,7 @@ class PropertySpec extends AnyFunSuite {
       for ((u, cus, cid, t, cents) <- ev if t == "purchase") {
         val tch = ev.filter { case (tu, tus, tid, tt, _) =>
           tu == u && (tt == "click" || tt == "view") &&
-            tus <= cus && tus > cus - look
+            (tus < cus || (tus == cus && tid < cid)) && tus > cus - look
         }.sortBy { case (_, tus, tid, _, _) => (tus, tid) }
         val k = tch.size
         if (k == 0) add("none", 1000000L, cents, 0L)
@@ -567,12 +567,12 @@ class PropertySpec extends AnyFunSuite {
         val (a, b, c0) = want.getOrElse(ch, (0L, 0L, 0L))
         want(ch) = (a + ppm, b + cents, c0 + touches)
       }
-      for ((u, cus, _, t, cents) <- ev if t == "purchase") {
+      for ((u, cus, cid, t, cents) <- ev if t == "purchase") {
         // most-recent-first: remainder ppm and shortfall cents go to the
         // front of this ordering
-        val tch = ev.filter { case (tu, tus, _, tt, _) =>
+        val tch = ev.filter { case (tu, tus, tid, tt, _) =>
           tu == u && (tt == "click" || tt == "view") &&
-            tus <= cus && tus > cus - look
+            (tus < cus || (tus == cus && tid < cid)) && tus > cus - look
         }.sortBy { case (_, tus, tid, _, _) => (-tus, -tid) }
         if (tch.isEmpty) add("none", 1000000L, cents, 0L)
         else {
@@ -629,7 +629,7 @@ class PropertySpec extends AnyFunSuite {
           if (t == "click" || t == "view") touch = Some((us, t))
           else if (t == "purchase") {
             val ch = touch match {
-              case Some((tus, tt)) if tus >= us - look => tt
+              case Some((tus, tt)) if tus > us - look => tt
               case _ => "none"
             }
             val (n, cs, users) = agg.getOrElseUpdate(ch,
