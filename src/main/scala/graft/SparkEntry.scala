@@ -184,6 +184,7 @@ object SparkEntry {
     "x_dedup_incr" -> (llm.Dedup.dedupIncremental _),
     "x_pipeline" -> (llm.Pipeline.stageCounts _),
     "q_dsv2_fn" -> (EtlQueries.qDsv2Fn _),
+    "q_dsv2_aggfn" -> (EtlQueries.qDsv2AggFn _),
     "x_dau" -> (llm.Events.dauWauMau _),
     "x_seasonality" -> (llm.Events.seasonality _),
     "x_scd2_join" -> (EtlQueries.qScd2Join _),
@@ -1904,6 +1905,15 @@ object SparkEntry {
       s"""$fbCte
         |SELECT campaign_id,
         |       ${OracleLlm.polyHashSql("campaign_id", 131L)} AS h,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM fb GROUP BY campaign_id ORDER BY campaign_id""".stripMargin,
+    // the V2 aggregate's per-row DECIMAL(18,2) cents rounding mirrored
+    // by the oracle's cast chain
+    "q_dsv2_aggfn" ->
+      s"""$fbCte
+        |SELECT campaign_id,
+        |       CAST(sum(CAST(CAST(spend AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |         AS spend_cents,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM fb GROUP BY campaign_id ORDER BY campaign_id""".stripMargin,
     // rolling distinct via the same contribution explode; report days =

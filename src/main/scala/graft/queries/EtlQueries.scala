@@ -439,6 +439,24 @@ object EtlQueries {
          |FROM $cat.db.fb_sql GROUP BY campaign_id ORDER BY campaign_id""".stripMargin)
   }
 
+  /** Q-DSV2-AGGFN: a V2 AGGREGATE function resolved through the
+    * connector catalog — the mergeable-state sibling of [[qDsv2Fn]]'s
+    * scalar face: `sum_cents(spend)` keeps one Long of state, `merge`
+    * is addition, so the engine runs it as a partial aggregate with
+    * map-side combine (the shuffle carries one counter per campaign per
+    * map partition, the 100 TB contract). Exact: each double rounds to
+    * DECIMAL(18,2) cents before summing, value-identical to the
+    * oracle's cast chain.
+    */
+  def qDsv2AggFn(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = ensureFbSqlTable(spark, sfDir)
+    spark.sql(
+      s"""SELECT campaign_id,
+         |       $cat.db.sum_cents(CAST(spend AS DOUBLE)) AS spend_cents,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM $cat.db.fb_sql GROUP BY campaign_id ORDER BY campaign_id""".stripMargin)
+  }
+
   /** Q-STREAM-LOAD: the flagship load pipeline as a STREAM — the shape the
     * reference's per-day triggered batches (README.md Pub/Sub cadence)
     * take when the spool is continuous: `readStream` over the JSONL

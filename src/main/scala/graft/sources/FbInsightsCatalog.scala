@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
-import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.catalog.functions.{AggregateFunction, BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -52,13 +52,18 @@ class FbInsightsCatalog extends TableCatalog with FunctionCatalog {
     */
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(FbInsightsCatalog.FnNamespace))
-      Array(Identifier.of(namespace, FbInsightsCatalog.FnName))
+      Array(
+        Identifier.of(namespace, FbInsightsCatalog.FnName),
+        Identifier.of(namespace, FbInsightsCatalog.AggFnName))
     else Array.empty
 
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.namespace().sameElements(FbInsightsCatalog.FnNamespace) &&
         ident.name().equalsIgnoreCase(FbInsightsCatalog.FnName))
       FbInsightsCatalog.PolyHash31Unbound
+    else if (ident.namespace().sameElements(FbInsightsCatalog.FnNamespace) &&
+        ident.name().equalsIgnoreCase(FbInsightsCatalog.AggFnName))
+      FbInsightsCatalog.SumCentsUnbound
     else throw new NoSuchFunctionException(ident)
 
   private var catalogName: String = _
@@ -260,8 +265,50 @@ object FbInsightsCatalog {
   /** Name of the catalog-shipped V2 scalar function. */
   val FnName = "poly_hash31"
 
+  /** Name of the catalog-shipped V2 AGGREGATE function. */
+  val AggFnName = "sum_cents"
+
   /** Fixed namespace catalog functions resolve under. */
   val FnNamespace: Array[String] = Array("db")
+
+  /** `sum_cents(spend)` — exact money total as a V2 catalog AGGREGATE
+    * function: each double rounds to DECIMAL(18,2) cents exactly as the
+    * engine's cast does (canonical `BigDecimal.valueOf` representation,
+    * HALF_UP — identical on the fixture's 2-decimal money values in any
+    * engine), then sums as BIGINT. The state is a single Long and
+    * `merge` is addition, so Spark runs it as a PARTIAL aggregate with
+    * map-side combine — the mergeable-state contract that makes a
+    * catalog aggregate usable over 100 TB, demonstrated beside the
+    * scalar [[PolyHash31Bound]] face.
+    */
+  object SumCentsUnbound extends UnboundFunction {
+    override def name(): String = AggFnName
+    override def description(): String =
+      s"$AggFnName(spend): exact DECIMAL(18,2) cents sum"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1 &&
+        inputType.fields(0).dataType == org.apache.spark.sql.types.DoubleType,
+        s"$AggFnName(double) got ${inputType.simpleString}")
+      SumCentsBound
+    }
+  }
+
+  object SumCentsBound extends AggregateFunction[java.lang.Long, java.lang.Long] {
+    override def inputTypes(): Array[DataType] =
+      Array(org.apache.spark.sql.types.DoubleType)
+    override def resultType(): DataType = LongType
+    override def name(): String = AggFnName
+    override def canonicalName(): String = s"graft.$AggFnName"
+    override def newAggregationState(): java.lang.Long = 0L
+    override def update(state: java.lang.Long, input: InternalRow): java.lang.Long =
+      if (input.isNullAt(0)) state
+      else state + java.math.BigDecimal.valueOf(input.getDouble(0))
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2).longValueExact()
+    override def merge(left: java.lang.Long, right: java.lang.Long): java.lang.Long =
+      left + right
+    override def produceResult(state: java.lang.Long): java.lang.Long = state
+  }
 
   /** `poly_hash31(str, base)` — the signature family's 31-bit poly hash
     * as a V2 catalog function, value-identical to the

@@ -2807,7 +2807,8 @@ class GraftSpec extends AnyFunSuite {
       "x_expectations" -> "X-EXPECTATIONS",
       "x_sessions_dynamic" -> "X-SESSIONS-DYNAMIC",
       "x_dedup_incr" -> "X-DEDUP-INCR", "x_pipeline" -> "X-PIPELINE",
-      "q_dsv2_fn" -> "Q-DSV2-FN", "x_dau" -> "X-DAU",
+      "q_dsv2_fn" -> "Q-DSV2-FN", "q_dsv2_aggfn" -> "Q-DSV2-AGGFN",
+      "x_dau" -> "X-DAU",
       "x_seasonality" -> "X-SEASONALITY", "x_scd2_join" -> "X-SCD2-JOIN")
     val registered = SparkEntry.queries.keySet
     val unmapped = registered -- idOf.keySet
@@ -2821,6 +2822,15 @@ class GraftSpec extends AnyFunSuite {
       s"(?<![A-Z0-9-])${java.util.regex.Pattern.quote(id)}(?![A-Z0-9-])".r
         .findFirstIn(survey).isDefined)
     assert(missing.isEmpty, s"SURVEY.md has no row for: $missing")
+  }
+
+  test("Q-DSV2-AGGFN: the catalog aggregate runs as a PARTIAL aggregate") {
+    val plan = graft.queries.EtlQueries.qDsv2AggFn(spark, sf)
+      .queryExecution.executedPlan.toString
+    // mergeable state must buy map-side combine: a partial v2aggregator
+    // below the exchange, the final one above it
+    assert(plan.contains("partial_v2aggregator"),
+      s"catalog aggregate did not run partially:\n${plan.take(2000)}")
   }
 
   // ---- X-ATTRIB / X-INTERVAL-MERGE conservation laws ------------------
