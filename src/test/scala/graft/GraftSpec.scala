@@ -2824,6 +2824,31 @@ class GraftSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"SURVEY.md has no row for: $missing")
   }
 
+  test("ts vintage invariance: long-nanos / NTZ / timestamp fixtures give identical results") {
+    // the driver's fixture has shipped events.ts as parquet TIMESTAMP
+    // (µs), TIMESTAMP_NTZ and raw int64 NANOS across rounds — a vintage
+    // switch once broke 34 queries at the driver. Stage the SAME rows in
+    // all three physical types (the nanos copy carries nonzero sub-µs
+    // digits to exercise truncation) and assert representative
+    // event-time operators are bit-identical across them.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vintage_")
+    val base = graft.Tables.events(spark, sf)
+    base.write.parquet(s"$tmp/ts/events.parquet")
+    base.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .write.parquet(s"$tmp/ntz/events.parquet")
+    base.withColumn("ts",
+        unix_micros(col("ts")) * 1000L + pmod(col("event_id"), lit(997L)))
+      .write.parquet(s"$tmp/nanos/events.parquet")
+    def results(dir: String): Seq[Seq[org.apache.spark.sql.Row]] = Seq(
+      graft.llm.Events.latest(spark, dir).collect().toSeq,
+      graft.llm.Attribution.lastTouch(spark, dir).collect().toSeq,
+      graft.llm.Attribution.intervalMerge(spark, dir).collect().toSeq)
+    val Seq(rTs, rNtz, rNanos) =
+      Seq("ts", "ntz", "nanos").map(v => results(s"$tmp/$v"))
+    assert(rTs == rNtz, "NTZ vintage diverged from the timestamp vintage")
+    assert(rTs == rNanos, "nanos vintage diverged from the timestamp vintage")
+  }
+
   test("Q-DSV2-AGGFN: the catalog aggregate runs as a PARTIAL aggregate") {
     val plan = graft.queries.EtlQueries.qDsv2AggFn(spark, sf)
       .queryExecution.executedPlan.toString
