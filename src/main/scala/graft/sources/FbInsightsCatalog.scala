@@ -299,14 +299,26 @@ object FbInsightsCatalog {
     override def resultType(): DataType = LongType
     override def name(): String = AggFnName
     override def canonicalName(): String = s"graft.$AggFnName"
-    override def newAggregationState(): java.lang.Long = 0L
+    // null state = "no non-null input yet" → SQL SUM's NULL on an
+    // empty/all-NULL group, matching the oracle's aggregate exactly
+    override def newAggregationState(): java.lang.Long = null
     override def update(state: java.lang.Long, input: InternalRow): java.lang.Long =
       if (input.isNullAt(0)) state
-      else state + java.math.BigDecimal.valueOf(input.getDouble(0))
-        .setScale(2, java.math.RoundingMode.HALF_UP)
-        .movePointRight(2).longValueExact()
+      else {
+        val v = input.getDouble(0)
+        // ANSI cast of a non-finite double to DECIMAL throws; fail as
+        // loudly but with the function's name on the error
+        if (!java.lang.Double.isFinite(v))
+          throw new ArithmeticException(s"$AggFnName: non-finite spend $v")
+        val cents = java.math.BigDecimal.valueOf(v)
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+          .movePointRight(2).longValueExact()
+        if (state == null) cents else state + cents
+      }
     override def merge(left: java.lang.Long, right: java.lang.Long): java.lang.Long =
-      left + right
+      if (left == null) right
+      else if (right == null) left
+      else left + right
     override def produceResult(state: java.lang.Long): java.lang.Long = state
   }
 

@@ -2843,10 +2843,12 @@ class GraftSpec extends AnyFunSuite {
       graft.llm.Events.latest(spark, dir).collect().toSeq,
       graft.llm.Attribution.lastTouch(spark, dir).collect().toSeq,
       graft.llm.Attribution.intervalMerge(spark, dir).collect().toSeq)
-    val Seq(rTs, rNtz, rNanos) =
-      Seq("ts", "ntz", "nanos").map(v => results(s"$tmp/$v"))
-    assert(rTs == rNtz, "NTZ vintage diverged from the timestamp vintage")
-    assert(rTs == rNanos, "nanos vintage diverged from the timestamp vintage")
+    try {
+      val Seq(rTs, rNtz, rNanos) =
+        Seq("ts", "ntz", "nanos").map(v => results(s"$tmp/$v"))
+      assert(rTs == rNtz, "NTZ vintage diverged from the timestamp vintage")
+      assert(rTs == rNanos, "nanos vintage diverged from the timestamp vintage")
+    } finally graft.streaming.Drain.deleteRecursively(tmp)
   }
 
   test("Q-DSV2-AGGFN: the catalog aggregate runs as a PARTIAL aggregate") {
