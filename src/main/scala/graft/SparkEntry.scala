@@ -94,6 +94,7 @@ object SparkEntry {
     "q_merge" -> (EtlQueries.qMerge _),
     "x_window_range" -> (llm.Events.rangeWindow _),
     "x_zorder" -> (ScaleQueries.zorderQuery _),
+    "x_file_skip" -> (ScaleQueries.fileSkip _),
     "x_bloom_join" -> (ScaleQueries.bloomJoin _),
     "x_scd2" -> (EtlQueries.qScd2 _),
     "x_graph_degree" -> (llm.Graph.degrees _),
@@ -870,6 +871,17 @@ object SparkEntry {
         |FROM events, b
         |WHERE CAST(ts AS DATE) >= dmin + 7 AND CAST(ts AS DATE) <= dmin + 13
         |  AND user_id >= umin AND user_id <= umin + (umax - umin) // 10
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // oracle = the PLAIN whole-table filter: manifest-driven file
+    // skipping must change no values
+    "x_file_skip" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |         AS value_cents
+        |FROM events
+        |WHERE user_id BETWEEN (SELECT max(user_id) // 4 FROM events)
+        |                  AND (SELECT max(user_id) // 2 FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // oracle = the PLAIN join: the bloom pre-filter (false positives
     // killed by the exact join) must be value-identical

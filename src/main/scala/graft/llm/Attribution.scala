@@ -373,9 +373,17 @@ object Attribution {
     * year. The rank window and the groupBy use the same (user, week)
     * grain, so AQE coalesces rather than re-exchanges.
     */
-  def freqCap(spark: SparkSession, sfDir: String): DataFrame = {
+  def freqCap(spark: SparkSession, sfDir: String): DataFrame =
+    freqCapOf(Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")))
+
+  /** Core over any (user_id, ts, event_id, event_type) frame —
+    * separated so the property law can check the rank-and-cap against a
+    * sequential reference.
+    */
+  def freqCapOf(events: DataFrame): DataFrame = {
     val rank = Window.partitionBy("user_id", "wk").orderBy(col("ts"), col("event_id"))
-    Tables.events(spark, sfDir)
+    events
       .filter(col("event_type").isin("view", "click"))
       .select(col("user_id"), col("ts"), col("event_id"))
       .withColumn("wk", date_trunc("week", col("ts")))

@@ -2770,6 +2770,7 @@ class GraftSpec extends AnyFunSuite {
       "x_pack" -> "X-PACK", "x_interleave" -> "X-INTERLEAVE",
       "x_skew_salted" -> "X-SKEW", "x_skew_join" -> "X-SKEW",
       "x_range_join" -> "X-RANGE", "x_zorder" -> "X-ZORDER",
+      "x_file_skip" -> "X-FILE-SKIP",
       "x_bloom_join" -> "X-BLOOM-JOIN", "x_bucket_join" -> "X-BUCKET-JOIN",
       "x_scd2" -> "X-SCD2", "x_time_travel" -> "X-TIME-TRAVEL",
       "x_vacuum" -> "X-VACUUM", "q_evolve" -> "Q-SCHEMA-EVOLVE",
@@ -2849,6 +2850,23 @@ class GraftSpec extends AnyFunSuite {
       assert(rTs == rNtz, "NTZ vintage diverged from the timestamp vintage")
       assert(rTs == rNanos, "nanos vintage diverged from the timestamp vintage")
     } finally graft.streaming.Drain.deleteRecursively(tmp)
+  }
+
+  test("X-FILE-SKIP: the manifest drops files and skipping changes no values") {
+    val (df, read, total) = graft.queries.ScaleQueries.fileSkipAudit(spark, sf)
+    assert(read < total, s"no files skipped: read $read of $total")
+    assert(read > 0, "the selected range must match at least one file")
+    // value identity vs the plain whole-table filter (the oracle's view)
+    val ev = graft.Tables.events(spark, sf)
+    val maxU = ev.agg(max("user_id")).head().getLong(0)
+    val expected = ev
+      .filter(col("user_id") >= maxU / 4 && col("user_id") <= maxU / 2)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"),
+        sum((col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long")).as("value_cents"))
+      .orderBy("event_type").collect().toSeq
+    assert(df.collect().toSeq == expected, "pruned scan changed values")
   }
 
   test("Q-DSV2-AGGFN: the catalog aggregate runs as a PARTIAL aggregate") {

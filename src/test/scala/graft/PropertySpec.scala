@@ -643,6 +643,46 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("law: X-FREQ-CAP served/suppressed/capped match a sequential reference") {
+    import spark.implicits._
+    val dayUs = 86400000000L
+    val evGen: Gen[List[(Long, Long, String)]] =
+      Gen.nonEmptyListOf(for {
+        u <- Gen.chooseNum(0L, 3L)
+        us <- Gen.chooseNum(0L, 20L * dayUs)
+        t <- Gen.oneOf("click", "view", "purchase")
+      } yield (u, us, t))
+    forAll(evGen, cases = 4) { rows =>
+      val ev = rows.zipWithIndex.map { case ((u, us, t), i) => (u, us, i.toLong, t) }
+      val df = ev.toDF("user_id", "us", "event_id", "event_type")
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+          col("event_id"), col("event_type"))
+      val got = graft.llm.Attribution.freqCapOf(df).collect()
+        .map(r => r.getDate(0).toString ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      // sequential reference: Monday-start ISO week from epoch micros,
+      // rank per (user, week) by (us, event_id), cap at WeeklyCap
+      def weekOf(us: Long): java.time.LocalDate = {
+        val d = java.time.LocalDate.ofEpochDay(Math.floorDiv(us, dayUs))
+        d.minusDays(d.getDayOfWeek.getValue - 1L)
+      }
+      val cap = graft.llm.Attribution.WeeklyCap
+      val want = scala.collection.mutable.Map.empty[String, (Long, Long, scala.collection.mutable.Set[Long])]
+      for (((u, wk), imps) <- ev.filter(e => e._4 == "click" || e._4 == "view")
+             .groupBy(e => (e._1, weekOf(e._2)))) {
+        val sorted = imps.sortBy(e => (e._2, e._3))
+        val (served, supp) = sorted.splitAt(cap)
+        val (s0, x0, users) = want.getOrElseUpdate(wk.toString,
+          (0L, 0L, scala.collection.mutable.Set.empty[Long]))
+        want(wk.toString) = (s0 + served.size, x0 + supp.size,
+          if (supp.nonEmpty) users += u else users)
+      }
+      val wantFinal = want.view
+        .mapValues { case (s, x, us) => (s, x, us.size.toLong) }.toMap
+      assert(got == wantFinal, s"freq cap drifted: got $got want $wantFinal")
+    }
+  }
+
   test("law: X-INTERVAL-MERGE equals brute-force interval union, ties included") {
     import spark.implicits._
     val iv = 1000L
