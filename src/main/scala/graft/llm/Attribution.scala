@@ -296,8 +296,6 @@ object Attribution {
     */
   def streamingAttribution(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val lookUs = LookbackDays.toLong * 86400000000L
     val work = java.nio.file.Files.createTempDirectory(
       "graft_stream_attrib_" + runs.incrementAndGet() + "_")
     val srcDir = Events.chunkedEventStaging(spark, sfDir, work)
@@ -310,8 +308,30 @@ object Attribution {
         Tables.tsTimestampExpr(rawSchema) + " AS ts")
       .withWatermark("ts", "1 hour")
       .as[(Long, Long, Long, String, Long, java.sql.Timestamp)]
-    // state: latest touch (us, event_id, type); output: (uid, channel, cents)
-    val attributed = ds.groupByKey(_._1)
+    val attributed = attributeStream(ds).toDF("user_id", "channel", "cents")
+    graft.streaming.Drain.toParquet(attributed, work, shufflePartitions = Some(8))
+      .groupBy("channel")
+      .agg(
+        count(lit(1)).as("n_conv"),
+        sum("cents").as("revenue_cents"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("channel")
+  }
+
+  /** The stateful last-touch transform over a watermarked stream of
+    * (user_id, us, event_id, event_type, cents, ts) rows — separated
+    * from [[streamingAttribution]]'s staging so the restart-recovery
+    * spec can drive it with its own source and checkpoint. State per
+    * user: the latest touch tuple (us, event_id, type); output:
+    * (user_id, channel, cents) per purchase, emitted on arrival.
+    */
+  def attributeStream(
+      ds: org.apache.spark.sql.Dataset[(Long, Long, Long, String, Long, java.sql.Timestamp)])
+      : org.apache.spark.sql.Dataset[(Long, String, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import ds.sparkSession.implicits._
+    val lookUs = LookbackDays.toLong * 86400000000L
+    ds.groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Long, String), (Long, String, Long)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, evs: Iterator[(Long, Long, Long, String, Long, java.sql.Timestamp)],
@@ -350,14 +370,6 @@ object Attribution {
             out.iterator
           }
       }
-      .toDF("user_id", "channel", "cents")
-    graft.streaming.Drain.toParquet(attributed, work, shufflePartitions = Some(8))
-      .groupBy("channel")
-      .agg(
-        count(lit(1)).as("n_conv"),
-        sum("cents").as("revenue_cents"),
-        countDistinct("user_id").as("n_users"))
-      .orderBy("channel")
   }
 
   /** X-FREQ-CAP: weekly frequency capping — impressions (`view`/`click`)

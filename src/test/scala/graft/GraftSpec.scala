@@ -2852,6 +2852,46 @@ class GraftSpec extends AnyFunSuite {
     } finally graft.streaming.Drain.deleteRecursively(tmp)
   }
 
+  test("x_stream_attrib recovery: the last-touch state survives a query restart") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_attrib_restart_").toString
+    val (src, out, ckpt) = (dir + "/in", dir + "/out", dir + "/ckpt")
+    val t0 = 1700000000000000L // any epoch micros
+    def write(rows: Seq[(Long, Long, Long, String, Long)]): Unit =
+      rows.toDF("user_id", "us", "event_id", "event_type", "cents")
+        .write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val ds = spark.readStream
+        .schema("user_id LONG, us LONG, event_id LONG, event_type STRING, cents LONG")
+        .parquet(src)
+        .withColumn("ts", timestamp_micros(col("us")))
+        .withWatermark("ts", "1 hour")
+        .as[(Long, Long, Long, String, Long, java.sql.Timestamp)]
+      val q = graft.llm.Attribution.attributeStream(ds)
+        .toDF("user_id", "channel", "cents")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    // run 1: a click only — no output, but the touch must land in the
+    // state store
+    write(Seq((1L, t0, 1L, "click", 0L)))
+    runOnce()
+    // run 2 (RESTARTED query, same checkpoint): a purchase an hour later
+    // attributes to the click ONLY if the state survived the restart;
+    // user 2's purchase has no touch and must report `none`
+    write(Seq(
+      (1L, t0 + 3600000000L, 2L, "purchase", 500L),
+      (2L, t0 + 3600000000L, 3L, "purchase", 70L)))
+    runOnce()
+    val rows = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows === Set((1L, "click", 500L), (2L, "none", 70L)),
+      s"state did not survive the restart: $rows")
+  }
+
   test("X-FILE-SKIP: the manifest drops files and skipping changes no values") {
     val (df, read, total) = graft.queries.ScaleQueries.fileSkipAudit(spark, sf)
     assert(read < total, s"no files skipped: read $read of $total")
