@@ -263,16 +263,23 @@ object ScaleQueries {
       java.nio.file.Files.createFile(marker)
     }
     val ranged = spark.read.parquet(dst)
-    val maxU = ranged.agg(max("user_id")).head().getLong(0)
-    val (lo, hi) = (maxU / 4, maxU / 2)
-    // the manifest job: one (file, min, max) row per non-empty file
+    // the manifest job: one (file, min, max) row per non-empty file —
+    // the corpus max derives from it too (no second full scan)
     val stats = ranged.groupBy(input_file_name().as("f"))
       .agg(min("user_id").as("lo"), max("user_id").as("hi"))
       .collect()
+    require(stats.nonEmpty, s"empty ranged layout at $dst")
+    val maxU = stats.map(_.getLong(2)).max
+    val (lo, hi) = (maxU / 4, maxU / 2)
     val matching = stats
       .filter(r => r.getLong(2) >= lo && r.getLong(1) <= hi)
       .map(_.getString(0))
-    val result = spark.read.parquet(matching.toIndexedSeq: _*)
+    // zero matching files (possible under a sparse/skewed id domain):
+    // the oracle's answer is an empty rollup, not a zero-path scan error
+    val pruned =
+      if (matching.isEmpty) ranged.filter(lit(false))
+      else spark.read.parquet(matching.toIndexedSeq: _*)
+    val result = pruned
       .filter(col("user_id") >= lo && col("user_id") <= hi)
       .groupBy("event_type")
       .agg(

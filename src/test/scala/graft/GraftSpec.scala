@@ -2875,21 +2875,23 @@ class GraftSpec extends AnyFunSuite {
       try q.processAllAvailable()
       finally q.stop()
     }
-    // run 1: a click only — no output, but the touch must land in the
-    // state store
-    write(Seq((1L, t0, 1L, "click", 0L)))
-    runOnce()
-    // run 2 (RESTARTED query, same checkpoint): a purchase an hour later
-    // attributes to the click ONLY if the state survived the restart;
-    // user 2's purchase has no touch and must report `none`
-    write(Seq(
-      (1L, t0 + 3600000000L, 2L, "purchase", 500L),
-      (2L, t0 + 3600000000L, 3L, "purchase", 70L)))
-    runOnce()
-    val rows = spark.read.parquet(out)
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
-    assert(rows === Set((1L, "click", 500L), (2L, "none", 70L)),
-      s"state did not survive the restart: $rows")
+    try {
+      // run 1: a click only — no output, but the touch must land in the
+      // state store
+      write(Seq((1L, t0, 1L, "click", 0L)))
+      runOnce()
+      // run 2 (RESTARTED query, same checkpoint): a purchase an hour
+      // later attributes to the click ONLY if the state survived the
+      // restart; user 2's purchase has no touch and must report `none`
+      write(Seq(
+        (1L, t0 + 3600000000L, 2L, "purchase", 500L),
+        (2L, t0 + 3600000000L, 3L, "purchase", 70L)))
+      runOnce()
+      val rows = spark.read.parquet(out)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows === Set((1L, "click", 500L), (2L, "none", 70L)),
+        s"state did not survive the restart: $rows")
+    } finally graft.streaming.Drain.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
   test("X-FILE-SKIP: the manifest drops files and skipping changes no values") {
