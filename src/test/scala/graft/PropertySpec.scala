@@ -489,7 +489,10 @@ class PropertySpec extends AnyFunSuite {
     val evGen: Gen[List[(Long, Long, String, Long)]] =
       Gen.nonEmptyListOf(for {
         u <- Gen.chooseNum(0L, 4L)
-        us <- Gen.chooseNum(0L, 20L * dayUs)
+        // quarter-day grid: timestamp TIES and exact 7-day-boundary cases
+        // occur routinely, exercising the (ts, event_id) tie-break and the
+        // strict lookback bound
+        us <- Gen.chooseNum(0L, 80L).map(_ * (dayUs / 4))
         t <- Gen.oneOf("click", "view", "purchase", "error")
         c <- Gen.chooseNum(0L, 99999L)
       } yield (u, us, t, c))
@@ -545,7 +548,10 @@ class PropertySpec extends AnyFunSuite {
     val evGen: Gen[List[(Long, Long, String, Long)]] =
       Gen.nonEmptyListOf(for {
         u <- Gen.chooseNum(0L, 4L)
-        us <- Gen.chooseNum(0L, 20L * dayUs)
+        // quarter-day grid: timestamp TIES and exact 7-day-boundary cases
+        // occur routinely, exercising the (ts, event_id) tie-break and the
+        // strict lookback bound
+        us <- Gen.chooseNum(0L, 80L).map(_ * (dayUs / 4))
         t <- Gen.oneOf("click", "view", "purchase", "error")
         c <- Gen.chooseNum(0L, 99999L)
       } yield (u, us, t, c))
@@ -605,7 +611,10 @@ class PropertySpec extends AnyFunSuite {
     val evGen: Gen[List[(Long, Long, String, Long)]] =
       Gen.nonEmptyListOf(for {
         u <- Gen.chooseNum(0L, 4L)
-        us <- Gen.chooseNum(0L, 20L * dayUs)
+        // quarter-day grid: timestamp TIES and exact 7-day-boundary cases
+        // occur routinely, exercising the (ts, event_id) tie-break and the
+        // strict lookback bound
+        us <- Gen.chooseNum(0L, 80L).map(_ * (dayUs / 4))
         t <- Gen.oneOf("click", "view", "purchase", "error")
         c <- Gen.chooseNum(0L, 99999L)
       } yield (u, us, t, c))
@@ -649,7 +658,10 @@ class PropertySpec extends AnyFunSuite {
     val evGen: Gen[List[(Long, Long, String)]] =
       Gen.nonEmptyListOf(for {
         u <- Gen.chooseNum(0L, 3L)
-        us <- Gen.chooseNum(0L, 20L * dayUs)
+        // quarter-day grid: timestamp TIES and exact 7-day-boundary cases
+        // occur routinely, exercising the (ts, event_id) tie-break and the
+        // strict lookback bound
+        us <- Gen.chooseNum(0L, 80L).map(_ * (dayUs / 4))
         t <- Gen.oneOf("click", "view", "purchase")
       } yield (u, us, t))
     forAll(evGen, cases = 4) { rows =>
