@@ -157,6 +157,7 @@ object SparkEntry {
     "x_attrib_last" -> (llm.Attribution.lastTouch _),
     "x_attrib_pos" -> (llm.Attribution.positionCredit _),
     "x_attrib_decay" -> (llm.Attribution.timeDecayCredit _),
+    "x_incr_join" -> (llm.Analytics.incrementalJoin _),
     "x_stream_attrib" -> (llm.Attribution.streamingAttribution _),
     "x_interval_merge" -> (llm.Attribution.intervalMerge _),
     "x_freq_cap" -> (llm.Attribution.freqCap _),
@@ -678,6 +679,19 @@ object SparkEntry {
     "x_stream_attrib" -> OracleLlm.attribLastSql,
     "x_attrib_pos" -> OracleLlm.attribPosSql,
     "x_attrib_decay" -> OracleLlm.attribDecaySql,
+    // oracle = the FULL recompute: incremental maintenance must be
+    // value-identical
+    "x_incr_join" ->
+      """WITH uc AS (
+        |  SELECT user_id,
+        |         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS c,
+        |         CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS p
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id % 16 AS bucket,
+        |       CAST(sum(c * p) AS BIGINT) AS n_pairs,
+        |       CAST(count(*) FILTER (c * p > 0) AS BIGINT) AS n_users_with_pairs,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM uc GROUP BY bucket ORDER BY bucket""".stripMargin,
     "x_interval_merge" -> OracleLlm.intervalMergeSql,
     "x_freq_cap" -> OracleLlm.freqCapSql,
     // the stream-static enrichment drains to a sink whose rollup must

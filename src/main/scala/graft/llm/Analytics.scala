@@ -98,6 +98,53 @@ object Analytics {
       .orderBy("day", "event_type")
   }
 
+  /** X-INCR-JOIN: incremental JOIN-view maintenance — the cross-term
+    * delta algebra that X-INCR-AGG's aggregate-only maintenance lacks.
+    * For the materialized per-user click⋈purchase pair count
+    * `V = C·P`, the refresh after deltas land is
+    * `V' = (C+ΔC)(P+ΔP) = V + ΔC·P + C·ΔP + ΔC·ΔP`: every delta term
+    * carries a Δ factor, so the correction join is keyed by the DELTA's
+    * users — `deltaCounters LEFT JOIN baseCounters` — and the work
+    * scales with the delta, never the base table. That asymmetry is the
+    * entire point of incremental maintenance at 100 TB: the stored view
+    * plus a delta-sized correction replaces a full recompute. Here the
+    * base counter table stands in for the persisted state (as in
+    * [[incrementalAgg]]); all counters and products are exact BIGINTs,
+    * and the oracle is the full recompute — maintenance must be
+    * value-identical. Split: the same null-complete event_id decile as
+    * X-INCR-AGG.
+    */
+  def incrementalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val isDelta = col("event_id") % 10 === 0
+    def counters(df: DataFrame): DataFrame =
+      df.groupBy("user_id").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+    val base = counters(ev.filter(!isDelta || col("event_id").isNull))
+    val delta = counters(ev.filter(isDelta))
+    // delta-keyed correction: ΔC·P + C·ΔP + ΔC·ΔP per delta user
+    val corrections = delta.as("d").join(base.as("b"), Seq("user_id"), "left")
+      .select(col("user_id"),
+        (col("d.c") * coalesce(col("b.p"), lit(0L))
+          + coalesce(col("b.c"), lit(0L)) * col("d.p")
+          + col("d.c") * col("d.p")).as("pairs"))
+    // the stored view's rollup (stand-in for persisted state) + the
+    // corrections give the refreshed per-user pair counts
+    val refreshed = base
+      .select(col("user_id"), (col("c") * col("p")).as("pairs"))
+      .unionAll(corrections)
+      .groupBy("user_id")
+      .agg(sum("pairs").as("pairs"))
+    refreshed
+      .groupBy(pmod(col("user_id"), lit(16L)).as("bucket"))
+      .agg(
+        sum("pairs").as("n_pairs"),
+        sum(when(col("pairs") > 0, 1L).otherwise(0L)).as("n_users_with_pairs"),
+        count(lit(1)).as("n_users"))
+      .orderBy("bucket")
+  }
+
   /** Z-score multiplier for the anomaly band. */
   val AnomalySigmas = 3.0
 

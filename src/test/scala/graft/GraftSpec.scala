@@ -2793,6 +2793,7 @@ class GraftSpec extends AnyFunSuite {
       "x_attrib_last" -> "X-ATTRIB-LAST", "x_attrib_pos" -> "X-ATTRIB-POS",
       "x_stream_attrib" -> "X-STREAM-ATTRIB",
       "x_attrib_decay" -> "X-ATTRIB-DECAY",
+      "x_incr_join" -> "X-INCR-JOIN",
       "x_interval_merge" -> "X-INTERVAL-MERGE", "x_freq_cap" -> "X-FREQ-CAP",
       "x_decontam_ngram" -> "X-DECONTAM-NGRAM", "x_bpe_apply" -> "X-BPE-APPLY",
       "x_linreg" -> "X-LINREG", "x_winsorize" -> "X-WINSORIZE",
