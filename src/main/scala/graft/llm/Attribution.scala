@@ -302,9 +302,15 @@ object Attribution {
     val rawSchema = Tables.eventsRaw(spark, sfDir).schema
     val ds = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
-      .selectExpr("user_id", Tables.tsMicrosExpr(rawSchema) + " AS us",
-        "event_id", "event_type",
-        "CAST(CAST(value AS DECIMAL(18, 2)) * 100 AS LONG) AS cents",
+      .selectExpr(
+        // coalesce the primitive-typed fields: the tuple encoder's
+        // AssertNotNull would crash the whole query on a null value /
+        // user_id / event_id row (e.g. a future fixture vintage where
+        // clicks carry null value) where the batch operators tolerate it
+        "coalesce(user_id, 0L) AS user_id",
+        Tables.tsMicrosExpr(rawSchema) + " AS us",
+        "coalesce(event_id, 0L) AS event_id", "event_type",
+        "coalesce(CAST(CAST(value AS DECIMAL(18, 2)) * 100 AS LONG), 0L) AS cents",
         Tables.tsTimestampExpr(rawSchema) + " AS ts")
       .withWatermark("ts", "1 hour")
       .as[(Long, Long, Long, String, Long, java.sql.Timestamp)]
@@ -345,10 +351,22 @@ object Attribution {
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
             var touch = state.getOption
             batch.foreach { case (_, us, eid, typ, cents, _) =>
-              if (typ == "click" || typ == "view") touch = Some((us, eid, typ))
-              else if (typ == "purchase") {
+              if (typ == "click" || typ == "view") {
+                // accept only a strictly NEWER touch in (ts, event_id)
+                // order: a late-arriving older touch (allowed by the
+                // 1-hour watermark) must not overwrite the stored latest
+                // one, or replay order would change the answer
+                if (touch.forall(t => t._1 < us || (t._1 == us && t._2 < eid)))
+                  touch = Some((us, eid, typ))
+              } else if (typ == "purchase") {
+                // credit only a touch strictly BEFORE the purchase in
+                // (ts, event_id) order — mirrors the batch fill-down's
+                // rowsBetween(unboundedPreceding, -1): a stored touch
+                // that occurred after this (late-arriving) purchase is
+                // not attributable to it
                 val channel = touch match {
-                  case Some((tus, _, tt)) if tus > us - lookUs => tt
+                  case Some((tus, teid, tt))
+                      if tus > us - lookUs && (tus < us || (tus == us && teid < eid)) => tt
                   case _ => "none"
                 }
                 out += ((uid, channel, cents))

@@ -193,7 +193,16 @@ object Dedup {
     */
   def dedupPipeline(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val exactKept = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+    // exact stage keys on the same (64-bit, 31-bit, length) triple as
+    // [[exact]]: the dedup Exchange carries 24 bytes per doc, never the
+    // text — grouping by the raw text column would shuffle the corpus.
+    val exactKept = docs
+      .select(col("doc_id"),
+        rolling_hash(col("text")).as("h64"),
+        PolyHash.poly_hash(col("text"), 137).as("h31"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy("h64", "h31", "n_chars").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
     val kept = docs.join(exactKept, Seq("doc_id"), "left_semi")
     val dropNear = minhashPairsTable(spark, sfDir)
       .filter(col("est_jaccard") >= NearDupThreshold)

@@ -48,7 +48,17 @@ object Pipeline {
         col("n_stopwords").cast("double") <= col("n_tokens").cast("double") * 0.5 &&
         col("n_punct").cast("double") <= col("n_chars").cast("double") * 0.1)
       .cache()
-    val exactKeep = s1.groupBy("text").agg(min("doc_id").as("doc_id")).select("doc_id")
+    // exact-dedup keeper set keyed on the (64-bit, 31-bit, length)
+    // hash triple exactly like Dedup.exact — the Exchange under this
+    // groupBy carries 24 bytes of hashes per doc, never the text
+    // (grouping by the raw text column would shuffle the corpus).
+    val exactKeep = s1
+      .select(col("doc_id"),
+        rolling_hash(col("text")).as("eh64"),
+        graft.functions.PolyHash.poly_hash(col("text"), 137).as("eh31"),
+        col("n_chars"))
+      .groupBy("eh64", "eh31", "n_chars").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
     val s2 = s1.join(exactKeep, Seq("doc_id"), "left_semi").cache()
     val s2ids = s2.select("doc_id")
     val dropNear = Dedup.minhashPairsTable(spark, sfDir)

@@ -277,6 +277,17 @@ class GraftSpec extends AnyFunSuite {
       "exact dedup must not shuffle full document text as the group key")
   }
 
+  test("x_dedup_pipeline / x_pipeline: exact-stage Exchange carries hashes, not text") {
+    for ((df, label) <- Seq(
+        (llm.Dedup.dedupPipeline(spark, sf), "dedupPipeline"),
+        (llm.Pipeline.stageCounts(spark, sf), "stageCounts"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("hashpartitioning(text"),
+        s"$label must key its exact-dedup stage on the (h64, h31, len) triple, " +
+          s"never the raw text column:\n${plan.take(2000)}")
+    }
+  }
+
   test("documents fixture is ASCII (x_mm_features oracle equates bytes and codepoints)") {
     val n = Tables.documents(spark, sf)
       .filter(col("text").rlike("[^\\x00-\\x7F]")).count()
