@@ -1276,6 +1276,69 @@ object OracleLlm {
        |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** dupSpansCut mirror: same dup-gram inverted index with the
+    * min-doc_id keeper rule, same island merge, then the token-level cut
+    * and space-joined reassembly re-derived in SQL; untouched docs pass
+    * original text through so `chars_after` pins the excision exactly.
+    */
+  val dupSpansCutSql: String = {
+    val n = Dedup.SpanGramN
+    s"""WITH f AS (
+       |  SELECT doc_id, source, text,
+       |         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+       |  FROM documents),
+       |g0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - ${n - 2}), gi ->
+       |    struct_pack(pos := gi,
+       |      g := array_to_string(toks[CAST(gi AS INT):CAST(gi + ${n - 1} AS INT)], ' ')))) AS u
+       |  FROM f WHERE len(toks) >= $n),
+       |g1 AS (
+       |  SELECT doc_id, CAST(u.pos AS BIGINT) AS pos,
+       |         ${signed64(hash64u("u.g"))} AS gh
+       |  FROM g0),
+       |dh AS (
+       |  SELECT gh, min(doc_id) AS keeper FROM g1
+       |  GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+       |dp AS (
+       |  SELECT g1.doc_id, g1.pos FROM g1 JOIN dh USING (gh)
+       |  WHERE g1.doc_id <> dh.keeper),
+       |i0 AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |                > ${Dedup.SpanMergeGap} THEN 1 ELSE 0 END AS brk
+       |  FROM dp),
+       |i1 AS (
+       |  SELECT doc_id, pos,
+       |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM i0),
+       |sp AS (
+       |  SELECT doc_id, min(pos) AS s, max(pos) + ${n - 1} AS e
+       |  FROM i1 GROUP BY doc_id, grp),
+       |iv AS (
+       |  SELECT doc_id, list(struct_pack(s := s, e := e)) AS ivs,
+       |         CAST(sum(e - s + 1) AS BIGINT) AS cut_tokens
+       |  FROM sp GROUP BY doc_id),
+       |c AS (
+       |  SELECT f.source,
+       |         CASE WHEN iv.doc_id IS NULL THEN f.text
+       |              ELSE array_to_string(list_transform(
+       |                list_filter(range(1, len(f.toks) + 1),
+       |                  p -> len(list_filter(iv.ivs, v -> p >= v.s AND p <= v.e)) = 0),
+       |                p -> f.toks[CAST(p AS INT)]), ' ')
+       |         END AS clean_text,
+       |         CAST(len(f.toks) AS BIGINT) AS n_toks,
+       |         coalesce(iv.cut_tokens, CAST(0 AS BIGINT)) AS cut_tokens,
+       |         iv.doc_id IS NOT NULL AS was_cut
+       |  FROM f LEFT JOIN iv ON f.doc_id = iv.doc_id)
+       |SELECT source,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN was_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_cut,
+       |       CAST(sum(n_toks) AS BIGINT) AS tokens_before,
+       |       CAST(sum(cut_tokens) AS BIGINT) AS tokens_removed,
+       |       CAST(sum(length(clean_text)) AS BIGINT) AS chars_after
+       |FROM c GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** kmv mirror: identical 31-bit poly hash over the id's decimal
     * string, sketches as k-smallest order statistics via windows, the
     * estimator CASE reproduced verbatim.

@@ -171,6 +171,7 @@ object SparkEntry {
     "x_bitmap_distinct" -> (llm.Events.bitmapDistinct _),
     "x_kmv" -> (llm.Events.kmvSketch _),
     "x_dup_spans" -> (llm.Dedup.dupSpans _),
+    "x_dup_spans_cut" -> (llm.Dedup.dupSpansCut _),
     "x_stream_join_outer" -> (llm.StreamingOps.streamingJoinOuter _),
     "x_basket" -> (llm.Analytics.basket _),
     "x_ab_test" -> (llm.Analytics.abTest _),
@@ -1709,6 +1710,7 @@ object SparkEntry {
         |GROUP BY pd.event_type ORDER BY pd.event_type""".stripMargin,
     "x_kmv" -> OracleLlm.kmvSql,
     "x_dup_spans" -> OracleLlm.dupSpansSql,
+    "x_dup_spans_cut" -> OracleLlm.dupSpansCutSql,
     // streaming left-outer join == the identical batch LEFT JOIN once the
     // sentinel-driven watermark has flushed every real outer row
     "x_stream_join_outer" ->

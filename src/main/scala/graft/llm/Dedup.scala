@@ -519,4 +519,93 @@ object Dedup {
         sum("span_tokens").as("covered_tokens"))
       .orderBy("doc_id")
   }
+
+  // ---- X-DUP-SPANS-CUT ------------------------------------------------
+
+  /** X-DUP-SPANS-CUT: the second half of the Lee et al. exact-substring
+    * recipe — [[dupSpans]] FINDS the copied passages, this EMITS the
+    * cleaned corpus with them excised. Keep-first policy: for each
+    * duplicated [[SpanGramN]]-gram hash, the occurrence in the MINIMUM
+    * doc_id survives untouched; every other doc's occurrence is a cut
+    * position. Per doc, cut positions merge into the same maximal
+    * gaps-and-islands intervals as [[dupSpans]] (gap ≤ [[SpanMergeGap]]),
+    * and the covered token interval [min_pos, max_pos + N - 1] is removed
+    * from the token sequence; the kept tokens reassemble space-joined.
+    * Untouched docs pass their original text through BYTE-IDENTICAL —
+    * at 100 TB the write path must not rewrite the (vast) clean majority.
+    *
+    * Scale shape: identical to [[dupSpans]] up to the interval frame
+    * (hash-only shuffles, per-doc windows); the cut itself is one
+    * broadcast-free equi-join of docs onto their interval arrays (LEFT —
+    * clean docs match nothing) plus a per-row higher-order-function
+    * filter, so the corpus text is read once and never shuffled.
+    */
+  def dupSpansCut(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = dupSpansCutCorpus(Tables.documents(spark, sfDir))
+    c.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("was_cut"), 1L).otherwise(0L)).as("n_docs_cut"),
+        sum("n_toks").as("tokens_before"),
+        sum("cut_tokens").as("tokens_removed"),
+        sum(length(col("clean_text")).cast("long")).as("chars_after"))
+      .orderBy("source")
+  }
+
+  /** The cleaned corpus itself: one row per input doc with
+    * (doc_id, source, clean_text, n_toks, cut_tokens, was_cut).
+    * Separated from the per-source accounting rollup so a curation run
+    * can write the corpus and the report from one plan, and so the
+    * planted-passage spec can check the excision verbatim.
+    */
+  def dupSpansCutCorpus(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = SpanGramN
+    val base = docs.select(col("doc_id"), col("source"), col("text"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    val grams = base
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"i -> struct(i AS pos, concat_ws(' ', slice(toks, i, $n)) AS g))")).as("u"))
+      .select(col("doc_id"), col("u.pos").cast("long").as("pos"),
+        rolling_hash(col("u.g")).as("gh"))
+    // duplicated hashes with their keeper: the min-doc_id occurrence
+    // survives; the shuffle carries (hash, doc, pos) — never gram text
+    val keepers = grams
+      .groupBy("gh").agg(countDistinct("doc_id").as("nd"), min("doc_id").as("keeper"))
+      .filter(col("nd") >= 2)
+      .select("gh", "keeper")
+    // one row per (doc, pos) already: each position carries exactly one
+    // gram hash and `keepers` is unique per hash, so no distinct needed
+    val cutPos = grams.join(keepers, Seq("gh"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select("doc_id", "pos")
+    val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+    val ivs = cutPos
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(wOrd) > SpanMergeGap, 1L).otherwise(0L))
+      .withColumn("grp", sum("brk").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("s"), (max("pos") + (n - 1)).as("e"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("ivs"),
+        sum(col("e") - col("s") + 1L).as("cut_tokens"))
+    base.join(ivs, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("source"),
+        when(col("ivs").isNull, col("text")).otherwise(expr(
+          // 1-based token index p kept unless inside any cut interval;
+          // merged islands are provably disjoint (gap > SpanMergeGap
+          // between them), so `exists` over the tiny per-doc array is
+          // the whole membership test
+          "concat_ws(' ', filter(transform(toks, (t, i) -> " +
+            "struct(t AS t, CAST(i + 1 AS BIGINT) AS p)), " +
+            "s -> NOT exists(ivs, v -> s.p >= v.s AND s.p <= v.e)).t)"))
+          .as("clean_text"),
+        size(col("toks")).cast("long").as("n_toks"),
+        coalesce(col("cut_tokens"), lit(0L)).as("cut_tokens"),
+        col("ivs").isNotNull.as("was_cut"))
+  }
 }

@@ -277,6 +277,32 @@ class GraftSpec extends AnyFunSuite {
       "exact dedup must not shuffle full document text as the group key")
   }
 
+  test("x_dup_spans_cut: planted shared passage is excised from the non-keeper only") {
+    import spark.implicits._
+    val passage = (1 to 12).map(i => s"dup$i").mkString(" ") // 12 shared tokens
+    val docs = Seq(
+      (1L, "a", s"alpha beta $passage gamma delta"),
+      (2L, "b", s"one two three four five six seven $passage eight nine"),
+      (3L, "c", "totally unrelated text with enough tokens to stay clear of everything here"))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.dupSpansCutCorpus(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // keeper (min doc_id) and the untouched doc pass through byte-identical
+    assert(out(1L).getString(2) === s"alpha beta $passage gamma delta")
+    assert(!out(1L).getBoolean(5) && !out(3L).getBoolean(5))
+    // non-keeper: the shared 12-token passage (5 windows of 8, one island
+    // covering tokens 8..19) is cut; surrounding tokens survive
+    assert(out(2L).getBoolean(5))
+    assert(out(2L).getString(2) === "one two three four five six seven eight nine")
+    assert(out(2L).getLong(4) === 12L)
+    // token conservation: kept + cut == before, for every doc
+    Dedup.dupSpansCutCorpus(docs).collect().foreach { r =>
+      val kept = r.getString(2).split("\\s+").count(_.nonEmpty)
+      assert(kept + r.getLong(4) === r.getLong(3),
+        s"doc ${r.getLong(0)}: kept=$kept cut=${r.getLong(4)} before=${r.getLong(3)}")
+    }
+  }
+
   test("x_dedup_pipeline / x_pipeline: exact-stage Exchange carries hashes, not text") {
     for ((df, label) <- Seq(
         (llm.Dedup.dedupPipeline(spark, sf), "dedupPipeline"),
@@ -2811,6 +2837,7 @@ class GraftSpec extends AnyFunSuite {
       "x_observe" -> "X-OBSERVE", "x_gapfill" -> "X-GAPFILL",
       "x_bitmap_distinct" -> "X-BITMAP-DISTINCT", "x_kmv" -> "X-KMV",
       "x_dup_spans" -> "X-DUP-SPANS",
+      "x_dup_spans_cut" -> "X-DUP-SPANS-CUT",
       "x_stream_join_outer" -> "X-STREAM-JOIN-OUTER",
       "x_basket" -> "X-BASKET", "x_ab_test" -> "X-AB-TEST",
       "x_skyline" -> "X-SKYLINE", "x_eval_metrics" -> "X-EVAL-METRICS",
