@@ -985,6 +985,88 @@ object OracleLlm {
        |  WHERE c.vec_id <> q.qid),
        |${rankRecallSelect(llm.Similarity.K)}""".stripMargin
 
+  /** ivfpq mirror: same coarse cells, double residuals, sample-residual
+    * codebooks, per-subspace (d, bid) argmin encode, reconstruction
+    * (centroid + codewords), ADC shortlist, and exact re-rank — every
+    * float fold in the same index order as the Spark chain.
+    */
+  val simIvfpqSql: String = {
+    val S = llm.Similarity
+    val sd = S.PqSubDim
+    s"""WITH $simBaseCtes,
+       |cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn FROM c
+       |          WHERE vec_id % ${S.CentroidStride} = 0),
+       |casg AS (
+       |  SELECT vec_id, cent_id,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+       |  FROM (SELECT c.vec_id, cents.cent_id,
+       |          ${cosine("c.embedding", "c.nrm", "cents.cv", "cents.cn")} AS cs
+       |        FROM c, cents)),
+       |cells AS (SELECT vec_id, cent_id FROM casg WHERE rn = 1),
+       |res AS (
+       |  SELECT c.vec_id, cl.cent_id,
+       |         list_transform(range(1, 65), i ->
+       |           CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)
+       |             - CAST(ct.cv[CAST(i AS INT)] AS DOUBLE)) AS rv
+       |  FROM c JOIN cells cl ON c.vec_id = cl.vec_id
+       |         JOIN cents ct ON ct.cent_id = cl.cent_id),
+       |books AS (SELECT vec_id AS bid, rv AS bv FROM res
+       |          WHERE vec_id % ${S.PqSampleStride} = ${S.PqSampleOffset}),
+       |enc0 AS (
+       |  SELECT res.vec_id, mm.m, books.bid,
+       |         list_sum(list_transform(range(1, ${sd + 1}), i ->
+       |           (rv[CAST(mm.m * $sd + i AS INT)] - bv[CAST(mm.m * $sd + i AS INT)])
+       |           * (rv[CAST(mm.m * $sd + i AS INT)] - bv[CAST(mm.m * $sd + i AS INT)]))) AS d
+       |  FROM res, (SELECT unnest(range(0, ${S.PqSubspaces})) AS m) mm, books),
+       |enc1 AS (
+       |  SELECT vec_id, m, bid,
+       |         row_number() OVER (PARTITION BY vec_id, m ORDER BY d, bid) AS rn
+       |  FROM enc0),
+       |codes AS (SELECT vec_id, m, bid FROM enc1 WHERE rn = 1),
+       |flr AS (
+       |  SELECT codes.vec_id,
+       |         flatten(list(list_transform(range(1, ${sd + 1}), i ->
+       |           bv[CAST(codes.m * $sd + i AS INT)]) ORDER BY codes.m)) AS fl
+       |  FROM codes JOIN books ON codes.bid = books.bid
+       |  GROUP BY codes.vec_id),
+       |rec AS (
+       |  SELECT f.vec_id, cl.cent_id,
+       |         list_transform(range(1, 65), i ->
+       |           CAST(ct.cv[CAST(i AS INT)] AS DOUBLE) + f.fl[CAST(i AS INT)]) AS av
+       |  FROM flr f JOIN cells cl ON f.vec_id = cl.vec_id
+       |            JOIN cents ct ON ct.cent_id = cl.cent_id),
+       |rn2 AS (
+       |  SELECT vec_id, cent_id, av,
+       |         sqrt(list_sum(list_transform(av, x -> x * x))) AS an
+       |  FROM rec),
+       |qasg AS (
+       |  SELECT qid, cent_id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cent_id) AS rn
+       |  FROM (SELECT q.qid, cents.cent_id,
+       |          ${cosine("q.qv", "q.qn", "cents.cv", "cents.cn")} AS cs
+       |        FROM q, cents)),
+       |probes AS (SELECT qid, cent_id FROM qasg WHERE rn <= ${S.NumProbes}),
+       |sa0 AS (
+       |  SELECT q.qid, r.vec_id AS cid,
+       |         list_sum(list_transform(range(1, 65), i ->
+       |           CAST(q.qv[CAST(i AS INT)] AS DOUBLE) * r.av[CAST(i AS INT)]))
+       |           / (q.qn * r.an) AS sa
+       |  FROM probes p JOIN rn2 r ON r.cent_id = p.cent_id
+       |  JOIN q ON q.qid = p.qid
+       |  WHERE r.vec_id <> q.qid),
+       |shortl AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |           row_number() OVER (PARTITION BY qid ORDER BY sa DESC, cid) AS rn
+       |    FROM sa0) WHERE rn <= ${S.PqRerank}),
+       |s AS (
+       |  SELECT q.qid, c.vec_id AS cid,
+       |         ${cosine("q.qv", "q.qn", "c.embedding", "c.nrm")} AS cosine
+       |  FROM shortl JOIN q ON q.qid = shortl.qid
+       |              JOIN c ON c.vec_id = shortl.cid),
+       |${rankRecallSelect(llm.Similarity.K)}""".stripMargin
+  }
+
   /** fakeDecode mirror: the payload is the UTF-8 encoding of `text`, and
     * the fixture is ASCII (asserted in ScalaTest), so bytes == codepoints.
     */

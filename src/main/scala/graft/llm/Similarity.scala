@@ -546,4 +546,168 @@ object Similarity {
         (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cosine"))
     topK(scored)
   }
+
+  // ---- IVF-PQ (product-quantized residuals) ---------------------------
+
+  /** PQ layout: 64 dims split into [[PqSubspaces]] subspaces of
+    * [[PqSubDim]] dims each.
+    */
+  val PqSubspaces = 8
+  val PqSubDim = 8
+
+  /** Deterministic PQ "training sample": residuals of every
+    * [[PqSampleStride]]-th vector at offset [[PqSampleOffset]] act as the
+    * per-subspace codebooks — offset chosen so samples are never IVF
+    * centroids (a centroid's own residual is the zero vector, which
+    * would poison the codebook).
+    */
+  val PqSampleStride = 40
+  val PqSampleOffset = 20
+
+  /** ADC shortlist size: candidates surviving the PQ prefilter per query
+    * before exact re-ranking.
+    */
+  val PqRerank = 128
+
+  /** X-SIM-IVFPQ: the IVF-PQ rung between scalar quantization
+    * (X-EMBED-QUANT) and the coarse quantizer (X-SIM-IVF) — the index
+    * layout every production ANN store actually serves from. The index
+    * holds, per vector, ONE cell id + [[PqSubspaces]] small codeword ids
+    * (≈9 ints instead of 64 floats); serving is three steps:
+    *
+    *  1. coarse probe — the query's [[NumProbes]] nearest IVF cells,
+    *     identical to [[ivfTopKOf]];
+    *  2. ADC prefilter — every candidate in the probed cells is scored
+    *     against the query via its RECONSTRUCTION (cell centroid +
+    *     per-subspace codeword of the residual), a broadcast-codebook
+    *     lookup per row — the raw vector is never touched; the top
+    *     [[PqRerank]] per query survive (bounded-heap TopKPerKey, so the
+    *     exchange carries ≤R rows per query per partition);
+    *  3. exact re-rank — the ≤R-per-query shortlist (broadcast-sized) is
+    *     joined back to the corpus for true-cosine top-k, the standard
+    *     PQ-then-rerank serving shape.
+    *
+    * Codebooks are the deterministic residual sample (same "model =
+    * deterministic sample" convention as the IVF centroids), so the
+    * whole chain — assignment, residuals, per-subspace argmin encode,
+    * reconstruction, ADC scores, shortlist, re-rank — is bit-identical
+    * in the DuckDB oracle, and the output carries the measured
+    * `recall_hits` against the shared brute baseline like every other
+    * ANN path.
+    *
+    * Scale shape: encode is map-only over broadcast codebooks (no n×k
+    * shuffle, same as Lloyd assignment); at 100 TB the persisted index
+    * is the (cell, codes) table bucketed by cell id, reconstruction
+    * happens per probed candidate from broadcast codebooks, and only
+    * top-R rows per query ever reach an exchange.
+    */
+  def ivfpqTopK(spark: SparkSession, sfDir: String): DataFrame =
+    withRecallBrute(ivfpqTopKOf(Tables.embeddings(spark, sfDir), QueryStride),
+      bruteFor(spark, sfDir))
+
+  /** Sum over one subspace of squared component differences — double
+    * arithmetic, index fold order, sliced at subspace `m` (1-based slice
+    * start m·SubDim+1). Mirrors the oracle's `list_sum(list_transform)`.
+    */
+  private def subSqDist(a: Column, b: Column, m: Int): Column =
+    aggregate(
+      zip_with(
+        slice(a, m * PqSubDim + 1, PqSubDim),
+        slice(b, m * PqSubDim + 1, PqSubDim),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0d), _ + _)
+
+  /** Winning codeword of subspace `m` for residual `rv`: fold over the
+    * broadcast codebook row, keep (min distance, min bid on ties) and
+    * carry the codeword slice in the accumulator so reconstruction needs
+    * no second lookup.
+    */
+  private def pqCode(rv: Column, m: Int): Column =
+    aggregate(col("books"),
+      struct(lit(Double.MaxValue).as("d"), lit(Long.MaxValue).as("bid"),
+        lit(null).cast("array<double>").as("cw")),
+      (acc, b) => {
+        val d = subSqDist(rv, b("bv"), m)
+        when(d < acc("d") || (d === acc("d") && b("bid") < acc("bid")),
+          struct(d.as("d"), b("bid").as("bid"),
+            slice(b("bv"), m * PqSubDim + 1, PqSubDim).as("cw")))
+          .otherwise(acc)
+      })
+
+  /** Double dot product with index fold order (HOF form — the inputs
+    * here are reconstructed `array<double>` rows, outside the float
+    * kernels' domain; volume is shortlist/candidate-bounded).
+    */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), _ + _)
+
+  def ivfpqTopKOf(embeddings: DataFrame, stride: Int): DataFrame = {
+    val c = corpusOf(embeddings)
+    val cents = c.filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"), col("nrm").as("cn"))
+    val centArr = cents
+      .agg(collect_list(struct(col("cent_id").as("cid"), col("cv"), col("cn"))).as("cents"))
+
+    // coarse assignment — identical to ivfTopKOf's inverted file
+    val cells = c.join(broadcast(centArr))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        centroidScores(col("cents"), col("embedding"), col("nrm")).as("scores"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        bestCentroid(col("scores"))("cid").as("cent_id"))
+
+    // residual r = v − centroid, in double (float→double widening and
+    // double subtraction are both exact/correctly-rounded, so residuals
+    // are engine-identical)
+    val resid = cells.join(broadcast(cents), Seq("cent_id"))
+      .select(col("vec_id"), col("cent_id"),
+        zip_with(col("embedding"), col("cv"),
+          (x, cc) => x.cast("double") - cc.cast("double")).as("rv"))
+
+    // per-subspace codebooks: ONE broadcast row of sample residuals
+    val books = resid.filter(col("vec_id") % PqSampleStride === PqSampleOffset)
+      .agg(collect_list(struct(col("vec_id").as("bid"), col("rv").as("bv"))).as("books"))
+
+    // encode (map-only): winning codeword per subspace
+    val codeCols = (0 until PqSubspaces).map(m => pqCode(col("rv"), m).as(s"c$m"))
+    val enc = resid.join(broadcast(books))
+      .select(col("vec_id") +: col("cent_id") +: codeCols: _*)
+
+    // reconstruction v̂ = centroid + concat(codewords), and its norm —
+    // this is what the ADC scores see; the raw vector never reappears
+    // until the exact re-rank
+    val rec = enc.join(broadcast(cents), Seq("cent_id"))
+      .select(col("vec_id"), col("cent_id"),
+        zip_with(col("cv"),
+          flatten(array((0 until PqSubspaces).map(m => col(s"c$m")("cw")): _*)),
+          (a, b) => a.cast("double") + b).as("av"))
+      .select(col("vec_id"), col("cent_id"), col("av"),
+        sqrt(dotD(col("av"), col("av"))).as("an"))
+
+    // probes: top-NumProbes cells per query (same as ivfTopKOf)
+    val probes = queriesOf(c, stride).join(broadcast(centArr))
+      .select(col("qid"), col("qv"), col("qn"),
+        centroidScores(col("cents"), col("qv"), col("qn")).as("scores"))
+      .select(col("qid"), col("qv"), col("qn"),
+        explode(slice(array_sort(col("scores"), (l, r) =>
+          when(l("s") > r("s"), -1).when(l("s") < r("s"), 1)
+            .when(l("cid") < r("cid"), -1).when(l("cid") > r("cid"), 1)
+            .otherwise(0)), 1, NumProbes)("cid")).as("cent_id"))
+
+    // ADC prefilter: approximate cosine from the reconstruction only
+    val scoredA = rec.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        (aggregate(zip_with(col("qv"), col("av"), (x, y) => x.cast("double") * y),
+          lit(0.0d), _ + _) / (col("qn") * col("an"))).as("sa"))
+    val short = graft.plans.TopKPerKey(scoredA,
+        keys = Seq("qid"), order = Seq(("sa", true), ("cid", false)), k = PqRerank)
+      .select(col("qid"), col("cid"))
+
+    // exact re-rank of the broadcast-sized shortlist
+    val exact = c.join(broadcast(short.join(queriesOf(c, stride), Seq("qid"))),
+        col("vec_id") === col("cid"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cosine"))
+    topK(exact)
+  }
 }

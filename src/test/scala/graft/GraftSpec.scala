@@ -225,6 +225,10 @@ class GraftSpec extends AnyFunSuite {
     val lshMeanFixture = audit(Similarity.lshTopK(spark, sf)) // exactness; floor below
     val ivfMean = audit(Similarity.ivfTopK(spark, sf))
     assert(ivfMean >= 0.7, s"ivf mean recall@10 = $ivfMean")
+    // IVF-PQ: same coarse probe, ADC-prefiltered + exact-reranked — must
+    // meet the same accuracy contract as the unquantized IVF path
+    val pqMean = audit(Similarity.ivfpqTopK(spark, sf))
+    assert(pqMean >= 0.7, s"ivfpq mean recall@10 = $pqMean")
     // multi-probe: same index, query-side bucket expansion — must beat
     // single-probe recall even on the structureless fixture
     val mpMean = audit(Similarity.multiprobeTopK(spark, sf))
@@ -266,6 +270,17 @@ class GraftSpec extends AnyFunSuite {
       s"assignment must fold the broadcast centroid array per row, not rank a cross product:\n${plan.take(2000)}")
     assert(!plan.contains("Exchange hashpartitioning(vec_id"),
       "the corpus must not be shuffled for assignment")
+  }
+
+  test("ivfpq ANN: encode is map-only and the shortlist bounds the exchange") {
+    val df = Similarity.ivfpqTopK(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"PQ encode must fold broadcast codebooks per row, not rank a cross product:\n${plan.take(2000)}")
+    assert(!plan.contains("Exchange hashpartitioning(vec_id"),
+      "the corpus must not be shuffled for assignment or encoding")
+    assert(plan.contains("TopKPerKey"),
+      "ADC prefilter and final top-k must run through the bounded-heap operator")
   }
 
   test("x_dedup_exact: shuffle key is the hash pair, never document text") {
@@ -2812,7 +2827,7 @@ class GraftSpec extends AnyFunSuite {
       "x_scd2" -> "X-SCD2", "x_time_travel" -> "X-TIME-TRAVEL",
       "x_vacuum" -> "X-VACUUM", "q_evolve" -> "Q-SCHEMA-EVOLVE",
       "x_change_feed" -> "X-CHANGE-FEED", "x_embed_quant" -> "X-EMBED-QUANT",
-      "x_sim_multiprobe" -> "X-SIM", "x_profile" -> "X-PROFILE",
+      "x_sim_multiprobe" -> "X-SIM", "x_sim_ivfpq" -> "X-SIM-IVFPQ", "x_profile" -> "X-PROFILE",
       "x_pagerank" -> "X-PAGERANK", "x_grouping_sets" -> "X-GROUPING-SETS",
       "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",
       "x_sample_topk" -> "X-SAMPLE-TOPK", "x_rep_ngram" -> "X-REP-NGRAM",
