@@ -191,12 +191,15 @@ object Events {
     * that exercises cross-micro-batch `GroupState`
     * ([[streamingSessionsIncremental]], X-STREAM-ATTRIB). Deterministic
     * per sfDir, so it is marker-gated in scratch: repeated runs (bench
-    * passes) pay only the stream, never the re-stage. The no-partition
-    * ntile window IS a single-partition global sort — safe HERE ONLY
-    * because this is one-time test-fixture prep over the small events
-    * table; a live stream needs no staging at all (arrival order is the
-    * chunk order), so nothing like this exists at 100 TB. `work` hosts
-    * the transient single-file writes only.
+    * passes) pay only the stream, never the re-stage. The chunks come
+    * from a 4-way RANGE exchange on the microsecond (ts, event_id)
+    * tie-break (the [[Sampling.globalIds]] idiom) — chronologically
+    * contiguous by construction, sorted within each chunk, written in
+    * ONE partitioned job — so no unpartitioned window / single-reducer
+    * sort exists anywhere in the staging. Chunk boundaries land wherever
+    * the range sampler puts them; every consumer is boundary-invariant
+    * (that is precisely the cross-batch-state property the fixture
+    * exists to prove). `work` hosts the transient writes only.
     */
   private[llm] def chunkedEventStaging(spark: SparkSession, sfDir: String,
       work: java.nio.file.Path): java.nio.file.Path = {
@@ -204,7 +207,7 @@ object Events {
     val rawSchema = raw.schema
     val srcDirS = graft.etl.Sink.scratchPath(sfDir, "events_chunked")
     val srcDir = java.nio.file.Paths.get(srcDirS)
-    val marker = srcDir.resolve("_GRAFT_OK_v3")
+    val marker = srcDir.resolve("_GRAFT_OK_v4")
     if (!java.nio.file.Files.exists(marker)) {
       graft.etl.Sink.dropUncommitted(srcDirS)
       java.nio.file.Files.createDirectories(srcDir)
@@ -214,10 +217,16 @@ object Events {
       // every batch operator compares against — on the long-nanos
       // vintage, ordering by raw ts would let sub-µs digits flip a
       // same-µs pair across a chunk boundary in the opposite order of
-      // the batch window, breaking X-STREAM-ATTRIB's bit-equality
-      val chunked = raw.withColumn("chunk",
-        ntile(4).over(org.apache.spark.sql.expressions.Window.orderBy(
-          expr(Tables.tsMicrosExpr(rawSchema)), col("event_id"))))
+      // the batch window, breaking X-STREAM-ATTRIB's bit-equality.
+      // Range exchange, not a global window: partition ids of a range
+      // partitioner are ascending in key order, so pid+1 IS the
+      // chronological chunk number, and the single partitioned write
+      // keeps assignment consistent (re-evaluating spark_partition_id
+      // across per-chunk jobs could re-sample different boundaries).
+      val chunked = raw
+        .repartitionByRange(4, expr(Tables.tsMicrosExpr(rawSchema)), col("event_id"))
+        .sortWithinPartitions(expr(Tables.tsMicrosExpr(rawSchema)), col("event_id"))
+        .withColumn("chunk", spark_partition_id() + 1)
       def stage(df: org.apache.spark.sql.DataFrame, name: String, mtimeSec: Long): Unit = {
         val tmp = work.resolve(s"stage_$name")
         df.coalesce(1).write.parquet(tmp.toString)
@@ -234,7 +243,23 @@ object Events {
           java.nio.file.attribute.FileTime.fromMillis(mtimeSec * 1000))
         graft.streaming.Drain.deleteRecursively(tmp)
       }
-      (1 to 4).foreach(i => stage(chunked.filter(col("chunk") === i).drop("chunk"), s"chunk$i", i))
+      val tmpAll = work.resolve("stage_chunks")
+      chunked.write.partitionBy("chunk").parquet(tmpAll.toString)
+      (1 to 4).foreach { i =>
+        val dirI = tmpAll.resolve(s"chunk=$i")
+        require(java.nio.file.Files.isDirectory(dirI),
+          s"range staging produced no chunk $i — empty range partition over the events fixture")
+        val listing = java.nio.file.Files.list(dirI)
+        val part =
+          try listing.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+          finally listing.close()
+        val dst = srcDir.resolve(s"chunk$i.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(i * 1000L))
+      }
+      graft.streaming.Drain.deleteRecursively(tmpAll)
       val sentinel = spark.range(1).select(
         lit(-1L).as("event_id"),
         Tables.tsLit(rawSchema, maxUs + 4L * 24 * 3600 * 1000000L).as("ts"),
