@@ -1067,6 +1067,52 @@ object OracleLlm {
        |${rankRecallSelect(llm.Similarity.K)}""".stripMargin
   }
 
+  /** simIncr mirror: the FULL IVF re-index formulation over the whole
+    * corpus — the incremental base+delta append must equal it value for
+    * value (the X-INCR-AGG / X-DEDUP-INCR proof structure) — plus the
+    * per-query `delta_hits` freshness count.
+    */
+  val simIncrSql: String =
+    s"""WITH $simBaseCtes,
+       |cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn FROM c
+       |          WHERE vec_id % ${llm.Similarity.CentroidStride} = 0),
+       |casg AS (
+       |  SELECT vec_id, cent_id,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+       |  FROM (SELECT c.vec_id, cents.cent_id,
+       |          ${cosine("c.embedding", "c.nrm", "cents.cv", "cents.cn")} AS cs
+       |        FROM c, cents)),
+       |cells AS (SELECT vec_id, cent_id FROM casg WHERE rn = 1),
+       |qasg AS (
+       |  SELECT qid, cent_id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cent_id) AS rn
+       |  FROM (SELECT q.qid, cents.cent_id,
+       |          ${cosine("q.qv", "q.qn", "cents.cv", "cents.cn")} AS cs
+       |        FROM q, cents)),
+       |probes AS (SELECT qid, cent_id FROM qasg WHERE rn <= ${llm.Similarity.NumProbes}),
+       |s AS (
+       |  SELECT q.qid, c.vec_id AS cid,
+       |         ${cosine("q.qv", "q.qn", "c.embedding", "c.nrm")} AS cosine
+       |  FROM probes p
+       |  JOIN cells cl ON p.cent_id = cl.cent_id
+       |  JOIN q ON q.qid = p.qid
+       |  JOIN c ON c.vec_id = cl.vec_id
+       |  WHERE c.vec_id <> q.qid),
+       |r AS (
+       |  SELECT qid, cid, cosine,
+       |         CAST(row_number() OVER (PARTITION BY qid
+       |                ORDER BY cosine DESC, cid) AS BIGINT) AS rank
+       |  FROM s),
+       |ann AS (SELECT qid, rank, cid, cosine FROM r WHERE rank <= ${llm.Similarity.K}),
+       |dh AS (
+       |  SELECT qid, CAST(count(*) AS BIGINT) AS delta_hits
+       |  FROM ann WHERE cid % 10 = 7 GROUP BY qid)
+       |SELECT ann.qid AS qid, ann.rank AS rank, ann.cid AS cid,
+       |       round(ann.cosine, 6) AS cosine,
+       |       CAST(coalesce(dh.delta_hits, 0) AS BIGINT) AS delta_hits
+       |FROM ann LEFT JOIN dh ON ann.qid = dh.qid
+       |ORDER BY ann.qid, ann.rank""".stripMargin
+
   /** fakeDecode mirror: the payload is the UTF-8 encoding of `text`, and
     * the fixture is ASCII (asserted in ScalaTest), so bytes == codepoints.
     */

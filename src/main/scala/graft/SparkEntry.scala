@@ -54,6 +54,7 @@ object SparkEntry {
     "x_mm_frames" -> (llm.Multimodal.frames _),
     "x_sim_ivf" -> (llm.Similarity.ivfTopK _),
     "x_sim_ivfpq" -> (llm.Similarity.ivfpqTopK _),
+    "x_sim_incr" -> (llm.Similarity.simIncrTopK _),
     "q_msg" -> (etl.Trigger.dispatch _),
     "q_trigger_date" -> (etl.Trigger.currencyTrigger _),
     "q_fx_gate" -> (etl.RatesSource.gateStats _),
@@ -665,6 +666,7 @@ object SparkEntry {
     "x_sim_multiprobe" -> OracleLlm.simMultiprobeSql,
     "x_sim_ivf" -> OracleLlm.simIvfSql,
     "x_sim_ivfpq" -> OracleLlm.simIvfpqSql,
+    "x_sim_incr" -> OracleLlm.simIncrSql,
     "x_split" -> OracleLlm.splitSql,
     "x_token_budget" -> OracleLlm.tokenBudgetSql,
     "x_dsir" -> OracleLlm.dsirSql,

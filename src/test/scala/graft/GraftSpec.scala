@@ -283,6 +283,28 @@ class GraftSpec extends AnyFunSuite {
       "ADC prefilter and final top-k must run through the bounded-heap operator")
   }
 
+  test("x_sim_incr: delta assignment touches only the ingest; append equals full re-index") {
+    val e = graft.Tables.embeddings(spark, sf)
+    val (baseCells, deltaCells) = Similarity.incrIndexParts(e)
+    val nDelta = e.filter(Similarity.isDeltaVec(col("vec_id"))).count()
+    // cost: the day's assignment work is exactly the delta, not the corpus
+    assert(deltaCells.count() === nDelta)
+    assert(baseCells.count() + nDelta === e.count())
+    // equivalence: base ∪ delta cells == a full re-index's assignment
+    // (frozen centroids make per-vector assignment independent)
+    val merged = baseCells.unionAll(deltaCells)
+      .select("vec_id", "cent_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullAssign = Similarity.fullIndexCells(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(merged === fullAssign)
+    // the served result surfaces ingest freshness
+    val out = Similarity.simIncrTopK(spark, sf)
+    val deltaHits = out.filter(col("cid") % 10 === 7).count()
+    val reported = out.groupBy("qid").agg(max("delta_hits")).collect()
+      .map(_.getLong(1)).sum
+    assert(reported === deltaHits, "delta_hits must count exactly the delta members served")
+  }
+
   test("x_dedup_exact: shuffle key is the hash pair, never document text") {
     val df = llm.Dedup.exact(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
@@ -2827,7 +2849,7 @@ class GraftSpec extends AnyFunSuite {
       "x_scd2" -> "X-SCD2", "x_time_travel" -> "X-TIME-TRAVEL",
       "x_vacuum" -> "X-VACUUM", "q_evolve" -> "Q-SCHEMA-EVOLVE",
       "x_change_feed" -> "X-CHANGE-FEED", "x_embed_quant" -> "X-EMBED-QUANT",
-      "x_sim_multiprobe" -> "X-SIM", "x_sim_ivfpq" -> "X-SIM-IVFPQ", "x_profile" -> "X-PROFILE",
+      "x_sim_multiprobe" -> "X-SIM", "x_sim_ivfpq" -> "X-SIM-IVFPQ", "x_sim_incr" -> "X-SIM-INCR", "x_profile" -> "X-PROFILE",
       "x_pagerank" -> "X-PAGERANK", "x_grouping_sets" -> "X-GROUPING-SETS",
       "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",
       "x_sample_topk" -> "X-SAMPLE-TOPK", "x_rep_ngram" -> "X-REP-NGRAM",
