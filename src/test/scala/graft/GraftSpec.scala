@@ -2901,6 +2901,29 @@ class GraftSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"SURVEY.md has no row for: $missing")
   }
 
+  test("AQE equivalence: every registered query returns identical rows with AQE on and off") {
+    // the cheap way to catch plan-sensitive determinism bugs before a
+    // cluster does: AQE re-plans at runtime (coalesced exchanges, skew
+    // splits, runtime join demotion) — a query whose VALUES depend on the
+    // physical plan (partition ids, non-total orders, float re-association)
+    // diverges here long before a 1000-executor run re-plans it for real.
+    // Rows compare as sorted strings — the driver's hash gate sorts too.
+    val prior = spark.conf.get("spark.sql.adaptive.enabled")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    try {
+      val diffs = scala.collection.mutable.ArrayBuffer.empty[String]
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val off = canon(fn(spark, sf))
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        val on = canon(fn(spark, sf))
+        if (off != on) diffs += name
+      }
+      assert(diffs.isEmpty, s"AQE-sensitive queries: ${diffs.mkString(", ")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+  }
+
   test("ts vintage invariance: long-nanos / NTZ / timestamp fixtures give identical results") {
     // the driver's fixture has shipped events.ts as parquet TIMESTAMP
     // (µs), TIMESTAMP_NTZ and raw int64 NANOS across rounds — a vintage
