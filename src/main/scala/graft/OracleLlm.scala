@@ -502,6 +502,35 @@ object OracleLlm {
        |       CAST(sum(id) AS BIGINT) AS sum_ids
        |FROM lab GROUP BY comp ORDER BY comp_id""".stripMargin
 
+  /** dedupCluster mirror: componentsSql's closure, then the keep rule —
+    * non-canonical members (id <> comp) drop; the pairwise drop set
+    * (distinct id_b) is re-derived for the `extra_vs_pairwise` delta.
+    */
+  val dedupClusterSql: String =
+    s"""WITH RECURSIVE $sigCtes, $pairCtes,
+       |ed AS (SELECT id_a, id_b FROM mh WHERE est_jaccard >= ${Dedup.NearDupThreshold}),
+       |und AS (SELECT id_a AS a, id_b AS b FROM ed UNION SELECT id_b, id_a FROM ed),
+       |nodes AS (SELECT DISTINCT a AS id FROM und),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT u.b AS id, reach.r AS r FROM reach JOIN und u ON u.a = reach.id),
+       |lab AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+       |ccd AS (SELECT id AS doc_id FROM lab WHERE id <> comp),
+       |pwd AS (SELECT DISTINCT id_b AS doc_id FROM ed),
+       |fl AS (
+       |  SELECT d.source, length(d.text) AS nc,
+       |         CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS cc_drop,
+       |         CASE WHEN p.doc_id IS NULL THEN 0 ELSE 1 END AS pw_drop
+       |  FROM documents d
+       |  LEFT JOIN ccd c ON d.doc_id = c.doc_id
+       |  LEFT JOIN pwd p ON d.doc_id = p.doc_id)
+       |SELECT source, CAST(sum(1 - cc_drop) AS BIGINT) AS n_kept,
+       |       CAST(sum((1 - cc_drop) * nc) AS BIGINT) AS kept_chars,
+       |       CAST(sum(cc_drop) AS BIGINT) AS n_dropped,
+       |       CAST(sum(cc_drop * (1 - pw_drop)) AS BIGINT) AS extra_vs_pairwise
+       |FROM fl GROUP BY source ORDER BY source""".stripMargin
+
   /** BFS mirror: same edge CTEs, seeds = nodes with id % 10 == 0, the
     * recursive walk enumerates (node, path-length) pairs (UNION dedups,
     * so the recursion is bounded by cap × |nodes|); min(dist) per node
@@ -736,6 +765,60 @@ object OracleLlm {
        |  FROM cb JOIN qb ON cb.t = qb.t AND cb.bucket = qb.bucket
        |                 AND cb.vec_id <> qb.qid),
        |${rankRecallSelect(llm.Similarity.K)}""".stripMargin
+
+  /** rrfTopK mirror: the brute and LSH top-K lists ranked exactly as
+    * their own oracles rank them, fused with integer-ppm
+    * reciprocal-rank contributions (`1000000 // (C + rank)`), re-ranked
+    * on (rrf_ppm DESC, cid).
+    */
+  val rrfSql: String = {
+    val k = llm.Similarity.K
+    val c0 = llm.Similarity.RrfC
+    s"""WITH $simBaseCtes,
+       |bs AS (
+       |  SELECT q.qid, c.vec_id AS cid,
+       |         ${cosine("q.qv", "q.qn", "c.embedding", "c.nrm")} AS cosine
+       |  FROM c, q WHERE c.vec_id <> q.qid),
+       |bt AS (
+       |  SELECT qid, cid, rb FROM (
+       |    SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid
+       |             ORDER BY cosine DESC, cid) AS BIGINT) AS rb
+       |    FROM bs) WHERE rb <= $k),
+       |pl AS (SELECT ${llm.Similarity.planeSigns.mkString("[", ", ", "]")} AS ps),
+       |tb AS (SELECT unnest(range(0, ${llm.Similarity.NumTables})) AS t),
+       |cb AS (
+       |  SELECT c.vec_id, c.embedding, c.nrm, tb.t AS t,
+       |         ${bucketExpr("c.embedding", "tb.t")} AS bucket
+       |  FROM c, tb, pl),
+       |qb AS (
+       |  SELECT q.qid, q.qv, q.qn, tb.t AS t,
+       |         ${bucketExpr("q.qv", "tb.t")} AS bucket
+       |  FROM q, tb, pl),
+       |ls AS (
+       |  SELECT DISTINCT qb.qid, cb.vec_id AS cid,
+       |         ${cosine("qb.qv", "qb.qn", "cb.embedding", "cb.nrm")} AS cosine
+       |  FROM cb JOIN qb ON cb.t = qb.t AND cb.bucket = qb.bucket
+       |                 AND cb.vec_id <> qb.qid),
+       |lt AS (
+       |  SELECT qid, cid, rl FROM (
+       |    SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid
+       |             ORDER BY cosine DESC, cid) AS BIGINT) AS rl
+       |    FROM ls) WHERE rl <= $k),
+       |fu AS (
+       |  SELECT coalesce(bt.qid, lt.qid) AS qid, coalesce(bt.cid, lt.cid) AS cid,
+       |         coalesce(1000000 // ($c0 + rb), 0)
+       |           + coalesce(1000000 // ($c0 + rl), 0) AS rrf_ppm,
+       |         (CASE WHEN rb IS NULL THEN 0 ELSE 1 END
+       |           + CASE WHEN rl IS NULL THEN 0 ELSE 1 END) AS n_rankers
+       |  FROM bt FULL OUTER JOIN lt ON bt.qid = lt.qid AND bt.cid = lt.cid)
+       |SELECT qid, rank, cid, CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+       |       CAST(n_rankers AS BIGINT) AS n_rankers
+       |FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |           ORDER BY rrf_ppm DESC, cid) AS BIGINT) AS rank
+       |  FROM fu) WHERE rank <= $k
+       |ORDER BY qid, rank""".stripMargin
+  }
 
   /** embedDups mirror: LSH bucket-collision candidates (same plane-sign
     * literal as simLshSql) verified with the exact cosine threshold.

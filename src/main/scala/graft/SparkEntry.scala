@@ -55,6 +55,7 @@ object SparkEntry {
     "x_sim_ivf" -> (llm.Similarity.ivfTopK _),
     "x_sim_ivfpq" -> (llm.Similarity.ivfpqTopK _),
     "x_sim_incr" -> (llm.Similarity.simIncrTopK _),
+    "x_sim_rrf" -> (llm.Similarity.rrfTopK _),
     "q_msg" -> (etl.Trigger.dispatch _),
     "q_trigger_date" -> (etl.Trigger.currencyTrigger _),
     "q_fx_gate" -> (etl.RatesSource.gateStats _),
@@ -74,6 +75,7 @@ object SparkEntry {
     "x_quality_filter" -> (llm.TextAnalysis.qualityFilter _),
     "x_source_sim" -> (llm.Dedup.sourceSimilarity _),
     "x_dedup_pipeline" -> (llm.Dedup.dedupPipeline _),
+    "x_dedup_cluster" -> (llm.Dedup.dedupCluster _),
     "x_vocab" -> (llm.TextAnalysis.vocabulary _),
     "x_split" -> (llm.Sampling.split _),
     "x_token_budget" -> (llm.Sampling.tokenBudget _),
@@ -658,6 +660,7 @@ object SparkEntry {
     "x_dedup_minhash" -> OracleLlm.minhashPairsSql,
     "x_dedup_simhash" -> OracleLlm.simhashPairsSql,
     "x_dedup_pipeline" -> OracleLlm.dedupPipelineSql,
+    "x_dedup_cluster" -> OracleLlm.dedupClusterSql,
     "x_source_sim" -> OracleLlm.sourceSimSql,
     "x_fingerprint" -> OracleLlm.fingerprintSql,
     "x_lang_id" -> OracleLlm.langIdSql,
@@ -667,6 +670,7 @@ object SparkEntry {
     "x_sim_ivf" -> OracleLlm.simIvfSql,
     "x_sim_ivfpq" -> OracleLlm.simIvfpqSql,
     "x_sim_incr" -> OracleLlm.simIncrSql,
+    "x_sim_rrf" -> OracleLlm.rrfSql,
     "x_split" -> OracleLlm.splitSql,
     "x_token_budget" -> OracleLlm.tokenBudgetSql,
     "x_dsir" -> OracleLlm.dsirSql,

@@ -608,4 +608,60 @@ object Dedup {
         coalesce(col("cut_tokens"), lit(0L)).as("cut_tokens"),
         col("ivs").isNotNull.as("was_cut"))
   }
+
+  // ---- cluster-canonical near-dedup (X-DEDUP-CLUSTER) ------------------
+
+  /** X-DEDUP-CLUSTER: transitive-closure dedup — the rule production
+    * near-dedup actually ships (Lee et al. 2022 §4.2; the pairwise rule
+    * in [[dedupPipeline]] under-drops). Near-dup candidate pairs at the
+    * threshold become edges; connected components give the dup CLUSTERS
+    * (A~B and B~C drop both B and C even when (A, C) never collided in a
+    * band); the minimum doc_id per component is the canonical survivor.
+    * Per-source accounting reports kept/dropped docs and chars plus the
+    * delta vs the pairwise rule (`extra_vs_pairwise` — how many docs only
+    * transitivity catches), so a curation run can see what closure bought.
+    *
+    * Scale shape: the edge set is band-bounded (never all-pairs) and the
+    * label-propagation loop in [[Graph.connectedComponents]] runs on
+    * (id, comp) pairs only — O(log d) rounds, lineage cut per round. The
+    * final drop sets join back to `documents` as LEFT ANTI/SEMI on
+    * doc_id; document text is scanned once and never shuffled (the
+    * per-source rollup shuffles 8-byte keys + counters).
+    */
+  def dedupCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val edges = minhashPairsTable(spark, sfDir)
+      .filter(col("est_jaccard") >= NearDupThreshold)
+      .select("id_a", "id_b")
+    dedupClusterOf(docs, edges)
+  }
+
+  /** [[dedupCluster]]'s core on explicit (docs, edges) frames — split out
+    * so the transitivity spec can feed a synthetic chain (the fixture's
+    * near-dup pairs happen to be isolated at small SF, where closure and
+    * the pairwise rule coincide and `extra_vs_pairwise` is 0 everywhere;
+    * the chain case is exactly what the operator exists for).
+    */
+  def dedupClusterOf(docs: DataFrame, edges: DataFrame): DataFrame = {
+    // comp = min doc_id of the component; every non-canonical member drops
+    val dropCc = Graph.connectedComponents(edges)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+    // the pairwise rule for comparison: higher id of each colliding pair
+    val dropPair = edges.select(col("id_b").as("doc_id")).distinct()
+    val flagged = docs
+      .join(dropCc.withColumn("cc_drop", lit(1L)), Seq("doc_id"), "left")
+      .join(dropPair.withColumn("pw_drop", lit(1L)), Seq("doc_id"), "left")
+      .select(
+        col("source"), length(col("text")).cast("long").as("nc"),
+        coalesce(col("cc_drop"), lit(0L)).as("cc_drop"),
+        coalesce(col("pw_drop"), lit(0L)).as("pw_drop"))
+    flagged.groupBy("source")
+      .agg(
+        sum(lit(1L) - col("cc_drop")).as("n_kept"),
+        sum((lit(1L) - col("cc_drop")) * col("nc")).as("kept_chars"),
+        sum("cc_drop").as("n_dropped"),
+        sum(col("cc_drop") * (lit(1L) - col("pw_drop"))).as("extra_vs_pairwise"))
+      .orderBy("source")
+  }
 }

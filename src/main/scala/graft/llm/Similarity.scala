@@ -809,4 +809,51 @@ object Similarity {
         coalesce(col("delta_hits"), lit(0L)).as("delta_hits"))
       .orderBy("qid", "rank")
   }
+
+  // ---- reciprocal-rank fusion (X-RRF) --------------------------------
+
+  /** RRF smoothing constant — the 60 of Cormack/Clarke/Buettcher,
+    * SIGIR 2009 ("Reciprocal rank fusion outperforms Condorcet").
+    */
+  val RrfC = 60L
+
+  /** X-RRF: reciprocal-rank fusion of two retrieval rankings — the
+    * standard way hybrid search combines rankers whose SCORES are not
+    * comparable (exact cosine vs an ANN probe here; in production,
+    * dense-vector vs BM25 lexical): each ranker contributes
+    * `1/(C + rank)` per candidate and candidates re-rank by the summed
+    * contribution, so only rank POSITIONS matter. Contributions are
+    * integer ppm (`1_000_000 div (C + rank)`) — exact on both engines,
+    * no float-sum order to pin. Fuses [[bruteTopK]] (memoized, the
+    * shared baseline every ANN rung grades against) with [[lshTopKOf]];
+    * ties in the fused score break on cid so the output is a total
+    * order. `n_rankers` says whether a row was found by both lists or
+    * rescued by one — the column a hybrid-search dashboard actually
+    * watches.
+    *
+    * Scale shape: the inputs are already top-k lists, so the fusion
+    * joins ≤K rows per (query, ranker) — rank-bounded regardless of
+    * corpus size — and the re-rank window runs over ≤2K candidates per
+    * query. All corpus-sized work happens inside the two rankers, which
+    * keep their own scale shapes (broadcast queries / bucketed probes).
+    */
+  def rrfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val brute = bruteFor(spark, sfDir)
+      .select(col("qid"), col("cid"), col("rank").as("rb"))
+    val lsh = lshTopKOf(Tables.embeddings(spark, sfDir), QueryStride)
+      .select(col("qid"), col("cid"), col("rank").as("rl"))
+    val fused = brute.join(lsh, Seq("qid", "cid"), "full_outer")
+      .select(col("qid"), col("cid"),
+        (coalesce(expr(s"CAST(1000000 AS BIGINT) div ($RrfC + rb)"), lit(0L))
+          + coalesce(expr(s"CAST(1000000 AS BIGINT) div ($RrfC + rl)"), lit(0L)))
+          .as("rrf_ppm"),
+        (col("rb").isNotNull.cast("long") + col("rl").isNotNull.cast("long"))
+          .as("n_rankers"))
+    val w = Window.partitionBy("qid").orderBy(col("rrf_ppm").desc, col("cid"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select("qid", "rank", "cid", "rrf_ppm", "n_rankers")
+      .orderBy("qid", "rank")
+  }
 }

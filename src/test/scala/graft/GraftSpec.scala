@@ -305,6 +305,69 @@ class GraftSpec extends AnyFunSuite {
     assert(reported === deltaHits, "delta_hits must count exactly the delta members served")
   }
 
+  test("x_sim_rrf: integer-ppm fusion, rank-bounded, both-lists beats either-alone") {
+    val out = Similarity.rrfTopK(spark, sf).collect()
+    assert(out.nonEmpty)
+    val maxSingle = 1000000L / (Similarity.RrfC + 1) // rank-1 in one list
+    val minDual = 2 * (1000000L / (Similarity.RrfC + Similarity.K))
+    out.foreach { r =>
+      val (rank, ppm, n) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(rank >= 1 && rank <= Similarity.K)
+      assert(n == 1L || n == 2L)
+      // each contribution is 1e6 div (C + rank) with rank in [1, K]
+      assert(ppm >= 1000000L / (Similarity.RrfC + Similarity.K) && ppm <= 2 * maxSingle)
+      if (n == 2L) assert(ppm >= minDual)
+    }
+    // a candidate both rankers retrieved always outranks a one-list
+    // candidate: min dual contribution (2 × rank-K) > max single (rank-1)
+    assert(minDual > maxSingle)
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getLong(1))
+      val firstSingle = byRank.indexWhere(_.getLong(4) == 1L)
+      if (firstSingle >= 0)
+        assert(byRank.drop(firstSingle).forall(_.getLong(4) == 1L),
+          "a both-lists candidate ranked below a one-list candidate")
+    }
+    // fused head = brute head whenever LSH agrees: rank-1 rows with
+    // n_rankers=2 exist on the fixture (sanity that fusion actually fuses)
+    assert(out.exists(r => r.getLong(1) == 1L && r.getLong(4) == 2L))
+  }
+
+  test("x_dedup_cluster: transitive closure drops chain members the pairwise rule misses") {
+    import spark.implicits._
+    // component {1,2,3,4} via edges (1,3),(2,4),(3,4): node 2 never
+    // appears as an id_b, so the pairwise higher-id rule keeps it while
+    // closure drops it — extra_vs_pairwise must isolate exactly that doc.
+    val docs = Seq(
+      (1L, "sA", "aaaa"), (2L, "sA", "bb"), (3L, "sB", "cccc"),
+      (4L, "sB", "dd"), (5L, "sB", "eeeeee"))
+      .toDF("doc_id", "source", "text")
+    val edges = Seq((1L, 3L), (2L, 4L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.dedupClusterOf(docs, edges)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // sA: doc 1 kept (canonical min of the component), doc 2 dropped by
+    // closure only → extra_vs_pairwise = 1
+    assert(out("sA") === ((1L, 4L, 1L, 1L)))
+    // sB: docs 3,4 dropped (both are id_b's → no extra), doc 5 untouched
+    assert(out("sB") === ((1L, 6L, 2L, 0L)))
+  }
+
+  test("x_dedup_cluster: fixture accounting is self-consistent and closure never under-drops pairwise") {
+    val out = Dedup.dedupCluster(spark, sf).collect()
+    assert(out.nonEmpty)
+    val docsPerSource = Tables.documents(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val (src, kept, dropped, extra) =
+        (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(kept + dropped === docsPerSource(src),
+        s"$src: kept+dropped must partition the source's docs")
+      assert(extra >= 0L && extra <= dropped)
+    }
+  }
+
   test("x_dedup_exact: shuffle key is the hash pair, never document text") {
     val df = llm.Dedup.exact(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
@@ -2849,7 +2912,7 @@ class GraftSpec extends AnyFunSuite {
       "x_scd2" -> "X-SCD2", "x_time_travel" -> "X-TIME-TRAVEL",
       "x_vacuum" -> "X-VACUUM", "q_evolve" -> "Q-SCHEMA-EVOLVE",
       "x_change_feed" -> "X-CHANGE-FEED", "x_embed_quant" -> "X-EMBED-QUANT",
-      "x_sim_multiprobe" -> "X-SIM", "x_sim_ivfpq" -> "X-SIM-IVFPQ", "x_sim_incr" -> "X-SIM-INCR", "x_profile" -> "X-PROFILE",
+      "x_sim_multiprobe" -> "X-SIM", "x_sim_ivfpq" -> "X-SIM-IVFPQ", "x_sim_incr" -> "X-SIM-INCR", "x_sim_rrf" -> "X-RRF", "x_profile" -> "X-PROFILE",
       "x_pagerank" -> "X-PAGERANK", "x_grouping_sets" -> "X-GROUPING-SETS",
       "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",
       "x_sample_topk" -> "X-SAMPLE-TOPK", "x_rep_ngram" -> "X-REP-NGRAM",
@@ -2875,6 +2938,7 @@ class GraftSpec extends AnyFunSuite {
       "x_bitmap_distinct" -> "X-BITMAP-DISTINCT", "x_kmv" -> "X-KMV",
       "x_dup_spans" -> "X-DUP-SPANS",
       "x_dup_spans_cut" -> "X-DUP-SPANS-CUT",
+      "x_dedup_cluster" -> "X-DEDUP-CLUSTER",
       "x_stream_join_outer" -> "X-STREAM-JOIN-OUTER",
       "x_basket" -> "X-BASKET", "x_ab_test" -> "X-AB-TEST",
       "x_skyline" -> "X-SKYLINE", "x_eval_metrics" -> "X-EVAL-METRICS",
