@@ -1196,6 +1196,59 @@ object OracleLlm {
        |FROM ann LEFT JOIN dh ON ann.qid = dh.qid
        |ORDER BY ann.qid, ann.rank""".stripMargin
 
+  /** rankMetrics mirror: each rung's published oracle query embedded
+    * VERBATIM as a derived table (so the graded lists are the EXACT
+    * lists the per-rung correctness rows already verify — any drift
+    * between a rung and its oracle shows up here twice), brute truth
+    * re-derived from the shared c/q CTEs, and the fixed-point metric
+    * math (driver-precomputed log-weight literals, integer division)
+    * identical to the Spark side. Declared after the rung SQL vals it
+    * embeds — object init order matters here.
+    */
+  val rankMetricsSql: String = {
+    val k = llm.Similarity.K
+    val w = llm.Similarity.NdcgWeightsPpb.mkString("[", ", ", "]")
+    val idcg = llm.Similarity.NdcgIdealPpb
+    s"""WITH $simBaseCtes,
+       |bs AS (
+       |  SELECT q.qid, c.vec_id AS cid,
+       |         ${cosine("q.qv", "q.qn", "c.embedding", "c.nrm")} AS cosine
+       |  FROM c, q WHERE c.vec_id <> q.qid),
+       |truth AS (
+       |  SELECT qid, cid, rank FROM (
+       |    SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid
+       |             ORDER BY cosine DESC, cid) AS BIGINT) AS rank
+       |    FROM bs) WHERE rank <= $k),
+       |allq AS (SELECT DISTINCT qid FROM truth),
+       |rungs AS (SELECT unnest(['brute', 'ivf', 'ivfpq', 'lsh', 'multiprobe', 'rrf']) AS rung),
+       |ann AS (
+       |  SELECT 'brute' AS rung, qid, rank, cid FROM truth
+       |  UNION ALL SELECT 'ivf', qid, rank, cid FROM ($simIvfSql)
+       |  UNION ALL SELECT 'ivfpq', qid, rank, cid FROM ($simIvfpqSql)
+       |  UNION ALL SELECT 'lsh', qid, rank, cid FROM ($simLshSql)
+       |  UNION ALL SELECT 'multiprobe', qid, rank, cid FROM ($simMultiprobeSql)
+       |  UNION ALL SELECT 'rrf', qid, rank, cid FROM ($rrfSql)),
+       |wt AS (SELECT $w AS w),
+       |h AS (
+       |  SELECT a.rung, a.qid, a.rank, wt.w[CAST(a.rank AS INT)] AS w_ppb
+       |  FROM ann a, truth t, wt
+       |  WHERE a.qid = t.qid AND a.cid = t.cid),
+       |pq AS (
+       |  SELECT r.rung, q2.qid,
+       |         CAST(count(h.rank) AS BIGINT) AS hits,
+       |         coalesce(CAST(1000000 AS BIGINT) // min(h.rank), 0) AS rr_ppm,
+       |         coalesce(CAST(sum(h.w_ppb) AS BIGINT) * 1000000 // $idcg, 0) AS ndcg_q_ppm
+       |  FROM rungs r CROSS JOIN allq q2
+       |  LEFT JOIN h ON h.rung = r.rung AND h.qid = q2.qid
+       |  GROUP BY r.rung, q2.qid)
+       |SELECT rung, CAST(count(*) AS BIGINT) AS n_queries,
+       |       CAST(sum(hits) AS BIGINT) AS hits_total,
+       |       CAST(1000000 * sum(hits) // (count(*) * $k) AS BIGINT) AS recall_ppm,
+       |       CAST(sum(rr_ppm) // count(*) AS BIGINT) AS mrr_ppm,
+       |       CAST(sum(ndcg_q_ppm) // count(*) AS BIGINT) AS ndcg_ppm
+       |FROM pq GROUP BY rung ORDER BY rung""".stripMargin
+  }
+
   /** fakeDecode mirror: the payload is the UTF-8 encoding of `text`, and
     * the fixture is ASCII (asserted in ScalaTest), so bytes == codepoints.
     */

@@ -56,6 +56,7 @@ object SparkEntry {
     "x_sim_ivfpq" -> (llm.Similarity.ivfpqTopK _),
     "x_sim_incr" -> (llm.Similarity.simIncrTopK _),
     "x_sim_rrf" -> (llm.Similarity.rrfTopK _),
+    "x_rank_metrics" -> (llm.Similarity.rankMetrics _),
     "q_msg" -> (etl.Trigger.dispatch _),
     "q_trigger_date" -> (etl.Trigger.currencyTrigger _),
     "q_fx_gate" -> (etl.RatesSource.gateStats _),
@@ -671,6 +672,7 @@ object SparkEntry {
     "x_sim_ivfpq" -> OracleLlm.simIvfpqSql,
     "x_sim_incr" -> OracleLlm.simIncrSql,
     "x_sim_rrf" -> OracleLlm.rrfSql,
+    "x_rank_metrics" -> OracleLlm.rankMetricsSql,
     "x_split" -> OracleLlm.splitSql,
     "x_token_budget" -> OracleLlm.tokenBudgetSql,
     "x_dsir" -> OracleLlm.dsirSql,

@@ -856,4 +856,86 @@ object Similarity {
       .select("qid", "rank", "cid", "rrf_ppm", "n_rankers")
       .orderBy("qid", "rank")
   }
+
+  // ---- retrieval rank metrics (X-RANK-METRICS) -------------------------
+
+  /** Fixed-point nDCG rank weights: W(r) = floor(1e9 / log2(r + 1)) for
+    * r in 1..[[K]], computed ONCE on the driver and injected as literals
+    * into both engines' plans — no runtime transcendental on either side,
+    * so the graded metric is bit-deterministic (the repo's integer-exact
+    * rule; float log2 at query time could round differently per libm).
+    */
+  val NdcgWeightsPpb: IndexedSeq[Long] =
+    (1 to K).map(r => (1e9 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+
+  /** Ideal DCG of a full K-list under binary relevance — the constant
+    * nDCG normalizer (every fixture query has ≥ K true neighbors, so the
+    * ideal list is always full).
+    */
+  val NdcgIdealPpb: Long = NdcgWeightsPpb.sum
+
+  /** X-RANK-METRICS: the retrieval-eval report card — recall@K, MRR and
+    * nDCG@K for EVERY ANN rung in the library (IVF, IVF-PQ, LSH,
+    * multi-probe LSH, RRF fusion) against the shared brute-force truth,
+    * plus the `brute` rung graded against itself as a built-in
+    * calibration row (it must come out exactly 1_000_000 ppm on all
+    * three metrics — a self-test the output carries everywhere it goes).
+    * `recall_hits` on the individual rungs answers "how many neighbors
+    * did THIS query lose"; this operator answers the question an index
+    * rollout actually asks — which rung clears the quality bar, and is
+    * rank position (nDCG/MRR) preserved or only set membership (recall).
+    * Relevance is binary membership in the brute top-K; all metric math
+    * is fixed-point (ppm / ppb with driver-precomputed log weights and
+    * integer division), so both engines agree bit-for-bit.
+    *
+    * Scale shape: every graded list is already ≤ K rows per query, so
+    * the metric joins and per-query folds are rank-bounded — corpus size
+    * only ever touches the rungs themselves, which keep their own scale
+    * shapes. The (rung × query) grid makes silent no-result queries
+    * count as zeros instead of vanishing from the averages.
+    */
+  def rankMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    val truth = bruteFor(spark, sfDir).select(col("qid"), col("cid"))
+    val rungs: Seq[(String, DataFrame)] = Seq(
+      "brute" -> bruteFor(spark, sfDir),
+      "ivf" -> ivfTopKOf(emb, QueryStride),
+      "ivfpq" -> ivfpqTopKOf(emb, QueryStride),
+      "lsh" -> lshTopKOf(emb, QueryStride),
+      "multiprobe" -> multiprobeTopKOf(emb, QueryStride),
+      "rrf" -> rrfTopK(spark, sfDir))
+    val ann = rungs.map { case (n, df) =>
+      df.select(lit(n).as("rung"), col("qid"), col("rank"), col("cid"))
+    }.reduce(_ unionAll _)
+    val w = array(NdcgWeightsPpb.map(lit): _*)
+    val hits = ann.join(broadcast(truth), Seq("qid", "cid"))
+      .select(col("rung"), col("qid"), col("rank"),
+        element_at(w, col("rank").cast("int")).as("w_ppb"))
+    val perQ = hits.groupBy("rung", "qid").agg(
+      count(lit(1)).as("hits"),
+      min("rank").as("first_rel"),
+      sum("w_ppb").as("dcg_ppb"))
+    val grid = rungs.map(_._1).toDF("rung")
+      .crossJoin(truth.select("qid").distinct())
+    val filled = grid.join(perQ, Seq("rung", "qid"), "left").select(
+      col("rung"),
+      coalesce(col("hits"), lit(0L)).as("hits"),
+      coalesce(expr("CAST(1000000 AS BIGINT) div first_rel"), lit(0L))
+        .as("rr_ppm"),
+      coalesce(
+        expr(s"dcg_ppb * CAST(1000000 AS BIGINT) div CAST($NdcgIdealPpb AS BIGINT)"),
+        lit(0L)).as("ndcg_q_ppm"))
+    filled.groupBy("rung").agg(
+        count(lit(1)).as("n_queries"),
+        sum("hits").as("hits_total"),
+        sum("rr_ppm").as("sum_rr"),
+        sum("ndcg_q_ppm").as("sum_ndcg"))
+      .select(col("rung"), col("n_queries"), col("hits_total"),
+        expr(s"CAST(1000000 AS BIGINT) * hits_total div (n_queries * $K)")
+          .as("recall_ppm"),
+        expr("sum_rr div n_queries").as("mrr_ppm"),
+        expr("sum_ndcg div n_queries").as("ndcg_ppm"))
+      .orderBy("rung")
+  }
 }

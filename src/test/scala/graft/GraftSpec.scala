@@ -333,6 +333,27 @@ class GraftSpec extends AnyFunSuite {
     assert(out.exists(r => r.getLong(1) == 1L && r.getLong(4) == 2L))
   }
 
+  test("x_rank_metrics: brute calibration row is exact, rrf hits contain lsh hits") {
+    val out = Similarity.rankMetrics(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out.keySet === Set("brute", "ivf", "ivfpq", "lsh", "multiprobe", "rrf"))
+    val (nq, bruteHits, _, _, _) = out("brute")
+    // brute graded against itself must be perfect in all three metrics —
+    // the built-in calibration row (floor divisions cancel exactly)
+    assert(out("brute") === ((nq, nq * Similarity.K, 1000000L, 1000000L, 1000000L)))
+    out.values.foreach { case (n, hits, recall, mrr, ndcg) =>
+      assert(n === nq)
+      assert(hits >= 0L && hits <= bruteHits)
+      Seq(recall, mrr, ndcg).foreach(m => assert(m >= 0L && m <= 1000000L))
+    }
+    // every LSH hit is in both lists, so it lands in RRF's dual band —
+    // which outranks every single-list candidate — hence RRF never loses
+    // a hit LSH found (fusion may only add brute-only hits after them)
+    assert(out("rrf")._2 >= out("lsh")._2,
+      "rrf recall must dominate the lsh ranker it fuses")
+  }
+
   test("x_dedup_cluster: transitive closure drops chain members the pairwise rule misses") {
     import spark.implicits._
     // component {1,2,3,4} via edges (1,3),(2,4),(3,4): node 2 never
@@ -2912,7 +2933,8 @@ class GraftSpec extends AnyFunSuite {
       "x_scd2" -> "X-SCD2", "x_time_travel" -> "X-TIME-TRAVEL",
       "x_vacuum" -> "X-VACUUM", "q_evolve" -> "Q-SCHEMA-EVOLVE",
       "x_change_feed" -> "X-CHANGE-FEED", "x_embed_quant" -> "X-EMBED-QUANT",
-      "x_sim_multiprobe" -> "X-SIM", "x_sim_ivfpq" -> "X-SIM-IVFPQ", "x_sim_incr" -> "X-SIM-INCR", "x_sim_rrf" -> "X-RRF", "x_profile" -> "X-PROFILE",
+      "x_sim_multiprobe" -> "X-SIM", "x_sim_ivfpq" -> "X-SIM-IVFPQ", "x_sim_incr" -> "X-SIM-INCR", "x_sim_rrf" -> "X-RRF",
+      "x_rank_metrics" -> "X-RANK-METRICS", "x_profile" -> "X-PROFILE",
       "x_pagerank" -> "X-PAGERANK", "x_grouping_sets" -> "X-GROUPING-SETS",
       "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",
       "x_sample_topk" -> "X-SAMPLE-TOPK", "x_rep_ngram" -> "X-REP-NGRAM",
