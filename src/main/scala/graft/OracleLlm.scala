@@ -846,6 +846,47 @@ object OracleLlm {
        |  i -> (CAST($av[CAST(i AS INT)] AS DOUBLE) - CAST($bv[CAST(i AS INT)] AS DOUBLE))
        |     * (CAST($av[CAST(i AS INT)] AS DOUBLE) - CAST($bv[CAST(i AS INT)] AS DOUBLE))))""".stripMargin
 
+  /** kcenter mirror: the greedy farthest-point loop unrolled to
+    * [[llm.Similarity.KCenterK]] rounds of (argmax min-dist → least-fold)
+    * CTE pairs in the same floor(x·2^10) quantized domain — every
+    * selection, distance, and tie-break is integer-exact, so the rounds
+    * agree bit-for-bit with the Spark loop.
+    */
+  val kcenterSql: String = {
+    val k = llm.Similarity.KCenterK
+    def centerQe(sel: String): String =
+      s"(SELECT e.qe FROM e JOIN $sel s ON e.vec_id = s.vec_id) c"
+    val head =
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS REAL)) AS qe
+         |  FROM embeddings),
+         |n1 AS (SELECT vec_id, CAST(0 AS DOUBLE) AS mind FROM e ORDER BY vec_id LIMIT 1),
+         |m1 AS (
+         |  SELECT m.vec_id, m.qe, ${sqdist("m.qe", "c.qe")} AS mind
+         |  FROM e m, ${centerQe("n1")})""".stripMargin
+    val rounds = (2 to k).map { i =>
+      val excl = (1 until i).map(j => s"SELECT vec_id FROM n$j").mkString(" UNION ALL ")
+      val pick =
+        s"""n$i AS (
+           |  SELECT vec_id, mind FROM m${i - 1}
+           |  WHERE vec_id NOT IN ($excl)
+           |  ORDER BY mind DESC, vec_id LIMIT 1)""".stripMargin
+      val fold = if (i == k) "" else
+        s""",
+           |m$i AS (
+           |  SELECT m.vec_id, m.qe, least(m.mind, ${sqdist("m.qe", "c.qe")}) AS mind
+           |  FROM m${i - 1} m, ${centerQe(s"n$i")})""".stripMargin
+      pick + fold
+    }
+    val select = (1 to k).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS sel_ord, CAST(vec_id AS BIGINT) AS vec_id," +
+          s" CAST(mind AS BIGINT) AS dist_q FROM n$i")
+      .mkString("", "\nUNION ALL ", "\nORDER BY sel_ord")
+    (head +: rounds).mkString("", ",\n", "\n") + select
+  }
+
   /** kmeans mirror: brute-force n×k argmin with (d, cent_id) ordering. */
   val kmeansSql: String =
     s"""WITH cents AS (

@@ -938,4 +938,75 @@ object Similarity {
         expr("sum_ndcg div n_queries").as("ndcg_ppm"))
       .orderBy("rung")
   }
+
+  // ---- greedy k-center coreset selection (X-KCENTER) -------------------
+
+  /** Coreset size for [[kcenter]] — small and fixed: the loop is k
+    * corpus passes, so k is a knob, not a scale axis.
+    */
+  val KCenterK = 8
+
+  /** X-KCENTER: greedy farthest-point selection (Gonzalez 1985, the
+    * 2-approximation for the k-center problem) — the diversity/coreset
+    * pass a curation pipeline runs to pick k maximally-spread exemplars
+    * from an embedding corpus (seed prototypes, eval probes, dedup
+    * anchors). Seed = min vec_id; each round adds the vector FARTHEST
+    * from the chosen set (max min-distance, ties → min vec_id) and
+    * records that distance — the covering radius of the set selected so
+    * far, so the output is the k-point coverage curve (nonincreasing by
+    * construction, and a 2-approximation of the optimal k-center radius).
+    *
+    * All distances live in the [[quantCorpus]] floor(x·2^10) integer
+    * domain (exact in both engines; the kmeans convention), so every
+    * selection and tie-break is bit-identical in the oracle's unrolled
+    * k-round CTE chain.
+    *
+    * Scale shape: k passes over the cached quantized corpus, each pass a
+    * map-side top-1 (TakeOrdered carries ONE row per partition) plus a
+    * narrow min-fold against the newly chosen center's broadcast-sized
+    * vector literal; driver state is the k-row model, never data. The
+    * per-round frame is cached and the previous round released, exactly
+    * like the Lloyd loop's persist-per-iteration pattern.
+    */
+  def kcenter(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val qc = quantCorpus(spark, sfDir)
+    val (seedId, seedQe) = qc.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("qe")).as[(Long, Array[Float])].head()
+    var chosen = Vector((1L, seedId, 0L))
+    var chosenIds = Vector(seedId)
+    var mind = qc.select(col("vec_id"), col("qe"),
+      sqDist(col("qe"), typedlit(seedQe)).as("mind")).cache()
+    for (i <- 2 to KCenterK) {
+      val (nextId, nextDist, nextQe) = mind
+        .filter(!col("vec_id").isin(chosenIds: _*))
+        .orderBy(col("mind").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("mind"), col("qe"))
+        .as[(Long, Double, Array[Float])].head()
+      chosen = chosen :+ ((i.toLong, nextId, nextDist.toLong))
+      chosenIds = chosenIds :+ nextId
+      val next = mind.select(col("vec_id"), col("qe"),
+        least(col("mind"), sqDist(col("qe"), typedlit(nextQe))).as("mind")).cache()
+      mind.unpersist(blocking = false)
+      mind = next
+    }
+    mind.unpersist(blocking = false)
+    chosen.toDF("sel_ord", "vec_id", "dist_q").orderBy("sel_ord")
+  }
+
+  /** The covering radius of [[kcenter]]'s full selection — max over the
+    * corpus of min-distance to any chosen center. Exposed for the spec's
+    * coverage-guarantee assertion (radius ≤ the last selection distance).
+    */
+  private[graft] def kcenterRadius(spark: SparkSession, sfDir: String): Long = {
+    import spark.implicits._
+    val picked = kcenter(spark, sfDir).select("vec_id").as[Long].collect().toSet
+    val qc = quantCorpus(spark, sfDir)
+    val cents = qc.filter(col("vec_id").isin(picked.toSeq: _*))
+      .agg(collect_list(col("qe")).as("cs"))
+    qc.join(broadcast(cents))
+      .select(aggregate(col("cs"), lit(Double.MaxValue),
+        (acc, cv) => least(acc, sqDist(col("qe"), cv))).as("mind"))
+      .agg(max("mind")).as[Double].head().toLong
+  }
 }

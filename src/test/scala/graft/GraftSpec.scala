@@ -354,6 +354,24 @@ class GraftSpec extends AnyFunSuite {
       "rrf recall must dominate the lsh ranker it fuses")
   }
 
+  test("x_kcenter: selection curve is nonincreasing and covers the corpus") {
+    val out = Similarity.kcenter(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === Similarity.KCenterK)
+    assert(out.map(_._1) === (1L to Similarity.KCenterK.toLong))
+    assert(out.map(_._2).distinct.length === out.length, "centers must be distinct")
+    assert(out.head._3 === 0L, "the seed has no prior set to be far from")
+    // farthest-point invariant: each selection distance is the covering
+    // radius of the set chosen so far, so the curve never increases
+    out.drop(1).sliding(2).foreach { pair =>
+      val (a, b) = (pair(0), pair(1))
+      assert(b._3 <= a._3, s"coverage curve increased: $a -> $b")
+    }
+    // coverage guarantee: after all K selections the corpus radius can
+    // only have shrunk further from the last selection distance
+    assert(Similarity.kcenterRadius(spark, sf) <= out.last._3)
+  }
+
   test("x_dedup_cluster: transitive closure drops chain members the pairwise rule misses") {
     import spark.implicits._
     // component {1,2,3,4} via edges (1,3),(2,4),(3,4): node 2 never
@@ -2934,7 +2952,8 @@ class GraftSpec extends AnyFunSuite {
       "x_vacuum" -> "X-VACUUM", "q_evolve" -> "Q-SCHEMA-EVOLVE",
       "x_change_feed" -> "X-CHANGE-FEED", "x_embed_quant" -> "X-EMBED-QUANT",
       "x_sim_multiprobe" -> "X-SIM", "x_sim_ivfpq" -> "X-SIM-IVFPQ", "x_sim_incr" -> "X-SIM-INCR", "x_sim_rrf" -> "X-RRF",
-      "x_rank_metrics" -> "X-RANK-METRICS", "x_profile" -> "X-PROFILE",
+      "x_rank_metrics" -> "X-RANK-METRICS", "x_kcenter" -> "X-KCENTER",
+      "x_profile" -> "X-PROFILE",
       "x_pagerank" -> "X-PAGERANK", "x_grouping_sets" -> "X-GROUPING-SETS",
       "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",
       "x_sample_topk" -> "X-SAMPLE-TOPK", "x_rep_ngram" -> "X-REP-NGRAM",
