@@ -846,6 +846,61 @@ object OracleLlm {
        |  i -> (CAST($av[CAST(i AS INT)] AS DOUBLE) - CAST($bv[CAST(i AS INT)] AS DOUBLE))
        |     * (CAST($av[CAST(i AS INT)] AS DOUBLE) - CAST($bv[CAST(i AS INT)] AS DOUBLE))))""".stripMargin
 
+  /** mmrRerank mirror: brute top-K per query with relevance and raw
+    * vectors, the K² within-query candidate-pair sims, then the greedy
+    * unrolled to K pick/update CTE pairs. λ/μ are independent double
+    * literals (never 1−λ), scores and sims are the same double expression
+    * trees as the Spark side, so selection order and tie-breaks agree
+    * bit-for-bit.
+    */
+  val mmrSql: String = {
+    val k = llm.Similarity.K
+    val lam = llm.Similarity.MmrLambda
+    val mu = llm.Similarity.MmrMu
+    val head =
+      s"""WITH $simBaseCtes,
+         |bs AS (
+         |  SELECT q.qid, c.vec_id AS cid,
+         |         ${cosine("q.qv", "q.qn", "c.embedding", "c.nrm")} AS rel,
+         |         c.embedding AS cv, c.nrm AS cn
+         |  FROM c, q WHERE c.vec_id <> q.qid),
+         |bt AS (
+         |  SELECT qid, cid, rel, cv, cn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |             ORDER BY rel DESC, cid) AS rn
+         |    FROM bs) WHERE rn <= $k),
+         |cp AS (
+         |  SELECT a.qid, a.cid AS ci, b.cid AS cj,
+         |         ${cosine("a.cv", "a.cn", "b.cv", "b.cn")} AS sim
+         |  FROM bt a JOIN bt b ON a.qid = b.qid AND a.cid <> b.cid),
+         |m0 AS (SELECT qid, cid, rel, CAST(0 AS DOUBLE) AS maxsim FROM bt)""".stripMargin
+    val rounds = (1 to k).map { t =>
+      val m = s"m${t - 1}"
+      val pick =
+        s"""p$t AS (
+           |  SELECT qid, cid, CAST($lam AS DOUBLE) * rel
+           |           - CAST($mu AS DOUBLE) * maxsim AS score FROM (
+           |    SELECT qid, cid, rel, maxsim,
+           |           row_number() OVER (PARTITION BY qid
+           |             ORDER BY CAST($lam AS DOUBLE) * rel
+           |                      - CAST($mu AS DOUBLE) * maxsim DESC, cid) AS rn
+           |    FROM $m) WHERE rn = 1)""".stripMargin
+      val fold = if (t == k) "" else
+        s""",
+           |m$t AS (
+           |  SELECT m.qid, m.cid, m.rel, greatest(m.maxsim, cp.sim) AS maxsim
+           |  FROM $m m
+           |  JOIN p$t ON m.qid = p$t.qid AND m.cid <> p$t.cid
+           |  JOIN cp ON cp.qid = m.qid AND cp.ci = m.cid AND cp.cj = p$t.cid)""".stripMargin
+      pick + fold
+    }
+    val select = (1 to k).map(t =>
+        s"SELECT qid, CAST($t AS BIGINT) AS mmr_rank, cid," +
+          s" round(score, 6) AS mmr_score FROM p$t")
+      .mkString("", "\nUNION ALL ", "\nORDER BY qid, mmr_rank")
+    (head +: rounds).mkString("", ",\n", "\n") + select
+  }
+
   /** kcenter mirror: the greedy farthest-point loop unrolled to
     * [[llm.Similarity.KCenterK]] rounds of (argmax min-dist → least-fold)
     * CTE pairs in the same floor(x·2^10) quantized domain — every

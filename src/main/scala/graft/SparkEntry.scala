@@ -58,6 +58,7 @@ object SparkEntry {
     "x_sim_rrf" -> (llm.Similarity.rrfTopK _),
     "x_rank_metrics" -> (llm.Similarity.rankMetrics _),
     "x_kcenter" -> (llm.Similarity.kcenter _),
+    "x_mmr" -> (llm.Similarity.mmrRerank _),
     "q_msg" -> (etl.Trigger.dispatch _),
     "q_trigger_date" -> (etl.Trigger.currencyTrigger _),
     "q_fx_gate" -> (etl.RatesSource.gateStats _),
@@ -675,6 +676,7 @@ object SparkEntry {
     "x_sim_rrf" -> OracleLlm.rrfSql,
     "x_rank_metrics" -> OracleLlm.rankMetricsSql,
     "x_kcenter" -> OracleLlm.kcenterSql,
+    "x_mmr" -> OracleLlm.mmrSql,
     "x_split" -> OracleLlm.splitSql,
     "x_token_budget" -> OracleLlm.tokenBudgetSql,
     "x_dsir" -> OracleLlm.dsirSql,

@@ -372,6 +372,27 @@ class GraftSpec extends AnyFunSuite {
     assert(Similarity.kcenterRadius(spark, sf) <= out.last._3)
   }
 
+  test("x_mmr: full permutation of brute top-K with a nonincreasing selection score") {
+    val mmr = Similarity.mmrRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val brute = Similarity.bruteTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(mmr.nonEmpty)
+    mmr.groupBy(_._1).foreach { case (qid, rows) =>
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.map(_._2) === (1L to Similarity.K.toLong),
+        s"$qid: mmr_rank must span 1..K")
+      assert(byRank.map(_._3).toSet === brute(qid),
+        s"$qid: MMR re-permutes the brute top-K, never swaps members")
+      // the best available MMR score only falls as maxsim state grows
+      byRank.sliding(2).foreach { pair =>
+        assert(pair(1)._4 <= pair(0)._4,
+          s"$qid: selection score increased ${pair(0)} -> ${pair(1)}")
+      }
+    }
+  }
+
   test("x_dedup_cluster: transitive closure drops chain members the pairwise rule misses") {
     import spark.implicits._
     // component {1,2,3,4} via edges (1,3),(2,4),(3,4): node 2 never
@@ -2953,7 +2974,7 @@ class GraftSpec extends AnyFunSuite {
       "x_change_feed" -> "X-CHANGE-FEED", "x_embed_quant" -> "X-EMBED-QUANT",
       "x_sim_multiprobe" -> "X-SIM", "x_sim_ivfpq" -> "X-SIM-IVFPQ", "x_sim_incr" -> "X-SIM-INCR", "x_sim_rrf" -> "X-RRF",
       "x_rank_metrics" -> "X-RANK-METRICS", "x_kcenter" -> "X-KCENTER",
-      "x_profile" -> "X-PROFILE",
+      "x_mmr" -> "X-MMR", "x_profile" -> "X-PROFILE",
       "x_pagerank" -> "X-PAGERANK", "x_grouping_sets" -> "X-GROUPING-SETS",
       "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",
       "x_sample_topk" -> "X-SAMPLE-TOPK", "x_rep_ngram" -> "X-REP-NGRAM",
