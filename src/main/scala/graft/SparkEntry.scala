@@ -76,6 +76,7 @@ object SparkEntry {
     "x_dedup_embed" -> (ScaleQueries.embedDups _),
     "x_bucket_join" -> (ScaleQueries.bucketedJoin _),
     "x_quality_filter" -> (llm.TextAnalysis.qualityFilter _),
+    "x_pr_curve" -> (llm.TextAnalysis.prCurve _),
     "x_source_sim" -> (llm.Dedup.sourceSimilarity _),
     "x_dedup_pipeline" -> (llm.Dedup.dedupPipeline _),
     "x_dedup_cluster" -> (llm.Dedup.dedupCluster _),
@@ -438,6 +439,41 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |       CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    "x_pr_curve" -> {
+      val thrs = llm.TextAnalysis.PrThresholds.mkString(", ")
+      s"""WITH feats AS (
+         |  SELECT CAST(length(text) AS BIGINT) AS n_chars,
+         |         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+         |           t -> t IN ('the','a','an','and','of','to','in','is','on','for'))) AS BIGINT) AS n_stop,
+         |         CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+         |  FROM documents),
+         |s AS (
+         |  SELECT CASE WHEN n_tokens = 0 THEN 0 ELSE n_stop * 1000 // n_tokens END AS score,
+         |         (n_tokens >= 20 AND n_tokens <= 2000
+         |          AND CAST(n_stop AS DOUBLE) <= CAST(n_tokens AS DOUBLE) * 0.5
+         |          AND CAST(n_punct AS DOUBLE) <= CAST(n_chars AS DOUBLE) * 0.1) AS label
+         |  FROM feats),
+         |h AS (SELECT score, label, count(*) AS n FROM s GROUP BY score, label),
+         |t AS (SELECT unnest([$thrs]) AS thr),
+         |c AS (
+         |  SELECT t.thr,
+         |         CAST(coalesce(sum(CASE WHEN h.score >= t.thr AND h.label THEN h.n END), 0) AS BIGINT) AS tp,
+         |         CAST(coalesce(sum(CASE WHEN h.score >= t.thr AND NOT h.label THEN h.n END), 0) AS BIGINT) AS fp,
+         |         CAST(coalesce(sum(CASE WHEN h.score < t.thr AND h.label THEN h.n END), 0) AS BIGINT) AS fn,
+         |         CAST(coalesce(sum(CASE WHEN h.score < t.thr AND NOT h.label THEN h.n END), 0) AS BIGINT) AS tn
+         |  FROM t CROSS JOIN h GROUP BY t.thr),
+         |p AS (
+         |  SELECT *, coalesce(tp * 1000000 // nullif(tp + fp, 0), 0) AS precision_ppm,
+         |         coalesce(tp * 1000000 // nullif(tp + fn, 0), 0) AS recall_ppm
+         |  FROM c)
+         |SELECT CAST(thr AS BIGINT) AS thr, tp, fp, fn, tn,
+         |       CAST(precision_ppm AS BIGINT) AS precision_ppm,
+         |       CAST(recall_ppm AS BIGINT) AS recall_ppm,
+         |       CAST(coalesce(2 * precision_ppm * recall_ppm
+         |              // nullif(precision_ppm + recall_ppm, 0), 0) AS BIGINT) AS f1_ppm
+         |FROM p ORDER BY thr""".stripMargin
+    },
     "x_dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
         |       CAST(count(*) AS BIGINT) AS n_copies,

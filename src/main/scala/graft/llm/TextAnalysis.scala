@@ -68,6 +68,62 @@ object TextAnalysis {
     * punctuation ratio — all exact-integer comparisons or identical
     * double ratios, so the oracle reproduces the exact survivor set.
     */
+  /** Stopword-density per-mille cutoffs swept by [[prCurve]] — the
+    * fixture's density mass sits in 0..~250‰, so nine steps of 25 cover
+    * the whole operating range of the score.
+    */
+  val PrThresholds: Seq[Long] = (1 to 9).map(_ * 25L)
+
+  /** X-PR-CURVE: the threshold sweep a filter rollout actually reads —
+    * precision/recall/F1 of a cheap scalar score (stopword density in
+    * per-mille, the classic fluency proxy) at each candidate cutoff,
+    * graded against the richer [[qualityFilter]] keep rule as reference
+    * truth. This is how a curation run picks the cutoff for a
+    * model-assisted filter: sweep the score, read the curve, choose the
+    * knee. All confusion counts are exact integers and the three ratios
+    * are integer ppm (one `div` each), so both engines agree exactly;
+    * zero-token docs score 0 by definition (predicted drop at every
+    * cutoff).
+    *
+    * Scale shape: the corpus is touched by ONE partial+final aggregation
+    * onto the (score, label) histogram — ≤ 2·1001 cells regardless of
+    * corpus size — and the T-way threshold sweep runs on that histogram,
+    * never on documents. Adding thresholds is free; adding data costs
+    * one scan.
+    */
+  def prCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val f = qualityFeatures(Tables.documents(spark, sfDir))
+      .select(
+        coalesce(expr("n_stopwords * CAST(1000 AS BIGINT) div nullif(n_tokens, 0)"),
+          lit(0L)).as("score"),
+        (col("n_tokens") >= 20 && col("n_tokens") <= 2000 &&
+          col("n_stopwords").cast("double") <= col("n_tokens").cast("double") * 0.5 &&
+          col("n_punct").cast("double") <= col("n_chars").cast("double") * 0.1)
+          .as("label"))
+    val hist = f.groupBy("score", "label").agg(count(lit(1)).as("n"))
+    val sweep = hist.crossJoin(broadcast(PrThresholds.toDF("thr")))
+      .groupBy("thr").agg(
+        sum(when(col("score") >= col("thr") && col("label"), col("n"))
+          .otherwise(0L)).as("tp"),
+        sum(when(col("score") >= col("thr") && !col("label"), col("n"))
+          .otherwise(0L)).as("fp"),
+        sum(when(col("score") < col("thr") && col("label"), col("n"))
+          .otherwise(0L)).as("fn"),
+        sum(when(col("score") < col("thr") && !col("label"), col("n"))
+          .otherwise(0L)).as("tn"))
+    sweep
+      .withColumn("precision_ppm",
+        coalesce(expr("tp * CAST(1000000 AS BIGINT) div nullif(tp + fp, 0)"), lit(0L)))
+      .withColumn("recall_ppm",
+        coalesce(expr("tp * CAST(1000000 AS BIGINT) div nullif(tp + fn, 0)"), lit(0L)))
+      .withColumn("f1_ppm",
+        coalesce(
+          expr("2 * precision_ppm * recall_ppm div nullif(precision_ppm + recall_ppm, 0)"),
+          lit(0L)))
+      .orderBy("thr")
+  }
+
   def qualityFilter(spark: SparkSession, sfDir: String): DataFrame =
     qualityFeatures(Tables.documents(spark, sfDir))
       .withColumn("keep",

@@ -393,6 +393,25 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("x_pr_curve: confusion counts partition the corpus, tp/fp/recall fall as thr rises") {
+    val out = llm.TextAnalysis.prCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(out.map(_._1) === llm.TextAnalysis.PrThresholds)
+    val nDocs = Tables.documents(spark, sf).count()
+    out.foreach { case (thr, tp, fp, fn, tn, p, rcl, f1) =>
+      assert(tp + fp + fn + tn === nDocs, s"thr=$thr: counts must partition the corpus")
+      Seq(p, rcl, f1).foreach(m => assert(m >= 0L && m <= 1000000L))
+    }
+    // raising the cutoff can only shrink the predicted-positive set, so
+    // tp, fp, and recall (constant denominator) are nonincreasing
+    out.sliding(2).foreach { pair =>
+      val (a, b) = (pair(0), pair(1))
+      assert(b._2 <= a._2 && b._3 <= a._3 && b._7 <= a._7,
+        s"monotonicity broken between thr=${a._1} and thr=${b._1}")
+    }
+  }
+
   test("x_dedup_cluster: transitive closure drops chain members the pairwise rule misses") {
     import spark.implicits._
     // component {1,2,3,4} via edges (1,3),(2,4),(3,4): node 2 never
@@ -2974,7 +2993,8 @@ class GraftSpec extends AnyFunSuite {
       "x_change_feed" -> "X-CHANGE-FEED", "x_embed_quant" -> "X-EMBED-QUANT",
       "x_sim_multiprobe" -> "X-SIM", "x_sim_ivfpq" -> "X-SIM-IVFPQ", "x_sim_incr" -> "X-SIM-INCR", "x_sim_rrf" -> "X-RRF",
       "x_rank_metrics" -> "X-RANK-METRICS", "x_kcenter" -> "X-KCENTER",
-      "x_mmr" -> "X-MMR", "x_profile" -> "X-PROFILE",
+      "x_mmr" -> "X-MMR", "x_pr_curve" -> "X-PR-CURVE",
+      "x_profile" -> "X-PROFILE",
       "x_pagerank" -> "X-PAGERANK", "x_grouping_sets" -> "X-GROUPING-SETS",
       "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",
       "x_sample_topk" -> "X-SAMPLE-TOPK", "x_rep_ngram" -> "X-REP-NGRAM",
