@@ -584,6 +584,15 @@ object Similarity {
   val PqSampleStride = 40
   val PqSampleOffset = 20
 
+  /** Codebook size cap per subspace — production PQ's 8-bit codebook.
+    * Without the cap the deterministic every-Nth sample GROWS with the
+    * corpus, making encode cost O(n·samples) = O(n²/stride): ~1500
+    * codewords at sf0.1 already dominated the rung's bench time, and a
+    * 100 TB corpus would be quadratic. Capped, encode is O(n·256·d) —
+    * linear in the corpus like every real PQ index build.
+    */
+  val PqBookSize = 256
+
   /** ADC shortlist size: candidates surviving the PQ prefilter per query
     * before exact re-ranking.
     */
@@ -683,7 +692,8 @@ object Similarity {
           (x, cc) => x.cast("double") - cc.cast("double")).as("rv"))
 
     // per-subspace codebooks: ONE broadcast row of sample residuals
-    val books = resid.filter(col("vec_id") % PqSampleStride === PqSampleOffset)
+    val books = resid.filter(col("vec_id") % PqSampleStride === PqSampleOffset &&
+        col("vec_id") < PqSampleOffset + PqBookSize.toLong * PqSampleStride)
       .agg(collect_list(struct(col("vec_id").as("bid"), col("rv").as("bv"))).as("books"))
 
     // encode (map-only): winning codeword per subspace
@@ -934,8 +944,10 @@ object Similarity {
       count(lit(1)).as("hits"),
       min("rank").as("first_rel"),
       sum("w_ppb").as("dcg_ppb"))
-    val grid = rungs.map(_._1).toDF("rung")
-      .crossJoin(truth.select("qid").distinct())
+    // (rung × query) grid via a constant-literal explode — map-side,
+    // no join node for the planner to mis-size
+    val grid = truth.select("qid").distinct()
+      .select(col("qid"), explode(typedlit(rungs.map(_._1))).as("rung"))
     val filled = grid.join(perQ, Seq("rung", "qid"), "left").select(
       col("rung"),
       coalesce(col("hits"), lit(0L)).as("hits"),

@@ -102,7 +102,10 @@ object TextAnalysis {
           col("n_punct").cast("double") <= col("n_chars").cast("double") * 0.1)
           .as("label"))
     val hist = f.groupBy("score", "label").agg(count(lit(1)).as("n"))
-    val sweep = hist.crossJoin(broadcast(PrThresholds.toDF("thr")))
+    // the T-way sweep is a map-side explode of a constant literal over
+    // the histogram — no join node, nothing for a planner to mis-size
+    val sweep = hist
+      .select(col("*"), explode(typedlit(PrThresholds)).as("thr"))
       .groupBy("thr").agg(
         sum(when(col("score") >= col("thr") && col("label"), col("n"))
           .otherwise(0L)).as("tp"),
