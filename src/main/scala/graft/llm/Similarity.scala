@@ -936,6 +936,18 @@ object Similarity {
     val ann = rungs.map { case (n, df) =>
       df.select(lit(n).as("rung"), col("qid"), col("rank"), col("cid"))
     }.reduce(_ unionAll _)
+    rankMetricsOf(ann, truth, rungs.map(_._1))
+  }
+
+  /** [[rankMetrics]]'s metric core on explicit (ann, truth) frames —
+    * split out so the property law can drive the fixed-point metric math
+    * with generated rankings against a sequential reference. `ann` is
+    * (rung, qid, rank, cid) with rank in 1..K; `truth` is the (qid, cid)
+    * relevant set; every rung in `rungNames` is reported even when it
+    * returned nothing.
+    */
+  def rankMetricsOf(ann: DataFrame, truth: DataFrame,
+      rungNames: Seq[String]): DataFrame = {
     val w = array(NdcgWeightsPpb.map(lit): _*)
     val hits = ann.join(broadcast(truth), Seq("qid", "cid"))
       .select(col("rung"), col("qid"), col("rank"),
@@ -947,7 +959,7 @@ object Similarity {
     // (rung × query) grid via a constant-literal explode — map-side,
     // no join node for the planner to mis-size
     val grid = truth.select("qid").distinct()
-      .select(col("qid"), explode(typedlit(rungs.map(_._1))).as("rung"))
+      .select(col("qid"), explode(typedlit(rungNames)).as("rung"))
     val filled = grid.join(perQ, Seq("rung", "qid"), "left").select(
       col("rung"),
       coalesce(col("hits"), lit(0L)).as("hits"),

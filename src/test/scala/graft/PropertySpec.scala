@@ -725,4 +725,100 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want, s"interval merge drifted: got $got want $want")
     }
   }
+
+  test("law: X-DEDUP-CLUSTER equals a sequential union-find reference on random graphs") {
+    import spark.implicits._
+    val caseGen: Gen[(Int, List[(Long, Long)])] = for {
+      n <- Gen.chooseNum(2, 24)
+      // edges drawn WITH repetition and self-loop-free; density spans
+      // isolated pairs through near-complete components
+      es <- Gen.listOf(for {
+        a <- Gen.chooseNum(1L, n.toLong)
+        off <- Gen.chooseNum(1L, n.toLong - 1L)
+      } yield {
+        val b = 1L + (a - 1L + off) % n // any node except a, no filtering
+        (math.min(a, b), math.max(a, b))
+      })
+    } yield (n, es)
+    forAll(caseGen, cases = 5) { case (n, es) =>
+      val docs = (1 to n).map(i =>
+        (i.toLong, s"s${i % 3}", "x" * (1 + i % 7))).toDF("doc_id", "source", "text")
+      val edges = (if (es.isEmpty) List((1L, 2L)) else es).distinct
+      val got = llm.Dedup.dedupClusterOf(docs, edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      // sequential union-find with path compression
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // canonical = min id of the component = its root under min-union
+      val comp = (1 to n).map(i => i -> find(i)).toMap
+      val pairwiseDropped = edges.map(_._2).toSet
+      val want = (1 to n).groupBy(i => s"s${i % 3}").map { case (src, ids) =>
+        val dropped = ids.filter(i => comp(i) != i)
+        src -> ((
+          (ids.size - dropped.size).toLong,
+          ids.filter(i => comp(i) == i).map(i => (1 + i % 7).toLong).sum,
+          dropped.size.toLong,
+          dropped.count(i => !pairwiseDropped(i.toLong)).toLong))
+      }
+      assert(got == want, s"cluster dedup drifted on edges=$edges: got $got want $want")
+    }
+  }
+
+  test("law: X-RANK-METRICS fixed-point math equals a sequential reference on random rankings") {
+    import spark.implicits._
+    val K = llm.Similarity.K
+    val caseGen: Gen[(List[(String, Long, List[Long])], List[(Long, List[Long])])] = for {
+      nq <- Gen.chooseNum(1, 4)
+      rungs = List("a", "b")
+      ann <- Gen.sequence[List[(String, Long, List[Long])], (String, Long, List[Long])](
+        for { r <- rungs; q <- 1 to nq } yield for {
+          len <- Gen.chooseNum(0, K)
+          cids <- Gen.pick(len, 1L to 30L)
+        } yield (r, q.toLong, cids.toList))
+      truth <- Gen.sequence[List[(Long, List[Long])], (Long, List[Long])](
+        (1 to nq).toList.map(q =>
+          Gen.pick(K, 1L to 30L).map(c => (q.toLong, c.toList))))
+    } yield (ann, truth)
+    forAll(caseGen, cases = 5) { case (annLists, truthLists) =>
+      val annDf = annLists.flatMap { case (r, q, cids) =>
+        cids.zipWithIndex.map { case (c, i) => (r, q, i + 1L, c) }
+      }.toDF("rung", "qid", "rank", "cid")
+      val truthDf = truthLists.flatMap { case (q, cs) => cs.map((q, _)) }
+        .toDF("qid", "cid")
+      val got = llm.Similarity.rankMetricsOf(annDf, truthDf, Seq("a", "b"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      val w = llm.Similarity.NdcgWeightsPpb
+      val idcg = llm.Similarity.NdcgIdealPpb
+      val truthSets = truthLists.map { case (q, cs) => q -> cs.toSet }.toMap
+      val nq = truthLists.size.toLong
+      val want = List("a", "b").map { rung =>
+        val perQ = truthLists.map { case (q, _) =>
+          val list = annLists.find(a => a._1 == rung && a._2 == q).map(_._3).getOrElse(Nil)
+          val hitRanks = list.zipWithIndex.collect {
+            case (c, i) if truthSets(q)(c) => i + 1
+          }
+          val hits = hitRanks.size.toLong
+          val rr = hitRanks.headOption.map(1000000L / _.toLong).getOrElse(0L)
+          val dcg = hitRanks.map(r => w(r - 1)).sum
+          (hits, rr, dcg * 1000000L / idcg)
+        }
+        rung -> ((nq, perQ.map(_._1).sum,
+          1000000L * perQ.map(_._1).sum / (nq * K),
+          perQ.map(_._2).sum / nq, perQ.map(_._3).sum / nq))
+      }.toMap
+      assert(got == want, s"rank metrics drifted: got $got want $want")
+    }
+  }
 }
