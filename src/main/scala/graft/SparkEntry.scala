@@ -77,6 +77,8 @@ object SparkEntry {
     "x_bucket_join" -> (ScaleQueries.bucketedJoin _),
     "x_quality_filter" -> (llm.TextAnalysis.qualityFilter _),
     "x_pr_curve" -> (llm.TextAnalysis.prCurve _),
+    "x_kanon" -> (llm.Profile.kanon _),
+    "x_priority_sample" -> (llm.Sampling.prioritySample _),
     "x_source_sim" -> (llm.Dedup.sourceSimilarity _),
     "x_dedup_pipeline" -> (llm.Dedup.dedupPipeline _),
     "x_dedup_cluster" -> (llm.Dedup.dedupCluster _),
@@ -439,6 +441,35 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |       CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    "x_kanon" ->
+      s"""WITH qi AS (
+         |  SELECT lang, source, n_chars // 100 AS len_bucket, count(*) AS class_size
+         |  FROM documents GROUP BY 1, 2, 3)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_classes,
+         |       CAST(sum(CASE WHEN class_size = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+         |       CAST(sum(CASE WHEN class_size < ${llm.Profile.KanonK} THEN class_size ELSE 0 END) AS BIGINT) AS at_risk_docs,
+         |       CAST(min(class_size) AS BIGINT) AS min_class,
+         |       CAST(max(class_size) AS BIGINT) AS max_class
+         |FROM qi GROUP BY source ORDER BY source""".stripMargin,
+    "x_priority_sample" -> {
+      val n = llm.Sampling.PrioritySampleN
+      val m = llm.Sampling.PriorityM
+      s"""WITH pr AS (
+         |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+         |         (doc_id * 2654435761) % $m + 1 AS h
+         |  FROM documents),
+         |pp AS (
+         |  SELECT doc_id, source, w,
+         |         CAST(w AS DOUBLE) * CAST($m AS DOUBLE) / CAST(h AS DOUBLE) AS p
+         |  FROM pr),
+         |r AS (SELECT *, row_number() OVER (ORDER BY p DESC, doc_id) AS rn FROM pp),
+         |tau AS (
+         |  SELECT coalesce(max(CASE WHEN rn = ${n + 1} THEN p END), CAST(0 AS DOUBLE)) AS tau
+         |  FROM r WHERE rn <= ${n + 1})
+         |SELECT doc_id, source, w, round(p, 4) AS priority,
+         |       round(greatest(CAST(w AS DOUBLE), tau), 4) AS w_est
+         |FROM r, tau WHERE rn <= $n ORDER BY doc_id""".stripMargin
+    },
     "x_pr_curve" -> {
       val thrs = llm.TextAnalysis.PrThresholds.mkString(", ")
       s"""WITH feats AS (

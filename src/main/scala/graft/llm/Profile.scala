@@ -46,4 +46,39 @@ object Profile {
         col("p.n_null").as("n_null"), col("p.n_distinct").as("n_distinct"))
       .orderBy("col_name")
   }
+
+  /** The k of the [[kanon]] re-identification audit: groups smaller than
+    * this are "at risk" (the conventional k=5 release threshold).
+    */
+  val KanonK = 5L
+
+  /** X-KANON: k-anonymity audit of the document corpus before release —
+    * treat (lang, source, ⌊n_chars/100⌋) as the quasi-identifier tuple
+    * and report, per source, how many QI equivalence classes exist, how
+    * many are singletons, how many documents sit in classes smaller than
+    * k=[[KanonK]] (the re-identifiable population a release review
+    * reads), and the min/max class size. A dataset published with
+    * singleton QI classes can be joined back to individuals by anyone
+    * holding the same quasi-identifiers — this is the audit that says so
+    * BEFORE the data ships.
+    *
+    * Scale shape: one partial+final aggregation from facts onto QI
+    * classes (the only corpus-sized shuffle, carrying 8-byte counts),
+    * then a dimension-sized rollup of class rows per source. Exact
+    * integers end to end.
+    */
+  def kanon(spark: SparkSession, sfDir: String): DataFrame = {
+    val qi = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source"),
+        expr("n_chars div 100").as("len_bucket"))
+      .agg(count(lit(1)).as("class_size"))
+    qi.groupBy("source").agg(
+        count(lit(1)).as("n_classes"),
+        sum(when(col("class_size") === 1L, 1L).otherwise(0L)).as("n_singletons"),
+        sum(when(col("class_size") < KanonK, col("class_size")).otherwise(0L))
+          .as("at_risk_docs"),
+        min("class_size").as("min_class"),
+        max("class_size").as("max_class"))
+      .orderBy("source")
+  }
 }

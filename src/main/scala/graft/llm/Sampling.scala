@@ -532,4 +532,53 @@ object Sampling {
         "job and the assignment job — token mass not conserved; rerun")
     out
   }
+
+  // ---- priority sampling (X-PRIORITY-SAMPLE) ---------------------------
+
+  /** Sample size for [[prioritySample]]. */
+  val PrioritySampleN = 50
+
+  /** Modulus of the deterministic per-doc uniform: h ∈ [1, 2^31−1]. */
+  val PriorityM = 2147483647L
+
+  /** X-PRIORITY-SAMPLE: priority sampling (Duffield/Lund/Thorup, JACM
+    * 2007) — the one-pass bounded-memory WEIGHTED sample a 100 TB corpus
+    * can actually afford: each doc gets priority p = w·M/h where w is its
+    * weight (chars — a token-mass proxy) and h a deterministic 31-bit
+    * multiplicative hash of doc_id standing in for the uniform draw
+    * (mirrored exactly in the oracle — no RNG, rerunnable); the sample is
+    * the top-[[PrioritySampleN]] by (p, doc_id) and each member carries
+    * the Horvitz–Thompson adjusted weight ŵ = max(w, τ) with τ the
+    * (n+1)-th priority — Σŵ is the canonical unbiased estimator of total
+    * corpus weight from n rows of state. Priorities are ONE int-exact
+    * multiply and ONE IEEE division, bit-identical across engines.
+    *
+    * Scale shape: a single corpus scan into a map-side partial top-(n+1)
+    * (TakeOrdered carries n+1 rows per partition, never the corpus);
+    * everything after runs on n+1 rows. This is the weighted companion
+    * to X-SAMPLE's uniform split — the op that picks "10k docs, long
+    * ones proportionally more often" without a shuffle or a second pass.
+    */
+  def prioritySample(spark: SparkSession, sfDir: String): DataFrame = {
+    val prio = Tables.documents(spark, sfDir).select(
+        col("doc_id"), col("source"), col("n_chars").cast("long").as("w"),
+        (pmod(col("doc_id") * 2654435761L, lit(PriorityM)) + 1L).as("h"))
+      .select(col("doc_id"), col("source"), col("w"),
+        (col("w").cast("double") * PriorityM / col("h").cast("double")).as("p"))
+    // top n+1: the (n+1)-th priority IS the HT threshold τ — when the
+    // corpus has ≤ n docs everything is sampled and τ = 0 (ŵ = w exactly)
+    val top = prio.orderBy(col("p").desc, col("doc_id"))
+      .limit(PrioritySampleN + 1).cache()
+    val tau =
+      if (top.count() > PrioritySampleN)
+        top.orderBy(col("p").asc, col("doc_id").desc).limit(1)
+          .select(col("p").as("tau"))
+      else top.limit(1).select(lit(0.0d).as("tau"))
+    top.orderBy(col("p").desc, col("doc_id")).limit(PrioritySampleN)
+      .join(broadcast(tau))
+      .select(col("doc_id"), col("source"), col("w"),
+        round(col("p"), 4).as("priority"),
+        round(greatest(col("w").cast("double"), col("tau")), 4).as("w_est"))
+      .orderBy("doc_id")
+  }
 }

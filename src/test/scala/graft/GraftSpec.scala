@@ -412,6 +412,39 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("x_kanon: class accounting is internally consistent per source") {
+    val docsPerSource = Tables.documents(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = llm.Profile.kanon(spark, sf).collect()
+    assert(out.map(_.getString(0)).toSet === docsPerSource.keySet)
+    out.foreach { r =>
+      val (src, nc, ns, risk, mn, mx) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(ns <= nc, s"$src: singletons are classes")
+      assert(risk >= ns, s"$src: at-risk docs include every singleton")
+      assert(mn >= 1L && mn <= mx)
+      assert(nc <= docsPerSource(src) && risk <= docsPerSource(src))
+    }
+  }
+
+  test("x_priority_sample: HT adjustment floors at the threshold, tau=0 when all sampled") {
+    val nDocs = Tables.documents(spark, sf).count()
+    val out = llm.Sampling.prioritySample(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.length === math.min(nDocs, llm.Sampling.PrioritySampleN.toLong).toInt)
+    assert(out.map(_._1).distinct.length === out.length, "sampled docs are distinct")
+    out.foreach { case (id, w, p, wEst) =>
+      assert(wEst >= w.toDouble, s"doc $id: HT weight must never shrink below w")
+      assert(p > 0.0)
+    }
+    if (nDocs <= llm.Sampling.PrioritySampleN)
+      // everything sampled → τ = 0 → the estimator is exact: ŵ = w
+      out.foreach { case (id, w, _, wEst) =>
+        assert(wEst === w.toDouble, s"doc $id: all-sampled estimate must be exact")
+      }
+  }
+
   test("x_dedup_cluster: transitive closure drops chain members the pairwise rule misses") {
     import spark.implicits._
     // component {1,2,3,4} via edges (1,3),(2,4),(3,4): node 2 never
@@ -2994,6 +3027,7 @@ class GraftSpec extends AnyFunSuite {
       "x_sim_multiprobe" -> "X-SIM", "x_sim_ivfpq" -> "X-SIM-IVFPQ", "x_sim_incr" -> "X-SIM-INCR", "x_sim_rrf" -> "X-RRF",
       "x_rank_metrics" -> "X-RANK-METRICS", "x_kcenter" -> "X-KCENTER",
       "x_mmr" -> "X-MMR", "x_pr_curve" -> "X-PR-CURVE",
+      "x_kanon" -> "X-KANON", "x_priority_sample" -> "X-PRIORITY-SAMPLE",
       "x_profile" -> "X-PROFILE",
       "x_pagerank" -> "X-PAGERANK", "x_grouping_sets" -> "X-GROUPING-SETS",
       "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",
