@@ -79,6 +79,8 @@ object SparkEntry {
     "x_pr_curve" -> (llm.TextAnalysis.prCurve _),
     "x_kanon" -> (llm.Profile.kanon _),
     "x_priority_sample" -> (llm.Sampling.prioritySample _),
+    "x_group_split" -> (llm.Sampling.groupSplit _),
+    "x_rebalance" -> (llm.Sampling.rebalance _),
     "x_source_sim" -> (llm.Dedup.sourceSimilarity _),
     "x_dedup_pipeline" -> (llm.Dedup.dedupPipeline _),
     "x_dedup_cluster" -> (llm.Dedup.dedupCluster _),
@@ -441,6 +443,31 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |       CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    "x_group_split" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN (user_id * 2654435761) % 10 < 8 THEN 'train' ELSE 'test' END AS split,
+        |         user_id, event_type,
+        |         coalesce(CAST(CAST(value AS DECIMAL(18, 2)) * 100 AS BIGINT), 0) AS cents
+        |  FROM events)
+        |SELECT split, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+        |       CAST(sum(cents) AS BIGINT) AS value_cents
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    "x_rebalance" -> {
+      val m = llm.Sampling.RebalanceM
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+         |c AS (SELECT label, count(*) AS n_label FROM e GROUP BY label),
+         |mn AS (SELECT min(n_label) AS n_min FROM c),
+         |k AS (
+         |  SELECT e.label, e.vec_id, c.n_label
+         |  FROM e JOIN c ON e.label = c.label, mn
+         |  WHERE ((e.vec_id * 2654435761) % $m) * c.n_label < mn.n_min * $m)
+         |SELECT label, CAST(max(n_label) AS BIGINT) AS n_before,
+         |       CAST(count(*) AS BIGINT) AS n_kept,
+         |       CAST(sum(vec_id) AS BIGINT) AS kept_checksum
+         |FROM k GROUP BY label ORDER BY label""".stripMargin
+    },
     "x_kanon" ->
       s"""WITH qi AS (
          |  SELECT lang, source, n_chars // 100 AS len_bucket, count(*) AS class_size

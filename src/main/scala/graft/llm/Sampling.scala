@@ -533,6 +533,79 @@ object Sampling {
     out
   }
 
+  // ---- leakage-free grouped split (X-GROUP-SPLIT) ----------------------
+
+  /** X-GROUP-SPLIT: train/test split by GROUP, not by row — every event
+    * of a user lands in exactly one side (split on a multiplicative hash
+    * of user_id, 80/20), which is what stops entity leakage when rows of
+    * the same user are near-duplicates of each other: a per-row split
+    * (X-SPLIT's per-doc shape) would let the model see the test users'
+    * history at train time. Reports per split the user, event, purchase,
+    * and value mass so a training run can confirm the split didn't skew
+    * the label distribution. Disjointness is by construction (one hash
+    * per user decides every row) and the spec asserts it on materialized
+    * user sets.
+    *
+    * Scale shape: narrow per-row hash + ONE partial-aggregated shuffle
+    * onto (split); no window, no per-group state, no second pass.
+    */
+  def groupSplit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(
+        when(pmod(col("user_id") * 2654435761L, lit(10L)) < 8L, "train")
+          .otherwise("test").as("split"),
+        col("user_id"), col("event_type"),
+        coalesce((col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long"), lit(0L)).as("cents"))
+      .groupBy("split")
+      .agg(
+        countDistinct("user_id").as("n_users"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        sum("cents").as("value_cents"))
+      .orderBy("split")
+
+  // ---- deterministic class rebalancing (X-REBALANCE) -------------------
+
+  /** Hash-bucket modulus for [[rebalance]]'s keep rule: 2^20 buckets keep
+    * the integer cross-multiplication `h · n_label < n_min · 2^20` inside
+    * BIGINT even at trillion-row labels (h < 2^20, so the left side stays
+    * under 2^63 until a single label exceeds ~8·10^12 rows).
+    */
+  val RebalanceM = 1L << 20
+
+  /** X-REBALANCE: deterministic downsampling to the minority class — the
+    * class-imbalance treatment a labeled corpus gets before training:
+    * every label keeps a hash-proportional subset sized toward the
+    * SMALLEST label's count (keep row iff h·n_label < n_min·M, the
+    * integer cross-multiplied form of h/M < n_min/n_label), so the
+    * surviving label distribution is near-uniform without an RNG, a
+    * window, or a per-label sort. The keep decision is per-row against
+    * broadcast label counts — no skewed rank-within-label shuffle, which
+    * is what makes this shape survive a label with 10^12 rows. Output
+    * per label: before/kept counts and an id checksum pinning the exact
+    * surviving set.
+    */
+  def rebalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val counts = e.groupBy("label").agg(count(lit(1)).as("n_label"))
+    val nMin = counts.agg(min("n_label").as("n_min"))
+    val kept = e
+      .join(broadcast(counts), Seq("label"))
+      .join(broadcast(nMin))
+      .filter(pmod(col("vec_id") * 2654435761L, lit(RebalanceM)) * col("n_label")
+        < col("n_min") * RebalanceM)
+    kept.groupBy("label").agg(
+        count(lit(1)).as("n_kept"),
+        sum("vec_id").as("kept_checksum"))
+      .join(broadcast(counts), Seq("label"))
+      .select(col("label"), col("n_label").as("n_before"), col("n_kept"),
+        col("kept_checksum"))
+      .orderBy("label")
+  }
+
   // ---- priority sampling (X-PRIORITY-SAMPLE) ---------------------------
 
   /** Sample size for [[prioritySample]]. */

@@ -445,6 +445,45 @@ class GraftSpec extends AnyFunSuite {
       }
   }
 
+  test("x_group_split: user sets are disjoint and events are conserved") {
+    import spark.implicits._
+    val out = llm.Sampling.groupSplit(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ev = Tables.events(spark, sf)
+    assert(out.values.map(_._2).sum === ev.count(), "every event lands in exactly one split")
+    // the split key is the user hash, so materialized user sets must be
+    // disjoint — THE property a per-row split cannot give you
+    val sides = Seq("train", "test").map { s =>
+      ev.select(col("user_id"),
+          when(pmod(col("user_id") * 2654435761L, lit(10L)) < 8L, "train")
+            .otherwise("test").as("split"))
+        .filter(col("split") === s).select("user_id").distinct()
+        .as[Long].collect().toSet
+    }
+    assert((sides(0) & sides(1)).isEmpty, "a user leaked across splits")
+    assert(sides(0).size.toLong === out("train")._1)
+    assert(sides(1).size.toLong === out("test")._1)
+  }
+
+  test("x_rebalance: minority label survives whole, others shrink toward it") {
+    val out = llm.Sampling.rebalance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val nMin = out.map(_._2).min
+    out.foreach { case (label, before, kept, _) =>
+      assert(kept >= 1L && kept <= before, s"label $label: kept must be a subset")
+    }
+    val minority = out.filter(_._2 == nMin)
+    minority.foreach { case (label, before, kept, _) =>
+      assert(kept === before, s"minority label $label must survive whole (h < M always)")
+    }
+    // the hash-proportional rule lands each label NEAR n_min — allow the
+    // deterministic-hash wobble but catch a broken proportion outright
+    out.foreach { case (label, _, kept, _) =>
+      assert(kept <= 2 * nMin, s"label $label kept $kept — proportioning broken vs $nMin")
+    }
+  }
+
   test("x_dedup_cluster: transitive closure drops chain members the pairwise rule misses") {
     import spark.implicits._
     // component {1,2,3,4} via edges (1,3),(2,4),(3,4): node 2 never
@@ -3028,6 +3067,7 @@ class GraftSpec extends AnyFunSuite {
       "x_rank_metrics" -> "X-RANK-METRICS", "x_kcenter" -> "X-KCENTER",
       "x_mmr" -> "X-MMR", "x_pr_curve" -> "X-PR-CURVE",
       "x_kanon" -> "X-KANON", "x_priority_sample" -> "X-PRIORITY-SAMPLE",
+      "x_group_split" -> "X-GROUP-SPLIT", "x_rebalance" -> "X-REBALANCE",
       "x_profile" -> "X-PROFILE",
       "x_pagerank" -> "X-PAGERANK", "x_grouping_sets" -> "X-GROUPING-SETS",
       "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",
