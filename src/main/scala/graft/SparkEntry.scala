@@ -81,6 +81,10 @@ object SparkEntry {
     "x_priority_sample" -> (llm.Sampling.prioritySample _),
     "x_group_split" -> (llm.Sampling.groupSplit _),
     "x_rebalance" -> (llm.Sampling.rebalance _),
+    "x_changepoint" -> (llm.Analytics.changepoint _),
+    "x_autocorr" -> (llm.Analytics.autocorr _),
+    "x_did" -> (llm.Analytics.did _),
+    "x_bootstrap" -> (llm.Analytics.bootstrapCi _),
     "x_source_sim" -> (llm.Dedup.sourceSimilarity _),
     "x_dedup_pipeline" -> (llm.Dedup.dedupPipeline _),
     "x_dedup_cluster" -> (llm.Dedup.dedupCluster _),
@@ -443,6 +447,63 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |       CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    "x_autocorr" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         sum(CAST(CAST(value AS DECIMAL(18, 2)) * 100 AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |led AS (
+        |  SELECT event_type, CAST(x AS HUGEINT) AS x,
+        |         CAST(lead(x, 1) OVER w AS HUGEINT) AS x1,
+        |         CAST(lead(x, 2) OVER w AS HUGEINT) AS x2,
+        |         CAST(lead(x, 3) OVER w AS HUGEINT) AS x3
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |agg AS (
+        |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |         sum(x) AS s, sum(x * x) AS c,
+        |         sum(x * x1) AS a1, sum(x * x2) AS a2, sum(x * x3) AS a3,
+        |         sum(CASE WHEN x1 IS NOT NULL THEN x + x1 END) AS b1,
+        |         sum(CASE WHEN x2 IS NOT NULL THEN x + x2 END) AS b2,
+        |         sum(CASE WHEN x3 IS NOT NULL THEN x + x3 END) AS b3,
+        |         sum(CASE WHEN x1 IS NOT NULL THEN CAST(1 AS HUGEINT) END) AS m1,
+        |         sum(CASE WHEN x2 IS NOT NULL THEN CAST(1 AS HUGEINT) END) AS m2,
+        |         sum(CASE WHEN x3 IS NOT NULL THEN CAST(1 AS HUGEINT) END) AS m3
+        |  FROM led GROUP BY event_type),
+        |lk AS (
+        |  SELECT event_type, n, s, c,
+        |         unnest([CAST(1 AS BIGINT), 2, 3]) AS lag,
+        |         unnest([a1, a2, a3]) AS a,
+        |         unnest([b1, b2, b3]) AS b,
+        |         unnest([m1, m2, m3]) AS m
+        |  FROM agg)
+        |SELECT event_type, lag, CAST(n AS BIGINT) AS n_days,
+        |       CAST(coalesce(
+        |         CASE WHEN n * n * a - n * s * b + m * s * s < 0 THEN -1 ELSE 1 END
+        |           * ((abs(n * n * a - n * s * b + m * s * s) * 1000000)
+        |              // nullif(n * n * c - n * s * s, 0)), 0) AS BIGINT) AS acf_ppm
+        |FROM lk ORDER BY event_type, lag""".stripMargin,
+    "x_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         sum(CAST(CAST(value AS DECIMAL(18, 2)) * 100 AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |pre AS (
+        |  SELECT event_type, day, x,
+        |         sum(x) OVER (PARTITION BY event_type ORDER BY day) AS p,
+        |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS t,
+        |         sum(x) OVER (PARTITION BY event_type) AS s,
+        |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM daily),
+        |dev AS (
+        |  SELECT *, abs(n * p - t * s) AS dev,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY abs(n * p - t * s) DESC, day) AS rn
+        |  FROM pre)
+        |SELECT event_type, day AS cp_day, CAST(dev AS BIGINT) AS dev,
+        |       n AS n_days,
+        |       CAST(p // t AS BIGINT) AS mean_before_cents,
+        |       CAST(coalesce((s - p) // nullif(n - t, 0), 0) AS BIGINT) AS mean_after_cents
+        |FROM dev WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "x_group_split" ->
       """WITH s AS (
         |  SELECT CASE WHEN (user_id * 2654435761) % 10 < 8 THEN 'train' ELSE 'test' END AS split,
@@ -1860,6 +1921,86 @@ object SparkEntry {
         |JOIN m mb ON mb.brand = pr.brand_b, no
         |ORDER BY n_ab DESC, brand_a, brand_b
         |LIMIT ${llm.Analytics.BasketTopN}""".stripMargin,
+    // four exact cells from one per-user-period agg; the DiD point
+    // estimate is one fixed IEEE expression over exact BIGINT cells
+    "x_did" ->
+      s"""WITH up AS (
+        |  SELECT user_id,
+        |         CASE WHEN CAST(ts AS DATE) >= DATE '${llm.Analytics.DidCutoff}'
+        |              THEN 'post' ELSE 'pre' END AS period,
+        |         sum(CASE WHEN event_type = 'purchase'
+        |             THEN CAST(CAST(value AS DECIMAL(18, 2)) * 100 AS BIGINT)
+        |             ELSE 0 END) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 AND period = 'pre' THEN 1 ELSE 0 END) AS BIGINT) AS n_t_pre,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 AND period = 'pre' THEN cents ELSE 0 END) AS BIGINT) AS c_t_pre,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 AND period = 'post' THEN 1 ELSE 0 END) AS BIGINT) AS n_t_post,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 AND period = 'post' THEN cents ELSE 0 END) AS BIGINT) AS c_t_post,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 AND period = 'pre' THEN 1 ELSE 0 END) AS BIGINT) AS n_c_pre,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 AND period = 'pre' THEN cents ELSE 0 END) AS BIGINT) AS c_c_pre,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 AND period = 'post' THEN 1 ELSE 0 END) AS BIGINT) AS n_c_post,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 AND period = 'post' THEN cents ELSE 0 END) AS BIGINT) AS c_c_post
+        |  FROM up)
+        |SELECT n_t_pre, c_t_pre, n_t_post, c_t_post,
+        |       n_c_pre, c_c_pre, n_c_post, c_c_post,
+        |       (CAST(c_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+        |          - CAST(c_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE))
+        |       - (CAST(c_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+        |          - CAST(c_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE)) AS did_cents
+        |FROM g""".stripMargin,
+    // deterministic hash-Poisson replica weights against pinned CDF
+    // literals; CI = exact order statistics of the 64 replicate diffs
+    "x_bootstrap" ->
+      s"""WITH u0 AS (
+        |  SELECT user_id,
+        |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+        |  FROM events GROUP BY user_id),
+        |u AS (
+        |  SELECT user_id,
+        |         CASE WHEN np >= ${llm.Analytics.PowerBuyerMin}
+        |              THEN CAST(1 AS BIGINT) ELSE 0 END AS conv,
+        |         user_id % 2 AS variant
+        |  FROM u0),
+        |h AS (
+        |  SELECT u.variant, u.conv, b.b,
+        |         (((u.user_id * 2654435761 + b.b * 1000003) % 1073741824)
+        |            * 2654435761) % 1073741824 AS h
+        |  FROM u, (SELECT unnest(range(0, ${llm.Analytics.BootstrapB})) AS b) b),
+        |ww AS (
+        |  SELECT b, variant, conv,
+        |         CASE WHEN h < ${llm.Analytics.PoissonThresholds(0)} THEN 0
+        |              WHEN h < ${llm.Analytics.PoissonThresholds(1)} THEN 1
+        |              WHEN h < ${llm.Analytics.PoissonThresholds(2)} THEN 2
+        |              WHEN h < ${llm.Analytics.PoissonThresholds(3)} THEN 3
+        |              WHEN h < ${llm.Analytics.PoissonThresholds(4)} THEN 4
+        |              ELSE 5 END AS w
+        |  FROM h),
+        |reps AS (
+        |  SELECT b,
+        |         sum(CASE WHEN variant = 0 THEN w ELSE 0 END) AS n_a,
+        |         sum(CASE WHEN variant = 0 THEN w * conv ELSE 0 END) AS c_a,
+        |         sum(CASE WHEN variant = 1 THEN w ELSE 0 END) AS n_b,
+        |         sum(CASE WHEN variant = 1 THEN w * conv ELSE 0 END) AS c_b
+        |  FROM ww GROUP BY b),
+        |d AS (
+        |  SELECT b, (c_a * 1000000 // nullif(n_a, 0))
+        |           - (c_b * 1000000 // nullif(n_b, 0)) AS diff_ppm
+        |  FROM reps),
+        |r AS (SELECT b, diff_ppm,
+        |             row_number() OVER (ORDER BY diff_ppm, b) AS r FROM d),
+        |pt AS (
+        |  SELECT (sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) * 1000000
+        |            // nullif(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END), 0))
+        |       - (sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) * 1000000
+        |            // nullif(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END), 0)) AS point_ppm
+        |  FROM u)
+        |SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+        |       CAST(pt.point_ppm AS BIGINT) AS point_ppm,
+        |       CAST(min(CASE WHEN r.r = 2 THEN diff_ppm END) AS BIGINT) AS lo_ppm,
+        |       CAST(min(CASE WHEN r.r = ${llm.Analytics.BootstrapB - 1} THEN diff_ppm END) AS BIGINT) AS hi_ppm
+        |FROM r, pt GROUP BY pt.point_ppm""".stripMargin,
     // one per-user agg then exact counts; z2 is one fixed IEEE expression
     "x_ab_test" ->
       s"""WITH u0 AS (

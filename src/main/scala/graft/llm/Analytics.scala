@@ -684,4 +684,263 @@ object Analytics {
     import spark.implicits._
     rows.toDF("stage", "n_rows", "sum_cents").orderBy("stage")
   }
+
+  // ---- lagged autocorrelation (X-AUTOCORR) -----------------------------
+
+  /** X-AUTOCORR: lag-1..3 autocorrelation of each event type's daily
+    * value series — the seasonality/persistence fingerprint (X-SEASONALITY
+    * reads day-of-week means; this reads how much TODAY predicts
+    * tomorrow, the feature a forecasting or anomaly model starts from).
+    * The textbook estimator needs the float mean twice; expanded into the
+    * N²-scaled integer domain it is exact:
+    * num_k = N²·A_k − N·S·B_k + m_k·S², den = N²·C − N·S² with A/B/C/S
+    * the exact lag cross-products, pair sums, squares, and totals, and
+    * m_k the pair count. Intermediates live in DECIMAL(38,0) (HUGEINT in
+    * the oracle — products reach ~10^24); the reported acf_ppm is
+    * sign·(|num|·10^6 div den) so the one integral division is on
+    * nonnegative operands — truncating and flooring engines agree.
+    *
+    * Scale shape: the fact-sized work is the ONE agg onto (type, day);
+    * lags are lead() windows over calendar-bounded per-type series, the
+    * moment rollup is type-sized, and the per-lag explode is 3 literal
+    * structs.
+    */
+  def autocorr(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val led = daily.select(col("event_type"), col("x").cast(dec).as("x"),
+      lead("x", 1).over(w).cast(dec).as("x1"),
+      lead("x", 2).over(w).cast(dec).as("x2"),
+      lead("x", 3).over(w).cast(dec).as("x3"))
+    val agg = led.groupBy("event_type").agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum("x").as("s"),
+      sum(col("x") * col("x")).as("c"),
+      sum(col("x") * col("x1")).as("a1"),
+      sum(col("x") * col("x2")).as("a2"),
+      sum(col("x") * col("x3")).as("a3"),
+      sum(when(col("x1").isNotNull, col("x") + col("x1"))).as("b1"),
+      sum(when(col("x2").isNotNull, col("x") + col("x2"))).as("b2"),
+      sum(when(col("x3").isNotNull, col("x") + col("x3"))).as("b3"),
+      sum(when(col("x1").isNotNull, lit(1L))).cast(dec).as("m1"),
+      sum(when(col("x2").isNotNull, lit(1L))).cast(dec).as("m2"),
+      sum(when(col("x3").isNotNull, lit(1L))).cast(dec).as("m3"))
+    val lags = agg.select(col("event_type"), col("n"), col("s"), col("c"),
+      explode(array((1 to 3).map(k => struct(
+        lit(k.toLong).as("lag"),
+        col(s"a$k").as("a"), col(s"b$k").as("b"), col(s"m$k").as("m"))): _*))
+        .as("lk"))
+      .select(col("event_type"), col("n"), col("s"), col("c"),
+        col("lk.lag").as("lag"), col("lk.a").as("a"), col("lk.b").as("b"),
+        col("lk.m").as("m"))
+    lags.select(col("event_type"), col("lag"),
+        col("n").cast("long").as("n_days"),
+        coalesce(expr(
+          """CAST(CASE WHEN n * n * a - n * s * b + m * s * s < 0 THEN -1 ELSE 1 END
+            |  * ((abs(n * n * a - n * s * b + m * s * s) * 1000000)
+            |     div nullif(n * n * c - n * s * s, 0)) AS BIGINT)""".stripMargin),
+          lit(0L)).as("acf_ppm"))
+      .orderBy("event_type", "lag")
+  }
+
+  // ---- CUSUM change-point detection (X-CHANGEPOINT) --------------------
+
+  /** X-CHANGEPOINT: CUSUM change-point detection over each event type's
+    * daily value series — the "did the metric shift, and WHEN" question
+    * behind every pipeline incident review (X-DRIFT says two cohorts
+    * differ; this finds the day the regime changed). The classic CUSUM
+    * statistic S_t = Σ_{i≤t}(x_i − μ) needs the float mean μ = S/N; it
+    * is computed here in the N-scaled integer domain instead —
+    * N·S_t = N·P_t − t·S with P_t the prefix sum — so the argmax day
+    * (max |N·S_t|, ties → earliest day) and the deviation magnitude are
+    * exact integers on both engines. Before/after means come as
+    * integer-cents floors of exact sums.
+    *
+    * Scale shape: one partial+final agg onto (type, day) — the only
+    * fact-sized shuffle — then windows over per-type day series, which
+    * are calendar-bounded regardless of corpus size (the X-DECAY /
+    * X-SEASONALITY precedent).
+    */
+  def changepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val pre = daily.select(col("event_type"), col("day"), col("x"),
+      sum("x").over(w).as("p"),
+      row_number().over(w).cast("long").as("t"))
+    val tot = daily.groupBy("event_type")
+      .agg(sum("x").as("s"), count(lit(1)).as("n"))
+    val dev = pre.join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("p"), col("t"),
+        col("s"), col("n"),
+        abs(col("n") * col("p") - col("t") * col("s")).as("dev"))
+    val pick = Window.partitionBy("event_type")
+      .orderBy(col("dev").desc, col("day"))
+    dev.withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("cp_day"), col("dev"),
+        col("n").as("n_days"),
+        expr("p div t").as("mean_before_cents"),
+        coalesce(expr("(s - p) div nullif(n - t, 0)"), lit(0L))
+          .as("mean_after_cents"))
+      .orderBy("event_type")
+  }
+
+  // ---- difference-in-differences (X-DID) --------------------------------
+
+  /** DiD period boundary: the fixture's 30-day event window split at its
+    * midpoint (days 1–15 = pre, 16–30 = post) — a fixed literal, never a
+    * data-dependent median, so the assignment is rerun- and
+    * vintage-stable.
+    */
+  val DidCutoff = "2024-01-16"
+
+  /** X-DID: difference-in-differences readout — the causal-inference
+    * counterpart of X-AB-TEST's cross-sectional z²: when treatment is
+    * assigned but the cohorts ALSO differ at baseline, the effect
+    * estimate is (post−pre) in treatment MINUS (post−pre) in control,
+    * cancelling both the time trend and the baseline gap. Treatment is
+    * the deterministic `user_id mod 2` bucket (the experimentation-system
+    * hash assignment, never `rand()`); periods split at [[DidCutoff]];
+    * the outcome is per-user-period purchase spend. Work is ONE
+    * partial+final agg over the facts onto per-user-period rows (the
+    * shuffle carries each user twice at most), then a four-cell rollup —
+    * n, exact cent sums, and user counts per (variant, period) — plus
+    * the point estimate as one fixed IEEE expression over exact BIGINTs
+    * reproduced verbatim in the oracle. Per-user aggregation first (not
+    * per-event) keeps the cell means PER-USER means — the unit of
+    * randomization — so heavy users don't silently re-weight the cells.
+    */
+  def did(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        when(to_date(col("ts")) >= to_date(lit(DidCutoff)), lit("post"))
+          .otherwise(lit("pre")).as("period"),
+        when(col("event_type") === "purchase",
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
+          .otherwise(lit(0L)).as("cents"))
+      .groupBy("user_id", "period")
+      .agg(sum("cents").as("cents"))
+      .select(pmod(col("user_id"), lit(2L)).as("variant"),
+        col("period"), col("cents"))
+    val cells = perUser.groupBy().agg(
+      sum(when(col("variant") === 1L && col("period") === "pre", 1L)
+        .otherwise(0L)).as("n_t_pre"),
+      sum(when(col("variant") === 1L && col("period") === "pre", col("cents"))
+        .otherwise(0L)).as("c_t_pre"),
+      sum(when(col("variant") === 1L && col("period") === "post", 1L)
+        .otherwise(0L)).as("n_t_post"),
+      sum(when(col("variant") === 1L && col("period") === "post", col("cents"))
+        .otherwise(0L)).as("c_t_post"),
+      sum(when(col("variant") === 0L && col("period") === "pre", 1L)
+        .otherwise(0L)).as("n_c_pre"),
+      sum(when(col("variant") === 0L && col("period") === "pre", col("cents"))
+        .otherwise(0L)).as("c_c_pre"),
+      sum(when(col("variant") === 0L && col("period") === "post", 1L)
+        .otherwise(0L)).as("n_c_post"),
+      sum(when(col("variant") === 0L && col("period") === "post", col("cents"))
+        .otherwise(0L)).as("c_c_post"))
+    def m(c: String, n: String) = col(c).cast("double") / col(n).cast("double")
+    cells.select(
+      col("n_t_pre"), col("c_t_pre"), col("n_t_post"), col("c_t_post"),
+      col("n_c_pre"), col("c_c_pre"), col("n_c_post"), col("c_c_post"),
+      ((m("c_t_post", "n_t_post") - m("c_t_pre", "n_t_pre")) -
+        (m("c_c_post", "n_c_post") - m("c_c_pre", "n_c_pre")))
+        .as("did_cents"))
+  }
+
+  // ---- Poisson-bootstrap confidence interval (X-BOOTSTRAP) --------------
+
+  /** Bootstrap replica count (a power of two keeps the CI rank literals
+    * round: lo = rank 2, hi = rank 63 of 64 — the ~2.5% / ~97.5% order
+    * statistics).
+    */
+  val BootstrapB = 64
+
+  /** Poisson(1) CDF thresholds scaled by 2^30, pinned as literals so both
+    * engines draw the identical counts: a uniform hash h < t_k ⇒ weight k.
+    * Truncated at 5 (P(X>5) ≈ 0.06%) — documented cap, not a silent one.
+    */
+  val PoissonThresholds: Seq[Long] =
+    Seq(395007542L, 790015084L, 987518855L, 1053353445L, 1069812093L)
+
+  /** X-BOOTSTRAP: Poisson-bootstrap confidence interval for the A/B
+    * conversion-rate difference — X-AB-TEST reports the z² point
+    * statistic; this reports the resampling interval, via the bootstrap
+    * variant built FOR massive data: instead of drawing n rows with
+    * replacement B times (which needs global coordination), each user
+    * independently receives a Poisson(1) replica weight per bootstrap
+    * replicate, drawn from the deterministic hash
+    * h(user, b) = ((user·2654435761 + b·1000003) mod 2^30 · 2654435761)
+    * mod 2^30 against pinned CDF literals ([[PoissonThresholds]]) — no
+    * RNG, rerun-identical, and exactly mirrored in the oracle. Per
+    * replicate the weighted two-proportion difference is the exact
+    * integer ppm `c·10^6 div n` per variant; the CI is the 2nd / 63rd
+    * order statistic of the 64 replicate diffs (with replica id as the
+    * total-order tie-break).
+    *
+    * Scale shape: conversion is the same ONE per-user partial+final agg
+    * as X-AB-TEST; the replica explode fans each user row ×64 but feeds
+    * a partial agg keyed on (replica, variant) — the map-side combine
+    * collapses every partition to ≤128 counter rows, so the exchange
+    * carries counters, not the fanout. The 64-row replicate table then
+    * sorts driver-side trivially.
+    */
+  def bootstrapCi(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val users = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("is_p"))
+      .groupBy("user_id")
+      .agg(sum("is_p").as("np"))
+      .select(col("user_id"),
+        when(col("np") >= PowerBuyerMin, 1L).otherwise(0L).as("conv"),
+        pmod(col("user_id"), lit(2L)).as("variant"))
+    val t = PoissonThresholds
+    val weighted = users
+      .select(col("user_id"), col("conv"), col("variant"),
+        explode(sequence(lit(0), lit(BootstrapB - 1))).as("b"))
+      .withColumn("h",
+        pmod(pmod(col("user_id") * 2654435761L + col("b") * 1000003L,
+          lit(1073741824L)) * 2654435761L, lit(1073741824L)))
+      .withColumn("w",
+        when(col("h") < t(0), 0L).when(col("h") < t(1), 1L)
+          .when(col("h") < t(2), 2L).when(col("h") < t(3), 3L)
+          .when(col("h") < t(4), 4L).otherwise(5L))
+    val reps = weighted.groupBy("b").agg(
+      sum(when(col("variant") === 0L, col("w")).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === 0L, col("w") * col("conv")).otherwise(0L)).as("c_a"),
+      sum(when(col("variant") === 1L, col("w")).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === 1L, col("w") * col("conv")).otherwise(0L)).as("c_b"))
+      .select(col("b"),
+        (expr("c_a * 1000000 div nullif(n_a, 0)") -
+          expr("c_b * 1000000 div nullif(n_b, 0)")).as("diff_ppm"))
+    val ranked = reps.withColumn("r",
+      row_number().over(Window.orderBy(col("diff_ppm"), col("b"))))
+    // 64 rows total: the unpartitioned ranking window is replicate-sized
+    // (B rows), never data-sized — same class as a driver-side sort.
+    val point = users.groupBy().agg(
+        sum(when(col("variant") === 0L, col("conv")).otherwise(0L)).as("pca"),
+        sum(when(col("variant") === 0L, 1L).otherwise(0L)).as("pna"),
+        sum(when(col("variant") === 1L, col("conv")).otherwise(0L)).as("pcb"),
+        sum(when(col("variant") === 1L, 1L).otherwise(0L)).as("pnb"))
+      .select((expr("pca * 1000000 div nullif(pna, 0)") -
+        expr("pcb * 1000000 div nullif(pnb, 0)")).as("point_ppm"))
+    ranked.groupBy().agg(
+      count(lit(1)).as("n_replicates"),
+      min(when(col("r") === 2, col("diff_ppm"))).as("lo_ppm"),
+      min(when(col("r") === BootstrapB - 1, col("diff_ppm"))).as("hi_ppm"))
+      .crossJoin(point)
+      .select(col("n_replicates"), col("point_ppm"), col("lo_ppm"), col("hi_ppm"))
+  }
 }

@@ -484,6 +484,24 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("x_changepoint and x_autocorr: series coverage, bounds, and CUSUM endpoints") {
+    val types = Tables.events(spark, sf).select("event_type").distinct().count()
+    val cp = llm.Analytics.changepoint(spark, sf).collect()
+    assert(cp.length.toLong === types, "one change-point row per event type")
+    cp.foreach { r =>
+      val (dev, n, before, after) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(dev >= 0L && n >= 1L)
+      assert(before >= 0L && after >= 0L, "daily value means are nonnegative")
+    }
+    val ac = llm.Analytics.autocorr(spark, sf).collect()
+    assert(ac.length.toLong === types * 3, "lags 1..3 per event type")
+    ac.foreach { r =>
+      assert(math.abs(r.getLong(3)) <= 1000000L,
+        s"${r.getString(0)} lag ${r.getLong(1)}: |acf| is Cauchy-Schwarz-bounded by 1")
+    }
+  }
+
   test("x_dedup_cluster: transitive closure drops chain members the pairwise rule misses") {
     import spark.implicits._
     // component {1,2,3,4} via edges (1,3),(2,4),(3,4): node 2 never
@@ -3068,6 +3086,7 @@ class GraftSpec extends AnyFunSuite {
       "x_mmr" -> "X-MMR", "x_pr_curve" -> "X-PR-CURVE",
       "x_kanon" -> "X-KANON", "x_priority_sample" -> "X-PRIORITY-SAMPLE",
       "x_group_split" -> "X-GROUP-SPLIT", "x_rebalance" -> "X-REBALANCE",
+      "x_changepoint" -> "X-CHANGEPOINT", "x_autocorr" -> "X-AUTOCORR",
       "x_profile" -> "X-PROFILE",
       "x_pagerank" -> "X-PAGERANK", "x_grouping_sets" -> "X-GROUPING-SETS",
       "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",
