@@ -1965,8 +1965,9 @@ object SparkEntry {
         |  FROM u0),
         |h AS (
         |  SELECT u.variant, u.conv, b.b,
-        |         (((u.user_id * 2654435761 + b.b * 1000003) % 1073741824)
-        |            * 2654435761) % 1073741824 AS h
+        |         (${OracleLlm.polyHashSql("concat(u.user_id, ':', b.b)", 131)}
+        |            * ${llm.Analytics.ScrambleMul} + ${llm.Analytics.ScrambleAdd})
+        |           % ${llm.Analytics.HashMod} AS h
         |  FROM u, (SELECT unnest(range(0, ${llm.Analytics.BootstrapB})) AS b) b),
         |ww AS (
         |  SELECT b, variant, conv,

@@ -867,12 +867,24 @@ object Analytics {
     */
   val BootstrapB = 64
 
-  /** Poisson(1) CDF thresholds scaled by 2^30, pinned as literals so both
-    * engines draw the identical counts: a uniform hash h < t_k ⇒ weight k.
-    * Truncated at 5 (P(X>5) ≈ 0.06%) — documented cap, not a silent one.
+  /** Poisson(1) CDF thresholds scaled by the poly-hash modulus 2^31−1,
+    * pinned as literals so both engines draw the identical counts: a
+    * uniform hash h < t_k ⇒ weight k. Truncated at 5 (P(X>5) ≈ 0.06%) —
+    * documented cap, not a silent one.
     */
   val PoissonThresholds: Seq[Long] =
-    Seq(395007542L, 790015084L, 987518855L, 1053353445L, 1069812093L)
+    Seq(790015083L, 1580030167L, 1975037709L, 2106706890L, 2139624185L)
+
+  /** Affine post-scramble constants (mod 2^31−1) applied to the
+    * `poly_hash("user:b")` draw: the raw polynomial hash maps adjacent
+    * user ids to adjacent values (the low-order term moves by 1), so a
+    * CDF threshold would give consecutive users near-identical weights;
+    * one multiplicative step of ~2^30 scatters adjacency across the
+    * whole range while staying exactly reproducible in integer SQL.
+    */
+  val ScrambleMul = 1103515245L
+  val ScrambleAdd = 12345L
+  val HashMod = 2147483647L
 
   /** X-BOOTSTRAP: Poisson-bootstrap confidence interval for the A/B
     * conversion-rate difference — X-AB-TEST reports the z² point
@@ -881,8 +893,8 @@ object Analytics {
     * replacement B times (which needs global coordination), each user
     * independently receives a Poisson(1) replica weight per bootstrap
     * replicate, drawn from the deterministic hash
-    * h(user, b) = ((user·2654435761 + b·1000003) mod 2^30 · 2654435761)
-    * mod 2^30 against pinned CDF literals ([[PoissonThresholds]]) — no
+    * h(user, b) = (poly_hash("user:b")·[[ScrambleMul]] + [[ScrambleAdd]])
+    * mod 2^31−1 against pinned CDF literals ([[PoissonThresholds]]) — no
     * RNG, rerun-identical, and exactly mirrored in the oracle. Per
     * replicate the weighted two-proportion difference is the exact
     * integer ppm `c·10^6 div n` per variant; the CI is the 2nd / 63rd
@@ -911,8 +923,9 @@ object Analytics {
       .select(col("user_id"), col("conv"), col("variant"),
         explode(sequence(lit(0), lit(BootstrapB - 1))).as("b"))
       .withColumn("h",
-        pmod(pmod(col("user_id") * 2654435761L + col("b") * 1000003L,
-          lit(1073741824L)) * 2654435761L, lit(1073741824L)))
+        pmod(graft.functions.PolyHash.poly_hash(
+          concat_ws(":", col("user_id"), col("b")), 131) * ScrambleMul
+          + ScrambleAdd, lit(HashMod)))
       .withColumn("w",
         when(col("h") < t(0), 0L).when(col("h") < t(1), 1L)
           .when(col("h") < t(2), 2L).when(col("h") < t(3), 3L)

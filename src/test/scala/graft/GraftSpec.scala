@@ -502,6 +502,31 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("x_did and x_bootstrap: cell conservation, CI ordering, and replica sanity") {
+    val did = llm.Analytics.did(spark, sf).collect()
+    assert(did.length === 1)
+    val d = did.head
+    // every (user, period) cell row is counted exactly once across the 2×2
+    val userPeriods = Tables.events(spark, sf)
+      .select(col("user_id"),
+        when(to_date(col("ts")) >= to_date(lit(llm.Analytics.DidCutoff)), "post")
+          .otherwise("pre").as("period"))
+      .distinct().count()
+    assert(d.getLong(0) + d.getLong(2) + d.getLong(4) + d.getLong(6) === userPeriods,
+      "2x2 cell user counts partition the user-period rows")
+    assert(!d.getDouble(8).isNaN, "DiD point estimate is defined on the fixture")
+    val bs = llm.Analytics.bootstrapCi(spark, sf).collect()
+    assert(bs.length === 1)
+    val b = bs.head
+    assert(b.getLong(0) === llm.Analytics.BootstrapB.toLong)
+    val (point, lo, hi) = (b.getLong(1), b.getLong(2), b.getLong(3))
+    assert(lo <= hi, "CI order statistics are ordered")
+    // the resampling interval should bracket a neighborhood of the point
+    // estimate: Poisson replica means are centered on the sample statistic
+    assert(lo <= point && point <= hi,
+      s"point $point outside bootstrap CI [$lo, $hi] — replica draws are biased")
+  }
+
   test("x_dedup_cluster: transitive closure drops chain members the pairwise rule misses") {
     import spark.implicits._
     // component {1,2,3,4} via edges (1,3),(2,4),(3,4): node 2 never
@@ -3087,6 +3112,7 @@ class GraftSpec extends AnyFunSuite {
       "x_kanon" -> "X-KANON", "x_priority_sample" -> "X-PRIORITY-SAMPLE",
       "x_group_split" -> "X-GROUP-SPLIT", "x_rebalance" -> "X-REBALANCE",
       "x_changepoint" -> "X-CHANGEPOINT", "x_autocorr" -> "X-AUTOCORR",
+      "x_did" -> "X-DID", "x_bootstrap" -> "X-BOOTSTRAP",
       "x_profile" -> "X-PROFILE",
       "x_pagerank" -> "X-PAGERANK", "x_grouping_sets" -> "X-GROUPING-SETS",
       "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",
