@@ -142,6 +142,7 @@ object SparkEntry {
     "q_evolve" -> (etl.SchemaEvolve.qEvolve _),
     "x_change_feed" -> (etl.Cdc.changeFeed _),
     "x_embed_quant" -> (llm.Quantize.embedQuant _),
+    "x_rand_proj" -> (llm.Quantize.randProj _),
     "x_sim_multiprobe" -> (llm.Similarity.multiprobeTopK _),
     "x_profile" -> (llm.Profile.profile _),
     "x_optout" -> (etl.OptOut.optOut _),
@@ -1478,6 +1479,37 @@ object SparkEntry {
         |       CAST(sum(n_sat) AS BIGINT) AS n_saturated,
         |       round(max(max_err), 6) AS worst_err
         |FROM pv GROUP BY label ORDER BY label""".stripMargin,
+    // Rademacher JL projection: pinned ±1 sign literal, row-local integer
+    // folds, exact ppm distortion ratio + positional projection checksum
+    "x_rand_proj" ->
+      s"""WITH sg AS (SELECT ${llm.Quantize.projSigns.mkString("[", ", ", "]")} AS s),
+        |q AS (
+        |  SELECT label,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |qq AS (
+        |  SELECT label, q, list_sum(list_transform(q, x -> x * x)) AS qsq
+        |  FROM q),
+        |p AS (
+        |  SELECT label, qsq,
+        |         list_transform(range(0, ${llm.Quantize.ProjDims}), j ->
+        |           list_sum(list_transform(range(0, 64),
+        |             d -> s[CAST(j * 64 + d + 1 AS INT)] * q[CAST(d + 1 AS INT)]))) AS p
+        |  FROM qq, sg WHERE qsq > 0),
+        |v AS (
+        |  SELECT label,
+        |         list_sum(list_transform(p, x -> x * x)) * 1000000
+        |           // (${llm.Quantize.ProjDims} * qsq) AS ppm,
+        |         list_sum(list_transform(range(0, ${llm.Quantize.ProjDims}),
+        |           j -> p[CAST(j + 1 AS INT)] * (j + 1))) AS p_pos
+        |  FROM p)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+        |       CAST(sum(ppm) // count(*) AS BIGINT) AS avg_ppm,
+        |       CAST(min(ppm) AS BIGINT) AS min_ppm,
+        |       CAST(max(ppm) AS BIGINT) AS max_ppm,
+        |       CAST(sum(p_pos) AS BIGINT) AS proj_checksum
+        |FROM v GROUP BY label ORDER BY label""".stripMargin,
     // CDC change feed: diff of the v0/v1 snapshot states re-derived from
     // the fixture; unchanged rows are NOT emitted (sparse by contract)
     "x_change_feed" ->

@@ -85,4 +85,81 @@ object Quantize {
         round(max("max_err"), 6).as("worst_err"))
       .orderBy("label")
   }
+
+  // ---- Johnson–Lindenstrauss random projection (X-RANDPROJ) -------------
+
+  /** Projected dimensionality: 64 → 16 (4× smaller vectors, the same
+    * compression class as int8 quantization but along the OTHER axis —
+    * fewer dimensions instead of narrower cells; the two compose).
+    */
+  val ProjDims = 16
+
+  /** Deterministic ±1 projection matrix (seeded), [[ProjDims]]×64 — the
+    * dense Rademacher JL transform (Achlioptas 2003: ±1 entries satisfy
+    * the JL lemma with the same guarantees as Gaussians and integer
+    * arithmetic). Inlined into the oracle SQL as a flat literal, exactly
+    * like the LSH hyperplane signs.
+    */
+  val projSigns: Array[Long] = {
+    val r = new java.util.Random(11)
+    Array.fill(ProjDims * 64)(if (r.nextBoolean()) 1L else -1L)
+  }
+
+  /** X-RANDPROJ: Johnson–Lindenstrauss random projection of the embedding
+    * corpus — the dimensionality-reduction rung that runs BEFORE an ANN
+    * index or a dedup pass when 64 dims of float are 4× more than the
+    * distance computation needs: the JL lemma bounds the squared-norm
+    * distortion of a ±1 projection to (1±ε) w.h.p., and this operator
+    * both APPLIES the projection and REPORTS the realized distortion so
+    * a run can verify the bound held on its corpus instead of trusting
+    * the lemma.
+    *
+    * Everything is exact integers: components quantize `floor(x·1024)`
+    * (the X-KMEANS convention), each projected coordinate is the
+    * row-local Rademacher fold p_j = Σ_d s_{jd}·q_d, and the per-vector
+    * distortion is `(Σ_j p_j²)·10^6 div (k·Σ_d q_d²)` — the ratio the JL
+    * lemma pins near 10^6 ppm (E[p_j²] = Σq_d² for ±1 signs, so the
+    * k-fold sum divides by k·‖q‖²). Per label the report carries the
+    * count, the exact ppm sum/min/max (avg = sum div n, one integral
+    * division), and a positional projection checksum that pins every
+    * coordinate of every projected vector on both engines.
+    *
+    * Scale shape: the projection is MAP-ONLY (a 16×64 literal fold per
+    * row — no calibration pass, no broadcast, nothing data-dependent:
+    * the defining operational advantage of JL over PCA), and the report
+    * is one partial+final agg keyed on label. Zero-norm vectors are
+    * excluded on both engines (distortion undefined).
+    */
+  def randProj(spark: SparkSession, sfDir: String): DataFrame =
+    randProjOf(Tables.embeddings(spark, sfDir).select(col("label"), col("embedding")))
+
+  def randProjOf(e: DataFrame): DataFrame = {
+    val q = transform(col("embedding"), x => floor(x.cast("double") * 1024).cast("long"))
+    val proj = transform(sequence(lit(0), lit(ProjDims - 1)), j =>
+      aggregate(
+        zip_with(col("q"),
+          slice(typedlit(projSigns.toSeq), j * 64 + 1, lit(64)), _ * _),
+        lit(0L), _ + _))
+    val perVec = e
+      .select(col("label"), q.as("q"))
+      .select(col("label"), col("q"),
+        aggregate(transform(col("q"), x => x * x), lit(0L), _ + _).as("qsq"))
+      .filter(col("qsq") > 0L)
+      .select(col("label"), col("qsq"), proj.as("p"))
+      .select(col("label"), col("qsq"),
+        aggregate(transform(col("p"), x => x * x), lit(0L), _ + _).as("psq"),
+        aggregate(zip_with(col("p"),
+          sequence(lit(1L), lit(ProjDims.toLong)), _ * _), lit(0L), _ + _).as("p_pos"))
+      .select(col("label"),
+        expr(s"psq * 1000000 div ($ProjDims * qsq)").as("ppm"),
+        col("p_pos"))
+    perVec.groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        expr("sum(ppm) div count(1)").as("avg_ppm"),
+        min("ppm").as("min_ppm"),
+        max("ppm").as("max_ppm"),
+        sum("p_pos").as("proj_checksum"))
+      .orderBy("label")
+  }
 }

@@ -502,6 +502,21 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("x_rand_proj: JL distortion concentrates near 1e6 ppm, every label covered") {
+    val rows = llm.Quantize.randProj(spark, sf).collect()
+    val labels = Tables.embeddings(spark, sf).select("label").distinct().count()
+    assert(rows.length.toLong === labels, "one report row per label")
+    rows.foreach { r =>
+      val (n, avg, mn, mx) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n > 0)
+      assert(mn > 0L && mn <= avg && avg <= mx, s"ppm stats ordered: $r")
+      // JL concentration: the per-label MEAN distortion of a k=16
+      // Rademacher projection sits well within [0.5, 2.0]× — individual
+      // vectors range wider (the lemma's tail), the mean must not
+      assert(avg > 500000L && avg < 2000000L, s"label mean distortion off the JL bound: $r")
+    }
+  }
+
   test("x_did and x_bootstrap: cell conservation, CI ordering, and replica sanity") {
     val did = llm.Analytics.did(spark, sf).collect()
     assert(did.length === 1)
@@ -3113,6 +3128,7 @@ class GraftSpec extends AnyFunSuite {
       "x_group_split" -> "X-GROUP-SPLIT", "x_rebalance" -> "X-REBALANCE",
       "x_changepoint" -> "X-CHANGEPOINT", "x_autocorr" -> "X-AUTOCORR",
       "x_did" -> "X-DID", "x_bootstrap" -> "X-BOOTSTRAP",
+      "x_rand_proj" -> "X-RANDPROJ",
       "x_profile" -> "X-PROFILE",
       "x_pagerank" -> "X-PAGERANK", "x_grouping_sets" -> "X-GROUPING-SETS",
       "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",
