@@ -84,6 +84,7 @@ object SparkEntry {
     "x_changepoint" -> (llm.Analytics.changepoint _),
     "x_autocorr" -> (llm.Analytics.autocorr _),
     "x_did" -> (llm.Analytics.did _),
+    "x_conformal" -> (llm.Analytics.conformal _),
     "x_bootstrap" -> (llm.Analytics.bootstrapCi _),
     "x_source_sim" -> (llm.Dedup.sourceSimilarity _),
     "x_dedup_pipeline" -> (llm.Dedup.dedupPipeline _),
@@ -1792,6 +1793,61 @@ object SparkEntry {
         |FROM t ORDER BY prev_type, next_type""".stripMargin,
     // OLS moments exact BIGINT; slope/intercept are the identical IEEE
     // expression over correctly-rounded BIGINT->double casts
+    // split-conformal: exact-moment OLS on train folds, q-hat = the
+    // ceil(0.9*(n+1))-th calibration residual (orderkey tie-break),
+    // honest coverage on the disjoint test fold — all IEEE chains mirrored
+    "x_conformal" ->
+      s"""WITH base AS (
+        |  SELECT c.c_mktsegment, o.o_orderkey,
+        |         CAST(CAST(o.o_orderdate AS DATE) - DATE '${llm.Analytics.LinregEpoch}' AS BIGINT) AS x,
+        |         CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+        |         o.o_orderkey % 4 AS fold
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |m AS (
+        |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_train,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM base WHERE fold <= 1 GROUP BY c_mktsegment),
+        |sl AS (
+        |  SELECT *,
+        |         (CAST(n_train AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |           / (CAST(n_train AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+        |  FROM m),
+        |md AS (
+        |  SELECT c_mktsegment, n_train, slope,
+        |         (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |           / CAST(n_train AS DOUBLE) AS intercept
+        |  FROM sl),
+        |cal AS (
+        |  SELECT b.c_mktsegment, b.o_orderkey,
+        |         abs(CAST(b.y AS DOUBLE)
+        |             - (md.slope * CAST(b.x AS DOUBLE) + md.intercept)) AS r
+        |  FROM base b JOIN md USING (c_mktsegment) WHERE b.fold = 2),
+        |cr AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |            ORDER BY r, o_orderkey) AS BIGINT) AS rk
+        |  FROM cal),
+        |nc AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cal
+        |       FROM cal GROUP BY c_mktsegment),
+        |qh AS (
+        |  SELECT cr.c_mktsegment, nc.n_cal, cr.r AS q_hat
+        |  FROM cr JOIN nc USING (c_mktsegment)
+        |  WHERE cr.rk = least((${llm.Analytics.ConformalPct} * (nc.n_cal + 1) + 99) // 100,
+        |                      nc.n_cal)),
+        |t AS (
+        |  SELECT b.c_mktsegment, CAST(count(*) AS BIGINT) AS n_test,
+        |         CAST(sum(CASE WHEN abs(CAST(b.y AS DOUBLE)
+        |               - (md.slope * CAST(b.x AS DOUBLE) + md.intercept)) <= qh.q_hat
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS covered
+        |  FROM base b JOIN md USING (c_mktsegment) JOIN qh USING (c_mktsegment)
+        |  WHERE b.fold = 3 GROUP BY b.c_mktsegment)
+        |SELECT md.c_mktsegment, md.n_train, qh.n_cal, t.n_test,
+        |       md.slope, md.intercept, qh.q_hat, t.covered,
+        |       CAST(t.covered * 1000000 // t.n_test AS BIGINT) AS coverage_ppm
+        |FROM md JOIN qh USING (c_mktsegment) JOIN t USING (c_mktsegment)
+        |ORDER BY md.c_mktsegment""".stripMargin,
     "x_linreg" ->
       s"""WITH o AS (
         |  SELECT o_custkey,

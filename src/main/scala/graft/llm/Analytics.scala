@@ -445,6 +445,89 @@ object Analytics {
       .orderBy("c_mktsegment")
   }
 
+  /** Conformal coverage target: 90% intervals (α = 0.1). */
+  val ConformalPct = 90
+
+  /** X-CONFORMAL: split-conformal prediction intervals on the X-LINREG
+    * trend model — the distribution-free ML-eval operator: fit on a
+    * train fold, take the ⌈(1−α)(n+1)⌉-th smallest absolute residual on
+    * a held-out calibration fold as the interval half-width q̂, and the
+    * conformal guarantee says a FRESH point lands inside pred ± q̂ with
+    * probability ≥ 1−α, no matter how wrong the model is. The report
+    * measures exactly that: per segment, q̂ and the realized coverage on
+    * a third disjoint test fold (the honest check — coverage on the
+    * calibration fold itself is ≥ 1−α by construction).
+    *
+    * Determinism: folds are `o_orderkey mod 4` (0,1 train / 2 cal /
+    * 3 test — never rand()); the model is the exact-moment OLS with the
+    * one fixed IEEE slope/intercept expression ([[linregOf]]'s
+    * convention); residuals are fixed IEEE chains over exact ints, so
+    * both engines hold bit-identical doubles and their order statistics
+    * agree; the calibration rank k = ⌈0.9·(n_cal+1)⌉ is exact integer
+    * arithmetic with (residual, orderkey) as the total-order tie-break.
+    *
+    * Scale shape: ONE fact pass builds (segment, fold, x, y); the train
+    * moments are a partial+final agg (five BIGINT counters); the model
+    * and q̂ broadcast back as ≤|segments| rows; the only per-key sort is
+    * the ranking window over the CALIBRATION fold — the irreducible cost
+    * of an exact order statistic (the approximate sibling is
+    * x_quantiles' KLL sketch), and it runs on a quarter of the facts.
+    */
+  def conformal(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), to_date(lit(LinregEpoch)))
+          .cast("long").as("x"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("y"),
+        pmod(col("o_orderkey"), lit(4L)).as("fold"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("x"), col("y"), col("fold"))
+    val model = base.filter(col("fold") <= 1L)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_train"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope",
+        (col("n_train").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n_train").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")))
+      .withColumn("intercept",
+        (col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+          col("n_train").cast("double"))
+      .select("c_mktsegment", "n_train", "slope", "intercept")
+    def resid = abs(col("y").cast("double") -
+      (col("slope") * col("x").cast("double") + col("intercept")))
+    val cal = base.filter(col("fold") === 2L)
+      .join(broadcast(model), Seq("c_mktsegment"))
+      .select(col("c_mktsegment"), col("o_orderkey"), resid.as("r"))
+    val calRanked = cal.withColumn("rk",
+      row_number().over(Window.partitionBy("c_mktsegment")
+        .orderBy(col("r"), col("o_orderkey"))).cast("long"))
+    // calibration rank k = ceil(0.9 * (n_cal + 1)), clamped into range
+    val nCal = cal.groupBy("c_mktsegment").agg(count(lit(1)).as("n_cal"))
+      .withColumn("k",
+        least(expr(s"($ConformalPct * (n_cal + 1) + 99) div 100"), col("n_cal")))
+    val qh = calRanked.join(broadcast(nCal), Seq("c_mktsegment"))
+      .filter(col("rk") === col("k"))
+      .select(col("c_mktsegment"), col("n_cal"), col("r").as("q_hat"))
+    val test = base.filter(col("fold") === 3L)
+      .join(broadcast(model), Seq("c_mktsegment"))
+      .join(broadcast(qh), Seq("c_mktsegment"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(resid <= col("q_hat"), 1L).otherwise(0L)).as("covered"))
+    model.select(col("c_mktsegment"), col("n_train"), col("slope"), col("intercept"))
+      .join(qh, Seq("c_mktsegment"))
+      .join(test, Seq("c_mktsegment"))
+      .select(col("c_mktsegment"), col("n_train"), col("n_cal"), col("n_test"),
+        col("slope"), col("intercept"), col("q_hat"),
+        col("covered"), expr("covered * 1000000 div n_test").as("coverage_ppm"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Winsorization tail fraction: clamp below P5 and above P95. */
   val WinsorPct = 5
 

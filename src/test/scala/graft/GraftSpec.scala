@@ -517,6 +517,31 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("x_conformal: fold discipline, rank bounds, and coverage near the target") {
+    val rows = llm.Analytics.conformal(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTrain, nCal, nTest) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (qHat, covered, ppm) = (r.getDouble(6), r.getLong(7), r.getLong(8))
+      assert(nTrain > 0 && nCal > 0 && nTest > 0)
+      assert(qHat >= 0.0, "interval half-width is an absolute residual")
+      assert(covered >= 0 && covered <= nTest)
+      // split-conformal guarantee: coverage ≥ 1−α in expectation; allow
+      // fixture-sized sampling slack below, none of the bound's logic above
+      assert(ppm > 700000L && ppm <= 1000000L,
+        s"${r.getString(0)}: test coverage $ppm ppm far from the 90% target")
+    }
+    // fold disjointness is by construction (orderkey mod 4); assert the
+    // three splits partition the joined fact count
+    val joined = Tables.orders(spark, sf).join(
+      Tables.load(spark, sf, "customer"),
+      col("o_custkey") === col("c_custkey")).count()
+    val halfTrain = rows.map(_.getLong(1)).sum
+    val cal = rows.map(_.getLong(2)).sum
+    val test = rows.map(_.getLong(3)).sum
+    assert(halfTrain + cal + test === joined, "folds partition the facts")
+  }
+
   test("x_did and x_bootstrap: cell conservation, CI ordering, and replica sanity") {
     val did = llm.Analytics.did(spark, sf).collect()
     assert(did.length === 1)
@@ -3128,7 +3153,7 @@ class GraftSpec extends AnyFunSuite {
       "x_group_split" -> "X-GROUP-SPLIT", "x_rebalance" -> "X-REBALANCE",
       "x_changepoint" -> "X-CHANGEPOINT", "x_autocorr" -> "X-AUTOCORR",
       "x_did" -> "X-DID", "x_bootstrap" -> "X-BOOTSTRAP",
-      "x_rand_proj" -> "X-RANDPROJ",
+      "x_rand_proj" -> "X-RANDPROJ", "x_conformal" -> "X-CONFORMAL",
       "x_profile" -> "X-PROFILE",
       "x_pagerank" -> "X-PAGERANK", "x_grouping_sets" -> "X-GROUPING-SETS",
       "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",
