@@ -150,6 +150,7 @@ object SparkEntry {
     "x_boilerplate" -> (llm.TextAnalysis.boilerplate _),
     "x_vocab_coverage" -> (llm.TextAnalysis.vocabCoverage _),
     "x_pagerank" -> (llm.Graph.pageRank _),
+    "x_labelprop" -> (llm.Graph.labelProp _),
     "x_grouping_sets" -> (llm.Events.groupingSets _),
     "x_window_funcs" -> (llm.Events.windowFuncs _),
     "x_cooccur" -> (llm.TextAnalysis.cooccur _),
@@ -1644,6 +1645,50 @@ object SparkEntry {
     // weighted PageRank, 3 unrolled iterations — identical IEEE chains
     // per term (0.15/0.85 as literals on BOTH sides, same division
     // order); only the cross-term summation order differs → round 6
+    // weighted synchronous LPA, rounds unrolled as CTEs; argmax is the
+    // exact (wsum DESC, lab) window on both engines
+    "x_labelprop" -> {
+      def round(i: Int): String = {
+        val p = s"l${i - 1}"
+        s"""s$i AS (
+           |  SELECT und.src AS nid, $p.lab AS lab, sum(und.w) AS wsum
+           |  FROM und JOIN $p ON und.dst = $p.id GROUP BY 1, 2),
+           |a$i AS (
+           |  SELECT nid AS id, lab FROM (
+           |    SELECT nid, lab,
+           |           row_number() OVER (PARTITION BY nid
+           |             ORDER BY wsum DESC, lab) AS rn
+           |    FROM s$i) WHERE rn = 1),
+           |l$i AS (
+           |  SELECT nodes.id, coalesce(a$i.lab, nodes.id) AS lab
+           |  FROM nodes LEFT JOIN a$i ON a$i.id = nodes.id)""".stripMargin
+      }
+      val last = s"l${llm.Graph.LpRounds}"
+      s"""WITH e0 AS (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         |         CAST(count(*) AS BIGINT) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2),
+         |und AS (
+         |  SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+         |    SELECT src, dst, w FROM e0 WHERE src <> dst
+         |    UNION ALL
+         |    SELECT dst AS src, src AS dst, w FROM e0 WHERE src <> dst)
+         |  GROUP BY 1, 2),
+         |nodes AS (SELECT DISTINCT src AS id FROM und),
+         |l0 AS (SELECT id, id AS lab FROM nodes),
+         |${(1 to llm.Graph.LpRounds).map(round).mkString(",\n")},
+         |sz AS (SELECT lab, CAST(count(*) AS BIGINT) AS comm_size
+         |       FROM $last GROUP BY lab)
+         |SELECT nat.n_name, CAST($last.lab AS BIGINT) AS community, sz.comm_size
+         |FROM $last
+         |JOIN sz ON sz.lab = $last.lab
+         |JOIN nation nat ON nat.n_nationkey = $last.id
+         |ORDER BY n_name""".stripMargin
+    },
     "x_pagerank" -> {
       val d = llm.Graph.PrDamping
       val rest = llm.Graph.PrRest

@@ -385,4 +385,86 @@ object Graph {
         sum("id").as("sum_ids"))
       .orderBy("dist")
   }
+
+  // ---- Label propagation communities (X-LABELPROP) --------------------
+
+  /** Fixed synchronous rounds: LPA is not a fixpoint computation under
+    * synchronous update (labels can 2-cycle on bipartite-ish structure),
+    * so a CHECKED operator takes the standard determinate form — a fixed
+    * round count unrolled identically in the oracle, like PageRank's
+    * [[PrIterations]] and kmeansIter's Lloyd rounds.
+    */
+  val LpRounds = 4
+
+  /** Weighted synchronous label propagation over an (src, dst, w) edge
+    * frame (Raghavan et al. 2007): every node starts labeled with its own
+    * id; each round every node adopts the label with the LARGEST total
+    * incident edge weight among its neighbors (ties → smallest label —
+    * the total order that makes the argmax exact on both engines).
+    * Communities = final labels. This is the community-detection sibling
+    * of [[connectedComponents]]: components ask "connected at all?",
+    * LPA asks "where is the weight concentrated?" — a dense cluster
+    * absorbs its boundary even when everything is one component.
+    *
+    * Each round is ONE join + one (node, label) weight agg + one argmax
+    * window over per-node candidate labels — shuffles carry (id, label,
+    * weight) triples, never edges×edges; loop state is
+    * localCheckpoint'ed with eager release of the superseded round
+    * ([[connectedComponents]]' discipline).
+    */
+  def labelPropOf(edges: DataFrame, rounds: Int = LpRounds): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), col("w"))
+      .union(edges.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+      .cache()
+    und.count() // materialize the edge cache before the round loop
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
+    def checkpointTracked(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint(true)
+      val fresh = org.apache.spark.sql.graftx.ColumnBridge.checkpointRdd(out)
+      prevCkpt.foreach(_.unpersist(blocking = false))
+      prevCkpt = fresh
+      out
+    }
+    val nodes = und.select(col("src").as("id")).distinct()
+    var labels = checkpointTracked(nodes.withColumn("lab", col("id")))
+    (1 to rounds).foreach { _ =>
+      val scores = und.join(labels, und("dst") === labels("id"))
+        .groupBy(und("src").as("nid"), col("lab"))
+        .agg(sum("w").as("wsum"))
+      val argmax = scores.withColumn("rn",
+        row_number().over(Window.partitionBy("nid")
+          .orderBy(col("wsum").desc, col("lab"))))
+        .filter(col("rn") === 1)
+        .select(col("nid").as("id"), col("lab"))
+      // isolated nodes (none here, but the operator contract) keep theirs
+      labels = checkpointTracked(
+        nodes.join(argmax, Seq("id"), "left")
+          .select(col("id"), coalesce(col("lab"), col("id")).as("lab")))
+    }
+    und.unpersist()
+    labels
+  }
+
+  /** X-LABELPROP: communities of the nation trade graph — the symmetrized
+    * [[tradeEdges]] weight matrix (fact-sized work is the ONE aggregated
+    * edge build, as in X-PAGERANK; the propagation runs on the ≤|nations|²
+    * graph). Output: nation name, final community label, and the
+    * community's size — plus the community-count health column every
+    * clustering run reads first.
+    */
+  def labelProp(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = labelPropOf(tradeEdges(spark, sfDir))
+    val sizes = labels.groupBy("lab").agg(count(lit(1)).as("comm_size"))
+    val nation = graft.Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey").as("id"), col("n_name"))
+    labels.join(broadcast(sizes), Seq("lab"))
+      .join(broadcast(nation), Seq("id"))
+      .select(col("n_name"), col("lab").cast("long").as("community"),
+        col("comm_size"))
+      .orderBy("n_name")
+  }
 }

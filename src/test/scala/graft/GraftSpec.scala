@@ -517,6 +517,30 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("x_labelprop: two cliques joined by a weak bridge resolve to two communities") {
+    import spark.implicits._
+    // K4 on {0..3} and K4 on {10..13}, heavy internal weight, one weak
+    // bridge 3–10: LPA must NOT merge across the bridge (components would)
+    val clique = (ids: Seq[Long]) =>
+      for (a <- ids; b <- ids if a < b) yield (a, b, 10L)
+    val edges = (clique(Seq(0L, 1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L, 13L)) ++
+      Seq((3L, 10L, 1L))).toDF("src", "dst", "w")
+    val labels = llm.Graph.labelPropOf(edges).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet === Set(0L, 1L, 2L, 3L, 10L, 11L, 12L, 13L))
+    val c1 = Set(0L, 1L, 2L, 3L).map(labels)
+    val c2 = Set(10L, 11L, 12L, 13L).map(labels)
+    assert(c1.size === 1, s"left clique converged to one label: $labels")
+    assert(c2.size === 1, s"right clique converged to one label: $labels")
+    assert(c1 != c2, s"weak bridge must not merge the cliques: $labels")
+    // the fixture query: every nation labeled, sizes partition the graph
+    val rows = llm.Graph.labelProp(spark, sf).collect()
+    val nations = Tables.load(spark, sf, "nation").count()
+    assert(rows.length.toLong === nations)
+    val bySize = rows.groupBy(_.getLong(1)).map { case (_, g) =>
+      g.head.getLong(2) -> g.length.toLong }
+    bySize.foreach { case (size, n) => assert(size === n, "comm_size matches membership") }
+  }
+
   test("x_conformal: fold discipline, rank bounds, and coverage near the target") {
     val rows = llm.Analytics.conformal(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -3154,6 +3178,7 @@ class GraftSpec extends AnyFunSuite {
       "x_changepoint" -> "X-CHANGEPOINT", "x_autocorr" -> "X-AUTOCORR",
       "x_did" -> "X-DID", "x_bootstrap" -> "X-BOOTSTRAP",
       "x_rand_proj" -> "X-RANDPROJ", "x_conformal" -> "X-CONFORMAL",
+      "x_labelprop" -> "X-LABELPROP",
       "x_profile" -> "X-PROFILE",
       "x_pagerank" -> "X-PAGERANK", "x_grouping_sets" -> "X-GROUPING-SETS",
       "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",
