@@ -85,6 +85,7 @@ object SparkEntry {
     "x_autocorr" -> (llm.Analytics.autocorr _),
     "x_did" -> (llm.Analytics.did _),
     "x_conformal" -> (llm.Analytics.conformal _),
+    "x_stream_anomaly" -> (llm.StreamingOps.streamingAnomaly _),
     "x_bootstrap" -> (llm.Analytics.bootstrapCi _),
     "x_source_sim" -> (llm.Dedup.sourceSimilarity _),
     "x_dedup_pipeline" -> (llm.Dedup.dedupPipeline _),
@@ -1645,6 +1646,41 @@ object SparkEntry {
     // weighted PageRank, 3 unrolled iterations — identical IEEE chains
     // per term (0.15/0.85 as literals on BOTH sides, same division
     // order); only the cross-term summation order differs → round 6
+    // sequential z² gap monitor: the stream's running (n, S, Q) state IS
+    // the batch prefix window over prior gaps; predicate exact in HUGEINT
+    "x_stream_anomaly" ->
+      s"""WITH ev AS (
+        |  SELECT event_type, event_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, event_id, us,
+        |         (us - lag(us) OVER (PARTITION BY event_type
+        |            ORDER BY us, event_id)) // 1000000 AS gap
+        |  FROM ev),
+        |p AS (
+        |  SELECT event_type, event_id, CAST(gap AS HUGEINT) AS gh,
+        |         CAST(count(*) OVER wp AS HUGEINT) AS n,
+        |         CAST(coalesce(sum(gap) OVER wp, 0) AS HUGEINT) AS s,
+        |         CAST(coalesce(sum(gap * gap) OVER wp, 0) AS HUGEINT) AS q
+        |  FROM g WHERE gap IS NOT NULL
+        |  WINDOW wp AS (PARTITION BY event_type ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |f AS (
+        |  SELECT event_type, event_id FROM p
+        |  WHERE n >= ${llm.StreamingOps.AnomalyWarmup}
+        |    AND (n * gh - s) * (n * gh - s)
+        |        > ${llm.StreamingOps.AnomalyZsq} * (n * q - s * s)),
+        |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+        |      FROM events GROUP BY 1),
+        |fa AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_flagged,
+        |              CAST(sum(event_id) AS BIGINT) AS flagged_id_sum
+        |       FROM f GROUP BY 1)
+        |SELECT t.event_type, t.n_events,
+        |       coalesce(fa.n_flagged, 0) AS n_flagged,
+        |       coalesce(fa.flagged_id_sum, 0) AS flagged_id_sum
+        |FROM t LEFT JOIN fa USING (event_type)
+        |ORDER BY t.event_type""".stripMargin,
     // weighted synchronous LPA, rounds unrolled as CTEs; argmax is the
     // exact (wsum DESC, lab) window on both engines
     "x_labelprop" -> {

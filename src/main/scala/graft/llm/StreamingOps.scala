@@ -324,4 +324,96 @@ object StreamingOps {
           .cast("double").as("unattributed_value"))
       .orderBy("day")
   }
+
+  // ---- streaming inter-arrival anomaly detection (X-STREAM-ANOMALY) ----
+
+  /** Anomaly flagging starts after this many observed gaps per type —
+    * the z-score is meaningless on a handful of samples.
+    */
+  val AnomalyWarmup = 30L
+
+  /** Squared z threshold (3σ). */
+  val AnomalyZsq = 9L
+
+  /** X-STREAM-ANOMALY: sequential inter-arrival anomaly detection — the
+    * continuous "is this feed stalling or bursting?" monitor: per event
+    * type the stream maintains running EXACT integer moments (n, Σg, Σg²)
+    * of the inter-arrival gap in whole seconds, and flags an event whose
+    * gap-from-previous deviates from the moments SO FAR by more than 3σ.
+    * The z² test runs entirely in integers — z² > T ⟺
+    * (n·g − S)² > T·(n·Q − S²), both sides exact (products evaluated in
+    * BigInt; the stored counters are exact longs good to ~10^18, wide
+    * enough for millennia of per-type gaps) — so the stream and the
+    * batch-prefix oracle agree bit for bit. Moments use PRIOR gaps only
+    * (the sequential monitor has nothing else at decision time), then
+    * absorb the gap — exactly a prefix window `ROWS … AND 1 PRECEDING`
+    * in the mirror.
+    *
+    * Ordering: the state transition is order-sensitive by nature, so the
+    * source is the chronologically-chunked staging (one chunk per
+    * micro-batch, (ts, event_id)-contiguous) with the within-batch sort
+    * on the same key — the X-STREAM-ATTRIB replay discipline. State is
+    * event-type-cardinality-bounded (a handful of tuples), so NoTimeout
+    * is safe — there is nothing to evict.
+    */
+  def streamingAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory(
+      "graft_stream_anomaly_" + runs.incrementAndGet() + "_")
+    val srcDir = Events.chunkedEventStaging(spark, sfDir, work)
+    val rawSchema = Tables.eventsRaw(spark, sfDir).schema
+    val ds = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      .selectExpr("event_type",
+        Tables.tsMicrosExpr(rawSchema) + " AS us",
+        "coalesce(event_id, 0L) AS event_id")
+      .as[(String, Long, Long)]
+    val flagged = anomalyStream(ds).toDF("event_type", "event_id")
+    val drained = graft.streaming.Drain.toParquet(flagged, work, shufflePartitions = Some(8))
+    val perType = drained.groupBy("event_type")
+      .agg(count(lit(1)).as("n_flagged"), sum("event_id").as("flagged_id_sum"))
+    val totals = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(count(lit(1)).as("n_events"))
+    totals.join(perType, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_events"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        coalesce(col("flagged_id_sum"), lit(0L)).as("flagged_id_sum"))
+      .orderBy("event_type")
+  }
+
+  /** The stateful gap-monitor transform over (event_type, us, event_id)
+    * rows — separated from [[streamingAnomaly]]'s staging so a spec can
+    * drive it with its own source. Emits (event_type, event_id) per
+    * flagged event on arrival.
+    */
+  def anomalyStream(ds: org.apache.spark.sql.Dataset[(String, Long, Long)])
+      : org.apache.spark.sql.Dataset[(String, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long), (String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (typ: String, evs: Iterator[(String, Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long, Long, Long)]) =>
+          // state: (prev event µs, n gaps, Σ gap, Σ gap²) — prev==MinValue
+          // marks "no event seen yet"
+          var (pu, n, s, q) = state.getOption
+            .getOrElse((Long.MinValue, 0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+          evs.toArray.sortBy(e => (e._2, e._3)).foreach { case (_, us, eid) =>
+            if (pu != Long.MinValue) {
+              val g = (us - pu) / 1000000L // chronological replay: nonneg
+              if (n >= AnomalyWarmup) {
+                val lhs = (BigInt(n) * g - s).pow(2)
+                val rhs = BigInt(AnomalyZsq) * (BigInt(n) * q - BigInt(s).pow(2))
+                if (lhs > rhs) out += ((typ, eid))
+              }
+              n += 1; s += g; q += g * g
+            }
+            pu = us
+          }
+          state.update((pu, n, s, q))
+          out.iterator
+      }
+  }
 }

@@ -517,6 +517,38 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("x_stream_anomaly: the stateful stream equals the batch prefix-window monitor") {
+    import org.apache.spark.sql.expressions.Window
+    val streamed = llm.StreamingOps.streamingAnomaly(spark, sf).collect()
+    // batch equivalent: prior-gap moments as prefix windows, same z² ints
+    val raw = Tables.eventsRaw(spark, sf)
+    val w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    val wp = w.rowsBetween(Window.unboundedPreceding, -1)
+    val g = raw.selectExpr("event_type",
+        Tables.tsMicrosExpr(raw.schema) + " AS us", "coalesce(event_id, 0L) AS event_id")
+      .withColumn("gap", expr("(us - lag(us) over (partition by event_type order by us, event_id)) div 1000000"))
+      .filter(col("gap").isNotNull)
+      .withColumn("n", count(lit(1)).over(wp))
+      .withColumn("s", coalesce(sum("gap").over(wp), lit(0L)))
+      .withColumn("q", coalesce(sum(col("gap") * col("gap")).over(wp), lit(0L)))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val flagged = g.filter(col("n") >= llm.StreamingOps.AnomalyWarmup &&
+        (col("n").cast(dec) * col("gap").cast(dec) - col("s").cast(dec)) *
+          (col("n").cast(dec) * col("gap").cast(dec) - col("s").cast(dec)) >
+          lit(llm.StreamingOps.AnomalyZsq).cast(dec) *
+            (col("n").cast(dec) * col("q").cast(dec) - col("s").cast(dec) * col("s").cast(dec)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_flagged"), sum("event_id").as("flagged_id_sum"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    streamed.foreach { r =>
+      val (typ, nf, ids) = (r.getString(0), r.getLong(2), r.getLong(3))
+      val (bn, bids) = flagged.getOrElse(typ, (0L, 0L))
+      assert(nf === bn, s"$typ: stream flag count diverges from batch prefix")
+      assert(ids === bids, s"$typ: stream flagged-id checksum diverges from batch prefix")
+      assert(nf > 0, s"$typ: the exponential inter-arrival tail must flag something")
+    }
+  }
+
   test("x_labelprop: two cliques joined by a weak bridge resolve to two communities") {
     import spark.implicits._
     // K4 on {0..3} and K4 on {10..13}, heavy internal weight, one weak
@@ -3179,6 +3211,7 @@ class GraftSpec extends AnyFunSuite {
       "x_did" -> "X-DID", "x_bootstrap" -> "X-BOOTSTRAP",
       "x_rand_proj" -> "X-RANDPROJ", "x_conformal" -> "X-CONFORMAL",
       "x_labelprop" -> "X-LABELPROP",
+      "x_stream_anomaly" -> "X-STREAM-ANOMALY",
       "x_profile" -> "X-PROFILE",
       "x_pagerank" -> "X-PAGERANK", "x_grouping_sets" -> "X-GROUPING-SETS",
       "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",
