@@ -145,6 +145,7 @@ object SparkEntry {
     "x_change_feed" -> (etl.Cdc.changeFeed _),
     "x_embed_quant" -> (llm.Quantize.embedQuant _),
     "x_rand_proj" -> (llm.Quantize.randProj _),
+    "x_pca" -> (llm.Pca.pca _),
     "x_sim_multiprobe" -> (llm.Similarity.multiprobeTopK _),
     "x_profile" -> (llm.Profile.profile _),
     "x_optout" -> (etl.OptOut.optOut _),
@@ -1482,6 +1483,76 @@ object SparkEntry {
         |       CAST(sum(n_sat) AS BIGINT) AS n_saturated,
         |       round(max(max_err), 6) AS worst_err
         |FROM pv GROUP BY label ORDER BY label""".stripMargin,
+    // exact-integer power-iteration PCA: scatter matrix in HUGEINT, the
+    // same 5 unrolled renormalized rounds, Rayleigh variance + v checksum
+    "x_pca" -> {
+      def round(r: Int): String = {
+        val p = s"v${r - 1}"
+        s"""w$r AS (
+           |  SELECT c.i, sum(c.v * $p.l[CAST(c.j + 1 AS INT)]) AS w
+           |  FROM c, $p GROUP BY c.i),
+           |m$r AS (SELECT max(abs(w)) AS m FROM w$r),
+           |v$r AS (
+           |  SELECT list(CASE WHEN m$r.m = 0 THEN CAST(0 AS HUGEINT)
+           |              ELSE (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+           |                   * ((abs(w) * ${llm.Pca.VScale}) // m$r.m) END
+           |              ORDER BY i) AS l
+           |  FROM w$r, m$r)""".stripMargin
+      }
+      val last = s"v${llm.Pca.Rounds}"
+      val d = llm.Pca.Dims
+      s"""WITH q AS (
+         |  SELECT label, list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |st AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM q),
+         |cells AS (
+         |  SELECT ti.i AS i, tj.i AS j,
+         |         CAST(sum(CAST(q[CAST(ti.i + 1 AS INT)] AS HUGEINT)
+         |                   * q[CAST(tj.i + 1 AS INT)]) AS HUGEINT) AS sqq
+         |  FROM q, range(0, $d) ti(i), range(0, $d) tj(i)
+         |  GROUP BY 1, 2),
+         |sums AS (
+         |  SELECT t.i AS i, CAST(sum(q[CAST(t.i + 1 AS INT)]) AS HUGEINT) AS s
+         |  FROM q, range(0, $d) t(i) GROUP BY 1),
+         |c AS (
+         |  SELECT cells.i, cells.j, st.n * cells.sqq - si.s * sj.s AS v
+         |  FROM cells
+         |  JOIN sums si ON si.i = cells.i
+         |  JOIN sums sj ON sj.i = cells.j
+         |  CROSS JOIN st),
+         |v0 AS (SELECT list_transform(range(0, $d),
+         |         x -> CAST(${llm.Pca.VScale} AS HUGEINT)) AS l),
+         |${(1 to llm.Pca.Rounds).map(round).mkString(",\n")},
+         |vt AS (SELECT list_sum(list_transform(range(0, $d),
+         |         dd -> l[CAST(dd + 1 AS INT)] * l[CAST(dd + 1 AS INT)])) AS vtv
+         |       FROM $last),
+         |vcv AS (SELECT sum(c.v * $last.l[CAST(c.i + 1 AS INT)]
+         |                       * $last.l[CAST(c.j + 1 AS INT)]) AS vtcv
+         |        FROM c, $last),
+         |lam AS (SELECT CASE WHEN vt.vtv = 0 THEN 0
+         |               ELSE vcv.vtcv // vt.vtv END AS lambda
+         |        FROM vcv, vt),
+         |vp AS (SELECT CASE WHEN st.n = 0 THEN 0
+         |              ELSE lam.lambda // (st.n * st.n) END AS var_pc
+         |       FROM lam, st),
+         |chk AS (SELECT list_sum(list_transform(range(0, $d),
+         |          dd -> l[CAST(dd + 1 AS INT)] * (dd + 1))) AS vchk
+         |        FROM $last),
+         |proj AS (
+         |  SELECT label, list_sum(list_transform(range(0, $d),
+         |           dd -> q[CAST(dd + 1 AS INT)] * l[CAST(dd + 1 AS INT)])) AS p
+         |  FROM q, $last)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+         |       CAST(sum(p) AS BIGINT) AS proj_sum,
+         |       CAST(min(p) AS BIGINT) AS proj_min,
+         |       CAST(max(p) AS BIGINT) AS proj_max,
+         |       CAST(vp.var_pc AS BIGINT) AS var_pc,
+         |       CAST(chk.vchk AS BIGINT) AS vec_checksum
+         |FROM proj, vp, chk
+         |GROUP BY label, vp.var_pc, chk.vchk
+         |ORDER BY label""".stripMargin
+    },
     // Rademacher JL projection: pinned ±1 sign literal, row-local integer
     // folds, exact ppm distortion ratio + positional projection checksum
     "x_rand_proj" ->

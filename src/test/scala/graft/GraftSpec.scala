@@ -517,6 +517,32 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("x_pca: Rayleigh quotient non-decreasing per round, top-eigenvalue dominance") {
+    val q = Tables.embeddings(spark, sf)
+      .select(transform(col("embedding"),
+        x => floor(x.cast("double") * 1024).cast("long")).as("q"))
+    val (n, c) = llm.Pca.scatterOf(q)
+    assert(n > 0)
+    val trace = (0 until llm.Pca.Dims).map(i => c(i)(i)).sum
+    val vs = llm.Pca.powerIterate(c, llm.Pca.Rounds)
+    val rq = vs.map(v => llm.Pca.rayleigh(c, v))
+    // power iteration on a PSD matrix: the Rayleigh quotient never drops
+    rq.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a, s"Rayleigh quotient dropped: $rq")
+    }
+    // the converged quotient must dominate the average eigenvalue
+    // (trace/dims) — strictly, unless the spectrum is flat
+    assert(rq.last * llm.Pca.Dims >= trace,
+      s"top-PC variance ${rq.last} below the spectrum average ${trace / llm.Pca.Dims}")
+    val rows = llm.Pca.pca(spark, sf).collect()
+    val labels = Tables.embeddings(spark, sf).select("label").distinct().count()
+    assert(rows.length.toLong === labels)
+    rows.foreach { r =>
+      assert(r.getLong(4) >= r.getLong(3), "proj_max >= proj_min")
+      assert(r.getLong(5) > 0L, "variance along the top PC is positive")
+    }
+  }
+
   test("x_stream_anomaly: the stateful stream equals the batch prefix-window monitor") {
     import org.apache.spark.sql.expressions.Window
     val streamed = llm.StreamingOps.streamingAnomaly(spark, sf).collect()
@@ -3211,7 +3237,7 @@ class GraftSpec extends AnyFunSuite {
       "x_did" -> "X-DID", "x_bootstrap" -> "X-BOOTSTRAP",
       "x_rand_proj" -> "X-RANDPROJ", "x_conformal" -> "X-CONFORMAL",
       "x_labelprop" -> "X-LABELPROP",
-      "x_stream_anomaly" -> "X-STREAM-ANOMALY",
+      "x_stream_anomaly" -> "X-STREAM-ANOMALY", "x_pca" -> "X-PCA",
       "x_profile" -> "X-PROFILE",
       "x_pagerank" -> "X-PAGERANK", "x_grouping_sets" -> "X-GROUPING-SETS",
       "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",
