@@ -85,6 +85,8 @@ object SparkEntry {
     "x_autocorr" -> (llm.Analytics.autocorr _),
     "x_did" -> (llm.Analytics.did _),
     "x_conformal" -> (llm.Analytics.conformal _),
+    "x_survival" -> (llm.Analytics.survival _),
+    "x_cuped" -> (llm.Analytics.cuped _),
     "x_stream_anomaly" -> (llm.StreamingOps.streamingAnomaly _),
     "x_bootstrap" -> (llm.Analytics.bootstrapCi _),
     "x_source_sim" -> (llm.Dedup.sourceSimilarity _),
@@ -2161,6 +2163,73 @@ object SparkEntry {
         |JOIN m mb ON mb.brand = pr.brand_b, no
         |ORDER BY n_ab DESC, brand_a, brand_b
         |LIMIT ${llm.Analytics.BasketTopN}""".stripMargin,
+    // Kaplan-Meier: suffix-window risk set, exact ppm product fold over
+    // day-ordered steps (encoded n*2^31+d so list_reduce folds BIGINTs)
+    "x_survival" ->
+      s"""WITH days AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |hz AS (SELECT max(day) AS max_day FROM days),
+        |pu AS (
+        |  SELECT CAST(u.ex - u.en AS BIGINT) AS t,
+        |         CASE WHEN u.ex >= hz.max_day - ${llm.Analytics.CensorLastDays}
+        |              THEN 1 ELSE 0 END AS cens
+        |  FROM (SELECT user_id, min(day) AS en, max(day) AS ex
+        |        FROM days GROUP BY user_id) u, hz),
+        |bt AS (SELECT t, CAST(sum(1 - cens) AS BIGINT) AS d,
+        |              CAST(sum(cens) AS BIGINT) AS c
+        |       FROM pu GROUP BY t),
+        |rk AS (SELECT t, d, c,
+        |              CAST(sum(d + c) OVER (ORDER BY t DESC
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |                AS BIGINT) AS n_at_risk
+        |       FROM bt),
+        |st AS (SELECT list(n_at_risk * 2147483648 + d ORDER BY t) AS steps,
+        |              list(t ORDER BY t) AS ts FROM rk WHERE d > 0)
+        |SELECT rk.t, rk.n_at_risk, rk.d AS n_deaths, rk.c AS n_censored,
+        |       CAST(list_reduce(list_prepend(CAST(1000000 AS BIGINT),
+        |              [st.steps[CAST(i AS INT)] FOR i IN range(1, len(st.steps) + 1)
+        |               IF st.ts[CAST(i AS INT)] <= rk.t]),
+        |            (acc, x) -> acc * ((x // 2147483648) - (x % 2147483648))
+        |                        // (x // 2147483648)) AS BIGINT) AS survival_ppm
+        |FROM rk, st ORDER BY rk.t""".stripMargin,
+    // CUPED: exact per-user (pre, post) moments, theta / diffs / rho2 as
+    // fixed IEEE expressions over BIGINT sums, verbatim on both engines
+    "x_cuped" -> {
+      val covS = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+      val varxS = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+      val varyS = "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+      val rawS = "(CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+      val preS = "(CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+      s"""WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         CASE WHEN event_type = 'purchase'
+        |              THEN CAST(CAST(value AS DECIMAL(18, 2)) * 100 AS BIGINT)
+        |              ELSE 0 END AS cents
+        |  FROM events),
+        |pu AS (
+        |  SELECT user_id,
+        |         sum(CASE WHEN day < DATE '${llm.Analytics.DidCutoff}' THEN cents ELSE 0 END) AS x,
+        |         sum(CASE WHEN day >= DATE '${llm.Analytics.DidCutoff}' THEN cents ELSE 0 END) AS y
+        |  FROM ev GROUP BY user_id),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(y * y) AS BIGINT) AS syy,
+        |         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN user_id % 2 = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+        |         CAST(sum(CASE WHEN user_id % 2 = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+        |         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |         CAST(sum(CASE WHEN user_id % 2 = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+        |         CAST(sum(CASE WHEN user_id % 2 = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b
+        |  FROM pu)
+        |SELECT n, n_a, n_b,
+        |       $covS / $varxS AS theta,
+        |       $rawS AS diff_raw,
+        |       $rawS - ($covS / $varxS) * $preS AS diff_cuped,
+        |       ($covS * $covS) / ($varxS * $varyS) AS rho2
+        |FROM m""".stripMargin
+    },
     // four exact cells from one per-user-period agg; the DiD point
     // estimate is one fixed IEEE expression over exact BIGINT cells
     "x_did" ->

@@ -942,6 +942,122 @@ object Analytics {
         .as("did_cents"))
   }
 
+  // ---- Kaplan–Meier survival (X-SURVIVAL) -------------------------------
+
+  /** Users whose last activity falls within this many days of the fixture
+    * horizon are right-CENSORED (they may still be active), not churned —
+    * skipping censoring would bias the curve down (the classic KM error).
+    */
+  val CensorLastDays = 2
+
+  /** X-SURVIVAL: the Kaplan–Meier churn curve — X-RETENTION reports
+    * day-over-day return rates; this estimates the full survival function
+    * S(t) = P(user still active after t days) with right-censoring
+    * handled correctly: a user whose last event sits near the
+    * observation horizon leaves the risk set WITHOUT counting as a
+    * death. Lifetime = last-event day − first-event day; deaths at t are
+    * uncensored users with lifetime t; the at-risk count n_t is the
+    * suffix sum of (deaths + censored) at ≥ t; and the KM product
+    * S(t) = Π_{s≤t, d_s>0} (n_s − d_s)/n_s runs as an EXACT sequential
+    * integer-ppm fold (S ← S·(n−d) div n, nonneg operands) over the
+    * day-ordered step list — `aggregate` over a collected array here,
+    * `list_reduce` over the identical list in the oracle, so the curve
+    * matches bit for bit with no float product to re-order.
+    *
+    * Scale shape: the ONE fact-sized shuffle is the per-user (min, max)
+    * agg; everything after lives in the day domain (≤ horizon rows —
+    * the X-SEASONALITY / X-CHANGEPOINT calendar-bounded convention), so
+    * the suffix window, the collected step list, and the per-row prefix
+    * folds are metadata-sized regardless of corpus size.
+    */
+  def survival(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val horizon = days.agg(max("day").as("max_day"))
+    val perUser = days.groupBy("user_id")
+      .agg(min("day").as("entry"), max("day").as("exit"))
+      .crossJoin(broadcast(horizon))
+      .select(
+        datediff(col("exit"), col("entry")).cast("long").as("t"),
+        when(col("exit") >= date_sub(col("max_day"), CensorLastDays), 1L)
+          .otherwise(0L).as("cens"))
+    val byT = perUser.groupBy("t")
+      .agg(sum(lit(1L) - col("cens")).as("d"), sum("cens").as("c"))
+    val wSuffix = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // day-domain window: ≤ horizon rows, never data-sized
+    val risk = byT.withColumn("n_at_risk", sum(col("d") + col("c")).over(wSuffix))
+    val steps = risk.agg(collect_list(struct(col("t"), col("n_at_risk").as("n"),
+      col("d"))).as("steps"))
+    risk.crossJoin(broadcast(steps))
+      .withColumn("survival_ppm", expr(
+        """aggregate(
+          |  array_sort(filter(steps, s -> s.t <= t AND s.d > 0)),
+          |  CAST(1000000 AS BIGINT),
+          |  (acc, s) -> acc * (s.n - s.d) div s.n)""".stripMargin))
+      .select(col("t"), col("n_at_risk"), col("d").as("n_deaths"),
+        col("c").as("n_censored"), col("survival_ppm"))
+      .orderBy("t")
+  }
+
+  // ---- CUPED variance-reduced experiment readout (X-CUPED) --------------
+
+  /** X-CUPED: controlled-experiment variance reduction using pre-period
+    * data (Deng et al., WSDM 2013) — the adjustment every mature
+    * experimentation platform applies before reading an A/B metric:
+    * ŷ_i = y_i − θ(x_i − x̄) with x the PRE-period value of the same
+    * metric and θ = cov(x,y)/var(x), which cancels the between-user
+    * variance the randomization didn't balance. Periods split at
+    * [[DidCutoff]], variants are the `user_id mod 2` hash bucket, and
+    * the whole readout reduces to EXACT moments: one per-user-period agg
+    * (the only fact-sized shuffle), a pivot to (pre, post) per user,
+    * then ONE global agg of {n, Σx, Σy, Σxy, Σx², per-variant n/Σx/Σy} —
+    * θ, the raw diff, the CUPED diff, and the variance-reduction ratio
+    * ρ² = cov²/(var_x·var_y) are fixed IEEE expressions over those
+    * BIGINT moments, reproduced verbatim in the oracle (Σy² rides in
+    * DECIMAL-safe range at fixture scale; the moments are the textbook
+    * algebraic sufficient statistics, which is why CUPED scales).
+    */
+  def cuped(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        when(to_date(col("ts")) >= to_date(lit(DidCutoff)), lit("post"))
+          .otherwise(lit("pre")).as("period"),
+        when(col("event_type") === "purchase",
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
+          .otherwise(lit(0L)).as("cents"))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("period") === "pre", col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("period") === "post", col("cents")).otherwise(0L)).as("y"))
+      .select(col("x"), col("y"), pmod(col("user_id"), lit(2L)).as("v"))
+    val m = perUser.groupBy().agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(when(col("v") === 0L, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("v") === 0L, col("x")).otherwise(0L)).as("sx_a"),
+      sum(when(col("v") === 0L, col("y")).otherwise(0L)).as("sy_a"),
+      sum(when(col("v") === 1L, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("v") === 1L, col("x")).otherwise(0L)).as("sx_b"),
+      sum(when(col("v") === 1L, col("y")).otherwise(0L)).as("sy_b"))
+    def d(c: String) = col(c).cast("double")
+    val cov = d("n") * d("sxy") - d("sx") * d("sy")
+    val varx = d("n") * d("sxx") - d("sx") * d("sx")
+    val vary = d("n") * d("syy") - d("sy") * d("sy")
+    val theta = cov / varx
+    val rawDiff = d("sy_a") / d("n_a") - d("sy_b") / d("n_b")
+    val cupedDiff = rawDiff - theta * (d("sx_a") / d("n_a") - d("sx_b") / d("n_b"))
+    m.select(col("n"), col("n_a"), col("n_b"),
+      theta.as("theta"),
+      rawDiff.as("diff_raw"),
+      cupedDiff.as("diff_cuped"),
+      (cov * cov / (varx * vary)).as("rho2"))
+  }
+
   // ---- Poisson-bootstrap confidence interval (X-BOOTSTRAP) --------------
 
   /** Bootstrap replica count (a power of two keeps the CI rank literals

@@ -517,6 +517,42 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("x_survival: monotone curve, risk-set conservation, censoring respected") {
+    val rows = llm.Analytics.survival(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.map(r => r.getLong(2) + r.getLong(3)).sum === users,
+      "every user exits exactly once (death or censoring)")
+    // n_at_risk at the smallest t is the full population
+    val byT = rows.sortBy(_.getLong(0))
+    assert(byT.head.getLong(1) === users, "everyone is at risk at the first step")
+    // survival is a product of factors ≤ 1: non-increasing in t, in [0, 1e6]
+    byT.map(_.getLong(4)).sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, "survival curve must be non-increasing")
+    }
+    byT.foreach { r =>
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L)
+      assert(r.getLong(1) >= r.getLong(2), "deaths cannot exceed the risk set")
+    }
+    // censored exits cluster at the horizon by construction
+    val maxT = byT.last
+    assert(maxT.getLong(3) > 0L, "horizon-adjacent users are censored, not churned")
+  }
+
+  test("x_cuped: variance reduction is real and the adjustment preserves the mean") {
+    val rows = llm.Analytics.cuped(spark, sf).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    val (n, nA, nB) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(n === nA + nB, "variants partition the users")
+    val rho2 = r.getDouble(6)
+    assert(rho2 >= 0.0 && rho2 <= 1.0, s"rho2 is a squared correlation: $rho2")
+    assert(!r.getDouble(3).isNaN && !r.getDouble(5).isNaN)
+    // pre-period spend predicts post-period spend on this fixture, so the
+    // adjustment must buy a real variance reduction
+    assert(rho2 > 0.01, s"pre-period covariate carries no signal: rho2 = $rho2")
+  }
+
   test("x_pca: Rayleigh quotient non-decreasing per round, top-eigenvalue dominance") {
     val q = Tables.embeddings(spark, sf)
       .select(transform(col("embedding"),
@@ -3140,8 +3176,15 @@ class GraftSpec extends AnyFunSuite {
     //   q_join_fx_asof_tol — same dim-side fill, plus its staleness track
     //   q_csv              — corrupt-count total over the ≤5-row AGGREGATED frame
     //   x_interleave       — dense_rank over the DISTINCT sources (a handful)
+    //   x_bootstrap        — CI rank over the B=64 REPLICATE rows (replicate-
+    //                        sized by construction, never data-sized)
+    //   x_survival         — suffix risk-set window over the ≤horizon-days
+    //                        lifetime domain (calendar-bounded; appears twice
+    //                        because the risk frame feeds both output and the
+    //                        collected step list)
     val globalWindowOk =
-      Set("q_join_fx_asof", "q_join_fx_asof_tol", "q_csv", "x_interleave")
+      Set("q_join_fx_asof", "q_join_fx_asof_tol", "q_csv", "x_interleave",
+        "x_bootstrap", "x_survival")
     // streaming queries execute their stream at construction — covered by
     // their own specs; the lint targets the batch plan surface.
     // x_global_ids is OPAQUE to a logical lint: its output is an eager
@@ -3238,6 +3281,7 @@ class GraftSpec extends AnyFunSuite {
       "x_rand_proj" -> "X-RANDPROJ", "x_conformal" -> "X-CONFORMAL",
       "x_labelprop" -> "X-LABELPROP",
       "x_stream_anomaly" -> "X-STREAM-ANOMALY", "x_pca" -> "X-PCA",
+      "x_survival" -> "X-SURVIVAL", "x_cuped" -> "X-CUPED",
       "x_profile" -> "X-PROFILE",
       "x_pagerank" -> "X-PAGERANK", "x_grouping_sets" -> "X-GROUPING-SETS",
       "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",
