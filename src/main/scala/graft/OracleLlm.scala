@@ -506,6 +506,63 @@ object OracleLlm {
     * non-canonical members (id <> comp) drop; the pairwise drop set
     * (distinct id_b) is re-derived for the `extra_vs_pairwise` delta.
     */
+  /** X-CANONICAL mirror: the dedupCluster recursive components relabeled
+    * to min-doc_id cluster ids, then the (n_tokens DESC, doc_id) argmax
+    * per cluster over whitespace-token counts.
+    */
+  val canonicalSql: String =
+    s"""WITH RECURSIVE $sigCtes, $pairCtes,
+       |ed AS (SELECT id_a, id_b FROM mh WHERE est_jaccard >= ${Dedup.NearDupThreshold}),
+       |und AS (SELECT id_a AS a, id_b AS b FROM ed UNION SELECT id_b, id_a FROM ed),
+       |nodes AS (SELECT DISTINCT a AS id FROM und),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT u.b AS id, reach.r AS r FROM reach JOIN und u ON u.a = reach.id),
+       |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |mem AS (
+       |  SELECT lab.cluster_id, d.doc_id,
+       |         CAST(len(list_filter(regexp_split_to_array(d.text, '\\s+'),
+       |           x -> x <> '')) AS BIGINT) AS n_tokens
+       |  FROM lab JOIN documents d ON d.doc_id = lab.id),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |           ORDER BY n_tokens DESC, doc_id) AS rn
+       |  FROM mem)
+       |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |       CAST(min(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS kept_doc,
+       |       CAST(min(CASE WHEN rn = 1 THEN n_tokens END) AS BIGINT) AS kept_tokens,
+       |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       |FROM rk GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
+  /** X-HUBNESS mirror: brute top-k from the shared c/q CTEs, in-degree
+    * per cid, antihubs kept via the corpus left join.
+    */
+  // lazy: simBaseCtes is declared further down the file — an eager val
+  // here would capture null at object init
+  lazy val hubnessSql: String = {
+    val k = llm.Similarity.K
+    s"""WITH $simBaseCtes,
+       |bs AS (
+       |  SELECT q.qid, c.vec_id AS cid,
+       |         ${cosine("q.qv", "q.qn", "c.embedding", "c.nrm")} AS cosine
+       |  FROM c, q WHERE c.vec_id <> q.qid),
+       |bt AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+       |             ORDER BY cosine DESC, cid) AS rank
+       |    FROM bs) WHERE rank <= $k),
+       |indeg AS (SELECT cid AS vec_id, CAST(count(*) AS BIGINT) AS in_degree
+       |          FROM bt GROUP BY cid),
+       |alld AS (
+       |  SELECT c.vec_id, coalesce(indeg.in_degree, 0) AS in_degree
+       |  FROM c LEFT JOIN indeg ON indeg.vec_id = c.vec_id)
+       |SELECT CAST(in_degree AS BIGINT) AS in_degree,
+       |       CAST(count(*) AS BIGINT) AS n_vectors,
+       |       CAST(min(vec_id) AS BIGINT) AS min_vec_id
+       |FROM alld GROUP BY in_degree ORDER BY in_degree""".stripMargin
+  }
+
   val dedupClusterSql: String =
     s"""WITH RECURSIVE $sigCtes, $pairCtes,
        |ed AS (SELECT id_a, id_b FROM mh WHERE est_jaccard >= ${Dedup.NearDupThreshold}),

@@ -57,6 +57,7 @@ object SparkEntry {
     "x_sim_incr" -> (llm.Similarity.simIncrTopK _),
     "x_sim_rrf" -> (llm.Similarity.rrfTopK _),
     "x_rank_metrics" -> (llm.Similarity.rankMetrics _),
+    "x_hubness" -> (llm.Similarity.hubness _),
     "x_kcenter" -> (llm.Similarity.kcenter _),
     "x_mmr" -> (llm.Similarity.mmrRerank _),
     "q_msg" -> (etl.Trigger.dispatch _),
@@ -92,6 +93,7 @@ object SparkEntry {
     "x_source_sim" -> (llm.Dedup.sourceSimilarity _),
     "x_dedup_pipeline" -> (llm.Dedup.dedupPipeline _),
     "x_dedup_cluster" -> (llm.Dedup.dedupCluster _),
+    "x_canonical" -> (llm.Dedup.canonical _),
     "x_vocab" -> (llm.TextAnalysis.vocabulary _),
     "x_split" -> (llm.Sampling.split _),
     "x_token_budget" -> (llm.Sampling.tokenBudget _),
@@ -826,6 +828,8 @@ object SparkEntry {
     "x_dedup_simhash" -> OracleLlm.simhashPairsSql,
     "x_dedup_pipeline" -> OracleLlm.dedupPipelineSql,
     "x_dedup_cluster" -> OracleLlm.dedupClusterSql,
+    "x_canonical" -> OracleLlm.canonicalSql,
+    "x_hubness" -> OracleLlm.hubnessSql,
     "x_source_sim" -> OracleLlm.sourceSimSql,
     "x_fingerprint" -> OracleLlm.fingerprintSql,
     "x_lang_id" -> OracleLlm.langIdSql,

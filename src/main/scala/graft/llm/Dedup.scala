@@ -642,6 +642,46 @@ object Dedup {
     * the pairwise rule coincide and `extra_vs_pairwise` is 0 everywhere;
     * the chain case is exactly what the operator exists for).
     */
+  /** X-CANONICAL: quality-aware canonical selection per near-dup cluster —
+    * the curation DECISION the cluster view exists to drive: min-doc_id
+    * keeper rules (dedupCluster, dedupPipeline) are arbitrary; a real
+    * curation run keeps the MOST COMPLETE copy. Representative = the
+    * member with the most whitespace tokens, doc_id ascending as the
+    * total-order tie-break — both exact integers, so the pick is
+    * engine-independent. Output: one row per dup cluster (id = the
+    * component's min doc_id) with member count, kept doc, kept/total
+    * token mass — singletons are absent by contract (they need no
+    * decision). Work beyond the shared banded-pair index + pointer-
+    * jumping components: one token count over cluster MEMBERS only
+    * (cluster-sized, not corpus-sized) and a per-cluster argmax window.
+    */
+  def canonical(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val edges = minhashPairsTable(spark, sfDir)
+      .filter(col("est_jaccard") >= NearDupThreshold)
+      .select("id_a", "id_b")
+    canonicalOf(docs, edges)
+  }
+
+  def canonicalOf(docs: DataFrame, edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = Graph.connectedComponents(edges)
+    val toks = docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val members = comp.join(toks, comp("id") === toks("doc_id"))
+      .select(col("comp").as("cluster_id"), col("doc_id"), col("n_tokens"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    members.withColumn("rn", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        min(when(col("rn") === 1, col("doc_id"))).as("kept_doc"),
+        min(when(col("rn") === 1, col("n_tokens"))).as("kept_tokens"),
+        sum("n_tokens").as("total_tokens"))
+      .orderBy("cluster_id")
+  }
+
   def dedupClusterOf(docs: DataFrame, edges: DataFrame): DataFrame = {
     // comp = min doc_id of the component; every non-canonical member drops
     val dropCc = Graph.connectedComponents(edges)

@@ -1136,4 +1136,33 @@ object Similarity {
         (acc, cv) => least(acc, sqDist(col("qe"), cv))).as("mind"))
       .agg(max("mind")).as[Double].head().toLong
   }
+
+  // ---- kNN-graph hubness diagnostic (X-HUBNESS) ------------------------
+
+  /** X-HUBNESS: the in-degree distribution of the exact kNN graph — the
+    * ANN index health metric high-dimensional retrieval lives with
+    * (Radovanović et al., JMLR 2010): as dimensionality grows a few
+    * "hub" vectors appear in MANY top-k lists while antihubs appear in
+    * none, which silently skews every downstream consumer (a semdedup
+    * pass keeps deleting the hubs' neighbors; a retrieval eval
+    * overweights them). The histogram says whether this corpus has the
+    * pathology BEFORE the index ships. in_degree = how many query top-k
+    * lists a vector appears in (from the shared memoized brute table —
+    * no new scoring), 0-rows included via the corpus anti-join side so
+    * antihubs are counted, not dropped; one row per observed in-degree
+    * with the vector count and the min vec_id witness. All exact
+    * integers; work beyond the shared baseline is one count-agg over
+    * top-k rows (≤ queries×k) + one broadcast join onto the corpus ids.
+    */
+  def hubness(spark: SparkSession, sfDir: String): DataFrame = {
+    val indeg = bruteFor(spark, sfDir)
+      .groupBy(col("cid").as("vec_id"))
+      .agg(count(lit(1)).as("in_degree"))
+    corpus(spark, sfDir).select(col("vec_id"))
+      .join(broadcast(indeg), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+      .groupBy("in_degree")
+      .agg(count(lit(1)).as("n_vectors"), min("vec_id").as("min_vec_id"))
+      .orderBy("in_degree")
+  }
 }

@@ -517,6 +517,31 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("x_canonical and x_hubness: keeper rule and in-degree conservation") {
+    import spark.implicits._
+    // canonical: a 3-chain cluster keeps the longest member, not the min id
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c d e f g h"), (3L, "a b")
+    ).toDF("doc_id", "text")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = llm.Dedup.canonicalOf(docs, edges).collect()
+    assert(got.length === 1)
+    assert(got.head.getLong(0) === 1L, "cluster labeled by min member id")
+    assert(got.head.getLong(1) === 3L)
+    assert(got.head.getLong(2) === 2L, "keeper is the longest member, not min id")
+    assert(got.head.getLong(3) === 8L && got.head.getLong(4) === 13L)
+    // hubness: in-degrees over the kNN graph conserve queries × k edges
+    val rows = llm.Similarity.hubness(spark, sf).collect()
+    val brute = llm.Similarity.bruteTopK(spark, sf)
+    val edgesTotal = brute.count()
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum === edgesTotal,
+      "Σ in_degree·count equals the kNN edge total")
+    val corpusN = Tables.embeddings(spark, sf)
+      .filter(expr("sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * x), 0D, (a, b) -> a + b)) > 0")).count()
+    assert(rows.map(_.getLong(1)).sum === corpusN,
+      "every corpus vector (antihubs included) lands in exactly one bucket")
+  }
+
   test("x_survival: monotone curve, risk-set conservation, censoring respected") {
     val rows = llm.Analytics.survival(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -3282,6 +3307,7 @@ class GraftSpec extends AnyFunSuite {
       "x_labelprop" -> "X-LABELPROP",
       "x_stream_anomaly" -> "X-STREAM-ANOMALY", "x_pca" -> "X-PCA",
       "x_survival" -> "X-SURVIVAL", "x_cuped" -> "X-CUPED",
+      "x_canonical" -> "X-CANONICAL", "x_hubness" -> "X-HUBNESS",
       "x_profile" -> "X-PROFILE",
       "x_pagerank" -> "X-PAGERANK", "x_grouping_sets" -> "X-GROUPING-SETS",
       "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",
