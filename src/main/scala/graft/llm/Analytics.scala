@@ -971,7 +971,6 @@ object Analytics {
     * folds are metadata-sized regardless of corpus size.
     */
   def survival(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val days = Tables.events(spark, sfDir)
       .select(col("user_id"), to_date(col("ts")).as("day"))
     val horizon = days.agg(max("day").as("max_day"))
@@ -982,6 +981,15 @@ object Analytics {
         datediff(col("exit"), col("entry")).cast("long").as("t"),
         when(col("exit") >= date_sub(col("max_day"), CensorLastDays), 1L)
           .otherwise(0L).as("cens"))
+    survivalOf(perUser)
+  }
+
+  /** KM core over any (t: long, cens: 0/1) lifetime frame — split out so
+    * the property law can drive it with generated populations against a
+    * sequential reference.
+    */
+  def survivalOf(perUser: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byT = perUser.groupBy("t")
       .agg(sum(lit(1L) - col("cens")).as("d"), sum("cens").as("c"))
     val wSuffix = Window.orderBy(col("t").desc)
@@ -1019,8 +1027,14 @@ object Analytics {
     * DECIMAL-safe range at fixture scale; the moments are the textbook
     * algebraic sufficient statistics, which is why CUPED scales).
     */
-  def cuped(spark: SparkSession, sfDir: String): DataFrame = {
-    val perUser = Tables.events(spark, sfDir)
+  def cuped(spark: SparkSession, sfDir: String): DataFrame =
+    cupedOf(Tables.events(spark, sfDir))
+
+  /** CUPED core over any events-shaped (user_id, ts, event_type, value)
+    * frame — split out for the property law's moment-reference check.
+    */
+  def cupedOf(ev: DataFrame): DataFrame = {
+    val perUser = ev
       .select(col("user_id"),
         when(to_date(col("ts")) >= to_date(lit(DidCutoff)), lit("post"))
           .otherwise(lit("pre")).as("period"),

@@ -630,18 +630,29 @@ object Dedup {
     */
   def dedupCluster(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val edges = minhashPairsTable(spark, sfDir)
-      .filter(col("est_jaccard") >= NearDupThreshold)
-      .select("id_a", "id_b")
-    dedupClusterOf(docs, edges)
+    dedupClusterCore(docs, componentsTable(spark, sfDir),
+      nearDupEdges(spark, sfDir))
   }
 
-  /** [[dedupCluster]]'s core on explicit (docs, edges) frames — split out
-    * so the transitivity spec can feed a synthetic chain (the fixture's
-    * near-dup pairs happen to be isolated at small SF, where closure and
-    * the pairwise rule coincide and `extra_vs_pairwise` is 0 everywhere;
-    * the chain case is exactly what the operator exists for).
+  private val compCache = new graft.Memo
+
+  /** The ≥-threshold near-dup pair graph off the shared banded index. */
+  def nearDupEdges(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairsTable(spark, sfDir)
+      .filter(col("est_jaccard") >= NearDupThreshold)
+      .select("id_a", "id_b")
+
+  /** Memoized per (session, sfDir): the pointer-jumping component labels
+    * of the near-dup pair graph — [[dedupCluster]] and [[canonical]] both
+    * consume them; the iteration runs ONCE and the label table (pair-graph
+    * sized, not corpus sized) is cached, the same shared-index discipline
+    * as [[signatureTable]] / [[minhashPairsTable]].
     */
+  def componentsTable(spark: SparkSession, sfDir: String): DataFrame =
+    compCache.getOrBuild(spark, sfDir, cache = true) {
+      Graph.connectedComponents(nearDupEdges(spark, sfDir))
+    }
+
   /** X-CANONICAL: quality-aware canonical selection per near-dup cluster —
     * the curation DECISION the cluster view exists to drive: min-doc_id
     * keeper rules (dedupCluster, dedupPipeline) are arbitrary; a real
@@ -655,17 +666,15 @@ object Dedup {
     * jumping components: one token count over cluster MEMBERS only
     * (cluster-sized, not corpus-sized) and a per-cluster argmax window.
     */
-  def canonical(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val edges = minhashPairsTable(spark, sfDir)
-      .filter(col("est_jaccard") >= NearDupThreshold)
-      .select("id_a", "id_b")
-    canonicalOf(docs, edges)
-  }
+  def canonical(spark: SparkSession, sfDir: String): DataFrame =
+    canonicalOnComps(Tables.documents(spark, sfDir),
+      componentsTable(spark, sfDir))
 
-  def canonicalOf(docs: DataFrame, edges: DataFrame): DataFrame = {
+  def canonicalOf(docs: DataFrame, edges: DataFrame): DataFrame =
+    canonicalOnComps(docs, Graph.connectedComponents(edges))
+
+  private def canonicalOnComps(docs: DataFrame, comp: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val comp = Graph.connectedComponents(edges)
     val toks = docs.select(col("doc_id"),
       size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
     val members = comp.join(toks, comp("id") === toks("doc_id"))
@@ -682,9 +691,19 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
-  def dedupClusterOf(docs: DataFrame, edges: DataFrame): DataFrame = {
+  /** [[dedupCluster]]'s core on explicit (docs, edges) frames — split out
+    * so the transitivity spec can feed a synthetic chain (the fixture's
+    * near-dup pairs happen to be isolated at small SF, where closure and
+    * the pairwise rule coincide and `extra_vs_pairwise` is 0 everywhere;
+    * the chain case is exactly what the operator exists for).
+    */
+  def dedupClusterOf(docs: DataFrame, edges: DataFrame): DataFrame =
+    dedupClusterCore(docs, Graph.connectedComponents(edges), edges)
+
+  private def dedupClusterCore(docs: DataFrame, comp: DataFrame,
+      edges: DataFrame): DataFrame = {
     // comp = min doc_id of the component; every non-canonical member drops
-    val dropCc = Graph.connectedComponents(edges)
+    val dropCc = comp
       .filter(col("id") =!= col("comp"))
       .select(col("id").as("doc_id"))
     // the pairwise rule for comparison: higher id of each colliding pair

@@ -821,4 +821,74 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want, s"rank metrics drifted: got $got want $want")
     }
   }
+
+  test("law: X-SURVIVAL equals the sequential Kaplan-Meier reference") {
+    import spark.implicits._
+    val popGen = Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 8L), Gen.oneOf(0L, 1L)))
+    forAll(popGen, cases = 5) { pop =>
+      val got = llm.Analytics.survivalOf(pop.toDF("t", "cens"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      // sequential reference: walk t ascending with the exact ppm recurrence
+      val byT = pop.groupBy(_._1).map { case (t, g) =>
+        (t, g.count(_._2 == 0L).toLong, g.count(_._2 == 1L).toLong)
+      }.toSeq.sortBy(_._1)
+      var atRisk = pop.size.toLong
+      var s = 1000000L
+      val want = byT.map { case (t, d, c) =>
+        if (d > 0) s = s * (atRisk - d) / atRisk
+        val row = (t, atRisk, d, c, s)
+        atRisk -= d + c
+        row
+      }
+      assert(got.sortBy(_._1).toSeq == want, s"KM curve drifted on $pop")
+    }
+  }
+
+  test("law: X-CUPED moments equal the sequential BigInt reference; rho2 in [0,1]") {
+    import spark.implicits._
+    val userGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(0L, 9999L), Gen.chooseNum(0L, 500000L), Gen.chooseNum(0L, 500000L)))
+    forAll(userGen, cases = 4) { raw =>
+      // distinct user ids; both variants populated (append sentinels)
+      val users = (raw.zipWithIndex.map { case ((_, x, y), i) => (i.toLong, x, y) }
+        ++ Seq((raw.size.toLong, 7L, 11L), (raw.size.toLong + 1, 13L, 17L)))
+      val ev = users.flatMap { case (u, x, y) => Seq(
+        (u, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), "purchase", x / 100.0),
+        (u, java.sql.Timestamp.valueOf("2024-01-20 00:00:00"), "purchase", y / 100.0))
+      }.toDF("user_id", "ts", "event_type", "value")
+      // drive the public operator through a temp-view-free path: rebuild
+      // the per-user pivot exactly as cuped() does, then compare moments
+      val r = llm.Analytics.cupedOf(ev).collect().head
+      def bi(xs: Seq[Long]) = xs.map(BigInt(_)).sum
+      val xs = users.map(_._2); val ys = users.map(_._3)
+      val n = BigInt(users.size)
+      val (sx, sy) = (bi(xs), bi(ys))
+      val sxy = bi(users.map { case (_, x, y) => x * y })
+      val sxx = bi(xs.map(x => x * x)); val syy = bi(ys.map(y => y * y))
+      val cov = (n * sxy - sx * sy).toDouble
+      val varx = (n * sxx - sx * sx).toDouble
+      val vary = (n * syy - sy * sy).toDouble
+      val rho2 = r.getDouble(6)
+      if (varx > 0 && vary > 0) {
+        assert(math.abs(rho2 - cov * cov / (varx * vary)) <= math.ulp(rho2) * 8,
+          "rho2 drifted from the BigInt-moment reference")
+        assert(rho2 >= 0.0 && rho2 <= 1.0 + 1e-12, s"rho2 out of range: $rho2")
+      }
+      assert(r.getLong(0) === users.size.toLong)
+    }
+  }
+
+  test("law: X-PCA Rayleigh quotient is non-decreasing on random PSD matrices") {
+    val matGen = Gen.listOfN(llm.Pca.Dims * 4, Gen.chooseNum(-50L, 50L))
+    forAll(matGen, cases = 5) { cells =>
+      // PSD by construction: C = AᵀA with A a 4×64 integer matrix
+      val a = cells.map(BigInt(_)).grouped(llm.Pca.Dims).toArray
+      val c = Array.tabulate(llm.Pca.Dims, llm.Pca.Dims)((i, j) =>
+        a.map(row => row(i) * row(j)).sum)
+      val rq = llm.Pca.powerIterate(c, llm.Pca.Rounds).map(llm.Pca.rayleigh(c, _))
+      rq.sliding(2).foreach { case Seq(p, q) =>
+        assert(q >= p, s"Rayleigh quotient dropped: $rq")
+      }
+    }
+  }
 }
