@@ -994,8 +994,11 @@ object Analytics {
       .agg(sum(lit(1L) - col("cens")).as("d"), sum("cens").as("c"))
     val wSuffix = Window.orderBy(col("t").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // day-domain window: ≤ horizon rows, never data-sized
+    // day-domain window: ≤ horizon rows, never data-sized. Cached: both
+    // the step-list agg and the output traverse it, and an uncached frame
+    // would re-run the fact-sized per-user agg underneath twice.
     val risk = byT.withColumn("n_at_risk", sum(col("d") + col("c")).over(wSuffix))
+      .cache()
     val steps = risk.agg(collect_list(struct(col("t"), col("n_at_risk").as("n"),
       col("d"))).as("steps"))
     risk.crossJoin(broadcast(steps))
