@@ -173,6 +173,38 @@ object OracleLlm {
        |SELECT doc_id, ${signed64("h1")} AS fp, ${signed64("h2")} AS fp_cased
        |FROM f ORDER BY doc_id""".stripMargin
 
+  /** X-HASH-FEATURES mirror: bigrams → poly-hash bucket + independent
+    * sign hash + the 64-bit gram identity (the same rolling-hash kernel
+    * the Spark side groups distincts on — grouping the oracle on the raw
+    * gram string would diverge on a 64-bit collision).
+    */
+  val hashFeaturesSql: String = {
+    val d = llm.TextAnalysis.HashFeatDims
+    s"""WITH tk AS (
+       |  SELECT source,
+       |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT source, unnest(list_transform(range(1, len(toks)),
+       |    gi -> toks[CAST(gi AS INT)] || ' ' || toks[CAST(gi + 1 AS INT)])) AS g
+       |  FROM tk WHERE len(toks) >= 2),
+       |h AS (
+       |  SELECT source,
+       |         ${polyHash("g", 131)} % $d AS bucket,
+       |         (${polyHash("g", 137)} % 2) * 2 - 1 AS sign,
+       |         ${hash64u("g")} AS g64
+       |  FROM g),
+       |dd AS (
+       |  SELECT source, bucket, g64,
+       |         CAST(count(*) AS BIGINT) AS n, CAST(sum(sign) AS BIGINT) AS s
+       |  FROM h GROUP BY 1, 2, 3)
+       |SELECT source, CAST(bucket AS BIGINT) AS bucket,
+       |       CAST(sum(n) AS BIGINT) AS n_grams,
+       |       CAST(sum(s) AS BIGINT) AS signed_sum,
+       |       CAST(count(*) AS BIGINT) AS n_distinct_grams
+       |FROM dd GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
+  }
+
   /** Whitespace token count of a text expression (x_text_stats mirror). */
   private def wsTokens(expr: String): String =
     s"CAST(len(list_filter(regexp_split_to_array($expr, '\\s+'), wt -> wt <> '')) AS BIGINT)"

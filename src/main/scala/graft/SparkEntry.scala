@@ -37,6 +37,7 @@ object SparkEntry {
     "x_token_count" -> (llm.TextAnalysis.tokenCounts _),
     "x_lang_id" -> (llm.TextAnalysis.langId _),
     "x_fingerprint" -> (llm.TextAnalysis.fingerprints _),
+    "x_hash_features" -> (llm.TextAnalysis.hashFeatures _),
     "x_dedup_exact" -> (llm.Dedup.exact _),
     "x_dedup_minhash" -> (llm.Dedup.minhashPairs _),
     "x_dedup_simhash" -> (llm.Dedup.simhashPairs _),
@@ -832,6 +833,7 @@ object SparkEntry {
     "x_hubness" -> OracleLlm.hubnessSql,
     "x_source_sim" -> OracleLlm.sourceSimSql,
     "x_fingerprint" -> OracleLlm.fingerprintSql,
+    "x_hash_features" -> OracleLlm.hashFeaturesSql,
     "x_lang_id" -> OracleLlm.langIdSql,
     "x_mm_features" -> OracleLlm.mmFeaturesSql,
     "x_sim_lsh" -> OracleLlm.simLshSql,

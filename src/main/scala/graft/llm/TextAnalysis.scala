@@ -1028,4 +1028,52 @@ object TextAnalysis {
         rolling_hash(lower(col("text"))).as("fp"),
         rolling_hash(col("text")).as("fp_cased"))
       .orderBy("doc_id")
+
+  // ---- hashing-trick featurization (X-HASH-FEATURES) --------------------
+
+  /** Feature-hash bucket count (the HashingVectorizer dimensionality). */
+  val HashFeatDims = 64
+
+  /** X-HASH-FEATURES: the hashing trick (Weinberger et al., ICML 2009;
+    * sklearn's HashingVectorizer) over document bigrams — the
+    * featurization that needs NO vocabulary pass: gram → bucket via
+    * `poly_hash(g, 131) mod 64`, contribution sign via the independent
+    * `poly_hash(g, 137) mod 2` (the double-hashing trick that makes
+    * collisions cancel in expectation instead of biasing upward). The
+    * report is the per-(source, bucket) feature table — occurrence
+    * count, signed sum (the actual feature value), and the exact
+    * distinct-gram load per bucket, which measures the collision rate
+    * the chosen dimensionality costs (the design trade the operator
+    * exists to expose).
+    *
+    * Scale shape: one explode + ONE partial+final agg onto
+    * (source, bucket, gram-hash-64) — the shuffle carries 8-byte rolling
+    * hashes, never gram strings — then a ≤ sources×64-row rollup. At
+    * 100 TB the distinct-load column swaps for an HLL partial
+    * (X-HLL's accuracy contract); counts and signed sums are plain
+    * mergeable counters.
+    */
+  def hashFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("source"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
+        .as("g"))
+      .select(col("source"),
+        pmod(graft.functions.PolyHash.poly_hash(col("g"), 131),
+          lit(HashFeatDims.toLong)).as("bucket"),
+        (pmod(graft.functions.PolyHash.poly_hash(col("g"), 137), lit(2L)) * 2L - 1L)
+          .as("sign"),
+        rolling_hash(col("g")).as("g64"))
+    grams
+      .groupBy("source", "bucket", "g64")
+      .agg(count(lit(1)).as("n"), sum("sign").as("s"))
+      .groupBy("source", "bucket")
+      .agg(
+        sum("n").as("n_grams"),
+        sum("s").as("signed_sum"),
+        count(lit(1)).as("n_distinct_grams"))
+      .orderBy("source", "bucket")
+  }
 }

@@ -517,6 +517,22 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("x_hash_features: gram mass conserved, signs balanced, buckets in range") {
+    val rows = llm.TextAnalysis.hashFeatures(spark, sf).collect()
+    val totalGrams = Tables.documents(spark, sf)
+      .select(llm.TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .agg(sum(size(col("toks")) - 1)).head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum === totalGrams,
+      "every bigram occurrence lands in exactly one bucket")
+    rows.foreach { r =>
+      val (b, n, s, d) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(b >= 0 && b < llm.TextAnalysis.HashFeatDims.toLong)
+      assert(math.abs(s) <= n, "signed sum is bounded by the occurrence count")
+      assert(d >= 1 && d <= n, "distinct load within [1, n]")
+    }
+  }
+
   test("x_canonical and x_hubness: keeper rule and in-degree conservation") {
     import spark.implicits._
     // canonical: a 3-chain cluster keeps the longest member, not the min id
@@ -3308,6 +3324,7 @@ class GraftSpec extends AnyFunSuite {
       "x_stream_anomaly" -> "X-STREAM-ANOMALY", "x_pca" -> "X-PCA",
       "x_survival" -> "X-SURVIVAL", "x_cuped" -> "X-CUPED",
       "x_canonical" -> "X-CANONICAL", "x_hubness" -> "X-HUBNESS",
+      "x_hash_features" -> "X-HASH-FEATURES",
       "x_profile" -> "X-PROFILE",
       "x_pagerank" -> "X-PAGERANK", "x_grouping_sets" -> "X-GROUPING-SETS",
       "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",
