@@ -498,11 +498,17 @@ object Analytics {
         (col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
           col("n_train").cast("double"))
       .select("c_mktsegment", "n_train", "slope", "intercept")
+      // ≤|segments| rows, consumed by cal, test, and the output join —
+      // uncached, every consumer re-runs the train-fold fact agg
+      .cache()
     def resid = abs(col("y").cast("double") -
       (col("slope") * col("x").cast("double") + col("intercept")))
+    // the calibration quarter feeds both the ranking and the rank-count;
+    // cached so the residual join runs once (at 100 TB: persist-to-disk)
     val cal = base.filter(col("fold") === 2L)
       .join(broadcast(model), Seq("c_mktsegment"))
       .select(col("c_mktsegment"), col("o_orderkey"), resid.as("r"))
+      .cache()
     val calRanked = cal.withColumn("rk",
       row_number().over(Window.partitionBy("c_mktsegment")
         .orderBy(col("r"), col("o_orderkey"))).cast("long"))
@@ -513,6 +519,7 @@ object Analytics {
     val qh = calRanked.join(broadcast(nCal), Seq("c_mktsegment"))
       .filter(col("rk") === col("k"))
       .select(col("c_mktsegment"), col("n_cal"), col("r").as("q_hat"))
+      .cache() // ≤|segments| rows, consumed by test and the output join
     val test = base.filter(col("fold") === 3L)
       .join(broadcast(model), Seq("c_mktsegment"))
       .join(broadcast(qh), Seq("c_mktsegment"))
