@@ -1779,7 +1779,10 @@ object SparkEntry {
            |  FROM nodes LEFT JOIN a$i ON a$i.id = nodes.id)""".stripMargin
       }
       val last = s"l${llm.Graph.LpRounds}"
-      s"""WITH e0 AS (
+      // e0 MATERIALIZED: DuckDB inlines plain CTEs per reference, and the
+      // unrolled rounds reference the fact-sized join ~20 times — enough
+      // to OOM/spill at sf0.1; materializing pins it to one evaluation
+      s"""WITH e0 AS MATERIALIZED (
          |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
          |         CAST(count(*) AS BIGINT) AS w
          |  FROM lineitem l
@@ -1787,7 +1790,7 @@ object SparkEntry {
          |  JOIN customer c ON o.o_custkey = c.c_custkey
          |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
          |  GROUP BY 1, 2),
-         |und AS (
+         |und AS MATERIALIZED (
          |  SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
          |    SELECT src, dst, w FROM e0 WHERE src <> dst
          |    UNION ALL
@@ -1822,7 +1825,9 @@ object SparkEntry {
            |  LEFT JOIN c$i ON c$i.id = nodes.id)""".stripMargin
       }
       val last = s"r${llm.Graph.PrIterations}"
-      s"""WITH e AS (
+      // e MATERIALIZED: same per-reference CTE inlining hazard as
+      // x_labelprop's e0 — the rank rounds reference the fact join ~10×
+      s"""WITH e AS MATERIALIZED (
          |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
          |         CAST(count(*) AS BIGINT) AS w
          |  FROM lineitem l
