@@ -87,6 +87,7 @@ object SparkEntry {
     "x_autocorr" -> (llm.Analytics.autocorr _),
     "x_did" -> (llm.Analytics.did _),
     "x_conformal" -> (llm.Analytics.conformal _),
+    "x_chi2_drift" -> (llm.Analytics.chi2Drift _),
     "x_survival" -> (llm.Analytics.survival _),
     "x_cuped" -> (llm.Analytics.cuped _),
     "x_stream_anomaly" -> (llm.StreamingOps.streamingAnomaly _),
@@ -1958,6 +1959,28 @@ object SparkEntry {
         |FROM t ORDER BY prev_type, next_type""".stripMargin,
     // OLS moments exact BIGINT; slope/intercept are the identical IEEE
     // expression over correctly-rounded BIGINT->double casts
+    // 2x|types| contingency from one exact agg; expected cells and the
+    // per-type chi-square contribution are verbatim-mirrored IEEE chains
+    "x_chi2_drift" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |         CAST(sum(CASE WHEN CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 2 = 0
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 2 = 1
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM events GROUP BY event_type),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS t_a, CAST(sum(n_b) AS BIGINT) AS t_b,
+        |             CAST(sum(n_a + n_b) AS BIGINT) AS t FROM c)
+        |SELECT event_type, n_a, n_b,
+        |       (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) * CAST(t_a AS DOUBLE) / CAST(t AS DOUBLE) AS e_a,
+        |       (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) * CAST(t_b AS DOUBLE) / CAST(t AS DOUBLE) AS e_b,
+        |       (CAST(n_a AS DOUBLE) - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) * CAST(t_a AS DOUBLE) / CAST(t AS DOUBLE))
+        |         * (CAST(n_a AS DOUBLE) - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) * CAST(t_a AS DOUBLE) / CAST(t AS DOUBLE))
+        |         / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) * CAST(t_a AS DOUBLE) / CAST(t AS DOUBLE))
+        |       + (CAST(n_b AS DOUBLE) - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) * CAST(t_b AS DOUBLE) / CAST(t AS DOUBLE))
+        |         * (CAST(n_b AS DOUBLE) - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) * CAST(t_b AS DOUBLE) / CAST(t AS DOUBLE))
+        |         / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) * CAST(t_b AS DOUBLE) / CAST(t AS DOUBLE)) AS chi2_contrib
+        |FROM c, t ORDER BY event_type""".stripMargin,
     // split-conformal: exact-moment OLS on train folds, q-hat = the
     // ceil(0.9*(n+1))-th calibration residual (orderkey tie-break),
     // honest coverage on the disjoint test fold — all IEEE chains mirrored

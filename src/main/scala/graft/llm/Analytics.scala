@@ -391,6 +391,46 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** X-CHI2-DRIFT: categorical-mix drift between cohorts — X-DRIFT's KS
+    * statistic reads a NUMERIC distribution shift; this reads the
+    * event-TYPE mix shift (the "did the traffic composition change"
+    * question: a feed that silently swaps clicks for errors moves no
+    * value quantile but explodes here). Cohorts are the same
+    * deterministic day-parity split as X-DRIFT; the 2×|types|
+    * contingency table comes from ONE partial+final agg of exact BIGINT
+    * counts; expected cells e = row·col/N and each type's χ² contribution
+    * (o_a−e_a)²/e_a + (o_b−e_b)²/e_b are fixed IEEE expressions over
+    * those counts, mirrored verbatim — the global χ² is their exact
+    * float sum in type order (the oracle sums the same per-type doubles
+    * with the same ORDER BY, so even the one float reduction is pinned).
+    * Output: one row per event type with both observed counts, the
+    * expected cells, and the contribution — the drill-down a drift alarm
+    * needs (WHICH category moved), with the statistic recoverable as the
+    * column sum.
+    */
+  def chi2Drift(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        pmod(datediff(col("ts").cast("date"), to_date(lit("1970-01-01"))).cast("long"),
+          lit(2L)).as("cohort"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("cohort") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("cohort") === 1L, 1L).otherwise(0L)).as("n_b"))
+    val tot = counts.agg(
+      sum("n_a").as("t_a"), sum("n_b").as("t_b"),
+      sum(col("n_a") + col("n_b")).as("t"))
+    def d(c: String) = col(c).cast("double")
+    val ea = (d("n_a") + d("n_b")) * d("t_a") / d("t")
+    val eb = (d("n_a") + d("n_b")) * d("t_b") / d("t")
+    counts.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        ea.as("e_a"), eb.as("e_b"),
+        ((d("n_a") - ea) * (d("n_a") - ea) / ea +
+          (d("n_b") - eb) * (d("n_b") - eb) / eb).as("chi2_contrib"))
+      .orderBy("event_type")
+  }
+
   /** Regression time origin: this FIXTURE's min order date (verified
     * 1995-01-01 at every SF), so x = days-since is non-negative.
     */

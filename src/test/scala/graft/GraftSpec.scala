@@ -517,6 +517,20 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("x_chi2_drift: contingency conservation and nonnegative contributions") {
+    val rows = llm.Analytics.chi2Drift(spark, sf).collect()
+    val types = Tables.events(spark, sf).select("event_type").distinct().count()
+    assert(rows.length.toLong === types)
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum === total,
+      "the contingency table partitions every event")
+    rows.foreach { r =>
+      assert(r.getDouble(5) >= 0.0, "chi-square contributions are nonnegative")
+      assert(math.abs(r.getDouble(3) + r.getDouble(4) - (r.getLong(1) + r.getLong(2))) < 1e-6,
+        "expected cells sum to the observed row total")
+    }
+  }
+
   test("x_hash_features: gram mass conserved, signs balanced, buckets in range") {
     val rows = llm.TextAnalysis.hashFeatures(spark, sf).collect()
     val totalGrams = Tables.documents(spark, sf)
@@ -3325,6 +3339,7 @@ class GraftSpec extends AnyFunSuite {
       "x_survival" -> "X-SURVIVAL", "x_cuped" -> "X-CUPED",
       "x_canonical" -> "X-CANONICAL", "x_hubness" -> "X-HUBNESS",
       "x_hash_features" -> "X-HASH-FEATURES",
+      "x_chi2_drift" -> "X-CHI2-DRIFT",
       "x_profile" -> "X-PROFILE",
       "x_pagerank" -> "X-PAGERANK", "x_grouping_sets" -> "X-GROUPING-SETS",
       "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",
