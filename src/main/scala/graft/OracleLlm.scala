@@ -1280,7 +1280,8 @@ object OracleLlm {
        |         JOIN cents ct ON ct.cent_id = cl.cent_id),
        |books AS (SELECT vec_id AS bid, rv AS bv FROM res
        |          WHERE vec_id % ${S.PqSampleStride} = ${S.PqSampleOffset}
-       |            AND vec_id < ${S.PqSampleOffset + S.PqBookSize.toLong * S.PqSampleStride}),
+       |            AND vec_id % ${S.CentroidStride} <> 0
+       |            AND vec_id < ${S.PqSampleBound}),
        |enc0 AS (
        |  SELECT res.vec_id, mm.m, books.bid,
        |         list_sum(list_transform(range(1, ${sd + 1}), i ->

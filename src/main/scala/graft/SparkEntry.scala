@@ -515,9 +515,10 @@ object SparkEntry {
         |       CAST(p // t AS BIGINT) AS mean_before_cents,
         |       CAST(coalesce((s - p) // nullif(n - t, 0), 0) AS BIGINT) AS mean_after_cents
         |FROM dev WHERE rn = 1 ORDER BY event_type""".stripMargin,
-    "x_group_split" ->
-      """WITH s AS (
-        |  SELECT CASE WHEN (user_id * 2654435761) % 10 < 8 THEN 'train' ELSE 'test' END AS split,
+    "x_group_split" -> {
+      val m = llm.Sampling.GroupSplitM; val t = llm.Sampling.GroupSplitTrainLt
+      s"""WITH s AS (
+        |  SELECT CASE WHEN (user_id * 2654435761) % $m < $t THEN 'train' ELSE 'test' END AS split,
         |         user_id, event_type,
         |         coalesce(CAST(CAST(value AS DECIMAL(18, 2)) * 100 AS BIGINT), 0) AS cents
         |  FROM events)
@@ -525,7 +526,8 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
         |       CAST(sum(cents) AS BIGINT) AS value_cents
-        |FROM s GROUP BY split ORDER BY split""".stripMargin,
+        |FROM s GROUP BY split ORDER BY split""".stripMargin
+    },
     "x_rebalance" -> {
       val m = llm.Sampling.RebalanceM
       s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
@@ -2288,10 +2290,10 @@ object SparkEntry {
         |  FROM up)
         |SELECT n_t_pre, c_t_pre, n_t_post, c_t_post,
         |       n_c_pre, c_c_pre, n_c_post, c_c_post,
-        |       (CAST(c_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)
-        |          - CAST(c_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE))
-        |       - (CAST(c_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
-        |          - CAST(c_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE)) AS did_cents
+        |       (CAST(c_t_post AS DOUBLE) / CAST(nullif(n_t_post, 0) AS DOUBLE)
+        |          - CAST(c_t_pre AS DOUBLE) / CAST(nullif(n_t_pre, 0) AS DOUBLE))
+        |       - (CAST(c_c_post AS DOUBLE) / CAST(nullif(n_c_post, 0) AS DOUBLE)
+        |          - CAST(c_c_pre AS DOUBLE) / CAST(nullif(n_c_pre, 0) AS DOUBLE)) AS did_cents
         |FROM g""".stripMargin,
     // deterministic hash-Poisson replica weights against pinned CDF
     // literals; CI = exact order statistics of the 64 replicate diffs

@@ -513,7 +513,16 @@ object Analytics {
     * of an exact order statistic (the approximate sibling is
     * x_quantiles' KLL sketch), and it runs on a quarter of the facts.
     */
-  def conformal(spark: SparkSession, sfDir: String): DataFrame = {
+  def conformal(spark: SparkSession, sfDir: String): DataFrame =
+    // session-keyed memo (the bruteCache idiom): the model/cal/qh `.cache()`
+    // entries are created ONCE per (session, sfDir) — fresh DataFrame
+    // instances per bench pass used to pile up new cache entries instead of
+    // reusing or releasing them
+    conformalCache.getOrBuild(spark, sfDir)(conformalBuild(spark, sfDir))
+
+  private val conformalCache = new graft.Memo
+
+  private def conformalBuild(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cust = Tables.load(spark, sfDir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
@@ -980,7 +989,11 @@ object Analytics {
         .otherwise(0L)).as("n_c_post"),
       sum(when(col("variant") === 0L && col("period") === "post", col("cents"))
         .otherwise(0L)).as("c_c_post"))
-    def m(c: String, n: String) = col(c).cast("double") / col(n).cast("double")
+    // nullif guards each cell divisor (the bootstrapCi idiom): an empty
+    // (variant, period) cell yields NULL on BOTH engines, never a Spark
+    // NaN/Infinity that DuckDB's NULL division would hash-diverge from
+    def m(c: String, n: String) =
+      col(c).cast("double") / nullif(col(n), lit(0L)).cast("double")
     cells.select(
       col("n_t_pre"), col("c_t_pre"), col("n_t_post"), col("c_t_post"),
       col("n_c_pre"), col("c_c_pre"), col("n_c_post"), col("c_c_post"),

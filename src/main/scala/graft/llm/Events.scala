@@ -233,10 +233,16 @@ object Events {
         // Files.list holds an open directory stream — close it before the
         // move/delete below or the handle leaks per staged chunk
         val listing = java.nio.file.Files.list(tmp)
-        val part =
+        val parts =
           try listing.iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
           finally listing.close()
+        // coalesce(1) must yield exactly one part file — taking .head of a
+        // split output would silently drop rows from the staged fixture and
+        // corrupt every streaming-vs-batch equality spec that replays it
+        require(parts.size == 1,
+          s"staged $name produced ${parts.size} parquet parts, expected 1")
+        val part = parts.head
         val dst = srcDir.resolve(s"$name.parquet")
         java.nio.file.Files.move(part, dst)
         java.nio.file.Files.setLastModifiedTime(dst,
@@ -250,10 +256,16 @@ object Events {
         require(java.nio.file.Files.isDirectory(dirI),
           s"range staging produced no chunk $i — empty range partition over the events fixture")
         val listing = java.nio.file.Files.list(dirI)
-        val part =
+        val parts =
           try listing.iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
           finally listing.close()
+        // each range partition writes exactly one file today; any future
+        // config that splits output (maxRecordsPerFile, committer change)
+        // must fail LOUDLY rather than drop the tail of the chunk
+        require(parts.size == 1,
+          s"chunk $i produced ${parts.size} parquet parts, expected 1")
+        val part = parts.head
         val dst = srcDir.resolve(s"chunk$i.parquet")
         java.nio.file.Files.move(part, dst)
         java.nio.file.Files.setLastModifiedTime(dst,

@@ -535,9 +535,22 @@ object Sampling {
 
   // ---- leakage-free grouped split (X-GROUP-SPLIT) ----------------------
 
+  /** Modulus of [[groupSplit]]'s per-user hash bucket. Must be coprime-safe
+    * with the Fibonacci multiplier: a power-of-two modulus keeps every bit
+    * of `user_id * 2654435761` live in the bucket (the multiplier is odd,
+    * so ×2654435761 is a bijection mod 2^20), whereas a modulus of 10 made
+    * the hash a no-op (2654435761 ≡ 1 mod 10 — the "split" was just the
+    * id's last decimal digit).
+    */
+  val GroupSplitM = 1L << 20
+
+  /** Train-side threshold: floor(0.8 · 2^20) — an 80/20 split over the
+    * 2^20 hash buckets. */
+  val GroupSplitTrainLt = (GroupSplitM * 4L) / 5L
+
   /** X-GROUP-SPLIT: train/test split by GROUP, not by row — every event
     * of a user lands in exactly one side (split on a multiplicative hash
-    * of user_id, 80/20), which is what stops entity leakage when rows of
+    * of user_id into 2^20 buckets, 80/20), which is what stops entity leakage when rows of
     * the same user are near-duplicates of each other: a per-row split
     * (X-SPLIT's per-doc shape) would let the model see the test users'
     * history at train time. Reports per split the user, event, purchase,
@@ -552,7 +565,8 @@ object Sampling {
   def groupSplit(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .select(
-        when(pmod(col("user_id") * 2654435761L, lit(10L)) < 8L, "train")
+        when(pmod(col("user_id") * 2654435761L, lit(GroupSplitM)) < GroupSplitTrainLt,
+            "train")
           .otherwise("test").as("split"),
         col("user_id"), col("event_type"),
         coalesce((col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)

@@ -576,13 +576,16 @@ object Similarity {
   val PqSubDim = 8
 
   /** Deterministic PQ "training sample": residuals of every
-    * [[PqSampleStride]]-th vector at offset [[PqSampleOffset]] act as the
-    * per-subspace codebooks — offset chosen so samples are never IVF
-    * centroids (a centroid's own residual is the zero vector, which
-    * would poison the codebook).
+    * [[PqSampleStride]]-th vector at offset [[PqSampleOffset]], with IVF
+    * centroids (`vec_id % CentroidStride == 0`) explicitly excluded — a
+    * centroid's own residual is the zero vector, and ids ≡ 20 (mod 40)
+    * DO include the odd multiples of 100 (100, 300, …), so without the
+    * explicit exclusion ~1/5 of the codebook would be duplicate zero
+    * codewords (silent PQ quality loss).
     */
   val PqSampleStride = 40
   val PqSampleOffset = 20
+
 
   /** Codebook size cap per subspace — production PQ's 8-bit codebook.
     * Without the cap the deterministic every-Nth sample GROWS with the
@@ -592,6 +595,13 @@ object Similarity {
     * linear in the corpus like every real PQ index build.
     */
   val PqBookSize = 256
+
+  /** Id bound that yields exactly [[PqBookSize]] non-centroid samples:
+    * per lcm(PqSampleStride, CentroidStride) = 200 consecutive ids there
+    * are 5 ids ≡ 20 (mod 40), of which one (≡ 100 mod 200) is a
+    * centroid — 4 valid samples per 200 ids, so 256 · 200 / 4 = 12800.
+    */
+  val PqSampleBound = PqBookSize.toLong * 200L / 4L
 
   /** ADC shortlist size: candidates surviving the PQ prefilter per query
     * before exact re-ranking.
@@ -693,7 +703,8 @@ object Similarity {
 
     // per-subspace codebooks: ONE broadcast row of sample residuals
     val books = resid.filter(col("vec_id") % PqSampleStride === PqSampleOffset &&
-        col("vec_id") < PqSampleOffset + PqBookSize.toLong * PqSampleStride)
+        col("vec_id") % CentroidStride =!= 0 &&
+        col("vec_id") < PqSampleBound)
       .agg(collect_list(struct(col("vec_id").as("bid"), col("rv").as("bv"))).as("books"))
 
     // encode (map-only): winning codeword per subspace

@@ -455,7 +455,8 @@ class GraftSpec extends AnyFunSuite {
     // disjoint — THE property a per-row split cannot give you
     val sides = Seq("train", "test").map { s =>
       ev.select(col("user_id"),
-          when(pmod(col("user_id") * 2654435761L, lit(10L)) < 8L, "train")
+          when(pmod(col("user_id") * 2654435761L, lit(llm.Sampling.GroupSplitM))
+              < llm.Sampling.GroupSplitTrainLt, "train")
             .otherwise("test").as("split"))
         .filter(col("split") === s).select("user_id").distinct()
         .as[Long].collect().toSet
