@@ -88,6 +88,8 @@ object SparkEntry {
     "x_did" -> (llm.Analytics.did _),
     "x_conformal" -> (llm.Analytics.conformal _),
     "x_chi2_drift" -> (llm.Analytics.chi2Drift _),
+    "x_mann_whitney" -> (llm.Analytics.mannWhitney _),
+    "x_theilsen" -> (llm.Analytics.theilSen _),
     "x_survival" -> (llm.Analytics.survival _),
     "x_cuped" -> (llm.Analytics.cuped _),
     "x_stream_anomaly" -> (llm.StreamingOps.streamingAnomaly _),
@@ -1983,6 +1985,64 @@ object SparkEntry {
         |         * (CAST(n_b AS DOUBLE) - (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) * CAST(t_b AS DOUBLE) / CAST(t AS DOUBLE))
         |         / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) * CAST(t_b AS DOUBLE) / CAST(t AS DOUBLE)) AS chi2_contrib
         |FROM c, t ORDER BY event_type""".stripMargin,
+    // doubled-rank-domain U statistic: exact BIGINT rank sums + tie mass;
+    // z is one verbatim-mirrored IEEE chain (sqrt is correctly-rounded)
+    "x_mann_whitney" ->
+      """WITH pv AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(18, 2)) * 100 AS BIGINT) AS cents,
+        |         CAST(sum(CASE WHEN CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 2 = 0
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |         CAST(sum(CASE WHEN CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) % 2 = 1
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *, COALESCE(sum(ca + cb) OVER (PARTITION BY event_type ORDER BY cents
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |  FROM pv),
+        |s AS (
+        |  SELECT event_type,
+        |         CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+        |         CAST(sum(ca * (2 * bef + ca + cb + 1)) AS BIGINT) AS r2_a,
+        |         CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS BIGINT) AS tie_cube,
+        |         CAST(count(*) AS BIGINT) AS n_vals
+        |  FROM w GROUP BY event_type HAVING sum(ca) > 0 AND sum(cb) > 0)
+        |SELECT event_type, n_a, n_b,
+        |       r2_a - n_a * (n_a + 1) AS u2_a,
+        |       2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS u2_b,
+        |       tie_cube,
+        |       CASE WHEN n_vals > 1 THEN
+        |         CAST(r2_a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE)
+        |           / (2.0 * sqrt(CAST(n_a * n_b AS DOUBLE) / 12.0
+        |               * (CAST(n_a + n_b + 1 AS DOUBLE)
+        |                  - CAST(tie_cube AS DOUBLE) / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE))))
+        |       END AS z
+        |FROM s ORDER BY event_type""".stripMargin,
+    // calendar-bounded pair domain; median selected on the deterministic
+    // (IEEE slope, exact dy, dx, xi) total order — slope division mirrored
+    "x_theilsen" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+        |         CAST(sum(CAST(CAST(value AS DECIMAL(18, 2)) * 100 AS BIGINT)) AS BIGINT) AS y
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.x AS xi, b.y - a.y AS dy, b.x - a.x AS dx,
+        |         CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b ON b.x > a.x),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY slope, dy, dx, xi) AS rn,
+        |         CAST(count(*) OVER () AS BIGINT) AS np
+        |  FROM pairs),
+        |med AS (SELECT dy AS med_dy, dx AS med_dx, slope, np AS n_pairs
+        |        FROM ranked WHERE rn = (np + 1) // 2),
+        |resid AS (
+        |  SELECT d.x, m.med_dy, m.med_dx, m.slope, m.n_pairs,
+        |         CAST(d.y AS DOUBLE) - m.slope * CAST(d.x AS DOUBLE) AS ic
+        |  FROM daily d, med m),
+        |rr AS (SELECT *, row_number() OVER (ORDER BY ic, x) AS rn,
+        |              CAST(count(*) OVER () AS BIGINT) AS nd FROM resid)
+        |SELECT nd AS n_days, n_pairs, med_dy, med_dx, slope, ic AS intercept
+        |FROM rr WHERE rn = (nd + 1) // 2""".stripMargin,
     // split-conformal: exact-moment OLS on train folds, q-hat = the
     // ceil(0.9*(n+1))-th calibration residual (orderkey tie-break),
     // honest coverage on the disjoint test fold — all IEEE chains mirrored

@@ -431,6 +431,138 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** X-MANN-WHITNEY: the nonparametric sibling of X-DRIFT's KS — the
+    * Mann–Whitney U rank-sum test between the same deterministic
+    * day-parity cohorts, per event type. KS reads "are the CDFs equal
+    * anywhere"; U reads "does one cohort stochastically dominate" — the
+    * robust location-shift alarm that ignores the fat tail a mean-based
+    * readout drowns in. Everything is EXACT integers in the DOUBLED
+    * domain (tie-averaged ranks are half-integers, so 2·rank is a
+    * BIGINT): per distinct cents value, the tied block's doubled average
+    * rank is 2·before + t + 1 (before = items strictly less, t = tied
+    * count), the doubled rank sum 2R_a folds in one pass, 2U_a =
+    * 2R_a − n_a(n_a+1), 2U_b = 2·n_a·n_b − 2U_a (conservation the spec
+    * asserts), and the tie-correction mass T = Σ(t³−t) is exact. The
+    * normal-approximation z = (2U_a − n_a·n_b) / (2·√var) with the
+    * tie-corrected var = n_a·n_b/12·((n+1) − T/(n(n−1))) is ONE fixed
+    * IEEE chain over those integers — `sqrt` is IEEE-754
+    * correctly-rounded (unlike ln/exp), so both engines produce the
+    * identical double; an all-tied type has var = 0 and z pinned NULL by
+    * an exact integer guard on both sides. Types with an empty cohort
+    * are excluded (the statistic is undefined), mirroring X-DRIFT.
+    *
+    * Scale shape: one partial+final agg to per-(type, cents) cohort
+    * counts — the shuffle carries distinct values, never events — then
+    * a prefix-sum window PARTITIONED by type over the distinct-value
+    * frame and a final per-type rollup. The doubled rank sum is ≤
+    * n·(2n+1), inside BIGINT to ~10^9 rows per type; past that the two
+    * rank accumulators swap to DECIMAL(38) (the x_autocorr convention).
+    */
+  def mannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perValue = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
+        pmod(datediff(col("ts").cast("date"), to_date(lit("1970-01-01"))).cast("long"),
+          lit(2L)).as("cohort"))
+      .groupBy("event_type", "cents")
+      .agg(
+        sum(when(col("cohort") === 0L, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("cohort") === 1L, 1L).otherwise(0L)).as("cb"))
+    val wBefore = Window.partitionBy("event_type").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val t = col("ca") + col("cb")
+    val stats = perValue
+      .withColumn("before", coalesce(sum(col("ca") + col("cb")).over(wBefore), lit(0L)))
+      .groupBy("event_type")
+      .agg(
+        sum("ca").as("n_a"),
+        sum("cb").as("n_b"),
+        sum(col("ca") * (lit(2L) * col("before") + t + 1L)).as("r2_a"),
+        sum(t * t * t - t).as("tie_cube"),
+        // distinct-value count: var = 0 ⇔ every item sits in ONE tie
+        // block ⇔ n_vals = 1 — an exact integer guard that never cubes n
+        count(lit(1)).as("n_vals"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val u2a = col("r2_a") - col("n_a") * (col("n_a") + 1L)
+    val n = col("n_a") + col("n_b")
+    val varTie = d(col("n_a") * col("n_b")) / 12.0 *
+      (d(n + 1L) - d(col("tie_cube")) / d(n * (n - 1L)))
+    stats.select(col("event_type"), col("n_a"), col("n_b"),
+        u2a.as("u2_a"),
+        (lit(2L) * col("n_a") * col("n_b") - u2a).as("u2_b"),
+        col("tie_cube"),
+        when(col("n_vals") > 1L,
+          d(u2a - col("n_a") * col("n_b")) / (lit(2.0d) * sqrt(varTie))).as("z"))
+      .orderBy("event_type")
+  }
+
+  /** X-THEILSEN: Theil–Sen robust trend over the daily purchase-revenue
+    * series — the median of all pairwise day slopes, the estimator that
+    * shrugs off the outlier days that wreck X-LINREG's OLS (breakdown
+    * point 29% vs 0%). The series is calendar-bounded (one exact-cents
+    * total per day), so the pair domain is days², never events² — the
+    * classic "aggregate first, then the O(k²) statistic on the bounded
+    * series" shape that survives 100 TB: fact work is ONE partial+final
+    * agg to per-day totals; the pair self-join and ranking run on a
+    * frame the size of the calendar. Each pair's slope dy/dx is one
+    * IEEE division over exact BIGINTs (bit-identical both engines);
+    * the median is the pair at 1-based rank ⌈P/2⌉ of the deterministic
+    * (slope, dy, dx, x_i) total order — reported as the EXACT (dy, dx)
+    * rational plus its double. The intercept is the same lower-median
+    * selection over the per-day residuals y_i − slope·x_i (fixed IEEE
+    * chain, (value, x_i) tie-break). Global windows here rank
+    * calendar-bounded frames — the documented globalWindowOk class.
+    */
+  def theilSen(spark: SparkSession, sfDir: String): DataFrame =
+    // session-keyed memo (the conformal pattern): the daily-series
+    // `.cache()` entry is created once per (session, sfDir), not per pass
+    theilsenCache.getOrBuild(spark, sfDir)(theilSenBuild(spark, sfDir))
+
+  private val theilsenCache = new graft.Memo
+
+  private def theilSenBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(
+        datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
+          .cast("long").as("x"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+      .groupBy("x").agg(sum("cents").as("y"))
+      .cache() // calendar-sized; feeds the pair join twice + the residual pass
+    val a = daily.select(col("x").as("xi"), col("y").as("yi"))
+    val b = daily.select(col("x").as("xj"), col("y").as("yj"))
+    val pairs = a.join(b, col("xj") > col("xi"))
+      .select(col("xi"), (col("yj") - col("yi")).as("dy"),
+        (col("xj") - col("xi")).as("dx"))
+      .withColumn("slope", col("dy").cast("double") / col("dx").cast("double"))
+    val wp = Window.orderBy(col("slope"), col("dy"), col("dx"), col("xi"))
+    val ranked = pairs
+      .withColumn("rn", row_number().over(wp).cast("long"))
+      .withColumn("np", count(lit(1)).over())
+    // median pick as a grouping-free aggregate (provably 1 row — the
+    // broadcast-one-row stat-join idiom the plan lint admits); integer
+    // div, not Column./ (which is IEEE division even on BIGINTs)
+    val med = ranked
+      .agg(max(when(col("rn") === expr("(np + 1) div 2"),
+        struct(col("dy"), col("dx"), col("slope"), col("np")))).as("m"))
+      .select(col("m.dy").as("med_dy"), col("m.dx").as("med_dx"),
+        col("m.slope").as("slope"), col("m.np").as("n_pairs"))
+    val resid = daily.crossJoin(broadcast(med))
+      .select(col("x"), col("med_dy"), col("med_dx"), col("slope"), col("n_pairs"),
+        (col("y").cast("double") - col("slope") * col("x").cast("double")).as("ic"))
+    val wr = Window.orderBy(col("ic"), col("x"))
+    resid
+      .withColumn("rn", row_number().over(wr).cast("long"))
+      .withColumn("nd", count(lit(1)).over())
+      .filter(col("rn") === expr("(nd + 1) div 2"))
+      .select(col("nd").as("n_days"), col("n_pairs"), col("med_dy"), col("med_dx"),
+        col("slope"), col("ic").as("intercept"))
+  }
+
   /** Regression time origin: this FIXTURE's min order date (verified
     * 1995-01-01 at every SF), so x = days-since is non-negative.
     */

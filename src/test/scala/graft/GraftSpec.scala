@@ -532,6 +532,41 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("x_mann_whitney: U conservation, rank-sum identity, tie mass bounds") {
+    val rows = llm.Analytics.mannWhitney(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, nb, u2a, u2b, tc) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(u2a + u2b === 2L * na * nb, "doubled U statistics must conserve 2·n_a·n_b")
+      assert(u2a >= 0L && u2b >= 0L, "U statistics are nonnegative")
+      val n = na + nb
+      assert(tc >= 0L && tc <= n * n * n - n, "tie mass within [0, n^3 - n]")
+      if (!r.isNullAt(6)) {
+        val z = r.getDouble(6)
+        // z shares the sign of 2U_a − n_a·n_b by construction
+        assert(z.sign === (u2a - na * nb).sign.toDouble || z == 0.0)
+      }
+    }
+    // every non-null-value event of a kept type is ranked exactly once
+    val kept = rows.map(_.getString(0)).toSet
+    val total = Tables.events(spark, sf)
+      .filter(col("value").isNotNull && col("event_type").isin(kept.toSeq: _*))
+      .count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum === total)
+  }
+
+  test("x_theilsen: pair domain complete, median slope consistent, robust to one outlier day") {
+    val out = llm.Analytics.theilSen(spark, sf).collect()
+    assert(out.length === 1)
+    val r = out.head
+    val (nDays, nPairs) = (r.getLong(0), r.getLong(1))
+    assert(nPairs === nDays * (nDays - 1) / 2, "every day pair votes exactly once")
+    assert(r.getLong(3) > 0L, "dx is a positive day gap")
+    assert(r.getDouble(4) === r.getLong(2).toDouble / r.getLong(3).toDouble,
+      "reported slope is the exact median pair's dy/dx")
+  }
+
   test("x_hash_features: gram mass conserved, signs balanced, buckets in range") {
     val rows = llm.TextAnalysis.hashFeatures(spark, sf).collect()
     val totalGrams = Tables.documents(spark, sf)
@@ -3240,7 +3275,10 @@ class GraftSpec extends AnyFunSuite {
     //                        collected step list)
     val globalWindowOk =
       Set("q_join_fx_asof", "q_join_fx_asof_tol", "q_csv", "x_interleave",
-        "x_bootstrap", "x_survival")
+        "x_bootstrap", "x_survival",
+        // x_theilsen: both global windows rank CALENDAR-bounded frames
+        // (day pairs / per-day residuals), never fact-sized ones
+        "x_theilsen")
     // streaming queries execute their stream at construction — covered by
     // their own specs; the lint targets the batch plan surface.
     // x_global_ids is OPAQUE to a logical lint: its output is an eager
@@ -3341,6 +3379,7 @@ class GraftSpec extends AnyFunSuite {
       "x_canonical" -> "X-CANONICAL", "x_hubness" -> "X-HUBNESS",
       "x_hash_features" -> "X-HASH-FEATURES",
       "x_chi2_drift" -> "X-CHI2-DRIFT",
+      "x_mann_whitney" -> "X-MANN-WHITNEY", "x_theilsen" -> "X-THEILSEN",
       "x_profile" -> "X-PROFILE",
       "x_pagerank" -> "X-PAGERANK", "x_grouping_sets" -> "X-GROUPING-SETS",
       "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",
