@@ -456,6 +456,30 @@ object OracleLlm {
        |         / CAST(tokens * 100 AS DOUBLE) AS weight
        |FROM ps, t ORDER BY source""".stripMargin
 
+  /** tempMix mirror: integer sqrt via floor(sqrt(double)) + the same
+    * one-step clamp, then pure-integer ppm weights.
+    */
+  val tempMixSql: String = {
+    val sc = llm.Sampling.TempMixScale
+    s"""WITH $sampleCte,
+       |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |              CAST(sum(n_tokens) AS BIGINT) AS tokens
+       |       FROM sf GROUP BY source),
+       |s0 AS (SELECT source, n_docs, tokens,
+       |              CAST(floor(sqrt(CAST(tokens * $sc AS DOUBLE))) AS BIGINT) AS s0
+       |       FROM ps),
+       |sq AS (SELECT source, n_docs, tokens,
+       |              CASE WHEN (s0 + 1) * (s0 + 1) <= tokens * $sc THEN s0 + 1
+       |                   WHEN s0 * s0 > tokens * $sc THEN s0 - 1 ELSE s0 END AS s
+       |       FROM s0),
+       |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+       |             CAST(sum(s) AS BIGINT) AS total_s FROM sq)
+       |SELECT source, n_docs, tokens, s,
+       |       CAST(tokens * 1000000 // total_tokens AS BIGINT) AS raw_ppm,
+       |       CAST(s * 1000000 // total_s AS BIGINT) AS temp_ppm
+       |FROM sq, t ORDER BY source""".stripMargin
+  }
+
   /** shardManifest mirror: the window formulation of the token prefix
     * sum — the semantics the range-exchange + broadcast-offsets path
     * must reproduce exactly (same cut rule, same total order).

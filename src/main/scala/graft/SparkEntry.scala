@@ -205,6 +205,9 @@ object SparkEntry {
     "x_basket" -> (llm.Analytics.basket _),
     "x_ab_test" -> (llm.Analytics.abTest _),
     "x_skyline" -> (ScaleQueries.skyline _),
+    "x_join_card" -> (ScaleQueries.joinCard _),
+    "x_path_topk" -> (llm.Events.pathTopK _),
+    "x_temp_mix" -> (llm.Sampling.tempMix _),
     "x_eval_metrics" -> (llm.TextAnalysis.evalMetrics _),
     "x_json_extract" -> (llm.Events.jsonExtract _),
     "x_cohort" -> (llm.Events.cohort _),
@@ -855,7 +858,46 @@ object SparkEntry {
     "x_dsir" -> OracleLlm.dsirSql,
     "x_decontam_ngram" -> OracleLlm.decontamNgramSql,
     "x_mixture" -> OracleLlm.mixtureSql,
+    "x_temp_mix" -> OracleLlm.tempMixSql,
     "x_shard_manifest" -> OracleLlm.shardManifestSql,
+    // same 30-min-gap sessionization as x_events_sessions; the path is
+    // the first-5 prefix in the exact (ts, event_id) total order
+    "x_path_topk" ->
+      s"""WITH o AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |         lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |         CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM o),
+        |g AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid
+        |        ORDER BY ts, event_id) AS rn FROM g),
+        |p AS (SELECT user_id, sid,
+        |             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |      FROM r WHERE rn <= ${llm.Events.PathPrefixLen} GROUP BY user_id, sid)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT ${llm.Events.PathTopK}""".stripMargin,
+    // per-key count products forecast the join size; never runs the join
+    "x_join_card" ->
+      s"""WITH c AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+        |           FROM lineitem GROUP BY l_partkey),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |             CAST(sum(n) AS BIGINT) AS n_rows,
+        |             CAST(sum(n * n) AS BIGINT) AS join_rows FROM c),
+        |k AS (SELECT * FROM c ORDER BY n DESC, l_partkey LIMIT ${ScaleQueries.JoinCardTopK})
+        |SELECT k.l_partkey, k.n, k.n * k.n AS pair_rows,
+        |       CAST(k.n * k.n * 1000000 // t.join_rows AS BIGINT) AS contrib_ppm,
+        |       t.n_keys, t.n_rows, t.join_rows
+        |FROM k, t ORDER BY k.n DESC, k.l_partkey""".stripMargin,
     "x_novelty" -> OracleLlm.noveltySql,
     "x_bpe" -> OracleLlm.bpeSql,
     "x_bpe_apply" -> OracleLlm.bpeApplySql,

@@ -828,6 +828,49 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Path prefix length for [[pathTopK]]: the first 5 events name the
+    * session's shape; longer prefixes fragment the distribution into
+    * singletons and stop naming BEHAVIOR.
+    */
+  val PathPrefixLen = 5
+
+  /** Paths reported by [[pathTopK]]. */
+  val PathTopK = 10
+
+  /** X-PATH-TOPK: top-k session paths — the most common event-type
+    * SEQUENCES users actually walk (the "what do sessions look like"
+    * readout behind every funnel hypothesis: X-FUNNEL checks ONE
+    * hand-written ordering, this SURFACES the orderings worth checking).
+    * Sessions are the same 30-minute-gap `session_window` grouping as
+    * X-EVENTS; each session's path is its first [[PathPrefixLen]] event
+    * types joined with '>' in exact (ts, event_id) order — event_id
+    * breaks timestamp ties, so the string is engine-deterministic — and
+    * the report is the [[PathTopK]] most frequent paths with session and
+    * distinct-user counts ((count desc, path asc) total order).
+    *
+    * Scale shape: the only fact-sized work is the session_window
+    * grouping (one shuffle on user_id — identical to X-EVENTS); the
+    * per-session struct sort is bounded by session length, the path
+    * frame is one short string per session, and the top-k is an
+    * orderBy+limit that plans as TakeOrderedAndProject (no global sort
+    * materialization).
+    */
+  def pathTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSession = Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), SessionGap).as("w"), col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+    perSession
+      .select(col("user_id"),
+        array_join(
+          slice(transform(col("evs"), e => e("event_type")), 1, PathPrefixLen),
+          ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"), countDistinct("user_id").as("n_users"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(PathTopK)
+  }
+
   /** X-JSON-EXTRACT: typed semi-structured extraction — the `props`
     * JSON column parsed with an EXPLICIT schema (`from_json(props,
     * "k BIGINT")`), then profiled per event type. The explicit schema

@@ -450,6 +450,52 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Fixed-point scale for [[tempMix]]'s integer square root: s =
+    * isqrt(tokens · 10^6) ≈ 1000·√tokens carries three extra decimal
+    * digits of precision through the integer-only weight division.
+    */
+  val TempMixScale = 1000000L
+
+  /** X-TEMP-MIX: temperature-scaled source mixing — the α = 1/2
+    * flattening every multilingual/multi-domain pretraining recipe
+    * applies (mC4, XLM-R: p_i ∝ c_i^α) so low-resource sources aren't
+    * drowned by head domains, sitting beside X-MIXTURE's explicit-target
+    * weights as the "no target known, just flatten" default. The
+    * irrational c^0.5 is made EXACT on both engines via an integer
+    * square root: s_i = isqrt(tokens_i · 10^6), computed as
+    * floor(sqrt(double)) — sqrt is IEEE correctly-rounded and the
+    * operand < 2^53 is exactly representable, so the float result is off
+    * by at most one ulp — then clamped to the true floor with one
+    * integer CASE step (the adjustment is provably ≤ 1), mirrored
+    * verbatim in the oracle. Weights are then pure integer ppm:
+    * raw_ppm = tokens·10^6 div total vs temp_ppm = s·10^6 div Σs — the
+    * before/after table showing exactly how much the tail gets boosted.
+    * Scale shape: identical to X-MIXTURE — one fact-sized partial+final
+    * agg, then source-domain arithmetic against a broadcast one-row
+    * total.
+    */
+  def tempMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSource = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+    val x = col("tokens") * TempMixScale
+    val s0 = floor(sqrt(x.cast("double"))).cast("long")
+    // exact integer sqrt: the float floor is within ±1 of truth
+    val s = when((s0 + 1L) * (s0 + 1L) <= x, s0 + 1L)
+      .otherwise(when(s0 * s0 > x, s0 - 1L).otherwise(s0))
+    val scaled = perSource.withColumn("s", s)
+    val totals = scaled.agg(
+      sum("tokens").as("total_tokens"), sum("s").as("total_s"))
+    scaled
+      .crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("tokens"), col("s"),
+        expr("tokens * 1000000 div total_tokens").as("raw_ppm"),
+        expr("s * 1000000 div total_s").as("temp_ppm"))
+      .orderBy("source")
+  }
+
   /** Shard count for [[shardManifest]]. Like [[GlobalIdPartitions]], the
     * cut points depend only on the total order and the corpus token sum,
     * never on this exchange's partition count.

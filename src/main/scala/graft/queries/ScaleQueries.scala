@@ -492,4 +492,43 @@ object ScaleQueries {
       .select(col("p_partkey"), col("price_cents"), col("size"))
       .orderBy("price_cents", "p_partkey")
   }
+
+  /** Heavy keys reported by [[joinCard]]. */
+  val JoinCardTopK = 5
+
+  /** X-JOIN-CARD: join-cardinality forecast WITHOUT executing the join —
+    * |A ⋈_k B| = Σ_k c_A(k)·c_B(k) over per-key counts, the estimate a
+    * planner (or an engineer staring at a 100 TB DAG) needs BEFORE
+    * committing to a shuffle that might explode. Demonstrated on the
+    * worst case, the lineitem self-join on l_partkey (c_A = c_B, so the
+    * forecast is Σ c², the blowup every dedup/self-match pipeline hits):
+    * fact work is ONE partial+final count agg — the shuffle carries
+    * (key, count), never rows — and everything downstream is key-domain
+    * sized. Output: the [[JoinCardTopK]] heaviest keys ((count desc, key
+    * asc) total order, TakeOrderedAndProject — no global sort) with each
+    * key's exact pair contribution and its share of the total forecast
+    * in ppm, plus the global forecast columns (key count, row count,
+    * predicted self-join rows) broadcast from a one-row aggregate. All
+    * exact BIGINT: c ≤ 2^31 keeps c² < 2^62; at a scale where one key
+    * exceeds that, the forecast itself is the alarm.
+    */
+  def joinCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_partkey"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum("n").as("n_rows"),
+      sum(col("n") * col("n")).as("join_rows"))
+    counts
+      .orderBy(col("n").desc, col("l_partkey"))
+      .limit(JoinCardTopK)
+      .crossJoin(broadcast(totals))
+      .select(col("l_partkey"), col("n"),
+        (col("n") * col("n")).as("pair_rows"),
+        expr("n * n * 1000000 div join_rows").as("contrib_ppm"),
+        col("n_keys"), col("n_rows"), col("join_rows"))
+      .orderBy(col("n").desc, col("l_partkey"))
+  }
 }

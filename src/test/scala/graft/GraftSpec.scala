@@ -567,6 +567,50 @@ class GraftSpec extends AnyFunSuite {
       "reported slope is the exact median pair's dy/dx")
   }
 
+  test("x_path_topk: paths bounded by prefix, session mass dominated by top paths") {
+    val rows = llm.Events.pathTopK(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= llm.Events.PathTopK)
+    val counts = rows.map(_.getLong(1))
+    assert(counts.sameElements(counts.sorted(Ordering[Long].reverse)),
+      "rows arrive in (n_sessions desc) order")
+    rows.foreach { r =>
+      val hops = r.getString(0).split(">")
+      assert(hops.length >= 1 && hops.length <= llm.Events.PathPrefixLen)
+      assert(r.getLong(2) <= r.getLong(1), "a user contributes >= 1 session per path")
+    }
+  }
+
+  test("x_join_card: forecast equals the executed self-join size") {
+    val rows = queries.ScaleQueries.joinCard(spark, sf).collect()
+    assert(rows.length === queries.ScaleQueries.JoinCardTopK)
+    val forecast = rows.head.getLong(6)
+    // the whole point: Σ c² must equal the ACTUAL self-join cardinality
+    val li = Tables.load(spark, sf, "lineitem").select("l_partkey")
+    val actual = li.as("a").join(li.as("b"), "l_partkey").count()
+    assert(forecast === actual, "per-key count products forecast the exact join size")
+    rows.foreach { r =>
+      assert(r.getLong(2) === r.getLong(1) * r.getLong(1))
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+    }
+  }
+
+  test("x_temp_mix: isqrt exact, flattening compresses the mix toward uniform") {
+    val rows = llm.Sampling.tempMix(spark, sf).collect()
+    assert(rows.length > 1)
+    rows.foreach { r =>
+      val (tokens, s) = (r.getLong(2), r.getLong(3))
+      val x = BigInt(tokens) * llm.Sampling.TempMixScale
+      assert(BigInt(s) * s <= x && BigInt(s + 1) * (s + 1) > x,
+        s"s=$s is the exact integer sqrt of $x")
+    }
+    // temperature scaling must shrink the head's share and grow the tail's
+    val byRaw = rows.sortBy(_.getLong(4))
+    assert(byRaw.last.getLong(5) <= byRaw.last.getLong(4),
+      "head source share shrinks under alpha=1/2")
+    assert(byRaw.head.getLong(5) >= byRaw.head.getLong(4),
+      "tail source share grows under alpha=1/2")
+  }
+
   test("x_hash_features: gram mass conserved, signs balanced, buckets in range") {
     val rows = llm.TextAnalysis.hashFeatures(spark, sf).collect()
     val totalGrams = Tables.documents(spark, sf)
@@ -3380,6 +3424,8 @@ class GraftSpec extends AnyFunSuite {
       "x_hash_features" -> "X-HASH-FEATURES",
       "x_chi2_drift" -> "X-CHI2-DRIFT",
       "x_mann_whitney" -> "X-MANN-WHITNEY", "x_theilsen" -> "X-THEILSEN",
+      "x_path_topk" -> "X-PATH-TOPK", "x_join_card" -> "X-JOIN-CARD",
+      "x_temp_mix" -> "X-TEMP-MIX",
       "x_profile" -> "X-PROFILE",
       "x_pagerank" -> "X-PAGERANK", "x_grouping_sets" -> "X-GROUPING-SETS",
       "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",
