@@ -456,6 +456,22 @@ object OracleLlm {
        |         / CAST(tokens * 100 AS DOUBLE) AS weight
        |FROM ps, t ORDER BY source""".stripMargin
 
+  /** containment mirror: same banded candidates, exact shingle-set
+    * intersection, integer-ppm directions.
+    */
+  val containmentSql: String =
+    s"""WITH $sigCtes, $pairCtes
+       |SELECT c.id_a, c.id_b,
+       |       CAST(len(ha.hs) AS BIGINT) AS n_a,
+       |       CAST(len(hb.hs) AS BIGINT) AS n_b,
+       |       CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS n_common,
+       |       CAST(len(list_intersect(ha.hs, hb.hs)) * 1000000 // len(ha.hs) AS BIGINT) AS cont_a_ppm,
+       |       CAST(len(list_intersect(ha.hs, hb.hs)) * 1000000 // len(hb.hs) AS BIGINT) AS cont_b_ppm
+       |FROM cand c
+       |JOIN hs ha ON ha.doc_id = c.id_a
+       |JOIN hs hb ON hb.doc_id = c.id_b
+       |ORDER BY c.id_a, c.id_b""".stripMargin
+
   /** tempMix mirror: integer sqrt via floor(sqrt(double)) + the same
     * one-step clamp, then pure-integer ppm weights.
     */

@@ -208,6 +208,9 @@ object SparkEntry {
     "x_join_card" -> (ScaleQueries.joinCard _),
     "x_path_topk" -> (llm.Events.pathTopK _),
     "x_temp_mix" -> (llm.Sampling.tempMix _),
+    "x_containment" -> (llm.Dedup.containment _),
+    "x_mm_dedup" -> (llm.Multimodal.payloadDedup _),
+    "x_kcore" -> (llm.Graph.kcore _),
     "x_eval_metrics" -> (llm.TextAnalysis.evalMetrics _),
     "x_json_extract" -> (llm.Events.jsonExtract _),
     "x_cohort" -> (llm.Events.cohort _),
@@ -859,6 +862,54 @@ object SparkEntry {
     "x_decontam_ngram" -> OracleLlm.decontamNgramSql,
     "x_mixture" -> OracleLlm.mixtureSql,
     "x_temp_mix" -> OracleLlm.tempMixSql,
+    "x_containment" -> OracleLlm.containmentSql,
+    // binary payloads dedup on the md5 digest — identical lowercase hex
+    // on both engines; UTF-8 bytes of the text ARE the payload
+    "x_mm_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id, source, md5(text) AS payload_md5,
+        |         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+        |  FROM documents)
+        |SELECT payload_md5, CAST(count(*) AS BIGINT) AS n_copies,
+        |       CAST(min(doc_id) AS BIGINT) AS keeper_id,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |       CAST(sum(n_bytes) AS BIGINT) AS bytes_total
+        |FROM p GROUP BY payload_md5
+        |ORDER BY payload_md5""".stripMargin,
+    // k-core: above-mean edge sparsification (exact integer cross-multiply)
+    // + 8 unrolled peel rounds, 1:1 with the Spark loop
+    "x_kcore" -> {
+      val k = llm.Graph.KcoreK
+      def peel(i: Int): String =
+        s"""a$i AS (
+           |  SELECT u.a AS id FROM u
+           |  JOIN a${i - 1} x ON u.a = x.id JOIN a${i - 1} y ON u.b = y.id
+           |  GROUP BY u.a HAVING count(*) >= $k)""".stripMargin
+      val rounds = (1 to llm.Graph.KcoreRounds).map(peel).mkString(",\n")
+      val last = s"a${llm.Graph.KcoreRounds}"
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         |         CAST(count(*) AS BIGINT) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2),
+         |t AS (SELECT CAST(sum(w) AS BIGINT) AS sw, CAST(count(*) AS BIGINT) AS ne FROM e),
+         |st AS (SELECT src, dst FROM e, t WHERE w * ne > sw AND src <> dst),
+         |u AS (SELECT DISTINCT a, b FROM (
+         |        SELECT src AS a, dst AS b FROM st
+         |        UNION ALL SELECT dst AS a, src AS b FROM st)),
+         |a0 AS (SELECT DISTINCT a AS id FROM u),
+         |$rounds,
+         |core AS (
+         |  SELECT u.a, CAST(count(*) AS BIGINT) AS core_degree FROM u
+         |  JOIN $last x ON u.a = x.id JOIN $last y ON u.b = y.id
+         |  GROUP BY u.a)
+         |SELECT n.n_name, core.core_degree
+         |FROM core JOIN nation n ON n.n_nationkey = core.a
+         |ORDER BY n.n_name""".stripMargin
+    },
     "x_shard_manifest" -> OracleLlm.shardManifestSql,
     // same 30-min-gap sessionization as x_events_sessions; the path is
     // the first-5 prefix in the exact (ts, event_id) total order

@@ -213,6 +213,54 @@ object Dedup {
       .orderBy("source")
   }
 
+  // ---- asymmetric shingle containment (X-CONTAINMENT) -----------------
+
+  private val hsCache = new graft.Memo
+
+  /** Memoized per-doc shingle-hash SETS (doc_id, hs) — the exact-verify
+    * sibling of [[signatureTable]]: signatures estimate, the sets decide.
+    * Cached because BOTH sides of the containment pair join consume it.
+    */
+  def shingleTable(spark: SparkSession, sfDir: String): DataFrame =
+    hsCache.getOrBuild(spark, sfDir, cache = true) {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), shingleHashes(col("text")).as("hs"))
+        .filter(size(col("hs")) > 0)
+    }
+
+  /** X-CONTAINMENT: asymmetric shingle containment per candidate pair —
+    * Jaccard is SYMMETRIC, so a short doc wholly quoted inside a long
+    * one scores |A|/|B| ≈ 0 and survives dedup; containment
+    * |A∩B|/|A| reads 1.0 for exactly that case (Broder's original
+    * resemblance/containment split, and the reason dup-span pipelines
+    * exist). Candidates come from the SHARED banded LSH index
+    * ([[minhashPairsTable]] — never an all-pairs join); the verify is
+    * the EXACT set intersection of the two shingle-hash sets, reported
+    * per pair as both directions in integer ppm (n_common·10^6 div n) —
+    * all exact integers on both engines.
+    *
+    * Scale shape: the pair table is banding-bounded; shingle sets
+    * stream from the persisted [[shingleTable]] through two hash joins
+    * keyed on doc_id; the intersection is row-local array work. At
+    * 100 TB the shingle table is the persisted inverted-index side
+    * artifact, bucketed by doc_id, and the verify touches only
+    * candidate rows.
+    */
+  def containment(spark: SparkSession, sfDir: String): DataFrame = {
+    val hs = shingleTable(spark, sfDir)
+    minhashPairsTable(spark, sfDir)
+      .select("id_a", "id_b")
+      .join(hs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(hs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(col("hs_a")).cast("long").as("n_a"),
+        size(col("hs_b")).cast("long").as("n_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("n_common"))
+      .withColumn("cont_a_ppm", expr("n_common * 1000000 div n_a"))
+      .withColumn("cont_b_ppm", expr("n_common * 1000000 div n_b"))
+      .orderBy("id_a", "id_b")
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   val SimBits: Int = graft.functions.SimHash.Bits

@@ -467,4 +467,83 @@ object Graph {
         col("comm_size"))
       .orderBy("n_name")
   }
+
+  // ---- k-core decomposition (X-KCORE) ---------------------------------
+
+  /** Core order for [[kcore]] — chosen where the peel genuinely bites on
+    * the fixture's thresholded graph at every SF (nodes are peeled AND a
+    * non-empty core survives; k ≥ 9 empties the sf0.001 graph, k ≤ 7
+    * peels nothing at sf0.01+).
+    */
+  val KcoreK = 8
+
+  /** Unrolled peel rounds: BOTH engines run exactly this many — peeling
+    * is monotone and idempotent at the fixpoint, so extra rounds are
+    * no-ops and the fixed unroll is a determinate truncation (the
+    * PrIterations convention); the spec asserts the fixture actually
+    * converges inside the cap, so the output IS the k-core, not a
+    * truncation artifact.
+    */
+  val KcoreRounds = 8
+
+  /** X-KCORE: k-core of the thresholded nation trade graph — the maximal
+    * subgraph where every node keeps ≥ k STRONG trade partners, the
+    * standard "dense backbone vs periphery" split (degree says who has
+    * many partners; the core says whose partners are themselves
+    * well-connected). Edges are sparsified to above-mean weight by the
+    * exact integer cross-multiplication w·|E| > Σw (no float mean),
+    * symmetrized and dedup'd, then peeled: each round drops nodes whose
+    * degree within the SURVIVING subgraph is < k, for [[KcoreRounds]]
+    * unrolled rounds mirrored 1:1 as oracle CTEs. Output: each core
+    * member's nation name and its in-core degree.
+    *
+    * Scale shape: identical two-phase split as X-PAGERANK — the 100 TB
+    * fact work is the ONE aggregated edge build (broadcast dims + one
+    * ≤|nations|² partial-agg shuffle); the peel loop runs on the tiny
+    * aggregated graph with per-round lineage cuts.
+    */
+  def kcore(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = tradeEdges(spark, sfDir)
+    val tot = e.agg(sum("w").as("sw"), count(lit(1)).as("ne"))
+    val strong = e.crossJoin(broadcast(tot))
+      .filter(col("w") * col("ne") > col("sw") && col("src") =!= col("dst"))
+      .select("src", "dst")
+    val und = strong.select(col("src").as("a"), col("dst").as("b"))
+      .union(strong.select(col("dst").as("a"), col("src").as("b")))
+      .distinct()
+      .cache()
+    und.count() // materialize the edge cache before the round loop
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
+    def checkpointTracked(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint(true)
+      val fresh = org.apache.spark.sql.graftx.ColumnBridge.checkpointRdd(out)
+      prevCkpt.foreach(_.unpersist(blocking = false))
+      prevCkpt = fresh
+      out
+    }
+    var alive = checkpointTracked(und.select(col("a").as("id")).distinct())
+    (1 to KcoreRounds).foreach { _ =>
+      val act = und
+        .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("id").as("b")), Seq("b"), "left_semi")
+      alive = checkpointTracked(
+        act.groupBy("a").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= KcoreK)
+          .select(col("a").as("id")))
+    }
+    val core = und
+      .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
+      .join(alive.select(col("id").as("b")), Seq("b"), "left_semi")
+      .groupBy("a").agg(count(lit(1)).as("core_degree"))
+    val nation = graft.Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey").as("a"), col("n_name"))
+    // materialize (eager localCheckpoint) BEFORE releasing the edge cache:
+    // the output plan reads `und` once more for the in-core degrees
+    val out = checkpointTracked(
+      core.join(broadcast(nation), Seq("a"))
+        .select(col("n_name"), col("core_degree"))
+        .orderBy("n_name"))
+    und.unpersist()
+    out
+  }
 }

@@ -99,4 +99,34 @@ object Multimodal {
         round(element_at(col("features"), 2), 6).as("f1"))
       .orderBy("doc_id")
   }
+
+  /** X-MM-DEDUP: exact dedup of opaque binary payloads — the first pass
+    * every multimodal (image/audio/video) corpus gets: identical BYTES
+    * are identical media, no decode needed, so the dedup key is a
+    * content digest of the payload, never the payload itself. The
+    * shuffle carries 32-hex-char digests + counters — at 100 TB of
+    * media that is the whole difference between a feasible dedup and
+    * shipping the corpus through an exchange (the same re-key
+    * discipline as X-DEDUP's hash-triple exact stage). Output is one
+    * row per duplicate group: the digest, copy count, the min-doc_id
+    * keeper, how many sources the copies span (cross-source dups are
+    * the syndication signal), and the group's byte mass. The full
+    * manifest is emitted — singletons included, n_copies ≥ 2 rows are
+    * the reclaim set — matching X-DEDUP's exact-stage contract (the
+    * keep-list IS the artifact a downstream copy job consumes). md5
+    * here is a content FINGERPRINT (collision-safe at corpus scale, not
+    * adversarial) and hex-identical on both engines.
+    */
+  def payloadDedup(spark: SparkSession, sfDir: String): DataFrame =
+    withPayload(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("source"),
+        md5(col("payload")).as("payload_md5"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .groupBy("payload_md5")
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min("doc_id").as("keeper_id"),
+        countDistinct("source").as("n_sources"),
+        sum("n_bytes").as("bytes_total"))
+      .orderBy("payload_md5")
 }

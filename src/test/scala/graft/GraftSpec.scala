@@ -611,6 +611,62 @@ class GraftSpec extends AnyFunSuite {
       "tail source share grows under alpha=1/2")
   }
 
+  test("x_containment: bounded by set sizes, covers every banded candidate pair") {
+    val rows = Dedup.containment(spark, sf).collect()
+    val nPairs = Dedup.minhashPairsTable(spark, sf).count()
+    assert(rows.length.toLong === nPairs, "one verified row per banded candidate")
+    rows.foreach { r =>
+      val (na, nb, nc, ca, cb) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(nc <= math.min(na, nb), "intersection bounded by either set")
+      assert(ca >= 0L && ca <= 1000000L && cb >= 0L && cb <= 1000000L)
+      assert(ca >= cb === (na <= nb), "smaller set always has the larger containment")
+    }
+  }
+
+  test("x_mm_dedup: digest manifest partitions the corpus into byte-identical groups") {
+    val rows = llm.Multimodal.payloadDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).distinct.length === rows.length, "digests are unique keys")
+    val expected = Tables.documents(spark, sf)
+      .groupBy("text").agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted
+    assert(rows.map(r => (r.getLong(1), r.getLong(2))).sorted.sameElements(expected),
+      "digest groups are exactly the byte-identical text groups")
+    assert(rows.map(_.getLong(1)).sum === Tables.documents(spark, sf).count(),
+      "every doc lands in exactly one group")
+  }
+
+  test("x_kcore: survivor set is a fixpoint of the peel and every member keeps >= k") {
+    import llm.Graph
+    val out = Graph.kcore(spark, sf).collect()
+    assert(out.nonEmpty, "the trade backbone has a non-empty core")
+    out.foreach(r => assert(r.getLong(1) >= Graph.KcoreK.toLong))
+    // re-derive the thresholded undirected graph and peel ONE more round:
+    // a converged k-core must be invariant under it
+    val e = Graph.tradeEdges(spark, sf)
+    val tot = e.agg(sum("w").as("sw"), count(lit(1)).as("ne"))
+    val strong = e.crossJoin(broadcast(tot))
+      .filter(col("w") * col("ne") > col("sw") && col("src") =!= col("dst"))
+    val und = strong.select(col("src").as("a"), col("dst").as("b"))
+      .union(strong.select(col("dst").as("a"), col("src").as("b"))).distinct()
+    val nation = Tables.load(spark, sf, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val sIds = out.map(_.getString(0)).toSet
+    val s = nation.filter(col("n_name").isin(sIds.toSeq: _*))
+      .select(col("n_nationkey").cast("long").as("id"))
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    val degIn = und.selectExpr("CAST(a AS BIGINT)", "CAST(b AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => s(p._1) && s(p._2))
+      .groupBy(_._1).map { case (n, es) => n -> es.length }
+    assert(s.forall(n => degIn.getOrElse(n, 0) >= Graph.KcoreK),
+      "one more peel round changes nothing — the output is the fixpoint")
+    val nNodes = und.select("a").distinct().count()
+    assert(s.size < nNodes, "the peel genuinely removes periphery nodes at this k")
+  }
+
   test("x_hash_features: gram mass conserved, signs balanced, buckets in range") {
     val rows = llm.TextAnalysis.hashFeatures(spark, sf).collect()
     val totalGrams = Tables.documents(spark, sf)
@@ -3425,7 +3481,8 @@ class GraftSpec extends AnyFunSuite {
       "x_chi2_drift" -> "X-CHI2-DRIFT",
       "x_mann_whitney" -> "X-MANN-WHITNEY", "x_theilsen" -> "X-THEILSEN",
       "x_path_topk" -> "X-PATH-TOPK", "x_join_card" -> "X-JOIN-CARD",
-      "x_temp_mix" -> "X-TEMP-MIX",
+      "x_temp_mix" -> "X-TEMP-MIX", "x_containment" -> "X-CONTAINMENT",
+      "x_mm_dedup" -> "X-MM-DEDUP", "x_kcore" -> "X-KCORE",
       "x_profile" -> "X-PROFILE",
       "x_pagerank" -> "X-PAGERANK", "x_grouping_sets" -> "X-GROUPING-SETS",
       "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",
