@@ -456,6 +456,30 @@ object OracleLlm {
        |         / CAST(tokens * 100 AS DOUBLE) AS weight
        |FROM ps, t ORDER BY source""".stripMargin
 
+  /** streamingKmv mirror: the k smallest distinct hashes per type — an
+    * order statistic of a SET is micro-batching-independent, so the
+    * streamed sketch must equal this exactly. The estimator is the
+    * sketch's saturation-blind branch (k_used < K ⇒ exact).
+    */
+  val streamKmvSql: String = {
+    val k = llm.Events.KmvK
+    s"""WITH uh AS (
+       |  SELECT DISTINCT event_type,
+       |         ${polyHash("CAST(user_id AS VARCHAR)", llm.Events.KmvBase)} AS h
+       |  FROM events),
+       |r AS (SELECT event_type, h,
+       |             CAST(row_number() OVER (PARTITION BY event_type ORDER BY h) AS BIGINT) AS rn
+       |      FROM uh),
+       |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS k_used,
+       |             CAST(max(h) AS BIGINT) AS kth_hash
+       |      FROM r WHERE rn <= $k GROUP BY event_type)
+       |SELECT event_type, k_used, kth_hash,
+       |       CASE WHEN k_used < $k THEN CAST(k_used AS DOUBLE)
+       |            ELSE CAST(${(k - 1).toLong * PolyHashing.Mod} AS DOUBLE)
+       |              / CAST(kth_hash AS DOUBLE) END AS est_distinct
+       |FROM s ORDER BY event_type""".stripMargin
+  }
+
   /** containment mirror: same banded candidates, exact shingle-set
     * intersection, integer-ppm directions.
     */

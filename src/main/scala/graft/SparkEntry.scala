@@ -211,6 +211,8 @@ object SparkEntry {
     "x_containment" -> (llm.Dedup.containment _),
     "x_mm_dedup" -> (llm.Multimodal.payloadDedup _),
     "x_kcore" -> (llm.Graph.kcore _),
+    "x_link_pred" -> (llm.Graph.linkPred _),
+    "x_stream_kmv" -> (llm.StreamingOps.streamingKmv _),
     "x_eval_metrics" -> (llm.TextAnalysis.evalMetrics _),
     "x_json_extract" -> (llm.Events.jsonExtract _),
     "x_cohort" -> (llm.Events.cohort _),
@@ -876,6 +878,37 @@ object SparkEntry {
         |       CAST(sum(n_bytes) AS BIGINT) AS bytes_total
         |FROM p GROUP BY payload_md5
         |ORDER BY payload_md5""".stripMargin,
+    "x_stream_kmv" -> OracleLlm.streamKmvSql,
+    // common-neighbor link prediction on the same thresholded graph as
+    // x_kcore: wedge self-join + anti-join non-edges + degree Jaccard
+    "x_link_pred" -> {
+      val k = llm.Graph.LinkPredTopK
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         |         CAST(count(*) AS BIGINT) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2),
+         |t AS (SELECT CAST(sum(w) AS BIGINT) AS sw, CAST(count(*) AS BIGINT) AS ne FROM e),
+         |st AS (SELECT src, dst FROM e, t WHERE w * ne > sw AND src <> dst),
+         |u AS (SELECT DISTINCT a, b FROM (
+         |        SELECT src AS a, dst AS b FROM st
+         |        UNION ALL SELECT dst AS a, src AS b FROM st)),
+         |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM u GROUP BY a),
+         |w AS (
+         |  SELECT u1.a AS id_a, u2.b AS id_b, CAST(count(*) AS BIGINT) AS cn
+         |  FROM u u1 JOIN u u2 ON u1.b = u2.a AND u1.a < u2.b
+         |  GROUP BY u1.a, u2.b),
+         |ne2 AS (SELECT * FROM w WHERE NOT EXISTS (
+         |          SELECT 1 FROM u WHERE u.a = w.id_a AND u.b = w.id_b))
+         |SELECT CAST(ne2.id_a AS BIGINT) AS id_a, CAST(ne2.id_b AS BIGINT) AS id_b,
+         |       ne2.cn, da.deg AS deg_a, db.deg AS deg_b,
+         |       CAST(ne2.cn * 1000000 // (da.deg + db.deg - ne2.cn) AS BIGINT) AS jaccard_ppm
+         |FROM ne2 JOIN deg da ON da.a = ne2.id_a JOIN deg db ON db.a = ne2.id_b
+         |ORDER BY ne2.cn DESC, id_a, id_b LIMIT $k""".stripMargin
+    },
     // k-core: above-mean edge sparsification (exact integer cross-multiply)
     // + 8 unrolled peel rounds, 1:1 with the Spark loop
     "x_kcore" -> {

@@ -502,16 +502,25 @@ object Graph {
     * ≤|nations|² partial-agg shuffle); the peel loop runs on the tiny
     * aggregated graph with per-round lineage cuts.
     */
-  def kcore(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The ABOVE-MEAN-weight undirected simple trade graph shared by
+    * [[kcore]] and [[linkPred]]: edges kept by the exact integer
+    * cross-multiplication w·|E| > Σw (no float mean), self-loops
+    * dropped, symmetrized and dedup'd. Uncached — each consumer decides
+    * its own persistence.
+    */
+  def thresholdedUndirected(spark: SparkSession, sfDir: String): DataFrame = {
     val e = tradeEdges(spark, sfDir)
     val tot = e.agg(sum("w").as("sw"), count(lit(1)).as("ne"))
     val strong = e.crossJoin(broadcast(tot))
       .filter(col("w") * col("ne") > col("sw") && col("src") =!= col("dst"))
       .select("src", "dst")
-    val und = strong.select(col("src").as("a"), col("dst").as("b"))
+    strong.select(col("src").as("a"), col("dst").as("b"))
       .union(strong.select(col("dst").as("a"), col("src").as("b")))
       .distinct()
-      .cache()
+  }
+
+  def kcore(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = thresholdedUndirected(spark, sfDir).cache()
     und.count() // materialize the edge cache before the round loop
     var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     def checkpointTracked(df: DataFrame): DataFrame = {
@@ -543,6 +552,53 @@ object Graph {
       core.join(broadcast(nation), Seq("a"))
         .select(col("n_name"), col("core_degree"))
         .orderBy("n_name"))
+    und.unpersist()
+    out
+  }
+
+  /** Predictions reported by [[linkPred]]. */
+  val LinkPredTopK = 10
+
+  /** X-LINK-PRED: common-neighbor link prediction on the thresholded
+    * trade graph — for every NON-edge (i, j), the count of shared strong
+    * partners (the classic Liben-Nowell/Kleinberg baseline: two nations
+    * trading heavily with the same partners but not each other are the
+    * missing-edge candidates a market-expansion or anomaly review reads
+    * first), plus the neighbor-set Jaccard in integer ppm. All exact:
+    * common neighbors from ONE self-join of the undirected edge frame on
+    * the shared endpoint, the union size by inclusion-exclusion from
+    * broadcast degrees, non-adjacency by an anti-join against the edge
+    * set. Report = top [[LinkPredTopK]] candidate pairs on the
+    * (cn desc, id_a, id_b) total order via TakeOrderedAndProject.
+    *
+    * Scale shape: the two-phase entity-graph discipline again — the
+    * 100 TB fact collapses to the ≤|nations|² aggregated graph in ONE
+    * partial-agg shuffle, and every join here (wedge self-join, degree
+    * broadcast, anti-join) runs on that dim-sized frame. On a BIG graph
+    * the same plan holds with the wedge join keyed on the shared
+    * endpoint — the standard triangle/wedge enumeration shuffle — and a
+    * degree-ordered orientation bounding the per-node wedge fanout.
+    */
+  def linkPred(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = thresholdedUndirected(spark, sfDir).cache()
+    val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
+    val wedges = und.select(col("a").as("id_a"), col("b").as("via"))
+      .join(und.select(col("a").as("via2"), col("b").as("id_b")),
+        col("via") === col("via2") && col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("cn"))
+    val nonEdges = wedges.join(und,
+        wedges("id_a") === und("a") && wedges("id_b") === und("b"), "left_anti")
+    val out = nonEdges
+      .join(broadcast(deg.select(col("a").as("id_a"), col("deg").as("deg_a"))), Seq("id_a"))
+      .join(broadcast(deg.select(col("a").as("id_b"), col("deg").as("deg_b"))), Seq("id_b"))
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"),
+        col("cn"), col("deg_a"), col("deg_b"),
+        expr("cn * 1000000 div (deg_a + deg_b - cn)").as("jaccard_ppm"))
+      .orderBy(col("cn").desc, col("id_a"), col("id_b"))
+      .limit(LinkPredTopK)
+      .localCheckpoint(true) // materialize before releasing the edge cache
     und.unpersist()
     out
   }

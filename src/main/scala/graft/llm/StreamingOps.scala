@@ -416,4 +416,71 @@ object StreamingOps {
           out.iterator
       }
   }
+
+  /** X-STREAM-KMV: cross-batch mergeable-sketch state — the KMV
+    * distinct-count sketch (X-KMV) maintained INSIDE `GroupState` while
+    * the events replay as four chronological chunks, the shape a
+    * continuous pipeline uses to keep per-key cardinality live without
+    * ever holding the user set: state per event type is the ≤
+    * [[Events.KmvK]] smallest distinct user-hash values (BOUNDED,
+    * mergeable — exactly why production streaming picks an order-statistic
+    * sketch over a distinct set). Each micro-batch merges its hashes and
+    * emits the running (k_used, kth_hash); both are MONOTONE (k_used
+    * grows, kth_hash shrinks), so the final sketch is recoverable from
+    * the drained emissions as (max k_used, min kth_hash) — no "last
+    * batch" bookkeeping — and, because an order statistic of a set is
+    * batching-independent, it must equal the batch formulation exactly:
+    * the oracle recomputes the same k smallest distinct hashes in SQL.
+    * The estimator is the sketch's own saturation-blind form (k_used <
+    * K ⇒ exact count; at k_used = K the Bar-Yossef estimate — the one
+    * case it diverges from X-KMV's set-aware branch, mirrored as such).
+    * The `__wm__` staging sentinel is filtered out before the sketch.
+    */
+  def streamingKmv(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory(
+      "graft_stream_kmv_" + runs.incrementAndGet() + "_")
+    val srcDir = Events.chunkedEventStaging(spark, sfDir, work)
+    val rawSchema = Tables.eventsRaw(spark, sfDir).schema
+    val ds = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      .filter(col("event_type") =!= "__wm__")
+      .select(col("event_type"),
+        graft.functions.PolyHash.poly_hash(col("user_id").cast("string"),
+          Events.KmvBase).as("h"))
+      .as[(String, Long)]
+    val sketched = kmvStream(ds).toDF("event_type", "k_used", "kth_hash")
+    val drained = graft.streaming.Drain.toParquet(sketched, work,
+      shufflePartitions = Some(8))
+    drained.groupBy("event_type")
+      .agg(max("k_used").as("k_used"), min("kth_hash").as("kth_hash"))
+      .withColumn("est_distinct",
+        when(col("k_used") < Events.KmvK, col("k_used").cast("double"))
+          .otherwise(
+            lit((Events.KmvK - 1).toLong * graft.functions.PolyHashing.Mod)
+              .cast("double") / col("kth_hash").cast("double")))
+      .orderBy("event_type")
+  }
+
+  /** The per-type KMV merge transform — separated from
+    * [[streamingKmv]]'s staging so a spec can drive it batch-by-batch
+    * and assert the state genuinely refines ACROSS batches.
+    */
+  def kmvStream(ds: org.apache.spark.sql.Dataset[(String, Long)])
+      : org.apache.spark.sql.Dataset[(String, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], (String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (typ: String, evs: Iterator[(String, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[Array[Long]]) =>
+          val cur = state.getOption.getOrElse(Array.empty[Long])
+          // merge = k smallest of the distinct union — the sketch's ⊕
+          val merged = (cur ++ evs.map(_._2)).distinct.sorted
+            .take(Events.KmvK)
+          state.update(merged)
+          Iterator.single((typ, merged.length.toLong, merged.last))
+      }
+  }
 }

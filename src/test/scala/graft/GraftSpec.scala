@@ -667,6 +667,69 @@ class GraftSpec extends AnyFunSuite {
     assert(s.size < nNodes, "the peel genuinely removes periphery nodes at this k")
   }
 
+  test("x_link_pred: candidates are non-edges and counts match a driver-side recount") {
+    import llm.Graph
+    val out = Graph.linkPred(spark, sf).collect()
+    assert(out.nonEmpty)
+    val und = Graph.thresholdedUndirected(spark, sf)
+      .selectExpr("CAST(a AS BIGINT)", "CAST(b AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = und.toSet
+    val nbrs = und.groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    out.foreach { r =>
+      val (a, b, cn) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(!edges((a, b)) && !edges((b, a)), s"($a,$b) must be a NON-edge")
+      assert(cn === (nbrs(a) & nbrs(b)).size.toLong, "common-neighbor recount agrees")
+      assert(r.getLong(5) <= 1000000L)
+    }
+  }
+
+  test("x_stream_kmv: state refines across batches and equals the batch order statistic") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val work = java.nio.file.Files.createTempDirectory("graft_kmv_spec_")
+    val src = work.resolve("src"); java.nio.file.Files.createDirectories(src)
+    def stageChunk(name: String, mtimeSec: Long, hashes: Seq[Long]): Unit = {
+      val tmp = work.resolve(s"tmp_$name")
+      hashes.map(h => ("t", h)).toDF("event_type", "h")
+        .coalesce(1).write.parquet(tmp.toString)
+      val listing = java.nio.file.Files.list(tmp)
+      val part = try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+        finally listing.close()
+      val dst = src.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeSec * 1000))
+    }
+    // chunk 1: 100 big hashes saturate the sketch; chunk 2's smaller
+    // hashes must REFINE state held across the batch boundary
+    val big = (1L to 100L).map(_ * 1000L + 500L)
+    val small = (1L to 50L)
+    stageChunk("c1", 1, big)
+    stageChunk("c2", 2, small)
+    val ds = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("h",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+      .as[(String, Long)]
+    val emitted = graft.streaming.Drain.toParquet(
+      llm.StreamingOps.kmvStream(ds).toDF("event_type", "k_used", "kth_hash"),
+      work, shufflePartitions = Some(4))
+      .orderBy("kth_hash").collect()
+    assert(emitted.length === 2, "one emission per micro-batch")
+    val Array(second, first) = emitted // ordered by kth asc = (batch2, batch1)
+    assert(first.getLong(1) === 64L && second.getLong(1) === 64L)
+    assert(second.getLong(2) < first.getLong(2),
+      "batch 2's smaller hashes shrink the kth value held in cross-batch state")
+    // final sketch = 64 smallest of the distinct union (batch semantics)
+    val expectedKth = (big ++ small).distinct.sorted.take(64).last
+    assert(second.getLong(2) === expectedKth)
+  }
+
   test("x_hash_features: gram mass conserved, signs balanced, buckets in range") {
     val rows = llm.TextAnalysis.hashFeatures(spark, sf).collect()
     val totalGrams = Tables.documents(spark, sf)
@@ -3483,6 +3546,7 @@ class GraftSpec extends AnyFunSuite {
       "x_path_topk" -> "X-PATH-TOPK", "x_join_card" -> "X-JOIN-CARD",
       "x_temp_mix" -> "X-TEMP-MIX", "x_containment" -> "X-CONTAINMENT",
       "x_mm_dedup" -> "X-MM-DEDUP", "x_kcore" -> "X-KCORE",
+      "x_link_pred" -> "X-LINK-PRED", "x_stream_kmv" -> "X-STREAM-KMV",
       "x_profile" -> "X-PROFILE",
       "x_pagerank" -> "X-PAGERANK", "x_grouping_sets" -> "X-GROUPING-SETS",
       "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",
