@@ -213,6 +213,7 @@ object SparkEntry {
     "x_kcore" -> (llm.Graph.kcore _),
     "x_link_pred" -> (llm.Graph.linkPred _),
     "x_stream_kmv" -> (llm.StreamingOps.streamingKmv _),
+    "x_ltv" -> (llm.Events.ltv _),
     "x_eval_metrics" -> (llm.TextAnalysis.evalMetrics _),
     "x_json_extract" -> (llm.Events.jsonExtract _),
     "x_cohort" -> (llm.Events.cohort _),
@@ -2612,6 +2613,32 @@ object SparkEntry {
         |SELECT m.cohort_week, m.week_offset, m.n_active, sz.cohort_n,
         |       CAST(m.n_active AS DOUBLE) / CAST(sz.cohort_n AS DOUBLE) AS rate
         |FROM m JOIN sz USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    // the X-COHORT anchor with purchase value riding along; cumulative
+    // window over the calendar-bounded offset domain, exact integers
+    "x_ltv" ->
+      """WITH uw AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+        |         CAST(sum(CASE WHEN event_type = 'purchase'
+        |             THEN CAST(CAST(value AS DECIMAL(18, 2)) * 100 AS BIGINT)
+        |             ELSE 0 END) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id),
+        |sz AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_n
+        |       FROM a GROUP BY cohort_week),
+        |wk AS (
+        |  SELECT a.cohort_week,
+        |         CAST((uw.week - a.cohort_week) // 7 AS BIGINT) AS week_offset,
+        |         CAST(sum(uw.cents) AS BIGINT) AS week_cents
+        |  FROM uw JOIN a USING (user_id)
+        |  GROUP BY 1, 2),
+        |c AS (SELECT cohort_week, week_offset, week_cents,
+        |             CAST(sum(week_cents) OVER (PARTITION BY cohort_week
+        |               ORDER BY week_offset) AS BIGINT) AS cum_cents
+        |      FROM wk)
+        |SELECT c.cohort_week, c.week_offset, sz.cohort_n, c.week_cents, c.cum_cents,
+        |       CAST(c.cum_cents // sz.cohort_n AS BIGINT) AS ltv_cents_per_user
+        |FROM c JOIN sz USING (cohort_week)
         |ORDER BY cohort_week, week_offset""".stripMargin,
     // TPC-H Q5 shape: revenue in exact scale-4 DECIMAL, one final cast
     "x_star_join" ->

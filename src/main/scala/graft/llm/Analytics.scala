@@ -458,14 +458,21 @@ object Analytics {
     * n·(2n+1), inside BIGINT to ~10^9 rows per type; past that the two
     * rank accumulators swap to DECIMAL(38) (the x_autocorr convention).
     */
-  def mannWhitney(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val perValue = Tables.events(spark, sfDir)
+  def mannWhitney(spark: SparkSession, sfDir: String): DataFrame =
+    mannWhitneyOf(Tables.events(spark, sfDir)
       .filter(col("value").isNotNull)
       .select(col("event_type"),
         (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
         pmod(datediff(col("ts").cast("date"), to_date(lit("1970-01-01"))).cast("long"),
-          lit(2L)).as("cohort"))
+          lit(2L)).as("cohort")))
+
+  /** Core U computation over any (event_type, cents, cohort) frame —
+    * separated so the property law can drive it with generated samples
+    * against a sequential tie-averaged rank-sum reference.
+    */
+  def mannWhitneyOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perValue = ev
       .groupBy("event_type", "cents")
       .agg(
         sum(when(col("cohort") === 0L, 1L).otherwise(0L)).as("ca"),
@@ -523,15 +530,22 @@ object Analytics {
 
   private val theilsenCache = new graft.Memo
 
-  private def theilSenBuild(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val daily = Tables.events(spark, sfDir)
+  private def theilSenBuild(spark: SparkSession, sfDir: String): DataFrame =
+    theilSenOf(Tables.events(spark, sfDir)
       .filter(col("event_type") === "purchase" && col("value").isNotNull)
       .select(
         datediff(col("ts").cast("date"), to_date(lit("1970-01-01")))
           .cast("long").as("x"),
         (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
-      .groupBy("x").agg(sum("cents").as("y"))
+      .groupBy("x").agg(sum("cents").as("y")))
+
+  /** Core Theil–Sen selection over any (x, y) series frame — separated
+    * so the property law can drive it with generated series against a
+    * brute median-of-pair-slopes reference.
+    */
+  def theilSenOf(series: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = series
       .cache() // calendar-sized; feeds the pair join twice + the residual pass
     val a = daily.select(col("x").as("xi"), col("y").as("yi"))
     val b = daily.select(col("x").as("xj"), col("y").as("yj"))

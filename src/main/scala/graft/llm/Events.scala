@@ -929,6 +929,46 @@ object Events {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** X-LTV: cohort lifetime-value curve — X-COHORT counts who comes
+    * BACK; this sums what they SPEND: per signup cohort (first active
+    * week, same anchor as X-COHORT) and week offset, the purchase cents
+    * that week, the running cumulative, and the per-user LTV
+    * (cum div cohort size — exact integer division), i.e. the
+    * monetization curve a payback-period decision reads. All exact:
+    * cents from the DECIMAL(18,2) cast, offsets integer week
+    * differences, the cumulative a window PARTITIONED by cohort over
+    * the calendar-bounded offset domain. Scale shape: one distinct-free
+    * fact agg to (user, week) spend, the per-user min-anchor agg, an
+    * equi-join back, a cohort²-bounded rollup, then the tiny cumulative
+    * window — the X-COHORT plan with value riding along.
+    */
+  def ltv(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uw = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week"),
+        when(col("event_type") === "purchase",
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
+          .otherwise(lit(0L)).as("cents"))
+      .groupBy("user_id", "week")
+      .agg(sum("cents").as("cents"))
+    val anchor = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val sized = anchor.groupBy("cohort_week").agg(count(lit(1)).as("cohort_n"))
+    val wk = uw.join(anchor, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+      .agg(sum("cents").as("week_cents"))
+    wk
+      .withColumn("cum_cents",
+        sum("week_cents").over(Window.partitionBy("cohort_week")
+          .orderBy("week_offset")))
+      .join(broadcast(sized), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("cohort_n"),
+        col("week_cents"), col("cum_cents"),
+        expr("cum_cents div cohort_n").as("ltv_cents_per_user"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** KMV sketch size: 64 minimum hash values per set. */
   val KmvK = 64
 

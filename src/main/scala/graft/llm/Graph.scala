@@ -519,8 +519,13 @@ object Graph {
       .distinct()
   }
 
-  def kcore(spark: SparkSession, sfDir: String): DataFrame = {
-    val und = thresholdedUndirected(spark, sfDir).cache()
+  /** Core peel loop over any undirected simple (a, b) edge frame —
+    * separated so the property law can drive it with generated graphs
+    * against a brute sequential peel. Returns (a, core_degree) of the
+    * surviving subgraph, eagerly materialized (the input cache may be
+    * released by the caller afterwards).
+    */
+  def kcoreOf(und: DataFrame, k: Int = KcoreK, rounds: Int = KcoreRounds): DataFrame = {
     und.count() // materialize the edge cache before the round loop
     var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     def checkpointTracked(df: DataFrame): DataFrame = {
@@ -531,27 +536,32 @@ object Graph {
       out
     }
     var alive = checkpointTracked(und.select(col("a").as("id")).distinct())
-    (1 to KcoreRounds).foreach { _ =>
+    (1 to rounds).foreach { _ =>
       val act = und
         .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
         .join(alive.select(col("id").as("b")), Seq("b"), "left_semi")
       alive = checkpointTracked(
         act.groupBy("a").agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= KcoreK)
+          .filter(col("deg") >= k)
           .select(col("a").as("id")))
     }
-    val core = und
+    checkpointTracked(und
       .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
       .join(alive.select(col("id").as("b")), Seq("b"), "left_semi")
-      .groupBy("a").agg(count(lit(1)).as("core_degree"))
+      .groupBy("a").agg(count(lit(1)).as("core_degree")))
+  }
+
+  def kcore(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = thresholdedUndirected(spark, sfDir).cache()
+    val core = kcoreOf(und)
     val nation = graft.Tables.load(spark, sfDir, "nation")
       .select(col("n_nationkey").as("a"), col("n_name"))
-    // materialize (eager localCheckpoint) BEFORE releasing the edge cache:
-    // the output plan reads `und` once more for the in-core degrees
-    val out = checkpointTracked(
-      core.join(broadcast(nation), Seq("a"))
-        .select(col("n_name"), col("core_degree"))
-        .orderBy("n_name"))
+    // kcoreOf's result is an eager localCheckpoint, so releasing the edge
+    // cache here cannot force a recompute of the peel
+    val out = core.join(broadcast(nation), Seq("a"))
+      .select(col("n_name"), col("core_degree"))
+      .orderBy("n_name")
+      .localCheckpoint(true)
     und.unpersist()
     out
   }

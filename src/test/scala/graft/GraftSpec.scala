@@ -730,6 +730,26 @@ class GraftSpec extends AnyFunSuite {
     assert(second.getLong(2) === expectedKth)
   }
 
+  test("x_ltv: cumulative is the prefix sum and purchase mass is conserved") {
+    val rows = llm.Events.ltv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getDate(0)).foreach { case (_, cohort) =>
+      val ordered = cohort.sortBy(_.getLong(1))
+      var run = 0L
+      ordered.foreach { r =>
+        run += r.getLong(3)
+        assert(r.getLong(4) === run, "cum_cents is the exact prefix sum")
+        assert(r.getLong(5) === r.getLong(4) / r.getLong(2))
+      }
+    }
+    val totalPurchase = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(sum((col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long"))).head().getLong(0)
+    assert(rows.map(_.getLong(3)).sum === totalPurchase,
+      "every purchase cent lands in exactly one (cohort, offset) cell")
+  }
+
   test("x_hash_features: gram mass conserved, signs balanced, buckets in range") {
     val rows = llm.TextAnalysis.hashFeatures(spark, sf).collect()
     val totalGrams = Tables.documents(spark, sf)
@@ -3547,6 +3567,7 @@ class GraftSpec extends AnyFunSuite {
       "x_temp_mix" -> "X-TEMP-MIX", "x_containment" -> "X-CONTAINMENT",
       "x_mm_dedup" -> "X-MM-DEDUP", "x_kcore" -> "X-KCORE",
       "x_link_pred" -> "X-LINK-PRED", "x_stream_kmv" -> "X-STREAM-KMV",
+      "x_ltv" -> "X-LTV",
       "x_profile" -> "X-PROFILE",
       "x_pagerank" -> "X-PAGERANK", "x_grouping_sets" -> "X-GROUPING-SETS",
       "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",

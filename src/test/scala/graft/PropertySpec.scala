@@ -197,11 +197,82 @@ class PropertySpec extends AnyFunSuite {
   }
 
   /** Random canonical edge set over ≤ n nodes: distinct (a < b) pairs. */
+  test("law: X-MANN-WHITNEY doubled rank algebra equals the sequential tie-averaged reference") {
+    import spark.implicits._
+    val sampleGen: Gen[List[(Long, Long)]] =
+      Gen.nonEmptyListOf(for {
+        v <- Gen.chooseNum(0L, 12L)
+        c <- Gen.oneOf(0L, 1L)
+      } yield (v, c)).suchThat(s => s.exists(_._2 == 0L) && s.exists(_._2 == 1L))
+    forAll(sampleGen, cases = 4) { sample =>
+      val df = sample.map { case (v, c) => ("t", v, c) }.toDF("event_type", "cents", "cohort")
+      val r = llm.Analytics.mannWhitneyOf(df).head()
+      val all = sample.map(_._1).sorted
+      // doubled tie-averaged rank of value v: 2·|{< v}| + |{= v}| + 1
+      def rank2(v: Long) = 2L * all.count(_ < v) + all.count(_ == v) + 1L
+      val r2a = sample.filter(_._2 == 0L).map(x => rank2(x._1)).sum
+      val na = sample.count(_._2 == 0L).toLong
+      val nb = sample.count(_._2 == 1L).toLong
+      val u2a = r2a - na * (na + 1L)
+      val tie = all.distinct.map { v =>
+        val t = all.count(_ == v).toLong; t * t * t - t
+      }.sum
+      assert(r.getLong(1) === na && r.getLong(2) === nb)
+      assert(r.getLong(3) === u2a, s"2U_a disagrees with the sequential reference on $sample")
+      assert(r.getLong(4) === 2L * na * nb - u2a)
+      assert(r.getLong(5) === tie)
+    }
+  }
+
+  test("law: X-THEILSEN median pair equals the brute pair-slope selection") {
+    import spark.implicits._
+    val seriesGen: Gen[List[(Long, Long)]] =
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(-50L, 50L)))
+        .map(_.groupBy(_._1).map { case (x, ys) => (x, ys.map(_._2).sum) }.toList)
+        .suchThat(_.size >= 2)
+    forAll(seriesGen, cases = 4) { series =>
+      val out = llm.Analytics.theilSenOf(series.toDF("x", "y")).head()
+      val pairs = for {
+        (xi, yi) <- series; (xj, yj) <- series if xj > xi
+      } yield (yj - yi, xj - xi, xi)
+      val ordered = pairs.sortBy { case (dy, dx, xi) =>
+        (dy.toDouble / dx.toDouble, dy, dx, xi)
+      }
+      val (mdy, mdx, _) = ordered((ordered.size + 1) / 2 - 1)
+      assert(out.getLong(1) === pairs.size.toLong)
+      assert((out.getLong(2), out.getLong(3)) === ((mdy, mdx)),
+        s"median pair disagrees with brute selection on $series")
+    }
+  }
+
   private def edgeGen(maxNodes: Int): Gen[List[(Long, Long)]] =
     Gen.nonEmptyListOf(for {
       a <- Gen.chooseNum(1, maxNodes)
       b <- Gen.chooseNum(1, maxNodes).suchThat(_ != a)
     } yield (math.min(a, b).toLong, math.max(a, b).toLong)).map(_.distinct)
+
+  test("law: X-KCORE peel equals the brute sequential fixpoint on random graphs") {
+    import spark.implicits._
+    forAll(edgeGen(10), cases = 3) { edges =>
+      val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        .distinct.toDF("a", "b").cache()
+      val got = llm.Graph.kcoreOf(und, k = 2, rounds = 20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      und.unpersist()
+      // brute peel to the fixpoint
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+      var alive = adj.keySet
+      var changed = true
+      while (changed) {
+        val next = alive.filter(n => (adj(n) & alive).size >= 2)
+        changed = next != alive
+        alive = next
+      }
+      val brute = alive.map(n => (n, (adj(n) & alive).size.toLong))
+      assert(got === brute, s"k-core disagrees with the brute peel on $edges")
+    }
+  }
 
   test("law: X-TRIANGLES equals brute-force 3-clique enumeration on random graphs") {
     import spark.implicits._
