@@ -214,6 +214,8 @@ object SparkEntry {
     "x_link_pred" -> (llm.Graph.linkPred _),
     "x_stream_kmv" -> (llm.StreamingOps.streamingKmv _),
     "x_ltv" -> (llm.Events.ltv _),
+    "x_time_to_convert" -> (llm.Events.timeToConvert _),
+    "x_ab_srm" -> (llm.Analytics.abSrm _),
     "x_eval_metrics" -> (llm.TextAnalysis.evalMetrics _),
     "x_json_extract" -> (llm.Events.jsonExtract _),
     "x_cohort" -> (llm.Events.cohort _),
@@ -2614,6 +2616,38 @@ object SparkEntry {
         |       CAST(m.n_active AS DOUBLE) / CAST(sz.cohort_n AS DOUBLE) AS rate
         |FROM m JOIN sz USING (cohort_week)
         |ORDER BY cohort_week, week_offset""".stripMargin,
+    // digit-count log10 bucketing: string length of an exact integer, no
+    // float log anywhere; µs arithmetic stays integral end to end
+    "x_time_to_convert" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'signup'
+        |             THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS s_us,
+        |         min(CASE WHEN event_type = 'purchase'
+        |             THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS p_us
+        |  FROM events GROUP BY user_id),
+        |d AS (SELECT (p_us - s_us) // 1000000 AS delta_s FROM per
+        |      WHERE s_us IS NOT NULL AND p_us IS NOT NULL AND p_us >= s_us)
+        |SELECT CAST(length(CAST(delta_s AS VARCHAR)) AS BIGINT) AS magnitude,
+        |       CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(min(delta_s) AS BIGINT) AS min_s,
+        |       CAST(max(delta_s) AS BIGINT) AS max_s,
+        |       CAST(sum(delta_s) AS BIGINT) AS total_s
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    // 2-cell goodness-of-fit collapsed to ONE division over exact ints;
+    // the alarm is a cross-multiplied integer comparison, no float cut
+    "x_ab_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |g AS (SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_0,
+        |             CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1
+        |      FROM u)
+        |SELECT n_0, n_1,
+        |       CAST(n_0 * 1000000 // (n_0 + n_1) AS BIGINT) AS share_0_ppm,
+        |       CAST((n_0 - n_1) * (n_0 - n_1) AS DOUBLE)
+        |         / CAST(n_0 + n_1 AS DOUBLE) AS chi2,
+        |       CAST(CASE WHEN (n_0 - n_1) * (n_0 - n_1) * 100 > 384 * (n_0 + n_1)
+        |            THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+        |FROM g""".stripMargin,
     // the X-COHORT anchor with purchase value riding along; cumulative
     // window over the calendar-bounded offset domain, exact integers
     "x_ltv" ->

@@ -935,6 +935,36 @@ object Analytics {
         .as("z2"))
   }
 
+  /** X-AB-SRM: sample-ratio-mismatch check — the guardrail every
+    * experimentation platform runs BEFORE reading X-AB-TEST's effect: if
+    * the 50/50 assignment didn't land 50/50, the readout is invalid no
+    * matter how significant (Fabijan et al., KDD 2019 call SRM the most
+    * common A/B corruption). Unit counts per variant from ONE per-user
+    * distinct projection; expected = n/2 each; the goodness-of-fit
+    * χ² = (n_0−n_1)²/n for the 2-cell case — derived so the whole
+    * statistic is one division over exact BIGINTs ((o−e)² = (n_0−n_1)²/4
+    * per cell, two cells, e = n/2 ⇒ χ² = (n_0−n_1)²/n), one fixed IEEE
+    * op mirrored verbatim; split shares in integer ppm ride along. The
+    * SRM alarm itself is the exact-integer comparison χ²·n vs
+    * 3.84·n-scaled — emitted as a 0/1 flag with NO float threshold
+    * ((n_0−n_1)²·100 > 384·n, the z²≈3.84 ⇒ p<0.05 cut in
+    * cross-multiplied form).
+    */
+  def abSrm(spark: SparkSession, sfDir: String): DataFrame = {
+    val users = Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct()
+      .select(pmod(col("user_id"), lit(2L)).as("variant"))
+    users.groupBy().agg(
+        sum(when(col("variant") === 0L, 1L).otherwise(0L)).as("n_0"),
+        sum(when(col("variant") === 1L, 1L).otherwise(0L)).as("n_1"))
+      .select(col("n_0"), col("n_1"),
+        expr("n_0 * 1000000 div (n_0 + n_1)").as("share_0_ppm"),
+        ((col("n_0") - col("n_1")) * (col("n_0") - col("n_1"))).cast("double")
+          ./((col("n_0") + col("n_1")).cast("double")).as("chi2"),
+        when((col("n_0") - col("n_1")) * (col("n_0") - col("n_1")) * 100L
+          > lit(384L) * (col("n_0") + col("n_1")), 1L).otherwise(0L).as("srm_flag"))
+  }
+
   /** Observed-metrics pipeline filter: the reference's load keeps only
     * spend-carrying rows; here the monitored stage keeps urgent orders.
     */

@@ -969,6 +969,42 @@ object Events {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** X-TIME-TO-CONVERT: conversion-latency distribution — per user, the
+    * delay from FIRST signup to FIRST purchase (users converting before
+    * signing up are excluded: that ordering is a data bug X-FUNNEL's
+    * strict sequence also refuses), bucketed by decimal magnitude of the
+    * delay in seconds. The bucket key is `length(CAST(delta_s AS
+    * STRING))` — the digit count of an exact nonnegative integer, a
+    * log10 floor with NO float log (string length of an integer is
+    * engine-exact where `floor(log10(x))` is one ulp from a wrong
+    * bucket at powers of ten). Output per magnitude bucket: converting
+    * users, min/max/total delay seconds — the latency histogram a
+    * conversion-window decision (attribution lookback, retargeting
+    * delay) is read from. Scale shape: ONE per-user partial+final agg
+    * (two conditional mins — the shuffle carries two µs values per
+    * user), then a ≤10-row magnitude rollup; no windows, no joins.
+    */
+  def timeToConvert(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", col("us"))).as("s_us"),
+        min(when(col("event_type") === "purchase", col("us"))).as("p_us"))
+      .filter(col("s_us").isNotNull && col("p_us").isNotNull &&
+        col("p_us") >= col("s_us"))
+      .select(expr("(p_us - s_us) div 1000000").as("delta_s"))
+    per
+      .withColumn("magnitude", length(col("delta_s").cast("string")).cast("long"))
+      .groupBy("magnitude")
+      .agg(
+        count(lit(1)).as("n_users"),
+        min("delta_s").as("min_s"),
+        max("delta_s").as("max_s"),
+        sum("delta_s").as("total_s"))
+      .orderBy("magnitude")
+  }
+
   /** KMV sketch size: 64 minimum hash values per set. */
   val KmvK = 64
 

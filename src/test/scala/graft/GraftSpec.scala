@@ -750,6 +750,38 @@ class GraftSpec extends AnyFunSuite {
       "every purchase cent lands in exactly one (cohort, offset) cell")
   }
 
+  test("x_time_to_convert: magnitude buckets bound their members and users counted once") {
+    val rows = llm.Events.timeToConvert(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (m, n, lo, hi, tot) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(lo.toString.length.toLong === m && hi.toString.length.toLong === m,
+        "min and max share the bucket's digit count")
+      assert(lo <= hi && tot >= lo * n && tot <= hi * n)
+    }
+    // independent recount of converting users (first signup <= first purchase)
+    val expected = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("us"))).as("s"),
+        min(when(col("event_type") === "purchase", col("us"))).as("p"))
+      .filter(col("s").isNotNull && col("p").isNotNull && col("p") >= col("s"))
+      .count()
+    assert(rows.map(_.getLong(1)).sum === expected)
+  }
+
+  test("x_ab_srm: unit conservation and the integer alarm matches the float statistic") {
+    val r = llm.Analytics.abSrm(spark, sf).head()
+    val (n0, n1) = (r.getLong(0), r.getLong(1))
+    assert(n0 + n1 === Tables.events(spark, sf).select("user_id").distinct().count())
+    assert(r.getLong(2) === n0 * 1000000L / (n0 + n1))
+    val chi2 = r.getDouble(3)
+    assert(chi2 === (n0 - n1).toDouble * (n0 - n1) / (n0 + n1))
+    assert((r.getLong(4) === 1L) === ((n0 - n1) * (n0 - n1) * 100L > 384L * (n0 + n1)),
+      "the alarm is the exact cross-multiplied form of chi2 > 3.84")
+  }
+
   test("x_hash_features: gram mass conserved, signs balanced, buckets in range") {
     val rows = llm.TextAnalysis.hashFeatures(spark, sf).collect()
     val totalGrams = Tables.documents(spark, sf)
@@ -3567,7 +3599,8 @@ class GraftSpec extends AnyFunSuite {
       "x_temp_mix" -> "X-TEMP-MIX", "x_containment" -> "X-CONTAINMENT",
       "x_mm_dedup" -> "X-MM-DEDUP", "x_kcore" -> "X-KCORE",
       "x_link_pred" -> "X-LINK-PRED", "x_stream_kmv" -> "X-STREAM-KMV",
-      "x_ltv" -> "X-LTV",
+      "x_ltv" -> "X-LTV", "x_time_to_convert" -> "X-TIME-TO-CONVERT",
+      "x_ab_srm" -> "X-AB-SRM",
       "x_profile" -> "X-PROFILE",
       "x_pagerank" -> "X-PAGERANK", "x_grouping_sets" -> "X-GROUPING-SETS",
       "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",
