@@ -251,6 +251,25 @@ class PropertySpec extends AnyFunSuite {
       b <- Gen.chooseNum(1, maxNodes).suchThat(_ != a)
     } yield (math.min(a, b).toLong, math.max(a, b).toLong)).map(_.distinct)
 
+  test("law: X-CONTAINMENT reads 1.0 for a planted subset doc where Jaccard under-scores") {
+    import spark.implicits._
+    // doc 1 is wholly contained in doc 2 (a quote inside a longer doc):
+    // containment(1 in 2) must be exactly 10^6 ppm while Jaccard is small
+    val inner = "the quick brown fox jumps over the lazy dog again and again"
+    val outer = ("padding head section with plenty of distinct material " * 3) +
+      inner + (" trailing filler content that keeps similarity low " * 3)
+    val docs = Seq((1L, inner), (2L, outer)).toDF("doc_id", "text")
+    val hs = docs.select(col("doc_id"), llm.Dedup.shingleHashes(col("text")).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val common = (hs(1L) & hs(2L)).size.toLong
+    assert(common === hs(1L).size.toLong,
+      "every shingle of the inner doc appears in the outer doc")
+    val contA = common * 1000000L / hs(1L).size
+    val jaccard = common * 1000000L / (hs(1L) | hs(2L)).size
+    assert(contA === 1000000L && jaccard < 500000L,
+      "containment flags the subset pair that symmetric Jaccard under-scores")
+  }
+
   test("law: X-KCORE peel equals the brute sequential fixpoint on random graphs") {
     import spark.implicits._
     forAll(edgeGen(10), cases = 3) { edges =>
