@@ -502,22 +502,28 @@ object Graph {
     * ≤|nations|² partial-agg shuffle); the peel loop runs on the tiny
     * aggregated graph with per-round lineage cuts.
     */
+  private val undCache = new graft.Memo
+
   /** The ABOVE-MEAN-weight undirected simple trade graph shared by
     * [[kcore]] and [[linkPred]]: edges kept by the exact integer
     * cross-multiplication w·|E| > Σw (no float mean), self-loops
-    * dropped, symmetrized and dedup'd. Uncached — each consumer decides
-    * its own persistence.
+    * dropped, symmetrized and dedup'd. Memoized + cached per
+    * (session, sfDir): the plan references the FACT-sized tradeEdges
+    * build twice (once for the mean total, once for the filter), so an
+    * uncached frame paid two lineitem joins per consumer — and both
+    * kcore and linkPred consume it.
     */
-  def thresholdedUndirected(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = tradeEdges(spark, sfDir)
-    val tot = e.agg(sum("w").as("sw"), count(lit(1)).as("ne"))
-    val strong = e.crossJoin(broadcast(tot))
-      .filter(col("w") * col("ne") > col("sw") && col("src") =!= col("dst"))
-      .select("src", "dst")
-    strong.select(col("src").as("a"), col("dst").as("b"))
-      .union(strong.select(col("dst").as("a"), col("src").as("b")))
-      .distinct()
-  }
+  def thresholdedUndirected(spark: SparkSession, sfDir: String): DataFrame =
+    undCache.getOrBuild(spark, sfDir, cache = true) {
+      val e = tradeEdges(spark, sfDir)
+      val tot = e.agg(sum("w").as("sw"), count(lit(1)).as("ne"))
+      val strong = e.crossJoin(broadcast(tot))
+        .filter(col("w") * col("ne") > col("sw") && col("src") =!= col("dst"))
+        .select("src", "dst")
+      strong.select(col("src").as("a"), col("dst").as("b"))
+        .union(strong.select(col("dst").as("a"), col("src").as("b")))
+        .distinct()
+    }
 
   /** Core peel loop over any undirected simple (a, b) edge frame —
     * separated so the property law can drive it with generated graphs
@@ -552,18 +558,14 @@ object Graph {
   }
 
   def kcore(spark: SparkSession, sfDir: String): DataFrame = {
-    val und = thresholdedUndirected(spark, sfDir).cache()
+    // shared memoized cache — NOT unpersisted here; linkPred reuses it
+    val und = thresholdedUndirected(spark, sfDir)
     val core = kcoreOf(und)
     val nation = graft.Tables.load(spark, sfDir, "nation")
       .select(col("n_nationkey").as("a"), col("n_name"))
-    // kcoreOf's result is an eager localCheckpoint, so releasing the edge
-    // cache here cannot force a recompute of the peel
-    val out = core.join(broadcast(nation), Seq("a"))
+    core.join(broadcast(nation), Seq("a"))
       .select(col("n_name"), col("core_degree"))
       .orderBy("n_name")
-      .localCheckpoint(true)
-    und.unpersist()
-    out
   }
 
   /** Predictions reported by [[linkPred]]. */
@@ -590,7 +592,8 @@ object Graph {
     * degree-ordered orientation bounding the per-node wedge fanout.
     */
   def linkPred(spark: SparkSession, sfDir: String): DataFrame = {
-    val und = thresholdedUndirected(spark, sfDir).cache()
+    // shared memoized cache — kcore's consumer too; never unpersisted
+    val und = thresholdedUndirected(spark, sfDir)
     val deg = und.groupBy("a").agg(count(lit(1)).as("deg"))
     val wedges = und.select(col("a").as("id_a"), col("b").as("via"))
       .join(und.select(col("a").as("via2"), col("b").as("id_b")),
@@ -608,8 +611,6 @@ object Graph {
         expr("cn * 1000000 div (deg_a + deg_b - cn)").as("jaccard_ppm"))
       .orderBy(col("cn").desc, col("id_a"), col("id_b"))
       .limit(LinkPredTopK)
-      .localCheckpoint(true) // materialize before releasing the edge cache
-    und.unpersist()
     out
   }
 }
