@@ -782,6 +782,27 @@ class GraftSpec extends AnyFunSuite {
       "the alarm is the exact cross-multiplied form of chi2 > 3.84")
   }
 
+  test("x_mann_whitney plan: the shuffle carries distinct values, never events") {
+    val plan = llm.Analytics.mannWhitney(spark, sf)
+      .queryExecution.executedPlan.toString
+    // exchanges allowed: the (type, cents) contingency agg and the final
+    // per-type window/rollup — both keyed on the distinct-value frame.
+    // An exchange on event_id would mean raw events crossed the wire.
+    assert(!plan.contains("hashpartitioning(event_id") &&
+      !plan.contains("hashpartitioning(user_id"),
+      s"raw events must never shuffle:\n${plan.take(2000)}")
+    assert(plan.contains("partial"), "the contingency agg must map-side combine")
+  }
+
+  test("x_join_card plan: heavy keys via take-ordered, totals broadcast as one row") {
+    val plan = queries.ScaleQueries.joinCard(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top keys must not materialize a global sort:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastQueryStage"),
+      "the one-row totals must broadcast")
+  }
+
   test("x_hash_features: gram mass conserved, signs balanced, buckets in range") {
     val rows = llm.TextAnalysis.hashFeatures(spark, sf).collect()
     val totalGrams = Tables.documents(spark, sf)
