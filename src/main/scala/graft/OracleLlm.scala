@@ -456,6 +456,51 @@ object OracleLlm {
        |         / CAST(tokens * 100 AS DOUBLE) AS weight
        |FROM ps, t ORDER BY source""".stripMargin
 
+  /** bloomFpr mirror: the same k poly-hashes → bit positions → 32-bit
+    * words → bit_or fold, probe of the disjoint set, integer-ppm FPR.
+    */
+  val bloomFprSql: String = {
+    val m = llm.Events.BloomBits; val wb = llm.Events.BloomWordBits
+    def hitsOf(src: String): String =
+      llm.Events.BloomBases.map(b =>
+        s"SELECT user_id, ${polyHash("CAST(user_id AS VARCHAR)", b)} % $m AS h FROM $src")
+        .mkString("\n       UNION ALL ")
+    s"""WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE user_id % 2 = 0),
+       |others AS (SELECT DISTINCT user_id FROM events WHERE user_id % 2 = 1),
+       |bbits AS (${hitsOf("buyers")}),
+       |words AS (SELECT h // $wb AS w,
+       |                 bit_or(CAST(1 AS BIGINT) << CAST(h % $wb AS INT)) AS word
+       |          FROM bbits GROUP BY 1),
+       |stats AS (SELECT CAST(sum(bit_count(word)) AS BIGINT) AS n_set_bits FROM words),
+       |obits AS (${hitsOf("others")}),
+       |probe AS (
+       |  SELECT o.user_id,
+       |         CASE WHEN (coalesce(w.word, 0) & (CAST(1 AS BIGINT) << CAST(o.h % $wb AS INT))) <> 0
+       |              THEN 1 ELSE 0 END AS hit
+       |  FROM obits o LEFT JOIN words w ON w.w = o.h // $wb),
+       |per AS (SELECT user_id, min(hit) AS all_set FROM probe GROUP BY user_id),
+       |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_probes,
+       |               CAST(sum(all_set) AS BIGINT) AS n_fp FROM per),
+       |ni AS (SELECT CAST(count(*) AS BIGINT) AS n_inserted FROM buyers)
+       |SELECT CAST($m AS BIGINT) AS m_bits, ni.n_inserted, stats.n_set_bits,
+       |       agg.n_probes, agg.n_fp,
+       |       CAST(agg.n_fp * 1000000 // agg.n_probes AS BIGINT) AS fpr_ppm,
+       |       CAST(stats.n_set_bits * 1000000 // $m AS BIGINT) AS load_ppm
+       |FROM agg, ni, stats""".stripMargin
+  }
+
+  /** marginalCoverage mirror: first owner = min(source) per shingle hash. */
+  val marginalCoverageSql: String =
+    s"""WITH $sigCtes,
+       |sh AS (SELECT DISTINCT source, unnest(hs) AS h FROM hs),
+       |fo AS (SELECT source, CAST(count(*) AS BIGINT) AS n_new FROM (
+       |         SELECT h, min(source) AS source FROM sh GROUP BY h) GROUP BY source),
+       |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_shingles FROM sh GROUP BY source)
+       |SELECT tot.source, tot.n_shingles,
+       |       CAST(coalesce(fo.n_new, 0) AS BIGINT) AS n_new,
+       |       CAST(coalesce(fo.n_new, 0) * 1000000 // tot.n_shingles AS BIGINT) AS new_share_ppm
+       |FROM tot LEFT JOIN fo USING (source) ORDER BY source""".stripMargin
+
   /** streamingKmv mirror: the k smallest distinct hashes per type — an
     * order statistic of a SET is micro-batching-independent, so the
     * streamed sketch must equal this exactly. The estimator is the

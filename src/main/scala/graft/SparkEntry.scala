@@ -216,6 +216,8 @@ object SparkEntry {
     "x_ltv" -> (llm.Events.ltv _),
     "x_time_to_convert" -> (llm.Events.timeToConvert _),
     "x_ab_srm" -> (llm.Analytics.abSrm _),
+    "x_bloom_fpr" -> (llm.Events.bloomFpr _),
+    "x_marginal_coverage" -> (llm.Dedup.marginalCoverage _),
     "x_eval_metrics" -> (llm.TextAnalysis.evalMetrics _),
     "x_json_extract" -> (llm.Events.jsonExtract _),
     "x_cohort" -> (llm.Events.cohort _),
@@ -882,6 +884,8 @@ object SparkEntry {
         |FROM p GROUP BY payload_md5
         |ORDER BY payload_md5""".stripMargin,
     "x_stream_kmv" -> OracleLlm.streamKmvSql,
+    "x_bloom_fpr" -> OracleLlm.bloomFprSql,
+    "x_marginal_coverage" -> OracleLlm.marginalCoverageSql,
     // common-neighbor link prediction on the same thresholded graph as
     // x_kcore: wedge self-join + anti-join non-edges + degree Jaccard
     "x_link_pred" -> {

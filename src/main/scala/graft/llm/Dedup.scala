@@ -261,6 +261,43 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  // ---- marginal source coverage (X-MARGINAL-COVERAGE) -----------------
+
+  /** X-MARGINAL-COVERAGE: per-source marginal shingle contribution — the
+    * data-valuation question behind every acquisition decision: walking
+    * sources in their (lexicographic) arrival order, how many shingles
+    * does source i add that NO earlier source already covered? A source
+    * whose n_new ≈ 0 is paying storage for content the corpus already
+    * has (the submodular coverage-curve reading; Wei et al., ICML 2015
+    * use exactly this marginal-gain structure for data subset
+    * selection). Computed without any per-prefix recomputation: the
+    * first owner of a shingle is `min(source)` over its occurrences —
+    * ONE agg keyed on the shingle hash decides every marginal count at
+    * once. Output per source: distinct shingles, first-owned shingles,
+    * and the novelty share in integer ppm.
+    *
+    * Scale shape: the shuffles carry (source, hash) and (hash) keys —
+    * 8-byte hashes, never text; both aggs are partial+final; the final
+    * join is dim-sized (sources).
+    */
+  def marginalCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(shingleHashes(col("text"))).as("h"))
+      .distinct()
+      .cache() // consumed by the first-owner agg AND the per-source totals
+    val firstOwner = sh.groupBy("h").agg(min("source").as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n_new"))
+    val out = sh.groupBy("source").agg(count(lit(1)).as("n_shingles"))
+      .join(firstOwner, Seq("source"), "left")
+      .select(col("source"), col("n_shingles"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("new_share_ppm", expr("n_new * 1000000 div n_shingles"))
+      .orderBy("source")
+      .localCheckpoint(true) // materialize before releasing the pair cache
+    sh.unpersist()
+    out
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   val SimBits: Int = graft.functions.SimHash.Bits

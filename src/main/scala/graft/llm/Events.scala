@@ -1005,6 +1005,79 @@ object Events {
       .orderBy("magnitude")
   }
 
+  /** Bloom filter size for [[bloomFpr]] (bits) and word width — 32-bit
+    * words keep every mask positive in BIGINT on both engines (a 1<<63
+    * mask overflows DuckDB's checked shift).
+    */
+  val BloomBits = 4096L
+  val BloomWordBits = 32L
+
+  /** The k = 3 independent hash bases (the poly-hash kernel family). */
+  val BloomBases = Seq(131L, 137L, 139L)
+
+  /** X-BLOOM-FPR: an explicit Bloom filter with its false-positive rate
+    * MEASURED, not assumed — X-BLOOM-JOIN uses Spark's built-in filter
+    * as an opaque pushdown; this one is built from first principles so
+    * the whole sketch (k poly-hashes → bit positions → 32-bit words →
+    * `bit_or` fold) is bit-identical in the oracle and the FPR claim is
+    * auditable: insert the even-id user cohort, probe the DISJOINT
+    * odd-id cohort (disjoint BY CONSTRUCTION — behavioral splits like
+    * purchasers-vs-rest degenerate on fixtures where every user
+    * converts), count probes where all k bits are set — every hit is by
+    * construction a false positive, so `n_fp/n_probes` IS the
+    * observed FPR (reported in exact integer ppm). This is the sketch
+    * the 100 TB pre-join membership gate is built on, and the measured
+    * load factor (set bits / m) is the saturation alarm that says when
+    * to resize.
+    *
+    * Scale shape: build = one explode(k)+partial `bit_or` agg into ≤
+    * m/32 words (the filter is KBs whatever the corpus); probe =
+    * map-side against the BROADCAST word table + one per-user
+    * all-bits-set agg; nothing fact-sized ever sorts or re-shuffles.
+    */
+  def bloomFpr(spark: SparkSession, sfDir: String): DataFrame =
+    // session-keyed memo (the conformal pattern): the word-table `.cache()`
+    // entry is created once per (session, sfDir), not once per bench pass
+    bloomCache.getOrBuild(spark, sfDir)(bloomFprBuild(spark, sfDir))
+
+  private val bloomCache = new graft.Memo
+
+  private def bloomFprBuild(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.PolyHash
+    val users = Tables.events(spark, sfDir).select("user_id").distinct()
+    val buyers = users.filter(pmod(col("user_id"), lit(2L)) === 0L)
+    val others = users.filter(pmod(col("user_id"), lit(2L)) === 1L)
+    def bitsOf(df: DataFrame): DataFrame = df.select(col("user_id"),
+      explode(array(BloomBases.map(b =>
+        pmod(PolyHash.poly_hash(col("user_id").cast("string"), b),
+          lit(BloomBits))): _*)).as("h"))
+      .select(col("user_id"),
+        expr(s"h div $BloomWordBits").as("w"),
+        expr(s"shiftleft(1L, CAST(h % $BloomWordBits AS INT))").as("mask"))
+    val words = bitsOf(buyers).groupBy("w")
+      .agg(expr("bit_or(mask)").as("word"))
+      .cache() // ≤ m/32 rows; consumed by the stats agg AND the probe join
+    val stats = words.agg(
+      sum(expr("bit_count(word)")).as("n_set_bits"))
+    val probed = bitsOf(others)
+      .join(broadcast(words), Seq("w"), "left")
+      .select(col("user_id"),
+        when(coalesce(col("word"), lit(0L)).bitwiseAND(col("mask")) =!= 0L, 1L)
+          .otherwise(0L).as("hit"))
+      .groupBy("user_id")
+      .agg(min("hit").as("all_set"))
+    val nIns = buyers.agg(count(lit(1)).as("n_inserted"))
+    probed.agg(
+        count(lit(1)).as("n_probes"),
+        sum("all_set").as("n_fp"))
+      .crossJoin(broadcast(nIns))
+      .crossJoin(broadcast(stats))
+      .select(lit(BloomBits).as("m_bits"), col("n_inserted"), col("n_set_bits"),
+        col("n_probes"), col("n_fp"),
+        expr("n_fp * 1000000 div n_probes").as("fpr_ppm"),
+        expr(s"n_set_bits * 1000000 div $BloomBits").as("load_ppm"))
+  }
+
   /** KMV sketch size: 64 minimum hash values per set. */
   val KmvK = 64
 

@@ -803,6 +803,59 @@ class GraftSpec extends AnyFunSuite {
       "the one-row totals must broadcast")
   }
 
+  test("x_bloom_fpr: no false negatives possible, observed FPR consistent with load") {
+    val r = llm.Events.bloomFpr(spark, sf).head()
+    val (m, nIns, nSet, nProbes, nFp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(m === llm.Events.BloomBits)
+    assert(nSet >= 1L && nSet <= math.min(m, nIns * llm.Events.BloomBases.length),
+      "set bits bounded by k·n and by m")
+    assert(nFp >= 0L && nFp <= nProbes)
+    assert(r.getLong(5) === nFp * 1000000L / nProbes)
+    // disjointness of the probe set: inserted + probed = all distinct users
+    val allUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(nIns + nProbes === allUsers)
+    assert(nIns > 0L && nProbes > 0L, "both cohorts must be non-empty for the FPR to mean anything")
+    // no false negatives: every INSERTED user must hit all its own bits —
+    // re-probe the inserted cohort through the same filter construction
+    import graft.functions.PolyHash
+    val buyers = Tables.events(spark, sf).select("user_id").distinct()
+      .filter(pmod(col("user_id"), lit(2L)) === 0L)
+    val bits = buyers.select(col("user_id"),
+      explode(array(llm.Events.BloomBases.map(b =>
+        pmod(PolyHash.poly_hash(col("user_id").cast("string"), b),
+          lit(llm.Events.BloomBits))): _*)).as("h"))
+    val words = bits
+      .select(expr("h div 32").as("w"),
+        expr("shiftleft(1L, CAST(h % 32 AS INT))").as("mask"))
+      .groupBy("w").agg(expr("bit_or(mask)").as("word"))
+    val misses = bits
+      .select(col("user_id"), expr("h div 32").as("w"),
+        expr("shiftleft(1L, CAST(h % 32 AS INT))").as("mask"))
+      .join(words, Seq("w"))
+      .filter(col("word").bitwiseAND(col("mask")) === 0L)
+      .count()
+    assert(misses === 0L, "a Bloom filter can never false-negative its own members")
+  }
+
+  test("x_marginal_coverage: marginal counts partition the distinct shingle universe") {
+    val rows = llm.Dedup.marginalCoverage(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val universe = Tables.documents(spark, sf)
+      .select(explode(llm.Dedup.shingleHashes(col("text"))).as("h"))
+      .distinct().count()
+    assert(rows.map(_.getLong(2)).sum === universe,
+      "every distinct shingle is first-owned by exactly one source")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "a source's novel shingles are a subset of its shingles")
+      assert(r.getLong(3) <= 1000000L)
+    }
+    // the lexicographically FIRST source owns everything it touches
+    val first = rows.map(_.getString(0)).min
+    val fr = rows.find(_.getString(0) == first).get
+    assert(fr.getLong(1) === fr.getLong(2), "the first source's shingles are all novel")
+  }
+
   test("x_hash_features: gram mass conserved, signs balanced, buckets in range") {
     val rows = llm.TextAnalysis.hashFeatures(spark, sf).collect()
     val totalGrams = Tables.documents(spark, sf)
@@ -3621,7 +3674,8 @@ class GraftSpec extends AnyFunSuite {
       "x_mm_dedup" -> "X-MM-DEDUP", "x_kcore" -> "X-KCORE",
       "x_link_pred" -> "X-LINK-PRED", "x_stream_kmv" -> "X-STREAM-KMV",
       "x_ltv" -> "X-LTV", "x_time_to_convert" -> "X-TIME-TO-CONVERT",
-      "x_ab_srm" -> "X-AB-SRM",
+      "x_ab_srm" -> "X-AB-SRM", "x_bloom_fpr" -> "X-BLOOM-FPR",
+      "x_marginal_coverage" -> "X-MARGINAL-COVERAGE",
       "x_profile" -> "X-PROFILE",
       "x_pagerank" -> "X-PAGERANK", "x_grouping_sets" -> "X-GROUPING-SETS",
       "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",
