@@ -218,6 +218,8 @@ object SparkEntry {
     "x_ab_srm" -> (llm.Analytics.abSrm _),
     "x_bloom_fpr" -> (llm.Events.bloomFpr _),
     "x_marginal_coverage" -> (llm.Dedup.marginalCoverage _),
+    "x_impute" -> (llm.Analytics.impute _),
+    "x_target_enc" -> (llm.Analytics.targetEnc _),
     "x_eval_metrics" -> (llm.TextAnalysis.evalMetrics _),
     "x_json_extract" -> (llm.Events.jsonExtract _),
     "x_cohort" -> (llm.Events.cohort _),
@@ -886,6 +888,46 @@ object SparkEntry {
     "x_stream_kmv" -> OracleLlm.streamKmvSql,
     "x_bloom_fpr" -> OracleLlm.bloomFprSql,
     "x_marginal_coverage" -> OracleLlm.marginalCoverageSql,
+    // semantic missingness (error rows carry no valid amount) backfilled
+    // with the exact per-weekday percentile_disc median
+    "x_impute" ->
+      """WITH base AS (
+        |  SELECT CAST(dayofweek(ts) AS BIGINT) AS dow, event_id,
+        |         CASE WHEN event_type <> 'error'
+        |              THEN CAST(CAST(value AS DECIMAL(18, 2)) * 100 AS BIGINT) END AS cents
+        |  FROM events),
+        |nn AS (SELECT * FROM base WHERE cents IS NOT NULL),
+        |r AS (SELECT dow, cents,
+        |             row_number() OVER (PARTITION BY dow ORDER BY cents, event_id) AS rn,
+        |             count(*) OVER (PARTITION BY dow) AS cnt
+        |      FROM nn),
+        |med AS (SELECT dow, cents AS median_cents FROM r WHERE rn = (cnt + 1) // 2)
+        |SELECT base.dow, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN base.cents IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+        |       CAST(max(med.median_cents) AS BIGINT) AS median_cents,
+        |       CAST(sum(coalesce(base.cents, med.median_cents)) AS BIGINT) AS filled_sum_cents
+        |FROM base JOIN med USING (dow)
+        |GROUP BY base.dow ORDER BY base.dow""".stripMargin,
+    // leave-one-out target encoding: per-row exact integer expression;
+    // 1-row categories pinned NULL via nullif(n-1, 0)
+    "x_target_enc" ->
+      """WITH base AS (
+        |  SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+        |         CAST(CAST(value AS DECIMAL(18, 2)) * 100 AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL),
+        |cat AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_cat,
+        |               CAST(sum(cents) AS BIGINT) AS s_cat
+        |        FROM base GROUP BY 1, 2),
+        |enc AS (
+        |  SELECT base.event_type, base.dow, cat.n_cat, cat.s_cat,
+        |         (cat.s_cat - base.cents) // nullif(cat.n_cat - 1, 0) AS enc
+        |  FROM base JOIN cat USING (event_type, dow))
+        |SELECT event_type, dow, CAST(max(n_cat) AS BIGINT) AS n,
+        |       CAST(max(s_cat) AS BIGINT) AS target_sum_cents,
+        |       CAST(min(enc) AS BIGINT) AS enc_min,
+        |       CAST(max(enc) AS BIGINT) AS enc_max,
+        |       CAST(sum(enc) AS BIGINT) AS enc_sum
+        |FROM enc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // common-neighbor link prediction on the same thresholded graph as
     // x_kcore: wedge self-join + anti-join non-edges + degree Jaccard
     "x_link_pred" -> {

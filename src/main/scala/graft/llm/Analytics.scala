@@ -965,6 +965,88 @@ object Analytics {
           > lit(384L) * (col("n_0") + col("n_1")), 1L).otherwise(0L).as("srm_flag"))
   }
 
+  /** X-IMPUTE: per-segment median imputation — the missing-value
+    * treatment a feature pipeline applies before training (mean
+    * imputation is wrecked by the same fat tail X-WINSORIZE exists for;
+    * the median is the robust default). Missingness here is SEMANTIC,
+    * not accidental: `error` events carry no valid amount (the fixture
+    * has no literal NULLs — real feeds encode invalidity in a status
+    * column exactly like this), so their cents are treated as missing
+    * and backfilled with the day-of-week median of the VALID rows —
+    * the seasonality-aware fill a daily-revenue feature needs. The
+    * median is an exact order statistic: the value at 1-based rank
+    * ⌈n/2⌉ of each weekday's valid (cents, event_id) total order (the
+    * percentile_disc convention at p=50, event_id tie-break). Output
+    * per weekday: rows, rows imputed, the median, and the exact
+    * post-fill cent sum — the checksum pinning WHAT was written, not
+    * just how many. Scale shape: one per-weekday ranking window over
+    * the valid frame (the irreducible cost of an exact median;
+    * x_quantiles is the approximate sibling), the ≤7 median rows
+    * broadcast back, one partial+final rollup.
+    */
+  def impute(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.events(spark, sfDir)
+      .select((dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        col("event_id"),
+        when(col("event_type") =!= "error",
+          (col("value").cast(DecimalType(18, 2)) * 100).cast("long")).as("cents"))
+    val nn = base.filter(col("cents").isNotNull)
+    val w = Window.partitionBy("dow").orderBy(col("cents"), col("event_id"))
+    val med = nn
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("dow")))
+      .filter(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col("dow"), col("cents").as("median_cents"))
+    base.join(broadcast(med), Seq("dow"))
+      .groupBy("dow")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("cents").isNull, 1L).otherwise(0L)).as("n_imputed"),
+        max("median_cents").as("median_cents"),
+        sum(coalesce(col("cents"), col("median_cents"))).as("filled_sum_cents"))
+      .orderBy("dow")
+  }
+
+  /** X-TARGET-ENC: leave-one-out target encoding — the categorical
+    * feature encoding that replaces a category with the mean target of
+    * the OTHER rows in that category: enc_i = (S_cat − v_i) div
+    * (n_cat − 1). Including row i's own target leaks the label into the
+    * feature (the classic target-encoding leak); LOO is the standard
+    * fix, and because it is an exact integer expression per row both
+    * engines agree bit-for-bit (all-integer: sums exact, one `div` per
+    * row; a 1-row category has no "others" and is pinned NULL via the
+    * n−1 = 0 nullif). Categories are (event_type, day-of-week) — the
+    * cross every seasonality-aware model one-hots first. Output per
+    * category: n, target sum, and min/max/sum of the per-row encodings
+    * — the checksum triple pinning every encoded value.
+    *
+    * Scale shape: ONE partial+final agg for the category moments, a
+    * broadcast join back (categories are dim-sized), then a second
+    * rollup of the encodings; the per-row encode is map-side arithmetic
+    * — the shuffle never carries encodings, only category keys.
+    */
+  def targetEnc(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.events(spark, sfDir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    val cat = base.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_cat"), sum("cents").as("s_cat"))
+    base.join(broadcast(cat), Seq("event_type", "dow"))
+      .select(col("event_type"), col("dow"), col("n_cat"), col("s_cat"),
+        expr("(s_cat - cents) div nullif(n_cat - 1, 0)").as("enc"))
+      .groupBy("event_type", "dow")
+      .agg(
+        max("n_cat").as("n"),
+        max("s_cat").as("target_sum_cents"),
+        min("enc").as("enc_min"),
+        max("enc").as("enc_max"),
+        sum("enc").as("enc_sum"))
+      .orderBy("event_type", "dow")
+  }
+
   /** Observed-metrics pipeline filter: the reference's load keeps only
     * spend-carrying rows; here the monitored stage keeps urgent orders.
     */

@@ -856,6 +856,42 @@ class GraftSpec extends AnyFunSuite {
     assert(fr.getLong(1) === fr.getLong(2), "the first source's shingles are all novel")
   }
 
+  test("x_impute: only error rows are imputed and the fill is the weekday median") {
+    val rows = llm.Analytics.impute(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val errByDow = Tables.events(spark, sf)
+      .filter(col("event_type") === "error")
+      .select((dayofweek(col("ts")) - 1).cast("long").as("dow"))
+      .groupBy("dow").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (dow, n, imp, med, filled) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(imp === errByDow.getOrElse(dow, 0L), s"dow $dow imputes exactly its error rows")
+      assert(imp < n, "valid rows exist on every weekday (the median is defined)")
+      assert(filled >= med * imp, "the fill contributes median · imputed to the sum")
+    }
+  }
+
+  test("x_target_enc: encodings are leave-one-out exact and bounded by category extremes") {
+    val rows = llm.Analytics.targetEnc(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, s) = (r.getLong(2), r.getLong(3))
+      if (n > 1L) {
+        val (lo, hi, sum) = (r.getLong(4), r.getLong(5), r.getLong(6))
+        assert(lo <= hi)
+        assert(sum >= lo * n && sum <= hi * n)
+        // LOO extremes: dropping the LARGEST target yields the smallest
+        // encoding and vice versa — both bounded by the category mean
+        assert(lo <= s / n && hi >= (s - (s / n)) / math.max(n - 1L, 1L) - 1L)
+      } else {
+        assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6),
+          "a 1-row category has no leave-one-out encoding")
+      }
+    }
+  }
+
   test("x_hash_features: gram mass conserved, signs balanced, buckets in range") {
     val rows = llm.TextAnalysis.hashFeatures(spark, sf).collect()
     val totalGrams = Tables.documents(spark, sf)
@@ -3676,6 +3712,7 @@ class GraftSpec extends AnyFunSuite {
       "x_ltv" -> "X-LTV", "x_time_to_convert" -> "X-TIME-TO-CONVERT",
       "x_ab_srm" -> "X-AB-SRM", "x_bloom_fpr" -> "X-BLOOM-FPR",
       "x_marginal_coverage" -> "X-MARGINAL-COVERAGE",
+      "x_impute" -> "X-IMPUTE", "x_target_enc" -> "X-TARGET-ENC",
       "x_profile" -> "X-PROFILE",
       "x_pagerank" -> "X-PAGERANK", "x_grouping_sets" -> "X-GROUPING-SETS",
       "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",
