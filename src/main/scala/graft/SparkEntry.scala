@@ -220,6 +220,8 @@ object SparkEntry {
     "x_marginal_coverage" -> (llm.Dedup.marginalCoverage _),
     "x_impute" -> (llm.Analytics.impute _),
     "x_target_enc" -> (llm.Analytics.targetEnc _),
+    "x_closeness" -> (llm.Graph.closeness _),
+    "x_modularity" -> (llm.Graph.modularity _),
     "x_eval_metrics" -> (llm.TextAnalysis.evalMetrics _),
     "x_json_extract" -> (llm.Events.jsonExtract _),
     "x_cohort" -> (llm.Events.cohort _),
@@ -236,6 +238,67 @@ object SparkEntry {
     "x_seasonality" -> (llm.Events.seasonality _),
     "x_scd2_join" -> (EtlQueries.qScd2Join _),
   )
+
+  /** Shared CTE chain for the thresholded undirected trade graph
+    * (x_kcore, x_link_pred, x_closeness): above-mean edges by the exact
+    * integer cross-multiply, self-loops dropped, symmetrized + dedup'd.
+    * `e` MATERIALIZED: the unrolled rounds reference it many times.
+    */
+  private val strongUndCtes: String =
+    """e AS MATERIALIZED (
+      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+      |         CAST(count(*) AS BIGINT) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2),
+      |t AS (SELECT CAST(sum(w) AS BIGINT) AS sw, CAST(count(*) AS BIGINT) AS ne FROM e),
+      |st AS (SELECT src, dst FROM e, t WHERE w * ne > sw AND src <> dst),
+      |u AS (SELECT DISTINCT a, b FROM (
+      |        SELECT src AS a, dst AS b FROM st
+      |        UNION ALL SELECT dst AS a, src AS b FROM st))""".stripMargin
+
+  /** Shared LPA CTE chain (x_labelprop, x_modularity): the weighted
+    * symmetrized graph + the unrolled label-propagation rounds.
+    * Materialized per the DuckDB re-inlining hazard.
+    */
+  private def lpaRound(i: Int): String = {
+    val p = s"l${i - 1}"
+    s"""s$i AS (
+       |  SELECT und.src AS nid, $p.lab AS lab, sum(und.w) AS wsum
+       |  FROM und JOIN $p ON und.dst = $p.id GROUP BY 1, 2),
+       |a$i AS (
+       |  SELECT nid AS id, lab FROM (
+       |    SELECT nid, lab,
+       |           row_number() OVER (PARTITION BY nid
+       |             ORDER BY wsum DESC, lab) AS rn
+       |    FROM s$i) WHERE rn = 1),
+       |l$i AS (
+       |  SELECT nodes.id, coalesce(a$i.lab, nodes.id) AS lab
+       |  FROM nodes LEFT JOIN a$i ON a$i.id = nodes.id)""".stripMargin
+  }
+
+  private val lpaLast: String = s"l${llm.Graph.LpRounds}"
+
+  private val lpaCtes: String =
+    s"""e0 AS MATERIALIZED (
+       |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+       |         CAST(count(*) AS BIGINT) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2),
+       |und AS MATERIALIZED (
+       |  SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+       |    SELECT src, dst, w FROM e0 WHERE src <> dst
+       |    UNION ALL
+       |    SELECT dst AS src, src AS dst, w FROM e0 WHERE src <> dst)
+       |  GROUP BY 1, 2),
+       |nodes AS (SELECT DISTINCT src AS id FROM und),
+       |l0 AS (SELECT id, id AS lab FROM nodes),
+       |${(1 to llm.Graph.LpRounds).map(lpaRound).mkString(",\n")}""".stripMargin
 
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
     * lineitem×orders, recomputed in SQL (FIXTURES.md §B1 derivation).
@@ -932,19 +995,7 @@ object SparkEntry {
     // x_kcore: wedge self-join + anti-join non-edges + degree Jaccard
     "x_link_pred" -> {
       val k = llm.Graph.LinkPredTopK
-      s"""WITH e AS MATERIALIZED (
-         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
-         |         CAST(count(*) AS BIGINT) AS w
-         |  FROM lineitem l
-         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
-         |  JOIN customer c ON o.o_custkey = c.c_custkey
-         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-         |  GROUP BY 1, 2),
-         |t AS (SELECT CAST(sum(w) AS BIGINT) AS sw, CAST(count(*) AS BIGINT) AS ne FROM e),
-         |st AS (SELECT src, dst FROM e, t WHERE w * ne > sw AND src <> dst),
-         |u AS (SELECT DISTINCT a, b FROM (
-         |        SELECT src AS a, dst AS b FROM st
-         |        UNION ALL SELECT dst AS a, src AS b FROM st)),
+      s"""WITH $strongUndCtes,
          |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM u GROUP BY a),
          |w AS (
          |  SELECT u1.a AS id_a, u2.b AS id_b, CAST(count(*) AS BIGINT) AS cn
@@ -969,19 +1020,7 @@ object SparkEntry {
            |  GROUP BY u.a HAVING count(*) >= $k)""".stripMargin
       val rounds = (1 to llm.Graph.KcoreRounds).map(peel).mkString(",\n")
       val last = s"a${llm.Graph.KcoreRounds}"
-      s"""WITH e AS MATERIALIZED (
-         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
-         |         CAST(count(*) AS BIGINT) AS w
-         |  FROM lineitem l
-         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
-         |  JOIN customer c ON o.o_custkey = c.c_custkey
-         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-         |  GROUP BY 1, 2),
-         |t AS (SELECT CAST(sum(w) AS BIGINT) AS sw, CAST(count(*) AS BIGINT) AS ne FROM e),
-         |st AS (SELECT src, dst FROM e, t WHERE w * ne > sw AND src <> dst),
-         |u AS (SELECT DISTINCT a, b FROM (
-         |        SELECT src AS a, dst AS b FROM st
-         |        UNION ALL SELECT dst AS a, src AS b FROM st)),
+      s"""WITH $strongUndCtes,
          |a0 AS (SELECT DISTINCT a AS id FROM u),
          |$rounds,
          |core AS (
@@ -1942,50 +1981,56 @@ object SparkEntry {
         |ORDER BY t.event_type""".stripMargin,
     // weighted synchronous LPA, rounds unrolled as CTEs; argmax is the
     // exact (wsum DESC, lab) window on both engines
-    "x_labelprop" -> {
-      def round(i: Int): String = {
-        val p = s"l${i - 1}"
-        s"""s$i AS (
-           |  SELECT und.src AS nid, $p.lab AS lab, sum(und.w) AS wsum
-           |  FROM und JOIN $p ON und.dst = $p.id GROUP BY 1, 2),
-           |a$i AS (
-           |  SELECT nid AS id, lab FROM (
-           |    SELECT nid, lab,
-           |           row_number() OVER (PARTITION BY nid
-           |             ORDER BY wsum DESC, lab) AS rn
-           |    FROM s$i) WHERE rn = 1),
-           |l$i AS (
-           |  SELECT nodes.id, coalesce(a$i.lab, nodes.id) AS lab
-           |  FROM nodes LEFT JOIN a$i ON a$i.id = nodes.id)""".stripMargin
-      }
-      val last = s"l${llm.Graph.LpRounds}"
-      // e0 MATERIALIZED: DuckDB inlines plain CTEs per reference, and the
-      // unrolled rounds reference the fact-sized join ~20 times — enough
-      // to OOM/spill at sf0.1; materializing pins it to one evaluation
-      s"""WITH e0 AS MATERIALIZED (
-         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
-         |         CAST(count(*) AS BIGINT) AS w
-         |  FROM lineitem l
-         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
-         |  JOIN customer c ON o.o_custkey = c.c_custkey
-         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-         |  GROUP BY 1, 2),
-         |und AS MATERIALIZED (
-         |  SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
-         |    SELECT src, dst, w FROM e0 WHERE src <> dst
-         |    UNION ALL
-         |    SELECT dst AS src, src AS dst, w FROM e0 WHERE src <> dst)
-         |  GROUP BY 1, 2),
-         |nodes AS (SELECT DISTINCT src AS id FROM und),
-         |l0 AS (SELECT id, id AS lab FROM nodes),
-         |${(1 to llm.Graph.LpRounds).map(round).mkString(",\n")},
+    "x_labelprop" ->
+      s"""WITH $lpaCtes,
          |sz AS (SELECT lab, CAST(count(*) AS BIGINT) AS comm_size
-         |       FROM $last GROUP BY lab)
-         |SELECT nat.n_name, CAST($last.lab AS BIGINT) AS community, sz.comm_size
-         |FROM $last
-         |JOIN sz ON sz.lab = $last.lab
-         |JOIN nation nat ON nat.n_nationkey = $last.id
-         |ORDER BY n_name""".stripMargin
+         |       FROM $lpaLast GROUP BY lab)
+         |SELECT nat.n_name, CAST($lpaLast.lab AS BIGINT) AS community, sz.comm_size
+         |FROM $lpaLast
+         |JOIN sz ON sz.lab = $lpaLast.lab
+         |JOIN nation nat ON nat.n_nationkey = $lpaLast.id
+         |ORDER BY n_name""".stripMargin,
+    // Newman modularity of the SAME LPA partition: exact integer
+    // numerator e_c·W − d_c², one IEEE division per community row
+    "x_modularity" ->
+      s"""WITH $lpaCtes,
+         |wt AS (SELECT CAST(sum(w) AS BIGINT) AS W FROM und),
+         |degs AS (SELECT src AS id, CAST(sum(w) AS BIGINT) AS k FROM und GROUP BY 1),
+         |dc AS (SELECT $lpaLast.lab, CAST(count(*) AS BIGINT) AS n_nodes,
+         |              CAST(sum(degs.k) AS BIGINT) AS d_c
+         |       FROM $lpaLast JOIN degs ON degs.id = $lpaLast.id GROUP BY 1),
+         |ec AS (SELECT la.lab, CAST(sum(und.w) AS BIGINT) AS e_c
+         |       FROM und JOIN $lpaLast la ON la.id = und.src
+         |                JOIN $lpaLast lb ON lb.id = und.dst AND lb.lab = la.lab
+         |       GROUP BY 1)
+         |SELECT CAST(dc.lab AS BIGINT) AS community, dc.n_nodes, dc.d_c,
+         |       CAST(coalesce(ec.e_c, 0) AS BIGINT) AS e_c,
+         |       CAST(coalesce(ec.e_c, 0) * wt.W - dc.d_c * dc.d_c AS DOUBLE)
+         |         / CAST(wt.W * wt.W AS DOUBLE) AS q_contrib
+         |FROM dc LEFT JOIN ec ON ec.lab = dc.lab, wt
+         |ORDER BY community""".stripMargin,
+    // simultaneous multi-source BFS, rounds unrolled 1:1 with the loop
+    "x_closeness" -> {
+      def bfs(i: Int): String =
+        s"""d$i AS (SELECT src, id, CAST(min(d) AS BIGINT) AS d FROM (
+           |  SELECT src, id, d FROM d${i - 1}
+           |  UNION ALL
+           |  SELECT p.src, u.b AS id, p.d + 1 AS d
+           |  FROM d${i - 1} p JOIN u ON u.a = p.id)
+           |  GROUP BY 1, 2)""".stripMargin
+      val last = s"d${llm.Graph.ClosenessRounds}"
+      s"""WITH $strongUndCtes,
+         |d0 AS (SELECT a AS src, a AS id, CAST(0 AS BIGINT) AS d
+         |       FROM (SELECT DISTINCT a FROM u)),
+         |${(1 to llm.Graph.ClosenessRounds).map(bfs).mkString(",\n")},
+         |agg AS (SELECT src, CAST(count(*) AS BIGINT) AS n_reached,
+         |               CAST(sum(d) AS BIGINT) AS sum_dist,
+         |               CAST(max(d) AS BIGINT) AS eccentricity
+         |        FROM $last GROUP BY src)
+         |SELECT n.n_name, agg.n_reached, agg.sum_dist, agg.eccentricity,
+         |       CAST((agg.n_reached - 1) * 1000000 // nullif(agg.sum_dist, 0) AS BIGINT) AS closeness_ppm
+         |FROM agg JOIN nation n ON n.n_nationkey = agg.src
+         |ORDER BY n.n_name""".stripMargin
     },
     "x_pagerank" -> {
       val d = llm.Graph.PrDamping

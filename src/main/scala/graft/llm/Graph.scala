@@ -456,8 +456,20 @@ object Graph {
     * community's size — plus the community-count health column every
     * clustering run reads first.
     */
+  private val lpCache = new graft.Memo
+
+  /** Memoized (session, sfDir) label table: labelPropOf's result is an
+    * eager localCheckpoint, so memoizing the frame shares the whole LPA
+    * run between x_labelprop and x_modularity instead of re-running the
+    * fact-sized edge build + 4 rounds per consumer.
+    */
+  def labelTable(spark: SparkSession, sfDir: String): DataFrame =
+    lpCache.getOrBuild(spark, sfDir) {
+      labelPropOf(tradeEdges(spark, sfDir))
+    }
+
   def labelProp(spark: SparkSession, sfDir: String): DataFrame = {
-    val labels = labelPropOf(tradeEdges(spark, sfDir))
+    val labels = labelTable(spark, sfDir)
     val sizes = labels.groupBy("lab").agg(count(lit(1)).as("comm_size"))
     val nation = graft.Tables.load(spark, sfDir, "nation")
       .select(col("n_nationkey").as("id"), col("n_name"))
@@ -611,6 +623,109 @@ object Graph {
         expr("cn * 1000000 div (deg_a + deg_b - cn)").as("jaccard_ppm"))
       .orderBy(col("cn").desc, col("id_a"), col("id_b"))
       .limit(LinkPredTopK)
+    out
+  }
+
+  // ---- closeness centrality (X-CLOSENESS) ------------------------------
+
+  /** Unrolled multi-source BFS rounds: the thresholded graph's diameter
+    * is well under this (the spec pins max eccentricity < rounds, which
+    * PROVES the fixpoint was reached — BFS relaxation is monotone and
+    * idempotent once converged).
+    */
+  val ClosenessRounds = 6
+
+  /** X-CLOSENESS: closeness centrality + eccentricity per nation on the
+    * thresholded trade graph — "how few hops to everyone" (X-PAGERANK
+    * reads incoming importance, X-KCORE density membership; closeness
+    * reads REACH — the logistics/latency notion of centrality). One
+    * simultaneous multi-source BFS instead of |V| sequential ones: the
+    * state is the (src, id, dist) relaxation frame for ALL sources at
+    * once (≤|V|² rows — dim-sized, because the fact collapsed to the
+    * aggregated graph first), each round one join + one min-agg, rounds
+    * unrolled identically as oracle CTEs. Output per nation: reached
+    * count, distance sum, eccentricity (max dist), and closeness in
+    * integer ppm ((n_reached−1)·10^6 div Σd — the Bavelas definition on
+    * the reachable set, so disconnected components don't zero it).
+    */
+  def closeness(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = thresholdedUndirected(spark, sfDir)
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
+    def checkpointTracked(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint(true)
+      val fresh = org.apache.spark.sql.graftx.ColumnBridge.checkpointRdd(out)
+      prevCkpt.foreach(_.unpersist(blocking = false))
+      prevCkpt = fresh
+      out
+    }
+    var dist = checkpointTracked(
+      und.select(col("a")).distinct()
+        .select(col("a").as("src"), col("a").as("id"), lit(0L).as("d")))
+    (1 to ClosenessRounds).foreach { _ =>
+      val relax = dist.join(und, dist("id") === und("a"))
+        .select(col("src"), col("b").as("id"), (col("d") + 1L).as("d"))
+      dist = checkpointTracked(
+        dist.union(relax).groupBy("src", "id").agg(min("d").as("d")))
+    }
+    val nation = graft.Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey").as("src"), col("n_name"))
+    dist.groupBy("src")
+      .agg(count(lit(1)).as("n_reached"), sum("d").as("sum_dist"),
+        max("d").as("eccentricity"))
+      .join(broadcast(nation), Seq("src"))
+      .select(col("n_name"), col("n_reached"), col("sum_dist"), col("eccentricity"),
+        expr("(n_reached - 1) * 1000000 div nullif(sum_dist, 0)").as("closeness_ppm"))
+      .orderBy("n_name")
+  }
+
+  // ---- community quality (X-MODULARITY) --------------------------------
+
+  /** X-MODULARITY: Newman modularity of the X-LABELPROP partition — the
+    * number that says whether the detected communities are REAL
+    * structure or noise (Q ≈ 0: no better than random given the degree
+    * sequence; Q ≳ 0.3: meaningful). Everything except ONE final
+    * division stays exact integer: with W = Σ over the symmetrized
+    * weighted edge frame (= 2m), per community c the internal ordered
+    * weight e_c and weighted degree mass d_c give the exact contribution
+    * numerator e_c·W − d_c², and Q_c = that / W² is the single fixed
+    * IEEE op per row; the global Q is the column sum (the X-CHI2-DRIFT
+    * drill-down convention: WHICH community carries the structure).
+    * Labels come from the memoized [[labelTable]] — the LPA run is
+    * shared with x_labelprop, never recomputed.
+    *
+    * Scale shape: the fact collapses to the aggregated edge frame once
+    * (cached here for its three dim-sized consumers: W, degrees,
+    * internal-weight join); everything after is ≤|V|²-row arithmetic.
+    */
+  def modularity(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = tradeEdges(spark, sfDir)
+    val und = e.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), col("w"))
+      .union(e.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+      .cache()
+    val labels = labelTable(spark, sfDir).select(col("id"), col("lab"))
+    val wtot = und.agg(sum("w").as("W"))
+    val degs = und.groupBy(col("src").as("id")).agg(sum("w").as("k"))
+    val dc = labels.join(degs, Seq("id"))
+      .groupBy("lab")
+      .agg(count(lit(1)).as("n_nodes"), sum("k").as("d_c"))
+    val ec = und
+      .join(labels.select(col("id").as("src"), col("lab").as("lab_a")), Seq("src"))
+      .join(labels.select(col("id").as("dst"), col("lab").as("lab_b")), Seq("dst"))
+      .filter(col("lab_a") === col("lab_b"))
+      .groupBy(col("lab_a").as("lab"))
+      .agg(sum("w").as("e_c"))
+    val out = dc.join(ec, Seq("lab"), "left")
+      .crossJoin(broadcast(wtot))
+      .select(col("lab").cast("long").as("community"), col("n_nodes"), col("d_c"),
+        coalesce(col("e_c"), lit(0L)).as("e_c"),
+        ((coalesce(col("e_c"), lit(0L)) * col("W") - col("d_c") * col("d_c"))
+          .cast("double") / (col("W") * col("W")).cast("double")).as("q_contrib"))
+      .orderBy("community")
+      .localCheckpoint(true) // materialize before releasing the edge cache
+    und.unpersist()
     out
   }
 }

@@ -892,6 +892,53 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("x_closeness: BFS converged inside the unroll and distances recount exactly") {
+    import llm.Graph
+    val out = Graph.closeness(spark, sf).collect()
+    assert(out.nonEmpty)
+    // max eccentricity strictly under the round cap PROVES the fixpoint:
+    // round r can only add nodes at distance exactly r
+    assert(out.map(_.getLong(3)).max < Graph.ClosenessRounds.toLong)
+    // brute recount on the collected graph
+    val und = Graph.thresholdedUndirected(spark, sf)
+      .selectExpr("CAST(a AS BIGINT)", "CAST(b AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = und.groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val nation = Tables.load(spark, sf, "nation")
+      .selectExpr("CAST(n_nationkey AS BIGINT)", "n_name")
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    out.foreach { r =>
+      val src = nation(r.getString(0))
+      var frontier = Set(src); var seen = Map(src -> 0L); var d = 0L
+      while (frontier.nonEmpty) {
+        d += 1
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty))
+          .filterNot(seen.contains)
+        seen ++= frontier.map(_ -> d)
+      }
+      assert(r.getLong(1) === seen.size.toLong, s"${r.getString(0)}: reached count")
+      assert(r.getLong(2) === seen.values.sum, s"${r.getString(0)}: distance sum")
+    }
+  }
+
+  test("x_modularity: contributions sum to a sane Q and masses conserve") {
+    import llm.Graph
+    val rows = Graph.modularity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val q = rows.map(_.getDouble(4)).sum
+    assert(q > -1.0 && q < 1.0, s"modularity Q = $q out of range")
+    // Σd_c = W (every endpoint's weighted degree lands in one community)
+    // and Σe_c <= W (internal ordered weight is a subset of all weight)
+    val e = Graph.tradeEdges(spark, sf)
+      .filter(col("src") =!= col("dst"))
+      .agg(sum(col("w") * 2)).head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum === e, "degree mass conserves to W")
+    assert(rows.map(_.getLong(3)).sum <= e)
+    // labels shared with x_labelprop: community count matches
+    val comms = Graph.labelProp(spark, sf).collect().map(_.getLong(1)).distinct.length
+    assert(rows.length === comms)
+  }
+
   test("x_hash_features: gram mass conserved, signs balanced, buckets in range") {
     val rows = llm.TextAnalysis.hashFeatures(spark, sf).collect()
     val totalGrams = Tables.documents(spark, sf)
@@ -3713,6 +3760,7 @@ class GraftSpec extends AnyFunSuite {
       "x_ab_srm" -> "X-AB-SRM", "x_bloom_fpr" -> "X-BLOOM-FPR",
       "x_marginal_coverage" -> "X-MARGINAL-COVERAGE",
       "x_impute" -> "X-IMPUTE", "x_target_enc" -> "X-TARGET-ENC",
+      "x_closeness" -> "X-CLOSENESS", "x_modularity" -> "X-MODULARITY",
       "x_profile" -> "X-PROFILE",
       "x_pagerank" -> "X-PAGERANK", "x_grouping_sets" -> "X-GROUPING-SETS",
       "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",
