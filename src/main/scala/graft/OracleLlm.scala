@@ -501,6 +501,27 @@ object OracleLlm {
        |       CAST(coalesce(fo.n_new, 0) * 1000000 // tot.n_shingles AS BIGINT) AS new_share_ppm
        |FROM tot LEFT JOIN fo USING (source) ORDER BY source""".stripMargin
 
+  /** lshCurve mirror: the S-curve float chain as EXPLICIT multiplication
+    * steps (one IEEE op per CTE column — no pow()), measured buckets off
+    * the shared banded pair estimates.
+    */
+  val lshCurveSql: String =
+    s"""WITH $sigCtes, $pairCtes,
+       |grid AS (SELECT CAST(unnest(range(0, 20)) * 5 AS BIGINT) AS s_pct),
+       |g1 AS (SELECT s_pct, CAST(s_pct AS DOUBLE) / 100.0 AS s FROM grid),
+       |g2 AS (SELECT s_pct, s * s * s * s AS s4 FROM g1),
+       |g3 AS (SELECT s_pct, 1.0 - s4 AS q FROM g2),
+       |g4 AS (SELECT s_pct, q * q AS q2 FROM g3),
+       |g5 AS (SELECT s_pct, q2 * q2 AS q4 FROM g4),
+       |g6 AS (SELECT s_pct, q4 * q4 AS q8 FROM g5),
+       |g7 AS (SELECT s_pct, q8 * q8 AS q16 FROM g6),
+       |th AS (SELECT s_pct, 1.0 - q16 AS p_cand_theory FROM g7),
+       |ms AS (SELECT CAST(least(floor(est_jaccard * 20.0), 19.0) AS BIGINT) * 5 AS s_pct,
+       |              CAST(count(*) AS BIGINT) AS n_pairs FROM mh GROUP BY 1)
+       |SELECT th.s_pct, th.p_cand_theory,
+       |       CAST(coalesce(ms.n_pairs, 0) AS BIGINT) AS n_pairs
+       |FROM th LEFT JOIN ms USING (s_pct) ORDER BY s_pct""".stripMargin
+
   /** streamingKmv mirror: the k smallest distinct hashes per type — an
     * order statistic of a SET is micro-batching-independent, so the
     * streamed sketch must equal this exactly. The estimator is the

@@ -222,6 +222,8 @@ object SparkEntry {
     "x_target_enc" -> (llm.Analytics.targetEnc _),
     "x_closeness" -> (llm.Graph.closeness _),
     "x_modularity" -> (llm.Graph.modularity _),
+    "x_lsh_curve" -> (llm.Dedup.lshCurve _),
+    "x_ab_power" -> (llm.Analytics.abPower _),
     "x_eval_metrics" -> (llm.TextAnalysis.evalMetrics _),
     "x_json_extract" -> (llm.Events.jsonExtract _),
     "x_cohort" -> (llm.Events.cohort _),
@@ -951,6 +953,32 @@ object SparkEntry {
     "x_stream_kmv" -> OracleLlm.streamKmvSql,
     "x_bloom_fpr" -> OracleLlm.bloomFprSql,
     "x_marginal_coverage" -> OracleLlm.marginalCoverageSql,
+    "x_lsh_curve" -> OracleLlm.lshCurveSql,
+    // two-proportion sample-size formula: exact counts + pinned-literal
+    // quantiles, the IEEE chain mirrored verbatim; feasibility is integer
+    "x_ab_power" -> {
+      val pbm = llm.Analytics.PowerBuyerMin
+      val za = llm.Analytics.PowerZAlpha; val zb = llm.Analytics.PowerZBeta
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+         |  FROM events GROUP BY user_id),
+         |b AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+         |             CAST(sum(CASE WHEN np >= $pbm THEN 1 ELSE 0 END) AS BIGINT) AS n_conv
+         |      FROM u),
+         |g AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS mde_pct),
+         |r AS (
+         |  SELECT g.mde_pct, b.n_users, b.n_conv,
+         |         CAST(ceil(($za + $zb) * ($za + $zb)
+         |             * (2.0 * (CAST(b.n_conv AS DOUBLE) / CAST(b.n_users AS DOUBLE))
+         |                * (1.0 - CAST(b.n_conv AS DOUBLE) / CAST(b.n_users AS DOUBLE)))
+         |             / ((CAST(g.mde_pct AS DOUBLE) / 100.0)
+         |                * (CAST(g.mde_pct AS DOUBLE) / 100.0))) AS BIGINT) AS n_per_arm
+         |  FROM g, b)
+         |SELECT mde_pct, n_users, n_conv, n_per_arm,
+         |       CAST(CASE WHEN n_per_arm * 2 <= n_users THEN 1 ELSE 0 END AS BIGINT) AS feasible
+         |FROM r ORDER BY mde_pct""".stripMargin
+    },
     // semantic missingness (error rows carry no valid amount) backfilled
     // with the exact per-weekday percentile_disc median
     "x_impute" ->

@@ -1047,6 +1047,48 @@ object Analytics {
       .orderBy("event_type", "dow")
   }
 
+  /** Two-sided α = 0.05 and power = 0.8 normal quantiles as pinned
+    * literals (1.96, 0.8416): quantile functions have no cross-engine
+    * rounding contract; literals do.
+    */
+  val PowerZAlpha = 1.96d
+  val PowerZBeta = 0.8416d
+
+  /** X-AB-POWER: experiment sample-size planning — the third leg of the
+    * experimentation kit (X-AB-SRM validates the split, X-AB-TEST reads
+    * the effect; this one answers "how long must it run"): for each
+    * candidate minimum-detectable-effect (1..10 absolute percentage
+    * points) the required per-arm n via the standard two-proportion
+    * formula n = ⌈(z_α + z_β)² · 2·p(1−p) / mde²⌉ at the POOLED
+    * baseline conversion measured from the data (X-AB-TEST's power-buyer
+    * definition — exact integer counts from one per-user agg; the
+    * formula is then a fixed IEEE chain over those integers and pinned
+    * literals, mirrored verbatim). Output per MDE row: the exact
+    * baseline counts, the required n, and a 0/1 feasibility flag vs the
+    * population actually available — an exact integer comparison.
+    * Scale shape: ONE per-user partial agg; the grid is 10 rows.
+    */
+  def abPower(spark: SparkSession, sfDir: String): DataFrame = {
+    val users = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("is_p"))
+      .groupBy("user_id")
+      .agg(sum("is_p").as("np"))
+      .select(when(col("np") >= PowerBuyerMin, 1L).otherwise(0L).as("conv"))
+    val base = users.agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
+    val grid = spark.range(1, 11).select(col("id").as("mde_pct"))
+    val p = col("n_conv").cast("double") / col("n_users").cast("double")
+    val z = lit(PowerZAlpha) + lit(PowerZBeta)
+    val mde = col("mde_pct").cast("double") / 100.0d
+    grid.crossJoin(broadcast(base))
+      .select(col("mde_pct"), col("n_users"), col("n_conv"),
+        ceil(z * z * (lit(2.0d) * p * (lit(1.0d) - p)) / (mde * mde))
+          .cast("long").as("n_per_arm"))
+      .withColumn("feasible",
+        when(col("n_per_arm") * 2L <= col("n_users"), 1L).otherwise(0L))
+      .orderBy("mde_pct")
+  }
+
   /** Observed-metrics pipeline filter: the reference's load keeps only
     * spend-carrying rows; here the monitored stage keeps urgent orders.
     */

@@ -298,6 +298,39 @@ object Dedup {
     out
   }
 
+  // ---- banding design curve (X-LSH-CURVE) ------------------------------
+
+  /** X-LSH-CURVE: the S-curve that justifies the 16-band × 4-row design
+    * point, materialized AGAINST the measured pair distribution — the
+    * table a banding change is decided on: for each similarity s the
+    * theoretical candidate probability P(s) = 1 − (1 − s^r)^b, and next
+    * to it how many ACTUAL banded candidates landed in that similarity
+    * bucket. The float chain is engine-exact without pow(): s^4 and the
+    * 16th power are EXPLICIT multiplication chains (x², x⁴, x⁸, x¹⁶ —
+    * every step one IEEE multiply on identical operands; `pow` has no
+    * cross-engine rounding contract, a multiply chain does). Measured
+    * counts bucket the shared banded pair table's estimates at 5%
+    * resolution (floor(est·20), clamped). Zero fact-side cost beyond
+    * the memoized pair table: the curve itself is a 20-row frame.
+    */
+  def lshCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val grid = spark.range(0, 20).select((col("id") * 5L).as("s_pct"))
+    val s = col("s_pct").cast("double") / 100.0d
+    val s4 = s * s * s * s
+    val q = lit(1.0d) - s4
+    val q2 = q * q; val q4 = q2 * q2; val q8 = q4 * q4; val q16 = q8 * q8
+    val theory = grid.select(col("s_pct"), (lit(1.0d) - q16).as("p_cand_theory"))
+    val measured = minhashPairsTable(spark, sfDir)
+      .select((least(floor(col("est_jaccard") * 20.0d), lit(19.0d))
+        .cast("long") * 5L).as("s_pct"))
+      .groupBy("s_pct")
+      .agg(count(lit(1)).as("n_pairs"))
+    theory.join(measured, Seq("s_pct"), "left")
+      .select(col("s_pct"), col("p_cand_theory"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+      .orderBy("s_pct")
+  }
+
   // ---- SimHash --------------------------------------------------------
 
   val SimBits: Int = graft.functions.SimHash.Bits

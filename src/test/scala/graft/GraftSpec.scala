@@ -939,6 +939,33 @@ class GraftSpec extends AnyFunSuite {
     assert(rows.length === comms)
   }
 
+  test("x_lsh_curve: S-curve is monotone with the designed midpoint; buckets conserve pairs") {
+    val rows = llm.Dedup.lshCurve(spark, sf).collect()
+    assert(rows.length === 20)
+    val ps = rows.sortBy(_.getLong(0)).map(_.getDouble(1))
+    ps.sliding(2).foreach { case Array(a, b) => assert(a <= b, "P(s) is monotone in s") }
+    // the 16x4 design point: P(0.5) sits mid-curve (the threshold story)
+    val p50 = rows.find(_.getLong(0) == 50L).get.getDouble(1)
+    assert(p50 > 0.3 && p50 < 0.9, s"P(0.5) = $p50 should sit on the S-curve's steep flank")
+    assert(rows.map(_.getLong(2)).sum === llm.Dedup.minhashPairsTable(spark, sf).count(),
+      "every banded pair lands in exactly one similarity bucket")
+  }
+
+  test("x_ab_power: required n shrinks quadratically in MDE and matches a direct recompute") {
+    val rows = llm.Analytics.abPower(spark, sf).collect().sortBy(_.getLong(0))
+    assert(rows.length === 10)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) >= b.getLong(3), "a larger MDE never needs more samples") }
+    rows.foreach { r =>
+      val (m, nU, nC, n) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val p = nC.toDouble / nU.toDouble
+      val z = llm.Analytics.PowerZAlpha + llm.Analytics.PowerZBeta
+      val expected = math.ceil(z * z * (2.0 * p * (1.0 - p)) / ((m / 100.0) * (m / 100.0))).toLong
+      assert(n === expected, s"mde=$m%")
+      assert((r.getLong(4) === 1L) === (n * 2L <= nU))
+    }
+  }
+
   test("x_hash_features: gram mass conserved, signs balanced, buckets in range") {
     val rows = llm.TextAnalysis.hashFeatures(spark, sf).collect()
     val totalGrams = Tables.documents(spark, sf)
@@ -3761,6 +3788,7 @@ class GraftSpec extends AnyFunSuite {
       "x_marginal_coverage" -> "X-MARGINAL-COVERAGE",
       "x_impute" -> "X-IMPUTE", "x_target_enc" -> "X-TARGET-ENC",
       "x_closeness" -> "X-CLOSENESS", "x_modularity" -> "X-MODULARITY",
+      "x_lsh_curve" -> "X-LSH-CURVE", "x_ab_power" -> "X-AB-POWER",
       "x_profile" -> "X-PROFILE",
       "x_pagerank" -> "X-PAGERANK", "x_grouping_sets" -> "X-GROUPING-SETS",
       "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",
