@@ -224,6 +224,7 @@ object SparkEntry {
     "x_modularity" -> (llm.Graph.modularity _),
     "x_lsh_curve" -> (llm.Dedup.lshCurve _),
     "x_ab_power" -> (llm.Analytics.abPower _),
+    "x_mm_resize" -> (llm.Multimodal.resize _),
     "x_eval_metrics" -> (llm.TextAnalysis.evalMetrics _),
     "x_json_extract" -> (llm.Events.jsonExtract _),
     "x_cohort" -> (llm.Events.cohort _),
@@ -954,6 +955,17 @@ object SparkEntry {
     "x_bloom_fpr" -> OracleLlm.bloomFprSql,
     "x_marginal_coverage" -> OracleLlm.marginalCoverageSql,
     "x_lsh_curve" -> OracleLlm.lshCurveSql,
+    // strided-byte downsample reproduced with substr arithmetic (ASCII
+    // payload: 1 byte per char); md5 pins the exact resized artifact
+    "x_mm_resize" -> {
+      val s = llm.Multimodal.ResizeStride
+      s"""SELECT doc_id,
+         |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes_in,
+         |       CAST((octet_length(CAST(text AS BLOB)) + ${s - 1}) // $s AS BIGINT) AS n_bytes_out,
+         |       md5(array_to_string(list_transform(range(1, length(text) + 1, $s),
+         |             ri -> substr(text, CAST(ri AS INT), 1)), '')) AS out_md5
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     // two-proportion sample-size formula: exact counts + pinned-literal
     // quantiles, the IEEE chain mirrored verbatim; feasibility is integer
     "x_ab_power" -> {

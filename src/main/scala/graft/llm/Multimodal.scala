@@ -100,6 +100,47 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Downsample stride for [[resize]]: keep every 4th byte. */
+  val ResizeStride = 4
+
+  /** X-MM-RESIZE: the resize/downsample stage of the multimodal mandate —
+    * partition-wise batched byte-stride decimation of the opaque payload
+    * (the deterministic stand-in for an image resize: a real pipeline
+    * swaps the stride loop for a codec + interpolation kernel; the
+    * Spark-side plumbing — binary column in, binary-derived artifact +
+    * metadata out, `mapPartitions` batching, no shuffle — is the real
+    * contract). Every output row carries the in/out byte counts and the
+    * md5 of the RESIZED artifact, so the oracle checks the exact bytes
+    * produced, not just their count: the fixture payload is the UTF-8
+    * encoding of ASCII text (1 byte per char — the spec asserts it), so
+    * DuckDB reproduces the strided bytes with substr arithmetic and
+    * hashes the same artifact. Narrow map-only plan; at 100 TB the
+    * parallelism is the input file splits, same as X-MM features.
+    */
+  def resize(spark: SparkSession, sfDir: String): DataFrame = {
+    val resizedSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_bytes_in", LongType, nullable = false),
+      StructField("n_bytes_out", LongType, nullable = false),
+      StructField("out_md5", StringType, nullable = false)))
+    val src = withPayload(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("payload"))
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(resizedSchema))
+    src.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]]("payload")
+        val out = Array.tabulate((p.length + ResizeStride - 1) / ResizeStride)(
+          i => p(i * ResizeStride))
+        md.reset()
+        val hex = md.digest(out).map("%02x".format(_)).mkString
+        Row(r.getLong(0), p.length.toLong, out.length.toLong, hex)
+      }
+    }(enc)
+      .orderBy("doc_id")
+  }
+
   /** X-MM-DEDUP: exact dedup of opaque binary payloads — the first pass
     * every multimodal (image/audio/video) corpus gets: identical BYTES
     * are identical media, no decode needed, so the dedup key is a

@@ -966,6 +966,30 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("x_mm_resize: strided artifact recounts exactly and the ASCII contract holds") {
+    // the SQL mirror equates bytes with chars — valid only while the
+    // payload is ASCII; this assertion is the tripwire if the fixture
+    // ever grows multi-byte text
+    val nonAscii = Tables.documents(spark, sf)
+      .filter(length(col("text")) =!= octet_length(encode(col("text"), "UTF-8")))
+      .count()
+    assert(nonAscii === 0L, "resize's SQL mirror requires 1 byte per char")
+    val rows = llm.Multimodal.resize(spark, sf).collect()
+    assert(rows.length.toLong === Tables.documents(spark, sf).count())
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.take(25).foreach { r =>
+      val p = texts(r.getLong(0)).getBytes("UTF-8")
+      val out = Array.tabulate((p.length + 3) / 4)(i => p(i * 4))
+      md.reset()
+      assert(r.getLong(1) === p.length.toLong)
+      assert(r.getLong(2) === out.length.toLong)
+      assert(r.getString(3) === md.digest(out).map("%02x".format(_)).mkString,
+        s"doc ${r.getLong(0)}: resized artifact digest")
+    }
+  }
+
   test("x_hash_features: gram mass conserved, signs balanced, buckets in range") {
     val rows = llm.TextAnalysis.hashFeatures(spark, sf).collect()
     val totalGrams = Tables.documents(spark, sf)
@@ -3789,6 +3813,7 @@ class GraftSpec extends AnyFunSuite {
       "x_impute" -> "X-IMPUTE", "x_target_enc" -> "X-TARGET-ENC",
       "x_closeness" -> "X-CLOSENESS", "x_modularity" -> "X-MODULARITY",
       "x_lsh_curve" -> "X-LSH-CURVE", "x_ab_power" -> "X-AB-POWER",
+      "x_mm_resize" -> "X-MM-RESIZE",
       "x_profile" -> "X-PROFILE",
       "x_pagerank" -> "X-PAGERANK", "x_grouping_sets" -> "X-GROUPING-SETS",
       "x_window_funcs" -> "X-WINDOW-FUNCS", "x_cooccur" -> "X-COOCCUR",
