@@ -546,18 +546,31 @@ object OracleLlm {
        |FROM s ORDER BY event_type""".stripMargin
   }
 
-  /** containment mirror: same banded candidates, exact shingle-set
-    * intersection, integer-ppm directions.
+  /** containment mirror: banded candidates UNION the asymmetric anchor
+    * source (k smallest shingle hashes joined on the df-capped posting
+    * list), exact shingle-set intersection, integer-ppm directions.
     */
   val containmentSql: String =
-    s"""WITH $sigCtes, $pairCtes
+    s"""WITH $sigCtes, $pairCtes,
+       |post AS (SELECT doc_id AS id_o, unnest(hs) AS h FROM hs),
+       |kepth AS (SELECT h FROM post GROUP BY h
+       |          HAVING count(*) <= ${Dedup.ContainDfCap}),
+       |anch AS (SELECT doc_id AS id_s,
+       |                unnest(list_sort(hs)[1:${Dedup.ContainAnchorK}]) AS h
+       |         FROM hs WHERE len(hs) > 0),
+       |asym AS (SELECT DISTINCT least(id_s, id_o) AS id_a,
+       |                greatest(id_s, id_o) AS id_b
+       |         FROM anch JOIN kepth USING (h) JOIN post USING (h)
+       |         WHERE id_s <> id_o),
+       |call AS (SELECT id_a, id_b FROM cand
+       |         UNION SELECT id_a, id_b FROM asym)
        |SELECT c.id_a, c.id_b,
        |       CAST(len(ha.hs) AS BIGINT) AS n_a,
        |       CAST(len(hb.hs) AS BIGINT) AS n_b,
        |       CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS n_common,
        |       CAST(len(list_intersect(ha.hs, hb.hs)) * 1000000 // len(ha.hs) AS BIGINT) AS cont_a_ppm,
        |       CAST(len(list_intersect(ha.hs, hb.hs)) * 1000000 // len(hb.hs) AS BIGINT) AS cont_b_ppm
-       |FROM cand c
+       |FROM call c
        |JOIN hs ha ON ha.doc_id = c.id_a
        |JOIN hs hb ON hb.doc_id = c.id_b
        |ORDER BY c.id_a, c.id_b""".stripMargin

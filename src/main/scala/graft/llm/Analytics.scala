@@ -455,8 +455,13 @@ object Analytics {
     * counts — the shuffle carries distinct values, never events — then
     * a prefix-sum window PARTITIONED by type over the distinct-value
     * frame and a final per-type rollup. The doubled rank sum is ≤
-    * n·(2n+1), inside BIGINT to ~10^9 rows per type; past that the two
-    * rank accumulators swap to DECIMAL(38) (the x_autocorr convention).
+    * n·(2n+1), inside BIGINT to ~10^9 rows per type — but the CUBIC
+    * tie term sum(t³−t) overflows 2^63 far earlier: a single tie block
+    * of ~2.1M equal-cents rows breaks it. The scale escape hatch is
+    * therefore a three-column DECIMAL(38) swap (r2_a, AND tie_cube —
+    * the cube must move together with the rank sums), which buys tie
+    * blocks to ~10^12 rows; the fixture's max tie block is asserted
+    * under the BIGINT-safe bound by the x_mann_whitney spec.
     */
   def mannWhitney(spark: SparkSession, sfDir: String): DataFrame =
     mannWhitneyOf(Tables.events(spark, sfDir)

@@ -228,28 +228,51 @@ object Dedup {
         .filter(size(col("hs")) > 0)
     }
 
-  /** X-CONTAINMENT: asymmetric shingle containment per candidate pair —
-    * Jaccard is SYMMETRIC, so a short doc wholly quoted inside a long
-    * one scores |A|/|B| ≈ 0 and survives dedup; containment
-    * |A∩B|/|A| reads 1.0 for exactly that case (Broder's original
-    * resemblance/containment split, and the reason dup-span pipelines
-    * exist). Candidates come from the SHARED banded LSH index
-    * ([[minhashPairsTable]] — never an all-pairs join); the verify is
-    * the EXACT set intersection of the two shingle-hash sets, reported
-    * per pair as both directions in integer ppm (n_common·10^6 div n) —
-    * all exact integers on both engines.
-    *
-    * Scale shape: the pair table is banding-bounded; shingle sets
-    * stream from the persisted [[shingleTable]] through two hash joins
-    * keyed on doc_id; the intersection is row-local array work. At
-    * 100 TB the shingle table is the persisted inverted-index side
-    * artifact, bucketed by doc_id, and the verify touches only
-    * candidate rows.
+  /** Anchor hashes per doc for the asymmetric candidate source: the
+    * [[ContainAnchorK]] SMALLEST shingle hashes (the shingle arrays are
+    * sorted distinct, so this is a slice). Under a random hash the min
+    * of A's shingle set is a uniform draw from A, so if containment(A→B)
+    * = c, each anchor lands in A∩B (and thus in B's posting list) with
+    * probability ≈ c — recall 1−(1−c)^k, and EXACTLY 1 for full
+    * containment. This is the recall the symmetric banding cannot give:
+    * a short doc quoted in a long one has Jaccard |A|/|B| ≈ 0 and
+    * rarely band-collides.
     */
-  def containment(spark: SparkSession, sfDir: String): DataFrame = {
-    val hs = shingleTable(spark, sfDir)
-    minhashPairsTable(spark, sfDir)
-      .select("id_a", "id_b")
+  val ContainAnchorK = 2
+
+  /** Posting lists for anchor hashes are df-capped: a hash present in
+    * more docs than this is dropped from the posting side (the classic
+    * prefix-filter cap — boilerplate shingles would otherwise make one
+    * anchor fan out to the whole corpus). Recall for docs whose anchors
+    * are all above the cap degrades, which is documented and the price
+    * of boundedness at 100 TB.
+    */
+  val ContainDfCap = 1000L
+
+  /** The UNION candidate set for containment: banded LSH pairs (high
+    * symmetric similarity) ∪ anchor-join pairs (high asymmetric
+    * containment at any Jaccard). Both sides oriented id_a < id_b.
+    */
+  def containmentCandidates(hs: DataFrame, bandedPairs: DataFrame): DataFrame = {
+    val anchors = hs.select(col("doc_id").as("id_s"),
+      explode(slice(col("hs"), 1, ContainAnchorK)).as("h"))
+    val postings = hs.select(col("doc_id").as("id_o"), explode(col("hs")).as("h"))
+    val kept = postings.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ContainDfCap).select("h")
+    val asym = anchors
+      .join(postings.join(kept, Seq("h"), "left_semi"), Seq("h"))
+      .filter(col("id_s") =!= col("id_o"))
+      .select(least(col("id_s"), col("id_o")).as("id_a"),
+        greatest(col("id_s"), col("id_o")).as("id_b"))
+    bandedPairs.select("id_a", "id_b").union(asym).distinct()
+  }
+
+  /** Exact containment verify over any candidate set — separated from
+    * the registered query so a spec can drive it with a synthetic
+    * short-doc-quoted-in-long-doc corpus.
+    */
+  def containmentOf(hs: DataFrame, cands: DataFrame): DataFrame =
+    cands
       .join(hs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
       .join(hs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -259,6 +282,33 @@ object Dedup {
       .withColumn("cont_a_ppm", expr("n_common * 1000000 div n_a"))
       .withColumn("cont_b_ppm", expr("n_common * 1000000 div n_b"))
       .orderBy("id_a", "id_b")
+
+  /** X-CONTAINMENT: asymmetric shingle containment per candidate pair —
+    * Jaccard is SYMMETRIC, so a short doc wholly quoted inside a long
+    * one scores |A|/|B| ≈ 0 and survives dedup; containment
+    * |A∩B|/|A| reads 1.0 for exactly that case (Broder's original
+    * resemblance/containment split, and the reason dup-span pipelines
+    * exist). Candidates are the UNION of the SHARED banded LSH index
+    * ([[minhashPairsTable]]) and the asymmetric anchor source
+    * ([[containmentCandidates]]: each doc's k smallest shingle hashes
+    * joined against the df-capped posting list) — the banded side alone
+    * would systematically MISS the motivating subset pairs, because
+    * low-Jaccard pairs band-collide with probability ≈ s^r per band.
+    * The verify is the EXACT set intersection of the two shingle-hash
+    * sets, reported per pair as both directions in integer ppm
+    * (n_common·10^6 div n) — all exact integers on both engines.
+    *
+    * Scale shape: the banded pair table is banding-bounded; the anchor
+    * join is bounded by k·df_cap per doc; shingle sets stream from the
+    * persisted [[shingleTable]] through two hash joins keyed on doc_id;
+    * the intersection is row-local array work. At 100 TB the shingle
+    * table is the persisted inverted-index side artifact, bucketed by
+    * doc_id, and the verify touches only candidate rows.
+    */
+  def containment(spark: SparkSession, sfDir: String): DataFrame = {
+    val hs = shingleTable(spark, sfDir)
+    containmentOf(hs,
+      containmentCandidates(hs, minhashPairsTable(spark, sfDir)))
   }
 
   // ---- marginal source coverage (X-MARGINAL-COVERAGE) -----------------

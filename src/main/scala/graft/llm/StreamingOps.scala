@@ -425,10 +425,17 @@ object StreamingOps {
     * [[Events.KmvK]] smallest distinct user-hash values (BOUNDED,
     * mergeable — exactly why production streaming picks an order-statistic
     * sketch over a distinct set). Each micro-batch merges its hashes and
-    * emits the running (k_used, kth_hash); both are MONOTONE (k_used
-    * grows, kth_hash shrinks), so the final sketch is recoverable from
-    * the drained emissions as (max k_used, min kth_hash) — no "last
-    * batch" bookkeeping — and, because an order statistic of a set is
+    * emits the running (k_used, kth_hash). Only k_used is monotone
+    * outright; kth_hash GROWS while the sketch is unsaturated (the state
+    * then holds every hash seen, so its max rises with new arrivals) and
+    * shrinks only once k_used = K. The final sketch is therefore
+    * recovered from the drained emissions as the lexicographic argmax of
+    * (k_used, -kth_hash): max k_used first (for a fixed k_used < K the
+    * kth value is constant across emissions, since any new distinct hash
+    * would bump k_used), then min kth_hash to pick the latest saturated
+    * refinement — no "last batch" bookkeeping, and no dependence on
+    * whether a type saturates in its first chunk. Because an order
+    * statistic of a set is
     * batching-independent, it must equal the batch formulation exactly:
     * the oracle recomputes the same k smallest distinct hashes in SQL.
     * The estimator is the sketch's own saturation-blind form (k_used <
@@ -452,8 +459,7 @@ object StreamingOps {
     val sketched = kmvStream(ds).toDF("event_type", "k_used", "kth_hash")
     val drained = graft.streaming.Drain.toParquet(sketched, work,
       shufflePartitions = Some(8))
-    drained.groupBy("event_type")
-      .agg(max("k_used").as("k_used"), min("kth_hash").as("kth_hash"))
+    recoverKmvFinal(drained)
       .withColumn("est_distinct",
         when(col("k_used") < Events.KmvK, col("k_used").cast("double"))
           .otherwise(
@@ -461,6 +467,24 @@ object StreamingOps {
               .cast("double") / col("kth_hash").cast("double")))
       .orderBy("event_type")
   }
+
+  /** Recovers the FINAL per-type sketch from the drained micro-batch
+    * emissions: lexicographic argmax of (k_used, -kth_hash). The first
+    * key dominates because k_used only grows; among emissions sharing
+    * the maximal k_used, kth_hash is constant when k_used < K (any new
+    * distinct hash would have bumped k_used) and shrinking when
+    * k_used = K, so min kth picks the latest refinement. Separated from
+    * [[streamingKmv]] so a spec can exercise the unsaturated-type case
+    * (k_used never reaching K) that the fixture's dense types hide.
+    */
+  def recoverKmvFinal(drained: DataFrame): DataFrame =
+    drained.groupBy("event_type")
+      // hash values are positive (mod-2^31 poly hash) so negation is a
+      // safe total-order flip inside the struct max
+      .agg(max(struct(col("k_used"), (-col("kth_hash")).as("neg_kth")))
+        .as("s"))
+      .select(col("event_type"), col("s.k_used").as("k_used"),
+        (-col("s.neg_kth")).as("kth_hash"))
 
   /** The per-type KMV merge transform — separated from
     * [[streamingKmv]]'s staging so a spec can drive it batch-by-batch

@@ -554,6 +554,17 @@ class GraftSpec extends AnyFunSuite {
       .filter(col("value").isNotNull && col("event_type").isin(kept.toSeq: _*))
       .count()
     assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum === total)
+    // tie_cube = sum(t^3 - t) overflows BIGINT at a ~2.1M-row tie block;
+    // pin the fixture far under the bound so the documented DECIMAL(38)
+    // escape hatch (r2_a AND tie_cube together) is demonstrably unneeded
+    val maxTie = Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long"))
+      .count().agg(max("count")).head.getLong(0)
+    assert(maxTie < 2000000L,
+      s"max tie block $maxTie must stay inside the BIGINT-safe cube bound")
   }
 
   test("x_theilsen: pair domain complete, median slope consistent, robust to one outlier day") {
@@ -614,7 +625,12 @@ class GraftSpec extends AnyFunSuite {
   test("x_containment: bounded by set sizes, covers every banded candidate pair") {
     val rows = Dedup.containment(spark, sf).collect()
     val nPairs = Dedup.minhashPairsTable(spark, sf).count()
-    assert(rows.length.toLong === nPairs, "one verified row per banded candidate")
+    assert(rows.length.toLong >= nPairs,
+      "verified rows cover at least every banded candidate (plus anchor pairs)")
+    val banded = Dedup.minhashPairsTable(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val have = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.subsetOf(have), "no banded candidate is lost by the union")
     rows.foreach { r =>
       val (na, nb, nc, ca, cb) =
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
@@ -622,6 +638,36 @@ class GraftSpec extends AnyFunSuite {
       assert(ca >= 0L && ca <= 1000000L && cb >= 0L && cb <= 1000000L)
       assert(ca >= cb === (na <= nb), "smaller set always has the larger containment")
     }
+  }
+
+  test("x_containment: anchor source catches short-doc-quoted-in-long-doc that banding misses") {
+    import spark.implicits._
+    // doc 2 = 2000 pseudo-random chars; doc 1 = a 60-char quote of it.
+    // Jaccard ≈ 53/1993 ≈ 0.03 → per-band collision prob ≈ 0.03^4, so
+    // the 16-band LSH essentially never proposes the pair — while
+    // containment(A→B) is exactly 1.0 and doc 1's min shingle hash MUST
+    // appear in doc 2's posting list.
+    // LCG stream (NOT a polynomial mod 26 — that repeats every 26 chars
+    // and would give the long doc just 26 distinct shingles)
+    val long = {
+      var x = 42L
+      (1 to 2000).map { _ =>
+        x = (x * 1103515245L + 12345L) % 2147483648L
+        ('a' + (x % 26L).toInt).toChar
+      }.mkString
+    }
+    val quote = long.substring(700, 760)
+    val docs = Seq((1L, quote), (2L, long), (3L, long.reverse))
+      .toDF("doc_id", "text")
+    val hs = docs.select(col("doc_id"), Dedup.shingleHashes(col("text")).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val bandedPairs = Dedup.candidatePairs(Dedup.signatures(docs))
+    assert(!bandedPairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .contains((1L, 2L)), "symmetric banding misses the subset pair")
+    val out = Dedup.containmentOf(hs, Dedup.containmentCandidates(hs, bandedPairs))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(5))).toMap
+    assert(out.contains((1L, 2L)), "anchor source proposes the subset pair")
+    assert(out((1L, 2L)) === 1000000L, "containment(A→B) reads exactly 1.0")
   }
 
   test("x_mm_dedup: digest manifest partitions the corpus into byte-identical groups") {
@@ -728,6 +774,29 @@ class GraftSpec extends AnyFunSuite {
     // final sketch = 64 smallest of the distinct union (batch semantics)
     val expectedKth = (big ++ small).distinct.sorted.take(64).last
     assert(second.getLong(2) === expectedKth)
+  }
+
+  test("x_stream_kmv: final-state recovery is correct for UNSATURATED types") {
+    import spark.implicits._
+    // A sparse type never reaches KmvK=64 distinct hashes: while
+    // unsaturated the emitted kth_hash GROWS batch over batch, so a
+    // naive (max k_used, min kth_hash) recovery would pair the final
+    // k_used with an EARLY batch's kth. The argmax recovery must pick
+    // the final emission's pair instead.
+    val emissions = Seq(
+      // sparse type: 3 batches, growing sketch (k_used 2 -> 5 -> 9)
+      ("sparse", 2L, 40L), ("sparse", 5L, 70L), ("sparse", 9L, 120L),
+      // saturated type: kth shrinks once k_used = 64
+      ("dense", 64L, 900L), ("dense", 64L, 700L), ("dense", 64L, 650L)
+    ).toDF("event_type", "k_used", "kth_hash")
+    val rec = llm.StreamingOps.recoverKmvFinal(emissions)
+      .orderBy("event_type").collect()
+    assert(rec.length === 2)
+    val Array(dense, sparse) = rec
+    assert(sparse.getLong(1) === 9L && sparse.getLong(2) === 120L,
+      "unsaturated type recovers the FINAL (k_used, kth), not min kth")
+    assert(dense.getLong(1) === 64L && dense.getLong(2) === 650L,
+      "saturated type recovers the latest refinement (min kth at max k)")
   }
 
   test("x_ltv: cumulative is the prefix sum and purchase mass is conserved") {
