@@ -575,6 +575,62 @@ object OracleLlm {
        |JOIN hs hb ON hb.doc_id = c.id_b
        |ORDER BY c.id_a, c.id_b""".stripMargin
 
+  /** payloadNearDup mirror: the byte-shingle family re-derived from the
+    * text (the fixture payload is the UTF-8 encoding of single-byte
+    * chars, so codepoints ARE the bytes) — strided window hashes, the
+    * 64-slot MinHash with the kernel's permutation constants, the same
+    * 16×4 band fold and equi-join, exact Jaccard verify, per-doc argmax
+    * manifest.
+    */
+  val mmNearDupSql: String = {
+    val kk = llm.Multimodal.NearDupK
+    val st = llm.Multimodal.NearDupStride
+    val ppm = llm.Multimodal.NearDupPpm
+    s"""WITH bhs AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, length(text) - ${kk - 2}, $st),
+       |    wi -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, $kk),
+       |            wj -> CAST(unicode(substr(text, CAST(wi + wj AS INT), 1)) AS BIGINT))),
+       |          (ac, cb) -> (ac * 131 + cb) % $M))) AS hs
+       |  FROM documents),
+       |bh AS (SELECT doc_id, hs FROM bhs WHERE len(hs) > 0),
+       |bperm AS (SELECT ${longList(MinHashSig.aCoef)} AS pa, ${longList(MinHashSig.bCoef)} AS pb),
+       |bsig AS (
+       |  SELECT doc_id, list_transform(range(0, ${MinHashSig.NumHashes}),
+       |    i -> list_min(list_transform(hs,
+       |           h -> (pa[CAST(i + 1 AS INT)] * h + pb[CAST(i + 1 AS INT)]) % $M))) AS sig
+       |  FROM bh, bperm),
+       |bbands AS (
+       |  SELECT doc_id, bb.band AS band,
+       |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |             sig[CAST(bb.band * ${Dedup.RowsPerBand} + 1 AS INT):CAST(bb.band * ${Dedup.RowsPerBand} + ${Dedup.RowsPerBand} AS INT)]),
+       |           (ac, x) -> (ac * 1000003 + x) % $M) AS bkey
+       |  FROM bsig, (SELECT unnest(range(0, ${Dedup.NumBands})) AS band) bb),
+       |bcand AS (
+       |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM bbands l JOIN bbands r
+       |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+       |bver AS (
+       |  SELECT id_a, id_b,
+       |         CAST(len(list_intersect(ha.hs, hb.hs)) * 1000000
+       |           // (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) AS BIGINT) AS jac_ppm
+       |  FROM bcand JOIN bh ha ON ha.doc_id = bcand.id_a
+       |             JOIN bh hb ON hb.doc_id = bcand.id_b),
+       |sym AS (SELECT id_a AS doc_id, id_b AS partner, jac_ppm FROM bver
+       |        UNION ALL SELECT id_b, id_a, jac_ppm FROM bver),
+       |best AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cand,
+       |         CAST(max_by(partner, jac_ppm * 10000000000 - partner) AS BIGINT) AS best_partner,
+       |         CAST(max(jac_ppm) AS BIGINT) AS best_jac_ppm
+       |  FROM sym GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(b.n_cand, 0) AS BIGINT) AS n_cand,
+       |       CAST(coalesce(b.best_partner, -1) AS BIGINT) AS best_partner,
+       |       CAST(coalesce(b.best_jac_ppm, 0) AS BIGINT) AS best_jac_ppm,
+       |       CAST(CASE WHEN coalesce(b.best_jac_ppm, 0) >= $ppm THEN 1 ELSE 0 END AS BIGINT) AS is_neardup
+       |FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** tempMix mirror: integer sqrt via floor(sqrt(double)) + the same
     * one-step clamp, then pure-integer ppm weights.
     */

@@ -210,6 +210,7 @@ object SparkEntry {
     "x_temp_mix" -> (llm.Sampling.tempMix _),
     "x_containment" -> (llm.Dedup.containment _),
     "x_mm_dedup" -> (llm.Multimodal.payloadDedup _),
+    "x_mm_neardup" -> (llm.Multimodal.payloadNearDup _),
     "x_kcore" -> (llm.Graph.kcore _),
     "x_link_pred" -> (llm.Graph.linkPred _),
     "x_stream_kmv" -> (llm.StreamingOps.streamingKmv _),
@@ -952,6 +953,7 @@ object SparkEntry {
         |FROM p GROUP BY payload_md5
         |ORDER BY payload_md5""".stripMargin,
     "x_stream_kmv" -> OracleLlm.streamKmvSql,
+    "x_mm_neardup" -> OracleLlm.mmNearDupSql,
     "x_bloom_fpr" -> OracleLlm.bloomFprSql,
     "x_marginal_coverage" -> OracleLlm.marginalCoverageSql,
     "x_lsh_curve" -> OracleLlm.lshCurveSql,

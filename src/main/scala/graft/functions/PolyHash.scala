@@ -129,6 +129,73 @@ case class PolyShingles(child: Expression, k: Int, base: Long) extends UnaryExpr
     copy(child = newChild)
 }
 
+/** `bin_shingles(bin, k, stride, base)`: sorted distinct polynomial
+  * hashes of the k-BYTE windows taken every `stride` bytes of a binary
+  * payload — the media-domain sibling of [[PolyShingles]] for
+  * X-MM-NEARDUP. Operating on raw bytes (values 0–255) keeps the kernel
+  * codec-free: a re-encoded or locally-corrupted copy of a payload
+  * still shares most strided windows, which is exactly what the exact
+  * digest (md5) key of X-MM-DEDUP cannot see. The stride bounds the
+  * shingle set to |payload|/stride per row (a 100 TB media corpus
+  * cannot afford a hash per byte offset).
+  *
+  * Oracle mirror (DuckDB, for payloads that are single-byte-encoded
+  * text — the fixture's, by construction):
+  * `list_distinct(list_transform(range(1, length(text)-k+2, stride),
+  *    wi -> list_reduce(list_prepend(0, list_transform(range(0, k), wj ->
+  *      unicode(substr(text, wi+wj, 1)))), (a,b) -> (a*base+b) % 2147483647)))`
+  */
+case class BinShingles(child: Expression, k: Int, stride: Int, base: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bin_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.NullType |
+         org.apache.spark.sql.types.BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bin_shingles requires a binary column, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BinShingles.compute(input.asInstanceOf[Array[Byte]], k, stride, base)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BinShingles.compute($c, $k, $stride, ${base}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): BinShingles =
+    copy(child = newChild)
+}
+
+object BinShingles {
+  def compute(bytes: Array[Byte], k: Int, stride: Int, base: Long): ArrayData = {
+    val n = if (bytes.length < k) 0 else (bytes.length - k) / stride + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Long])
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = 0L
+      var j = 0
+      val off = i * stride
+      while (j < k) { h = (h * base + (bytes(off + j) & 0xff)) % PolyHashing.Mod; j += 1 }
+      hs(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var m = 0
+    var t = 0
+    while (t < n) {
+      if (t == 0 || hs(t) != hs(t - 1)) { hs(m) = hs(t); m += 1 }
+      t += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, m))
+  }
+
+  def bin_shingles(c: Column, k: Int, stride: Int, base: Long = 131L): Column =
+    ColumnBridge.column(BinShingles(ColumnBridge.expression(c), k, stride, base))
+}
+
 object PolyShingles {
   def compute(s: UTF8String, k: Int, base: Long): ArrayData = {
     val cp = PolyHashing.codePoints(s)

@@ -158,6 +158,91 @@ object Multimodal {
     * here is a content FINGERPRINT (collision-safe at corpus scale, not
     * adversarial) and hex-identical on both engines.
     */
+  /** Byte-shingle window size for X-MM-NEARDUP (16-byte windows). */
+  val NearDupK = 16
+
+  /** Byte-shingle stride — the same decimation discipline as
+    * [[ResizeStride]]: one hash per 4 byte offsets bounds the shingle
+    * set to |payload|/4 (a hash per byte offset is unaffordable at
+    * media scale and buys little recall).
+    */
+  val NearDupStride = 4
+
+  /** Near-dup verdict threshold in ppm: exact byte-shingle Jaccard ≥
+    * 0.5, the same design point as [[Dedup.NearDupThreshold]].
+    */
+  val NearDupPpm = 500000L
+
+  /** Strided byte-shingle hash sets of the payloads ([[graft.functions.BinShingles]]
+    * — native codegen'd kernel over the raw bytes, codec-free).
+    */
+  def payloadShingles(docs: DataFrame): DataFrame =
+    withPayload(docs)
+      .select(col("doc_id"),
+        graft.functions.BinShingles.bin_shingles(
+          col("payload"), NearDupK, NearDupStride).as("hs"))
+      .filter(size(col("hs")) > 0)
+
+  /** X-MM-NEARDUP core over any corpus — separated so a spec can drive
+    * it with a strided-corruption pair that [[payloadDedup]]'s md5 key
+    * misses. Candidates come from the SAME 16×4 banded MinHash
+    * discipline as the text family ([[Dedup.candidatePairs]] over
+    * signatures of the byte-shingle sets — a band equi-join, never
+    * all-pairs); the verify is the EXACT Jaccard of the two shingle-hash
+    * sets in integer ppm. The manifest is per-doc (singletons included,
+    * matching X-MM-DEDUP's contract): candidate-pair count, the best
+    * partner (highest exact Jaccard, min-id tie-break; −1 when none)
+    * and an is_neardup verdict at [[NearDupPpm]].
+    */
+  def payloadNearDupOf(docs: DataFrame, hs: DataFrame): DataFrame = {
+    val sigs = hs.select(col("doc_id"),
+      graft.functions.MinHashSig.minhash_sig(col("hs")).as("sig"))
+    val verified = Dedup.candidatePairs(sigs)
+      .join(hs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(hs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("n_common"),
+        size(col("hs_a")).cast("long").as("n_a"),
+        size(col("hs_b")).cast("long").as("n_b"))
+      .withColumn("jac_ppm", expr("n_common * 1000000 div (n_a + n_b - n_common)"))
+    val sym = verified.select(col("id_a").as("doc_id"), col("id_b").as("partner"), col("jac_ppm"))
+      .union(verified.select(col("id_b").as("doc_id"), col("id_a").as("partner"), col("jac_ppm")))
+    val best = sym.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_cand"),
+        // argmax(jac_ppm, -partner): best Jaccard, min-id tie-break
+        max(struct(col("jac_ppm"), (-col("partner")).as("np"))).as("b"))
+      .select(col("doc_id"), col("n_cand"),
+        (-col("b.np")).as("best_partner"), col("b.jac_ppm").as("best_jac_ppm"))
+    docs.select("doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("best_partner"), lit(-1L)).as("best_partner"),
+        coalesce(col("best_jac_ppm"), lit(0L)).as("best_jac_ppm"),
+        when(coalesce(col("best_jac_ppm"), lit(0L)) >= NearDupPpm, 1L)
+          .otherwise(0L).as("is_neardup"))
+    // no output-side orderBy: per-doc corpus-sized manifest — both the
+    // driver gate and check.py sort rows themselves, and at 100 TB a
+    // final global sort is a pure-waste exchange on the write path
+  }
+
+  private val payloadHsCache = new graft.Memo
+
+  /** X-MM-NEARDUP: near-duplicate detection for opaque media payloads —
+    * the rung X-MM-DEDUP's exact digest cannot reach: one re-encode,
+    * byte flip, or truncation changes the md5 while the strided
+    * byte-shingle profile barely moves. Scale shape: shingle hashing is
+    * a narrow map (parallelism = input splits, shuffles carry 8-byte
+    * hashes and banded keys, never media bytes); the pair join is
+    * band-keyed; the verify touches candidate rows only; the per-doc
+    * argmax is one partial+final agg.
+    */
+  def payloadNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    payloadNearDupOf(docs,
+      payloadHsCache.getOrBuild(spark, sfDir, cache = true)(payloadShingles(docs)))
+  }
+
   def payloadDedup(spark: SparkSession, sfDir: String): DataFrame =
     withPayload(Tables.documents(spark, sfDir))
       .select(col("doc_id"), col("source"),

@@ -683,6 +683,51 @@ class GraftSpec extends AnyFunSuite {
       "every doc lands in exactly one group")
   }
 
+  test("x_mm_neardup: strided corruption caught that the md5 digest misses") {
+    import spark.implicits._
+    def lcgText(seed: Long, n: Int): String = {
+      var x = seed
+      (1 to n).map { _ =>
+        x = (x * 1103515245L + 12345L) % 2147483648L
+        ('a' + (x % 26L).toInt).toChar
+      }.mkString
+    }
+    val base = lcgText(7L, 4000)
+    // flip 5 scattered bytes: each lives in ≤ 4 strided 16-byte windows,
+    // so ≤ 20 of ~997 shingles move — Jaccard ≈ 0.96, while the md5
+    // digest (X-MM-DEDUP's key) changes completely
+    val corrupt = Seq(400, 1200, 2000, 2800, 3600)
+      .foldLeft(base)((s, p) => s.updated(p, if (s(p) == 'z') 'a' else 'z'))
+    val docs = Seq((1L, base, "s1"), (2L, corrupt, "s2"), (3L, lcgText(99L, 4000), "s3"))
+      .toDF("doc_id", "text", "source")
+    val md5s = llm.Multimodal.withPayload(docs)
+      .select(col("doc_id"), md5(col("payload"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(md5s(1L) !== md5s(2L), "exact digest dedup cannot pair the copies")
+    val out = llm.Multimodal.payloadNearDupOf(docs, llm.Multimodal.payloadShingles(docs))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L)._4 === 1L && out(2L)._4 === 1L,
+      "the corrupted copy is flagged near-dup in both directions")
+    assert(out(1L)._2 === 2L && out(2L)._2 === 1L, "best partners are each other")
+    assert(out(1L)._3 >= 900000L, "exact byte-shingle Jaccard stays ≥ 0.9")
+    assert(out(3L) === ((0L, -1L, 0L, 0L)), "the unrelated doc has no candidates")
+  }
+
+  test("x_mm_neardup: per-doc manifest is total and candidate counts are symmetric") {
+    val rows = llm.Multimodal.payloadNearDup(spark, sf).collect()
+    assert(rows.length.toLong === Tables.documents(spark, sf).count(),
+      "one manifest row per doc, singletons included")
+    rows.foreach { r =>
+      val (nc, bp, jac, nd) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(jac >= 0L && jac <= 1000000L)
+      assert(nd === (if (jac >= llm.Multimodal.NearDupPpm) 1L else 0L))
+      assert((nc === 0L) === (bp === -1L), "no candidates iff no partner")
+    }
+    assert(rows.map(_.getLong(1)).sum % 2 === 0L,
+      "pair memberships count each candidate pair exactly twice")
+  }
+
   test("x_kcore: survivor set is a fixpoint of the peel and every member keeps >= k") {
     import llm.Graph
     val out = Graph.kcore(spark, sf).collect()
@@ -3876,6 +3921,7 @@ class GraftSpec extends AnyFunSuite {
       "x_temp_mix" -> "X-TEMP-MIX", "x_containment" -> "X-CONTAINMENT",
       "x_mm_dedup" -> "X-MM-DEDUP", "x_kcore" -> "X-KCORE",
       "x_link_pred" -> "X-LINK-PRED", "x_stream_kmv" -> "X-STREAM-KMV",
+      "x_mm_neardup" -> "X-MM-NEARDUP",
       "x_ltv" -> "X-LTV", "x_time_to_convert" -> "X-TIME-TO-CONVERT",
       "x_ab_srm" -> "X-AB-SRM", "x_bloom_fpr" -> "X-BLOOM-FPR",
       "x_marginal_coverage" -> "X-MARGINAL-COVERAGE",
