@@ -1457,11 +1457,17 @@ object OracleLlm {
     * (centroid + codewords), ADC shortlist, and exact re-rank — every
     * float fold in the same index order as the Spark chain.
     */
-  val simIvfpqSql: String = {
+  /** The shared IVF-PQ chain through the ADC shortlist — consumed by
+    * [[simIvfpqSql]] (exact re-rank + recall on top) and
+    * [[simPqServeSql]] (the catalog-served probe emits the shortlist
+    * itself). Everything is re-derived from the embeddings table; the
+    * engine's staged index/codebook must land on the same codes
+    * (x_sim_ivfpq's green hash is the proof the build halves agree).
+    */
+  private lazy val pqChainCtes: String = {
     val S = llm.Similarity
     val sd = S.PqSubDim
-    s"""WITH $simBaseCtes,
-       |cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn FROM c
+    s"""cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn FROM c
        |          WHERE vec_id % ${S.CentroidStride} = 0),
        |casg AS (
        |  SELECT vec_id, cent_id,
@@ -1524,17 +1530,33 @@ object OracleLlm {
        |  JOIN q ON q.qid = p.qid
        |  WHERE r.vec_id <> q.qid),
        |shortl AS (
-       |  SELECT qid, cid FROM (
+       |  SELECT qid, cid, rn FROM (
        |    SELECT qid, cid,
        |           row_number() OVER (PARTITION BY qid ORDER BY sa DESC, cid) AS rn
-       |    FROM sa0) WHERE rn <= ${S.PqRerank}),
+       |    FROM sa0) WHERE rn <= ${S.PqRerank})""".stripMargin
+  }
+
+  /** ivfpq mirror (see [[pqChainCtes]]): exact re-rank of the shortlist
+    * plus the recall grading.
+    */
+  val simIvfpqSql: String =
+    s"""WITH $simBaseCtes,
+       |$pqChainCtes,
        |s AS (
        |  SELECT q.qid, c.vec_id AS cid,
        |         ${cosine("q.qv", "q.qn", "c.embedding", "c.nrm")} AS cosine
        |  FROM shortl JOIN q ON q.qid = shortl.qid
        |              JOIN c ON c.vec_id = shortl.cid),
        |${rankRecallSelect(llm.Similarity.K)}""".stripMargin
-  }
+
+  /** pqServe mirror: the ADC shortlist itself, ranked — what the
+    * catalog-served SQL probe must reproduce from the PERSISTED index.
+    */
+  val simPqServeSql: String =
+    s"""WITH $simBaseCtes,
+       |$pqChainCtes
+       |SELECT qid, CAST(rn AS BIGINT) AS rank, cid
+       |FROM shortl ORDER BY qid, rank""".stripMargin
 
   /** simIncr mirror: the FULL IVF re-index formulation over the whole
     * corpus — the incremental base+delta append must equal it value for

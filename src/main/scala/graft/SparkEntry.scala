@@ -55,6 +55,7 @@ object SparkEntry {
     "x_mm_frames" -> (llm.Multimodal.frames _),
     "x_sim_ivf" -> (llm.Similarity.ivfTopK _),
     "x_sim_ivfpq" -> (llm.Similarity.ivfpqTopK _),
+    "x_sim_pq_serve" -> (graft.queries.AnnServe.pqServe _),
     "x_sim_incr" -> (llm.Similarity.simIncrTopK _),
     "x_sim_rrf" -> (llm.Similarity.rrfTopK _),
     "x_rank_metrics" -> (llm.Similarity.rankMetrics _),
@@ -927,6 +928,7 @@ object SparkEntry {
     "x_sim_multiprobe" -> OracleLlm.simMultiprobeSql,
     "x_sim_ivf" -> OracleLlm.simIvfSql,
     "x_sim_ivfpq" -> OracleLlm.simIvfpqSql,
+    "x_sim_pq_serve" -> OracleLlm.simPqServeSql,
     "x_sim_incr" -> OracleLlm.simIncrSql,
     "x_sim_rrf" -> OracleLlm.rrfSql,
     "x_rank_metrics" -> OracleLlm.rankMetricsSql,

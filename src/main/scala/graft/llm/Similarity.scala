@@ -679,7 +679,15 @@ object Similarity {
   private def dotD(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), _ + _)
 
-  def ivfpqTopKOf(embeddings: DataFrame, stride: Int): DataFrame = {
+  /** The build half of the IVF-PQ chain, shared by the in-engine rung
+    * ([[ivfpqTopKOf]]) and the catalog-served index staging
+    * (X-SIM-PQ-SERVE): corpus, coarse centroids, the one-row broadcast
+    * codebook frame, and the ENCODED corpus — per vector one cell id
+    * plus [[PqSubspaces]] winning-codeword structs. Pure refactor of the
+    * original inline chain; the plans are identical.
+    */
+  private[graft] def pqEncoded(embeddings: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val c = corpusOf(embeddings)
     val cents = c.filter(col("vec_id") % CentroidStride === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"), col("nrm").as("cn"))
@@ -711,6 +719,31 @@ object Similarity {
     val codeCols = (0 until PqSubspaces).map(m => pqCode(col("rv"), m).as(s"c$m"))
     val enc = resid.join(broadcast(books))
       .select(col("vec_id") +: col("cent_id") +: codeCols: _*)
+    (c, cents, books, enc)
+  }
+
+  /** The persisted index rows a serving store holds: (vec_id, cell id,
+    * [[PqSubspaces]] codeword ids) — ≈9 ints per vector.
+    */
+  private[graft] def pqIndexFrame(embeddings: DataFrame): DataFrame = {
+    val (_, _, _, enc) = pqEncoded(embeddings)
+    enc.select(col("vec_id"), col("cent_id"),
+      array((0 until PqSubspaces).map(m => col(s"c$m")("bid")): _*).as("codes"))
+  }
+
+  /** The persisted codebook rows: (bid, 64-dim residual vector) — the
+    * dim-sized model artifact reconstruction reads.
+    */
+  private[graft] def pqBooksFrame(embeddings: DataFrame): DataFrame = {
+    val (_, _, books, _) = pqEncoded(embeddings)
+    books.select(explode(col("books")).as("b"))
+      .select(col("b.bid").as("bid"), col("b.bv").as("bv"))
+  }
+
+  def ivfpqTopKOf(embeddings: DataFrame, stride: Int): DataFrame = {
+    val (c, cents, _, enc) = pqEncoded(embeddings)
+    val centArr = cents
+      .agg(collect_list(struct(col("cent_id").as("cid"), col("cv"), col("cn"))).as("cents"))
 
     // reconstruction v̂ = centroid + concat(codewords), and its norm —
     // this is what the ADC scores see; the raw vector never reappears

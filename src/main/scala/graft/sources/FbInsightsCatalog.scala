@@ -187,7 +187,9 @@ class FbInsightsCatalog extends TableCatalog with FunctionCatalog {
     refreshLocations()
     val p = pathFor(ident)
     if (!new java.io.File(p).isDirectory) throw new NoSuchTableException(ident)
-    new FbInsightsTable(p)
+    if (ident.namespace().sameElements(FbInsightsCatalog.AnnNamespace))
+      new AnnIndexTable(p)
+    else new FbInsightsTable(p)
   }
 
   override def createTable(
@@ -196,24 +198,53 @@ class FbInsightsCatalog extends TableCatalog with FunctionCatalog {
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    // the connector's schema is fixed: accept a blank declaration (CTAS /
-    // LOCATION-only) or a structural match (catalogString ignores the
-    // nullability flags SQL parsing defaults differently), reject
-    // anything else loudly
-    require(schema.isEmpty ||
-        schema.catalogString == Schemas.fbInsightsRaw.catalogString,
-      s"fb-insights tables have the fixed insights schema; got ${schema.toDDL}")
-    require(partitions.isEmpty,
-      "fb-insights tables are always day-partitioned by date_start; " +
-        "explicit PARTITIONED BY is not supported")
     val external = Option(properties.get(TableCatalog.PROP_LOCATION)).map(fsPath)
     val p = external.getOrElse(s"$warehouse/${key(ident)}")
-    external.foreach { loc =>
-      // durable: a fresh session must resolve this table
-      persistLocations(added = Map(key(ident) -> loc))
+    if (ident.namespace().sameElements(FbInsightsCatalog.AnnNamespace)) {
+      // the `ann` namespace serves persisted ANN index artifacts: any
+      // declared schema of long/double/string/array<long>/array<double>
+      // columns, optionally identity-partitioned by ONE long column
+      // (the cell id) — that column is what pruning keys on
+      require(schema.nonEmpty, "ann tables must declare a schema")
+      val partCol = partitions.toList match {
+        case Nil => None
+        case t :: Nil =>
+          require(t.name == "identity",
+            s"ann tables support identity partitioning only, got $t")
+          Some(t.references().head.fieldNames().mkString("."))
+        case _ => throw new IllegalArgumentException(
+          "ann tables support at most one partition column")
+      }
+      partCol.foreach { c =>
+        require(schema.fieldNames.contains(c) &&
+            schema(c).dataType == LongType,
+          s"ann partition column $c must be a BIGINT column of the schema")
+      }
+      external.foreach { loc =>
+        persistLocations(added = Map(key(ident) -> loc))
+      }
+      Files.createDirectories(Paths.get(p))
+      val metaFile = Paths.get(p, AnnIndexTable.SchemaFile)
+      if (!Files.exists(metaFile)) AnnIndexTable.writeMeta(p, schema, partCol)
+      new AnnIndexTable(p)
+    } else {
+      // the insights connector's schema is fixed: accept a blank
+      // declaration (CTAS / LOCATION-only) or a structural match
+      // (catalogString ignores the nullability flags SQL parsing
+      // defaults differently), reject anything else loudly
+      require(schema.isEmpty ||
+          schema.catalogString == Schemas.fbInsightsRaw.catalogString,
+        s"fb-insights tables have the fixed insights schema; got ${schema.toDDL}")
+      require(partitions.isEmpty,
+        "fb-insights tables are always day-partitioned by date_start; " +
+          "explicit PARTITIONED BY is not supported")
+      external.foreach { loc =>
+        // durable: a fresh session must resolve this table
+        persistLocations(added = Map(key(ident) -> loc))
+      }
+      Files.createDirectories(Paths.get(p))
+      new FbInsightsTable(p)
     }
-    Files.createDirectories(Paths.get(p))
-    new FbInsightsTable(p)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
@@ -270,6 +301,11 @@ object FbInsightsCatalog {
 
   /** Fixed namespace catalog functions resolve under. */
   val FnNamespace: Array[String] = Array("db")
+
+  /** Namespace whose tables are [[AnnIndexTable]]s (persisted ANN index
+    * artifacts) rather than insights tables.
+    */
+  val AnnNamespace: Array[String] = Array("ann")
 
   /** `sum_cents(spend)` — exact money total as a V2 catalog AGGREGATE
     * function: each double rounds to DECIMAL(18,2) cents exactly as the

@@ -728,6 +728,46 @@ class GraftSpec extends AnyFunSuite {
       "pair memberships count each candidate pair exactly twice")
   }
 
+  test("x_sim_pq_serve: runtime filtering prunes the catalog index scan to probed cells") {
+    sources.AnnIndexTable.lastPlannedCells.set(-1)
+    val out = graft.queries.AnnServe.pqServe(spark, sf).collect()
+    assert(out.nonEmpty)
+    // ranks are dense 1..R per query
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getLong(1)).sorted
+      assert(ranks.sameElements(1L to ranks.length))
+      assert(ranks.length <= llm.Similarity.PqRerank)
+    }
+    // the planned dirs are bounded by the probe budget, never the corpus
+    val planned = sources.AnnIndexTable.lastPlannedCells.get()
+    val probedMax = out.map(_.getLong(0)).distinct.length * llm.Similarity.NumProbes
+    assert(planned > 0, "the index scan planned at least one cell")
+    assert(planned <= probedMax,
+      s"planned $planned cells exceeds the probe budget $probedMax")
+    // deterministic pruning proofs against the registered catalog table:
+    val cat = graft.queries.AnnServe.ensureAnnTables(spark, sf)
+    val allCells = sources.AnnIndexTable.lastPlannedCells // hook
+    // 1. static pushdown: a literal IN plans exactly those cell dirs
+    allCells.set(-1)
+    val c0 = llm.Similarity.CentroidStride.toLong
+    spark.sql(s"SELECT count(*) FROM $cat.ann.pq_index WHERE cent_id IN (0, $c0)")
+      .collect()
+    assert(allCells.get() === 2,
+      s"static IN pushdown must plan 2 dirs, planned ${allCells.get()}")
+    // 2. runtime (join-driven) filtering: a selective real-source dim
+    //    prunes the scan at execution, the DPP shape serving probes use
+    allCells.set(-1)
+    val dim = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % llm.Similarity.CentroidStride === 0 &&
+        col("vec_id") <= c0)
+      .select(col("vec_id").as("cent_id")).distinct()
+    val n = spark.table(s"$cat.ann.pq_index")
+      .join(dim.hint("broadcast"), Seq("cent_id")).count()
+    assert(n > 0)
+    assert(allCells.get() === 2,
+      s"runtime filtering must plan 2 dirs, planned ${allCells.get()}")
+  }
+
   test("x_kcore: survivor set is a fixpoint of the peel and every member keeps >= k") {
     import llm.Graph
     val out = Graph.kcore(spark, sf).collect()
@@ -3822,6 +3862,14 @@ class GraftSpec extends AnyFunSuite {
     // localCheckpoint, so the optimized plan is a bare LogicalRDD — its
     // scale shape is instead pinned by its dedicated spec (bit-equality
     // with the window formulation + the loud dense-permutation gate).
+    // Condition-free joins documented as model-sized at their def sites:
+    //   x_sim_pq_serve — the coarse-probe scoring q × cents is queries ×
+    //     CENTROIDS (the dim-sized IVF model, never the corpus); the
+    //     engine rungs do the identical work as a broadcast centroid-
+    //     ARRAY fold (centArr), a shape this lint can't see either — the
+    //     SQL face just makes it explicit, and it collapses to NumProbes
+    //     rows per query immediately after
+    val cartesianOk = Set("x_sim_pq_serve")
     val skip = SparkEntry.queries.keySet.filter(_.contains("stream")) + "x_global_ids"
     val violations = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => skip(q._1)).flatMap { case (name, fn) =>
@@ -3829,7 +3877,7 @@ class GraftSpec extends AnyFunSuite {
         // a condition-free join is a cartesian UNLESS one side is bounded
         // to a single row (the broadcast-one-row-aggregate idiom Catalyst
         // proves via maxRows — the documented stat-join pattern)
-        val crosses = plan.collect {
+        val crosses = if (cartesianOk(name)) Nil else plan.collect {
           case j: Join if j.condition.isEmpty &&
             !j.left.maxRows.exists(_ <= 1L) && !j.right.maxRows.exists(_ <= 1L) => j
         }
@@ -3921,7 +3969,7 @@ class GraftSpec extends AnyFunSuite {
       "x_temp_mix" -> "X-TEMP-MIX", "x_containment" -> "X-CONTAINMENT",
       "x_mm_dedup" -> "X-MM-DEDUP", "x_kcore" -> "X-KCORE",
       "x_link_pred" -> "X-LINK-PRED", "x_stream_kmv" -> "X-STREAM-KMV",
-      "x_mm_neardup" -> "X-MM-NEARDUP",
+      "x_mm_neardup" -> "X-MM-NEARDUP", "x_sim_pq_serve" -> "X-SIM-PQ-SERVE",
       "x_ltv" -> "X-LTV", "x_time_to_convert" -> "X-TIME-TO-CONVERT",
       "x_ab_srm" -> "X-AB-SRM", "x_bloom_fpr" -> "X-BLOOM-FPR",
       "x_marginal_coverage" -> "X-MARGINAL-COVERAGE",
