@@ -838,7 +838,7 @@ object Analytics {
         coalesce(col("day_cents"), lit(0L)).as("day_cents"),
         last(col("day_cents"), ignoreNulls = true).over(w).as("ffill_cents"),
         col("n").isNull.as("is_gap"))
-      .orderBy("priority", "day")
+    // spine-sized output ends without a global sort (gates sort rows)
   }
 
   /** Market-basket output size (top pairs by co-occurrence). */

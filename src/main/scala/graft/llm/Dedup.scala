@@ -46,7 +46,10 @@ object Dedup {
       .groupBy("h64", "h31", "n_chars")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"), col("n_chars"))
-      .orderBy("keep_id")
+    // (per-doc manifests end map-side: the correctness gates sort rows
+    // themselves; a final global sort on a corpus-sized output is a
+    // pure-waste exchange on the write path — convention for every
+    // corpus-scaled output in this file)
 
   // ---- MinHash + LSH --------------------------------------------------
 
@@ -162,7 +165,7 @@ object Dedup {
     * Jaccard estimate (fraction of agreeing slots).
     */
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
-    minhashPairsTable(spark, sfDir).orderBy("id_a", "id_b")
+    minhashPairsTable(spark, sfDir)
 
   /** Per-source corpus signatures via the mergeable [[graft.functions.MinHashMerge]]
     * aggregate (elementwise-min union), then pairwise cross-source
@@ -281,7 +284,6 @@ object Dedup {
         size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("n_common"))
       .withColumn("cont_a_ppm", expr("n_common * 1000000 div n_a"))
       .withColumn("cont_b_ppm", expr("n_common * 1000000 div n_b"))
-      .orderBy("id_a", "id_b")
 
   /** X-CONTAINMENT: asymmetric shingle containment per candidate pair —
     * Jaccard is SYMMETRIC, so a short doc wholly quoted inside a long
@@ -430,7 +432,6 @@ object Dedup {
         bit_count(col("l.fp").bitwiseXOR(col("r.fp"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= SimHammingMax)
-      .orderBy("id_a", "id_b")
   }
 
   // ---- exact n-gram Jaccard ------------------------------------------
@@ -457,7 +458,6 @@ object Dedup {
         size(array_intersect(col("g_a"), col("g_b"))).cast("long").as("n_common"),
         size(array_union(col("g_a"), col("g_b"))).cast("long").as("n_union"))
       .withColumn("jaccard", col("n_common").cast("double") / col("n_union").cast("double"))
-      .orderBy("id_a")
   }
 
   // ---- fuzzy string matching (X-FUZZY-JOIN) --------------------------
@@ -549,7 +549,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("double") / NumHashes).as("est_jaccard"))
-      .orderBy("id_a", "id_b")
   }
 
   // ---- X-LSH-RECALL ---------------------------------------------------
@@ -685,7 +684,6 @@ object Dedup {
         count(lit(1)).as("n_spans"),
         max("span_tokens").as("max_span_tokens"),
         sum("span_tokens").as("covered_tokens"))
-      .orderBy("doc_id")
   }
 
   // ---- X-DUP-SPANS-CUT ------------------------------------------------

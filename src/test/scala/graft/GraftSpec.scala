@@ -2225,10 +2225,11 @@ class GraftSpec extends AnyFunSuite {
   }
 
   test("q_stream_sink: streaming round trip through the connector equals the batch load") {
+    // loads no longer carry an output-side sort; compare as sorted rows
     val streamed = queries.EtlQueries.qStreamSink(spark, sf)
-      .collect().map(_.toSeq).toSeq
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
     val batch = queries.EtlQueries.qLoadFb(spark, sf)
-      .collect().map(_.toSeq).toSeq
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
     assert(streamed.nonEmpty)
     assert(streamed === batch)
     // the sink table must be day-partitioned with no leftover spool
@@ -2386,9 +2387,11 @@ class GraftSpec extends AnyFunSuite {
 
   test("q_stream_load: streaming load equals the batch load") {
     val s = queries.EtlQueries.qStreamLoad(spark, sf).collect()
+      .map(_.toSeq.mkString("|")).sorted.toSeq
     val b = queries.EtlQueries.qLoadFb(spark, sf).collect()
+      .map(_.toSeq.mkString("|")).sorted.toSeq
     assert(s.nonEmpty)
-    assert(s.toSeq === b.toSeq)
+    assert(s === b)
   }
 
   test("x_hll_merge: merged daily sketches land within 10% of exact") {
@@ -2504,8 +2507,8 @@ class GraftSpec extends AnyFunSuite {
     assert(plan.contains("TopKPerKey"), s"custom exec missing:\n${plan.take(1500)}")
     assert(plan.split("TopKPerKey").length >= 3, "expected partial AND final TopKPerKeyExec")
     val fromWindow = queries.EtlQueries.qWindow(spark, sf)
-      .collect().map(_.toSeq).toSeq
-    assert(native.collect().map(_.toSeq).toSeq === fromWindow)
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    assert(native.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|")) === fromWindow)
   }
 
   test("TopKRewrite rule: window row_number filter rewrites to TopKPerKey, equal results") {
@@ -3890,6 +3893,85 @@ class GraftSpec extends AnyFunSuite {
       }
     assert(violations.isEmpty,
       s"scale-hostile plan shapes detected:\n${violations.mkString("\n")}")
+  }
+
+  /** The 25 most expensive non-streaming queries of BENCH_r12 — the tail
+    * whose plan shape regressions (broadcast→SMJ demotion, lost pushdown,
+    * extra exchange) would otherwise surface only as bench drift.
+    */
+  private val planManifestTargets = Seq(
+    "x_kcore", "x_pagerank", "x_closeness", "x_lsh_recall", "x_bm25",
+    "x_connected", "x_marginal_coverage", "x_triangles", "x_basket",
+    "x_range_join", "x_shortest_path", "x_kmv", "x_modularity", "q_rollup",
+    "x_kcenter", "q_window", "x_link_pred", "q_window_native", "x_ngram_lm",
+    "q_join_fx_asof", "x_eval_metrics", "x_scd2_join", "x_rfm", "x_tfidf",
+    "x_path_topk")
+
+  private val planMetrics = Seq("shuffles", "broadcasts", "sorts",
+    "sort_merge_joins", "broadcast_hash_joins", "shuffled_hash_joins",
+    "nested_loop_joins", "cartesians", "pushed_filter_scans")
+
+  private def planFingerprint(name: String): Map[String, Int] = {
+    val p = SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+    def c(sub: String): Int = {
+      var n = 0; var i = p.indexOf(sub)
+      while (i >= 0) { n += 1; i = p.indexOf(sub, i + 1) }
+      n
+    }
+    Map(
+      "shuffles" -> (c("Exchange hashpartitioning") +
+        c("Exchange rangepartitioning") + c("Exchange SinglePartition")),
+      "broadcasts" -> c("BroadcastExchange"),
+      "sorts" -> c("Sort ["),
+      "sort_merge_joins" -> c("SortMergeJoin"),
+      "broadcast_hash_joins" -> c("BroadcastHashJoin"),
+      "shuffled_hash_joins" -> c("ShuffledHashJoin"),
+      "nested_loop_joins" -> c("BroadcastNestedLoopJoin"),
+      "cartesians" -> c("CartesianProduct"),
+      "pushed_filter_scans" -> (c("PushedFilters: [") - c("PushedFilters: []")))
+  }
+
+  test("plan manifest: expensive-tail plan shapes match PLAN_MANIFEST.json") {
+    // A checked-in fingerprint (node counts of the STATIC physical plan at
+    // the spec fixture) per expensive query: a broadcast→SMJ demotion, a
+    // lost parquet pushdown, or a new exchange now fails `sbt test`
+    // instead of surfacing as bench drift. Intentional plan changes
+    // regenerate the manifest in the same commit:
+    //   GRAFT_UPDATE_PLAN_MANIFEST=1 sbt "testOnly graft.GraftSpec -- -z \"plan manifest\""
+    val path = java.nio.file.Paths.get("PLAN_MANIFEST.json")
+    val current = planManifestTargets.map(n => n -> planFingerprint(n))
+    def render: String = current.map { case (n, m) =>
+      s"""  "$n": {""" +
+        planMetrics.map(k => s""""$k": ${m(k)}""").mkString(", ") + "}"
+    }.mkString("{\n", ",\n", "\n}\n")
+    if (sys.env.contains("GRAFT_UPDATE_PLAN_MANIFEST")) {
+      java.nio.file.Files.writeString(path, render)
+      info(s"regenerated $path")
+    } else {
+      assert(java.nio.file.Files.exists(path),
+        "PLAN_MANIFEST.json missing — regenerate with GRAFT_UPDATE_PLAN_MANIFEST=1")
+      val txt = java.nio.file.Files.readString(path)
+      val entry = """"([a-z0-9_]+)": \{([^}]*)\}""".r
+      val kv = """"([a-z_]+)": (\d+)""".r
+      val recorded = entry.findAllMatchIn(txt).map { m =>
+        m.group(1) -> kv.findAllMatchIn(m.group(2))
+          .map(g => g.group(1) -> g.group(2).toInt).toMap
+      }.toMap
+      val diffs = current.flatMap { case (n, m) =>
+        recorded.get(n) match {
+          case None => Seq(s"$n: missing from manifest")
+          case Some(r) => planMetrics.flatMap { k =>
+            if (r.getOrElse(k, -1) != m(k))
+              Some(s"$n.$k: manifest ${r.getOrElse(k, -1)} != current ${m(k)}")
+            else None
+          }
+        }
+      }
+      assert(diffs.isEmpty,
+        s"plan shapes drifted from PLAN_MANIFEST.json (regenerate ONLY if " +
+          s"intentional):\n${diffs.mkString("\n")}")
+    }
   }
 
   test("SURVEY audit: every registered query maps 1:1 to a named SURVEY.md ID") {

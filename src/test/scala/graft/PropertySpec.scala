@@ -981,4 +981,48 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("law: LSH banding candidates cover every pair above the S-curve knee") {
+    // Ties x_lsh_curve's published design curve to BEHAVIOR on arbitrary
+    // inputs: for the 16×4 banding, a pair with true shingle Jaccard J
+    // collides in ≥1 band with probability 1 − (1 − J⁴)^16 — at J ≥ 0.9
+    // that is 1 − 0.344^16 ≈ 1 − 4·10⁻⁸, so on a deterministic generated
+    // corpus every such pair MUST surface as a banding candidate (the
+    // fixed seed makes the run reproducible; a miss would mean the band
+    // fold, signature kernel, or pair join broke, not bad luck).
+    import spark.implicits._
+    val corpusGen = for {
+      n <- Gen.chooseNum(4, 8)
+      bases <- Gen.listOfN(n, Gen.listOfN(400, Gen.alphaLowerChar).map(_.mkString))
+      muts <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0, 2), Gen.chooseNum(10, 380)))
+    } yield bases.zip(muts)
+    forAll(corpusGen, cases = 3) { rows =>
+      val docs = rows.zipWithIndex.flatMap { case ((base, (nMut, pos)), i) =>
+        // a near-copy with ≤2 scattered char flips: each flip moves ≤8
+        // of ~393 shingles, so true Jaccard stays ≥ ~0.92
+        val mutant = (0 until nMut).foldLeft(base)((s, j) =>
+          s.updated(pos + j * 7, if (s(pos + j * 7) == 'z') 'a' else 'z'))
+        Seq((2L * i, base), (2L * i + 1, mutant))
+      }.toDF("doc_id", "text")
+      val hs = docs.select(col("doc_id"), llm.Dedup.shingleHashes(col("text")).as("hs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val mustPair = hs.keys.toSeq.combinations(2).map(_.sorted).flatMap {
+        case Seq(a, b) =>
+          val (sa, sb) = (hs(a), hs(b))
+          val j = (sa & sb).size.toDouble / (sa | sb).size.toDouble
+          if (j >= 0.9) Some((a, b, j)) else None
+      }.toSeq
+      assert(mustPair.nonEmpty, "generator must produce at least one near pair")
+      val cands = llm.Dedup.candidatePairs(llm.Dedup.signatures(docs))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      mustPair.foreach { case (a, b, j) =>
+        // the curve's own math says this pair is a near-certain candidate
+        val q = 1.0 - j * j * j * j
+        val q2 = q * q; val q4 = q2 * q2; val q8 = q4 * q4
+        assert(1.0 - q8 * q8 > 0.9999)
+        assert(cands.contains((a, b)),
+          s"banding missed pair ($a,$b) with true Jaccard $j")
+      }
+    }
+  }
 }
