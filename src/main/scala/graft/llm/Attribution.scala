@@ -315,7 +315,7 @@ object Attribution {
       .withWatermark("ts", "1 hour")
       .as[(Long, Long, Long, String, Long, java.sql.Timestamp)]
     val attributed = attributeStream(ds).toDF("user_id", "channel", "cents")
-    graft.streaming.Drain.toParquet(attributed, work, shufflePartitions = Some(8))
+    graft.streaming.Drain.toParquet(attributed, work, shufflePartitions = Some(4))
       .groupBy("channel")
       .agg(
         count(lit(1)).as("n_conv"),

@@ -181,7 +181,7 @@ object Events {
       .select(col("w.start").cast("date").as("day"), col("event_type"), col("n"), col("total_value"))
     // drain + read back; srcDir is shared scratch staging — it outlives
     // this run (the marker gate reuses it)
-    graft.streaming.Drain.toParquet(stream, work, shufflePartitions = Some(8))
+    graft.streaming.Drain.toParquet(stream, work, shufflePartitions = Some(4))
       .orderBy("day", "event_type")
   }
 
@@ -347,7 +347,7 @@ object Events {
       .toDF("user_id", "n_events")
       .filter(col("user_id") =!= -1L) // the sentinel's own open "session"
     // srcDir is the shared scratch staging — it must survive this run
-    graft.streaming.Drain.toParquet(perSession, work, shufflePartitions = Some(8))
+    graft.streaming.Drain.toParquet(perSession, work, shufflePartitions = Some(4))
       .groupBy("user_id")
       .agg(
         count(lit(1)).as("n_sessions"),
@@ -396,7 +396,7 @@ object Events {
       .toDF("user_id", "n_events")
     // file sink, not memory: per-session rows land in executor-written
     // parquet; only the final per-user rollup below aggregates them
-    graft.streaming.Drain.toParquet(perSession, work, shufflePartitions = Some(8))
+    graft.streaming.Drain.toParquet(perSession, work, shufflePartitions = Some(4))
       .groupBy("user_id")
       .agg(
         count(lit(1)).as("n_sessions"),

@@ -70,7 +70,7 @@ object StreamingOps {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
     // srcDir is shared scratch staging — it outlives this run
-    graft.streaming.Drain.toParquet(deduped, work, shufflePartitions = Some(8))
+    graft.streaming.Drain.toParquet(deduped, work, shufflePartitions = Some(4))
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),
@@ -97,7 +97,7 @@ object StreamingOps {
     val enriched = eventStream(spark, sfDir, srcDir)
       .join(broadcast(dim), "event_type")
       .select(col("event_type"), col("weight"), col("value"))
-    graft.streaming.Drain.toParquet(enriched, work, shufflePartitions = Some(8))
+    graft.streaming.Drain.toParquet(enriched, work, shufflePartitions = Some(4))
       .groupBy("event_type", "weight")
       .agg(
         count(lit(1)).as("n"),
@@ -137,7 +137,7 @@ object StreamingOps {
         col("purchase_ts") >= col("signup_ts") &&
         col("purchase_ts") <= col("signup_ts") + expr(s"interval $AttributionWindow"))
     // srcDir is shared scratch staging — it outlives this run
-    graft.streaming.Drain.toParquet(joined, work, shufflePartitions = Some(8))
+    graft.streaming.Drain.toParquet(joined, work, shufflePartitions = Some(4))
       .groupBy(col("purchase_ts").cast("date").as("day"))
       .agg(
         count(lit(1)).as("n_attributed"),
@@ -227,7 +227,7 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").cast("date").as("day"), col("event_type"), col("n"))
     val (sink, stats) = graft.streaming.Drain.toParquetWithStats(
-      stream, work, shufflePartitions = Some(8))
+      stream, work, shufflePartitions = Some(4))
     sink.agg(count(lit(1)).as("n_cells"), sum("n").as("n_events"))
       .select(col("n_cells"), col("n_events"),
         (lit(stats.inputRows) - 1L - col("n_events")).as("n_dropped"))
@@ -313,7 +313,7 @@ object StreamingOps {
       // far past it, and a user-id predicate here would be pushed below
       // the watermark nodes and neutralize them
       .filter(col("purchase_ts") <= timestamp_micros(lit(maxUs)))
-    graft.streaming.Drain.toParquet(joined, work, shufflePartitions = Some(8))
+    graft.streaming.Drain.toParquet(joined, work, shufflePartitions = Some(4))
       .groupBy(col("purchase_ts").cast("date").as("day"))
       .agg(
         count(lit(1)).as("n_rows"),
@@ -369,7 +369,7 @@ object StreamingOps {
         "coalesce(event_id, 0L) AS event_id")
       .as[(String, Long, Long)]
     val flagged = anomalyStream(ds).toDF("event_type", "event_id")
-    val drained = graft.streaming.Drain.toParquet(flagged, work, shufflePartitions = Some(8))
+    val drained = graft.streaming.Drain.toParquet(flagged, work, shufflePartitions = Some(4))
     val perType = drained.groupBy("event_type")
       .agg(count(lit(1)).as("n_flagged"), sum("event_id").as("flagged_id_sum"))
     val totals = Tables.events(spark, sfDir)
@@ -458,7 +458,7 @@ object StreamingOps {
       .as[(String, Long)]
     val sketched = kmvStream(ds).toDF("event_type", "k_used", "kth_hash")
     val drained = graft.streaming.Drain.toParquet(sketched, work,
-      shufflePartitions = Some(8))
+      shufflePartitions = Some(4))
     recoverKmvFinal(drained)
       .withColumn("est_distinct",
         when(col("k_used") < Events.KmvK, col("k_used").cast("double"))
