@@ -546,21 +546,24 @@ object OracleLlm {
        |FROM s ORDER BY event_type""".stripMargin
   }
 
-  /** containment mirror: banded candidates UNION the asymmetric anchor
-    * source (k smallest shingle hashes joined on the df-capped posting
-    * list), exact shingle-set intersection, integer-ppm directions.
+  /** containment mirror: banded candidates UNION the asymmetric
+    * rare-anchor source (k smallest hashes among each doc's df-capped
+    * RARE shingles, joined on the rare posting list), exact shingle-set
+    * intersection, integer-ppm directions.
     */
   val containmentSql: String =
     s"""WITH $sigCtes, $pairCtes,
        |post AS (SELECT doc_id AS id_o, unnest(hs) AS h FROM hs),
        |kepth AS (SELECT h FROM post GROUP BY h
        |          HAVING count(*) <= ${Dedup.ContainDfCap}),
-       |anch AS (SELECT doc_id AS id_s,
-       |                unnest(list_sort(hs)[1:${Dedup.ContainAnchorK}]) AS h
-       |         FROM hs WHERE len(hs) > 0),
+       |rpost AS (SELECT id_o, h FROM post JOIN kepth USING (h)),
+       |anch AS (SELECT id_o AS id_s, h FROM (
+       |           SELECT id_o, h,
+       |                  row_number() OVER (PARTITION BY id_o ORDER BY h) AS rn
+       |           FROM rpost) WHERE rn <= ${Dedup.ContainAnchorK}),
        |asym AS (SELECT DISTINCT least(id_s, id_o) AS id_a,
        |                greatest(id_s, id_o) AS id_b
-       |         FROM anch JOIN kepth USING (h) JOIN post USING (h)
+       |         FROM anch JOIN rpost USING (h)
        |         WHERE id_s <> id_o),
        |call AS (SELECT id_a, id_b FROM cand
        |         UNION SELECT id_a, id_b FROM asym)
