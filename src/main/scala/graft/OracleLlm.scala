@@ -585,11 +585,14 @@ object OracleLlm {
     * 16×4 band fold and equi-join, exact Jaccard verify, per-doc argmax
     * manifest.
     */
-  val mmNearDupSql: String = {
+  /** Shared byte-shingle pair chain `bhs`→`bver` — consumed by
+    * [[mmNearDupSql]] (per-doc manifest) and [[mmClusterSql]]
+    * (transitive-closure groups).
+    */
+  private lazy val mmPairCtes: String = {
     val kk = llm.Multimodal.NearDupK
     val st = llm.Multimodal.NearDupStride
-    val ppm = llm.Multimodal.NearDupPpm
-    s"""WITH bhs AS (
+    s"""bhs AS (
        |  SELECT doc_id, list_distinct(list_transform(range(1, length(text) - ${kk - 2}, $st),
        |    wi -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, $kk),
        |            wj -> CAST(unicode(substr(text, CAST(wi + wj AS INT), 1)) AS BIGINT))),
@@ -617,7 +620,15 @@ object OracleLlm {
        |         CAST(len(list_intersect(ha.hs, hb.hs)) * 1000000
        |           // (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) AS BIGINT) AS jac_ppm
        |  FROM bcand JOIN bh ha ON ha.doc_id = bcand.id_a
-       |             JOIN bh hb ON hb.doc_id = bcand.id_b),
+       |             JOIN bh hb ON hb.doc_id = bcand.id_b)""".stripMargin
+  }
+
+  /** payloadNearDup mirror: per-doc argmax manifest over the shared
+    * byte-shingle pair chain.
+    */
+  val mmNearDupSql: String = {
+    val ppm = llm.Multimodal.NearDupPpm
+    s"""WITH $mmPairCtes,
        |sym AS (SELECT id_a AS doc_id, id_b AS partner, jac_ppm FROM bver
        |        UNION ALL SELECT id_b, id_a, jac_ppm FROM bver),
        |best AS (
@@ -632,6 +643,95 @@ object OracleLlm {
        |       CAST(CASE WHEN coalesce(b.best_jac_ppm, 0) >= $ppm THEN 1 ELSE 0 END AS BIGINT) AS is_neardup
        |FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** payloadCluster mirror: transitive closure over the thresholded
+    * byte-shingle pairs (recursive reachability, min-id labels — the
+    * dedupCluster pattern), media keeper = argmax (octet_length, min
+    * doc_id), singletons absent.
+    */
+  val mmClusterSql: String = {
+    val ppm = llm.Multimodal.NearDupPpm
+    s"""WITH RECURSIVE $mmPairCtes,
+       |med AS (SELECT id_a, id_b FROM bver WHERE jac_ppm >= $ppm),
+       |mund AS (SELECT id_a AS a, id_b AS b FROM med
+       |         UNION SELECT id_b, id_a FROM med),
+       |mnodes AS (SELECT DISTINCT a AS id FROM mund),
+       |mreach(id, r) AS (
+       |  SELECT id, id FROM mnodes
+       |  UNION
+       |  SELECT u.b AS id, mreach.r AS r FROM mreach JOIN mund u ON u.a = mreach.id),
+       |mlab AS (SELECT id, min(r) AS comp FROM mreach GROUP BY id),
+       |mmem AS (
+       |  SELECT mlab.comp AS cluster_id, d.doc_id,
+       |         CAST(octet_length(CAST(d.text AS BLOB)) AS BIGINT) AS n_bytes
+       |  FROM mlab JOIN documents d ON d.doc_id = mlab.id),
+       |mrk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |           ORDER BY n_bytes DESC, doc_id) AS rn
+       |  FROM mmem)
+       |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |       CAST(min(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS kept_doc,
+       |       CAST(min(CASE WHEN rn = 1 THEN n_bytes END) AS BIGINT) AS kept_bytes,
+       |       CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+       |FROM mrk GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+  }
+
+  /** quantileSketch mirror: the dyadic Count-Min build (exact node
+    * counts → poly-hash collision cells, identical keying) and the
+    * UNROLLED descent — one CTE per level, each probing the left
+    * child's 4 cells via computed-key left joins and stepping the
+    * (bucket, residual-rank) state exactly like the engine's walk.
+    */
+  val quantileSketchSql: String = {
+    val L = llm.QuantileSketch.QsLevels
+    val W = llm.QuantileSketch.QsWidth
+    val bases = llm.QuantileSketch.QsBases
+    def hashE(levelLit: Int, bExpr: String, base: Long): String =
+      s"(${polyHash(s"CAST($levelLit AS VARCHAR) || ':' || CAST($bExpr AS VARCHAR)", base)}) % $W"
+    val cellBranches = bases.zipWithIndex.map { case (base, r) =>
+      s"""  SELECT level, CAST($r AS BIGINT) AS r,
+         |         (${polyHash("CAST(level AS VARCHAR) || ':' || CAST(bucket AS VARCHAR)", base)}) % $W AS cell,
+         |         CAST(sum(cnt) AS BIGINT) AS cnt
+         |  FROM qnodes GROUP BY 1, 3""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val walk = ((L - 1) to 0 by -1).map { l =>
+      val prev = if (l == L - 1) "t0" else s"w${l + 1}"
+      val joins = bases.indices.map { r =>
+        s"""  LEFT JOIN qcells c$r ON c$r.level = $l AND c$r.r = $r
+           |    AND c$r.cell = ${hashE(l, "2 * w.b", bases(r))}""".stripMargin
+      }.mkString("\n")
+      s"""w$l AS (
+         |  SELECT p, n,
+         |         CASE WHEN t <= est THEN 2 * b ELSE 2 * b + 1 END AS b,
+         |         CASE WHEN t <= est THEN t ELSE t - est END AS t
+         |  FROM (
+         |    SELECT w.p, w.n, w.b, w.t,
+         |           least(coalesce(c0.cnt, 0), coalesce(c1.cnt, 0),
+         |                 coalesce(c2.cnt, 0), coalesce(c3.cnt, 0)) AS est
+         |    FROM $prev w
+         |$joins))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cn AS (
+       |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+       |qnodes AS (
+       |  SELECT CAST(lv.level AS BIGINT) AS level,
+       |         cents // (CAST(1 AS BIGINT) << CAST(lv.level AS INT)) AS bucket,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM cn, (SELECT unnest(range(0, $L)) AS level) lv
+       |  GROUP BY 1, 2),
+       |qcells AS (
+       |$cellBranches),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cn),
+       |t0 AS (
+       |  SELECT CAST(p AS BIGINT) AS p, n, CAST(0 AS BIGINT) AS b,
+       |         1 + (p * (n - 1)) // 100 AS t
+       |  FROM (SELECT unnest([10, 25, 50, 75, 90, 99]) AS p), nn),
+       |$walk
+       |SELECT p AS p_pct, 1 + (p * (n - 1)) // 100 AS target_rank,
+       |       b AS est_cents, n AS n_values
+       |FROM w0 ORDER BY p_pct""".stripMargin
   }
 
   /** tempMix mirror: integer sqrt via floor(sqrt(double)) + the same

@@ -212,6 +212,8 @@ object SparkEntry {
     "x_containment" -> (llm.Dedup.containment _),
     "x_mm_dedup" -> (llm.Multimodal.payloadDedup _),
     "x_mm_neardup" -> (llm.Multimodal.payloadNearDup _),
+    "x_mm_cluster" -> (llm.Multimodal.payloadCluster _),
+    "x_quantile_sketch" -> (llm.QuantileSketch.quantileSketch _),
     "x_kcore" -> (llm.Graph.kcore _),
     "x_link_pred" -> (llm.Graph.linkPred _),
     "x_stream_kmv" -> (llm.StreamingOps.streamingKmv _),
@@ -956,6 +958,8 @@ object SparkEntry {
         |ORDER BY payload_md5""".stripMargin,
     "x_stream_kmv" -> OracleLlm.streamKmvSql,
     "x_mm_neardup" -> OracleLlm.mmNearDupSql,
+    "x_mm_cluster" -> OracleLlm.mmClusterSql,
+    "x_quantile_sketch" -> OracleLlm.quantileSketchSql,
     "x_bloom_fpr" -> OracleLlm.bloomFprSql,
     "x_marginal_coverage" -> OracleLlm.marginalCoverageSql,
     "x_lsh_curve" -> OracleLlm.lshCurveSql,

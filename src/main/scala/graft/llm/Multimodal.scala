@@ -163,6 +163,23 @@ object Multimodal {
           col("payload"), NearDupK, NearDupStride).as("hs"))
       .filter(size(col("hs")) > 0)
 
+  /** The verified candidate-pair table (id_a, id_b, jac_ppm) the per-doc
+    * manifest and the cluster view both consume.
+    */
+  def payloadNearDupPairsOf(hs: DataFrame): DataFrame = {
+    val sigs = hs.select(col("doc_id"),
+      graft.functions.MinHashSig.minhash_sig(col("hs")).as("sig"))
+    Dedup.candidatePairs(sigs)
+      .join(hs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(hs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("n_common"),
+        size(col("hs_a")).cast("long").as("n_a"),
+        size(col("hs_b")).cast("long").as("n_b"))
+      .withColumn("jac_ppm", expr("n_common * 1000000 div (n_a + n_b - n_common)"))
+      .select("id_a", "id_b", "jac_ppm")
+  }
+
   /** X-MM-NEARDUP core over any corpus — separated so a spec can drive
     * it with a strided-corruption pair that [[payloadDedup]]'s md5 key
     * misses. Candidates come from the SAME 16×4 banded MinHash
@@ -174,17 +191,10 @@ object Multimodal {
     * partner (highest exact Jaccard, min-id tie-break; −1 when none)
     * and an is_neardup verdict at [[NearDupPpm]].
     */
-  def payloadNearDupOf(docs: DataFrame, hs: DataFrame): DataFrame = {
-    val sigs = hs.select(col("doc_id"),
-      graft.functions.MinHashSig.minhash_sig(col("hs")).as("sig"))
-    val verified = Dedup.candidatePairs(sigs)
-      .join(hs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
-      .join(hs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("n_common"),
-        size(col("hs_a")).cast("long").as("n_a"),
-        size(col("hs_b")).cast("long").as("n_b"))
-      .withColumn("jac_ppm", expr("n_common * 1000000 div (n_a + n_b - n_common)"))
+  def payloadNearDupOf(docs: DataFrame, hs: DataFrame): DataFrame =
+    payloadNearDupManifest(docs, payloadNearDupPairsOf(hs))
+
+  private def payloadNearDupManifest(docs: DataFrame, verified: DataFrame): DataFrame = {
     val sym = verified.select(col("id_a").as("doc_id"), col("id_b").as("partner"), col("jac_ppm"))
       .union(verified.select(col("id_b").as("doc_id"), col("id_a").as("partner"), col("jac_ppm")))
     val best = sym.groupBy("doc_id")
@@ -207,6 +217,19 @@ object Multimodal {
   }
 
   private val payloadHsCache = new graft.Memo
+  private val payloadPairsCache = new graft.Memo
+
+  /** Memoized + cached verified pair table — x_mm_neardup's manifest and
+    * x_mm_cluster's grouping both consume it, and re-running the banded
+    * join + exact verify per consumer would be the re-scan tax the
+    * minhashPairsTable memo exists to kill.
+    */
+  def payloadNearDupPairsTable(spark: SparkSession, sfDir: String): DataFrame =
+    payloadPairsCache.getOrBuild(spark, sfDir, cache = true) {
+      payloadNearDupPairsOf(
+        payloadHsCache.getOrBuild(spark, sfDir, cache = true)(
+          payloadShingles(Tables.documents(spark, sfDir))))
+    }
 
   /** X-MM-NEARDUP: near-duplicate detection for opaque media payloads —
     * the rung X-MM-DEDUP's exact digest cannot reach: one re-encode,
@@ -217,10 +240,42 @@ object Multimodal {
     * band-keyed; the verify touches candidate rows only; the per-doc
     * argmax is one partial+final agg.
     */
-  def payloadNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    payloadNearDupOf(docs,
-      payloadHsCache.getOrBuild(spark, sfDir, cache = true)(payloadShingles(docs)))
+  def payloadNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    payloadNearDupManifest(Tables.documents(spark, sfDir),
+      payloadNearDupPairsTable(spark, sfDir))
+
+  /** X-MM-CLUSTER: near-dup GROUPS for media payloads — the transitive
+    * closure over [[payloadNearDupPairsTable]]'s verified pairs at the
+    * [[NearDupPpm]] threshold, with the media-curation keeper rule: keep
+    * the LARGEST payload (the least-recompressed copy — byte length is
+    * the no-decode proxy for fidelity), doc_id ascending as the exact
+    * tie-break. One row per multi-member cluster (id = min member id):
+    * member count, kept doc, kept/total byte mass — singletons are
+    * absent by contract (they need no decision), mirroring X-CANONICAL.
+    * Work beyond the shared pair table: pointer-jumping components on
+    * the pair-graph (pair-sized, never corpus-sized) and one per-cluster
+    * argmax window.
+    */
+  def payloadCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = payloadNearDupPairsTable(spark, sfDir)
+      .filter(col("jac_ppm") >= NearDupPpm)
+      .select("id_a", "id_b")
+    val comp = Graph.connectedComponents(edges)
+    val bytes = withPayload(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), length(col("payload")).cast("long").as("n_bytes"))
+    val members = comp.join(bytes, comp("id") === bytes("doc_id"))
+      .select(col("comp").as("cluster_id"), col("doc_id"), col("n_bytes"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_bytes").desc, col("doc_id"))
+    members.withColumn("rn", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        min(when(col("rn") === 1, col("doc_id"))).as("kept_doc"),
+        min(when(col("rn") === 1, col("n_bytes"))).as("kept_bytes"),
+        sum("n_bytes").as("total_bytes"))
+      .orderBy("cluster_id")
   }
 
   /** X-MM-DEDUP: exact dedup of opaque binary payloads — the first pass

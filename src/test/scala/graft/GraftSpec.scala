@@ -768,6 +768,63 @@ class GraftSpec extends AnyFunSuite {
       s"runtime filtering must plan 2 dirs, planned ${allCells.get()}")
   }
 
+  test("x_mm_cluster: groups are closed under the pair relation; keeper is the byte-mass argmax") {
+    val pairs = llm.Multimodal.payloadNearDupPairsTable(spark, sf)
+      .filter(col("jac_ppm") >= llm.Multimodal.NearDupPpm)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = llm.Multimodal.payloadCluster(spark, sf).collect()
+    val bytes = llm.Multimodal.withPayload(Tables.documents(spark, sf))
+      .select(col("doc_id"), length(col("payload")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // rebuild components driver-side (union-find) as the reference
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .groupBy(find).map { case (_, ms) =>
+        val sorted = ms.sorted
+        val keeper = ms.maxBy(d => (bytes(d), -d))
+        (sorted.min, ms.length.toLong, keeper, bytes(keeper),
+          ms.map(bytes).sum)
+      }.toSeq.sortBy(_._1)
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq.sortBy(_._1)
+    assert(got === expected, "cluster manifest equals the union-find reference")
+    assert(rows.forall(_.getLong(1) >= 2L), "singletons are absent by contract")
+  }
+
+  test("x_quantile_sketch: descent rank error bounded; every level conserves the mass") {
+    val rows = llm.QuantileSketch.quantileSketch(spark, sf).collect()
+    assert(rows.length === llm.QuantileSketch.QsPcts.length)
+    val cents = llm.QuantileSketch.centsOf(spark, sf).collect().map(_.getLong(0)).sorted
+    val n = cents.length
+    rows.foreach { r =>
+      val target = r.getAs[Long]("target_rank")
+      val est = r.getAs[Long]("est_cents")
+      val lo = cents.count(_ < est)
+      val hi = cents.count(_ <= est)
+      val err =
+        if (target - 1 >= lo && target - 1 < hi) 0L
+        else math.min(math.abs(target - 1 - lo), math.abs(target - hi))
+      assert(err.toDouble / n <= 0.05,
+        s"p${r.getAs[Long]("p_pct")}: descent rank error $err of $n")
+    }
+    assert(rows.forall(_.getAs[Long]("n_values") === n.toLong))
+    // conservation: every (level, hash-row) counter set sums to N — the
+    // linearity that makes per-shard sketches mergeable by addition
+    val sums = llm.QuantileSketch
+      .cellsOf(llm.QuantileSketch.centsOf(spark, sf))
+      .groupBy("level", "r").agg(sum("cnt").as("s")).collect()
+    assert(sums.length === llm.QuantileSketch.QsLevels * 4)
+    sums.foreach(s => assert(s.getAs[Long]("s") === n.toLong))
+  }
+
   test("x_kcore: survivor set is a fixpoint of the peel and every member keeps >= k") {
     import llm.Graph
     val out = Graph.kcore(spark, sf).collect()
@@ -4052,6 +4109,7 @@ class GraftSpec extends AnyFunSuite {
       "x_mm_dedup" -> "X-MM-DEDUP", "x_kcore" -> "X-KCORE",
       "x_link_pred" -> "X-LINK-PRED", "x_stream_kmv" -> "X-STREAM-KMV",
       "x_mm_neardup" -> "X-MM-NEARDUP", "x_sim_pq_serve" -> "X-SIM-PQ-SERVE",
+      "x_mm_cluster" -> "X-MM-CLUSTER", "x_quantile_sketch" -> "X-QUANTILE-SKETCH",
       "x_ltv" -> "X-LTV", "x_time_to_convert" -> "X-TIME-TO-CONVERT",
       "x_ab_srm" -> "X-AB-SRM", "x_bloom_fpr" -> "X-BLOOM-FPR",
       "x_marginal_coverage" -> "X-MARGINAL-COVERAGE",
