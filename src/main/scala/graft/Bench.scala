@@ -71,19 +71,8 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val fs = failures.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    // Per-query diagnostics: [warmup, pass1, pass2, pass3]. The headline
-    // "queries" stays the median of the timed passes; this map exists so a
-    // reader can distinguish uniform slowness (code) from one spiky pass
-    // (co-scheduled load) without rerunning the suite.
     def jnum(d: Double) = if (d.isNaN || d.isInfinite) "null" else d.toString
-    val ps = results.map { case (name, _) =>
-      val arr = (warmup.get(name).toSeq ++ passes.flatMap(_.get(name)))
-        .map(jnum).mkString("[", ",", "]")
-      jstr(name) + ":" + arr
-    }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
     // Self-adjudicating regression gate: compare each query's median
     // against the PREVIOUS artifact (read before this run overwrites it).
     // Box speed varies run to run (observed uniform 1.7-3× slowdowns on
@@ -102,23 +91,72 @@ object Bench {
             .map(g => g.group(1) -> g.group(2).toDouble).toMap
         }.getOrElse(Map.empty)
       } catch { case _: Throwable => Map.empty }
-    val ratios = results.flatMap { case (k, v) =>
-      prev.get(k).filter(_ > 0).map(p => (k, v / p, v, p))
-    }
-    val medianRatio =
-      if (ratios.isEmpty) 1.0 else ratios.map(_._2).sorted.apply(ratios.size / 2)
     // Intentional semantic changes: a query whose WORK legitimately grew
     // this round (documented reason) is reported under
     // "intentional_changes" instead of "regressions" — the artifact stays
     // self-adjudicating without burying a real plan drift behind it.
-    val intentional = Map(
-      "x_containment" -> ("r13: candidate set widened with the asymmetric " +
-        "anchor source (guaranteed subset-pair recall); the prior row " +
-        "verified banded pairs only"))
-    val flagged = ratios
-      .filter { case (_, r, v, _) => r > 1.5 * medianRatio && v > 0.2 }
-      .sortBy(-_._2)
-    val (intended, regressions) = flagged.partition(f => intentional.contains(f._1))
+    // SCOPED: each entry names the prev_sec range (from the prior round's
+    // committed artifact) it excuses, so it can only absorb the ONE
+    // transition it documents — once the new baseline is committed the
+    // entry goes dead instead of suppressing future genuine regressions
+    // of the same query forever (the round-13 x_containment entry did
+    // exactly that and is removed now that its baseline landed).
+    final case class Intentional(reason: String, prevLo: Double, prevHi: Double)
+    val intentional = Map.empty[String, Intentional]
+    def classify(rs: Seq[(String, Double, Double, Double)])
+        : (Double, Seq[(String, Double, Double, Double)], Seq[(String, Double, Double, Double)]) = {
+      val medianRatio =
+        if (rs.isEmpty) 1.0 else rs.map(_._2).sorted.apply(rs.size / 2)
+      val flagged = rs
+        .filter { case (_, r, v, _) => r > 1.5 * medianRatio && v > 0.2 }
+        .sortBy(-_._2)
+      val (i, g) = flagged.partition { case (k, _, _, p) =>
+        intentional.get(k).exists(e => p >= e.prevLo && p <= e.prevHi) }
+      (medianRatio, i, g)
+    }
+    def ratiosOf(res: Seq[(String, Double)]) = res.flatMap { case (k, v) =>
+      prev.get(k).filter(_ > 0).map(p => (k, v / p, v, p))
+    }
+    // Self-adjudication by RE-MEASUREMENT: a flagged regression is first
+    // re-timed (two extra passes of just the flagged queries) and its
+    // median recomputed over ALL passes — one co-scheduled job polluting
+    // the shared box can push any query past the 1.5× gate (round 13
+    // recorded three such flags that a quiet-box rerun cleared), and
+    // re-measuring inside the same run is the adjudication a reader
+    // can't do after the fact.
+    var finalResults = results
+    var extraPasses: Seq[Map[String, Double]] = Nil
+    var (medianRatio, intended, regressions) = classify(ratiosOf(results))
+    if (regressions.nonEmpty) {
+      val names = regressions.map(_._1).toSet
+      extraPasses = (1 to 2).map { _ =>
+        SparkEntry.queries.toSeq.filter(q => names(q._1)).flatMap { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); Some(name -> (System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable => failures(name) = msg(e); None }
+        }.toMap
+      }
+      finalResults = results.map { case (name, v) =>
+        if (!names(name)) name -> v
+        else {
+          val ts = (passes ++ extraPasses).flatMap(_.get(name)).sorted
+          name -> ts(ts.size / 2)
+        }
+      }
+      val re = classify(ratiosOf(finalResults))
+      medianRatio = re._1; intended = re._2; regressions = re._3
+    }
+    val qs = finalResults.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    // Per-query diagnostics: [warmup, pass1, pass2, pass3, re-measure...].
+    // The headline "queries" stays the median of the timed passes; this
+    // map exists so a reader can distinguish uniform slowness (code) from
+    // one spiky pass (co-scheduled load) without rerunning the suite.
+    val ps = finalResults.map { case (name, _) =>
+      val arr = (warmup.get(name).toSeq ++ (passes ++ extraPasses).flatMap(_.get(name)))
+        .map(jnum).mkString("[", ",", "]")
+      jstr(name) + ":" + arr
+    }.mkString("{", ",", "}")
+    val total = finalResults.map(_._2).sum
     // Full-fidelity artifact (full precision + per-pass diagnostics) goes to
     // the file; stdout gets a COMPACT line (3-decimal medians, no passes).
     // The driver parses the run's LAST output line as JSON and only keeps a
@@ -130,7 +168,7 @@ object Bench {
     }.mkString("[", ",", "]")
     val intentionals = intended.map { case (k, r, v, p) =>
       s"""{"q":${jstr(k)},"ratio":${jnum(r)},"sec":${jnum(v)},""" +
-        s""""prev_sec":${jnum(p)},"reason":${jstr(intentional(k))}}"""
+        s""""prev_sec":${jnum(p)},"reason":${jstr(intentional(k).reason)}}"""
     }.mkString("[", ",", "]")
     // BASELINE.md honesty: the reference publishes no benchmark; its only
     // implied latency bound is the 540 s Cloud Function timeout for ONE
@@ -145,8 +183,18 @@ object Bench {
       s""""baseline_sec":$baselineSec,""" +
       s""""bench_vs_baseline":${jnum(total / baselineSec)},""" +
       s""""n_failed":${failures.size},"failures":$fs,"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
-    catch { case _: Throwable => () }
+    // The gate REFUSES to persist an inconsistent artifact: a recorded
+    // baseline claiming unadjudicated regressions (survived the
+    // re-measure AND not routed through a scoped intentional entry)
+    // would make the next round's comparison start from numbers this
+    // run itself could not explain. The previous artifact stays in
+    // place; the stdout line still reports everything, marked refused —
+    // the fix is to adjudicate (quiet box rerun, or a scoped
+    // intentional entry documenting the semantic change) and re-run.
+    val gateOk = regressions.isEmpty
+    if (gateOk)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+      catch { case _: Throwable => () }
     // Locale.ROOT: the f"" interpolator uses the JVM default locale, and a
     // comma-decimal locale would print "0,123" — invalid JSON.
     def j3(d: Double) =
@@ -157,8 +205,11 @@ object Bench {
     // the SLOWEST queries up to a fixed character budget (the ones a
     // grader wants in view) plus the full total/failure accounting;
     // bench_out.json holds every query and the per-pass diagnostics.
-    val budget = 1200
-    val slowest = results.sortBy(-_._2)
+    // 1000 (was 1200): the compact line now also carries up to 6
+    // regression records (~480 chars worst case) and must still fit the
+    // driver's ~2000-char log tail with headroom
+    val budget = 1000
+    val slowest = finalResults.sortBy(-_._2)
     val entries = scala.collection.mutable.ListBuffer.empty[String]
     var used = 0
     var full = false
@@ -177,10 +228,15 @@ object Bench {
     // carries the true count, bench_out.json the full map
     val fsCompact = failures.take(8).map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
+    val regsCompact = regressions.take(6).map { case (k, r, v, p) =>
+      s"""{"q":${jstr(k)},"ratio":${j3(r)},"sec":${j3(v)},"prev_sec":${j3(p)}}"""
+    }.mkString("[", ",", "]")
     val compact = s"""{"metric":"total","value":${j3(total)},"unit":"sec",""" +
-      s""""n_queries":${results.size},"queries":$qs3,""" +
+      s""""n_queries":${finalResults.size},"queries":$qs3,""" +
       s""""n_regressions":${regressions.size},""" +
+      s""""regressions":$regsCompact,""" +
       s""""n_intentional":${intended.size},""" +
+      s""""gate":${jstr(if (gateOk) "ok" else "refused_unadjudicated_regressions_artifact_not_persisted")},""" +
       s""""bench_vs_baseline":${j3(total / baselineSec)},""" +
       s""""n_failed":${failures.size},"failures":$fsCompact,"sf":"$sfDir"}"""
     spark.stop()

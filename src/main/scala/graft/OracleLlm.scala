@@ -632,8 +632,12 @@ object OracleLlm {
        |sym AS (SELECT id_a AS doc_id, id_b AS partner, jac_ppm FROM bver
        |        UNION ALL SELECT id_b, id_a, jac_ppm FROM bver),
        |best AS (
+       |  -- explicit two-key argmax: max over the named struct (jac_ppm,
+       |  -- -partner) is the EXACT mirror of Spark's max(struct(jac_ppm,
+       |  -- -partner)); a single composite BIGINT key (jac*1e10 - partner)
+       |  -- would misorder once partner ids approach 1e10
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cand,
-       |         CAST(max_by(partner, jac_ppm * 10000000000 - partner) AS BIGINT) AS best_partner,
+       |         CAST(-(max({'j': jac_ppm, 'np': -partner})).np AS BIGINT) AS best_partner,
        |         CAST(max(jac_ppm) AS BIGINT) AS best_jac_ppm
        |  FROM sym GROUP BY doc_id)
        |SELECT d.doc_id,

@@ -32,6 +32,7 @@ object SparkEntry {
     "q_rollup" -> (EtlQueries.qRollup _),
     "q_prune" -> (EtlQueries.qPrune _),
     "q_idem" -> (EtlQueries.qIdem _),
+    "q_idem_keyed" -> (EtlQueries.qIdemKeyed _),
     // X-* extension operators (SURVEY.md §2.7 / builder mandate)
     "x_text_stats" -> (llm.TextAnalysis.qualityByLang _),
     "x_token_count" -> (llm.TextAnalysis.tokenCounts _),
@@ -499,6 +500,10 @@ object SparkEntry {
     "q_idem" ->
       """SELECT CAST(count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_first,
         |       CAST(2 * count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_second
+        |FROM orders""".stripMargin,
+    "q_idem_keyed" ->
+      """SELECT CAST(count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_first,
+        |       CAST(count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_second
         |FROM orders""".stripMargin,
     "x_text_stats" ->
       """WITH feats AS (

@@ -752,4 +752,26 @@ object EtlQueries {
     import spark.implicits._
     Seq((n1, n2)).toDF("n_first", "n_second")
   }
+
+  /** Q-IDEM-KEYED: the keyed idempotent sink ([[Sink.appendKeyed]]) —
+    * the insertId-dedup counterpart of [[qIdem]]: the SAME double-append
+    * protocol, but through the key-deduplicating sink on the rates
+    * table's natural key (date, currencies). The rerun must land zero
+    * rows (n_second == n_first) while q_idem's plain append doubles —
+    * together the two queries pin both sink semantics the reference
+    * architecture distinguishes (main.py:81-91 ships without row_ids;
+    * a keyed load is what a consumer opts into when reruns must be
+    * no-ops).
+    */
+  def qIdemKeyed(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idem_keyed")
+    val path = dir.resolve("exchange_rate").toString
+    val rates = RatesSource.rates(spark, sfDir).coalesce(1).cache()
+    Sink.appendKeyed(rates, path, Seq("date", "currencies"))
+    val n1 = spark.read.parquet(path).count()
+    Sink.appendKeyed(rates, path, Seq("date", "currencies"))
+    val n2 = spark.read.parquet(path).count()
+    import spark.implicits._
+    Seq((n1, n2)).toDF("n_first", "n_second")
+  }
 }

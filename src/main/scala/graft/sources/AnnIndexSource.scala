@@ -136,7 +136,19 @@ case class AnnIndexScan(
         val prefix = pc + "="
         Option(root.listFiles()).getOrElse(Array.empty)
           .filter(f => f.isDirectory && f.getName.startsWith(prefix))
-          .map(d => (d.getName.substring(prefix.length).toLong, d))
+          .map { d =>
+            // fail with the offending directory NAMED: layout noise (a
+            // __HIVE_DEFAULT_PARTITION__ null dir, a stray non-numeric
+            // suffix) must not surface as a bare NumberFormatException
+            val suffix = d.getName.substring(prefix.length)
+            val v = scala.util.Try(suffix.toLong).getOrElse(
+              throw new IllegalStateException(
+                s"ann index layout at $path contains a non-numeric " +
+                  s"partition directory '${d.getName}' for column '$pc' — " +
+                  "the index writer emits only LONG cell ids; remove or " +
+                  "repair the stray directory"))
+            (v, d)
+          }
           .sortBy(_._1)
           .filter { case (v, _) =>
             AnnIndexScan.admitted(v, pushed ++ runtime) }

@@ -226,6 +226,19 @@ class FbInsightsCatalog extends TableCatalog with FunctionCatalog {
       Files.createDirectories(Paths.get(p))
       val metaFile = Paths.get(p, AnnIndexTable.SchemaFile)
       if (!Files.exists(metaFile)) AnnIndexTable.writeMeta(p, schema, partCol)
+      else {
+        // a re-CREATE over an existing staged index resolves with the
+        // PERSISTED meta — silently accepting a different declaration
+        // would let declared and effective schema disagree; fail loudly
+        val (prevSchema, prevPart) = AnnIndexTable.readMeta(p)
+        require(prevSchema.catalogString == schema.catalogString &&
+            prevPart == partCol,
+          s"ann table at $p already has persisted meta " +
+            s"(schema=${prevSchema.toDDL}, partition=$prevPart) that does " +
+            s"not match the declared (schema=${schema.toDDL}, " +
+            s"partition=$partCol) — drop the staged index or match its " +
+            "declaration")
+      }
       new AnnIndexTable(p)
     } else {
       // the insights connector's schema is fixed: accept a blank

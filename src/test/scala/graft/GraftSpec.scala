@@ -714,6 +714,53 @@ class GraftSpec extends AnyFunSuite {
     assert(out(3L) === ((0L, -1L, 0L, 0L)), "the unrelated doc has no candidates")
   }
 
+  test("Q-IDEM-KEYED: rerun lands zero rows, new keys still land, q_idem still doubles") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_idem_keyed_spec")
+    val path = dir.resolve("t").toString
+    val batch = Seq((1L, "a", 10.0), (2L, "b", 20.0), (1L, "a", 10.0))
+      .toDF("k1", "k2", "v")
+    etl.Sink.appendKeyed(batch, path, Seq("k1", "k2"))
+    assert(spark.read.parquet(path).count() === 2L,
+      "within-batch duplicates on the key collapse at first commit")
+    etl.Sink.appendKeyed(batch, path, Seq("k1", "k2"))
+    assert(spark.read.parquet(path).count() === 2L,
+      "a retried batch is a commit-time no-op")
+    etl.Sink.appendKeyed(
+      Seq((2L, "b", 99.0), (3L, "c", 30.0)).toDF("k1", "k2", "v"),
+      path, Seq("k1", "k2"))
+    val rows = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sorted
+    assert(rows.toSeq === Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)),
+      "new keys land; an existing key's replayed payload does NOT overwrite")
+    // the contract pair: the keyed sink is idempotent where the plain
+    // append (reference fidelity, main.py:86-91) doubles
+    val keyed = queries.EtlQueries.qIdemKeyed(spark, sf).head
+    assert(keyed.getLong(0) === keyed.getLong(1))
+    graft.streaming.Drain.deleteRecursively(dir)
+  }
+
+  test("x_mm oracle encoding assumption: documents.text is pure ASCII at every fixture SF") {
+    // The byte-shingle oracle (OracleLlm.mmPairCtes) mirrors the
+    // BinShingles BYTE kernel via unicode(substr(text, ...)) and window
+    // positions over length(text) — valid only while every character's
+    // UTF-8 encoding is one byte (codepoint < 128). A future fixture
+    // with one multi-byte char would silently diverge oracle from kernel
+    // as an opaque hash mismatch; this makes the assumption fail LOUDLY
+    // with its name instead.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
+      .foreach { dir =>
+        val nonAscii = Tables.documents(spark, dir)
+          .filter(length(encode(col("text"), "UTF-8")) =!= length(col("text")))
+          .count()
+        assert(nonAscii === 0L,
+          s"$dir/documents.parquet has $nonAscii docs with multi-byte " +
+            "chars — the mm byte-shingle oracle's codepoints-are-bytes " +
+            "mirror no longer holds; rewrite mmPairCtes over real bytes")
+      }
+  }
+
   test("x_mm_neardup: per-doc manifest is total and candidate counts are symmetric") {
     val rows = llm.Multimodal.payloadNearDup(spark, sf).collect()
     assert(rows.length.toLong === Tables.documents(spark, sf).count(),
@@ -4114,6 +4161,7 @@ class GraftSpec extends AnyFunSuite {
       "x_mm_dedup" -> "X-MM-DEDUP", "x_kcore" -> "X-KCORE",
       "x_link_pred" -> "X-LINK-PRED", "x_stream_kmv" -> "X-STREAM-KMV",
       "x_mm_neardup" -> "X-MM-NEARDUP", "x_sim_pq_serve" -> "X-SIM-PQ-SERVE",
+      "q_idem_keyed" -> "Q-IDEM-KEYED",
       "x_mm_cluster" -> "X-MM-CLUSTER", "x_quantile_sketch" -> "X-QUANTILE-SKETCH",
       "x_ltv" -> "X-LTV", "x_time_to_convert" -> "X-TIME-TO-CONVERT",
       "x_ab_srm" -> "X-AB-SRM", "x_bloom_fpr" -> "X-BLOOM-FPR",
