@@ -681,6 +681,53 @@ object OracleLlm {
        |FROM mrk GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
   }
 
+  /** mmPipeline mirror: digest dedup (identical payload ⟺ identical
+    * text, since the payload IS the UTF-8 text — so the keeper group
+    * key mirrors as the text itself), thresholded byte-shingle pairs
+    * restricted to the survivors, recursive components, the
+    * largest-payload keeper rule, and the stride ceil-div resize
+    * accounting.
+    */
+  val mmPipelineSql: String = {
+    val ppm = llm.Multimodal.NearDupPpm
+    val st = llm.Multimodal.ResizeStride
+    s"""WITH RECURSIVE $mmPairCtes,
+       |pay AS (SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, text
+       |        FROM documents),
+       |s1 AS (SELECT p.doc_id, p.n_bytes FROM pay p
+       |       JOIN (SELECT min(doc_id) AS doc_id FROM pay GROUP BY text) k
+       |         ON k.doc_id = p.doc_id),
+       |ped AS (SELECT id_a, id_b FROM bver
+       |        WHERE jac_ppm >= $ppm
+       |          AND id_a IN (SELECT doc_id FROM s1)
+       |          AND id_b IN (SELECT doc_id FROM s1)),
+       |pund AS (SELECT id_a AS a, id_b AS b FROM ped UNION SELECT id_b, id_a FROM ped),
+       |pnodes AS (SELECT DISTINCT a AS id FROM pund),
+       |preach(id, r) AS (
+       |  SELECT id, id FROM pnodes
+       |  UNION
+       |  SELECT u.b AS id, preach.r AS r FROM preach JOIN pund u ON u.a = preach.id),
+       |plab AS (SELECT id, min(r) AS comp FROM preach GROUP BY id),
+       |pmem AS (SELECT plab.comp AS cluster_id, s1.doc_id, s1.n_bytes
+       |         FROM plab JOIN s1 ON s1.doc_id = plab.id),
+       |pdrop AS (SELECT doc_id FROM (
+       |    SELECT doc_id, row_number() OVER (PARTITION BY cluster_id
+       |             ORDER BY n_bytes DESC, doc_id) AS rn FROM pmem)
+       |  WHERE rn > 1),
+       |s2 AS (SELECT doc_id, n_bytes FROM s1
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM pdrop)),
+       |s3 AS (SELECT doc_id, (n_bytes + ${st - 1}) // $st AS n_bytes FROM s2)
+       |SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(coalesce(sum(n_bytes), 0) AS BIGINT) AS n_bytes FROM pay
+       |UNION ALL SELECT '1_exact_dedup', CAST(count(*) AS BIGINT),
+       |       CAST(coalesce(sum(n_bytes), 0) AS BIGINT) FROM s1
+       |UNION ALL SELECT '2_neardup_canonical', CAST(count(*) AS BIGINT),
+       |       CAST(coalesce(sum(n_bytes), 0) AS BIGINT) FROM s2
+       |UNION ALL SELECT '3_resize', CAST(count(*) AS BIGINT),
+       |       CAST(coalesce(sum(n_bytes), 0) AS BIGINT) FROM s3
+       |ORDER BY stage""".stripMargin
+  }
+
   /** quantileSketch mirror: the dyadic Count-Min build (exact node
     * counts → poly-hash collision cells, identical keying) and the
     * UNROLLED descent — one CTE per level, each probing the left

@@ -214,6 +214,7 @@ object SparkEntry {
     "x_mm_dedup" -> (llm.Multimodal.payloadDedup _),
     "x_mm_neardup" -> (llm.Multimodal.payloadNearDup _),
     "x_mm_cluster" -> (llm.Multimodal.payloadCluster _),
+    "x_mm_pipeline" -> (llm.Multimodal.mmPipeline _),
     "x_quantile_sketch" -> (llm.QuantileSketch.quantileSketch _),
     "x_kcore" -> (llm.Graph.kcore _),
     "x_link_pred" -> (llm.Graph.linkPred _),
@@ -964,6 +965,7 @@ object SparkEntry {
     "x_stream_kmv" -> OracleLlm.streamKmvSql,
     "x_mm_neardup" -> OracleLlm.mmNearDupSql,
     "x_mm_cluster" -> OracleLlm.mmClusterSql,
+    "x_mm_pipeline" -> OracleLlm.mmPipelineSql,
     "x_quantile_sketch" -> OracleLlm.quantileSketchSql,
     "x_bloom_fpr" -> OracleLlm.bloomFprSql,
     "x_marginal_coverage" -> OracleLlm.marginalCoverageSql,

@@ -306,4 +306,61 @@ object Multimodal {
         min("doc_id").as("keeper_id"),
         countDistinct("source").as("n_sources"),
         sum("n_bytes").as("bytes_total"))
+
+  /** X-MM-PIPELINE: the media-curation funnel as ONE query — exact digest
+    * dedup → byte-shingle near-dup clusters with the largest-payload
+    * canonical keeper → stride-resize, with per-stage (docs, BYTES)
+    * accounting ([[graft.llm.Pipeline.stageCounts]] is the text twin;
+    * media pipelines account in bytes because storage, not tokens, is
+    * what the funnel reclaims). Every stage reuses its standalone
+    * operator's exact semantics: the md5 min-doc_id keeper rule
+    * (X-MM-DEDUP), the verified ≥[[NearDupPpm]] pair set restricted to
+    * exact-dedup survivors with [[payloadCluster]]'s keep-the-largest
+    * rule (X-MM-NEARDUP/X-MM-CLUSTER), and [[ResizeStride]]'s ceil-div
+    * output length (X-MM-RESIZE) — so the per-stage numbers RECONCILE
+    * with the standalone manifests (spec-asserted).
+    *
+    * Scale shape: one scan computes (digest, byte length) per doc — the
+    * exchange under the digest groupBy carries 32-hex digests + 8-byte
+    * counters, never payloads; the near-dup stage reuses the memoized
+    * verified pair table (band equi-join, pair-sized) semi-joined to
+    * survivors; components run on the pair graph; the resize accounting
+    * is pure per-row arithmetic (the byte rewrite itself is
+    * X-MM-RESIZE's mapPartitions job — a funnel report must not re-emit
+    * the corpus).
+    */
+  def mmPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val enr = withPayload(Tables.documents(spark, sfDir))
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("dg"))
+      .cache()
+    val s1keep = enr.groupBy("dg").agg(min("doc_id").as("doc_id")).select("doc_id")
+    val s1 = enr.join(s1keep, Seq("doc_id"), "left_semi").cache()
+    val edges = payloadNearDupPairsTable(spark, sfDir)
+      .filter(col("jac_ppm") >= NearDupPpm)
+      .join(s1.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(s1.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+      .select("id_a", "id_b")
+    val members = Graph.connectedComponents(edges)
+      .join(s1, col("id") === s1("doc_id"))
+      .select(col("comp").as("cluster_id"), col("doc_id"), col("n_bytes"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_bytes").desc, col("doc_id"))
+    val dropNear = members.withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1).select("doc_id")
+    val s2 = s1.join(dropNear, Seq("doc_id"), "left_anti").cache()
+    val s3 = s2.select(col("doc_id"),
+      expr(s"(n_bytes + ${ResizeStride - 1}) div $ResizeStride").as("n_bytes"))
+    def stat(df: DataFrame, label: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("n_bytes"), lit(0L)).as("n_bytes"))
+        .select(lit(label).as("stage"), col("n_docs"), col("n_bytes"))
+    stat(enr, "0_raw")
+      .unionAll(stat(s1, "1_exact_dedup"))
+      .unionAll(stat(s2, "2_neardup_canonical"))
+      .unionAll(stat(s3, "3_resize"))
+      .orderBy("stage")
+  }
 }

@@ -740,6 +740,47 @@ class GraftSpec extends AnyFunSuite {
     graft.streaming.Drain.deleteRecursively(dir)
   }
 
+  test("X-MM-PIPELINE: stage counts reconcile with the standalone mm operators") {
+    val stages = llm.Multimodal.mmPipeline(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(stages.keySet === Set("0_raw", "1_exact_dedup", "2_neardup_canonical", "3_resize"))
+    // stage 0 == the meta projection's totals (X-MM-META)
+    val meta = llm.Multimodal.meta(spark, sf)
+      .agg(count(lit(1)), sum("n_bytes")).head
+    assert(stages("0_raw") === ((meta.getLong(0), meta.getLong(1))))
+    // stage 1 == one keeper per X-MM-DEDUP digest group
+    val dedup = llm.Multimodal.payloadDedup(spark, sf).cache()
+    assert(stages("1_exact_dedup")._1 === dedup.count())
+    // stage 2: recompose the survivor set from the STANDALONE fragments —
+    // digest keepers, the shared verified pair table thresholded at
+    // NearDupPpm and restricted to keepers, components, the
+    // largest-payload keeper rule — and match count AND bytes
+    import org.apache.spark.sql.expressions.Window
+    val keepers = dedup.select(col("keeper_id").as("doc_id"))
+    val bytes = llm.Multimodal.meta(spark, sf).select(col("doc_id"), col("n_bytes"))
+    val edges = llm.Multimodal.payloadNearDupPairsTable(spark, sf)
+      .filter(col("jac_ppm") >= llm.Multimodal.NearDupPpm)
+      .join(keepers.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
+      .join(keepers.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
+      .select("id_a", "id_b")
+    val drop = llm.Graph.connectedComponents(edges)
+      .join(bytes, col("id") === bytes("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("comp").orderBy(col("n_bytes").desc, col("doc_id"))))
+      .filter(col("rn") > 1).select("doc_id")
+    val survivors = keepers.join(drop, Seq("doc_id"), "left_anti").cache()
+    val s2 = survivors.join(bytes, Seq("doc_id"))
+      .agg(count(lit(1)), sum("n_bytes")).head
+    assert(stages("2_neardup_canonical") === ((s2.getLong(0), s2.getLong(1))))
+    // stage 3: the SAME survivors carrying X-MM-RESIZE's actual emitted
+    // artifact sizes — the funnel's accounting matches the real rewrite
+    val s3 = llm.Multimodal.resize(spark, sf)
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)), sum("n_bytes_out")).head
+    assert(stages("3_resize") === ((s3.getLong(0), s3.getLong(1))))
+    dedup.unpersist(); survivors.unpersist()
+  }
+
   test("x_mm oracle encoding assumption: documents.text is pure ASCII at every fixture SF") {
     // The byte-shingle oracle (OracleLlm.mmPairCtes) mirrors the
     // BinShingles BYTE kernel via unicode(substr(text, ...)) and window
@@ -4161,7 +4202,7 @@ class GraftSpec extends AnyFunSuite {
       "x_mm_dedup" -> "X-MM-DEDUP", "x_kcore" -> "X-KCORE",
       "x_link_pred" -> "X-LINK-PRED", "x_stream_kmv" -> "X-STREAM-KMV",
       "x_mm_neardup" -> "X-MM-NEARDUP", "x_sim_pq_serve" -> "X-SIM-PQ-SERVE",
-      "q_idem_keyed" -> "Q-IDEM-KEYED",
+      "q_idem_keyed" -> "Q-IDEM-KEYED", "x_mm_pipeline" -> "X-MM-PIPELINE",
       "x_mm_cluster" -> "X-MM-CLUSTER", "x_quantile_sketch" -> "X-QUANTILE-SKETCH",
       "x_ltv" -> "X-LTV", "x_time_to_convert" -> "X-TIME-TO-CONVERT",
       "x_ab_srm" -> "X-AB-SRM", "x_bloom_fpr" -> "X-BLOOM-FPR",
