@@ -112,6 +112,7 @@ object SparkEntry {
     "x_retention" -> (llm.Events.retention _),
     "x_sliding" -> (llm.Events.slidingDaily _),
     "x_stream_dedup" -> (llm.StreamingOps.streamingDedup _),
+    "x_stream_neardup" -> (llm.StreamingOps.streamingNearDup _),
     "x_stream_join" -> (llm.StreamingOps.streamingJoin _),
     "x_connected" -> (llm.Graph.components _),
     "x_stratified" -> (llm.Sampling.stratified _),
@@ -1238,6 +1239,10 @@ object SparkEntry {
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // ingest-time banding against the persisted index emits exactly the
+    // delta-touching pair set — the oracle is x_dedup_incr's, verbatim
+    // (batch ≡ stream)
+    "x_stream_neardup" -> OracleLlm.dedupIncrSql,
     // the same event-time range join in plain SQL (ns→µs truncation on
     // both sides, per the sessions-oracle precedent)
     "x_stream_join" ->

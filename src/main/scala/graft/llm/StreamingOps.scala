@@ -486,6 +486,120 @@ object StreamingOps {
       .select(col("event_type"), col("s.k_used").as("k_used"),
         (-col("s.neg_kth")).as("kth_hash"))
 
+  /** Marker-gated scratch staging for [[streamingNearDup]]: the
+    * persisted LSH artifacts (the full corpus's band index + signature
+    * table — what a production pipeline keeps on storage between ingest
+    * days) and the DELTA documents (doc_id % 10 == 0, x_dedup_incr's
+    * membership) split into 4 chronological chunk files with pinned
+    * mtimes so `maxFilesPerTrigger=1` replays them as 4 micro-batches.
+    */
+  private def nearDupStaging(spark: SparkSession, sfDir: String): java.nio.file.Path = {
+    val rootS = graft.etl.Sink.scratchPath(sfDir, "stream_neardup")
+    val root = java.nio.file.Paths.get(rootS)
+    val marker = root.resolve("_GRAFT_OK_v1")
+    if (!java.nio.file.Files.exists(marker)) {
+      graft.etl.Sink.dropUncommitted(rootS)
+      java.nio.file.Files.createDirectories(root)
+      val sigs = Dedup.signatureTable(spark, sfDir)
+      sigs.write.parquet(root.resolve("sigs").toString)
+      Dedup.bandsOf(sigs).write.parquet(root.resolve("bands").toString)
+      val delta = Tables.documents(spark, sfDir)
+        .filter(pmod(col("doc_id"), lit(10L)) === 0L)
+      val chunksDir = root.resolve("chunks")
+      java.nio.file.Files.createDirectories(chunksDir)
+      (0 until 4).foreach { i =>
+        val tmp = root.resolve(s"tmp_chunk$i")
+        delta.filter(pmod(expr("doc_id div 10"), lit(4L)) === i.toLong)
+          .coalesce(1).write.parquet(tmp.toString)
+        import scala.jdk.CollectionConverters._
+        val listing = java.nio.file.Files.list(tmp)
+        val parts =
+          try listing.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          finally listing.close()
+        require(parts.size == 1,
+          s"neardup chunk $i produced ${parts.size} parquet parts, expected 1")
+        val dst = chunksDir.resolve(s"chunk$i.parquet")
+        java.nio.file.Files.move(parts.head, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(i * 1000L))
+        graft.streaming.Drain.deleteRecursively(tmp)
+      }
+      java.nio.file.Files.createFile(marker)
+    }
+    root
+  }
+
+  /** X-STREAM-NEARDUP: ingest-time near-duplicate detection against the
+    * PERSISTED LSH band index — the streaming sibling of
+    * [[streamingDedup]]'s exact-id dedup and the production shape of
+    * [[Dedup.dedupIncremental]]: a live pipeline cannot re-band history
+    * per micro-batch, and never needs to — new documents are shingled,
+    * signed and banded INSIDE the micro-batch loop (`foreachBatch`), and
+    * ONE band equi-join against the persisted index yields every
+    * candidate pair touching the batch; signature agreement against the
+    * persisted signature table scores them. Cost per batch ∝ batch size
+    * (the banding is a narrow map over batch rows; the index join is
+    * band-keyed with the batch side broadcastable), never ∝ corpus.
+    *
+    * The delta replays as 4 chronological chunks so pairs genuinely
+    * arrive across micro-batch boundaries; a delta-delta pair is found
+    * from EITHER endpoint's batch (the at-least-once shape of an
+    * append-only pair log), so the rollup dedups on the normalized pair
+    * key. Output — and oracle — are exactly x_dedup_incr's: the full
+    * banded pair set restricted to pairs touching the delta, with the
+    * same signature-agreement estimate, proving batch ≡ stream
+    * (spec-asserted row-for-row).
+    */
+  def streamingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = nearDupStaging(spark, sfDir)
+    val work = java.nio.file.Files.createTempDirectory(
+      "graft_stream_neardup_" + runs.incrementAndGet() + "_")
+    val outDir = work.resolve("out").toString
+    val docSchema = Tables.documents(spark, sfDir).schema
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(root.resolve("chunks").toString)
+    val bandsPath = root.resolve("bands").toString
+    val sigsPath = root.resolve("sigs").toString
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        // sign + band ONLY the batch (no .cache(): micro-batch frames are
+        // single-consumer here and a per-batch cache entry would leak)
+        val batchSigs = batch
+          .select(col("doc_id"), Dedup.shingleHashes(col("text")).as("hs"))
+          .filter(size(col("hs")) > 0)
+          .select(col("doc_id"),
+            graft.functions.MinHashSig.minhash_sig(col("hs")).as("sig"))
+        val idx = ss.read.parquet(bandsPath)
+        val pairs = Dedup.bandsOf(batchSigs).as("l")
+          .join(idx.as("r"),
+            col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+              col("l.doc_id") =!= col("r.doc_id"))
+          .select(
+            least(col("l.doc_id"), col("r.doc_id")).as("id_a"),
+            greatest(col("l.doc_id"), col("r.doc_id")).as("id_b"))
+          .distinct()
+        val sigTbl = ss.read.parquet(sigsPath)
+        pairs
+          .join(sigTbl.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+          .join(sigTbl.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+              .cast("double") / Dedup.NumHashes).as("est_jaccard"))
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    graft.streaming.Drain.deleteRecursively(work.resolve("ckpt"))
+    graft.streaming.Drain.cleanupAtExit(work)
+    // a delta-delta pair surfaces from both endpoints' batches with the
+    // SAME signature-agreement estimate; the pair log dedups on the key
+    spark.read.parquet(outDir).dropDuplicates("id_a", "id_b")
+  }
+
   /** The per-type KMV merge transform — separated from
     * [[streamingKmv]]'s staging so a spec can drive it batch-by-batch
     * and assert the state genuinely refines ACROSS batches.

@@ -2696,6 +2696,22 @@ class GraftSpec extends AnyFunSuite {
     assert(deduped === single)
   }
 
+  test("X-STREAM-NEARDUP: ingest-time banding equals the batch incremental formulation") {
+    // batch ≡ stream: the 4-chunk foreachBatch replay against the
+    // persisted band index must reproduce x_dedup_incr's pair set and
+    // estimates ROW FOR ROW (same contract as x_stream_daily vs q_daily)
+    val stream = llm.StreamingOps.streamingNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val batch = llm.Dedup.dedupIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(stream.nonEmpty, "the fixture plants delta-touching near-dup pairs")
+    assert(stream === batch)
+    // every pair touches the delta — the ingest-side contract
+    stream.foreach { case (a, b, _) =>
+      assert(a % 10 == 0 || b % 10 == 0, s"pair ($a,$b) touches no delta doc")
+    }
+  }
+
   test("x_stream_join: stream-stream range join equals the batch range join") {
     val streamed = llm.StreamingOps.streamingJoin(spark, sf).collect().map(_.toSeq).toSeq
     val ev = Tables.events(spark, sf)
@@ -4203,6 +4219,7 @@ class GraftSpec extends AnyFunSuite {
       "x_link_pred" -> "X-LINK-PRED", "x_stream_kmv" -> "X-STREAM-KMV",
       "x_mm_neardup" -> "X-MM-NEARDUP", "x_sim_pq_serve" -> "X-SIM-PQ-SERVE",
       "q_idem_keyed" -> "Q-IDEM-KEYED", "x_mm_pipeline" -> "X-MM-PIPELINE",
+      "x_stream_neardup" -> "X-STREAM-NEARDUP",
       "x_mm_cluster" -> "X-MM-CLUSTER", "x_quantile_sketch" -> "X-QUANTILE-SKETCH",
       "x_ltv" -> "X-LTV", "x_time_to_convert" -> "X-TIME-TO-CONVERT",
       "x_ab_srm" -> "X-AB-SRM", "x_bloom_fpr" -> "X-BLOOM-FPR",
