@@ -96,6 +96,29 @@ object OracleLlm {
        |WHERE id_a % 10 = 0 OR id_b % 10 = 0
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** contrastivePairs mirror: the same banded pair formulation,
+    * symmetrized, with per-anchor (max est, min partner) struct argmax
+    * on both sides of the threshold — positive ≥ T, hard negative < T —
+    * and the inner join keeping only complete triplets.
+    */
+  val contrastiveSql: String = {
+    val t = Dedup.NearDupThreshold
+    def best(idName: String, jacName: String, cond: String): String =
+      s"""SELECT anchor,
+         |  CAST(-(max({'e': est_jaccard, 'np': -partner})).np AS BIGINT) AS $idName,
+         |  (max({'e': est_jaccard, 'np': -partner})).e AS $jacName
+         |FROM sym WHERE $cond GROUP BY anchor""".stripMargin
+    s"""WITH $sigCtes, $pairCtes,
+       |sym AS (SELECT id_a AS anchor, id_b AS partner, est_jaccard FROM mh
+       |        UNION ALL SELECT id_b, id_a, est_jaccard FROM mh),
+       |pos AS (${best("pos_id", "pos_jac", s"est_jaccard >= $t")}),
+       |neg AS (${best("neg_id", "neg_jac", s"est_jaccard < $t")})
+       |SELECT p.anchor AS anchor, p.pos_id AS pos_id, p.pos_jac AS pos_jac,
+       |       n.neg_id AS neg_id, n.neg_jac AS neg_jac
+       |FROM pos p JOIN neg n ON p.anchor = n.anchor
+       |ORDER BY anchor""".stripMargin
+  }
+
   val sourceSimSql: String =
     s"""WITH $sigCtes,
        |ex AS (SELECT source, unnest(sig) AS s, unnest(range(1, ${MinHashSig.NumHashes + 1})) AS i FROM sig),
@@ -1606,6 +1629,70 @@ object OracleLlm {
        |  WHERE c.vec_id <> q.qid),
        |${rankRecallSelect(llm.Similarity.K)}""".stripMargin
 
+  /** annStats mirror: the full-corpus cell assignment (simIvfSql's
+    * casg/cells), per-cell counts with empty centroids preserved via the
+    * left join, and the integer share/imbalance arithmetic.
+    */
+  val annStatsSql: String =
+    s"""WITH $simBaseCtes,
+       |cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn FROM c
+       |          WHERE vec_id % ${llm.Similarity.CentroidStride} = 0),
+       |casg AS (
+       |  SELECT vec_id, cent_id,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+       |  FROM (SELECT c.vec_id, cents.cent_id,
+       |          ${cosine("c.embedding", "c.nrm", "cents.cv", "cents.cn")} AS cs
+       |        FROM c, cents)),
+       |cells AS (SELECT vec_id, cent_id FROM casg WHERE rn = 1),
+       |pc AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS n_vecs,
+       |              CAST(sum(vec_id) AS BIGINT) AS sum_ids
+       |       FROM cells GROUP BY cent_id),
+       |fullc AS (
+       |  SELECT ct.cent_id,
+       |         coalesce(pc.n_vecs, 0) AS n_vecs,
+       |         coalesce(pc.sum_ids, 0) AS sum_ids
+       |  FROM cents ct LEFT JOIN pc ON pc.cent_id = ct.cent_id),
+       |tot AS (SELECT sum(n_vecs) AS total, max(n_vecs) AS max_n,
+       |               count(*) AS n_cells FROM fullc)
+       |SELECT cent_id, n_vecs, sum_ids,
+       |       CAST(n_vecs * 1000000 // total AS BIGINT) AS share_ppm,
+       |       CAST(max_n * n_cells * 1000000 // total AS BIGINT) AS imbalance_ppm
+       |FROM fullc, tot ORDER BY cent_id""".stripMargin
+
+  /** curriculum mirror: the quality-filter feature CTE with doc_id +
+    * source kept, the integer ppm score, a per-source ntile window with
+    * the identical (score DESC, doc_id) total order, and the stage
+    * rollup.
+    */
+  val curriculumSql: String = {
+    val stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH feats AS (
+       |  SELECT doc_id, source,
+       |         CAST(length(text) AS BIGINT) AS n_chars,
+       |         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+       |         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |           t -> t IN ($stop))) AS BIGINT) AS n_stop,
+       |         CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         coalesce(n_stop * 1000000 // nullif(n_tokens, 0), -1000000)
+       |           - coalesce(n_punct * 1000000 // nullif(n_chars, 0), 0) AS score_ppm
+       |  FROM feats),
+       |staged AS (
+       |  SELECT source, doc_id, n_tokens, score_ppm,
+       |         CAST(ntile(${TextAnalysis.CurriculumStages})
+       |           OVER (PARTITION BY source ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS stage
+       |  FROM f)
+       |SELECT source, stage,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       |       CAST(max(score_ppm) AS BIGINT) AS best_ppm,
+       |       CAST(min(score_ppm) AS BIGINT) AS worst_ppm,
+       |       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+       |FROM staged GROUP BY source, stage ORDER BY source, stage""".stripMargin
+  }
+
   /** ivfpq mirror: same coarse cells, double residuals, sample-residual
     * codebooks, per-subspace (d, bid) argmin encode, reconstruction
     * (centroid + codewords), ADC shortlist, and exact re-rank — every
@@ -1757,6 +1844,97 @@ object OracleLlm {
        |       CAST(coalesce(dh.delta_hits, 0) AS BIGINT) AS delta_hits
        |FROM ann LEFT JOIN dh ON ann.qid = dh.qid
        |ORDER BY ann.qid, ann.rank""".stripMargin
+
+  /** simFiltered mirror: the IVF cell assignment + probes re-derived
+    * from the embeddings parquet (the staged ivf_flat index must land on
+    * the same cells — [[simIvfSql]]'s proof structure), the `label`
+    * predicate applied as a plain WHERE on the candidate set
+    * (prefilter) and after the unfiltered top-k (postfilter), and both
+    * strategies graded against the label-restricted brute truth.
+    */
+  val simFilteredSql: String = {
+    val S = llm.Similarity
+    val k = S.K
+    val lab = graft.queries.AnnServe.FilterLabel
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, CAST(label AS BIGINT) AS label,
+       |         sqrt(list_sum(list_transform(embedding,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |c AS (SELECT * FROM e WHERE nrm > 0),
+       |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn FROM c
+       |      WHERE vec_id % ${S.QueryStride} = 0),
+       |cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn FROM c
+       |          WHERE vec_id % ${S.CentroidStride} = 0),
+       |casg AS (
+       |  SELECT vec_id, cent_id,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+       |  FROM (SELECT c.vec_id, cents.cent_id,
+       |          ${cosine("c.embedding", "c.nrm", "cents.cv", "cents.cn")} AS cs
+       |        FROM c, cents)),
+       |cells AS (SELECT vec_id, cent_id FROM casg WHERE rn = 1),
+       |qasg AS (
+       |  SELECT qid, cent_id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cent_id) AS rn
+       |  FROM (SELECT q.qid, cents.cent_id,
+       |          ${cosine("q.qv", "q.qn", "cents.cv", "cents.cn")} AS cs
+       |        FROM q, cents)),
+       |probes AS (SELECT qid, cent_id FROM qasg WHERE rn <= ${S.NumProbes}),
+       |sf0 AS (
+       |  SELECT q.qid, c.vec_id AS cid,
+       |         ${cosine("q.qv", "q.qn", "c.embedding", "c.nrm")} AS cosine
+       |  FROM probes p
+       |  JOIN cells cl ON p.cent_id = cl.cent_id
+       |  JOIN q ON q.qid = p.qid
+       |  JOIN c ON c.vec_id = cl.vec_id
+       |  WHERE c.label = $lab AND c.vec_id <> q.qid),
+       |pre AS (
+       |  SELECT qid, cid, cosine,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY cosine DESC, cid) AS rank
+       |  FROM sf0),
+       |su AS (
+       |  SELECT q.qid, c.vec_id AS cid, c.label,
+       |         ${cosine("q.qv", "q.qn", "c.embedding", "c.nrm")} AS cosine
+       |  FROM probes p
+       |  JOIN cells cl ON p.cent_id = cl.cent_id
+       |  JOIN q ON q.qid = p.qid
+       |  JOIN c ON c.vec_id = cl.vec_id
+       |  WHERE c.vec_id <> q.qid),
+       |post0 AS (
+       |  SELECT qid, cid, label, cosine,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY cosine DESC, cid) AS rn
+       |  FROM su),
+       |post AS (
+       |  SELECT qid, cid, cosine,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY cosine DESC, cid) AS rank
+       |  FROM post0 WHERE rn <= $k AND label = $lab),
+       |bt AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, c.vec_id AS cid,
+       |           row_number() OVER (PARTITION BY q.qid ORDER BY
+       |             ${cosine("q.qv", "q.qn", "c.embedding", "c.nrm")} DESC,
+       |             c.vec_id) AS rank
+       |    FROM c, q WHERE c.label = $lab AND c.vec_id <> q.qid)
+       |  WHERE rank <= $k),
+       |ann AS (
+       |  SELECT 'prefilter' AS strategy, qid, rank, cid, cosine
+       |  FROM pre WHERE rank <= $k
+       |  UNION ALL
+       |  SELECT 'postfilter' AS strategy, qid, rank, cid, cosine FROM post),
+       |h AS (
+       |  SELECT a.strategy, a.qid, count(*) AS hits
+       |  FROM ann a JOIN bt ON a.qid = bt.qid AND a.cid = bt.cid
+       |  GROUP BY a.strategy, a.qid)
+       |SELECT a.strategy AS strategy, a.qid AS qid,
+       |       CAST(a.rank AS BIGINT) AS rank, a.cid AS cid,
+       |       round(a.cosine, 6) AS cosine,
+       |       CAST(coalesce(h.hits, 0) AS BIGINT) AS recall_hits
+       |FROM ann a LEFT JOIN h ON a.strategy = h.strategy AND a.qid = h.qid
+       |ORDER BY strategy, qid, rank""".stripMargin
+  }
 
   /** rankMetrics mirror: each rung's published oracle query embedded
     * VERBATIM as a derived table (so the graded lists are the EXACT

@@ -41,6 +41,7 @@ object SparkEntry {
     "x_hash_features" -> (llm.TextAnalysis.hashFeatures _),
     "x_dedup_exact" -> (llm.Dedup.exact _),
     "x_dedup_minhash" -> (llm.Dedup.minhashPairs _),
+    "x_contrastive" -> (llm.Dedup.contrastivePairs _),
     "x_dedup_simhash" -> (llm.Dedup.simhashPairs _),
     "x_ngram_jaccard" -> (llm.Dedup.ngramJaccard _),
     "x_sim_brute" -> (llm.Similarity.bruteTopK _),
@@ -57,6 +58,10 @@ object SparkEntry {
     "x_sim_ivf" -> (llm.Similarity.ivfTopK _),
     "x_sim_ivfpq" -> (llm.Similarity.ivfpqTopK _),
     "x_sim_pq_serve" -> (graft.queries.AnnServe.pqServe _),
+    "x_sim_filtered" -> (graft.queries.AnnServe.simFiltered _),
+    "x_ann_compact" -> (graft.queries.AnnServe.compactServe _),
+    "x_ann_stats" -> (llm.Similarity.annStats _),
+    "x_curriculum" -> (llm.TextAnalysis.curriculum _),
     "x_sim_incr" -> (llm.Similarity.simIncrTopK _),
     "x_sim_rrf" -> (llm.Similarity.rrfTopK _),
     "x_rank_metrics" -> (llm.Similarity.rankMetrics _),
@@ -113,6 +118,7 @@ object SparkEntry {
     "x_sliding" -> (llm.Events.slidingDaily _),
     "x_stream_dedup" -> (llm.StreamingOps.streamingDedup _),
     "x_stream_neardup" -> (llm.StreamingOps.streamingNearDup _),
+    "x_stream_sim" -> (llm.StreamingOps.streamingSimIngest _),
     "x_stream_join" -> (llm.StreamingOps.streamingJoin _),
     "x_connected" -> (llm.Graph.components _),
     "x_stratified" -> (llm.Sampling.stratified _),
@@ -923,6 +929,7 @@ object SparkEntry {
     // exactly in SQL (see OracleLlm) — signatures, band keys, candidate
     // pairs and estimates all hash-match, not rows-only.
     "x_dedup_minhash" -> OracleLlm.minhashPairsSql,
+    "x_contrastive" -> OracleLlm.contrastiveSql,
     "x_dedup_simhash" -> OracleLlm.simhashPairsSql,
     "x_dedup_pipeline" -> OracleLlm.dedupPipelineSql,
     "x_dedup_cluster" -> OracleLlm.dedupClusterSql,
@@ -938,6 +945,10 @@ object SparkEntry {
     "x_sim_ivf" -> OracleLlm.simIvfSql,
     "x_sim_ivfpq" -> OracleLlm.simIvfpqSql,
     "x_sim_pq_serve" -> OracleLlm.simPqServeSql,
+    "x_sim_filtered" -> OracleLlm.simFilteredSql,
+    "x_ann_compact" -> OracleLlm.simPqServeSql,
+    "x_ann_stats" -> OracleLlm.annStatsSql,
+    "x_curriculum" -> OracleLlm.curriculumSql,
     "x_sim_incr" -> OracleLlm.simIncrSql,
     "x_sim_rrf" -> OracleLlm.rrfSql,
     "x_rank_metrics" -> OracleLlm.rankMetricsSql,
@@ -1243,6 +1254,7 @@ object SparkEntry {
     // delta-touching pair set — the oracle is x_dedup_incr's, verbatim
     // (batch ≡ stream)
     "x_stream_neardup" -> OracleLlm.dedupIncrSql,
+    "x_stream_sim" -> OracleLlm.simIncrSql,
     // the same event-time range join in plain SQL (ns→µs truncation on
     // both sides, per the sessions-oracle precedent)
     "x_stream_join" ->

@@ -188,6 +188,46 @@ object Dedup {
       .orderBy("src_a", "src_b")
   }
 
+  /** X-CONTRASTIVE: contrastive-triplet mining — the training-pair
+    * extraction an embedding/retrieval training pipeline runs over the
+    * dedup machinery's by-product. Per anchor document, the POSITIVE is
+    * its most-similar verified near-dup (est ≥ [[NearDupThreshold]])
+    * and the HARD NEGATIVE its best banding NEAR MISS — a candidate
+    * that collided in ≥1 LSH band yet verified BELOW threshold, which
+    * is precisely the "looks similar, isn't" example hard-negative
+    * mining wants (random negatives are trivially far; band collisions
+    * are the informative ones). Anchors lacking either side emit
+    * nothing (a triplet needs both). Ties break (max est, min partner)
+    * via a single struct argmax — the explicit two-key form on both
+    * engines.
+    *
+    * Scale shape: everything derives from the memoized banded pair
+    * table (never all-pairs); the symmetrization and the two argmax
+    * aggs run on the pair-sized frame, and the final join is
+    * anchor-keyed. No text, no signatures move — just (id, id, est).
+    */
+  def contrastivePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashPairsTable(spark, sfDir)
+    val sym = pairs
+      .select(col("id_a").as("anchor"), col("id_b").as("partner"), col("est_jaccard"))
+      .unionAll(pairs
+        .select(col("id_b").as("anchor"), col("id_a").as("partner"), col("est_jaccard")))
+    def bestBy(side: DataFrame, idName: String, jacName: String): DataFrame =
+      side.groupBy("anchor")
+        .agg(max(struct(col("est_jaccard").as("e"),
+          (-col("partner")).as("np"))).as("m"))
+        .select(col("anchor"),
+          (-col("m.np")).cast("long").as(idName), col("m.e").as(jacName))
+    val pos = bestBy(sym.filter(col("est_jaccard") >= NearDupThreshold),
+      "pos_id", "pos_jac")
+    val neg = bestBy(sym.filter(col("est_jaccard") < NearDupThreshold),
+      "neg_id", "neg_jac")
+    pos.join(neg, Seq("anchor"))
+      .select(col("anchor").cast("long").as("anchor"),
+        col("pos_id"), col("pos_jac"), col("neg_id"), col("neg_jac"))
+      .orderBy("anchor")
+  }
+
   /** End-to-end corpus dedup pipeline: exact dups out first (keep min
     * doc_id per text), then near-dups out — for every MinHash candidate
     * pair whose estimate clears [[NearDupThreshold]], the higher doc_id
@@ -592,9 +632,11 @@ object Dedup {
     * spec floor asserts.
     */
   def lshRecall(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), shingleHashes(col("text")).as("shs"))
-      .filter(size(col("shs")) > 0)
+    // reuse the memoized+cached shingle sets (the containment join's
+    // source) instead of re-scanning documents and re-hashing — and the
+    // plan fingerprint stays identical whether or not another consumer
+    // already materialized it
+    val sh = shingleTable(spark, sfDir).select(col("doc_id"), col("hs").as("shs"))
     val counts = sh.select(col("doc_id"), size(col("shs")).cast("long").as("nsh"))
     // cached: the exploded shingle index feeds the df gate AND the
     // pair join back onto itself (memoized-intermediate pattern)

@@ -642,30 +642,49 @@ object Graph {
     * simultaneous multi-source BFS instead of |V| sequential ones: the
     * state is the (src, id, dist) relaxation frame for ALL sources at
     * once (≤|V|² rows — dim-sized, because the fact collapsed to the
-    * aggregated graph first), each round one join + one min-agg, rounds
-    * unrolled identically as oracle CTEs. Output per nation: reached
-    * count, distance sum, eccentricity (max dist), and closeness in
-    * integer ppm ((n_reached−1)·10^6 div Σd — the Bavelas definition on
-    * the reachable set, so disconnected components don't zero it).
+    * aggregated graph first), rounds unrolled identically as oracle
+    * CTEs. The relaxation is FRONTIER-BASED (the [[shortestPathsOf]]
+    * discipline): with unit weights a node's distance is final the
+    * first round it appears, so each round joins only the rows
+    * DISCOVERED last round against the graph, min-aggs that
+    * frontier-sized delta, anti-joins the settled set, and appends —
+    * never re-aggregating the full (src, id) frame per round (the
+    * re-agg version's per-round cost grew with the settled set; this
+    * one's is ∝ the frontier, which empties at the diameter). Output
+    * per nation: reached count, distance sum, eccentricity (max dist),
+    * and closeness in integer ppm ((n_reached−1)·10^6 div Σd — the
+    * Bavelas definition on the reachable set, so disconnected
+    * components don't zero it).
     */
   def closeness(spark: SparkSession, sfDir: String): DataFrame = {
     val und = thresholdedUndirected(spark, sfDir)
-    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
-    def checkpointTracked(df: DataFrame): DataFrame = {
-      val out = df.localCheckpoint(true)
-      val fresh = org.apache.spark.sql.graftx.ColumnBridge.checkpointRdd(out)
+    // two live frames per round (settled dist + last frontier): eager
+    // localCheckpoints, previous round's pair released only after the
+    // new pair is materialized
+    var prevCkpt: Seq[org.apache.spark.rdd.RDD[_]] = Nil
+    def releaseAndTrack(dfs: DataFrame*): Unit = {
+      val fresh =
+        dfs.flatMap(org.apache.spark.sql.graftx.ColumnBridge.checkpointRdd)
       prevCkpt.foreach(_.unpersist(blocking = false))
       prevCkpt = fresh
-      out
     }
-    var dist = checkpointTracked(
-      und.select(col("a")).distinct()
-        .select(col("a").as("src"), col("a").as("id"), lit(0L).as("d")))
+    val seed = und.select(col("a")).distinct()
+      .select(col("a").as("src"), col("a").as("id"), lit(0L).as("d"))
+      .localCheckpoint(true)
+    var dist = seed
+    var frontier = seed
+    releaseAndTrack(seed)
     (1 to ClosenessRounds).foreach { _ =>
-      val relax = dist.join(und, dist("id") === und("a"))
+      val relax = frontier.join(und, frontier("id") === und("a"))
         .select(col("src"), col("b").as("id"), (col("d") + 1L).as("d"))
-      dist = checkpointTracked(
-        dist.union(relax).groupBy("src", "id").agg(min("d").as("d")))
+      // min-agg the frontier-sized delta, keep only first discoveries
+      val discovered = relax.groupBy("src", "id").agg(min("d").as("d"))
+        .join(dist, Seq("src", "id"), "left_anti")
+        .localCheckpoint(true)
+      val next = dist.union(discovered).localCheckpoint(true)
+      releaseAndTrack(next, discovered)
+      dist = next
+      frontier = discovered
     }
     val nation = graft.Tables.load(spark, sfDir, "nation")
       .select(col("n_nationkey").as("src"), col("n_name"))

@@ -567,6 +567,31 @@ object Similarity {
     topK(scored)
   }
 
+  /** X-SIM-FILTERED index frame: the IVF-flat posting list carrying each
+    * row's metadata label and exact vector — (vec_id, cent_id, label,
+    * vec). Same map-only broadcast-centroid assignment as [[ivfTopKOf]]'s
+    * cells; `vec` is the float embedding cast element-wise to double
+    * (exact), so a probe served from the persisted JSONL index
+    * reproduces the from-parquet cosine bit for bit (doubles round-trip
+    * through JSON exactly — the pq_books precedent).
+    */
+  private[graft] def ivfFlatIndexFrame(embeddings: DataFrame): DataFrame = {
+    val c = embeddings
+      .select(col("vec_id"), col("embedding"),
+        col("label").cast("long").as("label"), norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
+    val centArr = c.filter(col("vec_id") % CentroidStride === 0)
+      .agg(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("nrm").as("cn"))).as("cents"))
+    c.join(broadcast(centArr))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        centroidScores(col("cents"), col("embedding"), col("nrm")).as("scores"))
+      .select(col("vec_id"),
+        bestCentroid(col("scores"))("cid").as("cent_id"),
+        col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+  }
+
   // ---- IVF-PQ (product-quantized residuals) ---------------------------
 
   /** PQ layout: 64 dims split into [[PqSubspaces]] subspaces of
@@ -816,6 +841,34 @@ object Similarity {
     (assign(base), assign(delta))
   }
 
+  /** The frozen centroid model as ROWS (cid, cv, cn) — the form a store
+    * PERSISTS between ingest days; consumers collapse + broadcast it per
+    * use ([[assignToModel]]). Base members only (delta ids are ≡7 mod 10
+    * and can never be centroid samples, so the filter is belt and
+    * braces).
+    */
+  private[graft] def centroidModelRows(embeddings: DataFrame): DataFrame =
+    corpusOf(embeddings)
+      .filter(!isDeltaVec(col("vec_id")) && col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cn"))
+
+  /** Map-only IVF assignment of a raw embeddings batch against a
+    * persisted centroid-model rows frame — the micro-batch ingest step
+    * of [[StreamingOps.streamingSimIngest]]: the model collapses into
+    * ONE broadcast row, each batch vector folds its argmax cell
+    * map-side; identical math to [[incrIndexParts]]' assignment.
+    */
+  private[graft] def assignToModel(batch: DataFrame, centRows: DataFrame): DataFrame = {
+    val c = corpusOf(batch)
+    val centArr = centRows
+      .agg(collect_list(struct(col("cid"), col("cv"), col("cn"))).as("cents"))
+    c.join(broadcast(centArr))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        centroidScores(col("cents"), col("embedding"), col("nrm")).as("scores"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        bestCentroid(col("scores"))("cid").as("cent_id"))
+  }
+
   /** A genuine full re-index for the equivalence spec: every corpus
     * vector assigned in one pass against the FULL corpus's centroid
     * sample (which equals the persisted base model — delta ids are
@@ -830,6 +883,38 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("nrm"),
         centroidScores(col("cents"), col("embedding"), col("nrm")).as("scores"))
       .select(col("vec_id"), bestCentroid(col("scores"))("cid").as("cent_id"))
+  }
+
+  /** X-ANN-STATS: inverted-file health report — the operational check an
+    * ANN store runs before serving traffic: per-cell posting counts
+    * (EMPTY cells included via a left join from the centroid set — an
+    * empty cell is wasted probe budget), each cell's corpus share in
+    * ppm, a membership checksum pinning the exact assignment, and the
+    * global imbalance factor max/mean in ppm (a hot cell is a hot
+    * partition at serving time — the number that says "rebalance the
+    * centroids"). Everything integer-exact; the only corpus-sized work
+    * is the one map-only assignment pass, and every aggregate after is
+    * centroid-sized.
+    */
+  def annStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cells = fullIndexCells(emb)
+    val perCell = cells.groupBy("cent_id")
+      .agg(count(lit(1)).as("n_vecs"), sum("vec_id").as("sum_ids"))
+    val cents = corpusOf(emb).filter(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cent_id"))
+    val full = cents.join(perCell, Seq("cent_id"), "left")
+      .select(col("cent_id"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        coalesce(col("sum_ids"), lit(0L)).as("sum_ids"))
+    val tot = full.agg(
+      sum("n_vecs").as("total"), max("n_vecs").as("max_n"),
+      count(lit(1)).as("n_cells"))
+    full.crossJoin(broadcast(tot))
+      .select(col("cent_id"), col("n_vecs"), col("sum_ids"),
+        expr("n_vecs * 1000000 div total").as("share_ppm"),
+        expr("max_n * n_cells * 1000000 div total").as("imbalance_ppm"))
+      .orderBy("cent_id")
   }
 
   /** X-SIM-INCR: incremental ANN index maintenance — the
@@ -853,9 +938,19 @@ object Similarity {
     simIncrTopKOf(Tables.embeddings(spark, sfDir), QueryStride)
 
   def simIncrTopKOf(embeddings: DataFrame, stride: Int): DataFrame = {
-    val c = corpusOf(embeddings)
     val (baseCells, deltaCells) = incrIndexParts(embeddings)
-    val cells = baseCells.unionAll(deltaCells)
+    serveIncrMerged(embeddings, baseCells.unionAll(deltaCells), stride)
+  }
+
+  /** Serve the incremental index from an explicit merged cells frame
+    * (vec_id, embedding, nrm, cent_id) — shared by [[simIncrTopKOf]]
+    * (in-memory base∪delta) and the STREAMING ingest
+    * ([[StreamingOps.streamingSimIngest]]: base from storage ∪ the
+    * micro-batch appends), which must serve the identical answer.
+    */
+  private[graft] def serveIncrMerged(
+      embeddings: DataFrame, cells: DataFrame, stride: Int): DataFrame = {
+    val c = corpusOf(embeddings)
     // probes against the SAME persisted centroid model (queries are base
     // members by construction — the serving set is stable under append)
     val base = c.filter(!isDeltaVec(col("vec_id")))

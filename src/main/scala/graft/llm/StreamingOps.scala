@@ -600,6 +600,94 @@ object StreamingOps {
     spark.read.parquet(outDir).dropDuplicates("id_a", "id_b")
   }
 
+  /** Marker-gated scratch staging for [[streamingSimIngest]]: the
+    * persisted BASE inverted file + the frozen centroid model (what an
+    * ANN store keeps on storage between ingest days) and the DELTA
+    * vectors (vec_id ≡ 7 mod 10, x_sim_incr's membership) split into 4
+    * chronological chunks with pinned mtimes for the micro-batch replay.
+    */
+  private def simIngestStaging(spark: SparkSession, sfDir: String): java.nio.file.Path = {
+    val rootS = graft.etl.Sink.scratchPath(sfDir, "stream_sim")
+    val root = java.nio.file.Paths.get(rootS)
+    val marker = root.resolve("_GRAFT_OK_v1")
+    if (!java.nio.file.Files.exists(marker)) {
+      graft.etl.Sink.dropUncommitted(rootS)
+      java.nio.file.Files.createDirectories(root)
+      val emb = Tables.embeddings(spark, sfDir)
+      val (baseCells, _) = Similarity.incrIndexParts(emb)
+      baseCells.write.parquet(root.resolve("base").toString)
+      Similarity.centroidModelRows(emb).write.parquet(root.resolve("cents").toString)
+      val delta = emb.filter(Similarity.isDeltaVec(col("vec_id")))
+      val chunksDir = root.resolve("chunks")
+      java.nio.file.Files.createDirectories(chunksDir)
+      (0 until 4).foreach { i =>
+        val tmp = root.resolve(s"tmp_chunk$i")
+        delta.filter(pmod(expr("vec_id div 10"), lit(4L)) === i.toLong)
+          .coalesce(1).write.parquet(tmp.toString)
+        import scala.jdk.CollectionConverters._
+        val listing = java.nio.file.Files.list(tmp)
+        val parts =
+          try listing.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          finally listing.close()
+        require(parts.size == 1,
+          s"sim-ingest chunk $i produced ${parts.size} parquet parts, expected 1")
+        val dst = chunksDir.resolve(s"chunk$i.parquet")
+        java.nio.file.Files.move(parts.head, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(i * 1000L))
+        graft.streaming.Drain.deleteRecursively(tmp)
+      }
+      java.nio.file.Files.createFile(marker)
+    }
+    root
+  }
+
+  /** X-STREAM-SIM: streaming ANN index ingest — the streaming sibling of
+    * [[Similarity.simIncrTopKOf]]'s batch append, the way a production
+    * vector store actually takes deltas: each micro-batch of new vectors
+    * is assigned to its IVF cell against the FROZEN broadcast centroid
+    * model (map-only — per-vector assignment is independent, so cost per
+    * batch ∝ batch size, never ∝ corpus) and appended to the persisted
+    * inverted file inside `foreachBatch`. The post-drain serve runs over
+    * base ∪ streamed appends through the shared
+    * [[Similarity.serveIncrMerged]]; because assignment is deterministic
+    * per vector, the streamed index is VALUE-IDENTICAL to the batch
+    * delta append AND to a full re-index — output and oracle are exactly
+    * x_sim_incr's (batch ≡ stream, spec-asserted row-for-row). The
+    * append-only posting log is at-least-once under retry, so the serve
+    * dedups on vec_id (each vector lives in exactly one cell — the
+    * normalized-key rollup, [[streamingNearDup]]'s discipline).
+    */
+  def streamingSimIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = simIngestStaging(spark, sfDir)
+    val work = java.nio.file.Files.createTempDirectory(
+      "graft_stream_sim_" + runs.incrementAndGet() + "_")
+    val outDir = work.resolve("out").toString
+    val embSchema = Tables.embeddings(spark, sfDir).schema
+    val stream = spark.readStream.schema(embSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(root.resolve("chunks").toString)
+    val centsPath = root.resolve("cents").toString
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ss = batch.sparkSession
+        // assign ONLY the batch against the frozen model and append the
+        // (vec_id, embedding, nrm, cent_id) postings
+        Similarity.assignToModel(batch, ss.read.parquet(centsPath))
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    graft.streaming.Drain.deleteRecursively(work.resolve("ckpt"))
+    graft.streaming.Drain.cleanupAtExit(work)
+    val cells = spark.read.parquet(root.resolve("base").toString)
+      .unionByName(spark.read.parquet(outDir).dropDuplicates("vec_id"))
+    Similarity.serveIncrMerged(
+      Tables.embeddings(spark, sfDir), cells, Similarity.QueryStride)
+  }
+
   /** The per-type KMV merge transform — separated from
     * [[streamingKmv]]'s staging so a spec can drive it batch-by-batch
     * and assert the state genuinely refines ACROSS batches.

@@ -154,6 +154,47 @@ object TextAnalysis {
         max("n_bpe").as("max_bpe"))
       .orderBy("source")
 
+  /** Curriculum stage count — quartiles, the common warm-up/anneal
+    * granularity.
+    */
+  val CurriculumStages = 4
+
+  /** X-CURRICULUM: per-source curriculum staging — training pipelines
+    * commonly order data from cleanest to noisiest (quality curriculum:
+    * warm up on clean prose, anneal on the tail), and the PLAN for that
+    * is a stage table with token budgets, not a 100-TB global sort. The
+    * per-doc score is integer-exact prose quality in ppm (stopword
+    * density minus punctuation density — the [[qualityFilter]] features
+    * re-used as a scalar); stages are equal-count quartiles of the
+    * (score DESC, doc_id) total order WITHIN each source — a
+    * per-source window, so the sort is partitioned (the global
+    * curriculum is then source-interleaved downstream, X-INTERLEAVE's
+    * job), never a corpus-wide unpartitioned window. Output per (source,
+    * stage): doc count, token budget, the score range, and a membership
+    * checksum pinning the exact assignment.
+    */
+  def curriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = qualityFeatures(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (coalesce(expr("n_stopwords * 1000000 div nullif(n_tokens, 0)"),
+          lit(-1000000L))
+          - coalesce(expr("n_punct * 1000000 div nullif(n_chars, 0)"), lit(0L)))
+          .as("score_ppm"))
+    val staged = f.withColumn("stage",
+      ntile(CurriculumStages).over(
+        Window.partitionBy("source")
+          .orderBy(col("score_ppm").desc, col("doc_id"))).cast("long"))
+    staged.groupBy("source", "stage")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("tokens"),
+        max("score_ppm").as("best_ppm"),
+        min("score_ppm").as("worst_ppm"),
+        sum("doc_id").as("sum_ids"))
+      .orderBy("source", "stage")
+  }
+
   /** Language-ID heuristic: score each candidate language by stopword-set
     * hits over whitespace tokens; argmax with a fixed preference order on
     * ties, `und` when nothing matches. Deterministic; verified by

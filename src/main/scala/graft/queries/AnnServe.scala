@@ -77,13 +77,21 @@ object AnnServe {
   /** The SQL-served ADC probe (see object doc). */
   def pqServe(spark: SparkSession, sfDir: String): DataFrame = {
     val cat = ensureAnnTables(spark, sfDir)
+    spark.sql(pqProbeSql(cat, "pq_index", sfDir))
+  }
+
+  /** The ADC probe SQL against a named index table of the `ann`
+    * namespace — shared by [[pqServe]] (the live staging) and
+    * [[compactServe]] (the compacted rewrite, which must serve the
+    * IDENTICAL shortlist).
+    */
+  private def pqProbeSql(cat: String, indexTable: String, sfDir: String): String = {
     val sd = Similarity.PqSubDim
     val bookJoins = (0 until Similarity.PqSubspaces).map(m =>
       s"JOIN $cat.ann.pq_books b$m ON b$m.bid = cand.codes[$m]").mkString("\n")
     val slices = (0 until Similarity.PqSubspaces).map(m =>
       s"slice(b$m.bv, ${m * sd + 1}, $sd)").mkString(", ")
-    spark.sql(
-      s"""WITH e AS (
+    s"""WITH e AS (
          |  SELECT vec_id, embedding,
          |         sqrt(aggregate(embedding, CAST(0 AS DOUBLE),
          |           (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
@@ -107,7 +115,7 @@ object AnnServe {
          |    FROM qs) WHERE rn <= ${Similarity.NumProbes}),
          |cand AS (
          |  SELECT p.qid, i.vec_id, i.cent_id, i.codes
-         |  FROM probes p JOIN $cat.ann.pq_index i ON i.cent_id = p.cent_id
+         |  FROM probes p JOIN $cat.ann.$indexTable i ON i.cent_id = p.cent_id
          |  WHERE i.vec_id <> p.qid),
          |rec AS (
          |  SELECT cand.qid, cand.vec_id,
@@ -130,6 +138,233 @@ object AnnServe {
          |  SELECT qid, cid,
          |         row_number() OVER (PARTITION BY qid ORDER BY sa DESC, cid) AS rn
          |  FROM sa0) WHERE rn <= ${Similarity.PqRerank}
-         |ORDER BY qid, rank""".stripMargin)
+         |ORDER BY qid, rank""".stripMargin
+  }
+
+  // ---- attribute-filtered probe (X-SIM-FILTERED) -----------------------
+
+  /** The metadata predicate of the filtered probe: `label = FilterLabel`
+    * — ~1/10th of the corpus (labels are uniform 0–9).
+    */
+  val FilterLabel = 3L
+
+  /** Stage + register the IVF-flat index table `ann.ivf_flat`
+    * ([[Similarity.ivfFlatIndexFrame]]: vec_id, cent_id, label, vec) in
+    * the shared ann warehouse — the attribute-carrying sibling of
+    * pq_index, cell-partitioned the same way.
+    */
+  private[graft] def ensureIvfFlatTable(spark: SparkSession, sfDir: String): String = {
+    val cat = ensureAnnTables(spark, sfDir)
+    val wh = Sink.scratchPath(sfDir, "ann_warehouse")
+    val marker = Paths.get(wh, "_GRAFT_DONE_ann_ivfflat_v1")
+    if (!Files.exists(marker)) {
+      spark.sql(s"DROP TABLE IF EXISTS $cat.ann.ivf_flat")
+      val dir = s"$wh/staging/ivf_flat"
+      Sink.dropUncommitted(dir)
+      Similarity.ivfFlatIndexFrame(Tables.embeddings(spark, sfDir))
+        .write.mode("overwrite").partitionBy("cent_id").json(dir)
+      spark.sql(
+        s"""CREATE TABLE $cat.ann.ivf_flat
+           |  (vec_id BIGINT, cent_id BIGINT, label BIGINT, vec ARRAY<DOUBLE>)
+           |USING annindex PARTITIONED BY (cent_id)
+           |LOCATION '$dir'""".stripMargin)
+      Files.createFile(marker)
+    }
+    cat
+  }
+
+  /** X-SIM-FILTERED: attribute-filtered ANN serving — "top-k WHERE
+    * label = X", the most common production retrieval call — graded
+    * against the FILTERED brute truth, both strategies side by side:
+    *
+    *  - `prefilter` (filter-then-rank): the label predicate is pushed
+    *    INTO the index scan (the [[graft.sources.AnnIndexTable]] row
+    *    filter — non-matching rows never materialize) alongside the
+    *    runtime cell pruning, and the top-k ranks only filtered
+    *    candidates.
+    *  - `postfilter` (rank-then-filter): the unfiltered top-k is ranked
+    *    first, THEN filtered — what a consumer without predicate
+    *    pushdown does. Its kept rows are provably the top-m (m ≤ k) of
+    *    the prefilter list, so its recall is a lower bound; the report
+    *    exposes exactly how much recall the pushdown buys.
+    *
+    * `recall_hits` counts overlap with the label-restricted brute top-k
+    * per (strategy, qid). Scale shape: probes prune to NumProbes cell
+    * dirs per query (runtime filtering), the label predicate prunes
+    * rows inside them at parse time, and only (qid, cid, cosine)
+    * shortlists ever shuffle.
+    */
+  def simFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = ensureIvfFlatTable(spark, sfDir)
+    val k = Similarity.K
+    spark.sql(
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, CAST(label AS BIGINT) AS label,
+         |         sqrt(aggregate(embedding, CAST(0 AS DOUBLE),
+         |           (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+         |  FROM parquet.`$sfDir/embeddings.parquet`),
+         |c AS (SELECT * FROM e WHERE nrm > 0),
+         |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn FROM c
+         |      WHERE vec_id % ${Similarity.QueryStride} = 0),
+         |cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn FROM c
+         |          WHERE vec_id % ${Similarity.CentroidStride} = 0),
+         |qs AS (
+         |  SELECT q.qid, cents.cent_id,
+         |         aggregate(zip_with(q.qv, cents.cv,
+         |             (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+         |           CAST(0 AS DOUBLE), (a, x) -> a + x) / (q.qn * cents.cn) AS cs
+         |  FROM q CROSS JOIN cents),
+         |probes AS (
+         |  SELECT qid, cent_id FROM (
+         |    SELECT qid, cent_id,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY cs DESC, cent_id) AS rn
+         |    FROM qs) WHERE rn <= ${Similarity.NumProbes}),
+         |-- prefilter: the label predicate reaches the index SCAN
+         |candf AS (
+         |  SELECT p.qid, i.vec_id, i.vec
+         |  FROM probes p JOIN $cat.ann.ivf_flat i ON i.cent_id = p.cent_id
+         |  WHERE i.label = $FilterLabel AND i.vec_id <> p.qid),
+         |sf0 AS (
+         |  SELECT cd.qid, cd.vec_id AS cid,
+         |         aggregate(zip_with(q.qv, cd.vec,
+         |             (x, y) -> CAST(x AS DOUBLE) * y),
+         |           CAST(0 AS DOUBLE), (a, x) -> a + x)
+         |           / (q.qn * sqrt(aggregate(cd.vec, CAST(0 AS DOUBLE),
+         |               (a, x) -> a + x * x))) AS cosine
+         |  FROM candf cd JOIN q ON q.qid = cd.qid),
+         |pre AS (
+         |  SELECT qid, cid, cosine,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY cosine DESC, cid) AS rank
+         |  FROM sf0),
+         |-- postfilter: rank the UNFILTERED candidates first, then filter
+         |candu AS (
+         |  SELECT p.qid, i.vec_id, i.label, i.vec
+         |  FROM probes p JOIN $cat.ann.ivf_flat i ON i.cent_id = p.cent_id
+         |  WHERE i.vec_id <> p.qid),
+         |su AS (
+         |  SELECT cd.qid, cd.vec_id AS cid, cd.label,
+         |         aggregate(zip_with(q.qv, cd.vec,
+         |             (x, y) -> CAST(x AS DOUBLE) * y),
+         |           CAST(0 AS DOUBLE), (a, x) -> a + x)
+         |           / (q.qn * sqrt(aggregate(cd.vec, CAST(0 AS DOUBLE),
+         |               (a, x) -> a + x * x))) AS cosine
+         |  FROM candu cd JOIN q ON q.qid = cd.qid),
+         |post0 AS (
+         |  SELECT qid, cid, label, cosine,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY cosine DESC, cid) AS rn
+         |  FROM su),
+         |post AS (
+         |  SELECT qid, cid, cosine,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY cosine DESC, cid) AS rank
+         |  FROM post0 WHERE rn <= $k AND label = $FilterLabel),
+         |-- label-restricted brute truth, from the source parquet
+         |bt AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT q.qid, c.vec_id AS cid,
+         |           row_number() OVER (PARTITION BY q.qid ORDER BY
+         |             aggregate(zip_with(q.qv, c.embedding,
+         |                 (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+         |               CAST(0 AS DOUBLE), (a, x) -> a + x)
+         |               / (q.qn * c.nrm) DESC, c.vec_id) AS rank
+         |    FROM c JOIN q ON c.vec_id <> q.qid
+         |    WHERE c.label = $FilterLabel) WHERE rank <= $k),
+         |ann AS (
+         |  SELECT 'prefilter' AS strategy, qid, rank, cid, cosine
+         |  FROM pre WHERE rank <= $k
+         |  UNION ALL
+         |  SELECT 'postfilter' AS strategy, qid, rank, cid, cosine FROM post),
+         |h AS (
+         |  SELECT a.strategy, a.qid, count(*) AS hits
+         |  FROM ann a JOIN bt ON a.qid = bt.qid AND a.cid = bt.cid
+         |  GROUP BY a.strategy, a.qid)
+         |SELECT a.strategy, a.qid, CAST(a.rank AS BIGINT) AS rank, a.cid,
+         |       round(a.cosine, 6) AS cosine,
+         |       CAST(coalesce(h.hits, 0) AS BIGINT) AS recall_hits
+         |FROM ann a LEFT JOIN h ON a.strategy = h.strategy AND a.qid = h.qid
+         |ORDER BY strategy, qid, rank""".stripMargin)
+  }
+
+  // ---- index compaction + retention (X-ANN-COMPACT) --------------------
+
+  /** File fragmentation the compaction rehearses: the staging is written
+    * in this many shuffle slices, leaving up to this many part files per
+    * cell directory — what a run of small incremental appends
+    * (x_sim_incr's delta discipline) accumulates.
+    */
+  val FragmentSlices = 6
+
+  /** Count the `part-*` data files under a cell-partitioned JSONL
+    * staging (metadata files excluded).
+    */
+  private[graft] def dataFileCount(dir: String): Int = {
+    val root = new java.io.File(dir)
+    def files(d: java.io.File): Int =
+      Option(d.listFiles()).getOrElse(Array.empty).map { f =>
+        if (f.isDirectory) files(f)
+        else if (f.isFile && f.getName.startsWith("part-")) 1
+        else 0
+      }.sum
+    files(root)
+  }
+
+  /** Compact a cell-partitioned JSONL index staging in place: read every
+    * part file, rewrite ONE file per cell (`repartition(cent_id)` hashes
+    * each cell's rows into a single task; `partitionBy` then emits one
+    * file per cell per task), swap the rewrite in, and RETAIN NOTHING of
+    * the superseded fragments (the q_compact rewrite + x_vacuum
+    * retention, applied to the index artifact). Returns
+    * (files_before, files_after).
+    */
+  private[graft] def compactCells(spark: SparkSession, dir: String): (Int, Int) = {
+    val before = dataFileCount(dir)
+    val tmp = dir + "__compacting"
+    Sink.dropUncommitted(tmp)
+    spark.read.json(dir)
+      .repartition(org.apache.spark.sql.functions.col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id").json(tmp)
+    // swap: the rewrite replaces the fragmented staging atomically-enough
+    // for a single-writer maintenance job; superseded files are vacuumed
+    Sink.dropUncommitted(dir)
+    Files.move(Paths.get(tmp), Paths.get(dir))
+    (before, dataFileCount(dir))
+  }
+
+  /** Stage a FRAGMENTED copy of the pq index, compact it, and register
+    * it as `ann.pq_index_compact`. Marker-gated like the live staging.
+    */
+  private[graft] def ensureCompactTable(spark: SparkSession, sfDir: String): String = {
+    val cat = ensureAnnTables(spark, sfDir)
+    val wh = Sink.scratchPath(sfDir, "ann_warehouse")
+    val marker = Paths.get(wh, "_GRAFT_DONE_ann_compact_v1")
+    if (!Files.exists(marker)) {
+      spark.sql(s"DROP TABLE IF EXISTS $cat.ann.pq_index_compact")
+      val dir = s"$wh/staging/pq_index_compact"
+      Sink.dropUncommitted(dir)
+      Similarity.pqIndexFrame(Tables.embeddings(spark, sfDir))
+        .repartition(FragmentSlices)
+        .write.mode("overwrite").partitionBy("cent_id").json(dir)
+      compactCells(spark, dir)
+      spark.sql(
+        s"""CREATE TABLE $cat.ann.pq_index_compact
+           |  (vec_id BIGINT, cent_id BIGINT, codes ARRAY<BIGINT>)
+           |USING annindex PARTITIONED BY (cent_id)
+           |LOCATION '$dir'""".stripMargin)
+      Files.createFile(marker)
+    }
+    cat
+  }
+
+  /** X-ANN-COMPACT: the ADC probe served from the COMPACTED index — must
+    * be hash-identical to [[pqServe]]'s answer from the fragmented
+    * staging (the oracle is the same SQL), with fewer files (the spec
+    * pins one data file per cell after compaction).
+    */
+  def compactServe(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = ensureCompactTable(spark, sfDir)
+    spark.sql(pqProbeSql(cat, "pq_index_compact", sfDir))
   }
 }

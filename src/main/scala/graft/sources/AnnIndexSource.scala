@@ -63,6 +63,15 @@ object AnnIndexTable {
     */
   val lastPlannedCells = new AtomicInteger(-1)
 
+  /** Observability hook for the filtered-probe spec: rendering of the
+    * ROW-level filters pushed into the most recent scan build that had
+    * any (attribute predicates the reader applies while parsing — the
+    * X-SIM-FILTERED contract that `label = k` reaches the index scan,
+    * not a post-scan Filter node).
+    */
+  val lastPushedRowFilters =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+
   /** Persist (schema DDL, partition column) — line 1 the DDL, line 2 the
     * partition column or empty.
     */
@@ -90,17 +99,27 @@ class AnnIndexScanBuilder(path: String, full: StructType, partCol: Option[String
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Only partition-column equality/IN prunes directories; everything
-    * else stays Spark-side.
+  /** Partition-column equality/IN prunes directories; equality/IN on any
+    * other LONG column of the schema is accepted as a ROW filter the
+    * reader applies while parsing (the filtered-ANN-probe path — a
+    * `label = k` predicate never materializes non-matching rows);
+    * everything else stays Spark-side.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (ours, rest) = filters.partition(AnnIndexScan.isPartFilter(partCol, _))
+    val (ours, rest) = filters.partition(f =>
+      AnnIndexScan.isPartFilter(partCol, f) ||
+        AnnIndexScan.isRowFilter(full, partCol, f))
     pushed = ours
     rest
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = AnnIndexScan(path, required, pushed, partCol)
+  override def build(): Scan = {
+    val rows = pushed.filter(AnnIndexScan.isRowFilter(full, partCol, _))
+    if (rows.nonEmpty)
+      AnnIndexTable.lastPushedRowFilters.set(rows.mkString(","))
+    AnnIndexScan(path, required, pushed, partCol)
+  }
 }
 
 case class AnnIndexScan(
@@ -116,6 +135,9 @@ case class AnnIndexScan(
     * matching cell directories are planned.
     */
   private var runtime: Array[Filter] = Array.empty
+
+  private val partFilters = pushed.filter(AnnIndexScan.isPartFilter(partCol, _))
+  private val rowFilters = pushed.filterNot(AnnIndexScan.isPartFilter(partCol, _))
 
   override def filterAttributes(): Array[NamedReference] =
     partCol.map(c => Expressions.column(c)).toArray
@@ -151,7 +173,7 @@ case class AnnIndexScan(
           }
           .sortBy(_._1)
           .filter { case (v, _) =>
-            AnnIndexScan.admitted(v, pushed ++ runtime) }
+            AnnIndexScan.admitted(v, partFilters ++ runtime) }
           .map { case (v, d) => (v, partFiles(d)) }
       case None =>
         Array((0L, partFiles(root)))
@@ -193,7 +215,7 @@ case class AnnIndexScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AnnIndexReaderFactory(required, partCol)
+    new AnnIndexReaderFactory(required, partCol, rowFilters)
 }
 
 object AnnIndexScan {
@@ -206,7 +228,21 @@ object AnnIndexScan {
       }
     }
 
-  private def asLong(v: Any): Option[Long] = v match {
+  /** A row filter the JSONL reader can apply exactly: equality/IN with
+    * numeric values on a LONG non-partition column of the schema.
+    */
+  def isRowFilter(schema: StructType, partCol: Option[String], f: Filter): Boolean = {
+    def longCol(a: String): Boolean =
+      !partCol.contains(a) &&
+        schema.fields.exists(x => x.name == a && x.dataType == LongType)
+    f match {
+      case EqualTo(a, v) => longCol(a) && asLong(v).isDefined
+      case In(a, vs) => longCol(a) && vs.nonEmpty && vs.forall(asLong(_).isDefined)
+      case _ => false
+    }
+  }
+
+  private[sources] def asLong(v: Any): Option[Long] = v match {
     case n: Number => Some(n.longValue())
     case _ => None
   }
@@ -221,19 +257,39 @@ object AnnIndexScan {
 case class AnnIndexPartition(cells: Array[(Long, Array[String])])
     extends InputPartition
 
-class AnnIndexReaderFactory(required: StructType, partCol: Option[String])
+class AnnIndexReaderFactory(
+    required: StructType, partCol: Option[String],
+    rowFilters: Array[Filter] = Array.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new AnnIndexJsonlReader(
-      partition.asInstanceOf[AnnIndexPartition], required, partCol)
+      partition.asInstanceOf[AnnIndexPartition], required, partCol, rowFilters)
 }
 
 /** Line-by-line JSONL reader materializing only the pruned schema; the
   * partition column is served from the directory name, never parsed.
+  * Pushed row filters (long equality/IN) are applied per parsed line
+  * BEFORE the row materializes — a null or missing filter column never
+  * matches, exactly SQL's `col = k` semantics.
   */
 class AnnIndexJsonlReader(
-    p: AnnIndexPartition, required: StructType, partCol: Option[String])
+    p: AnnIndexPartition, required: StructType, partCol: Option[String],
+    rowFilters: Array[Filter] = Array.empty)
     extends PartitionReader[InternalRow] {
+
+  /** (column, admitted values) per pushed row filter. */
+  private val rowPredicates: Array[(String, Set[Long])] = rowFilters.map {
+    case EqualTo(a, v) => (a, AnnIndexScan.asLong(v).toSet)
+    case In(a, vs) => (a, vs.flatMap(AnnIndexScan.asLong).toSet)
+    case other => throw new IllegalStateException(
+      s"unsupported pushed row filter $other")
+  }
+
+  private def admitsRow(node: JsonNode): Boolean = rowPredicates.forall {
+    case (c, allowed) =>
+      val v = node.get(c)
+      v != null && !v.isNull && v.isNumber && allowed.contains(v.asLong())
+  }
 
   private val mapper = new ObjectMapper()
   private val cellIter = p.cells.iterator
@@ -259,9 +315,12 @@ class AnnIndexJsonlReader(
   }
 
   override def next(): Boolean = {
-    if (!advance()) { close(); return false }
-    current = convert(mapper.readTree(lineIter.next()))
-    true
+    while (true) {
+      if (!advance()) { close(); return false }
+      val node = mapper.readTree(lineIter.next())
+      if (admitsRow(node)) { current = convert(node); return true }
+    }
+    false // unreachable
   }
 
   private def convert(node: JsonNode): InternalRow = {
