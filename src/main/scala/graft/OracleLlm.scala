@@ -279,6 +279,42 @@ object OracleLlm {
        |WHERE est_jaccard >= ${llm.Dedup.NearDupThreshold} AND sa.split <> sb.split
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** cleanSplit mirror: the decontam machinery turned into the eviction
+    * itself — near-dup partners of test docs dropped from train/val,
+    * with the same per-(source, split) accounting as splitSql plus the
+    * eviction columns.
+    */
+  val cleanSplitSql: String = {
+    val B = llm.Sampling.SplitBuckets
+    s"""WITH $sigCtes, $pairCtes, $sampleCte,
+       |sp AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         CASE WHEN ((fp % $B) + $B) % $B <= 7 THEN 'train'
+       |              WHEN ((fp % $B) + $B) % $B = 8 THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM sf),
+       |nd AS (SELECT id_a, id_b FROM mh
+       |       WHERE est_jaccard >= ${llm.Dedup.NearDupThreshold}),
+       |sym AS (SELECT id_a AS a, id_b AS b FROM nd
+       |        UNION ALL SELECT id_b, id_a FROM nd),
+       |evict AS (
+       |  SELECT DISTINCT sym.a AS doc_id
+       |  FROM sym
+       |  JOIN sp t ON t.doc_id = sym.b AND t.split = 'test'
+       |  JOIN sp s ON s.doc_id = sym.a AND s.split <> 'test'),
+       |m AS (
+       |  SELECT sp.source, sp.split, sp.doc_id, sp.n_tokens,
+       |         (e.doc_id IS NOT NULL) AS evicted
+       |  FROM sp LEFT JOIN evict e ON e.doc_id = sp.doc_id)
+       |SELECT source, split,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       |       CAST(sum(CASE WHEN evicted THEN 1 ELSE 0 END) AS BIGINT) AS n_evicted,
+       |       CAST(sum(CASE WHEN evicted THEN n_tokens ELSE 0 END) AS BIGINT) AS evicted_tokens,
+       |       CAST(sum(CASE WHEN evicted THEN doc_id ELSE 0 END) AS BIGINT) AS evicted_ids_sum
+       |FROM m GROUP BY source, split ORDER BY source, split""".stripMargin
+  }
+
   val splitSql: String =
     s"""WITH $sampleCte,
        |b AS (SELECT source, n_tokens, ((fp % ${llm.Sampling.SplitBuckets}) + ${llm.Sampling.SplitBuckets}) % ${llm.Sampling.SplitBuckets} AS b FROM sf),
@@ -1705,7 +1741,7 @@ object OracleLlm {
     * engine's staged index/codebook must land on the same codes
     * (x_sim_ivfpq's green hash is the proof the build halves agree).
     */
-  private lazy val pqChainCtes: String = {
+  private def pqChainCtes(candFilter: String = ""): String = {
     val S = llm.Similarity
     val sd = S.PqSubDim
     s"""cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn FROM c
@@ -1769,7 +1805,7 @@ object OracleLlm {
        |           / (q.qn * r.an) AS sa
        |  FROM probes p JOIN rn2 r ON r.cent_id = p.cent_id
        |  JOIN q ON q.qid = p.qid
-       |  WHERE r.vec_id <> q.qid),
+       |  WHERE r.vec_id <> q.qid$candFilter),
        |shortl AS (
        |  SELECT qid, cid, rn FROM (
        |    SELECT qid, cid,
@@ -1782,7 +1818,7 @@ object OracleLlm {
     */
   val simIvfpqSql: String =
     s"""WITH $simBaseCtes,
-       |$pqChainCtes,
+       |${pqChainCtes()},
        |s AS (
        |  SELECT q.qid, c.vec_id AS cid,
        |         ${cosine("q.qv", "q.qn", "c.embedding", "c.nrm")} AS cosine
@@ -1795,7 +1831,18 @@ object OracleLlm {
     */
   val simPqServeSql: String =
     s"""WITH $simBaseCtes,
-       |$pqChainCtes
+       |${pqChainCtes()}
+       |SELECT qid, CAST(rn AS BIGINT) AS rank, cid
+       |FROM shortl ORDER BY qid, rank""".stripMargin
+
+  /** annDelete mirror: the identical chain with the deletion set
+    * excluded from the ADC candidates — the purged index must re-rank
+    * among survivors exactly as the from-scratch formulation does.
+    */
+  val annDeleteSql: String =
+    s"""WITH $simBaseCtes,
+       |${pqChainCtes(s" AND r.vec_id % ${graft.queries.AnnServe.DeleteMod} <> " +
+          s"${graft.queries.AnnServe.DeleteRem}")}
        |SELECT qid, CAST(rn AS BIGINT) AS rank, cid
        |FROM shortl ORDER BY qid, rank""".stripMargin
 

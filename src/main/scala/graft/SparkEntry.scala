@@ -25,6 +25,7 @@ object SparkEntry {
     "q_join_fx" -> (EtlQueries.qJoinFx _),
     "q_join_fx_asof" -> (EtlQueries.qJoinFxAsof _),
     "q_unnest" -> (EtlQueries.qUnnest _),
+    "q_roas" -> (EtlQueries.qRoas _),
     "q_daily" -> (EtlQueries.qDaily _),
     "q_topk" -> (EtlQueries.qTopK _),
     "q_window" -> (EtlQueries.qWindow _),
@@ -60,6 +61,7 @@ object SparkEntry {
     "x_sim_pq_serve" -> (graft.queries.AnnServe.pqServe _),
     "x_sim_filtered" -> (graft.queries.AnnServe.simFiltered _),
     "x_ann_compact" -> (graft.queries.AnnServe.compactServe _),
+    "x_ann_delete" -> (graft.queries.AnnServe.deleteServe _),
     "x_ann_stats" -> (llm.Similarity.annStats _),
     "x_curriculum" -> (llm.TextAnalysis.curriculum _),
     "x_sim_incr" -> (llm.Similarity.simIncrTopK _),
@@ -109,6 +111,7 @@ object SparkEntry {
     "x_split" -> (llm.Sampling.split _),
     "x_token_budget" -> (llm.Sampling.tokenBudget _),
     "x_decontam" -> (llm.Sampling.decontamination _),
+    "x_clean_split" -> (llm.Sampling.cleanSplit _),
     "x_range_join" -> (ScaleQueries.rangeJoin _),
     "x_quantiles" -> (llm.Events.quantiles _),
     "x_pivot" -> (llm.Events.pivotDaily _),
@@ -396,6 +399,21 @@ object SparkEntry {
          |       spend * rate AS spend_uah
          |FROM fb JOIN rates ON fb.date = rates.date
          |ORDER BY ad_id""".stripMargin,
+    "q_roas" ->
+      s"""$fbCte, $ratesCte,
+         |j AS (
+         |  SELECT campaign_id,
+         |         CAST(spend AS DECIMAL(18,2)) * CAST(rate AS DECIMAL(18,2)) AS spend_uah,
+         |         CAST(CASE WHEN has_conv THEN ln ELSE 0 END AS BIGINT) AS conv_value,
+         |         CAST(CASE WHEN has_conv THEN 1 ELSE 0 END AS BIGINT) AS n_conv
+         |  FROM fb JOIN rates ON fb.date = rates.date)
+         |SELECT campaign_id,
+         |       CAST(sum(spend_uah) AS DOUBLE) AS spend_uah,
+         |       CAST(sum(conv_value) AS BIGINT) AS conv_value,
+         |       CAST(sum(n_conv) AS BIGINT) AS n_conversions,
+         |       CAST(CAST(sum(spend_uah) * 10000 AS BIGINT) // nullif(sum(conv_value), 0) AS BIGINT)
+         |         AS cost_per_value_e4
+         |FROM j GROUP BY campaign_id ORDER BY campaign_id""".stripMargin,
     // as-of = forward-filled daily dim + equi-join; oracle mirrors the
     // fill with last_value IGNORE NULLS over the same date order
     "q_join_fx_asof" ->
@@ -947,6 +965,7 @@ object SparkEntry {
     "x_sim_pq_serve" -> OracleLlm.simPqServeSql,
     "x_sim_filtered" -> OracleLlm.simFilteredSql,
     "x_ann_compact" -> OracleLlm.simPqServeSql,
+    "x_ann_delete" -> OracleLlm.annDeleteSql,
     "x_ann_stats" -> OracleLlm.annStatsSql,
     "x_curriculum" -> OracleLlm.curriculumSql,
     "x_sim_incr" -> OracleLlm.simIncrSql,
@@ -1175,6 +1194,7 @@ object SparkEntry {
         |FROM events e JOIN dim d USING (event_type)
         |GROUP BY 1, 2 ORDER BY e.event_type""".stripMargin,
     "x_decontam" -> OracleLlm.decontamSql,
+    "x_clean_split" -> OracleLlm.cleanSplitSql,
     "x_interleave" -> OracleLlm.interleaveSql,
     // oracle is the PLAIN interval join — bucketing must be value-identical
     "x_range_join" ->

@@ -79,6 +79,45 @@ object Sampling {
       .orderBy("id_a", "id_b")
   }
 
+  /** X-CLEAN-SPLIT: the leakage-safe split X-DECONTAM's report exists to
+    * produce — train/val documents that are near-dups (est ≥ the
+    * near-dup threshold) of ANY test document are EVICTED, so the
+    * shipped training set cannot leak the eval set through paraphrase
+    * dups (exact dups can't cross splits by construction — the split
+    * keys off the content hash). Output per (source, split): doc/token
+    * totals, evicted doc/token counts, and an evicted-id checksum
+    * pinning the exact eviction set; test rows evict nothing (the eval
+    * set is the thing being protected, not purged).
+    *
+    * Scale shape: the test id set is eval-sized (broadcastable), the
+    * near-dup pairs come from the memoized banded table, eviction is a
+    * pair-bounded semi-join — no corpus×corpus work anywhere.
+    */
+  def cleanSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val sp = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        splitName(bucket).as("split"))
+    val pairs = Dedup.minhashPairsTable(spark, sfDir)
+      .filter(col("est_jaccard") >= Dedup.NearDupThreshold)
+    val sym = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionAll(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+    val testIds = sp.filter(col("split") === "test").select(col("doc_id").as("b"))
+    val evict = sym.join(broadcast(testIds), Seq("b"))
+      .select(col("a").as("doc_id")).distinct()
+      .join(sp.filter(col("split") =!= "test").select("doc_id"), Seq("doc_id"), "left_semi")
+    sp.join(broadcast(evict.withColumn("ev", lit(true))), Seq("doc_id"), "left")
+      .withColumn("evicted", coalesce(col("ev"), lit(false)))
+      .groupBy("source", "split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("tokens"),
+        sum(when(col("evicted"), 1L).otherwise(0L)).as("n_evicted"),
+        sum(when(col("evicted"), col("n_tokens")).otherwise(0L)).as("evicted_tokens"),
+        sum(when(col("evicted"), col("doc_id")).otherwise(0L)).as("evicted_ids_sum"))
+      .orderBy("source", "split")
+  }
+
   /** N-gram width for [[decontaminationNgram]] — wide enough that a
     * shared gram means copied text, not phrase reuse (the GPT-3-style
     * 13-gram rule, sized down to the fixture's ~short docs).

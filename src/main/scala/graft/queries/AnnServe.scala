@@ -3,6 +3,7 @@ package graft.queries
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, pmod}
 
 import graft.Tables
 import graft.etl.Sink
@@ -366,5 +367,90 @@ object AnnServe {
   def compactServe(spark: SparkSession, sfDir: String): DataFrame = {
     val cat = ensureCompactTable(spark, sfDir)
     spark.sql(pqProbeSql(cat, "pq_index_compact", sfDir))
+  }
+
+  // ---- opt-out deletion in the index (X-ANN-DELETE) --------------------
+
+  /** The deletion membership of X-ANN-DELETE: vec_id ≡ 13 (mod 50) —
+    * disjoint from centroids (≡ 0 mod 100) and queries (≡ 0 mod 200),
+    * so the frozen model and the serving query set survive the purge.
+    */
+  val DeleteMod = 50L
+  val DeleteRem = 13L
+
+  /** Copy-on-write deletion over a cell-partitioned JSONL index staging:
+    * victims' postings are purged by rewriting ONLY the cell directories
+    * that contain a victim (ONE multi-path Spark job over the affected
+    * dirs — the [[graft.etl.Cdc.rewriteAffected]] discipline applied to
+    * the index artifact); untouched cell dirs are left byte-identical in
+    * place (metadata work, zero IO). A cell whose every row is a victim
+    * disappears (no dir = empty posting list). Returns
+    * (n_cells_total, n_cells_rewritten).
+    */
+  private[graft] def deleteFromIndex(spark: SparkSession, dir: String): (Int, Int) = {
+    val all = spark.read.json(dir)
+    // affected-cell listing is centroid-sized — a loud, bounded collect
+    val affected = all
+      .filter(pmod(col("vec_id"), lit(DeleteMod)) === DeleteRem)
+      .select(col("cent_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val totalCells = new java.io.File(dir).listFiles()
+      .count(d => d.isDirectory && d.getName.startsWith("cent_id="))
+    if (affected.nonEmpty) {
+      val tmp = dir + "__deleting"
+      Sink.dropUncommitted(tmp)
+      val dirs = affected.toSeq.sorted.map(c => s"$dir/cent_id=$c")
+      spark.read.option("basePath", dir).json(dirs: _*)
+        .filter(pmod(col("vec_id"), lit(DeleteMod)) =!= DeleteRem)
+        .repartition(col("cent_id"))
+        .write.mode("overwrite").partitionBy("cent_id").json(tmp)
+      affected.foreach { c =>
+        val live = Paths.get(dir, s"cent_id=$c")
+        val fresh = Paths.get(tmp, s"cent_id=$c")
+        Sink.dropUncommitted(live.toString)
+        if (Files.exists(fresh)) Files.move(fresh, live)
+      }
+      Sink.dropUncommitted(tmp)
+    }
+    (totalCells, affected.size)
+  }
+
+  /** Stage a copy of the pq index, purge the deletion set from it, and
+    * register it as `ann.pq_index_deleted`. Marker-gated.
+    */
+  private[graft] def ensureDeletedTable(spark: SparkSession, sfDir: String): String = {
+    val cat = ensureAnnTables(spark, sfDir)
+    val wh = Sink.scratchPath(sfDir, "ann_warehouse")
+    val marker = Paths.get(wh, "_GRAFT_DONE_ann_delete_v1")
+    if (!Files.exists(marker)) {
+      spark.sql(s"DROP TABLE IF EXISTS $cat.ann.pq_index_deleted")
+      val dir = s"$wh/staging/pq_index_deleted"
+      Sink.dropUncommitted(dir)
+      Similarity.pqIndexFrame(Tables.embeddings(spark, sfDir))
+        .write.mode("overwrite").partitionBy("cent_id").json(dir)
+      deleteFromIndex(spark, dir)
+      spark.sql(
+        s"""CREATE TABLE $cat.ann.pq_index_deleted
+           |  (vec_id BIGINT, cent_id BIGINT, codes ARRAY<BIGINT>)
+           |USING annindex PARTITIONED BY (cent_id)
+           |LOCATION '$dir'""".stripMargin)
+      Files.createFile(marker)
+    }
+    cat
+  }
+
+  /** X-ANN-DELETE: opt-out deletion propagated into the ANN index — the
+    * X-OPTOUT / Q-DELETE obligation applied to the serving artifact (a
+    * compliance purge that forgets the warehouse rows but keeps serving
+    * the user's vectors has not forgotten anything). The probe over the
+    * purged index re-ranks among the survivors: the oracle re-derives
+    * the full IVF-PQ chain with the deletion set excluded from the
+    * candidates, so the served shortlist must match it hash-for-hash —
+    * and the spec pins the rewrite to ONLY the affected cell dirs, with
+    * untouched dirs byte-identical.
+    */
+  def deleteServe(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = ensureDeletedTable(spark, sfDir)
+    spark.sql(pqProbeSql(cat, "pq_index_deleted", sfDir))
   }
 }

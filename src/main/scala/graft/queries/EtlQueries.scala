@@ -217,6 +217,36 @@ object EtlQueries {
         sum(col("a.value").cast("long")).as("total_value"))
       .orderBy(asc_nulls_first("action_type"))
 
+  /** Q-ROAS: the return-on-ad-spend report the reference's BigQuery
+    * consumer ultimately builds from BOTH loaded tables — insights spend
+    * FX-converted (the S-FX join) against the nested `conversions`
+    * value (T-NEST), per campaign. All money math is exact: spend(2dp) ×
+    * rate(2dp) products are DECIMAL scale-4, the conversion value a
+    * BIGINT array fold, and cost-per-conversion-value integer units of
+    * 10⁻⁴ UAH (spend×10⁴ is an exact integer at scale 4). One broadcast
+    * dim join + one campaign hash agg — the fact never sorts or
+    * re-shuffles beyond the group-by.
+    */
+  def qRoas(spark: SparkSession, sfDir: String): DataFrame = {
+    val fb = fbStatTable(spark, sfDir)
+    val rates = RatesSource.rates(spark, sfDir)
+    fb.join(broadcast(rates), Seq("date"))
+      .select(col("campaign_id"),
+        (col("spend").cast(DecimalType(18, 2)) * col("rate").cast(DecimalType(18, 2)))
+          .as("spend_uah"),
+        expr("aggregate(conversions, CAST(0 AS BIGINT), (a, x) -> a + CAST(x.value AS BIGINT))")
+          .as("conv_value"),
+        size(col("conversions")).cast("long").as("n_conv"))
+      .groupBy("campaign_id")
+      .agg(
+        sum("spend_uah").cast("double").as("spend_uah"),
+        sum("conv_value").as("conv_value"),
+        sum("n_conv").as("n_conversions"),
+        expr("CAST(sum(spend_uah) * 10000 AS BIGINT) div nullif(sum(conv_value), 0)")
+          .as("cost_per_value_e4"))
+      .orderBy("campaign_id")
+  }
+
   /** Q-DAILY: campaign daily rollup — the aggregation the reference pushes
     * to the API (`level='ad'`, `time_increment=1`, main.py:175-181) lifted
     * one tier to campaign level. Partial+final hash agg, one shuffle.

@@ -2841,6 +2841,113 @@ class GraftSpec extends AnyFunSuite {
     assert(out.length === expected.size)
   }
 
+  test("x_clean_split: evicts exactly the test-contaminated train/val docs") {
+    val rows = llm.Sampling.cleanSplit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // totals agree with the plain split audit (eviction only annotates)
+    val plain = llm.Sampling.split(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert((r.getLong(2), r.getLong(3)) === plain(k))
+    }
+    // test rows are never evicted; some train/val eviction happens at the
+    // fixture (the decontam spec plants cross-split near-dups)
+    rows.filter(_.getString(1) == "test").foreach(r => assert(r.getLong(4) === 0L))
+    assert(rows.filter(_.getString(1) != "test").map(_.getLong(4)).sum > 0L,
+      "fixture plants cross-split near-dups to evict")
+    // the eviction set is exactly the non-test side of x_decontam's
+    // test-touching leak pairs
+    val leaks = llm.Sampling.decontamination(spark, sf).collect()
+    val expected = leaks.flatMap { l =>
+      val (a, sa, b, sb) = (l.getLong(0), l.getString(1), l.getLong(2), l.getString(3))
+      Seq((a, sa, sb), (b, sb, sa))
+    }.filter { case (_, s, o) => s != "test" && o == "test" }.map(_._1).toSet
+    val sp = llm.Sampling.assignments(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docIds = Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+    val evictedSum = rows.filter(_.getString(1) != "test").map(_.getLong(6)).sum
+    assert(evictedSum === expected.toSeq.sum,
+      "evicted-id checksums must equal the decontam-derived eviction set")
+    val evictedCount = rows.map(_.getLong(4)).sum
+    assert(evictedCount === expected.size)
+    assert(expected.forall(id => sp(id) != "test") && docIds.nonEmpty)
+  }
+
+  test("q_roas: exact money math and conversion reconciliation") {
+    val rows = queries.EtlQueries.qRoas(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every conversion in the fact lands in exactly one campaign row
+    val nConvTotal = queries.EtlQueries.fbStatTable(spark, sf)
+      .select(size(col("conversions")).cast("long").as("n")).collect()
+      .map(_.getLong(0)).sum
+    assert(rows.map(_.getLong(3)).sum === nConvTotal)
+    rows.foreach { r =>
+      val spend = r.getDouble(1)
+      val conv = r.getLong(2)
+      val cpv = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      assert(spend > 0)
+      // spend is scale-4 exact, so ×10⁴ is an exact integer and the
+      // cost-per-value integer division recomputes bit-for-bit
+      if (conv > 0) assert(cpv === Some(Math.round(spend * 10000) / conv))
+      else assert(cpv.isEmpty, "no conversions must report null cost")
+    }
+  }
+
+  test("x_ann_delete: victims purged cell-locally, idempotent, and never served") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_delete")
+      .toString + "/idx"
+    llm.Similarity.pqIndexFrame(Tables.embeddings(spark, sf))
+      .write.mode("overwrite").partitionBy("cent_id").json(dir)
+    val mod = graft.queries.AnnServe.DeleteMod
+    val rem = graft.queries.AnnServe.DeleteRem
+    def rows(): Set[(Long, Long)] = spark.read.json(dir)
+      .select(col("vec_id").cast("long"), col("cent_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def snapshot(): Map[String, Seq[(String, String)]] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(d => d.isDirectory && d.getName.startsWith("cent_id="))
+        .map { d =>
+          d.getName -> d.listFiles().filter(f => f.getName.startsWith("part-"))
+            .sortBy(_.getName).toSeq.map { f =>
+              val md = java.security.MessageDigest.getInstance("MD5")
+                .digest(java.nio.file.Files.readAllBytes(f.toPath))
+              (f.getName, md.map("%02x".format(_)).mkString)
+            }
+        }.toMap
+    }
+    val before = rows()
+    val victims = before.filter(_._1 % mod == rem)
+    assert(victims.nonEmpty, "the fixture plants deletable postings")
+    val untouchedBefore = snapshot().filter { case (d, _) =>
+      !victims.exists(v => d == s"cent_id=${v._2}") }
+    val (_, rewritten) = graft.queries.AnnServe.deleteFromIndex(spark, dir)
+    assert(rewritten === victims.map(_._2).size,
+      "exactly the victim-bearing cells are rewritten")
+    // exact survivor set, purge is cell-local
+    assert(rows() === before -- victims)
+    // cells without a victim are byte-identical — the CoW rewrite never
+    // touched them
+    untouchedBefore.foreach { case (d, files) =>
+      assert(snapshot()(d) === files, s"untouched cell $d was rewritten")
+    }
+    // idempotence: a second purge finds nothing, rewrites nothing, and
+    // leaves EVERY cell byte-identical
+    val full = snapshot()
+    val (_, again) = graft.queries.AnnServe.deleteFromIndex(spark, dir)
+    assert(again === 0)
+    assert(snapshot() === full)
+    // the served probe never returns a victim and stays densely ranked
+    val out = graft.queries.AnnServe.deleteServe(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getLong(2) % mod != rem,
+      s"victim ${r.getLong(2)} still serving"))
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getLong(1)).sorted
+      assert(ranks.sameElements(1L to ranks.length))
+    }
+  }
+
   test("x_ann_stats: shares total a partition, imbalance is max/mean, assignment checks out") {
     val rows = llm.Similarity.annStats(spark, sf).collect()
     val nCells = rows.length
@@ -4208,7 +4315,8 @@ class GraftSpec extends AnyFunSuite {
     //     work as a broadcast centroid-ARRAY fold (centArr), a shape this
     //     lint can't see either — the SQL face just makes it explicit,
     //     and it collapses to NumProbes rows per query immediately after
-    val cartesianOk = Set("x_sim_pq_serve", "x_sim_filtered", "x_ann_compact")
+    val cartesianOk =
+      Set("x_sim_pq_serve", "x_sim_filtered", "x_ann_compact", "x_ann_delete")
     val skip = SparkEntry.queries.keySet.filter(_.contains("stream")) + "x_global_ids"
     val violations = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => skip(q._1)).flatMap { case (name, fn) =>
@@ -4402,7 +4510,8 @@ class GraftSpec extends AnyFunSuite {
       "x_stream_neardup" -> "X-STREAM-NEARDUP", "x_stream_sim" -> "X-STREAM-SIM",
       "x_sim_filtered" -> "X-SIM-FILTERED", "x_ann_compact" -> "X-ANN-COMPACT",
       "x_contrastive" -> "X-CONTRASTIVE", "x_ann_stats" -> "X-ANN-STATS",
-      "x_curriculum" -> "X-CURRICULUM",
+      "x_curriculum" -> "X-CURRICULUM", "x_ann_delete" -> "X-ANN-DELETE",
+      "q_roas" -> "Q-ROAS", "x_clean_split" -> "X-CLEAN-SPLIT",
       "x_mm_cluster" -> "X-MM-CLUSTER", "x_quantile_sketch" -> "X-QUANTILE-SKETCH",
       "x_ltv" -> "X-LTV", "x_time_to_convert" -> "X-TIME-TO-CONVERT",
       "x_ab_srm" -> "X-AB-SRM", "x_bloom_fpr" -> "X-BLOOM-FPR",
