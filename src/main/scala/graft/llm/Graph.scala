@@ -656,8 +656,16 @@ object Graph {
     * Bavelas definition on the reachable set, so disconnected
     * components don't zero it).
     */
-  def closeness(spark: SparkSession, sfDir: String): DataFrame = {
-    val und = thresholdedUndirected(spark, sfDir)
+  /** Frontier multi-source BFS over a symmetric (a, b) edge frame: every
+    * node is its own source, and the returned (src, id, d) frame holds
+    * the exact hop distance for every pair reachable within `rounds`
+    * (pairs farther than `rounds` are absent — callers pin diameter <
+    * rounds, which the closeness spec proves on the fixture and the
+    * property law proves against a sequential reference). Exposed for
+    * that law.
+    */
+  private[graft] def multiSourceBfs(
+      und: DataFrame, rounds: Int = ClosenessRounds): DataFrame = {
     // two live frames per round (settled dist + last frontier): eager
     // localCheckpoints, previous round's pair released only after the
     // new pair is materialized
@@ -674,7 +682,7 @@ object Graph {
     var dist = seed
     var frontier = seed
     releaseAndTrack(seed)
-    (1 to ClosenessRounds).foreach { _ =>
+    (1 to rounds).foreach { _ =>
       val relax = frontier.join(und, frontier("id") === und("a"))
         .select(col("src"), col("b").as("id"), (col("d") + 1L).as("d"))
       // min-agg the frontier-sized delta, keep only first discoveries
@@ -686,6 +694,12 @@ object Graph {
       dist = next
       frontier = discovered
     }
+    dist
+  }
+
+  def closeness(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = thresholdedUndirected(spark, sfDir)
+    val dist = multiSourceBfs(und)
     val nation = graft.Tables.load(spark, sfDir, "nation")
       .select(col("n_nationkey").as("src"), col("n_name"))
     dist.groupBy("src")

@@ -293,6 +293,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("law: X-CLOSENESS frontier BFS equals sequential multi-source BFS on random graphs") {
+    import spark.implicits._
+    forAll(edgeGen(10), cases = 3) { edges =>
+      val rounds = 6
+      val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        .distinct.toDF("a", "b").cache()
+      val got = llm.Graph.multiSourceBfs(und, rounds).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      und.unpersist()
+      // sequential BFS per source, truncated at the same round budget —
+      // the frontier rewrite must discover EXACTLY these pairs at
+      // EXACTLY these distances (first discovery = min distance under
+      // unit weights, the invariant the anti-join optimization rests on)
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+      val nodes = adj.keySet
+      val brute = nodes.flatMap { s =>
+        var dist = Map(s -> 0L)
+        var frontier = Set(s)
+        (1 to rounds).foreach { r =>
+          val next = frontier.flatMap(adj).diff(dist.keySet)
+          dist = dist ++ next.map(_ -> r.toLong)
+          frontier = next
+        }
+        dist.map { case (n, d) => (s, n) -> d }
+      }.toMap
+      assert(got === brute, s"frontier BFS disagrees with sequential BFS on $edges")
+    }
+  }
+
   test("law: X-TRIANGLES equals brute-force 3-clique enumeration on random graphs") {
     import spark.implicits._
     forAll(edgeGen(10), cases = 4) { edges =>
