@@ -1695,6 +1695,55 @@ object OracleLlm {
        |       CAST(max_n * n_cells * 1000000 // total AS BIGINT) AS imbalance_ppm
        |FROM fullc, tot ORDER BY cent_id""".stripMargin
 
+  /** annRebalance mirror: the annStats assignment chain, the
+    * above-mean hot rule, min-id sub-centroid seeding, and the same
+    * (max cosine, min id) re-assignment argmax; unsplit cells pass
+    * through.
+    */
+  val annRebalanceSql: String =
+    s"""WITH $simBaseCtes,
+       |cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn FROM c
+       |          WHERE vec_id % ${llm.Similarity.CentroidStride} = 0),
+       |casg AS (
+       |  SELECT vec_id, cent_id,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+       |  FROM (SELECT c.vec_id, cents.cent_id,
+       |          ${cosine("c.embedding", "c.nrm", "cents.cv", "cents.cn")} AS cs
+       |        FROM c, cents)),
+       |cells AS (SELECT vec_id, cent_id FROM casg WHERE rn = 1),
+       |st AS (SELECT cent_id, CAST(count(*) AS BIGINT) AS n FROM cells GROUP BY 1),
+       |tot AS (SELECT sum(n) AS total, count(*) AS n_cells FROM st),
+       |hot AS (SELECT st.cent_id FROM st, tot WHERE st.n * tot.n_cells > tot.total),
+       |subs AS (
+       |  SELECT cent_id, vec_id AS sub_id FROM (
+       |    SELECT cl.cent_id, cl.vec_id,
+       |           row_number() OVER (PARTITION BY cl.cent_id ORDER BY cl.vec_id) AS rn
+       |    FROM cells cl JOIN hot USING (cent_id))
+       |  WHERE rn <= ${llm.Similarity.RebalanceSplit}),
+       |reasg0 AS (
+       |  SELECT cl.cent_id AS parent_cent_id, cl.vec_id, s.sub_id,
+       |         ${cosine("cm.embedding", "cm.nrm", "cv2.embedding", "cv2.nrm")} AS cs
+       |  FROM cells cl
+       |  JOIN hot USING (cent_id)
+       |  JOIN subs s ON s.cent_id = cl.cent_id
+       |  JOIN c cm ON cm.vec_id = cl.vec_id
+       |  JOIN c cv2 ON cv2.vec_id = s.sub_id),
+       |reasg AS (
+       |  SELECT parent_cent_id, vec_id, sub_id AS new_cent_id FROM (
+       |    SELECT parent_cent_id, vec_id, sub_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, sub_id) AS rn
+       |    FROM reasg0) WHERE rn = 1),
+       |newcells AS (
+       |  SELECT new_cent_id, parent_cent_id, vec_id FROM reasg
+       |  UNION ALL
+       |  SELECT cl.cent_id, cl.cent_id, cl.vec_id FROM cells cl
+       |  WHERE cl.cent_id NOT IN (SELECT cent_id FROM hot))
+       |SELECT CAST(new_cent_id AS BIGINT) AS new_cent_id,
+       |       CAST(parent_cent_id AS BIGINT) AS parent_cent_id,
+       |       CAST(count(*) AS BIGINT) AS n_vecs,
+       |       CAST(sum(vec_id) AS BIGINT) AS sum_ids
+       |FROM newcells GROUP BY 1, 2 ORDER BY new_cent_id, parent_cent_id""".stripMargin
+
   /** curriculum mirror: the quality-filter feature CTE with doc_id +
     * source kept, the integer ppm score, a per-source ntile window with
     * the identical (score DESC, doc_id) total order, and the stage
@@ -1832,6 +1881,18 @@ object OracleLlm {
   val simPqServeSql: String =
     s"""WITH $simBaseCtes,
        |${pqChainCtes()}
+       |SELECT qid, CAST(rn AS BIGINT) AS rank, cid
+       |FROM shortl ORDER BY qid, rank""".stripMargin
+
+  /** filteredPqServe mirror: the identical PQ chain with the label
+    * predicate applied to the ADC candidates — the quantized filtered
+    * probe must re-rank among the label class exactly as the
+    * from-scratch formulation does.
+    */
+  val simFilteredPqSql: String =
+    s"""WITH $simBaseCtes,
+       |${pqChainCtes(" AND r.vec_id IN (SELECT vec_id FROM embeddings " +
+          s"WHERE CAST(label AS BIGINT) = ${graft.queries.AnnServe.FilterLabel})")}
        |SELECT qid, CAST(rn AS BIGINT) AS rank, cid
        |FROM shortl ORDER BY qid, rank""".stripMargin
 

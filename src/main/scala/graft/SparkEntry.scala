@@ -60,9 +60,11 @@ object SparkEntry {
     "x_sim_ivfpq" -> (llm.Similarity.ivfpqTopK _),
     "x_sim_pq_serve" -> (graft.queries.AnnServe.pqServe _),
     "x_sim_filtered" -> (graft.queries.AnnServe.simFiltered _),
+    "x_sim_filtered_pq" -> (graft.queries.AnnServe.filteredPqServe _),
     "x_ann_compact" -> (graft.queries.AnnServe.compactServe _),
     "x_ann_delete" -> (graft.queries.AnnServe.deleteServe _),
     "x_ann_stats" -> (llm.Similarity.annStats _),
+    "x_ann_rebalance" -> (llm.Similarity.annRebalance _),
     "x_curriculum" -> (llm.TextAnalysis.curriculum _),
     "x_sim_incr" -> (llm.Similarity.simIncrTopK _),
     "x_sim_rrf" -> (llm.Similarity.rrfTopK _),
@@ -122,6 +124,7 @@ object SparkEntry {
     "x_stream_dedup" -> (llm.StreamingOps.streamingDedup _),
     "x_stream_neardup" -> (llm.StreamingOps.streamingNearDup _),
     "x_stream_sim" -> (llm.StreamingOps.streamingSimIngest _),
+    "x_stream_mm" -> (llm.StreamingOps.streamingMediaIngest _),
     "x_stream_join" -> (llm.StreamingOps.streamingJoin _),
     "x_connected" -> (llm.Graph.components _),
     "x_stratified" -> (llm.Sampling.stratified _),
@@ -322,6 +325,21 @@ object SparkEntry {
   /** Shared CTE: the insights-shaped rows FbInsightsSource derives from
     * lineitem×orders, recomputed in SQL (FIXTURES.md §B1 derivation).
     */
+  /** Shared by x_mm_dedup (batch) and x_stream_mm (the ingest-time
+    * sibling, which must land on the identical manifest).
+    */
+  private val mmDedupOracleSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, source, md5(text) AS payload_md5,
+      |         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+      |  FROM documents)
+      |SELECT payload_md5, CAST(count(*) AS BIGINT) AS n_copies,
+      |       CAST(min(doc_id) AS BIGINT) AS keeper_id,
+      |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |       CAST(sum(n_bytes) AS BIGINT) AS bytes_total
+      |FROM p GROUP BY payload_md5
+      |ORDER BY payload_md5""".stripMargin
+
   private val fbCte: String =
     """WITH fb AS (
       |  SELECT CAST(o.o_orderdate AS DATE) AS date,
@@ -964,9 +982,11 @@ object SparkEntry {
     "x_sim_ivfpq" -> OracleLlm.simIvfpqSql,
     "x_sim_pq_serve" -> OracleLlm.simPqServeSql,
     "x_sim_filtered" -> OracleLlm.simFilteredSql,
+    "x_sim_filtered_pq" -> OracleLlm.simFilteredPqSql,
     "x_ann_compact" -> OracleLlm.simPqServeSql,
     "x_ann_delete" -> OracleLlm.annDeleteSql,
     "x_ann_stats" -> OracleLlm.annStatsSql,
+    "x_ann_rebalance" -> OracleLlm.annRebalanceSql,
     "x_curriculum" -> OracleLlm.curriculumSql,
     "x_sim_incr" -> OracleLlm.simIncrSql,
     "x_sim_rrf" -> OracleLlm.rrfSql,
@@ -982,17 +1002,8 @@ object SparkEntry {
     "x_containment" -> OracleLlm.containmentSql,
     // binary payloads dedup on the md5 digest — identical lowercase hex
     // on both engines; UTF-8 bytes of the text ARE the payload
-    "x_mm_dedup" ->
-      """WITH p AS (
-        |  SELECT doc_id, source, md5(text) AS payload_md5,
-        |         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
-        |  FROM documents)
-        |SELECT payload_md5, CAST(count(*) AS BIGINT) AS n_copies,
-        |       CAST(min(doc_id) AS BIGINT) AS keeper_id,
-        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
-        |       CAST(sum(n_bytes) AS BIGINT) AS bytes_total
-        |FROM p GROUP BY payload_md5
-        |ORDER BY payload_md5""".stripMargin,
+    "x_mm_dedup" -> mmDedupOracleSql,
+    "x_stream_mm" -> mmDedupOracleSql,
     "x_stream_kmv" -> OracleLlm.streamKmvSql,
     "x_mm_neardup" -> OracleLlm.mmNearDupSql,
     "x_mm_cluster" -> OracleLlm.mmClusterSql,

@@ -756,6 +756,16 @@ object Similarity {
       array((0 until PqSubspaces).map(m => col(s"c$m")("bid")): _*).as("codes"))
   }
 
+  /** [[pqIndexFrame]] with each posting's metadata label attached — the
+    * staging X-SIM-FILTERED-PQ serves (filtered retrieval over the
+    * QUANTIZED index: the production call composes both).
+    */
+  private[graft] def pqIndexLabeledFrame(embeddings: DataFrame): DataFrame =
+    pqIndexFrame(embeddings)
+      .join(embeddings.select(col("vec_id"), col("label").cast("long").as("label")),
+        Seq("vec_id"))
+      .select("vec_id", "cent_id", "label", "codes")
+
   /** The persisted codebook rows: (bid, 64-dim residual vector) — the
     * dim-sized model artifact reconstruction reads.
     */
@@ -915,6 +925,63 @@ object Similarity {
         expr("n_vecs * 1000000 div total").as("share_ppm"),
         expr("max_n * n_cells * 1000000 div total").as("imbalance_ppm"))
       .orderBy("cent_id")
+  }
+
+  /** Children per split cell in [[annRebalance]]. */
+  val RebalanceSplit = 2
+
+  /** X-ANN-REBALANCE: act on [[annStats]]'s imbalance signal — split
+    * every cell whose posting count exceeds the mean (the
+    * rebalance-toward-uniform maintenance pass; at production skew the
+    * same rule with a higher threshold splits only the hot tail, and a
+    * hot cell is a hot partition at serving time). Each split cell gets
+    * [[RebalanceSplit]] sub-centroids — deterministically seeded as the
+    * cell's smallest member ids (the Lloyd refinement that would follow
+    * in production is X-KMEANS-ITER's job; the split itself is what the
+    * index layout needs) — and members re-assign by the same (max
+    * cosine, min id) argmax as the coarse assignment, so children
+    * partition their parent exactly. Unsplit cells pass through
+    * unchanged. Output per new cell: parent, posting count, membership
+    * checksum — integer-exact, postings conserved (spec), max cell
+    * never grows (spec).
+    *
+    * Scale shape: one map-only assignment pass (broadcast model), one
+    * centroid-sized stats agg, a per-hot-cell window bounded by the
+    * cell membership, and the re-assignment folds a ≤RebalanceSplit
+    * array per member row — no corpus×corpus work.
+    */
+  def annRebalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val c = corpusOf(emb)
+    val cells = fullIndexCells(emb)
+    val withVec = cells.join(c, Seq("vec_id"))
+    val stats = cells.groupBy("cent_id").agg(count(lit(1)).as("n"))
+    val tot = stats.agg(sum("n").as("total"), count(lit(1)).as("n_cells"))
+    val hot = stats.crossJoin(broadcast(tot))
+      .filter(col("n") * col("n_cells") > col("total"))
+      .select("cent_id")
+    // sub-centroids: the RebalanceSplit smallest member ids per hot cell,
+    // collapsed to one bounded array per cell
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cent_id").orderBy("vec_id")
+    val subs = withVec.join(broadcast(hot), Seq("cent_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= RebalanceSplit)
+      .groupBy("cent_id")
+      .agg(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("nrm").as("cn"))).as("subs"))
+    val hotAssigned = withVec.join(broadcast(subs), Seq("cent_id"))
+      .select(col("cent_id").as("parent_cent_id"), col("vec_id"),
+        centroidScores(col("subs"), col("embedding"), col("nrm")).as("scores"))
+      .select(col("parent_cent_id"), col("vec_id"),
+        bestCentroid(col("scores"))("cid").as("new_cent_id"))
+    val coldAssigned = withVec.join(broadcast(hot), Seq("cent_id"), "left_anti")
+      .select(col("cent_id").as("parent_cent_id"), col("vec_id"),
+        col("cent_id").as("new_cent_id"))
+    hotAssigned.unionByName(coldAssigned)
+      .groupBy("new_cent_id", "parent_cent_id")
+      .agg(count(lit(1)).as("n_vecs"), sum("vec_id").as("sum_ids"))
+      .orderBy("new_cent_id", "parent_cent_id")
   }
 
   /** X-SIM-INCR: incremental ANN index maintenance — the

@@ -688,6 +688,84 @@ object StreamingOps {
       Tables.embeddings(spark, sfDir), cells, Similarity.QueryStride)
   }
 
+  /** Marker-gated scratch staging for [[streamingMediaIngest]]: the FULL
+    * documents table split into 4 chronological chunks with pinned
+    * mtimes (every doc arrives exactly once — the media landing zone).
+    */
+  private def mmStaging(spark: SparkSession, sfDir: String): java.nio.file.Path = {
+    val rootS = graft.etl.Sink.scratchPath(sfDir, "stream_mm")
+    val root = java.nio.file.Paths.get(rootS)
+    val marker = root.resolve("_GRAFT_OK_v1")
+    if (!java.nio.file.Files.exists(marker)) {
+      graft.etl.Sink.dropUncommitted(rootS)
+      java.nio.file.Files.createDirectories(root)
+      val docs = Tables.documents(spark, sfDir)
+      val chunksDir = root.resolve("chunks")
+      java.nio.file.Files.createDirectories(chunksDir)
+      (0 until 4).foreach { i =>
+        val tmp = root.resolve(s"tmp_chunk$i")
+        docs.filter(pmod(col("doc_id"), lit(4L)) === i.toLong)
+          .coalesce(1).write.parquet(tmp.toString)
+        import scala.jdk.CollectionConverters._
+        val listing = java.nio.file.Files.list(tmp)
+        val parts =
+          try listing.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          finally listing.close()
+        require(parts.size == 1,
+          s"mm chunk $i produced ${parts.size} parquet parts, expected 1")
+        val dst = chunksDir.resolve(s"chunk$i.parquet")
+        java.nio.file.Files.move(parts.head, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(i * 1000L))
+        graft.streaming.Drain.deleteRecursively(tmp)
+      }
+      java.nio.file.Files.createFile(marker)
+    }
+    root
+  }
+
+  /** X-STREAM-MM: streaming media-ingest digest dedup — the media
+    * landing zone replays as 4 micro-batches; each batch digests its
+    * payloads INSIDE `foreachBatch` (narrow map over batch rows — at
+    * scale the payload bytes are read once, here, and never again) and
+    * appends only (doc_id, source, digest, byte length) to the manifest
+    * log — 16-byte digests shuffle, payloads never do. The post-drain
+    * rollup over the deduped log (vec-keyed at-least-once discipline) is
+    * exactly [[Multimodal.payloadDedup]]'s manifest: batch ≡ stream,
+    * same oracle (X-STREAM-DEDUP's contract applied to the media face).
+    */
+  def streamingMediaIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = mmStaging(spark, sfDir)
+    val work = java.nio.file.Files.createTempDirectory(
+      "graft_stream_mm_" + runs.incrementAndGet() + "_")
+    val outDir = work.resolve("out").toString
+    val docSchema = Tables.documents(spark, sfDir).schema
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(root.resolve("chunks").toString)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Multimodal.withPayload(batch)
+          .select(col("doc_id"), col("source"),
+            md5(col("payload")).as("payload_md5"),
+            length(col("payload")).cast("long").as("n_bytes"))
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    graft.streaming.Drain.deleteRecursively(work.resolve("ckpt"))
+    graft.streaming.Drain.cleanupAtExit(work)
+    spark.read.parquet(outDir).dropDuplicates("doc_id")
+      .groupBy("payload_md5")
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min("doc_id").as("keeper_id"),
+        countDistinct("source").as("n_sources"),
+        sum("n_bytes").as("bytes_total"))
+  }
+
   /** The per-type KMV merge transform — separated from
     * [[streamingKmv]]'s staging so a spec can drive it batch-by-batch
     * and assert the state genuinely refines ACROSS batches.

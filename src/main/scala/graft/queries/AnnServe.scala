@@ -82,11 +82,15 @@ object AnnServe {
   }
 
   /** The ADC probe SQL against a named index table of the `ann`
-    * namespace — shared by [[pqServe]] (the live staging) and
+    * namespace — shared by [[pqServe]] (the live staging),
     * [[compactServe]] (the compacted rewrite, which must serve the
-    * IDENTICAL shortlist).
+    * IDENTICAL shortlist), [[deleteServe]] (survivor re-rank) and
+    * [[filteredPqServe]] (`candPredicate` pushes an attribute filter
+    * into the index scan).
     */
-  private def pqProbeSql(cat: String, indexTable: String, sfDir: String): String = {
+  private def pqProbeSql(
+      cat: String, indexTable: String, sfDir: String,
+      candPredicate: String = ""): String = {
     val sd = Similarity.PqSubDim
     val bookJoins = (0 until Similarity.PqSubspaces).map(m =>
       s"JOIN $cat.ann.pq_books b$m ON b$m.bid = cand.codes[$m]").mkString("\n")
@@ -117,7 +121,7 @@ object AnnServe {
          |cand AS (
          |  SELECT p.qid, i.vec_id, i.cent_id, i.codes
          |  FROM probes p JOIN $cat.ann.$indexTable i ON i.cent_id = p.cent_id
-         |  WHERE i.vec_id <> p.qid),
+         |  WHERE i.vec_id <> p.qid$candPredicate),
          |rec AS (
          |  SELECT cand.qid, cand.vec_id,
          |         zip_with(ct.cv, concat($slices),
@@ -367,6 +371,45 @@ object AnnServe {
   def compactServe(spark: SparkSession, sfDir: String): DataFrame = {
     val cat = ensureCompactTable(spark, sfDir)
     spark.sql(pqProbeSql(cat, "pq_index_compact", sfDir))
+  }
+
+  /** Stage + register the LABELED pq index `ann.pq_index_labeled`
+    * ([[Similarity.pqIndexLabeledFrame]]) — the quantized sibling of
+    * `ann.ivf_flat`, for the filtered+quantized probe.
+    */
+  private[graft] def ensurePqLabeledTable(spark: SparkSession, sfDir: String): String = {
+    val cat = ensureAnnTables(spark, sfDir)
+    val wh = Sink.scratchPath(sfDir, "ann_warehouse")
+    val marker = Paths.get(wh, "_GRAFT_DONE_ann_pq_labeled_v1")
+    if (!Files.exists(marker)) {
+      spark.sql(s"DROP TABLE IF EXISTS $cat.ann.pq_index_labeled")
+      val dir = s"$wh/staging/pq_index_labeled"
+      Sink.dropUncommitted(dir)
+      Similarity.pqIndexLabeledFrame(Tables.embeddings(spark, sfDir))
+        .write.mode("overwrite").partitionBy("cent_id").json(dir)
+      spark.sql(
+        s"""CREATE TABLE $cat.ann.pq_index_labeled
+           |  (vec_id BIGINT, cent_id BIGINT, label BIGINT, codes ARRAY<BIGINT>)
+           |USING annindex PARTITIONED BY (cent_id)
+           |LOCATION '$dir'""".stripMargin)
+      Files.createFile(marker)
+    }
+    cat
+  }
+
+  /** X-SIM-FILTERED-PQ: the attribute filter composed with the QUANTIZED
+    * path — "top-k WHERE label = X" over the IVF-PQ catalog index, the
+    * call a production retrieval tier actually serves (X-SIM-FILTERED
+    * proves the filter semantics on exact vectors; this composes the
+    * same pushed row filter with ADC scoring, so non-matching postings
+    * never reconstruct, never score). Output is the filtered ADC
+    * shortlist; the oracle re-derives the full PQ chain with the label
+    * class excluded from candidates.
+    */
+  def filteredPqServe(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = ensurePqLabeledTable(spark, sfDir)
+    spark.sql(pqProbeSql(cat, "pq_index_labeled", sfDir,
+      candPredicate = s" AND i.label = $FilterLabel"))
   }
 
   // ---- opt-out deletion in the index (X-ANN-DELETE) --------------------

@@ -2894,6 +2894,43 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("x_sim_filtered_pq: label filter reaches the quantized index scan") {
+    sources.AnnIndexTable.lastPlannedCells.set(-1)
+    sources.AnnIndexTable.lastPushedRowFilters.set("")
+    val out = graft.queries.AnnServe.filteredPqServe(spark, sf).collect()
+    assert(out.nonEmpty)
+    // cell pruning bounded by the probe budget AND the label pushed as a
+    // row filter — non-matching postings never reconstruct, never score
+    val planned = sources.AnnIndexTable.lastPlannedCells.get()
+    val nq = out.map(_.getLong(0)).distinct.length
+    assert(planned > 0 && planned <= nq * llm.Similarity.NumProbes)
+    assert(sources.AnnIndexTable.lastPushedRowFilters.get().contains("label"))
+    // every served cid carries the filter label; ranks dense per query
+    val lab = graft.queries.AnnServe.FilterLabel
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(labels(r.getLong(2)) === lab))
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getLong(1)).sorted
+      assert(ranks.sameElements(1L to ranks.length))
+    }
+    // the filtered shortlist is exactly the label-class rows of the
+    // unfiltered ADC candidate order, re-ranked (same probes, same ADC
+    // scores) — the prefix law's quantized sibling, bounded by PqRerank
+    val unfiltered = graft.queries.AnnServe.pqServe(spark, sf).collect()
+    out.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val unf = unfiltered.filter(_.getLong(0) == qid).sortBy(_.getLong(1))
+        .map(_.getLong(2)).filter(labels(_) == lab)
+      val got = rs.sortBy(_.getLong(1)).map(_.getLong(2))
+      // the unfiltered list's label-class members must appear as a prefix
+      // of the filtered list in the same order (the filtered probe can
+      // additionally surface label rows the PqRerank cutoff dropped)
+      assert(got.take(unf.length).sameElements(unf),
+        s"qid $qid: filtered list does not extend the unfiltered label rows")
+    }
+  }
+
   test("x_ann_delete: victims purged cell-locally, idempotent, and never served") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ann_delete")
       .toString + "/idx"
@@ -2948,6 +2985,34 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("x_ann_rebalance: splits partition their parents and the max cell never grows") {
+    val out = llm.Similarity.annRebalance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val stats = llm.Similarity.annStats(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // postings conserved, globally and per parent
+    assert(out.map(_._3).sum === stats.values.map(_._1).sum)
+    out.groupBy(_._2).foreach { case (parent, children) =>
+      assert(children.map(_._3).sum === stats(parent)._1,
+        s"children of $parent do not partition its postings")
+      assert(children.map(_._4).sum === stats(parent)._2,
+        s"children of $parent do not carry its exact members")
+    }
+    // the above-mean rule fired (the fixture is near-uniform, so some
+    // cells sit above the mean) and every split parent got >1 child;
+    // unsplit cells pass through with their own id
+    val split = out.filter(r => r._1 != r._2)
+    assert(split.nonEmpty, "no cell split — the above-mean rule must fire")
+    split.groupBy(_._2).foreach { case (p, ch) =>
+      assert(ch.length > 1 || out.count(_._2 == p) > 1,
+        s"split parent $p produced a single child")
+    }
+    out.filter(r => out.count(_._2 == r._2) == 1).foreach(r =>
+      assert(r._1 === r._2, "an unsplit cell must keep its id"))
+    // rebalance never increases the maximum cell size
+    assert(out.map(_._3).max <= stats.values.map(_._1).max)
+  }
+
   test("x_ann_stats: shares total a partition, imbalance is max/mean, assignment checks out") {
     val rows = llm.Similarity.annStats(spark, sf).collect()
     val nCells = rows.length
@@ -2992,6 +3057,17 @@ class GraftSpec extends AnyFunSuite {
       .select(size(llm.TextAnalysis.tokens(col("text"))).cast("long").as("n")).collect()
       .map(_.getLong(0)).sum
     assert(rows.map(_.getLong(3)).sum === totalTokens)
+  }
+
+  test("X-STREAM-MM: micro-batch payload digesting lands on the batch manifest") {
+    // batch ≡ stream: 4 micro-batches digested in foreachBatch, rolled up
+    // from the 16-byte digest log, must reproduce x_mm_dedup's manifest
+    val stream = llm.StreamingOps.streamingMediaIngest(spark, sf).collect()
+      .map(_.toSeq).map(s => (s(0), s(1), s(2), s(3), s(4))).sortBy(_._1.toString)
+    val batch = llm.Multimodal.payloadDedup(spark, sf).collect()
+      .map(_.toSeq).map(s => (s(0), s(1), s(2), s(3), s(4))).sortBy(_._1.toString)
+    assert(stream.nonEmpty)
+    assert(stream === batch)
   }
 
   test("x_stream_join: stream-stream range join equals the batch range join") {
@@ -4316,7 +4392,8 @@ class GraftSpec extends AnyFunSuite {
     //     lint can't see either — the SQL face just makes it explicit,
     //     and it collapses to NumProbes rows per query immediately after
     val cartesianOk =
-      Set("x_sim_pq_serve", "x_sim_filtered", "x_ann_compact", "x_ann_delete")
+      Set("x_sim_pq_serve", "x_sim_filtered", "x_sim_filtered_pq",
+        "x_ann_compact", "x_ann_delete")
     val skip = SparkEntry.queries.keySet.filter(_.contains("stream")) + "x_global_ids"
     val violations = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => skip(q._1)).flatMap { case (name, fn) =>
@@ -4512,6 +4589,8 @@ class GraftSpec extends AnyFunSuite {
       "x_contrastive" -> "X-CONTRASTIVE", "x_ann_stats" -> "X-ANN-STATS",
       "x_curriculum" -> "X-CURRICULUM", "x_ann_delete" -> "X-ANN-DELETE",
       "q_roas" -> "Q-ROAS", "x_clean_split" -> "X-CLEAN-SPLIT",
+      "x_ann_rebalance" -> "X-ANN-REBALANCE",
+      "x_sim_filtered_pq" -> "X-SIM-FILTERED-PQ", "x_stream_mm" -> "X-STREAM-MM",
       "x_mm_cluster" -> "X-MM-CLUSTER", "x_quantile_sketch" -> "X-QUANTILE-SKETCH",
       "x_ltv" -> "X-LTV", "x_time_to_convert" -> "X-TIME-TO-CONVERT",
       "x_ab_srm" -> "X-AB-SRM", "x_bloom_fpr" -> "X-BLOOM-FPR",
