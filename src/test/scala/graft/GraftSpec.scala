@@ -4426,7 +4426,11 @@ class GraftSpec extends AnyFunSuite {
     "x_range_join", "x_shortest_path", "x_kmv", "x_modularity", "q_rollup",
     "x_kcenter", "q_window", "x_link_pred", "q_window_native", "x_ngram_lm",
     "q_join_fx_asof", "x_eval_metrics", "x_scd2_join", "x_rfm", "x_tfidf",
-    "x_path_topk")
+    "x_path_topk",
+    // round-14 batch additions worth pinning (streaming queries can't
+    // fingerprint — their work happens inside foreachBatch)
+    "x_mm_pipeline", "x_sim_filtered", "x_contrastive", "x_ann_rebalance",
+    "x_clean_split")
 
   private val planMetrics = Seq("shuffles", "broadcasts", "sorts",
     "sort_merge_joins", "broadcast_hash_joins", "shuffled_hash_joins",
