@@ -694,6 +694,13 @@ object Graph {
       dist = next
       frontier = discovered
     }
+    // the returned dist must stay cached, but the final round's frontier
+    // checkpoint has no further consumer — release it so only dist pins
+    // storage memory after this returns (rounds == 0 leaves frontier eq
+    // dist, in which case there is nothing extra to drop)
+    if (!(frontier eq dist))
+      org.apache.spark.sql.graftx.ColumnBridge.checkpointRdd(frontier)
+        .foreach(_.unpersist(blocking = false))
     dist
   }
 

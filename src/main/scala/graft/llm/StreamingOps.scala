@@ -493,7 +493,7 @@ object StreamingOps {
     * membership) split into 4 chronological chunk files with pinned
     * mtimes so `maxFilesPerTrigger=1` replays them as 4 micro-batches.
     */
-  private def nearDupStaging(spark: SparkSession, sfDir: String): java.nio.file.Path = {
+  private[graft] def nearDupStaging(spark: SparkSession, sfDir: String): java.nio.file.Path = {
     val rootS = graft.etl.Sink.scratchPath(sfDir, "stream_neardup")
     val root = java.nio.file.Paths.get(rootS)
     val marker = root.resolve("_GRAFT_OK_v1")
@@ -567,27 +567,8 @@ object StreamingOps {
         val ss = batch.sparkSession
         // sign + band ONLY the batch (no .cache(): micro-batch frames are
         // single-consumer here and a per-batch cache entry would leak)
-        val batchSigs = batch
-          .select(col("doc_id"), Dedup.shingleHashes(col("text")).as("hs"))
-          .filter(size(col("hs")) > 0)
-          .select(col("doc_id"),
-            graft.functions.MinHashSig.minhash_sig(col("hs")).as("sig"))
-        val idx = ss.read.parquet(bandsPath)
-        val pairs = Dedup.bandsOf(batchSigs).as("l")
-          .join(idx.as("r"),
-            col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
-              col("l.doc_id") =!= col("r.doc_id"))
-          .select(
-            least(col("l.doc_id"), col("r.doc_id")).as("id_a"),
-            greatest(col("l.doc_id"), col("r.doc_id")).as("id_b"))
-          .distinct()
-        val sigTbl = ss.read.parquet(sigsPath)
-        pairs
-          .join(sigTbl.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-          .join(sigTbl.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-          .select(col("id_a"), col("id_b"),
-            (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-              .cast("double") / Dedup.NumHashes).as("est_jaccard"))
+        nearDupBatchPairs(nearDupBatchSigs(batch),
+          ss.read.parquet(bandsPath), ss.read.parquet(sigsPath))
           .write.mode("append").parquet(outDir)
       }
       .option("checkpointLocation", work.resolve("ckpt").toString)
@@ -598,6 +579,43 @@ object StreamingOps {
     // a delta-delta pair surfaces from both endpoints' batches with the
     // SAME signature-agreement estimate; the pair log dedups on the key
     spark.read.parquet(outDir).dropDuplicates("id_a", "id_b")
+  }
+
+  /** MinHash-sign one micro-batch (narrow map over batch rows). */
+  private[graft] def nearDupBatchSigs(batch: DataFrame): DataFrame =
+    batch
+      .select(col("doc_id"), Dedup.shingleHashes(col("text")).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.minhash_sig(col("hs")).as("sig"))
+
+  /** One micro-batch of the near-dup probe: band the batch signatures,
+    * join them against the PERSISTED band index, and score every
+    * candidate pair by signature agreement. The batch side is pinned
+    * `broadcast()` at BOTH joins — the bands probe and the pair-scoring
+    * lookups — so the persisted index/signature tables are never
+    * shuffled per micro-batch (the batch-side-broadcast claim is the
+    * PLAN, not the estimator's choice; the x_stream_neardup spec asserts
+    * it). Separated from the stream wiring so that spec can fingerprint
+    * the per-batch plan directly.
+    */
+  private[graft] def nearDupBatchPairs(
+      batchSigs: DataFrame, idx: DataFrame, sigTbl: DataFrame): DataFrame = {
+    val pairs = broadcast(Dedup.bandsOf(batchSigs)).as("l")
+      .join(idx.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.doc_id") =!= col("r.doc_id"))
+      .select(
+        least(col("l.doc_id"), col("r.doc_id")).as("id_a"),
+        greatest(col("l.doc_id"), col("r.doc_id")).as("id_b"))
+      .distinct()
+    val withA = broadcast(pairs)
+      .join(sigTbl.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+    broadcast(withA)
+      .join(sigTbl.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / Dedup.NumHashes).as("est_jaccard"))
   }
 
   /** Marker-gated scratch staging for [[streamingSimIngest]]: the

@@ -331,10 +331,17 @@ object AnnServe {
     spark.read.json(dir)
       .repartition(org.apache.spark.sql.functions.col("cent_id"))
       .write.mode("overwrite").partitionBy("cent_id").json(tmp)
-    // swap: the rewrite replaces the fragmented staging atomically-enough
-    // for a single-writer maintenance job; superseded files are vacuumed
-    Sink.dropUncommitted(dir)
+    // swap via rename-aside: the live dir is MOVED (one rename) before the
+    // rewrite is promoted (one rename), so no crash window deletes data
+    // that has no replacement on disk — a crash between the renames leaves
+    // the full old index at `__old`, recoverable by hand and re-staged
+    // from scratch by the marker gate on retry; superseded files vacuum
+    // only after the promotion lands
+    val old = dir + "__old"
+    Sink.dropUncommitted(old)
+    Files.move(Paths.get(dir), Paths.get(old))
     Files.move(Paths.get(tmp), Paths.get(dir))
+    Sink.dropUncommitted(old)
     (before, dataFileCount(dir))
   }
 
@@ -450,10 +457,20 @@ object AnnServe {
       affected.foreach { c =>
         val live = Paths.get(dir, s"cent_id=$c")
         val fresh = Paths.get(tmp, s"cent_id=$c")
-        Sink.dropUncommitted(live.toString)
+        // per-cell rename-aside (same discipline as compactCells): the
+        // live cell moves out in one rename before its replacement moves
+        // in, so a crash never leaves a cell deleted with no replacement
+        // anywhere on disk — `__old` still holds it
+        val old = Paths.get(dir + "__old", s"cent_id=$c")
+        Files.createDirectories(old.getParent)
+        Sink.dropUncommitted(old.toString)
+        if (Files.exists(live)) Files.move(live, old)
+        // a cell whose every row was a victim has no fresh dir: absent
+        // dir = empty posting list, which is the correct purged state
         if (Files.exists(fresh)) Files.move(fresh, live)
       }
       Sink.dropUncommitted(tmp)
+      Sink.dropUncommitted(dir + "__old")
     }
     (totalCells, affected.size)
   }

@@ -63,14 +63,30 @@ object AnnIndexTable {
     */
   val lastPlannedCells = new AtomicInteger(-1)
 
-  /** Observability hook for the filtered-probe spec: rendering of the
-    * ROW-level filters pushed into the most recent scan build that had
-    * any (attribute predicates the reader applies while parsing — the
-    * X-SIM-FILTERED contract that `label = k` reaches the index scan,
-    * not a post-scan Filter node).
+  /** Observability hook for the filtered-probe specs: every
+    * cell-partitioned scan build appends ONE entry — the rendering of
+    * its pushed ROW-level filters, "" when it pushed none (attribute
+    * predicates the reader applies while parsing — the X-SIM-FILTERED
+    * contract that `label = k` reaches the index scan, not a post-scan
+    * Filter node). An append log rather than a last-value slot: a query
+    * may legitimately build several scans (the prefilter/postfilter
+    * comparison builds one filtered and one unfiltered), and a
+    * last-value slot would race them AND leak state across queries —
+    * tests [[drainPushedRowFilters]] around a query instead.
     */
-  val lastPushedRowFilters =
-    new java.util.concurrent.atomic.AtomicReference[String]("")
+  private val pushedRowFilterLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  private[sources] def recordPushedRowFilters(s: String): Unit =
+    pushedRowFilterLog.add(s)
+
+  /** Read-and-clear the per-scan row-filter log (test observability). */
+  def drainPushedRowFilters(): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    var x = pushedRowFilterLog.poll()
+    while (x != null) { b += x; x = pushedRowFilterLog.poll() }
+    b.result()
+  }
 
   /** Persist (schema DDL, partition column) — line 1 the DDL, line 2 the
     * partition column or empty.
@@ -116,8 +132,12 @@ class AnnIndexScanBuilder(path: String, full: StructType, partCol: Option[String
 
   override def build(): Scan = {
     val rows = pushed.filter(AnnIndexScan.isRowFilter(full, partCol, _))
-    if (rows.nonEmpty)
-      AnnIndexTable.lastPushedRowFilters.set(rows.mkString(","))
+    // record EVERY cell-partitioned scan (empty entry when unfiltered) so
+    // the drained log reflects exactly this query's scans — no stale
+    // value from a prior query; non-partitioned pseudo-tables (the
+    // codebook) are excluded for the same reason lastPlannedCells is
+    if (partCol.isDefined)
+      AnnIndexTable.recordPushedRowFilters(rows.mkString(","))
     AnnIndexScan(path, required, pushed, partCol)
   }
 }
