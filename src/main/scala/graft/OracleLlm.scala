@@ -454,6 +454,35 @@ object OracleLlm {
        |       CAST(max(cents) AS BIGINT) AS hi_cents
        |FROM b GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin
 
+  /** embedDrift mirror: same vec_id-parity cohorts, the exact
+    * floor(x·1024) quantized domain, integer cross-multiplied moment
+    * drift; mean_shift and disp_sq are the same fixed IEEE expressions.
+    */
+  val embedDriftSql: String =
+    """WITH qd AS (
+      |  SELECT vec_id % 2 AS cohort, i - 1 AS dim,
+      |         CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1024) AS BIGINT) AS q
+      |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)),
+      |a AS (
+      |  SELECT dim,
+      |         CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |         CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |         CAST(coalesce(sum(CASE WHEN cohort = 0 THEN q END), 0) AS BIGINT) AS sum_a,
+      |         CAST(coalesce(sum(CASE WHEN cohort = 1 THEN q END), 0) AS BIGINT) AS sum_b,
+      |         CAST(coalesce(sum(CASE WHEN cohort = 0 THEN q * q END), 0) AS BIGINT) AS ss_a,
+      |         CAST(coalesce(sum(CASE WHEN cohort = 1 THEN q * q END), 0) AS BIGINT) AS ss_b
+      |  FROM qd GROUP BY 1)
+      |SELECT CAST(dim AS BIGINT) AS dim, n_a, n_b, sum_a, sum_b,
+      |       abs(sum_a * n_b - sum_b * n_a) AS d_mean_scaled,
+      |       abs(ss_a * n_b - ss_b * n_a) AS d_m2_scaled,
+      |       CAST(abs(sum_a * n_b - sum_b * n_a) AS DOUBLE)
+      |         / CAST(n_a * n_b AS DOUBLE) AS mean_shift,
+      |       (CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |          - CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |         * (CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |          - CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS disp_sq
+      |FROM a WHERE n_a > 0 AND n_b > 0 ORDER BY dim""".stripMargin
+
   /** drift mirror: same day-parity cohorts, integer CDF cross products,
     * one division.
     */
@@ -1606,6 +1635,70 @@ object OracleLlm {
        |SELECT doc_id, CAST(dlen AS BIGINT) AS dlen,
        |       CAST(n_terms AS BIGINT) AS n_terms, score
        |FROM a ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+  }
+
+  /** hybridRrf mirror: the lexical ranker is [[bm25Sql]] embedded
+    * VERBATIM as a subquery and re-ranked by its own output order; the
+    * dense ranker re-derives the per-document hashing-trick vectors
+    * (hashFeaturesSql's kernel, doc-keyed), the corpus-sign query
+    * vector, and the exact integer dot; fusion is the same integer-ppm
+    * reciprocal-rank fold as rrfSql.
+    */
+  val hybridRrfSql: String = {
+    val k = llm.TextAnalysis.Bm25TopK
+    val d = llm.TextAnalysis.HashFeatDims
+    val c0 = llm.Similarity.RrfC
+    s"""WITH lexq AS (
+       |  SELECT doc_id,
+       |         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+       |           AS lex_rank
+       |  FROM ($bm25Sql)),
+       |htk AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |hg AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |    gi -> toks[CAST(gi AS INT)] || ' ' || toks[CAST(gi + 1 AS INT)])) AS g
+       |  FROM htk WHERE len(toks) >= 2),
+       |hh AS (
+       |  SELECT doc_id,
+       |         ${polyHash("g", 131)} % $d AS bucket,
+       |         (${polyHash("g", 137)} % 2) * 2 - 1 AS sign
+       |  FROM hg),
+       |dv AS (
+       |  SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS v
+       |  FROM hh GROUP BY 1, 2),
+       |qv AS (
+       |  SELECT bucket,
+       |         CASE WHEN sum(v) > 0 THEN 1 WHEN sum(v) < 0 THEN -1 ELSE 0 END AS qs
+       |  FROM dv GROUP BY 1),
+       |ds AS (
+       |  SELECT dv.doc_id, CAST(sum(dv.v * qv.qs) AS BIGINT) AS dense_dot
+       |  FROM dv JOIN qv USING (bucket) GROUP BY 1),
+       |dtop AS (
+       |  SELECT doc_id, dense_dot FROM ds
+       |  ORDER BY dense_dot DESC, doc_id LIMIT $k),
+       |denq AS (
+       |  SELECT doc_id,
+       |         CAST(row_number() OVER (ORDER BY dense_dot DESC, doc_id) AS BIGINT)
+       |           AS dense_rank
+       |  FROM dtop),
+       |fu AS (
+       |  SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+       |         coalesce(1000000 // ($c0 + lex_rank), 0)
+       |           + coalesce(1000000 // ($c0 + dense_rank), 0) AS rrf_ppm,
+       |         (CASE WHEN lex_rank IS NULL THEN 0 ELSE 1 END
+       |           + CASE WHEN dense_rank IS NULL THEN 0 ELSE 1 END) AS n_rankers,
+       |         lex_rank, dense_rank
+       |  FROM lexq l FULL OUTER JOIN denq r ON l.doc_id = r.doc_id)
+       |SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+       |       CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+       |       CAST(n_rankers AS BIGINT) AS n_rankers, lex_rank, dense_rank
+       |FROM (
+       |  SELECT *, row_number() OVER (ORDER BY rrf_ppm DESC, doc_id) AS rank
+       |  FROM fu) WHERE rank <= $k
+       |ORDER BY rank""".stripMargin
   }
 
   /** multi-probe mirror of [[simLshSql]]: the query side probes its own

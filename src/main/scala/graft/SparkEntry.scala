@@ -155,6 +155,7 @@ object SparkEntry {
     "x_kmeans_iter" -> (llm.Similarity.kmeansIter _),
     "x_semdedup" -> (llm.Similarity.semanticDedup _),
     "x_bm25" -> (llm.TextAnalysis.bm25 _),
+    "x_hybrid_rrf" -> (llm.TextAnalysis.hybridRrf _),
     "x_anomaly" -> (llm.Analytics.anomaly _),
     "q_csv" -> (etl.CsvIngest.qCsv _),
     "q_orc" -> (etl.OrcIngest.qOrc _),
@@ -197,6 +198,7 @@ object SparkEntry {
     "x_bpe" -> (llm.TextAnalysis.bpeMerges _),
     "x_gini" -> (llm.TextAnalysis.gini _),
     "x_drift" -> (llm.Analytics.drift _),
+    "x_embed_drift" -> (llm.Analytics.embedDrift _),
     "x_equidepth" -> (llm.Analytics.equidepth _),
     "x_attrib_last" -> (llm.Attribution.lastTouch _),
     "x_attrib_pos" -> (llm.Attribution.positionCredit _),
@@ -1172,6 +1174,7 @@ object SparkEntry {
     "x_bpe_apply" -> OracleLlm.bpeApplySql,
     "x_gini" -> OracleLlm.giniSql,
     "x_drift" -> OracleLlm.driftSql,
+    "x_embed_drift" -> OracleLlm.embedDriftSql,
     "x_equidepth" -> OracleLlm.equidepthSql,
     "x_attrib_last" -> OracleLlm.attribLastSql,
     // the streaming form must reproduce the batch report bit-for-bit
@@ -1443,6 +1446,7 @@ object SparkEntry {
     "x_kmeans_iter" -> OracleLlm.kmeansIterSql,
     "x_semdedup" -> OracleLlm.semDedupSql,
     "x_bm25" -> OracleLlm.bm25Sql,
+    "x_hybrid_rrf" -> OracleLlm.hybridRrfSql,
     // floor(x*1024) quantization is exact (power-of-two multiply), so
     // the whole centroid aggregate is integer arithmetic on both sides
     "x_vec_avg" ->

@@ -391,6 +391,66 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** X-EMBED-DRIFT: distribution drift in EMBEDDING space — the vector
+    * sibling of X-DRIFT, the check a retrieval/training pipeline runs
+    * when the encoder or the upstream corpus changes ("did the
+    * embedding distribution move between ingest windows"). Cohorts are
+    * the deterministic vec_id parity split (the embeddings fixture
+    * carries no date; the parity split is the same two-deterministic-
+    * cohorts discipline as X-DRIFT's day parity). All moment arithmetic
+    * lives in the exact quantized domain `floor(x·2^10)` (the X-KMEANS
+    * convention — power-of-two multiply is exact, sums are
+    * order-independent integers): per dimension and cohort the exact
+    * BIGINT count, sum and sum-of-squares, and the drift statistics in
+    * X-DRIFT's cross-multiplied integer form — `|sum_a·n_b − sum_b·n_a|`
+    * (first-moment drift) and `|ss_a·n_b − ss_b·n_a|` (second-moment
+    * drift) — so WHICH dimension moved, and in mean or in spread, is an
+    * integer-exact readout. `mean_shift` (one IEEE division) and
+    * `disp_sq` — the squared per-dimension centroid displacement, whose
+    * column SUM is the squared L2 displacement of the cohort centroids
+    * (the X-CHI2-DRIFT drill-down convention: per-row contributions, the
+    * global statistic recoverable as the sum) — are the only float ops,
+    * fixed expressions mirrored verbatim in the oracle.
+    *
+    * Scale shape: ONE posexplode into a (dim)-keyed partial+final agg —
+    * the shuffle carries 64 partial moment rows per map partition, never
+    * vectors — then dim-sized (64-row) arithmetic. At 100 TB nothing
+    * changes: the agg state is dims × cohorts counters regardless of
+    * corpus size.
+    */
+  def embedDrift(spark: SparkSession, sfDir: String): DataFrame =
+    embedDriftOf(Tables.embeddings(spark, sfDir)
+      .select(pmod(col("vec_id"), lit(2L)).as("cohort"),
+        posexplode(expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT))")))
+      .toDF("cohort", "dim", "q"))
+
+  /** Core per-dimension moment drift over any (cohort∈{0,1}, dim, q)
+    * frame — separated so the property law can drive it with
+    * identical cohorts and pin the all-zero case.
+    */
+  def embedDriftOf(f: DataFrame): DataFrame = {
+    def d(c: String) = col(c).cast("double")
+    f.groupBy("dim")
+      .agg(
+        sum(when(col("cohort") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("cohort") === 1L, 1L).otherwise(0L)).as("n_b"),
+        coalesce(sum(when(col("cohort") === 0L, col("q"))), lit(0L)).as("sum_a"),
+        coalesce(sum(when(col("cohort") === 1L, col("q"))), lit(0L)).as("sum_b"),
+        coalesce(sum(when(col("cohort") === 0L, col("q") * col("q"))), lit(0L)).as("ss_a"),
+        coalesce(sum(when(col("cohort") === 1L, col("q") * col("q"))), lit(0L)).as("ss_b"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("dim").cast("long").as("dim"),
+        col("n_a"), col("n_b"), col("sum_a"), col("sum_b"),
+        abs(col("sum_a") * col("n_b") - col("sum_b") * col("n_a")).as("d_mean_scaled"),
+        abs(col("ss_a") * col("n_b") - col("ss_b") * col("n_a")).as("d_m2_scaled"),
+        (abs(col("sum_a") * col("n_b") - col("sum_b") * col("n_a")).cast("double")
+          / (col("n_a") * col("n_b")).cast("double")).as("mean_shift"),
+        ((d("sum_a") / d("n_a") - d("sum_b") / d("n_b"))
+          * (d("sum_a") / d("n_a") - d("sum_b") / d("n_b"))).as("disp_sq"))
+      .orderBy("dim")
+  }
+
   /** X-CHI2-DRIFT: categorical-mix drift between cohorts — X-DRIFT's KS
     * statistic reads a NUMERIC distribution shift; this reads the
     * event-TYPE mix shift (the "did the traffic composition change"

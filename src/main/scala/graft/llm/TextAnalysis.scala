@@ -390,6 +390,90 @@ object TextAnalysis {
       .orderBy(desc("score"), asc("doc_id")).limit(Bm25TopK)
   }
 
+  // ---- hybrid lexical + dense retrieval (X-HYBRID-RRF) -----------------
+
+  /** X-HYBRID-RRF: the production hybrid-search call — a LEXICAL ranking
+    * (the [[bm25]] top-[[Bm25TopK]], scores in relevance units) fused
+    * with a DENSE ranking (hashing-trick document vectors, scores in
+    * dot-product units) by reciprocal-rank fusion, the rank-only
+    * combination that works precisely because the two scorers'
+    * magnitudes are incomparable (Cormack/Clarke/Buettcher, SIGIR 2009 —
+    * the same integer-ppm fold as x_sim_rrf).
+    *
+    * The dense ranker is fully deterministic and vocabulary-free: each
+    * document's bigram set feature-hashes into [[HashFeatDims]] signed
+    * buckets (x_hash_features' double-hashing kernel, per DOCUMENT here
+    * rather than per source), the query vector is the elementwise SIGN
+    * of the corpus sum (the corpus SimHash direction — "rank documents
+    * along the corpus's dominant direction", the dense analogue of
+    * bm25's self-derived top-tokens query), and each document scores
+    * the exact INTEGER dot product of its signed-sum vector with that
+    * ±1/0 query — no float anywhere in the dense chain.
+    *
+    * Output: the fused top-[[Bm25TopK]] with per-ranker ranks kept as
+    * nullable columns and `n_rankers` saying found-by-both vs
+    * rescued-by-one — the hybrid-search health readout.
+    *
+    * Scale shape: all corpus-sized work lives inside the two rankers,
+    * each keeping its own proven shape (bm25: one memoized tokenize +
+    * count-only shuffles + TakeOrderedAndProject; dense: one bigram
+    * explode into a (doc, bucket)-keyed partial+final agg, a
+    * [[HashFeatDims]]-row broadcast query vector, a doc-keyed dot agg,
+    * TakeOrderedAndProject). The fusion itself is rank-bounded: a
+    * full-outer join of two ≤K-row lists and a ≤2K-row re-rank window —
+    * corpus size never touches it.
+    */
+  def hybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = Bm25TopK
+    // single-partition windows are safe here: both frames are already
+    // cut to ≤ K rows by TakeOrderedAndProject before the rank window
+    val wLex = Window.orderBy(desc("score"), asc("doc_id"))
+    val lex = bm25(spark, sfDir)
+      .select(col("doc_id"), col("score"))
+      .withColumn("lex_rank", row_number().over(wLex).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val docVecs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
+        .as("g"))
+      .select(col("doc_id"),
+        pmod(graft.functions.PolyHash.poly_hash(col("g"), 131),
+          lit(HashFeatDims.toLong)).as("bucket"),
+        (pmod(graft.functions.PolyHash.poly_hash(col("g"), 137), lit(2L)) * 2L - 1L)
+          .as("sign"))
+      .groupBy("doc_id", "bucket").agg(sum("sign").as("v"))
+    // the dense query: sign of the corpus sum per bucket — a
+    // HashFeatDims-row frame, broadcast into the scoring join
+    val qv = docVecs.groupBy("bucket")
+      .agg(sum("v").as("s"))
+      .select(col("bucket"),
+        when(col("s") > 0, 1L).when(col("s") < 0, -1L).otherwise(0L).as("qs"))
+    val wDen = Window.orderBy(desc("dense_dot"), asc("doc_id"))
+    val den = docVecs.join(broadcast(qv), "bucket")
+      .groupBy("doc_id").agg(sum(col("v") * col("qs")).as("dense_dot"))
+      .orderBy(desc("dense_dot"), asc("doc_id")).limit(k)
+      .withColumn("dense_rank", row_number().over(wDen).cast("long"))
+      .select(col("doc_id"), col("dense_rank"))
+    val c0 = Similarity.RrfC
+    val fused = lex.join(den, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(expr(s"CAST(1000000 AS BIGINT) div ($c0 + lex_rank)"), lit(0L))
+          + coalesce(expr(s"CAST(1000000 AS BIGINT) div ($c0 + dense_rank)"), lit(0L)))
+          .as("rrf_ppm"),
+        (col("lex_rank").isNotNull.cast("long")
+          + col("dense_rank").isNotNull.cast("long")).as("n_rankers"),
+        col("lex_rank"), col("dense_rank"))
+    fused
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("rrf_ppm"), asc("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select("rank", "doc_id", "rrf_ppm", "n_rankers", "lex_rank", "dense_rank")
+      .orderBy("rank")
+  }
+
   // ---- X-CHUNK --------------------------------------------------------
 
   val ChunkSize = 32

@@ -2261,6 +2261,37 @@ class GraftSpec extends AnyFunSuite {
       s"top-k must be take-ordered:\n${plan.take(2000)}")
   }
 
+  test("x_hybrid_rrf: fusion is rank-bounded, integer-exact, and sourced from both rankers") {
+    val k = llm.TextAnalysis.Bm25TopK
+    val rows = llm.TextAnalysis.hybridRrf(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= k)
+    // ranks dense from 1, output in rank order
+    assert(rows.map(_.getLong(0)).toSeq === (1L to rows.length).toSeq)
+    val c0 = llm.Similarity.RrfC
+    rows.foreach { r =>
+      val lexR = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      val denR = if (r.isNullAt(5)) None else Some(r.getLong(5))
+      // per-ranker ranks bounded by the list cut
+      (lexR ++ denR).foreach(x => assert(x >= 1 && x <= k))
+      // n_rankers counts exactly the non-null rank columns
+      assert(r.getLong(3) === (lexR.size + denR.size).toLong)
+      assert(r.getLong(3) >= 1, "a fused row must come from some ranker")
+      // the integer-ppm fold recomputes bit-for-bit from the ranks
+      val expect = lexR.map(x => 1000000L / (c0 + x)).getOrElse(0L) +
+        denR.map(x => 1000000L / (c0 + x)).getOrElse(0L)
+      assert(r.getLong(2) === expect)
+    }
+    // fused order is (rrf_ppm DESC, doc_id) — a total order
+    val key = rows.map(r => (-r.getLong(2), r.getLong(1))).toSeq
+    assert(key === key.sorted)
+    // the hybrid genuinely fuses: the fixture yields overlap (found-by-
+    // both rows) AND rescues (rows only one ranker surfaced) — if either
+    // side vanishes the operator degenerates to a single ranker
+    assert(rows.exists(_.getLong(3) == 2L), "no doc found by both rankers")
+    assert(rows.exists(r => !r.isNullAt(4) && r.isNullAt(5)), "no lexical-only rescue")
+    assert(rows.exists(r => r.isNullAt(4) && !r.isNullAt(5)), "no dense-only rescue")
+  }
+
   test("x_anomaly: moments cover every non-null value; the 3-sigma band is sane") {
     val rows = llm.Analytics.anomaly(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -4281,6 +4312,38 @@ class GraftSpec extends AnyFunSuite {
       s"$src gini must match brute force: ${rows.head.getDouble(4)} vs $brute")
   }
 
+  test("x_embed_drift: moments recount exactly; identical cohorts drift zero") {
+    val rows = llm.Analytics.embedDrift(spark, sf).collect()
+    assert(rows.length === 64, "one row per embedding dimension")
+    // the counts partition the corpus: n_a + n_b = vectors, per dim
+    val nVecs = Tables.embeddings(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) === nVecs)
+      // the integer drift recomputes bit-for-bit from the published moments
+      assert(r.getLong(5) ===
+        math.abs(r.getLong(3) * r.getLong(2) - r.getLong(4) * r.getLong(1)))
+      assert(r.getDouble(7) ===
+        r.getLong(5).toDouble / (r.getLong(1) * r.getLong(2)).toDouble)
+      assert(r.getDouble(8) >= 0.0)
+    }
+    // the fixture cohorts genuinely differ somewhere (a degenerate
+    // all-zero report would make the operator vacuous)
+    assert(rows.exists(_.getLong(5) > 0L))
+    // zero law: driving the core with two IDENTICAL cohorts must report
+    // exactly zero drift on every dimension — integer zeros AND float
+    // zeros (the one-division readouts inherit exactness)
+    val qf = Tables.embeddings(spark, sf)
+      .select(posexplode(expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT))")))
+      .toDF("dim", "q")
+    val twin = qf.select(lit(0L).as("cohort"), col("dim"), col("q"))
+      .unionByName(qf.select(lit(1L).as("cohort"), col("dim"), col("q")))
+    llm.Analytics.embedDriftOf(twin).collect().foreach { r =>
+      assert(r.getLong(5) === 0L && r.getLong(6) === 0L)
+      assert(r.getDouble(7) === 0.0 && r.getDouble(8) === 0.0)
+    }
+  }
+
   test("x_drift: KS statistic exact-integer core matches brute force") {
     val rows = llm.Analytics.drift(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -4607,6 +4670,7 @@ class GraftSpec extends AnyFunSuite {
       "x_vacuum" -> "X-VACUUM", "q_evolve" -> "Q-SCHEMA-EVOLVE",
       "x_change_feed" -> "X-CHANGE-FEED", "x_embed_quant" -> "X-EMBED-QUANT",
       "x_sim_multiprobe" -> "X-SIM", "x_sim_ivfpq" -> "X-SIM-IVFPQ", "x_sim_incr" -> "X-SIM-INCR", "x_sim_rrf" -> "X-RRF",
+      "x_hybrid_rrf" -> "X-HYBRID-RRF",
       "x_rank_metrics" -> "X-RANK-METRICS", "x_kcenter" -> "X-KCENTER",
       "x_mmr" -> "X-MMR", "x_pr_curve" -> "X-PR-CURVE",
       "x_kanon" -> "X-KANON", "x_priority_sample" -> "X-PRIORITY-SAMPLE",
@@ -4656,6 +4720,7 @@ class GraftSpec extends AnyFunSuite {
       "x_dsir" -> "X-DSIR", "x_mixture" -> "X-MIXTURE",
       "x_shard_manifest" -> "X-SHARD", "x_novelty" -> "X-NOVELTY",
       "x_bpe" -> "X-BPE", "x_gini" -> "X-GINI", "x_drift" -> "X-DRIFT",
+      "x_embed_drift" -> "X-EMBED-DRIFT",
       "x_equidepth" -> "X-EQUIDEPTH", "x_stream_enrich" -> "X-STREAM-ENRICH",
       "x_attrib_last" -> "X-ATTRIB-LAST", "x_attrib_pos" -> "X-ATTRIB-POS",
       "x_stream_attrib" -> "X-STREAM-ATTRIB",

@@ -24,12 +24,15 @@ def canon(con, rel_sql):
     return df
 
 
-def main(sf_dir, out_dir, json_out=None):
+def main(sf_dir, out_dir, json_out=None, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:  # comma-separated query-name filter (local dev only)
+        keep = set(only.split(","))
+        oracle = {k: v for k, v in oracle.items() if k in keep}
     n_pass = n_fail = 0
     report = {}
     for name, sql in sorted(oracle.items()):
@@ -76,4 +79,5 @@ def main(sf_dir, out_dir, json_out=None):
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2],
-                  sys.argv[3] if len(sys.argv) > 3 else None))
+                  sys.argv[3] if len(sys.argv) > 3 else None,
+                  sys.argv[4] if len(sys.argv) > 4 else None))
