@@ -816,6 +816,74 @@ object OracleLlm {
        |ORDER BY stage""".stripMargin
   }
 
+  /** mmTextJoin mirror: the text survivor set is pipelineSql's s3 chain
+    * (quality → exact keeper → near-dup drop), the media survivor set
+    * is mmPipelineSql's s2 chain (digest keeper → component keeper),
+    * both re-derived verbatim; the audit is two left joins on doc_id
+    * and a per-source conditional rollup.
+    */
+  val mmTextJoinSql: String = {
+    val stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    val ppm = llm.Multimodal.NearDupPpm
+    s"""WITH RECURSIVE $sigCtes, $pairCtes, $mmPairCtes,
+       |f AS (
+       |  SELECT doc_id, source, text,
+       |         CAST(length(text) AS BIGINT) AS n_chars,
+       |         ${wsTokens("text")} AS n_tokens,
+       |         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |           t -> t IN ($stop))) AS BIGINT) AS n_stop,
+       |         CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT) AS n_punct
+       |  FROM documents),
+       |s1 AS (
+       |  SELECT * FROM f
+       |  WHERE n_tokens >= 20 AND n_tokens <= 2000
+       |    AND CAST(n_stop AS DOUBLE) <= CAST(n_tokens AS DOUBLE) * 0.5
+       |    AND CAST(n_punct AS DOUBLE) <= CAST(n_chars AS DOUBLE) * 0.1),
+       |ek AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY text),
+       |s2 AS (SELECT s1.* FROM s1 JOIN ek USING (doc_id)),
+       |dn AS (
+       |  SELECT DISTINCT id_b AS doc_id FROM mh
+       |  WHERE est_jaccard >= ${Dedup.NearDupThreshold}
+       |    AND id_a IN (SELECT doc_id FROM s2)
+       |    AND id_b IN (SELECT doc_id FROM s2)),
+       |ts AS (SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM dn)),
+       |pay AS (SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, text
+       |        FROM documents),
+       |ms1 AS (SELECT p.doc_id, p.n_bytes FROM pay p
+       |        JOIN (SELECT min(doc_id) AS doc_id FROM pay GROUP BY text) kk
+       |          ON kk.doc_id = p.doc_id),
+       |ped AS (SELECT id_a, id_b FROM bver
+       |        WHERE jac_ppm >= $ppm
+       |          AND id_a IN (SELECT doc_id FROM ms1)
+       |          AND id_b IN (SELECT doc_id FROM ms1)),
+       |pund AS (SELECT id_a AS a, id_b AS b FROM ped UNION SELECT id_b, id_a FROM ped),
+       |pnodes AS (SELECT DISTINCT a AS id FROM pund),
+       |preach(id, r) AS (
+       |  SELECT id, id FROM pnodes
+       |  UNION
+       |  SELECT u.b AS id, preach.r AS r FROM preach JOIN pund u ON u.a = preach.id),
+       |plab AS (SELECT id, min(r) AS comp FROM preach GROUP BY id),
+       |pmem AS (SELECT plab.comp AS cluster_id, ms1.doc_id, ms1.n_bytes
+       |         FROM plab JOIN ms1 ON ms1.doc_id = plab.id),
+       |pdrop AS (SELECT doc_id FROM (
+       |    SELECT doc_id, row_number() OVER (PARTITION BY cluster_id
+       |             ORDER BY n_bytes DESC, doc_id) AS rn FROM pmem)
+       |  WHERE rn > 1),
+       |ms AS (SELECT doc_id FROM ms1 WHERE doc_id NOT IN (SELECT doc_id FROM pdrop)),
+       |base AS (
+       |  SELECT d.source,
+       |         CASE WHEN t.doc_id IS NULL THEN 0 ELSE 1 END AS tt,
+       |         CASE WHEN m.doc_id IS NULL THEN 0 ELSE 1 END AS mm
+       |  FROM documents d LEFT JOIN ts t ON t.doc_id = d.doc_id
+       |                   LEFT JOIN ms m ON m.doc_id = d.doc_id)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(tt * mm) AS BIGINT) AS n_both,
+       |       CAST(sum(tt * (1 - mm)) AS BIGINT) AS n_text_only,
+       |       CAST(sum((1 - tt) * mm) AS BIGINT) AS n_media_only,
+       |       CAST(sum((1 - tt) * (1 - mm)) AS BIGINT) AS n_neither
+       |FROM base GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** quantileSketch mirror: the dyadic Count-Min build (exact node
     * counts → poly-hash collision cells, identical keying) and the
     * UNROLLED descent — one CTE per level, each probing the left

@@ -230,6 +230,7 @@ object SparkEntry {
     "x_mm_neardup" -> (llm.Multimodal.payloadNearDup _),
     "x_mm_cluster" -> (llm.Multimodal.payloadCluster _),
     "x_mm_pipeline" -> (llm.Multimodal.mmPipeline _),
+    "x_mm_text_join" -> (llm.Multimodal.mmTextJoin _),
     "x_quantile_sketch" -> (llm.QuantileSketch.quantileSketch _),
     "x_kcore" -> (llm.Graph.kcore _),
     "x_link_pred" -> (llm.Graph.linkPred _),
@@ -1010,6 +1011,7 @@ object SparkEntry {
     "x_mm_neardup" -> OracleLlm.mmNearDupSql,
     "x_mm_cluster" -> OracleLlm.mmClusterSql,
     "x_mm_pipeline" -> OracleLlm.mmPipelineSql,
+    "x_mm_text_join" -> OracleLlm.mmTextJoinSql,
     "x_quantile_sketch" -> OracleLlm.quantileSketchSql,
     "x_bloom_fpr" -> OracleLlm.bloomFprSql,
     "x_marginal_coverage" -> OracleLlm.marginalCoverageSql,

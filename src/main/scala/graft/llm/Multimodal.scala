@@ -218,6 +218,7 @@ object Multimodal {
 
   private val payloadHsCache = new graft.Memo
   private val payloadPairsCache = new graft.Memo
+  private val mmMemo = new graft.Memo
 
   /** Memoized + cached verified pair table — x_mm_neardup's manifest and
     * x_mm_cluster's grouping both consume it, and re-running the banded
@@ -329,15 +330,24 @@ object Multimodal {
     * X-MM-RESIZE's mapPartitions job — a funnel report must not re-emit
     * the corpus).
     */
-  def mmPipeline(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val enr = withPayload(Tables.documents(spark, sfDir))
+  /** The per-doc (digest, byte length) frame — one payload scan. */
+  private[graft] def digestsOf(docs: DataFrame): DataFrame =
+    withPayload(docs)
       .select(col("doc_id"),
         length(col("payload")).cast("long").as("n_bytes"),
         md5(col("payload")).as("dg"))
-      .cache()
-    val s1keep = enr.groupBy("dg").agg(min("doc_id").as("doc_id")).select("doc_id")
-    val s1 = enr.join(s1keep, Seq("doc_id"), "left_semi").cache()
+
+  /** Media exact-dedup keeper ids: min doc_id per digest (X-MM-DEDUP). */
+  private[graft] def mmExactKeepOf(enr: DataFrame): DataFrame =
+    enr.groupBy("dg").agg(min("doc_id").as("doc_id")).select("doc_id")
+
+  /** Media near-dup drop ids among exact survivors: thresholded verified
+    * pairs (memoized table) → components → drop all but the
+    * largest-payload member per cluster (X-MM-NEARDUP + X-MM-CLUSTER).
+    */
+  private[graft] def mmNearDropOf(
+      spark: SparkSession, sfDir: String, s1: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val edges = payloadNearDupPairsTable(spark, sfDir)
       .filter(col("jac_ppm") >= NearDupPpm)
       .join(s1.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
@@ -348,8 +358,27 @@ object Multimodal {
       .select(col("comp").as("cluster_id"), col("doc_id"), col("n_bytes"))
     val w = Window.partitionBy("cluster_id")
       .orderBy(col("n_bytes").desc, col("doc_id"))
-    val dropNear = members.withColumn("rn", row_number().over(w))
+    members.withColumn("rn", row_number().over(w))
       .filter(col("rn") > 1).select("doc_id")
+  }
+
+  /** The media-curation dedup survivor set — doc_ids after digest dedup
+    * + near-dup canonicalization, i.e. x_mm_pipeline's
+    * `2_neardup_canonical` membership. Memoized + cached for the
+    * cross-modal provenance join (x_mm_text_join).
+    */
+  private[graft] def mmDedupSurvivors(spark: SparkSession, sfDir: String): DataFrame =
+    mmMemo.getOrBuild(spark, s"$sfDir#mm_survivors", cache = true) {
+      val enr = digestsOf(Tables.documents(spark, sfDir))
+      val s1 = enr.join(mmExactKeepOf(enr), Seq("doc_id"), "left_semi")
+      s1.join(mmNearDropOf(spark, sfDir, s1), Seq("doc_id"), "left_anti")
+        .select("doc_id")
+    }
+
+  def mmPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val enr = digestsOf(Tables.documents(spark, sfDir)).cache()
+    val s1 = enr.join(mmExactKeepOf(enr), Seq("doc_id"), "left_semi").cache()
+    val dropNear = mmNearDropOf(spark, sfDir, s1)
     val s2 = s1.join(dropNear, Seq("doc_id"), "left_anti").cache()
     val s3 = s2.select(col("doc_id"),
       expr(s"(n_bytes + ${ResizeStride - 1}) div $ResizeStride").as("n_bytes"))
@@ -362,5 +391,50 @@ object Multimodal {
       .unionAll(stat(s2, "2_neardup_canonical"))
       .unionAll(stat(s3, "3_resize"))
       .orderBy("stage")
+  }
+
+  /** X-MM-TEXT-JOIN: the cross-modal provenance audit — reconcile the
+    * TEXT-curation dedup survivors ([[Pipeline.dedupSurvivors]],
+    * x_pipeline's stage-3 membership) with the MEDIA-curation dedup
+    * survivors ([[mmDedupSurvivors]], x_mm_pipeline's canonical set) on
+    * doc_id, per source. A multimodal corpus curates each modality with
+    * modality-appropriate rules (token-shingle MinHash vs byte-shingle
+    * containment; quality gates only make sense on text), so the two
+    * funnels legitimately disagree per document — and the caption↔image
+    * audit is exactly the disagreement report: `n_text_only` (caption
+    * survived, media deduped/dropped away — a caption now pointing at a
+    * purged asset), `n_media_only` (asset survived, caption dropped — an
+    * image left captionless), `n_both` (the pairable training set),
+    * `n_neither`. The counts reconcile BY CONSTRUCTION with both
+    * funnels' stage counts (n_both + n_text_only sums to x_pipeline's
+    * 3_near_dedup docs; n_both + n_media_only to x_mm_pipeline's
+    * 2_neardup_canonical — spec-asserted).
+    *
+    * Scale shape: both survivor sets are memoized + cached key frames;
+    * this operator adds two key-only left joins (doc_id + one flag bit)
+    * and a source-keyed rollup — no text, payload, signature, or vector
+    * ever moves. At 100 TB the joins are id-column shuffles of the
+    * (already-curated) survivor sets, broadcastable whenever a modality
+    * funnel cuts deep.
+    */
+  def mmTextJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Pipeline.dedupSurvivors(spark, sfDir)
+      .select(col("doc_id"), lit(1L).as("t"))
+    val m = mmDedupSurvivors(spark, sfDir)
+      .select(col("doc_id"), lit(1L).as("m"))
+    Tables.documents(spark, sfDir).select("doc_id", "source")
+      .join(t, Seq("doc_id"), "left")
+      .join(m, Seq("doc_id"), "left")
+      .select(col("source"),
+        coalesce(col("t"), lit(0L)).as("t"),
+        coalesce(col("m"), lit(0L)).as("m"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("t") * col("m")).as("n_both"),
+        sum(col("t") * (lit(1L) - col("m"))).as("n_text_only"),
+        sum((lit(1L) - col("t")) * col("m")).as("n_media_only"),
+        sum((lit(1L) - col("t")) * (lit(1L) - col("m"))).as("n_neither"))
+      .orderBy("source")
   }
 }

@@ -27,45 +27,76 @@ import graft.functions.RollingHash.rolling_hash
   */
 object Pipeline {
 
-  def stageCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // one projection computes the quality features ALONGSIDE the text
-    // column the dedup stages need (qualityFeatures drops text; joining
-    // it back would scan documents twice + shuffle) — same feature
-    // expressions as TextAnalysis.qualityFeatures
+  /** The enriched corpus frame: one projection computes the quality
+    * features ALONGSIDE the text column the dedup stages need
+    * (qualityFeatures drops text; joining it back would scan documents
+    * twice + shuffle) — same feature expressions as
+    * TextAnalysis.qualityFeatures.
+    */
+  private[graft] def enrichedOf(docs: DataFrame): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
-    val enr = Tables.documents(spark, sfDir)
-      .select(
-        col("doc_id"), col("source"), col("text"),
-        length(col("text")).cast("long").as("n_chars"),
-        size(toks).cast("long").as("n_tokens"),
-        size(filter(toks, t => t.isin(TextAnalysis.Stopwords.map(lit): _*)))
-          .cast("long").as("n_stopwords"),
-        length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("long").as("n_punct"))
-      .cache()
-    val s1 = enr.filter(
+    docs.select(
+      col("doc_id"), col("source"), col("text"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      size(filter(toks, t => t.isin(TextAnalysis.Stopwords.map(lit): _*)))
+        .cast("long").as("n_stopwords"),
+      length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("long").as("n_punct"))
+  }
+
+  /** Stage-1 rule: the x_quality_filter predicate. */
+  private[graft] def qualityOf(enr: DataFrame): DataFrame =
+    enr.filter(
       col("n_tokens") >= 20 && col("n_tokens") <= 2000 &&
         col("n_stopwords").cast("double") <= col("n_tokens").cast("double") * 0.5 &&
         col("n_punct").cast("double") <= col("n_chars").cast("double") * 0.1)
-      .cache()
-    // exact-dedup keeper set keyed on the (64-bit, 31-bit, length)
-    // hash triple exactly like Dedup.exact — the Exchange under this
-    // groupBy carries 24 bytes of hashes per doc, never the text
-    // (grouping by the raw text column would shuffle the corpus).
-    val exactKeep = s1
-      .select(col("doc_id"),
-        rolling_hash(col("text")).as("eh64"),
-        graft.functions.PolyHash.poly_hash(col("text"), 137).as("eh31"),
-        col("n_chars"))
+
+  /** Stage-2 rule: exact-dedup keeper ids keyed on the (64-bit, 31-bit,
+    * length) hash triple exactly like Dedup.exact — the Exchange under
+    * this groupBy carries 24 bytes of hashes per doc, never the text
+    * (grouping by the raw text column would shuffle the corpus).
+    */
+  private[graft] def exactKeepOf(s1: DataFrame): DataFrame =
+    s1.select(col("doc_id"),
+      rolling_hash(col("text")).as("eh64"),
+      graft.functions.PolyHash.poly_hash(col("text"), 137).as("eh31"),
+      col("n_chars"))
       .groupBy("eh64", "eh31", "n_chars").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
-    val s2 = s1.join(exactKeep, Seq("doc_id"), "left_semi").cache()
-    val s2ids = s2.select("doc_id")
-    val dropNear = Dedup.minhashPairsTable(spark, sfDir)
+
+  /** Stage-3 rule: near-dup drop ids — the ≥-threshold banded pairs
+    * (memoized table) restricted to survivors, dropping the larger id.
+    */
+  private[graft] def nearDropOf(
+      spark: SparkSession, sfDir: String, s2ids: DataFrame): DataFrame =
+    Dedup.minhashPairsTable(spark, sfDir)
       .filter(col("est_jaccard") >= Dedup.NearDupThreshold)
       .join(s2ids.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_semi")
       .join(s2ids.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_semi")
       .select(col("id_b").as("doc_id")).distinct()
+
+  private val memo = new graft.Memo
+
+  /** The text-curation dedup survivor set — (doc_id, source) after
+    * quality + exact dedup + near dedup, i.e. x_pipeline's stage-3
+    * membership (the token-budget cut is a sampling stage, not dedup).
+    * Memoized + cached: the funnel report and the cross-modal
+    * provenance join (x_mm_text_join) read the same frame.
+    */
+  private[graft] def dedupSurvivors(spark: SparkSession, sfDir: String): DataFrame =
+    memo.getOrBuild(spark, s"$sfDir#text_survivors", cache = true) {
+      val s1 = qualityOf(enrichedOf(Tables.documents(spark, sfDir)))
+      val s2 = s1.join(exactKeepOf(s1), Seq("doc_id"), "left_semi")
+      s2.join(nearDropOf(spark, sfDir, s2.select("doc_id")), Seq("doc_id"), "left_anti")
+        .select("doc_id", "source")
+    }
+
+  def stageCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val enr = enrichedOf(Tables.documents(spark, sfDir)).cache()
+    val s1 = qualityOf(enr).cache()
+    val s2 = s1.join(exactKeepOf(s1), Seq("doc_id"), "left_semi").cache()
+    val dropNear = nearDropOf(spark, sfDir, s2.select("doc_id"))
     val s3 = s2.join(dropNear, Seq("doc_id"), "left_anti").cache()
     val w = Window.partitionBy("source").orderBy("fp", "doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

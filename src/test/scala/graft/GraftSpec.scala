@@ -790,6 +790,34 @@ class GraftSpec extends AnyFunSuite {
     dedup.unpersist(); survivors.unpersist()
   }
 
+  test("x_mm_text_join: categories partition each source and reconcile with both funnels") {
+    val rows = llm.Multimodal.mmTextJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // per source the four categories partition the docs exactly
+    rows.foreach { r =>
+      assert(r.getLong(1) ===
+        r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5))
+    }
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === nDocs)
+    // reconciliation against the funnels' own stage counts: text
+    // survivors (n_both + n_text_only) sum to x_pipeline's 3_near_dedup
+    // docs; media survivors (n_both + n_media_only) to x_mm_pipeline's
+    // 2_neardup_canonical docs — the join reads the SAME memoized sets
+    // the funnels' rules define, so these must agree exactly
+    val textStage = llm.Pipeline.stageCounts(spark, sf).collect()
+      .find(_.getString(0) == "3_near_dedup").get.getLong(1)
+    val mediaStage = llm.Multimodal.mmPipeline(spark, sf).collect()
+      .find(_.getString(0) == "2_neardup_canonical").get.getLong(1)
+    assert(rows.map(r => r.getLong(2) + r.getLong(3)).sum === textStage)
+    assert(rows.map(r => r.getLong(2) + r.getLong(4)).sum === mediaStage)
+    // the audit is non-degenerate on the fixture: the modalities
+    // genuinely disagree somewhere and agree somewhere
+    assert(rows.map(_.getLong(2)).sum > 0, "no pairable doc survived both funnels")
+    assert(rows.map(r => r.getLong(3) + r.getLong(4)).sum > 0,
+      "funnels never disagree — the audit would be vacuous")
+  }
+
   test("x_mm oracle encoding assumption: documents.text is pure ASCII at every fixture SF") {
     // The byte-shingle oracle (OracleLlm.mmPairCtes) mirrors the
     // BinShingles BYTE kernel via unicode(substr(text, ...)) and window
@@ -4691,6 +4719,7 @@ class GraftSpec extends AnyFunSuite {
       "x_link_pred" -> "X-LINK-PRED", "x_stream_kmv" -> "X-STREAM-KMV",
       "x_mm_neardup" -> "X-MM-NEARDUP", "x_sim_pq_serve" -> "X-SIM-PQ-SERVE",
       "q_idem_keyed" -> "Q-IDEM-KEYED", "x_mm_pipeline" -> "X-MM-PIPELINE",
+      "x_mm_text_join" -> "X-MM-TEXT-JOIN",
       "x_stream_neardup" -> "X-STREAM-NEARDUP", "x_stream_sim" -> "X-STREAM-SIM",
       "x_sim_filtered" -> "X-SIM-FILTERED", "x_ann_compact" -> "X-ANN-COMPACT",
       "x_contrastive" -> "X-CONTRASTIVE", "x_ann_stats" -> "X-ANN-STATS",
