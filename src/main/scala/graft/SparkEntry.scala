@@ -124,6 +124,7 @@ object SparkEntry {
     "x_stream_dedup" -> (llm.StreamingOps.streamingDedup _),
     "x_stream_neardup" -> (llm.StreamingOps.streamingNearDup _),
     "x_stream_sim" -> (llm.StreamingOps.streamingSimIngest _),
+    "x_stream_ann_delete" -> (llm.StreamingOps.streamingAnnDelete _),
     "x_stream_mm" -> (llm.StreamingOps.streamingMediaIngest _),
     "x_stream_join" -> (llm.StreamingOps.streamingJoin _),
     "x_connected" -> (llm.Graph.components _),
@@ -988,6 +989,9 @@ object SparkEntry {
     "x_sim_filtered_pq" -> OracleLlm.simFilteredPqSql,
     "x_ann_compact" -> OracleLlm.simPqServeSql,
     "x_ann_delete" -> OracleLlm.annDeleteSql,
+    // the streamed tombstone purge must serve EXACTLY the CoW answer —
+    // one oracle, two implementations (x_ann_delete's proof structure)
+    "x_stream_ann_delete" -> OracleLlm.annDeleteSql,
     "x_ann_stats" -> OracleLlm.annStatsSql,
     "x_ann_rebalance" -> OracleLlm.annRebalanceSql,
     "x_curriculum" -> OracleLlm.curriculumSql,

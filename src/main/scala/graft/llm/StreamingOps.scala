@@ -784,6 +784,87 @@ object StreamingOps {
         sum("n_bytes").as("bytes_total"))
   }
 
+  /** Marker-gated scratch staging for [[streamingAnnDelete]]: the
+    * deletion REQUESTS (vec_id ≡ DeleteRem mod DeleteMod —
+    * x_ann_delete's victim membership, so the streamed purge grades
+    * against the same CoW answer) split into 4 chronological chunk
+    * files with pinned mtimes for the micro-batch replay.
+    */
+  private[graft] def annDeleteStaging(spark: SparkSession, sfDir: String): java.nio.file.Path = {
+    import graft.queries.AnnServe.{DeleteMod, DeleteRem}
+    val rootS = graft.etl.Sink.scratchPath(sfDir, "stream_ann_delete")
+    val root = java.nio.file.Paths.get(rootS)
+    val marker = root.resolve("_GRAFT_OK_v1")
+    if (!java.nio.file.Files.exists(marker)) {
+      graft.etl.Sink.dropUncommitted(rootS)
+      java.nio.file.Files.createDirectories(root)
+      val victims = Tables.embeddings(spark, sfDir)
+        .filter(pmod(col("vec_id"), lit(DeleteMod)) === DeleteRem)
+        .select("vec_id")
+      val chunksDir = root.resolve("chunks")
+      java.nio.file.Files.createDirectories(chunksDir)
+      (0 until 4).foreach { i =>
+        val tmp = root.resolve(s"tmp_chunk$i")
+        victims.filter(pmod(expr(s"vec_id div $DeleteMod"), lit(4L)) === i.toLong)
+          .coalesce(1).write.parquet(tmp.toString)
+        import scala.jdk.CollectionConverters._
+        val listing = java.nio.file.Files.list(tmp)
+        val parts =
+          try listing.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          finally listing.close()
+        require(parts.size == 1,
+          s"ann-delete chunk $i produced ${parts.size} parquet parts, expected 1")
+        val dst = chunksDir.resolve(s"chunk$i.parquet")
+        java.nio.file.Files.move(parts.head, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(i * 1000L))
+        graft.streaming.Drain.deleteRecursively(tmp)
+      }
+      java.nio.file.Files.createFile(marker)
+    }
+    root
+  }
+
+  /** X-STREAM-ANN-DELETE: streamed opt-out deletion against the serving
+    * ANN index — the continuous form of X-ANN-DELETE, the way a
+    * production vector store takes compliance requests: each micro-batch
+    * of victim ids appends to a TOMBSTONE log inside `foreachBatch`
+    * (narrow map, cost per batch ∝ batch size; the at-least-once append
+    * is harmless — a duplicate tombstone anti-joins identically), the
+    * index files stay byte-untouched, and every serve anti-joins the log
+    * into the shared ADC probe ([[graft.queries.AnnServe.tombstoneServe]])
+    * so a victim stops serving the moment its batch commits — no
+    * rewrite on the request path. Compaction later folds the log into
+    * the index CoW-style and drops it
+    * ([[graft.queries.AnnServe.applyTombstones]], spec-proven to leave
+    * zero tombstones and only rewrite affected cells). The post-drain
+    * serve must equal x_ann_delete's copy-on-write answer row for row
+    * (batch ≡ stream; same oracle — the full PQ chain with the deletion
+    * set excluded).
+    */
+  def streamingAnnDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = annDeleteStaging(spark, sfDir)
+    val work = java.nio.file.Files.createTempDirectory(
+      "graft_stream_ann_delete_" + runs.incrementAndGet() + "_")
+    val tombDir = work.resolve("tombstones").toString
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("vec_id", org.apache.spark.sql.types.LongType)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(root.resolve("chunks").toString)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select("vec_id").write.mode("append").parquet(tombDir)
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    graft.streaming.Drain.deleteRecursively(work.resolve("ckpt"))
+    graft.streaming.Drain.cleanupAtExit(work)
+    graft.queries.AnnServe.tombstoneServe(spark, sfDir, tombDir)
+  }
+
   /** The per-type KMV merge transform — separated from
     * [[streamingKmv]]'s staging so a spec can drive it batch-by-batch
     * and assert the state genuinely refines ACROSS batches.

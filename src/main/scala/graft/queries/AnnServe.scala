@@ -437,11 +437,21 @@ object AnnServe {
     * disappears (no dir = empty posting list). Returns
     * (n_cells_total, n_cells_rewritten).
     */
-  private[graft] def deleteFromIndex(spark: SparkSession, dir: String): (Int, Int) = {
+  private[graft] def deleteFromIndex(spark: SparkSession, dir: String): (Int, Int) =
+    purgeFromIndex(spark, dir,
+      v => pmod(v, lit(DeleteMod)) === lit(DeleteRem))
+
+  /** The CoW purge core shared by [[deleteFromIndex]] (mod-rule victims)
+    * and [[applyTombstones]] (streamed tombstone ids): `victim` is the
+    * membership predicate over the posting's vec_id.
+    */
+  private[graft] def purgeFromIndex(
+      spark: SparkSession, dir: String,
+      victim: org.apache.spark.sql.Column => org.apache.spark.sql.Column): (Int, Int) = {
     val all = spark.read.json(dir)
     // affected-cell listing is centroid-sized — a loud, bounded collect
     val affected = all
-      .filter(pmod(col("vec_id"), lit(DeleteMod)) === DeleteRem)
+      .filter(victim(col("vec_id")))
       .select(col("cent_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSet
     val totalCells = new java.io.File(dir).listFiles()
@@ -451,7 +461,7 @@ object AnnServe {
       Sink.dropUncommitted(tmp)
       val dirs = affected.toSeq.sorted.map(c => s"$dir/cent_id=$c")
       spark.read.option("basePath", dir).json(dirs: _*)
-        .filter(pmod(col("vec_id"), lit(DeleteMod)) =!= DeleteRem)
+        .filter(!victim(col("vec_id")))
         .repartition(col("cent_id"))
         .write.mode("overwrite").partitionBy("cent_id").json(tmp)
       affected.foreach { c =>
@@ -512,5 +522,46 @@ object AnnServe {
   def deleteServe(spark: SparkSession, sfDir: String): DataFrame = {
     val cat = ensureDeletedTable(spark, sfDir)
     spark.sql(pqProbeSql(cat, "pq_index_deleted", sfDir))
+  }
+
+  // ---- streamed tombstone deletion (X-STREAM-ANN-DELETE) ---------------
+
+  /** The shared ADC probe over the LIVE (unmodified) index with a
+    * tombstone log anti-joined into the candidate set: a posting whose
+    * vec_id appears in the log never reconstructs, never scores, never
+    * serves — deletion takes effect at REQUEST time, while the index
+    * files stay untouched until compaction folds the log in
+    * ([[applyTombstones]]). The `NOT EXISTS` plans as a broadcast
+    * left-anti join (the log is deletion-sized, never corpus-sized), so
+    * the serve cost over the tombstoned index equals the plain probe's.
+    */
+  private[graft] def tombstoneServe(
+      spark: SparkSession, sfDir: String, tombDir: String): DataFrame = {
+    val cat = ensureAnnTables(spark, sfDir)
+    spark.sql(pqProbeSql(cat, "pq_index", sfDir,
+      candPredicate = " AND NOT EXISTS (SELECT 1 FROM " +
+        s"parquet.`$tombDir` tb WHERE tb.vec_id = i.vec_id)"))
+  }
+
+  /** Fold the tombstone log into an index staging at compaction time:
+    * CoW-rewrite ONLY the cells holding a tombstoned posting (the
+    * [[purgeFromIndex]] discipline) and DROP the log — after this the
+    * probe needs no anti-join and zero tombstones remain. The id set is
+    * a loud bounded driver collect: a compaction's deletion batch is
+    * compliance-request-sized, never corpus-sized (at larger batches the
+    * isin predicate swaps for a broadcast anti-join, same plan shape the
+    * serve path uses). Returns (n_cells_total, n_cells_rewritten).
+    */
+  private[graft] def applyTombstones(
+      spark: SparkSession, dir: String, tombDir: String): (Int, Int) = {
+    val ids = spark.read.parquet(tombDir)
+      .select(col("vec_id")).distinct().collect().map(_.getLong(0)).toSet
+    val res =
+      if (ids.isEmpty)
+        (new java.io.File(dir).listFiles()
+          .count(d => d.isDirectory && d.getName.startsWith("cent_id=")), 0)
+      else purgeFromIndex(spark, dir, v => v.isInCollection(ids))
+    graft.streaming.Drain.deleteRecursively(Paths.get(tombDir))
+    res
   }
 }

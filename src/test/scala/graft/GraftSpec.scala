@@ -2902,6 +2902,73 @@ class GraftSpec extends AnyFunSuite {
       "no query served a freshly ingested vector — the fixture plants some")
   }
 
+  test("X-STREAM-ANN-DELETE: no victim serves mid-stream; batch ≡ stream; compaction drops the log") {
+    import graft.queries.AnnServe
+    // batch ≡ stream: the streamed tombstone serve must equal the
+    // copy-on-write purge's answer ROW FOR ROW (same oracle)
+    val stream = llm.StreamingOps.streamingAnnDelete(spark, sf).collect().map(_.toSeq).toSeq
+    val cow = AnnServe.deleteServe(spark, sf).collect().map(_.toSeq).toSeq
+    assert(stream.nonEmpty && stream === cow)
+    // mid-stream: replay the chunks one batch at a time against a
+    // spec-managed tombstone log; after EACH batch, no id tombstoned so
+    // far may appear among the served cids — deletion takes effect at
+    // the batch commit, not at compaction
+    val root = llm.StreamingOps.annDeleteStaging(spark, sf)
+    val work = java.nio.file.Files.createTempDirectory("graft_spec_sdel_")
+    val tombDir = work.resolve("tombstones").toString
+    val allVictims = Tables.embeddings(spark, sf)
+      .filter(pmod(col("vec_id"), lit(AnnServe.DeleteMod)) === AnnServe.DeleteRem)
+      .collect().map(_.getLong(0)).toSet
+    var seen = Set.empty[Long]
+    var sawPartial = false
+    (0 until 4).foreach { i =>
+      val batch = spark.read.parquet(root.resolve("chunks").toString + s"/chunk$i.parquet")
+      batch.select("vec_id").write.mode("append").parquet(tombDir)
+      seen ++= batch.collect().map(_.getLong(0))
+      val served = AnnServe.tombstoneServe(spark, sf, tombDir).collect()
+        .map(_.getLong(2)).toSet
+      assert(served.intersect(seen).isEmpty,
+        s"batch $i: tombstoned ids still serving: ${served.intersect(seen)}")
+      // not-yet-tombstoned victims MUST still serve mid-stream (the
+      // serve obeys the LOG, not the victim rule) — witnessed on at
+      // least one partial prefix
+      if (i < 3 && served.intersect(allVictims -- seen).nonEmpty) sawPartial = true
+    }
+    assert(seen === allVictims, "the chunk replay must deliver every victim exactly")
+    assert(sawPartial,
+      "no future victim ever served mid-stream — the fixture should exercise the partial state")
+    // compaction: fold the log into a COPY of the live index staging —
+    // victims purged cell-locally, zero tombstones remain, the log is gone
+    val live = java.nio.file.Paths.get(
+      graft.etl.Sink.scratchPath(sf, "ann_warehouse"), "staging", "pq_index")
+    val copy = work.resolve("pq_index_copy")
+    def copyRec(s: java.nio.file.Path, d: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(s).iterator().asScala.foreach { p =>
+        val t = d.resolve(s.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      }
+    }
+    copyRec(live, copy)
+    val before = spark.read.json(copy.toString)
+      .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+    val (total, rewritten) = AnnServe.applyTombstones(spark, copy.toString, tombDir)
+    assert(rewritten > 0 && rewritten <= total)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(tombDir)),
+      "compaction must drop the tombstone log")
+    val after = spark.read.json(copy.toString)
+      .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+    assert(after === before -- seen,
+      "compaction must purge exactly the tombstoned postings")
+    // idempotence: folding an empty log is a no-op rewrite of nothing
+    val emptyTomb = work.resolve("tomb_empty").toString
+    spark.range(0).select(col("id").as("vec_id")).write.parquet(emptyTomb)
+    val (t2, r2) = AnnServe.applyTombstones(spark, copy.toString, emptyTomb)
+    assert(r2 === 0 && t2 > 0)
+    graft.streaming.Drain.cleanupAtExit(work)
+  }
+
   test("x_contrastive: triplets straddle the threshold and both sides are argmax-optimal") {
     val t = llm.Dedup.NearDupThreshold
     val out = llm.Dedup.contrastivePairs(spark, sf).collect()
@@ -4721,6 +4788,7 @@ class GraftSpec extends AnyFunSuite {
       "q_idem_keyed" -> "Q-IDEM-KEYED", "x_mm_pipeline" -> "X-MM-PIPELINE",
       "x_mm_text_join" -> "X-MM-TEXT-JOIN",
       "x_stream_neardup" -> "X-STREAM-NEARDUP", "x_stream_sim" -> "X-STREAM-SIM",
+      "x_stream_ann_delete" -> "X-STREAM-ANN-DELETE",
       "x_sim_filtered" -> "X-SIM-FILTERED", "x_ann_compact" -> "X-ANN-COMPACT",
       "x_contrastive" -> "X-CONTRASTIVE", "x_ann_stats" -> "X-ANN-STATS",
       "x_curriculum" -> "X-CURRICULUM", "x_ann_delete" -> "X-ANN-DELETE",
