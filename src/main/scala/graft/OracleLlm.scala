@@ -1798,10 +1798,110 @@ object OracleLlm {
        |                 AND cb.vec_id <> qb.qid),
        |${rankRecallSelect(llm.Similarity.K)}""".stripMargin
 
+  /** knngraph mirror: the LSH-collision kNN-graph build (corpus-side cb
+    * CTE identical to simLshSql's, pairs deduped across tables, per-src
+    * top-[[llm.Similarity.KnnDegree]] by (cos DESC, dst), symmetrized),
+    * the pinned hash-order entry point, and the greedy beam search
+    * unrolled to [[llm.Similarity.BeamRounds]] CTE rounds — candidates
+    * from the frontier's edges, visited rows excluded via NOT EXISTS
+    * (the Spark anti-join), per-round top-[[llm.Similarity.BeamWidth]]
+    * frontier with the identical (cos DESC, cid) total order. The final
+    * top-K re-ranks every visited candidate, exactly like the Spark
+    * side.
+    */
+  val simKnngraphSql: String = {
+    val S = llm.Similarity
+    val head =
+      s"""WITH $simBaseCtes,
+         |pl AS (SELECT ${S.planeSigns.mkString("[", ", ", "]")} AS ps),
+         |tb AS (SELECT unnest(range(0, ${S.NumTables})) AS t),
+         |cb AS (
+         |  SELECT c.vec_id, c.embedding, c.nrm, tb.t AS t,
+         |         ${bucketExpr("c.embedding", "tb.t")} AS bucket
+         |  FROM c, tb, pl),
+         |ep AS (
+         |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+         |         ${cosine("a.embedding", "a.nrm", "b.embedding", "b.nrm")} AS cos
+         |  FROM cb a JOIN cb b ON a.t = b.t AND a.bucket = b.bucket
+         |                     AND a.vec_id <> b.vec_id),
+         |eo AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |           row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+         |    FROM ep) WHERE rn <= ${S.KnnDegree}),
+         |edges AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM eo
+         |    UNION ALL SELECT dst AS src, src AS dst FROM eo)),
+         |en AS (SELECT vec_id, embedding, nrm FROM c WHERE vec_id % 10 <> 7
+         |       ORDER BY (vec_id * ${S.CentroidHashMult}) % ${S.CentroidHashMod}, vec_id
+         |       LIMIT 1),
+         |qb AS (
+         |  SELECT q.qid, q.qv, q.qn, tb.t AS t,
+         |         ${bucketExpr("q.qv", "tb.t")} AS bucket
+         |  FROM q, tb, pl),
+         |ss AS (
+         |  SELECT DISTINCT qb.qid, cb.vec_id AS cid,
+         |         ${cosine("qb.qv", "qb.qn", "cb.embedding", "cb.nrm")} AS cos
+         |  FROM cb JOIN qb ON cb.t = qb.t AND cb.bucket = qb.bucket
+         |                 AND cb.vec_id <> qb.qid),
+         |sd AS (
+         |  SELECT qid, cid, cos FROM (
+         |    SELECT qid, cid, cos,
+         |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+         |    FROM ss) WHERE rn <= ${S.SeedWidth}),
+         |vs0 AS (
+         |  SELECT DISTINCT qid, cid, cos FROM (
+         |    SELECT q.qid, en.vec_id AS cid,
+         |           ${cosine("q.qv", "q.qn", "en.embedding", "en.nrm")} AS cos
+         |    FROM q, en
+         |    UNION ALL SELECT qid, cid, cos FROM sd)),
+         |bf0 AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+         |    FROM vs0) WHERE rn <= ${S.BeamWidth})""".stripMargin
+    val rounds = (1 to S.BeamRounds).map { r =>
+      val p = r - 1
+      s"""cd$r AS (
+         |  SELECT DISTINCT f.qid, ed.dst AS cid
+         |  FROM bf$p f JOIN edges ed ON ed.src = f.cid),
+         |sc$r AS (
+         |  SELECT cr.qid, cr.cid,
+         |         ${cosine("q.qv", "q.qn", "c.embedding", "c.nrm")} AS cos
+         |  FROM cd$r cr JOIN q ON q.qid = cr.qid JOIN c ON c.vec_id = cr.cid
+         |  WHERE NOT EXISTS (SELECT 1 FROM vs$p v
+         |                    WHERE v.qid = cr.qid AND v.cid = cr.cid)),
+         |bf$r AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+         |    FROM sc$r) WHERE rn <= ${S.BeamWidth}),
+         |vs$r AS (SELECT * FROM vs$p UNION ALL SELECT qid, cid, cos FROM sc$r)""".stripMargin
+    }
+    val tail =
+      s"""s AS (SELECT qid, cid, cos AS cosine FROM vs${S.BeamRounds} WHERE cid <> qid),
+         |${rankRecallSelect(S.K)}""".stripMargin
+    (head +: rounds :+ tail).mkString(",\n")
+  }
+
+  /** The ANN centroid-law CTE — [[llm.Similarity.centroidRowsOf]]'s
+    * literal mirror: the pinned [[llm.Similarity.IvfCentroids]]-row
+    * sample, smallest in the multiplicative-hash order over settled
+    * (non-delta) ids. Shared by every IVF-family oracle so the model is
+    * derived ONE way.
+    */
+  private val ivfCentsCte: String = {
+    val S = llm.Similarity
+    s"""cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn FROM c
+       |          WHERE vec_id % 10 <> 7
+       |          ORDER BY (vec_id * ${S.CentroidHashMult}) % ${S.CentroidHashMod}, vec_id
+       |          LIMIT ${S.IvfCentroids})""".stripMargin
+  }
+
   val simIvfSql: String =
     s"""WITH $simBaseCtes,
-       |cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn FROM c
-       |          WHERE vec_id % ${llm.Similarity.CentroidStride} = 0),
+       |$ivfCentsCte,
        |casg AS (
        |  SELECT vec_id, cent_id,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
@@ -1832,8 +1932,7 @@ object OracleLlm {
     */
   val annStatsSql: String =
     s"""WITH $simBaseCtes,
-       |cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn FROM c
-       |          WHERE vec_id % ${llm.Similarity.CentroidStride} = 0),
+       |$ivfCentsCte,
        |casg AS (
        |  SELECT vec_id, cent_id,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
@@ -1863,8 +1962,7 @@ object OracleLlm {
     */
   val annRebalanceSql: String =
     s"""WITH $simBaseCtes,
-       |cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn FROM c
-       |          WHERE vec_id % ${llm.Similarity.CentroidStride} = 0),
+       |$ivfCentsCte,
        |casg AS (
        |  SELECT vec_id, cent_id,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
@@ -1954,8 +2052,7 @@ object OracleLlm {
   private def pqChainCtes(candFilter: String = ""): String = {
     val S = llm.Similarity
     val sd = S.PqSubDim
-    s"""cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn FROM c
-       |          WHERE vec_id % ${S.CentroidStride} = 0),
+    s"""$ivfCentsCte,
        |casg AS (
        |  SELECT vec_id, cent_id,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
@@ -1972,8 +2069,9 @@ object OracleLlm {
        |         JOIN cents ct ON ct.cent_id = cl.cent_id),
        |books AS (SELECT vec_id AS bid, rv AS bv FROM res
        |          WHERE vec_id % ${S.PqSampleStride} = ${S.PqSampleOffset}
-       |            AND vec_id % ${S.CentroidStride} <> 0
-       |            AND vec_id < ${S.PqSampleBound}),
+       |            AND vec_id NOT IN (SELECT cent_id FROM cents)
+       |          ORDER BY (vec_id * ${S.CentroidHashMult}) % ${S.CentroidHashMod}, vec_id
+       |          LIMIT ${S.PqBookSize}),
        |enc0 AS (
        |  SELECT res.vec_id, mm.m, books.bid,
        |         list_sum(list_transform(range(1, ${sd + 1}), i ->
@@ -2075,8 +2173,7 @@ object OracleLlm {
     */
   val simIncrSql: String =
     s"""WITH $simBaseCtes,
-       |cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn FROM c
-       |          WHERE vec_id % ${llm.Similarity.CentroidStride} = 0),
+       |$ivfCentsCte,
        |casg AS (
        |  SELECT vec_id, cent_id,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
@@ -2133,8 +2230,7 @@ object OracleLlm {
        |c AS (SELECT * FROM e WHERE nrm > 0),
        |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn FROM c
        |      WHERE vec_id % ${S.QueryStride} = 0),
-       |cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn FROM c
-       |          WHERE vec_id % ${S.CentroidStride} = 0),
+       |$ivfCentsCte,
        |casg AS (
        |  SELECT vec_id, cent_id,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
@@ -2229,11 +2325,12 @@ object OracleLlm {
        |             ORDER BY cosine DESC, cid) AS BIGINT) AS rank
        |    FROM bs) WHERE rank <= $k),
        |allq AS (SELECT DISTINCT qid FROM truth),
-       |rungs AS (SELECT unnest(['brute', 'ivf', 'ivfpq', 'lsh', 'multiprobe', 'rrf']) AS rung),
+       |rungs AS (SELECT unnest(['brute', 'ivf', 'ivfpq', 'knngraph', 'lsh', 'multiprobe', 'rrf']) AS rung),
        |ann AS (
        |  SELECT 'brute' AS rung, qid, rank, cid FROM truth
        |  UNION ALL SELECT 'ivf', qid, rank, cid FROM ($simIvfSql)
        |  UNION ALL SELECT 'ivfpq', qid, rank, cid FROM ($simIvfpqSql)
+       |  UNION ALL SELECT 'knngraph', qid, rank, cid FROM ($simKnngraphSql)
        |  UNION ALL SELECT 'lsh', qid, rank, cid FROM ($simLshSql)
        |  UNION ALL SELECT 'multiprobe', qid, rank, cid FROM ($simMultiprobeSql)
        |  UNION ALL SELECT 'rrf', qid, rank, cid FROM ($rrfSql)),

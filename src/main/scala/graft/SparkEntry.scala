@@ -172,6 +172,7 @@ object SparkEntry {
     "x_rand_proj" -> (llm.Quantize.randProj _),
     "x_pca" -> (llm.Pca.pca _),
     "x_sim_multiprobe" -> (llm.Similarity.multiprobeTopK _),
+    "x_sim_knngraph" -> (llm.Similarity.knngraphTopK _),
     "x_profile" -> (llm.Profile.profile _),
     "x_optout" -> (etl.OptOut.optOut _),
     "x_boilerplate" -> (llm.TextAnalysis.boilerplate _),
@@ -982,6 +983,7 @@ object SparkEntry {
     "x_mm_features" -> OracleLlm.mmFeaturesSql,
     "x_sim_lsh" -> OracleLlm.simLshSql,
     "x_sim_multiprobe" -> OracleLlm.simMultiprobeSql,
+    "x_sim_knngraph" -> OracleLlm.simKnngraphSql,
     "x_sim_ivf" -> OracleLlm.simIvfSql,
     "x_sim_ivfpq" -> OracleLlm.simIvfpqSql,
     "x_sim_pq_serve" -> OracleLlm.simPqServeSql,

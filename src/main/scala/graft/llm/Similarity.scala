@@ -246,8 +246,79 @@ object Similarity {
 
   // ---- IVF (inverted-file) path ---------------------------------------
 
+  /** X-KMEANS/X-SEMDEDUP seeding law — k ∝ n BY DESIGN: every
+    * [[CentroidStride]]-th vector seeds one Lloyd cluster, so expected
+    * cluster size stays ~CentroidStride as the corpus grows. That bound
+    * is load-bearing: X-SEMDEDUP's within-cluster pair join is quadratic
+    * in cluster size, so the clustering law must keep clusters small at
+    * any corpus scale. The ANN index family deliberately does NOT share
+    * this law — its model must be corpus-INDEPENDENT (see
+    * [[IvfCentroids]]); the two conventions solve opposite constraints.
+    */
   val CentroidStride = 100
-  val NumProbes = 2
+
+  /** Probe budget per query. 3 of the [[IvfCentroids]] = 4 fixture cells
+    * is a HIGH scan fraction — deliberate: the fixture's vectors are
+    * uniform-random, the no-structure worst case where cell membership
+    * carries little signal, so clearing the measured ≥0.7 recall floor
+    * honestly requires probing most cells (the same effect the recall
+    * spec documents for LSH on this fixture). At production scale (k in
+    * the thousands over CLUSTERED embeddings) the same NumProbes/k dial
+    * sits at a tiny scan fraction; nothing in the plan shape changes.
+    */
+  val NumProbes = 3
+
+  /** ANN centroid law — k PINNED, corpus-independent. The IVF family's
+    * "trained model" is the [[IvfCentroids]] settled (non-delta) corpus
+    * vectors SMALLEST in the multiplicative-hash order
+    * `(vec_id · [[CentroidHashMult]]) mod [[CentroidHashMod]]` (ties by
+    * vec_id) — a deterministic pinned-count sample, reproduced literally
+    * in every oracle, so the model and the whole index are
+    * engine-identical. Pinning k is what makes the broadcast-model scale
+    * claim hold verbatim at 100 TB: the model is O(k) bytes and
+    * assignment is O(n·k) with k a CONSTANT — under the previous
+    * every-100th-id convention k grew with n, so the "broadcast model +
+    * map-side fold" plan silently degraded to O(n²/stride) work and a
+    * corpus-proportional broadcast. Corpus growth is handled
+    * operationally, exactly like a production IVF store: X-ANN-STATS
+    * reads the imbalance, X-ANN-REBALANCE splits hot cells. Delta rows
+    * (ids ≡7 mod 10, "today's ingest") are excluded from the sample BY
+    * LAW — model training runs on the settled corpus only — which is
+    * what keeps append-only maintenance exact: deriving the model from
+    * base-only and from base∪delta provably agree. The TakeOrdered that
+    * realizes the sample is per-partition top-k + a k-row driver merge —
+    * metadata-sized at any corpus scale. (vec_id·mult stays within Long
+    * for ids < 2^33 — the fixture convention; a production deployment
+    * with wider ids would hash into the same domain first.)
+    */
+  val IvfCentroids = 4
+  val CentroidHashMult = 2654435761L // Knuth's 32-bit multiplicative hash
+  val CentroidHashMod = 2147483647L // 2^31 − 1 (Mersenne prime)
+
+  /** The pinned-sample total order, identical in both engines:
+    * `(vec_id * mult) % p` with nonnegative ids keeps `%` and `pmod`
+    * indistinguishable.
+    */
+  def centroidOrd(id: Column): Column =
+    (id * lit(CentroidHashMult)) % lit(CentroidHashMod)
+
+  /** The ANN centroid sample of a corpus frame (any frame carrying
+    * `vec_id`): the [[IvfCentroids]] smallest rows in
+    * ([[centroidOrd]], vec_id) order among settled (non-delta) ids —
+    * column set preserved.
+    */
+  private[graft] def centroidRowsOf(c: DataFrame): DataFrame =
+    c.filter(!isDeltaVec(col("vec_id")))
+      .orderBy(centroidOrd(col("vec_id")), col("vec_id"))
+      .limit(IvfCentroids)
+
+  /** The centroid sample collapsed into the ONE broadcast model row
+    * every assignment/probe fold consumes.
+    */
+  private[graft] def centArrOf(c: DataFrame): DataFrame =
+    centroidRowsOf(c)
+      .agg(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("nrm").as("cn"))).as("cents"))
 
   /** Per-row best-centroid fold: scores every centroid in the broadcast
     * array, keeps (max score, min cent_id on ties). Order-independent, so
@@ -521,7 +592,8 @@ object Similarity {
   }
 
   /** IVF ANN: a deterministic "training sample" of the corpus acts as the
-    * centroid set (every [[CentroidStride]]-th vector). Assignment is
+    * centroid set (the [[IvfCentroids]] pinned hash-order sample — model
+    * size corpus-independent by law). Assignment is
     * MAP-ONLY: the centroid set is folded per row from one broadcast
     * array — no n×k cross-product shuffle, no window. A query probes its
     * [[NumProbes]] nearest cells; candidates arrive via one broadcast
@@ -535,10 +607,9 @@ object Similarity {
 
   def ivfTopKOf(embeddings: DataFrame, stride: Int): DataFrame = {
     val c = corpusOf(embeddings)
-    // the "trained model": k centroids collapsed into ONE broadcast row
-    val centArr = c.filter(col("vec_id") % CentroidStride === 0)
-      .agg(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cv"),
-        col("nrm").as("cn"))).as("cents"))
+    // the "trained model": k pinned centroids collapsed into ONE
+    // broadcast row (the [[IvfCentroids]] hash-order sample)
+    val centArr = centArrOf(c)
 
     // inverted file: narrow per-row argmax over the centroid array
     val cells = c.join(broadcast(centArr))
@@ -580,9 +651,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         col("label").cast("long").as("label"), norm(col("embedding")).as("nrm"))
       .filter(col("nrm") > 0)
-    val centArr = c.filter(col("vec_id") % CentroidStride === 0)
-      .agg(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cv"),
-        col("nrm").as("cn"))).as("cents"))
+    val centArr = centArrOf(c)
     c.join(broadcast(centArr))
       .select(col("vec_id"), col("label"), col("embedding"),
         centroidScores(col("cents"), col("embedding"), col("nrm")).as("scores"))
@@ -600,13 +669,17 @@ object Similarity {
   val PqSubspaces = 8
   val PqSubDim = 8
 
-  /** Deterministic PQ "training sample": residuals of every
-    * [[PqSampleStride]]-th vector at offset [[PqSampleOffset]], with IVF
-    * centroids (`vec_id % CentroidStride == 0`) explicitly excluded — a
-    * centroid's own residual is the zero vector, and ids ≡ 20 (mod 40)
-    * DO include the odd multiples of 100 (100, 300, …), so without the
-    * explicit exclusion ~1/5 of the codebook would be duplicate zero
-    * codewords (silent PQ quality loss).
+  /** Deterministic PQ "training sample": residuals of ids
+    * ≡ [[PqSampleOffset]] (mod [[PqSampleStride]]), IVF centroids
+    * excluded (a centroid's own residual is the zero vector — keeping
+    * them would plant duplicate zero codewords, silent PQ quality
+    * loss), capped at the [[PqBookSize]] smallest in the shared
+    * ([[centroidOrd]], vec_id) hash order — the same pinned-count
+    * model law as the coarse centroids, so the codebook is
+    * corpus-independent too. Sample ids are even (≡20 mod 40) while
+    * delta ids are odd (≡7 mod 10), so the ingest partition can never
+    * enter the codebook — the persisted PQ model is stable under
+    * append by parity.
     */
   val PqSampleStride = 40
   val PqSampleOffset = 20
@@ -616,22 +689,22 @@ object Similarity {
     * Without the cap the deterministic every-Nth sample GROWS with the
     * corpus, making encode cost O(n·samples) = O(n²/stride): ~1500
     * codewords at sf0.1 already dominated the rung's bench time, and a
-    * 100 TB corpus would be quadratic. Capped, encode is O(n·256·d) —
-    * linear in the corpus like every real PQ index build.
+    * 100 TB corpus would be quadratic. Capped (by hash-order rank, the
+    * pinned-sample law), encode is O(n·256·d) — linear in the corpus
+    * like every real PQ index build.
     */
   val PqBookSize = 256
 
-  /** Id bound that yields exactly [[PqBookSize]] non-centroid samples:
-    * per lcm(PqSampleStride, CentroidStride) = 200 consecutive ids there
-    * are 5 ids ≡ 20 (mod 40), of which one (≡ 100 mod 200) is a
-    * centroid — 4 valid samples per 200 ids, so 256 · 200 / 4 = 12800.
-    */
-  val PqSampleBound = PqBookSize.toLong * 200L / 4L
-
   /** ADC shortlist size: candidates surviving the PQ prefilter per query
-    * before exact re-ranking.
+    * before exact re-ranking — ~25×K, the standard production rerank
+    * multiplier. On the uniform fixture the ADC ordering from a
+    * stride-limited codebook is noisy, so the shortlist must be generous
+    * for the quantized rung to meet the same ≥0.7 recall contract as the
+    * flat rung; at scale the shortlist stays a small constant × K while
+    * candidates grow with the cell size, so the prefilter's bound on the
+    * exchange (≤R rows per query per partition) is unchanged.
     */
-  val PqRerank = 128
+  val PqRerank = 256
 
   /** X-SIM-IVFPQ: the IVF-PQ rung between scalar quantization
     * (X-EMBED-QUANT) and the coarse quantizer (X-SIM-IVF) — the index
@@ -714,7 +787,7 @@ object Similarity {
   private[graft] def pqEncoded(embeddings: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val c = corpusOf(embeddings)
-    val cents = c.filter(col("vec_id") % CentroidStride === 0)
+    val cents = centroidRowsOf(c)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"), col("nrm").as("cn"))
     val centArr = cents
       .agg(collect_list(struct(col("cent_id").as("cid"), col("cv"), col("cn"))).as("cents"))
@@ -734,10 +807,13 @@ object Similarity {
         zip_with(col("embedding"), col("cv"),
           (x, cc) => x.cast("double") - cc.cast("double")).as("rv"))
 
-    // per-subspace codebooks: ONE broadcast row of sample residuals
-    val books = resid.filter(col("vec_id") % PqSampleStride === PqSampleOffset &&
-        col("vec_id") % CentroidStride =!= 0 &&
-        col("vec_id") < PqSampleBound)
+    // per-subspace codebooks: ONE broadcast row of sample residuals —
+    // the PqBookSize smallest non-centroid stride hits in hash order
+    // (pinned-count law; the anti-join is against the k-row model)
+    val books = resid.filter(col("vec_id") % PqSampleStride === PqSampleOffset)
+      .join(broadcast(cents.select(col("cent_id").as("vec_id"))), Seq("vec_id"), "left_anti")
+      .orderBy(centroidOrd(col("vec_id")), col("vec_id"))
+      .limit(PqBookSize)
       .agg(collect_list(struct(col("vec_id").as("bid"), col("rv").as("bv"))).as("books"))
 
     // encode (map-only): winning codeword per subspace
@@ -822,11 +898,12 @@ object Similarity {
   // ---- X-SIM-INCR (incremental index maintenance) ---------------------
 
   /** Delta membership for the embedding corpus: every 10th vector at
-    * offset 7 — "today's ingest". Offset 7 keeps the delta DISJOINT from
-    * both the centroid sample (`% CentroidStride == 0`) and the query
-    * sample (`% QueryStride == 0`), which is what makes append-only
-    * maintenance exact: the persisted model and the serving query set
-    * are untouched by the ingest.
+    * offset 7 — "today's ingest". The centroid law excludes delta ids
+    * EXPLICITLY ([[centroidRowsOf]] filters them before ranking), and
+    * offset 7 keeps the delta disjoint from the query sample
+    * (`% QueryStride == 0` ids are even) — together these make
+    * append-only maintenance exact: the persisted model and the serving
+    * query set are untouched by the ingest.
     */
   private[graft] def isDeltaVec(id: Column): Column = pmod(id, lit(10L)) === 7L
 
@@ -839,9 +916,7 @@ object Similarity {
     val c = corpusOf(embeddings)
     val base = c.filter(!isDeltaVec(col("vec_id")))
     val delta = c.filter(isDeltaVec(col("vec_id")))
-    val centArr = base.filter(col("vec_id") % CentroidStride === 0)
-      .agg(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cv"),
-        col("nrm").as("cn"))).as("cents"))
+    val centArr = centArrOf(base)
     def assign(df: DataFrame): DataFrame =
       df.join(broadcast(centArr))
         .select(col("vec_id"), col("embedding"), col("nrm"),
@@ -853,13 +928,11 @@ object Similarity {
 
   /** The frozen centroid model as ROWS (cid, cv, cn) — the form a store
     * PERSISTS between ingest days; consumers collapse + broadcast it per
-    * use ([[assignToModel]]). Base members only (delta ids are ≡7 mod 10
-    * and can never be centroid samples, so the filter is belt and
-    * braces).
+    * use ([[assignToModel]]). Settled members only by the centroid law
+    * ([[centroidRowsOf]] excludes the delta partition before ranking).
     */
   private[graft] def centroidModelRows(embeddings: DataFrame): DataFrame =
-    corpusOf(embeddings)
-      .filter(!isDeltaVec(col("vec_id")) && col("vec_id") % CentroidStride === 0)
+    centroidRowsOf(corpusOf(embeddings))
       .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cn"))
 
   /** Map-only IVF assignment of a raw embeddings batch against a
@@ -881,14 +954,13 @@ object Similarity {
 
   /** A genuine full re-index for the equivalence spec: every corpus
     * vector assigned in one pass against the FULL corpus's centroid
-    * sample (which equals the persisted base model — delta ids are
-    * ≡7 mod 10 and can never be `% CentroidStride == 0` samples).
+    * sample (which equals the persisted base model — the centroid law
+    * excludes the delta partition before ranking, so base-only and
+    * base∪delta derivations agree by construction).
     */
   private[graft] def fullIndexCells(embeddings: DataFrame): DataFrame = {
     val c = corpusOf(embeddings)
-    val centArr = c.filter(col("vec_id") % CentroidStride === 0)
-      .agg(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cv"),
-        col("nrm").as("cn"))).as("cents"))
+    val centArr = centArrOf(c)
     c.join(broadcast(centArr))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         centroidScores(col("cents"), col("embedding"), col("nrm")).as("scores"))
@@ -911,7 +983,7 @@ object Similarity {
     val cells = fullIndexCells(emb)
     val perCell = cells.groupBy("cent_id")
       .agg(count(lit(1)).as("n_vecs"), sum("vec_id").as("sum_ids"))
-    val cents = corpusOf(emb).filter(col("vec_id") % CentroidStride === 0)
+    val cents = centroidRowsOf(corpusOf(emb))
       .select(col("vec_id").as("cent_id"))
     val full = cents.join(perCell, Seq("cent_id"), "left")
       .select(col("cent_id"),
@@ -1021,9 +1093,7 @@ object Similarity {
     // probes against the SAME persisted centroid model (queries are base
     // members by construction — the serving set is stable under append)
     val base = c.filter(!isDeltaVec(col("vec_id")))
-    val centArr = base.filter(col("vec_id") % CentroidStride === 0)
-      .agg(collect_list(struct(col("vec_id").as("cid"), col("embedding").as("cv"),
-        col("nrm").as("cn"))).as("cents"))
+    val centArr = centArrOf(base)
     val probes = queriesOf(c, stride).join(broadcast(centArr))
       .select(col("qid"), col("qv"), col("qn"),
         centroidScores(col("cents"), col("qv"), col("qn")).as("scores"))
@@ -1092,6 +1162,144 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  // ---- graph-based ANN (X-SIM-KNNGRAPH) --------------------------------
+
+  /** Out-degree bound of the kNN graph — each node keeps edges to its
+    * [[KnnDegree]] best bucket-collision neighbors.
+    */
+  val KnnDegree = 8
+
+  /** Beam width per search round. */
+  val BeamWidth = 12
+
+  /** Query-local seeds: each query's beam starts from its [[SeedWidth]]
+    * best LSH bucket-collision candidates (plus the pinned global entry
+    * as the connectivity fallback for a query with no collisions). A
+    * single global entry alone is NOT navigable on clustered data: a
+    * bounded-degree kNN graph over well-separated clusters is a set of
+    * disconnected near-cliques (every node's D best neighbors are its
+    * cluster mates), so a walk can never leave the entry's clique —
+    * seeding from the query's own hash buckets is how production
+    * graph indexes bootstrap the walk into the right neighborhood, and
+    * the graph rounds then complete the neighborhood that hashing alone
+    * only sampled.
+    */
+  val SeedWidth = 8
+
+  /** Fixed number of greedy expansion rounds — unrolled, the
+    * x_shortest_path discipline (a data-dependent convergence loop would
+    * make the oracle unmirrorable; a fixed small hop budget is also what
+    * a production graph index serves with).
+    */
+  val BeamRounds = 3
+
+  /** X-SIM-KNNGRAPH: the neighbor-graph ANN family (HNSW's flat
+    * ancestor) — the third index geometry next to hashing (LSH) and
+    * partitioning (IVF): a bounded-degree kNN graph over the corpus,
+    * searched by greedy beam expansion from a pinned entry point.
+    *
+    * Build: candidate pairs come from the SAME sign-LSH bucket index the
+    * LSH rung serves from (corpus ⋈ corpus on (table, bucket) — volume
+    * is bucket-bounded, never all-pairs; production would refine with
+    * NN-descent rounds, same shape), each node keeps its [[KnnDegree]]
+    * best neighbors by (cosine, id) through the bounded-heap TopKPerKey
+    * operator, and edges are symmetrized (out ∪ reversed, the HNSW
+    * bidirectional-link rule) so search can escape a poor entry.
+    *
+    * Search: per query, the beam starts from the pinned entry point —
+    * the settled corpus row smallest in the shared [[centroidOrd]] hash
+    * order (the centroid law's total order reused, engine-identical) —
+    * UNION the query's [[SeedWidth]] best bucket-collision seeds (the
+    * navigability bootstrap; see [[SeedWidth]] for why a lone global
+    * entry cannot escape its own clique on clustered data) — then
+    * [[BeamRounds]] rounds of: expand the
+    * ≤[[BeamWidth]] frontier over the edge list, drop already-visited
+    * candidates (anti-join), score survivors, keep the best
+    * [[BeamWidth]] as the next frontier. The served top-k re-ranks ALL
+    * visited candidates exactly, and carries the measured `recall_hits`
+    * against the shared brute truth like every rung.
+    *
+    * Scale shape: the one-time graph build is the only corpus-sized work
+    * (bucket-bounded collision join + per-node bounded heap; the
+    * persisted artifact is the (src, dst) edge list, ≤2·[[KnnDegree]]
+    * rows per vector, bucketed by src). Serving is rank-bounded
+    * everywhere: frontier ≤ B rows/query, per-round candidates ≤ B·2D
+    * edge lookups/query (an equi-join on src against the bucketed edge
+    * list — a partition read at 100 TB), visited ≤ 1 + R·B·2D rows/query.
+    * No corpus scan per query at all — the property graph indexes buy.
+    */
+  def knngraphTopK(spark: SparkSession, sfDir: String): DataFrame =
+    withRecallBrute(knngraphFor(spark, sfDir), bruteFor(spark, sfDir))
+
+  private def knngraphFor(spark: SparkSession, sfDir: String): DataFrame =
+    bruteCache.getOrBuild(spark, s"$sfDir#knngraph", cache = true) {
+      knngraphTopKOf(Tables.embeddings(spark, sfDir), QueryStride)
+    }
+
+  def knngraphTopKOf(embeddings: DataFrame, stride: Int): DataFrame = {
+    val base = corpusOf(embeddings)
+    // bounded-degree kNN graph from the LSH bucket index (see scaladoc)
+    val cb = base.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(bucketKeys(col("embedding"))).as("bk"))
+    val pairs = cb.as("l").join(cb.as("r"),
+        col("l.bk") === col("r.bk") && col("l.vec_id") =!= col("r.vec_id"))
+      .select(col("l.vec_id").as("src"), col("r.vec_id").as("dst"),
+        (dot(col("l.embedding"), col("r.embedding"))
+          / (col("l.nrm") * col("r.nrm"))).as("cos"))
+      .distinct() // a pair colliding in several tables scores identically
+    val outE = graft.plans.TopKPerKey(pairs,
+        keys = Seq("src"), order = Seq(("cos", true), ("dst", false)), k = KnnDegree)
+      .select(col("src"), col("dst"))
+    val edges = outE
+      .unionAll(outE.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+
+    // pinned entry point: smallest settled id in the shared hash order
+    val entry = base.filter(!isDeltaVec(col("vec_id")))
+      .orderBy(centroidOrd(col("vec_id")), col("vec_id")).limit(1)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val queries = queriesOf(base, stride)
+
+    // round 0: each query scores the pinned entry PLUS its SeedWidth
+    // best bucket-collision seeds (see [[SeedWidth]]); duplicates (the
+    // entry colliding with a seed) collapse — cosines are deterministic
+    val qb = queries.select(col("qid"), col("qv"), col("qn"),
+      explode(bucketKeys(col("qv"))).as("qbk"))
+    val seedScored = cb.join(broadcast(qb),
+        col("bk") === col("qbk") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+      .distinct()
+    val seeds = graft.plans.TopKPerKey(seedScored,
+        keys = Seq("qid"), order = Seq(("cos", true), ("cid", false)), k = SeedWidth)
+      .select("qid", "cid", "cos")
+    val v0 = queries.crossJoin(broadcast(entry))
+      .select(col("qid"), col("cid"),
+        (dot(col("qv"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
+      .unionAll(seeds)
+      .distinct()
+    var visited = v0
+    var frontier = graft.plans.TopKPerKey(v0,
+        keys = Seq("qid"), order = Seq(("cos", true), ("cid", false)), k = BeamWidth)
+      .select("qid", "cid")
+    (1 to BeamRounds).foreach { _ =>
+      val cand = frontier.join(edges, frontier("cid") === edges("src"))
+        .select(col("qid"), col("dst").as("cid")).distinct()
+      val fresh = cand.join(visited.select("qid", "cid"), Seq("qid", "cid"), "left_anti")
+      val scored = fresh
+        .join(base, fresh("cid") === base("vec_id"))
+        .join(broadcast(queries), Seq("qid"))
+        .select(col("qid"), col("cid"),
+          (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+      visited = visited.unionAll(scored)
+      frontier = graft.plans.TopKPerKey(scored,
+          keys = Seq("qid"), order = Seq(("cos", true), ("cid", false)), k = BeamWidth)
+        .select("qid", "cid")
+    }
+    topK(visited.filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), col("cos").as("cosine")))
+  }
+
   // ---- retrieval rank metrics (X-RANK-METRICS) -------------------------
 
   /** Fixed-point nDCG rank weights: W(r) = floor(1e9 / log2(r + 1)) for
@@ -1138,6 +1346,7 @@ object Similarity {
       "ivfpq" -> ivfpqFor(spark, sfDir),
       "lsh" -> lshFor(spark, sfDir),
       "multiprobe" -> multiprobeFor(spark, sfDir),
+      "knngraph" -> knngraphFor(spark, sfDir),
       "rrf" -> rrfTopK(spark, sfDir))
     val ann = rungs.map { case (n, df) =>
       df.select(lit(n).as("rung"), col("qid"), col("rank"), col("cid"))

@@ -627,7 +627,8 @@ object StreamingOps {
   private def simIngestStaging(spark: SparkSession, sfDir: String): java.nio.file.Path = {
     val rootS = graft.etl.Sink.scratchPath(sfDir, "stream_sim")
     val root = java.nio.file.Paths.get(rootS)
-    val marker = root.resolve("_GRAFT_OK_v1")
+    // v2: the pinned hash-order centroid law changed the persisted model
+    val marker = root.resolve("_GRAFT_OK_v2")
     if (!java.nio.file.Files.exists(marker)) {
       graft.etl.Sink.dropUncommitted(rootS)
       java.nio.file.Files.createDirectories(root)

@@ -49,7 +49,7 @@ object AnnServe {
     spark.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.FbInsightsCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
-    val marker = Paths.get(wh, "_GRAFT_DONE_ann_pq_v1")
+    val marker = Paths.get(wh, "_GRAFT_DONE_ann_pq_v2")
     if (!Files.exists(marker)) {
       Files.createDirectories(Paths.get(wh))
       spark.sql(s"DROP TABLE IF EXISTS $cat.ann.pq_index")
@@ -105,7 +105,10 @@ object AnnServe {
          |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn FROM c
          |      WHERE vec_id % ${Similarity.QueryStride} = 0),
          |cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn FROM c
-         |          WHERE vec_id % ${Similarity.CentroidStride} = 0),
+         |          WHERE vec_id % 10 <> 7
+         |          ORDER BY (vec_id * ${Similarity.CentroidHashMult})
+         |                     % ${Similarity.CentroidHashMod}, vec_id
+         |          LIMIT ${Similarity.IvfCentroids}),
          |qs AS (
          |  SELECT q.qid, cents.cent_id,
          |         aggregate(zip_with(q.qv, cents.cv,
@@ -161,7 +164,7 @@ object AnnServe {
   private[graft] def ensureIvfFlatTable(spark: SparkSession, sfDir: String): String = {
     val cat = ensureAnnTables(spark, sfDir)
     val wh = Sink.scratchPath(sfDir, "ann_warehouse")
-    val marker = Paths.get(wh, "_GRAFT_DONE_ann_ivfflat_v1")
+    val marker = Paths.get(wh, "_GRAFT_DONE_ann_ivfflat_v2")
     if (!Files.exists(marker)) {
       spark.sql(s"DROP TABLE IF EXISTS $cat.ann.ivf_flat")
       val dir = s"$wh/staging/ivf_flat"
@@ -212,7 +215,10 @@ object AnnServe {
          |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn FROM c
          |      WHERE vec_id % ${Similarity.QueryStride} = 0),
          |cents AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn FROM c
-         |          WHERE vec_id % ${Similarity.CentroidStride} = 0),
+         |          WHERE vec_id % 10 <> 7
+         |          ORDER BY (vec_id * ${Similarity.CentroidHashMult})
+         |                     % ${Similarity.CentroidHashMod}, vec_id
+         |          LIMIT ${Similarity.IvfCentroids}),
          |qs AS (
          |  SELECT q.qid, cents.cent_id,
          |         aggregate(zip_with(q.qv, cents.cv,
@@ -351,7 +357,7 @@ object AnnServe {
   private[graft] def ensureCompactTable(spark: SparkSession, sfDir: String): String = {
     val cat = ensureAnnTables(spark, sfDir)
     val wh = Sink.scratchPath(sfDir, "ann_warehouse")
-    val marker = Paths.get(wh, "_GRAFT_DONE_ann_compact_v1")
+    val marker = Paths.get(wh, "_GRAFT_DONE_ann_compact_v2")
     if (!Files.exists(marker)) {
       spark.sql(s"DROP TABLE IF EXISTS $cat.ann.pq_index_compact")
       val dir = s"$wh/staging/pq_index_compact"
@@ -387,7 +393,7 @@ object AnnServe {
   private[graft] def ensurePqLabeledTable(spark: SparkSession, sfDir: String): String = {
     val cat = ensureAnnTables(spark, sfDir)
     val wh = Sink.scratchPath(sfDir, "ann_warehouse")
-    val marker = Paths.get(wh, "_GRAFT_DONE_ann_pq_labeled_v1")
+    val marker = Paths.get(wh, "_GRAFT_DONE_ann_pq_labeled_v2")
     if (!Files.exists(marker)) {
       spark.sql(s"DROP TABLE IF EXISTS $cat.ann.pq_index_labeled")
       val dir = s"$wh/staging/pq_index_labeled"
@@ -491,7 +497,7 @@ object AnnServe {
   private[graft] def ensureDeletedTable(spark: SparkSession, sfDir: String): String = {
     val cat = ensureAnnTables(spark, sfDir)
     val wh = Sink.scratchPath(sfDir, "ann_warehouse")
-    val marker = Paths.get(wh, "_GRAFT_DONE_ann_delete_v1")
+    val marker = Paths.get(wh, "_GRAFT_DONE_ann_delete_v2")
     if (!Files.exists(marker)) {
       spark.sql(s"DROP TABLE IF EXISTS $cat.ann.pq_index_deleted")
       val dir = s"$wh/staging/pq_index_deleted"
