@@ -4757,6 +4757,39 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("artifact freshness: the latest sf0.1 correctness artifact covers the FULL registry") {
+    // The round-13 lesson — sf0.1 catches what smaller SFs cannot (the
+    // x_stream_join_outer watermark-pushdown bug) — is only banked if the
+    // recorded artifact always covers every registered query. Round 14
+    // shipped 3 queries AFTER recording its artifact; this guard fails
+    // the suite whenever queries land without re-recording
+    // CORRECTNESS_SF01_r{N}.json (verdict r14 finding #1).
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get(".")
+    val listing = java.nio.file.Files.list(dir)
+    val arts =
+      try listing.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.matches("CORRECTNESS_SF01_r\\d+\\.json")).toSeq
+      finally listing.close()
+    assert(arts.nonEmpty, "no CORRECTNESS_SF01_r*.json artifact recorded")
+    val latest =
+      arts.maxBy(n => "_r(\\d+)\\.json$".r.findFirstMatchIn(n).get.group(1).toInt)
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(dir.resolve(latest)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // top-level keys: every query name opens an object; record fields are
+    // scalars, so name-then-brace only matches query rows
+    val keys = "\"([a-z0-9_]+)\"\\s*:\\s*\\{".r
+      .findAllMatchIn(txt).map(_.group(1)).toSet
+    val registry = SparkEntry.queries.keySet
+    assert(keys == registry,
+      s"$latest is stale vs the registry: missing=${(registry -- keys).toSeq.sorted}, " +
+        s"extra=${(keys -- registry).toSeq.sorted} — re-record at sf0.1 " +
+        "(graft.Verify + tools/check.py) before shipping")
+    // and every recorded row must be green (no false flags, no errs)
+    assert(!txt.contains("false"), s"$latest records a non-green row")
+  }
+
   test("SURVEY audit: every registered query maps 1:1 to a named SURVEY.md ID") {
     // SURVEY §2 claims a provably exhaustive inventory; this pins it
     // mechanically — every SparkEntry.queries entry must name its SURVEY
