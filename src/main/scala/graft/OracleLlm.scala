@@ -1809,33 +1809,84 @@ object OracleLlm {
     * top-K re-ranks every visited candidate, exactly like the Spark
     * side.
     */
+  /** The shared kNN-graph CTE chain ([[llm.Similarity.knnEdgesOf]]'s
+    * mirror): per-table corpus buckets, deduped collision pairs, the
+    * per-src degree-bounded out-edges, the symmetrized closure, and the
+    * pinned hash-order entry point — consumed by both the search rung
+    * ([[simKnngraphSql]]) and the graph health report
+    * ([[knngraphStatsSql]]) so the graph is derived ONE way.
+    */
+  private val knnGraphCtes: String = {
+    val S = llm.Similarity
+    s"""pl AS (SELECT ${S.planeSigns.mkString("[", ", ", "]")} AS ps),
+       |tb AS (SELECT unnest(range(0, ${S.NumTables})) AS t),
+       |cb AS (
+       |  SELECT c.vec_id, c.embedding, c.nrm, tb.t AS t,
+       |         ${bucketExpr("c.embedding", "tb.t")} AS bucket
+       |  FROM c, tb, pl),
+       |ep AS (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+       |         ${cosine("a.embedding", "a.nrm", "b.embedding", "b.nrm")} AS cos
+       |  FROM cb a JOIN cb b ON a.t = b.t AND a.bucket = b.bucket
+       |                     AND a.vec_id <> b.vec_id),
+       |eo AS (
+       |  SELECT src, dst, cos FROM (
+       |    SELECT src, dst, cos,
+       |           row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+       |    FROM ep) WHERE rn <= ${S.KnnDegree}),
+       |edges AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |           row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+       |    FROM (SELECT DISTINCT src, dst, cos FROM (
+       |      SELECT src, dst, cos FROM eo
+       |      UNION ALL SELECT dst AS src, src AS dst, cos FROM eo)))
+       |  WHERE rn <= ${2 * S.KnnDegree}),
+       |en AS (SELECT vec_id, embedding, nrm FROM c WHERE vec_id % 10 <> 7
+       |       ORDER BY (vec_id * ${S.CentroidHashMult}) % ${S.CentroidHashMod}, vec_id
+       |       LIMIT 1)""".stripMargin
+  }
+
+  /** knngraphStats mirror: the shared graph chain, a left-join degree
+    * histogram (0-degree nodes preserved), directed-edge and
+    * reciprocity counts, and the unrolled [[llm.Similarity.BeamRounds]]
+    * -round BFS reach from the pinned entry.
+    */
+  val knngraphStatsSql: String = {
+    val S = llm.Similarity
+    val rounds = (1 to S.BeamRounds).map { r =>
+      s"""rv$r AS (SELECT DISTINCT cid FROM (
+         |  SELECT cid FROM rv${r - 1}
+         |  UNION ALL
+         |  SELECT ed.dst AS cid FROM rv${r - 1} f JOIN edges ed ON ed.src = f.cid))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $simBaseCtes,
+       |$knnGraphCtes,
+       |dg AS (
+       |  SELECT c.vec_id, count(ed.dst) AS deg
+       |  FROM c LEFT JOIN edges ed ON ed.src = c.vec_id GROUP BY c.vec_id),
+       |hist AS (SELECT CAST(deg AS BIGINT) AS out_degree,
+       |                CAST(count(*) AS BIGINT) AS n_nodes FROM dg GROUP BY deg),
+       |st AS (SELECT (SELECT count(*) FROM eo) AS n_edges,
+       |              (SELECT count(*) FROM eo a JOIN eo b
+       |                 ON a.src = b.dst AND a.dst = b.src) AS n_recip,
+       |              (SELECT count(*) FROM c) AS n_total),
+       |rv0 AS (SELECT vec_id AS cid FROM en),
+       |$rounds,
+       |reach AS (SELECT count(*) AS n_reach FROM rv${S.BeamRounds})
+       |SELECT h.out_degree AS out_degree, h.n_nodes AS n_nodes,
+       |       CAST(st.n_edges AS BIGINT) AS n_edges_directed,
+       |       CAST(st.n_recip * 1000000 // st.n_edges AS BIGINT) AS reciprocated_ppm,
+       |       CAST(reach.n_reach AS BIGINT) AS entry_reach,
+       |       CAST(st.n_total AS BIGINT) AS n_nodes_total
+       |FROM hist h, st, reach ORDER BY out_degree""".stripMargin
+  }
+
   val simKnngraphSql: String = {
     val S = llm.Similarity
     val head =
       s"""WITH $simBaseCtes,
-         |pl AS (SELECT ${S.planeSigns.mkString("[", ", ", "]")} AS ps),
-         |tb AS (SELECT unnest(range(0, ${S.NumTables})) AS t),
-         |cb AS (
-         |  SELECT c.vec_id, c.embedding, c.nrm, tb.t AS t,
-         |         ${bucketExpr("c.embedding", "tb.t")} AS bucket
-         |  FROM c, tb, pl),
-         |ep AS (
-         |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
-         |         ${cosine("a.embedding", "a.nrm", "b.embedding", "b.nrm")} AS cos
-         |  FROM cb a JOIN cb b ON a.t = b.t AND a.bucket = b.bucket
-         |                     AND a.vec_id <> b.vec_id),
-         |eo AS (
-         |  SELECT src, dst FROM (
-         |    SELECT src, dst,
-         |           row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
-         |    FROM ep) WHERE rn <= ${S.KnnDegree}),
-         |edges AS (
-         |  SELECT DISTINCT src, dst FROM (
-         |    SELECT src, dst FROM eo
-         |    UNION ALL SELECT dst AS src, src AS dst FROM eo)),
-         |en AS (SELECT vec_id, embedding, nrm FROM c WHERE vec_id % 10 <> 7
-         |       ORDER BY (vec_id * ${S.CentroidHashMult}) % ${S.CentroidHashMod}, vec_id
-         |       LIMIT 1),
+         |$knnGraphCtes,
          |qb AS (
          |  SELECT q.qid, q.qv, q.qn, tb.t AS t,
          |         ${bucketExpr("q.qv", "tb.t")} AS bucket

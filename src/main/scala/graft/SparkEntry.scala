@@ -173,6 +173,7 @@ object SparkEntry {
     "x_pca" -> (llm.Pca.pca _),
     "x_sim_multiprobe" -> (llm.Similarity.multiprobeTopK _),
     "x_sim_knngraph" -> (llm.Similarity.knngraphTopK _),
+    "x_knngraph_stats" -> (llm.Similarity.knngraphStats _),
     "x_profile" -> (llm.Profile.profile _),
     "x_optout" -> (etl.OptOut.optOut _),
     "x_boilerplate" -> (llm.TextAnalysis.boilerplate _),
@@ -984,6 +985,7 @@ object SparkEntry {
     "x_sim_lsh" -> OracleLlm.simLshSql,
     "x_sim_multiprobe" -> OracleLlm.simMultiprobeSql,
     "x_sim_knngraph" -> OracleLlm.simKnngraphSql,
+    "x_knngraph_stats" -> OracleLlm.knngraphStatsSql,
     "x_sim_ivf" -> OracleLlm.simIvfSql,
     "x_sim_ivfpq" -> OracleLlm.simIvfpqSql,
     "x_sim_pq_serve" -> OracleLlm.simPqServeSql,

@@ -1203,8 +1203,10 @@ object Similarity {
     * is bucket-bounded, never all-pairs; production would refine with
     * NN-descent rounds, same shape), each node keeps its [[KnnDegree]]
     * best neighbors by (cosine, id) through the bounded-heap TopKPerKey
-    * operator, and edges are symmetrized (out ∪ reversed, the HNSW
-    * bidirectional-link rule) so search can escape a poor entry.
+    * operator, and edges are symmetrized THEN degree-capped back to the
+    * best 2·[[KnnDegree]] links per node (the HNSW bidirectional-link +
+    * prune rule — without the cap a hub's in-degree is unbounded and the
+    * beam's per-round expansion bound would silently be B·max-indegree).
     *
     * Search: per query, the beam starts from the pinned entry point —
     * the settled corpus row smallest in the shared [[centroidOrd]] hash
@@ -1236,9 +1238,13 @@ object Similarity {
       knngraphTopKOf(Tables.embeddings(spark, sfDir), QueryStride)
     }
 
-  def knngraphTopKOf(embeddings: DataFrame, stride: Int): DataFrame = {
-    val base = corpusOf(embeddings)
-    // bounded-degree kNN graph from the LSH bucket index (see scaladoc)
+  /** The kNN-graph build, shared by the search rung and the graph health
+    * report: the DIRECTED bounded-degree out-edges (each node's
+    * [[KnnDegree]] best bucket-collision neighbors) and their symmetrized
+    * (out ∪ reversed) closure. `cb` is the exploded per-table bucket
+    * index the LSH rung also serves from.
+    */
+  private[graft] def knnEdgesOf(base: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val cb = base.select(col("vec_id"), col("embedding"), col("nrm"),
       explode(bucketKeys(col("embedding"))).as("bk"))
     val pairs = cb.as("l").join(cb.as("r"),
@@ -1249,10 +1255,28 @@ object Similarity {
       .distinct() // a pair colliding in several tables scores identically
     val outE = graft.plans.TopKPerKey(pairs,
         keys = Seq("src"), order = Seq(("cos", true), ("dst", false)), k = KnnDegree)
-      .select(col("src"), col("dst"))
-    val edges = outE
-      .unionAll(outE.select(col("dst").as("src"), col("src").as("dst")))
+      .select(col("src"), col("dst"), col("cos"))
+    // symmetrize (out ∪ reversed, the HNSW bidirectional-link rule),
+    // then PRUNE back to the best 2·[[KnnDegree]] links per node — the
+    // HNSW degree cap. Without it a hub's IN-degree is unbounded (any
+    // node may sit in arbitrarily many top-D lists), so "per-round beam
+    // expansion ≤ B·2D" would silently be B·max-indegree at scale. The
+    // reversed copy carries the identical cosine (same index-order fold
+    // on commuting multiplies), so the dedup and the prune order are
+    // engine-exact.
+    val sym = outE
+      .unionAll(outE.select(col("dst").as("src"), col("src").as("dst"), col("cos")))
       .distinct()
+    val edges = graft.plans.TopKPerKey(sym,
+        keys = Seq("src"), order = Seq(("cos", true), ("dst", false)), k = 2 * KnnDegree)
+      .select(col("src"), col("dst"))
+    (cb, outE.select(col("src"), col("dst")), edges)
+  }
+
+  def knngraphTopKOf(embeddings: DataFrame, stride: Int): DataFrame = {
+    val base = corpusOf(embeddings)
+    // bounded-degree kNN graph from the LSH bucket index (see scaladoc)
+    val (cb, _, edges) = knnEdgesOf(base)
 
     // pinned entry point: smallest settled id in the shared hash order
     val entry = base.filter(!isDeltaVec(col("vec_id")))
@@ -1298,6 +1322,60 @@ object Similarity {
     }
     topK(visited.filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"), col("cos").as("cosine")))
+  }
+
+  /** X-KNNGRAPH-STATS: the graph index's pre-serving health report —
+    * [[annStats]]'s sibling for the neighbor-graph family. Per
+    * symmetrized out-degree: how many nodes hold it (a 0-degree node is
+    * unreachable AND cannot start a walk — dead index weight); plus the
+    * directed edge count, the reciprocated-edge share in ppm (how much
+    * symmetrization actually added — low reciprocity means the raw kNN
+    * relation is one-sided and the symmetrized closure is doing real
+    * navigability work), and the ENTRY-REACH probe: how many nodes a
+    * [[BeamRounds]]-round unbounded BFS from the pinned entry point can
+    * touch. That last number is the operational lesson of the seeded
+    * beam ([[SeedWidth]]) made measurable: on clustered corpora the
+    * bounded-degree graph decomposes into near-cliques and the reach
+    * collapses to the entry's component — the signal that says "serve
+    * with query-local seeds, not a global entry".
+    *
+    * Scale shape: one graph build (bucket-bounded collision join +
+    * bounded heap), a degree agg keyed on src, edge-sized reciprocity
+    * self-join, and an R-round BFS whose frontier is a key-only frame —
+    * the x_closeness discipline. The report itself is degree-histogram
+    * sized; constants attach via one-row broadcast stat joins.
+    */
+  def knngraphStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = corpusOf(Tables.embeddings(spark, sfDir))
+    val (_, outE, edges) = knnEdgesOf(base)
+    val deg = base.select(col("vec_id"))
+      .join(edges, base("vec_id") === edges("src"), "left")
+      .groupBy(col("vec_id")).agg(count(col("dst")).as("deg"))
+    val hist = deg.groupBy(col("deg").as("out_degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val st = outE.as("a")
+      .join(outE.as("b"), col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+      .agg(count(lit(1)).as("n_recip"))
+      .crossJoin(broadcast(outE.agg(count(lit(1)).as("n_edges"))))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("n_total"))))
+    val entry = base.filter(!isDeltaVec(col("vec_id")))
+      .orderBy(centroidOrd(col("vec_id")), col("vec_id")).limit(1)
+      .select(col("vec_id").as("cid"))
+    var reach = entry
+    (1 to BeamRounds).foreach { _ =>
+      reach = reach
+        .unionAll(reach.join(edges, reach("cid") === edges("src"))
+          .select(col("dst").as("cid")))
+        .distinct()
+    }
+    val reachN = reach.agg(count(lit(1)).as("entry_reach"))
+    hist.crossJoin(broadcast(st)).crossJoin(broadcast(reachN))
+      .select(col("out_degree"), col("n_nodes"),
+        col("n_edges").as("n_edges_directed"),
+        expr("n_recip * 1000000 div n_edges").as("reciprocated_ppm"),
+        col("entry_reach"),
+        col("n_total").as("n_nodes_total"))
+      .orderBy("out_degree")
   }
 
   // ---- retrieval rank metrics (X-RANK-METRICS) -------------------------

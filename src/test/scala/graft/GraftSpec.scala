@@ -346,7 +346,8 @@ class GraftSpec extends AnyFunSuite {
     val out = Similarity.rankMetrics(spark, sf).collect()
       .map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
-    assert(out.keySet === Set("brute", "ivf", "ivfpq", "lsh", "multiprobe", "rrf"))
+    assert(out.keySet ===
+      Set("brute", "ivf", "ivfpq", "knngraph", "lsh", "multiprobe", "rrf"))
     val (nq, bruteHits, _, _, _) = out("brute")
     // brute graded against itself must be perfect in all three metrics —
     // the built-in calibration row (floor divisions cancel exactly)
@@ -2338,6 +2339,42 @@ class GraftSpec extends AnyFunSuite {
       .queryExecution.sparkPlan.toString
     assert(plan.contains("TopKPerKey"), "degree/beam bounds must use the bounded heap")
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n${plan.take(2000)}")
+  }
+
+  test("x_knngraph_stats: histogram partitions the corpus, degree bounded, reach consistent") {
+    val rows = llm.Similarity.knngraphStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.head.getLong(5)
+    // the degree histogram partitions the corpus exactly
+    assert(rows.map(_.getLong(1)).sum === total)
+    // symmetrized out-degree is bounded by 2·KnnDegree (out ∪ reversed)
+    rows.foreach(r => assert(r.getLong(0) <= 2L * llm.Similarity.KnnDegree,
+      s"degree ${r.getLong(0)} exceeds the 2D closure bound"))
+    // constants are constant; reciprocity is a ppm share; the entry
+    // reaches at least itself and never more than the corpus
+    assert(rows.map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).distinct.length === 1)
+    val (nE, recip, reach) = (rows.head.getLong(2), rows.head.getLong(3), rows.head.getLong(4))
+    assert(nE > 0 && recip >= 0 && recip <= 1000000L)
+    assert(reach >= 1L && reach <= total)
+    // reach reconciles with an independent driver-side BFS over the
+    // same collected edge list
+    val corpus = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"),
+        llm.Similarity.norm(col("embedding")).as("nrm")).filter(col("nrm") > 0)
+    val (_, _, edges) = llm.Similarity.knnEdgesOf(corpus)
+    val adj = edges.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the pinned entry: smallest settled id in the shared hash order
+    val entry = corpus.select("vec_id").collect().map(_.getLong(0))
+      .filter(_ % 10 != 7)
+      .minBy(v => ((v * llm.Similarity.CentroidHashMult)
+        % llm.Similarity.CentroidHashMod, v))
+    var vis = Set(entry)
+    (1 to llm.Similarity.BeamRounds).foreach { _ =>
+      vis = vis ++ vis.flatMap(v => adj.getOrElse(v, Set.empty))
+    }
+    assert(reach === vis.size.toLong,
+      s"entry reach $reach disagrees with the sequential BFS ${vis.size}")
   }
 
   test("x_hybrid_rrf: fusion is rank-bounded, integer-exact, and sourced from both rankers") {
@@ -4619,7 +4656,13 @@ class GraftSpec extends AnyFunSuite {
         "x_bootstrap", "x_survival",
         // x_theilsen: both global windows rank CALENDAR-bounded frames
         // (day pairs / per-day residuals), never fact-sized ones
-        "x_theilsen")
+        "x_theilsen",
+        // x_hybrid_rrf: all three global windows are RANK-bounded — two
+        // rank the ≤Bm25TopK-row ranker lists, the third re-ranks the
+        // ≤2·Bm25TopK fused candidates (the hybrid call has one implicit
+        // query, so there is no partition key BY DESIGN; corpus-sized
+        // work lives inside the rankers, which keep their own shapes)
+        "x_hybrid_rrf")
     // streaming queries execute their stream at construction — covered by
     // their own specs; the lint targets the batch plan surface.
     // x_global_ids is OPAQUE to a logical lint: its output is an eager
@@ -4672,7 +4715,13 @@ class GraftSpec extends AnyFunSuite {
     // round-14 batch additions worth pinning (streaming queries can't
     // fingerprint — their work happens inside foreachBatch)
     "x_mm_pipeline", "x_sim_filtered", "x_contrastive", "x_ann_rebalance",
-    "x_clean_split")
+    "x_clean_split",
+    // round-15: the graph index family joined the expensive tail. Only
+    // the (unmemoized) stats report is fingerprinted — the search rung's
+    // frame is memo-cached and its fingerprint flickers by a few nodes
+    // with suite-incidental cache state; its shape is pinned instead by
+    // its own spec (TopKPerKey bounds + no cartesian + beam bounds).
+    "x_knngraph_stats")
 
   private val planMetrics = Seq("shuffles", "broadcasts", "sorts",
     "sort_merge_joins", "broadcast_hash_joins", "shuffled_hash_joins",
@@ -4716,12 +4765,14 @@ class GraftSpec extends AnyFunSuite {
     // Intentional plan changes regenerate the manifest in the same commit:
     //   GRAFT_UPDATE_PLAN_MANIFEST=1 sbt test
     //
-    // Under the full suite the warm state already holds (the per-operator
-    // specs executed every target), so re-running ~25 expensive queries
-    // here would only burn wall-clock — the warm-up fires only when this
-    // test runs early in the JVM (an isolated/filtered invocation).
-    if (testsRun.get() < 50)
-      planManifestTargets.foreach(n => SparkEntry.queries(n)(spark, sf).count())
+    // The warm-up is UNCONDITIONAL: round 15 measured that skipping it
+    // under the full suite (the round-14 wall-clock optimization) lets
+    // suite-incidental cache state leak into the fingerprints — x_basket
+    // and x_kmv fingerprinted differently under `sbt test` vs an isolated
+    // invocation. Re-executing every target right before fingerprinting
+    // is the one state both run modes provably share; the ~25 extra
+    // query executions are the price of a run-order-independent gate.
+    planManifestTargets.foreach(n => SparkEntry.queries(n)(spark, sf).count())
     val path = java.nio.file.Paths.get("PLAN_MANIFEST.json")
     val current = planManifestTargets.map(n => n -> planFingerprint(n))
     def render: String = current.map { case (n, m) =>
@@ -4849,7 +4900,7 @@ class GraftSpec extends AnyFunSuite {
       "x_vacuum" -> "X-VACUUM", "q_evolve" -> "Q-SCHEMA-EVOLVE",
       "x_change_feed" -> "X-CHANGE-FEED", "x_embed_quant" -> "X-EMBED-QUANT",
       "x_sim_multiprobe" -> "X-SIM", "x_sim_ivfpq" -> "X-SIM-IVFPQ", "x_sim_incr" -> "X-SIM-INCR", "x_sim_rrf" -> "X-RRF",
-      "x_sim_knngraph" -> "X-SIM-KNNGRAPH",
+      "x_sim_knngraph" -> "X-SIM-KNNGRAPH", "x_knngraph_stats" -> "X-KNNGRAPH-STATS",
       "x_hybrid_rrf" -> "X-HYBRID-RRF",
       "x_rank_metrics" -> "X-RANK-METRICS", "x_kcenter" -> "X-KCENTER",
       "x_mmr" -> "X-MMR", "x_pr_curve" -> "X-PR-CURVE",
