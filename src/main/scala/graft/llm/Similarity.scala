@@ -1275,8 +1275,14 @@ object Similarity {
 
   def knngraphTopKOf(embeddings: DataFrame, stride: Int): DataFrame = {
     val base = corpusOf(embeddings)
-    // bounded-degree kNN graph from the LSH bucket index (see scaladoc)
-    val (cb, _, edges) = knnEdgesOf(base)
+    // bounded-degree kNN graph from the LSH bucket index (see scaladoc).
+    // The edge list is MATERIALIZED once (eager localCheckpoint — the
+    // x_global_ids discipline): every beam round joins it, and without
+    // the cut each round's plan branch would re-run the whole
+    // bucket-collision build. The persisted artifact at scale IS this
+    // materialized (src, dst) table; ≤2D rows per node.
+    val (cb, _, edges0) = knnEdgesOf(base)
+    val edges = edges0.localCheckpoint()
 
     // pinned entry point: smallest settled id in the shared hash order
     val entry = base.filter(!isDeltaVec(col("vec_id")))
@@ -1347,7 +1353,13 @@ object Similarity {
     */
   def knngraphStats(spark: SparkSession, sfDir: String): DataFrame = {
     val base = corpusOf(Tables.embeddings(spark, sfDir))
-    val (_, outE, edges) = knnEdgesOf(base)
+    // materialize the build once (see [[knngraphTopKOf]]): the degree
+    // histogram, the reciprocity self-join, and every BFS round all
+    // read the edge list — without the cut each branch re-runs the
+    // bucket-collision build
+    val (_, outE0, edges0) = knnEdgesOf(base)
+    val outE = outE0.localCheckpoint()
+    val edges = edges0.localCheckpoint()
     val deg = base.select(col("vec_id"))
       .join(edges, base("vec_id") === edges("src"), "left")
       .groupBy(col("vec_id")).agg(count(col("dst")).as("deg"))
