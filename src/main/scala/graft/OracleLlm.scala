@@ -2985,4 +2985,58 @@ object OracleLlm {
        |         AS capped_users
        |FROM r GROUP BY wk ORDER BY week""".stripMargin
   }
+
+  /** freshness mirror: (type, day) cells, the per-type min/max/count
+    * fold, and the same integer lag/span/ppm arithmetic against the
+    * global max day.
+    */
+  val freshnessSql: String =
+    s"""WITH cells AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |pt AS (
+       |  SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+       |         min(day) AS first_day, max(day) AS last_day,
+       |         CAST(count(*) AS BIGINT) AS n_active_days
+       |  FROM cells GROUP BY event_type),
+       |g AS (SELECT max(last_day) AS global_last_day FROM pt)
+       |SELECT event_type, n_events, first_day, last_day, n_active_days,
+       |       CAST(date_diff('day', last_day, global_last_day) AS BIGINT) AS lag_days,
+       |       CAST(date_diff('day', first_day, last_day) + 1 AS BIGINT) AS span_days,
+       |       CAST(date_diff('day', first_day, last_day) + 1 - n_active_days AS BIGINT)
+       |         AS n_missing_days,
+       |       CAST(n_active_days * 1000000
+       |         // (date_diff('day', first_day, last_day) + 1) AS BIGINT)
+       |         AS completeness_ppm
+       |FROM pt, g ORDER BY event_type""".stripMargin
+
+  /** softDedup mirror: the recursive component closure (dedupClusterSql's
+    * CTEs), cluster sizes, and the same integer-ppm 1/size weighting
+    * left-joined onto the corpus (singletons weight 1).
+    */
+  val softDedupSql: String =
+    s"""WITH RECURSIVE $sigCtes, $pairCtes,
+       |ed AS (SELECT id_a, id_b FROM mh WHERE est_jaccard >= ${Dedup.NearDupThreshold}),
+       |und AS (SELECT id_a AS a, id_b AS b FROM ed UNION SELECT id_b, id_a FROM ed),
+       |nodes AS (SELECT DISTINCT a AS id FROM und),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT u.b AS id, reach.r AS r FROM reach JOIN und u ON u.a = reach.id),
+       |lab AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+       |cs AS (SELECT comp, count(*) AS csize FROM lab GROUP BY comp),
+       |ms AS (SELECT lab.id AS doc_id, cs.csize FROM lab JOIN cs USING (comp)),
+       |dw AS (
+       |  SELECT d.source,
+       |         CAST(len(list_filter(regexp_split_to_array(d.text, '\\s+'),
+       |           x -> x <> '')) AS BIGINT) AS n_tokens,
+       |         coalesce(ms.csize, 1) AS csize
+       |  FROM documents d LEFT JOIN ms ON ms.doc_id = d.doc_id)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |       CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_dup_members,
+       |       CAST(sum(1000000 // csize) AS BIGINT) AS eff_docs_ppm,
+       |       CAST(sum(n_tokens * 1000000 // csize) AS BIGINT) AS eff_tokens_ppm
+       |FROM dw GROUP BY source ORDER BY source""".stripMargin
 }

@@ -202,6 +202,8 @@ object SparkEntry {
     "x_gini" -> (llm.TextAnalysis.gini _),
     "x_drift" -> (llm.Analytics.drift _),
     "x_embed_drift" -> (llm.Analytics.embedDrift _),
+    "x_freshness" -> (llm.Events.freshness _),
+    "x_soft_dedup" -> (llm.Dedup.softDedup _),
     "x_equidepth" -> (llm.Analytics.equidepth _),
     "x_attrib_last" -> (llm.Attribution.lastTouch _),
     "x_attrib_pos" -> (llm.Attribution.positionCredit _),
@@ -1185,6 +1187,8 @@ object SparkEntry {
     "x_gini" -> OracleLlm.giniSql,
     "x_drift" -> OracleLlm.driftSql,
     "x_embed_drift" -> OracleLlm.embedDriftSql,
+    "x_freshness" -> OracleLlm.freshnessSql,
+    "x_soft_dedup" -> OracleLlm.softDedupSql,
     "x_equidepth" -> OracleLlm.equidepthSql,
     "x_attrib_last" -> OracleLlm.attribLastSql,
     // the streaming form must reproduce the batch report bit-for-bit

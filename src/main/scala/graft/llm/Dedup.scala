@@ -944,4 +944,45 @@ object Dedup {
         sum(col("cc_drop") * (lit(1L) - col("pw_drop"))).as("extra_vs_pairwise"))
       .orderBy("source")
   }
+
+  /** X-SOFT-DEDUP: duplicate DOWN-WEIGHTING instead of removal — the
+    * soft alternative to the hard keep/drop rule (recent curation
+    * recipes reweight duplicated documents by 1/cluster-size so the
+    * duplicated CONTENT keeps exactly one document's worth of expected
+    * training mass, instead of betting everything on which copy the
+    * keeper rule happened to pick). Every member of a near-dup cluster
+    * of size s gets sampling weight 1/s (exact integer ppm — 10^6 div
+    * s); singletons keep weight 1. Per source the report carries raw
+    * vs EFFECTIVE mass (Σ weight, Σ weight·tokens, both in exact ppm
+    * units) and how many docs were touched — the table that says how
+    * much training-mass the soft rule preserves where hard dedup
+    * (x_dedup_cluster) deletes outright.
+    *
+    * Scale shape: reuses the memoized banded pair table and
+    * pointer-jumping component labels ([[componentsTable]] — the
+    * closure runs ONCE across all three cluster consumers); cluster
+    * sizes are a pair-graph-sized agg broadcast back onto the corpus,
+    * so documents are scanned once, shuffle only the per-source
+    * counters.
+    */
+  def softDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val comp = componentsTable(spark, sfDir)
+    val sizes = comp.groupBy("comp").agg(count(lit(1)).as("csize"))
+    val memberSize = comp.join(sizes, Seq("comp"))
+      .select(col("id").as("doc_id"), col("csize"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(broadcast(memberSize), Seq("doc_id"), "left")
+      .select(col("source"), col("n_tokens"),
+        coalesce(col("csize"), lit(1L)).as("csize"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum(when(col("csize") > 1L, 1L).otherwise(0L)).as("n_dup_members"),
+        sum(expr("1000000 div csize")).as("eff_docs_ppm"),
+        sum(expr("n_tokens * 1000000 div csize")).as("eff_tokens_ppm"))
+      .orderBy("source")
+  }
 }

@@ -1189,4 +1189,46 @@ object Events {
           .apply(col("bm.bytes")).as("distinct_exact"))
       .orderBy("event_type")
   }
+
+  /** X-FRESHNESS: per-stream ingestion freshness + calendar completeness
+    * audit — the table an on-call pipeline dashboard renders before
+    * anything downstream is trusted (the reference's whole loader exists
+    * to keep yesterday's partition fresh; this is the check that it
+    * DID): per event_type the first/last observed event day, how many
+    * days behind the freshest stream it runs (`lag_days` — an alerting
+    * threshold at 100 TB, where one stalled upstream topic silently
+    * freezes a type), and whether the covered span is gap-free
+    * (`n_missing_days` + integer-ppm completeness — X-GAPFILL repairs
+    * gaps, this one REPORTS them, per stream, without materializing a
+    * spine). Scale shape: facts are touched by ONE partial+final agg to
+    * (type, day) cells — map-side combine collapses each partition to
+    * its distinct day cells, so the exchange carries cells, never
+    * events — then everything is a per-type fold over ≤ types·days rows
+    * against a broadcast one-row global max. All outputs are exact
+    * integers/dates; the one division is integer ppm.
+    */
+  def freshness(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts").cast("date").as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"))
+    val perType = cells.groupBy("event_type")
+      .agg(
+        sum("n").as("n_events"),
+        min("day").as("first_day"),
+        max("day").as("last_day"),
+        count(lit(1)).as("n_active_days"))
+    val freshest = perType.agg(max("last_day").as("global_last_day"))
+    perType.crossJoin(broadcast(freshest))
+      .select(
+        col("event_type"), col("n_events"), col("first_day"), col("last_day"),
+        col("n_active_days"),
+        datediff(col("global_last_day"), col("last_day")).cast("long").as("lag_days"),
+        (datediff(col("last_day"), col("first_day")) + 1).cast("long").as("span_days"),
+        ((datediff(col("last_day"), col("first_day")) + 1).cast("long")
+          - col("n_active_days")).as("n_missing_days"),
+        expr("n_active_days * 1000000 div (datediff(last_day, first_day) + 1)")
+          .as("completeness_ppm"))
+      .orderBy("event_type")
+  }
 }

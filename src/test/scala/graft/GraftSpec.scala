@@ -4527,6 +4527,52 @@ class GraftSpec extends AnyFunSuite {
     }
   }
 
+  test("x_freshness: span partitions into active+missing; freshest stream lags zero") {
+    val rows = llm.Events.freshness(spark, sf).collect()
+    assert(rows.nonEmpty, "every fixture event_type reports")
+    rows.foreach { r =>
+      val (nActive, lag, span, missing, ppm) =
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))
+      assert(span === nActive + missing, s"span must partition: $r")
+      assert(lag >= 0L && missing >= 0L, s"non-negative lag/gaps: $r")
+      assert(ppm === nActive * 1000000L / span, s"ppm recomputes: $r")
+      assert(r.getLong(1) >= nActive, s"events >= active days: $r")
+    }
+    // the global max day is some stream's last day, so min lag is exactly 0
+    assert(rows.map(_.getLong(5)).min === 0L, "freshest stream must lag zero")
+    // recount one stream end-to-end against the raw events
+    val t = rows.head.getString(0)
+    val days = Tables.events(spark, sf).filter(col("event_type") === t)
+      .select(col("ts").cast("date")).distinct().collect().map(_.getDate(0))
+    assert(rows.head.getLong(4) === days.length.toLong)
+    assert(rows.head.getDate(2) === days.min && rows.head.getDate(3) === days.max)
+  }
+
+  test("x_soft_dedup: cluster mass conserved; untouched sources keep full weight") {
+    val rows = llm.Dedup.softDedup(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === nDocs, "every doc weighs in once")
+    rows.foreach { r =>
+      val (n, dup, effDocs) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(effDocs <= n * 1000000L, s"soft weight never exceeds raw mass: $r")
+      if (dup == 0L) {
+        assert(effDocs === n * 1000000L, s"untouched source keeps full mass: $r")
+        assert(r.getLong(5) === r.getLong(2) * 1000000L, s"token mass too: $r")
+      }
+    }
+    // recount the global effective doc mass from the shared component
+    // labels: non-members weigh 10^6, members 10^6 div cluster-size
+    val sizes = llm.Dedup.componentsTable(spark, sf)
+      .groupBy("comp").agg(count(lit(1)).as("s")).collect().map(_.getLong(1))
+    val memberMass = sizes.map(s => s * (1000000L / s)).sum
+    val nMembers = sizes.sum
+    assert(rows.map(_.getLong(4)).sum === (nDocs - nMembers) * 1000000L + memberMass,
+      "per-source ppm masses recount from the component sizes")
+    // and the touched-doc count matches the component membership
+    assert(rows.map(_.getLong(3)).sum ===
+      sizes.filter(_ > 1L).sum, "dup members = members of size>1 clusters")
+  }
+
   test("x_drift: KS statistic exact-integer core matches brute force") {
     val rows = llm.Analytics.drift(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -4954,6 +5000,8 @@ class GraftSpec extends AnyFunSuite {
       "x_shard_manifest" -> "X-SHARD", "x_novelty" -> "X-NOVELTY",
       "x_bpe" -> "X-BPE", "x_gini" -> "X-GINI", "x_drift" -> "X-DRIFT",
       "x_embed_drift" -> "X-EMBED-DRIFT",
+      "x_freshness" -> "X-FRESHNESS",
+      "x_soft_dedup" -> "X-SOFT-DEDUP",
       "x_equidepth" -> "X-EQUIDEPTH", "x_stream_enrich" -> "X-STREAM-ENRICH",
       "x_attrib_last" -> "X-ATTRIB-LAST", "x_attrib_pos" -> "X-ATTRIB-POS",
       "x_stream_attrib" -> "X-STREAM-ATTRIB",
