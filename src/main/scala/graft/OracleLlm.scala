@@ -3039,4 +3039,44 @@ object OracleLlm {
        |       CAST(sum(1000000 // csize) AS BIGINT) AS eff_docs_ppm,
        |       CAST(sum(n_tokens * 1000000 // csize) AS BIGINT) AS eff_tokens_ppm
        |FROM dw GROUP BY source ORDER BY source""".stripMargin
+
+  /** knnClassify mirror: labeled pool / classified-point split, the same
+    * (cosine DESC, cid) rank, the plurality vote with (votes DESC,
+    * label) tie-break, and the per-point neighbor total.
+    */
+  val knnClassifySql: String = {
+    val S = llm.Similarity
+    s"""WITH ke AS (
+       |  SELECT vec_id, embedding, CAST(label AS BIGINT) AS label,
+       |         sqrt(list_sum(list_transform(embedding,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |kn AS (SELECT * FROM ke WHERE nrm > 0),
+       |kl AS (SELECT * FROM kn WHERE vec_id % 3 = 0),
+       |kq AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn,
+       |              label AS true_label
+       |       FROM kn WHERE vec_id % ${S.ClassifyStride} = 1 AND vec_id % 3 <> 0),
+       |s AS (
+       |  SELECT kq.qid, kq.true_label, kl.vec_id AS cid, kl.label,
+       |         ${cosine("kq.qv", "kq.qn", "kl.embedding", "kl.nrm")} AS cosine
+       |  FROM kl, kq),
+       |r AS (
+       |  SELECT qid, true_label, cid, label,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY cosine DESC, cid) AS rank
+       |  FROM s),
+       |t AS (SELECT * FROM r WHERE rank <= ${S.KnnClassK}),
+       |v AS (SELECT qid, true_label, label, CAST(count(*) AS BIGINT) AS votes
+       |      FROM t GROUP BY 1, 2, 3),
+       |w AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |           ORDER BY votes DESC, label) AS rn,
+       |         sum(votes) OVER (PARTITION BY qid) AS n_neighbors
+       |  FROM v)
+       |SELECT qid, true_label, label AS pred_label, votes,
+       |       CAST(n_neighbors AS BIGINT) AS n_neighbors,
+       |       CAST(CASE WHEN label = true_label THEN 1 ELSE 0 END AS BIGINT)
+       |         AS correct
+       |FROM w WHERE rn = 1 ORDER BY qid""".stripMargin
+  }
 }

@@ -204,6 +204,7 @@ object SparkEntry {
     "x_embed_drift" -> (llm.Analytics.embedDrift _),
     "x_freshness" -> (llm.Events.freshness _),
     "x_soft_dedup" -> (llm.Dedup.softDedup _),
+    "x_knn_classify" -> (llm.Similarity.knnClassify _),
     "x_equidepth" -> (llm.Analytics.equidepth _),
     "x_attrib_last" -> (llm.Attribution.lastTouch _),
     "x_attrib_pos" -> (llm.Attribution.positionCredit _),
@@ -1189,6 +1190,7 @@ object SparkEntry {
     "x_embed_drift" -> OracleLlm.embedDriftSql,
     "x_freshness" -> OracleLlm.freshnessSql,
     "x_soft_dedup" -> OracleLlm.softDedupSql,
+    "x_knn_classify" -> OracleLlm.knnClassifySql,
     "x_equidepth" -> OracleLlm.equidepthSql,
     "x_attrib_last" -> OracleLlm.attribLastSql,
     // the streaming form must reproduce the batch report bit-for-bit

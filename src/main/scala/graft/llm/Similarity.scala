@@ -1670,4 +1670,66 @@ object Similarity {
       .agg(count(lit(1)).as("n_vectors"), min("vec_id").as("min_vec_id"))
       .orderBy("in_degree")
   }
+
+  // ---- kNN classification (X-KNN-CLASSIFY) -----------------------------
+
+  /** Neighbors per classified point. */
+  val KnnClassK = 5
+
+  /** Every [[ClassifyStride]]-th non-labeled-pool vector is classified —
+    * the query sample scales with the corpus like [[QueryStride]].
+    */
+  val ClassifyStride = 20
+
+  /** X-KNN-CLASSIFY: k-nearest-neighbor majority-vote classification
+    * over the embedding space — the model-assisted curation step that
+    * propagates a SCARCE labeled set onto the unlabeled corpus (the
+    * quality/domain/language classifier every curation recipe trains;
+    * kNN over embeddings is its deterministic, training-free form).
+    * Labeled pool = vec_id ≡ 0 (mod 3); classified points = every
+    * [[ClassifyStride]]-th remaining vector. Each point takes its
+    * [[KnnClassK]] nearest labeled neighbors by exact cosine
+    * ((cosine DESC, cid) total order via the TopKPerKey operator —
+    * bounded partial heaps, never a full window sort) and votes with
+    * plurality, ties broken by smallest label — exact integer counts, so
+    * the decision is engine-independent. The fixture's ground-truth
+    * `label` column rides along as `true_label` with a 0/1 `correct`
+    * flag, making the output double as the classifier's eval table
+    * (X-EVAL-METRICS' convention: ship the prediction WITH its audit).
+    *
+    * Scale shape: the labeled pool is the small side by construction —
+    * labels are expensive, the pool is model-sized — so at 100 TB the
+    * QUERY batch broadcasts (or the pool does, whichever is smaller)
+    * and the corpus side streams map-only into per-query bounded heaps;
+    * the vote is a ≤ queries·k agg + one tiny argmax window. No
+    * corpus-sized shuffle anywhere.
+    */
+  def knnClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        col("label").cast("long").as("label"), norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
+    val labeled = e.filter(col("vec_id") % 3 === 0)
+    val points = e.filter(col("vec_id") % ClassifyStride === 1 && col("vec_id") % 3 =!= 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("label").as("true_label"))
+    val scored = labeled.join(broadcast(points))
+      .select(col("qid"), col("true_label"), col("vec_id").as("cid"), col("label"),
+        (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cosine"))
+    val top = graft.plans.TopKPerKey(scored,
+      keys = Seq("qid"), order = Seq(("cosine", true), ("cid", false)), k = KnnClassK)
+    val votes = top.groupBy("qid", "true_label", "label")
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("qid")
+    votes
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("votes").desc, col("label"))))
+      .withColumn("n_neighbors", sum("votes").over(w))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("true_label"), col("label").as("pred_label"),
+        col("votes"), col("n_neighbors"),
+        when(col("label") === col("true_label"), 1L).otherwise(0L).as("correct"))
+      .orderBy("qid")
+  }
 }

@@ -4573,6 +4573,32 @@ class GraftSpec extends AnyFunSuite {
       sizes.filter(_ > 1L).sum, "dup members = members of size>1 clusters")
   }
 
+  test("x_knn_classify: votes bounded by k; winner matches a driver-side brute recount") {
+    val rows = llm.Similarity.knnClassify(spark, sf).collect()
+    assert(rows.nonEmpty, "the classify sample is non-empty at sf0.001")
+    rows.foreach { r =>
+      val (votes, n) = (r.getLong(3), r.getLong(4))
+      assert(votes >= 1L && votes <= n && n <= llm.Similarity.KnnClassK, s"vote bounds: $r")
+      assert(r.getLong(5) === (if (r.getLong(1) == r.getLong(2)) 1L else 0L), s"correct flag: $r")
+    }
+    // brute recount of one point on the driver: nearest labeled neighbors
+    // by the same (cosine desc, id) order, then plurality (votes desc,
+    // label asc)
+    val all = Tables.embeddings(spark, sf).collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      (r.getLong(0), v, r.getInt(2).toLong, math.sqrt(v.map(x => x * x).sum))
+    }.filter(_._4 > 0)
+    val qid = rows.head.getLong(0)
+    val (_, qv, qlab, qn) = all.find(_._1 == qid).get
+    val top = all.filter(t => t._1 % 3 == 0)
+      .map(t => (t._1, t._3, t._2.zip(qv).map { case (a, b) => a * b }.sum / (t._4 * qn)))
+      .sortBy(t => (-t._3, t._1)).take(llm.Similarity.KnnClassK)
+    val winner = top.groupBy(_._2).view.mapValues(_.size).toSeq
+      .sortBy(t => (-t._2, t._1)).head
+    assert(rows.head.getLong(2) === winner._1 && rows.head.getLong(3) === winner._2.toLong)
+    assert(rows.head.getLong(1) === qlab)
+  }
+
   test("x_drift: KS statistic exact-integer core matches brute force") {
     val rows = llm.Analytics.drift(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -5002,6 +5028,7 @@ class GraftSpec extends AnyFunSuite {
       "x_embed_drift" -> "X-EMBED-DRIFT",
       "x_freshness" -> "X-FRESHNESS",
       "x_soft_dedup" -> "X-SOFT-DEDUP",
+      "x_knn_classify" -> "X-KNN-CLASSIFY",
       "x_equidepth" -> "X-EQUIDEPTH", "x_stream_enrich" -> "X-STREAM-ENRICH",
       "x_attrib_last" -> "X-ATTRIB-LAST", "x_attrib_pos" -> "X-ATTRIB-POS",
       "x_stream_attrib" -> "X-STREAM-ATTRIB",
