@@ -3079,4 +3079,33 @@ object OracleLlm {
        |         AS correct
        |FROM w WHERE rn = 1 ORDER BY qid""".stripMargin
   }
+
+  /** protoPrune mirror: the shared Lloyd chain, a fourth centroid update
+    * off the final assignment, the same (sqdist ASC, vec_id) per-cluster
+    * rank, and the ⌈n/4⌉ prune split.
+    */
+  val protoPruneSql: String =
+    s"""WITH $lloydChainCtes,
+       |${lloydUpdateCte("c4", "a3")},
+       |d AS (
+       |  SELECT a.vec_id, a.cluster_id, ${sqdist("a.qe", "c.cv")} AS dist
+       |  FROM a3 a JOIN c4 c ON c.cid = a.cluster_id),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |           ORDER BY dist, vec_id) AS rn,
+       |         count(*) OVER (PARTITION BY cluster_id) AS n
+       |  FROM d)
+       |SELECT cluster_id,
+       |       CAST(max(n) AS BIGINT) AS n_members,
+       |       CAST(sum(CASE WHEN rn <= (n + 3) // 4 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_pruned,
+       |       CAST(min(CASE WHEN rn <= (n + 3) // 4 THEN vec_id END) AS BIGINT)
+       |         AS min_pruned,
+       |       CAST(sum(CASE WHEN rn <= (n + 3) // 4 THEN vec_id ELSE 0 END) AS BIGINT)
+       |         AS sum_pruned,
+       |       CAST(sum(CASE WHEN rn > (n + 3) // 4 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_kept,
+       |       CAST(sum(CASE WHEN rn > (n + 3) // 4 THEN vec_id ELSE 0 END) AS BIGINT)
+       |         AS sum_kept
+       |FROM r GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 }

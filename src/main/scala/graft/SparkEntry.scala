@@ -205,6 +205,7 @@ object SparkEntry {
     "x_freshness" -> (llm.Events.freshness _),
     "x_soft_dedup" -> (llm.Dedup.softDedup _),
     "x_knn_classify" -> (llm.Similarity.knnClassify _),
+    "x_proto_prune" -> (llm.Similarity.protoPrune _),
     "x_equidepth" -> (llm.Analytics.equidepth _),
     "x_attrib_last" -> (llm.Attribution.lastTouch _),
     "x_attrib_pos" -> (llm.Attribution.positionCredit _),
@@ -1191,6 +1192,7 @@ object SparkEntry {
     "x_freshness" -> OracleLlm.freshnessSql,
     "x_soft_dedup" -> OracleLlm.softDedupSql,
     "x_knn_classify" -> OracleLlm.knnClassifySql,
+    "x_proto_prune" -> OracleLlm.protoPruneSql,
     "x_equidepth" -> OracleLlm.equidepthSql,
     "x_attrib_last" -> OracleLlm.attribLastSql,
     // the streaming form must reproduce the batch report bit-for-bit

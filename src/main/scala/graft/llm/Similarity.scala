@@ -1671,6 +1671,57 @@ object Similarity {
       .orderBy("in_degree")
   }
 
+  // ---- prototype pruning (X-PROTO-PRUNE) -------------------------------
+
+  /** X-PROTO-PRUNE: per-cluster prototypicality pruning — the
+    * diversification half of the D4 recipe (Tirumala et al. 2023:
+    * after SemDeDup removes near-duplicate PAIRS, the points CLOSEST to
+    * their cluster centroid are the most prototypical/redundant mass and
+    * pruning them shifts the data mixture toward the informative tail).
+    * Runs on the SAME final Lloyd assignment X-SEMDEDUP consumes (the
+    * memoized three-iteration loop — clustering runs ONCE for all three
+    * operators): per cluster the exact mean centroid is rebuilt in the
+    * quantized domain (exact integer sums, ONE division, one
+    * round-to-nearest float cast — the kmeansIter convention, so every
+    * distance is bit-identical in the oracle), each member ranks by
+    * (squared distance to its own centroid ASC, vec_id), and the closest
+    * ⌈n/4⌉ members prune. Output is the integer-exact per-cluster prune
+    * profile (counts + id checksums for both halves).
+    *
+    * Scale shape: centroid rebuild is the posexplode partial+final agg
+    * (64 partial sums per cluster per map partition); the distance pass
+    * folds against the broadcast centroid table map-side; the ranking
+    * window partitions by cluster — cluster size stays ~CentroidStride
+    * by the model law, so no single-reducer sort ever appears.
+    */
+  def protoPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a3 = lloydAssignments(spark, sfDir).last
+    val cents = a3
+      .select(col("cluster_id"), posexplode(col("qe")).as(Seq("dim", "x")))
+      .groupBy("cluster_id", "dim")
+      .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+      .select(col("cluster_id"), col("dim"), (col("s") / col("n")).cast("float").as("v"))
+      .groupBy("cluster_id")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("v")))),
+        x => x("v")).as("cv"))
+    val w = Window.partitionBy("cluster_id")
+    a3.join(broadcast(cents), Seq("cluster_id"))
+      .select(col("cluster_id"), col("vec_id"), sqDist(col("qe"), col("cv")).as("dist"))
+      .withColumn("rn", row_number().over(w.orderBy(col("dist"), col("vec_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("cut", expr("(n + 3) div 4"))
+      .groupBy("cluster_id")
+      .agg(
+        max("n").as("n_members"),
+        sum(when(col("rn") <= col("cut"), 1L).otherwise(0L)).as("n_pruned"),
+        min(when(col("rn") <= col("cut"), col("vec_id"))).as("min_pruned"),
+        sum(when(col("rn") <= col("cut"), col("vec_id")).otherwise(0L)).as("sum_pruned"),
+        sum(when(col("rn") > col("cut"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") > col("cut"), col("vec_id")).otherwise(0L)).as("sum_kept"))
+      .orderBy("cluster_id")
+  }
+
   // ---- kNN classification (X-KNN-CLASSIFY) -----------------------------
 
   /** Neighbors per classified point. */

@@ -4599,6 +4599,28 @@ class GraftSpec extends AnyFunSuite {
     assert(rows.head.getLong(1) === qlab)
   }
 
+  test("x_proto_prune: quarter split exact per cluster; membership matches the Lloyd memo") {
+    val rows = llm.Similarity.protoPrune(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, pruned, kept) = (r.getLong(1), r.getLong(2), r.getLong(5))
+      assert(pruned === (n + 3) / 4, s"prune exactly the ceil-quarter: $r")
+      assert(pruned + kept === n, s"split partitions the cluster: $r")
+      assert(r.getLong(3) >= 0L, s"a pruned witness always exists: $r")
+    }
+    // cluster sizes and total id mass must agree with the shared final
+    // Lloyd assignment (the memoized clustering both consumers read)
+    val km = llm.Similarity.kmeansIter(spark, sf).collect()
+      .filter(_.getInt(0) == llm.Similarity.KmeansIters)
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(4))).toMap
+    assert(rows.length === km.size, "one row per final cluster")
+    rows.foreach { r =>
+      val (n, sumIds) = km(r.getLong(0))
+      assert(r.getLong(1) === n, s"cluster size matches the assignment: $r")
+      assert(r.getLong(4) + r.getLong(6) === sumIds, s"id mass conserved: $r")
+    }
+  }
+
   test("x_drift: KS statistic exact-integer core matches brute force") {
     val rows = llm.Analytics.drift(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -5029,6 +5051,7 @@ class GraftSpec extends AnyFunSuite {
       "x_freshness" -> "X-FRESHNESS",
       "x_soft_dedup" -> "X-SOFT-DEDUP",
       "x_knn_classify" -> "X-KNN-CLASSIFY",
+      "x_proto_prune" -> "X-PROTO-PRUNE",
       "x_equidepth" -> "X-EQUIDEPTH", "x_stream_enrich" -> "X-STREAM-ENRICH",
       "x_attrib_last" -> "X-ATTRIB-LAST", "x_attrib_pos" -> "X-ATTRIB-POS",
       "x_stream_attrib" -> "X-STREAM-ATTRIB",
