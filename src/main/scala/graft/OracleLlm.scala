@@ -3108,4 +3108,67 @@ object OracleLlm {
        |       CAST(sum(CASE WHEN rn > (n + 3) // 4 THEN vec_id ELSE 0 END) AS BIGINT)
        |         AS sum_kept
        |FROM r GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
+  /** annCurve mirror: simIvfSql's assignment/probe chain widened to the
+    * full probe-rank grid, the sweep as a VALUES join on probe_rank, and
+    * the same per-(nprobe, qid) top-k graded against the brute truth.
+    */
+  val annCurveSql: String = {
+    val S = llm.Similarity
+    val sweepVals = S.NProbeSweep.map(n => s"($n)").mkString(", ")
+    s"""WITH $simBaseCtes,
+       |$ivfCentsCte,
+       |casg AS (
+       |  SELECT vec_id, cent_id,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rn
+       |  FROM (SELECT c.vec_id, cents.cent_id,
+       |          ${cosine("c.embedding", "c.nrm", "cents.cv", "cents.cn")} AS cs
+       |        FROM c, cents)),
+       |cells AS (SELECT vec_id, cent_id FROM casg WHERE rn = 1),
+       |qasg AS (
+       |  SELECT qid, cent_id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cs DESC, cent_id) AS rn
+       |  FROM (SELECT q.qid, cents.cent_id,
+       |          ${cosine("q.qv", "q.qn", "cents.cv", "cents.cn")} AS cs
+       |        FROM q, cents)),
+       |probes AS (SELECT qid, cent_id, CAST(rn AS BIGINT) AS probe_rank
+       |           FROM qasg WHERE rn <= ${S.NProbeSweep.max}),
+       |cand AS (
+       |  SELECT q.qid, p.probe_rank, c.vec_id AS cid,
+       |         ${cosine("q.qv", "q.qn", "c.embedding", "c.nrm")} AS cosine
+       |  FROM probes p
+       |  JOIN cells cl ON p.cent_id = cl.cent_id
+       |  JOIN q ON q.qid = p.qid
+       |  JOIN c ON c.vec_id = cl.vec_id
+       |  WHERE c.vec_id <> q.qid),
+       |sw AS (SELECT cand.*, CAST(t.n AS BIGINT) AS nprobe
+       |       FROM cand JOIN (VALUES $sweepVals) t(n) ON cand.probe_rank <= t.n),
+       |cost AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS n_candidates,
+       |                CAST(count(DISTINCT qid) AS BIGINT) AS n_served
+       |         FROM sw GROUP BY 1),
+       |tk AS (
+       |  SELECT nprobe, qid, cid FROM (
+       |    SELECT nprobe, qid, cid,
+       |           row_number() OVER (PARTITION BY nprobe, qid
+       |             ORDER BY cosine DESC, cid) AS rank
+       |    FROM sw) WHERE rank <= ${S.K}),
+       |bs AS (
+       |  SELECT q.qid, c.vec_id AS cid,
+       |         ${cosine("q.qv", "q.qn", "c.embedding", "c.nrm")} AS cosine
+       |  FROM c, q WHERE c.vec_id <> q.qid),
+       |bt AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+       |             ORDER BY cosine DESC, cid) AS rank
+       |    FROM bs) WHERE rank <= ${S.K}),
+       |hits AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS sum_hits
+       |         FROM tk JOIN bt USING (qid, cid) GROUP BY nprobe),
+       |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM q)
+       |SELECT cost.nprobe, nq.n_queries, cost.n_served, cost.n_candidates,
+       |       coalesce(hits.sum_hits, 0) AS sum_hits,
+       |       CAST(coalesce(hits.sum_hits, 0) * 1000000
+       |         // (nq.n_queries * ${S.K}) AS BIGINT) AS recall_ppm
+       |FROM cost LEFT JOIN hits ON hits.nprobe = cost.nprobe CROSS JOIN nq
+       |ORDER BY cost.nprobe""".stripMargin
+  }
 }

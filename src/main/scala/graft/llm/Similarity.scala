@@ -1671,6 +1671,85 @@ object Similarity {
       .orderBy("in_degree")
   }
 
+  // ---- IVF probe-sweep tuning curve (X-ANN-CURVE) ----------------------
+
+  /** The nprobe grid [[annCurve]] sweeps — 1..k over the fixed-k centroid
+    * model, so the curve's last point is the exhaustive-probe ceiling.
+    */
+  val NProbeSweep: Seq[Long] = Seq(1L, 2L, 3L, 4L)
+
+  /** X-ANN-CURVE: the IVF nprobe recall/cost tuning curve — X-LSH-CURVE's
+    * sibling for the partitioning index family: one row per probe width
+    * with the exact candidate volume (the cost an operator pays per
+    * query) and measured recall@k vs the shared memoized brute truth
+    * (the accuracy it buys). This is THE table an index operator reads
+    * to set NumProbes before a 100 TB serve rollout — the production
+    * dial (probe more cells = scan more postings = higher recall) made
+    * measurable on the real corpus instead of guessed.
+    *
+    * Scale shape: the inverted file builds ONCE (the same map-only
+    * broadcast-centroid fold as X-SIM-IVF) and every sweep point reuses
+    * it — candidates carry their probe rank, so "nprobe = n" is a
+    * filter, not a rebuild; the per-(nprobe, query) top-k runs in
+    * TopKPerKey bounded heaps over the sweep-exploded candidates
+    * (bounded: sweep × bucket-bounded candidate volume), and the curve
+    * itself is a sweep-sized aggregate. Recall grades against the
+    * memoized brute table — no extra brute pass.
+    */
+  def annCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = corpus(spark, sfDir)
+    val centArr = centArrOf(c)
+    val maxP = NProbeSweep.max.toInt
+
+    val cells = c.join(broadcast(centArr))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        centroidScores(col("cents"), col("embedding"), col("nrm")).as("scores"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        bestCentroid(col("scores"))("cid").as("cent_id"))
+
+    val probes = queriesOf(c, QueryStride).join(broadcast(centArr))
+      .select(col("qid"), col("qv"), col("qn"),
+        slice(array_sort(centroidScores(col("cents"), col("qv"), col("qn")), (l, r) =>
+          when(l("s") > r("s"), -1).when(l("s") < r("s"), 1)
+            .when(l("cid") < r("cid"), -1).when(l("cid") > r("cid"), 1)
+            .otherwise(0)), 1, maxP).as("top"))
+      .select(col("qid"), col("qv"), col("qn"),
+        posexplode(col("top")).as(Seq("p", "pc")))
+      .select(col("qid"), col("qv"), col("qn"),
+        (col("p") + 1).cast("long").as("probe_rank"), col("pc")("cid").as("cent_id"))
+
+    val cands = cells.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("probe_rank"), col("vec_id").as("cid"),
+        (dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("cosine"))
+
+    val sw = cands
+      .withColumn("nprobe", explode(typedlit(NProbeSweep)))
+      .filter(col("probe_rank") <= col("nprobe"))
+    val cost = sw.groupBy("nprobe")
+      .agg(count(lit(1)).as("n_candidates"),
+        countDistinct(col("qid")).as("n_served"))
+
+    val top = graft.plans.TopKPerKey(
+      sw.select(col("nprobe"), col("qid"), col("cid"), col("cosine")),
+      keys = Seq("nprobe", "qid"),
+      order = Seq(("cosine", true), ("cid", false)), k = K)
+    val hits = top.join(bruteFor(spark, sfDir).select(col("qid"), col("cid")),
+        Seq("qid", "cid"))
+      .groupBy("nprobe").agg(count(lit(1)).as("sum_hits"))
+
+    val nq = queriesOf(c, QueryStride).agg(count(lit(1)).as("n_queries"))
+    cost
+      .join(broadcast(hits), Seq("nprobe"), "left")
+      .crossJoin(broadcast(nq))
+      .select(col("nprobe"), col("n_queries"), col("n_served"),
+        col("n_candidates"),
+        coalesce(col("sum_hits"), lit(0L)).as("sum_hits"),
+        expr(s"coalesce(sum_hits, 0) * 1000000 div (n_queries * $K)")
+          .as("recall_ppm"))
+      .orderBy("nprobe")
+  }
+
   // ---- prototype pruning (X-PROTO-PRUNE) -------------------------------
 
   /** X-PROTO-PRUNE: per-cluster prototypicality pruning — the

@@ -4599,6 +4599,30 @@ class GraftSpec extends AnyFunSuite {
     assert(rows.head.getLong(1) === qlab)
   }
 
+  test("x_ann_curve: monotone cost and recall; exhaustive probe point matches brute") {
+    val rows = llm.Similarity.annCurve(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === llm.Similarity.NProbeSweep,
+      "one row per sweep point")
+    // widening the probe set can only add candidates and hits
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(3) <= b.getLong(3), s"candidate volume monotone: $a -> $b")
+        assert(a.getLong(4) <= b.getLong(4), s"recall hits monotone: $a -> $b")
+      case _ => ()
+    }
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "served <= queries")
+      assert(r.getLong(5) ===
+        r.getLong(4) * 1000000L / (r.getLong(1) * llm.Similarity.K),
+        s"recall ppm recomputes: $r")
+    }
+    // probing every cell IS the brute scan: recall must be exactly 1.0
+    val full = rows.last
+    assert(full.getLong(0) === llm.Similarity.IvfCentroids.toLong)
+    assert(full.getLong(5) === 1000000L,
+      s"exhaustive probe must reach brute recall: $full")
+  }
+
   test("x_proto_prune: quarter split exact per cluster; membership matches the Lloyd memo") {
     val rows = llm.Similarity.protoPrune(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -5052,6 +5076,7 @@ class GraftSpec extends AnyFunSuite {
       "x_soft_dedup" -> "X-SOFT-DEDUP",
       "x_knn_classify" -> "X-KNN-CLASSIFY",
       "x_proto_prune" -> "X-PROTO-PRUNE",
+      "x_ann_curve" -> "X-ANN-CURVE",
       "x_equidepth" -> "X-EQUIDEPTH", "x_stream_enrich" -> "X-STREAM-ENRICH",
       "x_attrib_last" -> "X-ATTRIB-LAST", "x_attrib_pos" -> "X-ATTRIB-POS",
       "x_stream_attrib" -> "X-STREAM-ATTRIB",
