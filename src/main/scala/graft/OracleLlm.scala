@@ -3171,4 +3171,65 @@ object OracleLlm {
        |FROM cost LEFT JOIN hits ON hits.nprobe = cost.nprobe CROSS JOIN nq
        |ORDER BY cost.nprobe""".stripMargin
   }
+
+  /** datasetCard mirror: the quality-filter feature CTE with identical
+    * double arithmetic, text-keyed exact keepers, the recursive near-dup
+    * component closure for membership, and the (n DESC, lang) language
+    * argmax.
+    */
+  val datasetCardSql: String = {
+    val stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH RECURSIVE $sigCtes, $pairCtes,
+       |ed AS (SELECT id_a, id_b FROM mh WHERE est_jaccard >= ${Dedup.NearDupThreshold}),
+       |und AS (SELECT id_a AS a, id_b AS b FROM ed UNION SELECT id_b, id_a FROM ed),
+       |nodes AS (SELECT DISTINCT a AS id FROM und),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT u.b AS id, reach.r AS r FROM reach JOIN und u ON u.a = reach.id),
+       |lab AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+       |feats AS (
+       |  SELECT doc_id, source, lang,
+       |         CAST(length(text) AS BIGINT) AS n_chars,
+       |         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))
+       |           AS BIGINT) AS n_tokens,
+       |         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |           t -> t IN ($stop))) AS BIGINT) AS n_stop,
+       |         CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT)
+       |           AS n_punct
+       |  FROM documents),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+       |fl AS (
+       |  SELECT f.source, f.n_chars, f.n_tokens,
+       |         CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS exact_keeper,
+       |         CASE WHEN lab.id IS NOT NULL THEN 1 ELSE 0 END AS near_member,
+       |         CASE WHEN f.n_tokens >= 20 AND f.n_tokens <= 2000
+       |              AND CAST(f.n_stop AS DOUBLE) <= CAST(f.n_tokens AS DOUBLE) * 0.5
+       |              AND CAST(f.n_punct AS DOUBLE) <= CAST(f.n_chars AS DOUBLE) * 0.1
+       |           THEN 1 ELSE 0 END AS quality
+       |  FROM feats f
+       |  LEFT JOIN keep k ON k.doc_id = f.doc_id
+       |  LEFT JOIN lab ON lab.id = f.doc_id),
+       |per AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |         CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |         CAST(sum(n_tokens) // count(*) AS BIGINT) AS mean_tokens,
+       |         CAST(sum(quality) AS BIGINT) AS n_quality,
+       |         CAST(sum(exact_keeper) AS BIGINT) AS n_exact_kept,
+       |         CAST(sum(near_member) AS BIGINT) AS n_neardup_members
+       |  FROM fl GROUP BY source),
+       |lc AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+       |lr AS (SELECT *, row_number() OVER (PARTITION BY source
+       |         ORDER BY n DESC, lang) AS rn FROM lc),
+       |ls AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+       |         min(CASE WHEN rn = 1 THEN lang END) AS top_lang,
+       |         CAST(min(CASE WHEN rn = 1 THEN n END) AS BIGINT) AS top_lang_docs
+       |  FROM lr GROUP BY source)
+       |SELECT per.source, n_docs, n_tokens, n_chars, mean_tokens,
+       |       n_langs, top_lang, top_lang_docs,
+       |       n_quality, n_exact_kept, n_neardup_members
+       |FROM per JOIN ls ON ls.source = per.source ORDER BY per.source""".stripMargin
+  }
 }

@@ -207,6 +207,7 @@ object SparkEntry {
     "x_knn_classify" -> (llm.Similarity.knnClassify _),
     "x_proto_prune" -> (llm.Similarity.protoPrune _),
     "x_ann_curve" -> (llm.Similarity.annCurve _),
+    "x_dataset_card" -> (llm.Pipeline.datasetCard _),
     "x_equidepth" -> (llm.Analytics.equidepth _),
     "x_attrib_last" -> (llm.Attribution.lastTouch _),
     "x_attrib_pos" -> (llm.Attribution.positionCredit _),
@@ -1195,6 +1196,7 @@ object SparkEntry {
     "x_knn_classify" -> OracleLlm.knnClassifySql,
     "x_proto_prune" -> OracleLlm.protoPruneSql,
     "x_ann_curve" -> OracleLlm.annCurveSql,
+    "x_dataset_card" -> OracleLlm.datasetCardSql,
     "x_equidepth" -> OracleLlm.equidepthSql,
     "x_attrib_last" -> OracleLlm.attribLastSql,
     // the streaming form must reproduce the batch report bit-for-bit

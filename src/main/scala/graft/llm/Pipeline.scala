@@ -114,4 +114,71 @@ object Pipeline {
       .unionAll(stat(s4, "4_token_budget"))
       .orderBy("stage")
   }
+
+  /** X-DATASET-CARD: the per-source datasheet — the "datasheets for
+    * datasets" summary table a corpus release ships (and the first page
+    * every consumer reads): raw mass (docs/tokens/chars, mean doc
+    * length), language composition (distinct languages, dominant
+    * language + its share), and the curation health columns (quality-
+    * filter passers, exact-dedup keepers, near-dup cluster members) —
+    * each column the EXACT semantics of its standalone operator
+    * (x_quality_filter predicate, x_dedup_exact keeper rule,
+    * x_dedup_cluster membership), so the card reconciles with every
+    * drill-down report instead of re-deriving its own truth.
+    *
+    * Scale shape: ONE corpus scan computes all row-local features; the
+    * exact-keeper flag is a window over the 24-byte hash-triple key
+    * (the Pipeline stage-2 exchange — text never shuffles), near-dup
+    * membership joins from the memoized pair-graph-sized component
+    * labels (broadcast), and the language argmax runs on (source, lang)
+    * cells. Everything after the scan is source×lang-sized.
+    */
+  def datasetCard(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextAnalysis.tokens(col("text"))
+    val base = Tables.documents(spark, sfDir).select(
+      col("doc_id"), col("source"), col("lang"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      size(filter(toks, t => t.isin(TextAnalysis.Stopwords.map(lit): _*)))
+        .cast("long").as("n_stopwords"),
+      length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("long").as("n_punct"),
+      rolling_hash(col("text")).as("eh64"),
+      graft.functions.PolyHash.poly_hash(col("text"), 137).as("eh31"))
+    val members = Dedup.componentsTable(spark, sfDir)
+      .select(col("id").as("doc_id"), lit(1L).as("near_member"))
+    val flagged = base
+      .withColumn("exact_keeper",
+        when(min("doc_id").over(
+          Window.partitionBy("eh64", "eh31", "n_chars")) === col("doc_id"), 1L)
+          .otherwise(0L))
+      .join(broadcast(members), Seq("doc_id"), "left")
+      .withColumn("quality",
+        when(col("n_tokens") >= 20 && col("n_tokens") <= 2000 &&
+          col("n_stopwords").cast("double") <= col("n_tokens").cast("double") * 0.5 &&
+          col("n_punct").cast("double") <= col("n_chars").cast("double") * 0.1, 1L)
+          .otherwise(0L))
+    val per = flagged.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("n_tokens"),
+      sum("n_chars").as("n_chars"),
+      expr("sum(n_tokens) div count(1)").as("mean_tokens"),
+      sum("quality").as("n_quality"),
+      sum("exact_keeper").as("n_exact_kept"),
+      sum(coalesce(col("near_member"), lit(0L))).as("n_neardup_members"))
+    val langCells = base.groupBy("source", "lang").agg(count(lit(1)).as("n"))
+    val langStats = langCells
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("n").desc, col("lang"))))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_langs"),
+        min(when(col("rn") === 1, col("lang"))).as("top_lang"),
+        min(when(col("rn") === 1, col("n"))).as("top_lang_docs"))
+    per.join(langStats, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("mean_tokens"), col("n_langs"), col("top_lang"), col("top_lang_docs"),
+        col("n_quality"), col("n_exact_kept"), col("n_neardup_members"))
+      .orderBy("source")
+  }
 }

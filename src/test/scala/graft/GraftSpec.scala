@@ -4599,6 +4599,29 @@ class GraftSpec extends AnyFunSuite {
     assert(rows.head.getLong(1) === qlab)
   }
 
+  test("x_dataset_card: columns reconcile with the standalone operators they summarize") {
+    val rows = llm.Pipeline.datasetCard(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === nDocs, "docs partition by source")
+    rows.foreach { r =>
+      assert(r.getLong(4) === r.getLong(2) / r.getLong(1), s"mean recomputes: $r")
+      assert(r.getLong(7) <= r.getLong(1), s"top-lang share bounded: $r")
+      assert(r.getLong(5) >= 1L && r.getString(6).nonEmpty, s"a dominant language exists: $r")
+      assert(r.getLong(8) <= r.getLong(1) && r.getLong(9) <= r.getLong(1), s"flag bounds: $r")
+    }
+    // reconcile with the drill-down operators' own totals
+    val kept = llm.Dedup.exact(spark, sf).count()
+    assert(rows.map(_.getLong(9)).sum === kept,
+      "exact keepers match x_dedup_exact's group count")
+    val members = llm.Dedup.componentsTable(spark, sf).count()
+    assert(rows.map(_.getLong(10)).sum === members,
+      "near-dup members match the shared component labels")
+    val qualityKept = llm.TextAnalysis.qualityFilter(spark, sf).collect()
+      .map(_.getLong(2)).sum
+    assert(rows.map(_.getLong(8)).sum === qualityKept,
+      "quality passers match x_quality_filter's kept count")
+  }
+
   test("x_ann_curve: monotone cost and recall; exhaustive probe point matches brute") {
     val rows = llm.Similarity.annCurve(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSeq === llm.Similarity.NProbeSweep,
@@ -5077,6 +5100,7 @@ class GraftSpec extends AnyFunSuite {
       "x_knn_classify" -> "X-KNN-CLASSIFY",
       "x_proto_prune" -> "X-PROTO-PRUNE",
       "x_ann_curve" -> "X-ANN-CURVE",
+      "x_dataset_card" -> "X-DATASET-CARD",
       "x_equidepth" -> "X-EQUIDEPTH", "x_stream_enrich" -> "X-STREAM-ENRICH",
       "x_attrib_last" -> "X-ATTRIB-LAST", "x_attrib_pos" -> "X-ATTRIB-POS",
       "x_stream_attrib" -> "X-STREAM-ATTRIB",
