@@ -3232,4 +3232,74 @@ object OracleLlm {
        |       n_quality, n_exact_kept, n_neardup_members
        |FROM per JOIN ls ON ls.source = per.source ORDER BY per.source""".stripMargin
   }
+
+  /** streamingPipeline mirror: every per-batch decision re-derived from
+    * the chunk law (chunk = doc_id div 10 mod 4) — the quality predicate
+    * verbatim, exact partners as text-equal docs in the lake or earlier
+    * in arrival order, near partners as ≥-threshold mh pairs whose other
+    * end is a base doc or an earlier stage-2 survivor.
+    */
+  val streamPipelineSql: String = {
+    val stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    val thr = Dedup.NearDupThreshold
+    s"""WITH $sigCtes, $pairCtes,
+       |feats AS (
+       |  SELECT doc_id,
+       |         CAST(length(text) AS BIGINT) AS n_chars,
+       |         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))
+       |           AS BIGINT) AS n_tokens,
+       |         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+       |           t -> t IN ($stop))) AS BIGINT) AS n_stop,
+       |         CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT)
+       |           AS n_punct
+       |  FROM documents),
+       |qual AS (
+       |  SELECT doc_id,
+       |         (n_tokens >= 20 AND n_tokens <= 2000
+       |          AND CAST(n_stop AS DOUBLE) <= CAST(n_tokens AS DOUBLE) * 0.5
+       |          AND CAST(n_punct AS DOUBLE) <= CAST(n_chars AS DOUBLE) * 0.1) AS ok
+       |  FROM feats),
+       |dd AS (SELECT doc_id, (doc_id // 10) % 4 AS chunk
+       |       FROM documents WHERE doc_id % 10 = 0),
+       |s1 AS (SELECT dd.doc_id, dd.chunk FROM dd JOIN qual USING (doc_id) WHERE qual.ok),
+       |ex AS (
+       |  SELECT DISTINCT s1.doc_id FROM s1
+       |  JOIN documents td ON td.doc_id = s1.doc_id
+       |  WHERE EXISTS (
+       |    SELECT 1 FROM documents p
+       |    LEFT JOIN qual pq ON pq.doc_id = p.doc_id
+       |    WHERE p.text = td.text AND (
+       |      p.doc_id % 10 <> 0
+       |      OR (pq.ok AND ((p.doc_id // 10) % 4 < s1.chunk
+       |           OR ((p.doc_id // 10) % 4 = s1.chunk AND p.doc_id < s1.doc_id)))))),
+       |s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM ex)),
+       |np AS (SELECT id_a AS d, id_b AS p FROM mh WHERE est_jaccard >= $thr
+       |       UNION ALL
+       |       SELECT id_b AS d, id_a AS p FROM mh WHERE est_jaccard >= $thr),
+       |nd AS (
+       |  SELECT DISTINCT s2.doc_id FROM s2 JOIN np ON np.d = s2.doc_id
+       |  WHERE np.p % 10 <> 0
+       |     OR EXISTS (SELECT 1 FROM s2 p2 WHERE p2.doc_id = np.p
+       |          AND (p2.chunk < s2.chunk
+       |               OR (p2.chunk = s2.chunk AND p2.doc_id < s2.doc_id)))),
+       |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM nd))
+       |SELECT dd.chunk AS chunk,
+       |       CAST(count(*) AS BIGINT) AS n_in,
+       |       CAST(sum(CASE WHEN s1.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_quality_drop,
+       |       CAST(sum(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_exact_drop,
+       |       CAST(sum(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_neardup_drop,
+       |       CAST(sum(CASE WHEN s3.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_accepted,
+       |       CAST(coalesce(sum(CASE WHEN s3.doc_id IS NOT NULL THEN dd.doc_id END), 0)
+       |         AS BIGINT) AS sum_accepted
+       |FROM dd
+       |LEFT JOIN s1 ON s1.doc_id = dd.doc_id
+       |LEFT JOIN ex ON ex.doc_id = dd.doc_id
+       |LEFT JOIN nd ON nd.doc_id = dd.doc_id
+       |LEFT JOIN s3 ON s3.doc_id = dd.doc_id
+       |GROUP BY dd.chunk ORDER BY chunk""".stripMargin
+  }
 }

@@ -208,6 +208,7 @@ object SparkEntry {
     "x_proto_prune" -> (llm.Similarity.protoPrune _),
     "x_ann_curve" -> (llm.Similarity.annCurve _),
     "x_dataset_card" -> (llm.Pipeline.datasetCard _),
+    "x_stream_pipeline" -> (llm.StreamingOps.streamingPipeline _),
     "x_equidepth" -> (llm.Analytics.equidepth _),
     "x_attrib_last" -> (llm.Attribution.lastTouch _),
     "x_attrib_pos" -> (llm.Attribution.positionCredit _),
@@ -1197,6 +1198,7 @@ object SparkEntry {
     "x_proto_prune" -> OracleLlm.protoPruneSql,
     "x_ann_curve" -> OracleLlm.annCurveSql,
     "x_dataset_card" -> OracleLlm.datasetCardSql,
+    "x_stream_pipeline" -> OracleLlm.streamPipelineSql,
     "x_equidepth" -> OracleLlm.equidepthSql,
     "x_attrib_last" -> OracleLlm.attribLastSql,
     // the streaming form must reproduce the batch report bit-for-bit

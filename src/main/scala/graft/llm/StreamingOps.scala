@@ -866,6 +866,194 @@ object StreamingOps {
     graft.queries.AnnServe.tombstoneServe(spark, sfDir, tombDir)
   }
 
+  // ---- streaming curation funnel (X-STREAM-PIPELINE) -------------------
+
+  /** Exact-dedup hash triple of a document frame — the same 24-byte
+    * (64-bit rolling, 31-bit poly, length) key as Pipeline stage 2, so
+    * the streamed exact-dedup decisions are the batch funnel's.
+    */
+  private def pipeTriples(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.RollingHash.rolling_hash(col("text")).as("eh64"),
+      graft.functions.PolyHash.poly_hash(col("text"), 137).as("eh31"),
+      length(col("text")).cast("long").as("n_chars"))
+
+  /** Marker-gated staging for [[streamingPipeline]]: the LAKE state a
+    * curation service keeps between ingest days — the base corpus's
+    * exact-hash triples, LSH band index and signature table (doc_id ≢ 0
+    * mod 10) — plus the delta documents (doc_id ≡ 0 mod 10) split into
+    * 4 chronological chunks with pinned mtimes for the replay.
+    */
+  private def pipeStaging(spark: SparkSession, sfDir: String): java.nio.file.Path = {
+    val rootS = graft.etl.Sink.scratchPath(sfDir, "stream_pipe")
+    val root = java.nio.file.Paths.get(rootS)
+    val marker = root.resolve("_GRAFT_OK")
+    if (!java.nio.file.Files.exists(marker)) {
+      graft.etl.Sink.dropUncommitted(rootS)
+      java.nio.file.Files.createDirectories(root)
+      val docs = Tables.documents(spark, sfDir)
+      val base = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
+      pipeTriples(base).write.parquet(root.resolve("triples").toString)
+      val baseSigs = nearDupBatchSigs(base)
+      baseSigs.write.parquet(root.resolve("sigs").toString)
+      Dedup.bandsOf(baseSigs).write.parquet(root.resolve("bands").toString)
+      val delta = docs.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+      val chunksDir = root.resolve("chunks")
+      java.nio.file.Files.createDirectories(chunksDir)
+      (0 until 4).foreach { i =>
+        val tmp = root.resolve(s"tmp_chunk$i")
+        delta.filter(pmod(expr("doc_id div 10"), lit(4L)) === i.toLong)
+          .coalesce(1).write.parquet(tmp.toString)
+        import scala.jdk.CollectionConverters._
+        val listing = java.nio.file.Files.list(tmp)
+        val parts =
+          try listing.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          finally listing.close()
+        require(parts.size == 1,
+          s"pipe chunk $i produced ${parts.size} parquet parts, expected 1")
+        val dst = chunksDir.resolve(s"chunk$i.parquet")
+        java.nio.file.Files.move(parts.head, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(i * 1000L))
+        graft.streaming.Drain.deleteRecursively(tmp)
+      }
+      java.nio.file.Files.createFile(marker)
+    }
+    root
+  }
+
+  /** X-STREAM-PIPELINE: the INGEST-TIME curation funnel — X-PIPELINE's
+    * quality → exact-dedup → near-dedup chain run per micro-batch
+    * against the persisted lake state, the composition a continuous
+    * training-data service actually deploys (a nightly batch funnel
+    * re-curates the corpus; the streaming funnel curates each delta ON
+    * ARRIVAL and the lake only ever stores accepted content):
+    *
+    *  1. QUALITY — the x_quality_filter predicate, row-local.
+    *  2. EXACT   — drop a survivor whose 24-byte hash triple exists in
+    *     the lake (any base doc), arrived in an earlier batch (quality
+    *     survivors log), or belongs to a smaller-id doc in the SAME
+    *     batch — the min-id keeper rule under arrival order.
+    *  3. NEAR    — sign + band only the batch ([[nearDupBatchSigs]]'s
+    *     narrow map) and probe the persisted base band index PLUS the
+    *     streamed-survivor band log PLUS the batch itself (smaller ids
+    *     only); a signature-agreement estimate ≥ the x_dedup threshold
+    *     drops the doc. The index ingests stage-2 survivors — exactly
+    *     the membership the batch funnel's pairwise near-dup rule uses.
+    *
+    * Per batch the cost is ∝ batch size: every history join pins the
+    * BATCH side `broadcast()` so the lake-sized triple/band/signature
+    * tables are never shuffled per micro-batch. At-least-once replay is
+    * harmless by construction: every appended row is a deterministic
+    * function of its doc, so retries write identical rows and the reads
+    * dedup on their keys. Output is the per-batch funnel ledger
+    * (arrivals, per-stage drops, accepted mass) — the table an ingest
+    * dashboard renders; the oracle re-derives every decision from the
+    * chunk law (chunk = doc_id div 10 mod 4), proving batch ≡ stream.
+    */
+  def streamingPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = pipeStaging(spark, sfDir)
+    val work = java.nio.file.Files.createTempDirectory(
+      "graft_stream_pipe_" + runs.incrementAndGet() + "_")
+    val triplesLog = work.resolve("triples").toString
+    val bandsLog = work.resolve("bands").toString
+    val sigsLog = work.resolve("sigs").toString
+    val metricsDir = work.resolve("metrics").toString
+    // seed the run-local logs with empty, schema-bearing files
+    spark.read.parquet(root.resolve("triples").toString).limit(0)
+      .coalesce(1).write.parquet(triplesLog)
+    spark.read.parquet(root.resolve("bands").toString).limit(0)
+      .coalesce(1).write.parquet(bandsLog)
+    spark.read.parquet(root.resolve("sigs").toString).limit(0)
+      .coalesce(1).write.parquet(sigsLog)
+
+    val docSchema = Tables.documents(spark, sfDir).schema
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(root.resolve("chunks").toString)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ss = batch.sparkSession
+        import ss.implicits._
+        val nIn = batch.count()
+
+        // stage 1: row-local quality gate
+        val s1 = Pipeline.qualityOf(Pipeline.enrichedOf(batch))
+          .select(col("doc_id"), col("text"))
+        val tri = pipeTriples(s1)
+        val nS1 = tri.count()
+
+        // stage 2: exact dedup vs lake + earlier batches + same batch.
+        // the history side stays un-shuffled: probe it with the
+        // broadcast batch key set, then flag batch rows off the (small)
+        // hit list
+        val histT = ss.read.parquet(root.resolve("triples").toString)
+          .unionByName(ss.read.parquet(triplesLog))
+        val keys = Seq("eh64", "eh31", "n_chars")
+        val hitKeys = histT
+          .join(broadcast(tri.select(keys.map(col): _*).distinct()), keys)
+          .select(keys.map(col): _*).distinct()
+        val minInBatch = tri.groupBy(keys.map(col): _*)
+          .agg(min("doc_id").as("keeper_id"))
+        val s2 = s1
+          .join(tri.select(col("doc_id") +: keys.map(col): _*), Seq("doc_id"))
+          .join(broadcast(hitKeys).withColumn("in_hist", lit(1L)), keys, "left")
+          .join(broadcast(minInBatch), keys)
+          .filter(col("in_hist").isNull && col("doc_id") === col("keeper_id"))
+          .select(col("doc_id"), col("text"))
+        val nS2 = s2.count()
+
+        // stage 3: near-dup vs base index + survivor log + same batch
+        val sigs2 = nearDupBatchSigs(s2)
+        val bands2 = Dedup.bandsOf(sigs2)
+        val histBands = ss.read.parquet(root.resolve("bands").toString)
+          .unionByName(ss.read.parquet(bandsLog))
+        val histSigs = ss.read.parquet(root.resolve("sigs").toString)
+          .unionByName(ss.read.parquet(sigsLog))
+        val candHist = broadcast(bands2.select(col("doc_id"), col("band"), col("bkey")))
+          .as("l")
+          .join(histBands.as("r"),
+            col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey"))
+          .select(col("l.doc_id").as("d"), col("r.doc_id").as("p")).distinct()
+        val candBatch = bands2.as("l")
+          .join(bands2.as("r"),
+            col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+              col("r.doc_id") < col("l.doc_id"))
+          .select(col("l.doc_id").as("d"), col("r.doc_id").as("p")).distinct()
+        val partnerSigs = histSigs.unionByName(sigs2)
+          .select(col("doc_id").as("p"), col("sig").as("sig_p"))
+        val dropNear = broadcast(candHist.unionByName(candBatch).distinct())
+          .join(partnerSigs, Seq("p"))
+          .join(broadcast(sigs2.select(col("doc_id").as("d"), col("sig").as("sig_d"))),
+            Seq("d"))
+          .filter(
+            (size(filter(zip_with(col("sig_d"), col("sig_p"), (x, y) => x === y), b => b))
+              .cast("double") / Dedup.NumHashes) >= Dedup.NearDupThreshold)
+          .select(col("d").as("doc_id")).distinct()
+        val s3 = s2.join(broadcast(dropNear), Seq("doc_id"), "left_anti")
+        val acc = s3.agg(count(lit(1)).as("n"),
+          coalesce(sum("doc_id"), lit(0L)).as("s")).collect().head
+        val (nS3, sumAcc) = (acc.getLong(0), acc.getLong(1))
+
+        // ledger row + history appends (all deterministic per doc:
+        // at-least-once retries rewrite identical rows)
+        Seq((batchId, nIn, nIn - nS1, nS1 - nS2, nS2 - nS3, nS3, sumAcc))
+          .toDF("chunk", "n_in", "n_quality_drop", "n_exact_drop",
+            "n_neardup_drop", "n_accepted", "sum_accepted")
+          .coalesce(1).write.mode("append").parquet(metricsDir)
+        tri.write.mode("append").parquet(triplesLog)
+        bands2.write.mode("append").parquet(bandsLog)
+        sigs2.write.mode("append").parquet(sigsLog)
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    graft.streaming.Drain.deleteRecursively(work.resolve("ckpt"))
+    graft.streaming.Drain.cleanupAtExit(work)
+    spark.read.parquet(metricsDir).dropDuplicates("chunk").orderBy("chunk")
+  }
+
   /** The per-type KMV merge transform — separated from
     * [[streamingKmv]]'s staging so a spec can drive it batch-by-batch
     * and assert the state genuinely refines ACROSS batches.

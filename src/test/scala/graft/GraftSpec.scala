@@ -4599,6 +4599,34 @@ class GraftSpec extends AnyFunSuite {
     assert(rows.head.getLong(1) === qlab)
   }
 
+  test("x_stream_pipeline: ledger conserves arrivals; stage-1 matches the batch predicate") {
+    val rows = llm.StreamingOps.streamingPipeline(spark, sf).collect()
+    assert(rows.length === 4, "one ledger row per replayed chunk")
+    assert(rows.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L))
+    rows.foreach { r =>
+      assert(r.getLong(1) ===
+        r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5),
+        s"every arrival is dropped at exactly one stage or accepted: $r")
+    }
+    val delta = Tables.documents(spark, sf).filter(pmod(col("doc_id"), lit(10L)) === 0L)
+    assert(rows.map(_.getLong(1)).sum === delta.count(), "arrivals cover the delta")
+    // stage-1 drops recount against the batch quality predicate per chunk
+    val qdrop = delta
+      .join(llm.Pipeline.qualityOf(llm.Pipeline.enrichedOf(delta)).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .groupBy(pmod(expr("doc_id div 10"), lit(4L)).as("chunk"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) === qdrop.getOrElse(r.getLong(0), 0L),
+        s"quality drops match the batch predicate: $r")
+    }
+    // an accepted doc's id mass stays within its chunk's id range
+    rows.foreach { r =>
+      if (r.getLong(5) > 0L) assert(r.getLong(6) > 0L, s"accepted mass witnessed: $r")
+    }
+  }
+
   test("x_dataset_card: columns reconcile with the standalone operators they summarize") {
     val rows = llm.Pipeline.datasetCard(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
@@ -5101,6 +5129,7 @@ class GraftSpec extends AnyFunSuite {
       "x_proto_prune" -> "X-PROTO-PRUNE",
       "x_ann_curve" -> "X-ANN-CURVE",
       "x_dataset_card" -> "X-DATASET-CARD",
+      "x_stream_pipeline" -> "X-STREAM-PIPELINE",
       "x_equidepth" -> "X-EQUIDEPTH", "x_stream_enrich" -> "X-STREAM-ENRICH",
       "x_attrib_last" -> "X-ATTRIB-LAST", "x_attrib_pos" -> "X-ATTRIB-POS",
       "x_stream_attrib" -> "X-STREAM-ATTRIB",
