@@ -3302,4 +3302,36 @@ object OracleLlm {
        |LEFT JOIN s3 ON s3.doc_id = dd.doc_id
        |GROUP BY dd.chunk ORDER BY chunk""".stripMargin
   }
+
+  /** maxsim mirror: distinct (doc, token) rows with the same single
+    * poly-hash, the pinned 8-token query off doc 0, the integer Hamming
+    * kernel, and the max-then-sum fold.
+    */
+  val maxsimSql: String = {
+    val T = TextAnalysis
+    s"""WITH dt AS (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id,
+       |           unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+       |             t -> t <> '')) AS tok
+       |    FROM documents)),
+       |dh AS (SELECT doc_id, tok, ${polyHash("tok", 131)} AS h FROM dt),
+       |qt AS (SELECT tok AS qtok, h AS hq FROM dh WHERE doc_id = 0
+       |       ORDER BY qtok LIMIT ${T.MaxSimQTokens}),
+       |best AS (
+       |  SELECT d.doc_id, q.qtok,
+       |         max(${T.MaxSimBits} - 2 * bit_count(xor(d.h, q.hq) & 65535)) AS best
+       |  FROM dh d, qt q WHERE d.doc_id <> 0
+       |  GROUP BY 1, 2),
+       |pd AS (
+       |  SELECT doc_id, CAST(sum(best) AS BIGINT) AS score,
+       |         CAST(sum(CASE WHEN best = ${T.MaxSimBits} THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_exact
+       |  FROM best GROUP BY doc_id),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dtokens
+       |       FROM dh WHERE doc_id <> 0 GROUP BY doc_id)
+       |SELECT pd.doc_id, sz.n_dtokens, pd.n_exact, pd.score
+       |FROM pd JOIN sz USING (doc_id)
+       |ORDER BY score DESC, pd.doc_id LIMIT ${T.MaxSimTopK}""".stripMargin
+  }
 }

@@ -209,6 +209,7 @@ object SparkEntry {
     "x_ann_curve" -> (llm.Similarity.annCurve _),
     "x_dataset_card" -> (llm.Pipeline.datasetCard _),
     "x_stream_pipeline" -> (llm.StreamingOps.streamingPipeline _),
+    "x_maxsim" -> (llm.TextAnalysis.maxsim _),
     "x_equidepth" -> (llm.Analytics.equidepth _),
     "x_attrib_last" -> (llm.Attribution.lastTouch _),
     "x_attrib_pos" -> (llm.Attribution.positionCredit _),
@@ -1199,6 +1200,7 @@ object SparkEntry {
     "x_ann_curve" -> OracleLlm.annCurveSql,
     "x_dataset_card" -> OracleLlm.datasetCardSql,
     "x_stream_pipeline" -> OracleLlm.streamPipelineSql,
+    "x_maxsim" -> OracleLlm.maxsimSql,
     "x_equidepth" -> OracleLlm.equidepthSql,
     "x_attrib_last" -> OracleLlm.attribLastSql,
     // the streaming form must reproduce the batch report bit-for-bit

@@ -390,6 +390,64 @@ object TextAnalysis {
       .orderBy(desc("score"), asc("doc_id")).limit(Bm25TopK)
   }
 
+  // ---- late-interaction retrieval (X-MAXSIM) ---------------------------
+
+  /** Query-token budget, served-list size, and sign-embedding width for
+    * [[maxsim]].
+    */
+  val MaxSimQTokens = 8
+  val MaxSimTopK = 20
+  val MaxSimBits = 16
+
+  /** X-MAXSIM: late-interaction retrieval — the ColBERT MaxSim scoring
+    * shape, the third retrieval geometry next to the lexical ranker
+    * (X-BM25: one score per matched TERM) and the dense ranker
+    * (X-HYBRID-RRF's single-vector dot): every query TOKEN finds its
+    * best-matching document token and the score is the sum of those
+    * per-token maxima — soft token alignment, which rewards documents
+    * that cover ALL query aspects instead of repeating one. Token
+    * embeddings are deterministic 16-bit SIGN vectors derived from ONE
+    * poly-hash per distinct token (bit i of h(t) is dimension i), so
+    * token similarity is the exact integer bit kernel `16 − 2·
+    * popcount((h_a xor h_b) & 0xFFFF)` — the Hamming form of a sign-
+    * vector dot product, one xor + one popcount per pair, no float
+    * anywhere. The query is "more like doc 0": its [[MaxSimQTokens]]
+    * lexicographically-smallest distinct tokens (pinned, engine-
+    * identical). `n_exact` counts query tokens whose best match is a
+    * full 16-bit agreement — the hard-match core the soft tail adds to.
+    *
+    * Scale shape: the corpus tokenizes ONCE into distinct (doc, token)
+    * rows, each hashed narrowly; scoring joins the 8-row broadcast
+    * query against those rows map-side (8·|doc tokens| integer kernels
+    * per doc, zero shuffle), then two partial+final aggs fold max-per-
+    * (doc, qtoken) and sum-per-doc; the served list is a
+    * TakeOrdered head. At 100 TB the scoring pass composes behind a
+    * candidate shortlist (the X-BM25/X-HYBRID-RRF rankers) exactly like
+    * production ColBERT re-ranks a first-stage retrieval.
+    */
+  def maxsim(spark: SparkSession, sfDir: String): DataFrame = {
+    val dh = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .distinct()
+      .withColumn("h", graft.functions.PolyHash.poly_hash(col("tok"), 131))
+    val qt = dh.filter(col("doc_id") === 0L)
+      .select(col("tok").as("qtok"), col("h").as("hq"))
+      .orderBy("qtok").limit(MaxSimQTokens)
+    val best = dh.filter(col("doc_id") =!= 0L)
+      .crossJoin(broadcast(qt))
+      .select(col("doc_id"), col("qtok"),
+        expr(s"$MaxSimBits - 2 * bit_count((h ^ hq) & 65535)").as("sim"))
+      .groupBy("doc_id", "qtok").agg(max("sim").as("best"))
+    val perDoc = best.groupBy("doc_id")
+      .agg(sum("best").as("score"),
+        sum(when(col("best") === MaxSimBits, 1L).otherwise(0L)).as("n_exact"))
+    val sizes = dh.filter(col("doc_id") =!= 0L)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dtokens"))
+    perDoc.join(sizes, Seq("doc_id"))
+      .select(col("doc_id"), col("n_dtokens"), col("n_exact"), col("score"))
+      .orderBy(desc("score"), asc("doc_id")).limit(MaxSimTopK)
+  }
+
   // ---- hybrid lexical + dense retrieval (X-HYBRID-RRF) -----------------
 
   /** X-HYBRID-RRF: the production hybrid-search call — a LEXICAL ranking

@@ -4599,6 +4599,39 @@ class GraftSpec extends AnyFunSuite {
     assert(rows.head.getLong(1) === qlab)
   }
 
+  test("x_maxsim: score bounds, exact-match consistency, and a driver-side recount") {
+    val rows = llm.TextAnalysis.maxsim(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= llm.TextAnalysis.MaxSimTopK)
+    val q = llm.TextAnalysis.MaxSimQTokens.toLong
+    val b = llm.TextAnalysis.MaxSimBits.toLong
+    rows.foreach { r =>
+      assert(r.getLong(3) <= q * b && r.getLong(3) >= -q * b, s"score bounds: $r")
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= q, s"exact-match count bounds: $r")
+      assert(r.getLong(3) >= r.getLong(2) * b - (q - r.getLong(2)) * b,
+        s"exact matches floor the score: $r")
+    }
+    // served list is sorted by (score desc, doc_id)
+    rows.sliding(2).foreach {
+      case Array(a, c) =>
+        assert(a.getLong(3) > c.getLong(3) ||
+          (a.getLong(3) == c.getLong(3) && a.getLong(0) < c.getLong(0)))
+      case _ => ()
+    }
+    // recount the top hit on the driver with the same kernel
+    def toks(s: String): Seq[String] =
+      s.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    def h(t: String): Long =
+      t.codePoints().toArray.foldLeft(0L)((a, c) => (a * 131 + c) % 2147483647L)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val qts = toks(docs(0L)).sorted.take(llm.TextAnalysis.MaxSimQTokens).map(h)
+    val top = rows.head
+    val dts = toks(docs(top.getLong(0))).map(h)
+    val expected = qts.map(hq => dts.map(hd =>
+      b - 2L * java.lang.Long.bitCount((hq ^ hd) & 65535L)).max).sum
+    assert(top.getLong(3) === expected, "driver recount of the top hit agrees")
+  }
+
   test("x_stream_pipeline: ledger conserves arrivals; stage-1 matches the batch predicate") {
     val rows = llm.StreamingOps.streamingPipeline(spark, sf).collect()
     assert(rows.length === 4, "one ledger row per replayed chunk")
@@ -5130,6 +5163,7 @@ class GraftSpec extends AnyFunSuite {
       "x_ann_curve" -> "X-ANN-CURVE",
       "x_dataset_card" -> "X-DATASET-CARD",
       "x_stream_pipeline" -> "X-STREAM-PIPELINE",
+      "x_maxsim" -> "X-MAXSIM",
       "x_equidepth" -> "X-EQUIDEPTH", "x_stream_enrich" -> "X-STREAM-ENRICH",
       "x_attrib_last" -> "X-ATTRIB-LAST", "x_attrib_pos" -> "X-ATTRIB-POS",
       "x_stream_attrib" -> "X-STREAM-ATTRIB",
