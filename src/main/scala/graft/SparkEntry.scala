@@ -210,6 +210,7 @@ object SparkEntry {
     "x_dataset_card" -> (llm.Pipeline.datasetCard _),
     "x_stream_pipeline" -> (llm.StreamingOps.streamingPipeline _),
     "x_maxsim" -> (llm.TextAnalysis.maxsim _),
+    "x_betweenness" -> (llm.Graph.betweenness _),
     "x_equidepth" -> (llm.Analytics.equidepth _),
     "x_attrib_last" -> (llm.Attribution.lastTouch _),
     "x_attrib_pos" -> (llm.Attribution.positionCredit _),
@@ -2163,6 +2164,55 @@ object SparkEntry {
          |SELECT n.n_name, agg.n_reached, agg.sum_dist, agg.eccentricity,
          |       CAST((agg.n_reached - 1) * 1000000 // nullif(agg.sum_dist, 0) AS BIGINT) AS closeness_ppm
          |FROM agg JOIN nation n ON n.n_nationkey = agg.src
+         |ORDER BY n.n_name""".stripMargin
+    },
+    // stress centrality: the closeness BFS rounds widened with per-level
+    // path counts over the settled DAG, then the interior self-join
+    "x_betweenness" -> {
+      def bfs(i: Int): String =
+        s"""d$i AS (SELECT src, id, CAST(min(d) AS BIGINT) AS d FROM (
+           |  SELECT src, id, d FROM d${i - 1}
+           |  UNION ALL
+           |  SELECT p.src, u.b AS id, p.d + 1 AS d
+           |  FROM d${i - 1} p JOIN u ON u.a = p.id)
+           |  GROUP BY 1, 2)""".stripMargin
+      // dl/uu/ds MATERIALIZED: the sigma levels and the pair self-join
+      // reference them 7+ times — re-inlining the whole BFS chain (or
+      // the fact-sized edge build under u) per reference is the
+      // x_pagerank CTE hazard, measured as a multi-minute blowup here
+      def sg(i: Int): String =
+        s"""s$i AS (SELECT p.src, uu.b AS id, CAST(sum(p.sigma) AS BIGINT) AS sigma
+           |  FROM s${i - 1} p JOIN uu ON uu.a = p.id
+           |  JOIN dl t ON t.src = p.src AND t.id = uu.b AND t.d = $i
+           |  GROUP BY 1, 2)""".stripMargin
+      val sgUnion = (0 to llm.Graph.ClosenessRounds)
+        .map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+      s"""WITH $strongUndCtes,
+         |uu AS MATERIALIZED (SELECT * FROM u),
+         |d0 AS (SELECT a AS src, a AS id, CAST(0 AS BIGINT) AS d
+         |       FROM (SELECT DISTINCT a FROM uu)),
+         |${(1 to llm.Graph.ClosenessRounds).map(bfs).mkString(",\n")},
+         |dl AS MATERIALIZED (SELECT * FROM d${llm.Graph.ClosenessRounds}),
+         |s0 AS (SELECT src, id, CAST(1 AS BIGINT) AS sigma FROM dl WHERE d = 0),
+         |${(1 to llm.Graph.ClosenessRounds).map(sg).mkString(",\n")},
+         |sg AS (SELECT * FROM ($sgUnion)),
+         |ds AS MATERIALIZED (
+         |  SELECT dd.src, dd.id, dd.d, sg.sigma
+         |  FROM dl dd JOIN sg ON sg.src = dd.src AND sg.id = dd.id),
+         |th AS (
+         |  SELECT a.id AS v, CAST(sum(a.sigma * b.sigma) AS BIGINT) AS stress,
+         |         CAST(count(*) AS BIGINT) AS n_pairs_on
+         |  FROM ds a
+         |  JOIN ds b ON b.id = a.id AND a.src < b.src
+         |  JOIN ds st ON st.src = a.src AND st.id = b.src
+         |  WHERE a.d > 0 AND b.d > 0 AND a.d + b.d = st.d
+         |  GROUP BY a.id)
+         |SELECT n.n_name,
+         |       CAST(coalesce(th.stress, 0) AS BIGINT) AS stress,
+         |       CAST(coalesce(th.n_pairs_on, 0) AS BIGINT) AS n_pairs_on
+         |FROM (SELECT DISTINCT a AS v FROM u) nodes
+         |LEFT JOIN th ON th.v = nodes.v
+         |JOIN nation n ON n.n_nationkey = nodes.v
          |ORDER BY n.n_name""".stripMargin
     },
     "x_pagerank" -> {

@@ -718,6 +718,74 @@ object Graph {
       .orderBy("n_name")
   }
 
+  // ---- shortest-path centrality (X-BETWEENNESS) ------------------------
+
+  /** X-BETWEENNESS: exact stress centrality — the shortest-path
+    * betweenness family's integer member: for every node v, the number
+    * of shortest (s, t) paths that pass THROUGH v, over all unordered
+    * reachable pairs (σ_sv·σ_vt summed where d(s,v) + d(v,t) = d(s,t)).
+    * This is the "who brokers the traffic" question X-CLOSENESS (how
+    * near) and X-PAGERANK (how endorsed) don't answer; the classic
+    * fractional betweenness divides each pair's contribution by σ_st —
+    * a float chain whose summation order no engine pins — while the
+    * stress form is EXACT integers end to end, so the whole table
+    * hash-checks.
+    *
+    * Computation: the settled multi-source BFS distances
+    * ([[multiSourceBfs]] — the x_closeness machinery, frontier rounds
+    * with lineage cuts) plus per-level path counts σ over the BFS DAG:
+    * level ℓ's σ(v) = Σ of σ(u) over level-(ℓ−1) BFS predecessors —
+    * [[ClosenessRounds]] unrolled dim-sized joins, exact integer sums.
+    * The through-count is then one self-join of the (src, id, d, σ)
+    * table on the interior node with the pair-distance row filtering
+    * da + db = d(s,t). Everything runs on the nation-aggregated graph:
+    * the fact collapses ONCE (memoized edge build shared with every
+    * graph operator), all centrality math is ≤ |V|²-row arithmetic.
+    * Per-pair conservation (Σ_v contributions = σ_st·(d_st − 1)) is the
+    * spec's closed-form law.
+    */
+  def betweenness(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = thresholdedUndirected(spark, sfDir)
+    val dist = multiSourceBfs(und)
+    var sig = dist.filter(col("d") === 0L)
+      .select(col("src"), col("id"), lit(1L).as("sigma"))
+    var all = sig
+    (1 to ClosenessRounds).foreach { i =>
+      val next = sig.join(und, sig("id") === und("a"))
+        .select(col("src"), col("b").as("id"), col("sigma"))
+        .join(dist.filter(col("d") === i.toLong).select("src", "id"),
+          Seq("src", "id"), "left_semi")
+        .groupBy("src", "id").agg(sum("sigma").as("sigma"))
+      all = all.unionAll(next)
+      sig = next
+    }
+    val ds = dist.join(all, Seq("src", "id"))
+    val a = ds.filter(col("d") > 0)
+      .select(col("src").as("s"), col("id").as("v"), col("d").as("da"),
+        col("sigma").as("sa"))
+    val b = ds.filter(col("d") > 0)
+      .select(col("src").as("t"), col("id").as("v"), col("d").as("db"),
+        col("sigma").as("sb"))
+    val st = ds.filter(col("src") < col("id"))
+      .select(col("src").as("s"), col("id").as("t"), col("d").as("d_st"))
+    val through = a.join(b, Seq("v"))
+      .filter(col("s") < col("t"))
+      .join(st, Seq("s", "t"))
+      .filter(col("da") + col("db") === col("d_st"))
+      .groupBy("v")
+      .agg(sum(col("sa") * col("sb")).as("stress"),
+        count(lit(1)).as("n_pairs_on"))
+    val nation = graft.Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey").as("v"), col("n_name"))
+    und.select(col("a").as("v")).distinct()
+      .join(through, Seq("v"), "left")
+      .join(broadcast(nation), Seq("v"))
+      .select(col("n_name"),
+        coalesce(col("stress"), lit(0L)).as("stress"),
+        coalesce(col("n_pairs_on"), lit(0L)).as("n_pairs_on"))
+      .orderBy("n_name")
+  }
+
   // ---- community quality (X-MODULARITY) --------------------------------
 
   /** X-MODULARITY: Newman modularity of the X-LABELPROP partition — the

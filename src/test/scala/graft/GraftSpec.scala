@@ -4599,6 +4599,40 @@ class GraftSpec extends AnyFunSuite {
     assert(rows.head.getLong(1) === qlab)
   }
 
+  test("x_betweenness: per-pair conservation sigma_st*(d_st-1) and endpoint exclusion") {
+    val und = llm.Graph.thresholdedUndirected(spark, sf)
+    val rows = llm.Graph.betweenness(spark, sf).collect()
+    assert(rows.nonEmpty, "every graph node reports")
+    rows.foreach { r => assert(r.getLong(1) >= 0L && r.getLong(2) >= 0L) }
+    assert(rows.exists(_.getLong(1) > 0L), "some broker exists on the fixture graph")
+    // closed-form conservation: summed over interior nodes, each (s, t)
+    // pair contributes sigma_st * (d_st - 1) — recount with a driver BFS
+    val edges = und.collect().map(r =>
+      (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keySet.toSeq.sorted
+    def bfs(s: Long): Map[Long, (Int, Long)] = {
+      var lvl = Map(s -> (0, 1L)); var frontier = Map(s -> 1L)
+      (1 to llm.Graph.ClosenessRounds).foreach { d =>
+        val nxt = scala.collection.mutable.Map.empty[Long, Long]
+        frontier.foreach { case (u, sg) =>
+          adj.getOrElse(u, Set.empty).foreach { v =>
+            if (!lvl.contains(v)) nxt(v) = nxt.getOrElse(v, 0L) + sg
+          }
+        }
+        lvl = lvl ++ nxt.map { case (v, sg) => v -> (d, sg) }
+        frontier = nxt.toMap
+      }
+      lvl
+    }
+    val all = nodes.map(s => s -> bfs(s)).toMap
+    var expectedTotal = 0L
+    for (s <- nodes; t <- nodes if s < t; st <- all(s).get(t))
+      expectedTotal += st._2 * (st._1 - 1).toLong
+    assert(rows.map(_.getLong(1)).sum === expectedTotal,
+      "total stress equals the sum over pairs of sigma_st*(d_st-1)")
+  }
+
   test("x_maxsim: score bounds, exact-match consistency, and a driver-side recount") {
     val rows = llm.TextAnalysis.maxsim(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= llm.TextAnalysis.MaxSimTopK)
@@ -5164,6 +5198,7 @@ class GraftSpec extends AnyFunSuite {
       "x_dataset_card" -> "X-DATASET-CARD",
       "x_stream_pipeline" -> "X-STREAM-PIPELINE",
       "x_maxsim" -> "X-MAXSIM",
+      "x_betweenness" -> "X-BETWEENNESS",
       "x_equidepth" -> "X-EQUIDEPTH", "x_stream_enrich" -> "X-STREAM-ENRICH",
       "x_attrib_last" -> "X-ATTRIB-LAST", "x_attrib_pos" -> "X-ATTRIB-POS",
       "x_stream_attrib" -> "X-STREAM-ATTRIB",
