@@ -4912,9 +4912,16 @@ class GraftSpec extends AnyFunSuite {
     //     work as a broadcast centroid-ARRAY fold (centArr), a shape this
     //     lint can't see either — the SQL face just makes it explicit,
     //     and it collapses to NumProbes rows per query immediately after
+    //   x_maxsim — the MaxSim scoring join is doc-tokens × the broadcast
+    //     QUERY (≤ MaxSimQTokens = 8 rows by GlobalLimit; maxRows > 1 so
+    //     the one-row idiom can't prove it) — the late-interaction serve
+    //     shape: query tokens broadcast, corpus streams map-side
+    //   x_knn_classify — corpus-side labeled pool × the broadcast QUERY
+    //     BATCH (the strided classify sample; model-sized by construction,
+    //     documented at the def site) — same broadcast-query-batch shape
     val cartesianOk =
       Set("x_sim_pq_serve", "x_sim_filtered", "x_sim_filtered_pq",
-        "x_ann_compact", "x_ann_delete")
+        "x_ann_compact", "x_ann_delete", "x_maxsim", "x_knn_classify")
     val skip = SparkEntry.queries.keySet.filter(_.contains("stream")) + "x_global_ids"
     val violations = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => skip(q._1)).flatMap { case (name, fn) =>
