@@ -13,6 +13,38 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Lazy lineage cuts for FIXED-round loops. `cut` truncates the plan to
+    * a LogicalRDD immediately — the per-round plan stays flat, and shared
+    * references (a frame consumed twice in the next round) read ONE
+    * persisted copy instead of recomputing a duplicated subtree — but
+    * defers every job to the single final materialization: a fixed-round
+    * dim-sized loop needs no mid-loop action, so the eager per-round
+    * checkpoint's job (one scheduled job per round, measured 0.1–0.3 s
+    * each at fixture scale) was pure overhead. Convergence-PROBED loops
+    * (connectedComponents, shortestPathsOf) keep an action per round by
+    * necessity and fuse it with the materialization instead.
+    * `seal` eagerly materializes the loop's result (ONE job running every
+    * pending round) and then releases all intermediate rounds' blocks —
+    * they are materialized garbage at that point, never still-needed
+    * lineage.
+    */
+  private final class LazyCuts {
+    private val inter =
+      scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    def cut(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint(false)
+      org.apache.spark.sql.graftx.ColumnBridge.checkpointRdd(out)
+        .foreach(inter += _)
+      out
+    }
+    def seal(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint(true)
+      inter.foreach(_.unpersist(blocking = false))
+      inter.clear()
+      out
+    }
+  }
+
   /** Iterative minimum-label propagation WITH pointer jumping: every node
     * starts labeled with its own id; each round every node takes the min
     * label in its neighborhood (including itself), then shortcuts through
@@ -50,17 +82,25 @@ object Graph {
     // materialized — never a registry diff, which would sweep RDDs other
     // threads persist concurrently.
     und.count() // materialize the edge cache before the round loop
+    // LAZY lineage cut + fused probe: localCheckpoint(eager = false)
+    // truncates the plan to a LogicalRDD immediately but defers
+    // materialization to the round's convergence probe — ONE action per
+    // round instead of the eager checkpoint's two (materialize job +
+    // probe job). The probe's agg computes over the marked RDD, which
+    // persists its blocks on that first computation; only THEN is the
+    // superseded round released (its blocks are materialized garbage by
+    // that point, never still-needed lineage).
     var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
-    def checkpointTracked(df: DataFrame): DataFrame = {
-      val out = df.localCheckpoint(true)
+    def probeSum(df: DataFrame): (DataFrame, Long) = {
+      val out = df.localCheckpoint(false)
+      val s = out.agg(org.apache.spark.sql.functions.sum("comp")).head().getLong(0)
       val fresh = org.apache.spark.sql.graftx.ColumnBridge.checkpointRdd(out)
       prevCkpt.foreach(_.unpersist(blocking = false))
       prevCkpt = fresh
-      out
+      (out, s)
     }
-    var labels = checkpointTracked(
+    var (labels, sum) = probeSum(
       und.select(col("src").as("id")).distinct().withColumn("comp", col("id")))
-    var sum = labels.agg(org.apache.spark.sql.functions.sum("comp")).head().getLong(0)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
@@ -73,14 +113,13 @@ object Graph {
         .groupBy("id").agg(min("comp").as("comp"))
       // pointer jump: a label is always some node's id, so re-resolving it
       // through `stepped` moves every node to its label's (smaller) label
-      val next = checkpointTracked(stepped.as("a")
+      val (next, nextSum) = probeSum(stepped.as("a")
         .join(
           stepped.select(col("id").as("p_id"), col("comp").as("p_comp")),
           col("a.comp") === col("p_id"), "left")
         .select(
           col("a.id").as("id"),
           least(col("a.comp"), coalesce(col("p_comp"), col("a.comp"))).as("comp")))
-      val nextSum = next.agg(org.apache.spark.sql.functions.sum("comp")).head().getLong(0)
       labels = next
       converged = nextSum == sum
       sum = nextSum
@@ -248,7 +287,11 @@ object Graph {
       .cache()
     ew.count() // materialize invariants BEFORE the per-round checkpoints
     val nDouble = nodes.count().toDouble
-    var ranks = nodes.withColumn("r", lit(1.0) / lit(nDouble)).localCheckpoint(true)
+    // fixed iterations, no convergence probe → lazy cuts, ONE final job
+    // (each round's ranks feed both the contribution join and the
+    // dangling-mass anti-join; the cut makes both read one persisted copy)
+    val cuts = new LazyCuts
+    var ranks = cuts.cut(nodes.withColumn("r", lit(1.0) / lit(nDouble)))
     (1 to iterations).foreach { _ =>
       val contrib = ew.join(ranks, ew("src") === ranks("id"))
         .select(col("dst"), (col("r") * col("w") / col("outw")).as("c"))
@@ -257,20 +300,20 @@ object Graph {
       val dangling = ranks.join(ew.select("src").distinct(),
           ranks("id") === col("src"), "left_anti")
         .agg(coalesce(sum("r"), lit(0.0)).as("dang"))
-      ranks = nodes
+      ranks = cuts.cut(nodes
         .join(contrib, nodes("id") === contrib("dst"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("id"),
           (lit(PrRest) / lit(nDouble) +
             lit(PrDamping) * (coalesce(col("c"), lit(0.0)) + col("dang") / lit(nDouble)))
-            .as("r"))
-        .localCheckpoint(true)
+            .as("r")))
     }
-    // the returned ranks are materialized (localCheckpoint), so the loop
-    // invariants can be released immediately — no JVM-lifetime pins
+    val out = cuts.seal(ranks)
+    // the returned ranks are materialized (seal), so the loop invariants
+    // can be released immediately — no JVM-lifetime pins
     ew.unpersist()
     nodes.unpersist()
-    ranks
+    out
   }
 
   /** X-PAGERANK: rank the nation trade graph. Output carries the rank
@@ -326,31 +369,29 @@ object Graph {
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
     und.count() // materialize the edge cache before the round loop
+    // LAZY lineage cut + fused (count, sum) probe — one action per round
+    // (the connectedComponents discipline: the probe materializes the
+    // lazily-marked checkpoint, then the superseded round is released)
     var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
-    def checkpointTracked(df: DataFrame): DataFrame = {
-      val out = df.localCheckpoint(true)
+    def probeSig(df: DataFrame): (DataFrame, (Long, Long)) = {
+      val out = df.localCheckpoint(false)
+      val r = out.agg(count(lit(1)), coalesce(sum("dist"), lit(0L))).head()
       val fresh = org.apache.spark.sql.graftx.ColumnBridge.checkpointRdd(out)
       prevCkpt.foreach(_.unpersist(blocking = false))
       prevCkpt = fresh
-      out
+      (out, (r.getLong(0), r.getLong(1)))
     }
     val nodes = und.select(col("src").as("id")).distinct()
-    var dist = checkpointTracked(
+    var (dist, state) = probeSig(
       nodes.filter(seed).withColumn("dist", lit(0L)))
-    def sig(d: DataFrame): (Long, Long) = {
-      val r = d.agg(count(lit(1)), coalesce(sum("dist"), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
-    var state = sig(dist)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
       val prop = und.join(dist, und("src") === dist("id"))
         .select(col("dst").as("id"), (col("dist") + 1L).as("dist"))
-      val next = checkpointTracked(
+      val (next, nextState) = probeSig(
         dist.select(col("id").as("id"), col("dist").as("dist")).union(prop)
           .groupBy("id").agg(min("dist").as("dist")))
-      val nextState = sig(next)
       dist = next
       converged = nextState == state
       state = nextState
@@ -421,16 +462,10 @@ object Graph {
       .groupBy("src", "dst").agg(sum("w").as("w"))
       .cache()
     und.count() // materialize the edge cache before the round loop
-    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
-    def checkpointTracked(df: DataFrame): DataFrame = {
-      val out = df.localCheckpoint(true)
-      val fresh = org.apache.spark.sql.graftx.ColumnBridge.checkpointRdd(out)
-      prevCkpt.foreach(_.unpersist(blocking = false))
-      prevCkpt = fresh
-      out
-    }
+    // fixed rounds, no convergence probe → lazy cuts, ONE final job
+    val cuts = new LazyCuts
     val nodes = und.select(col("src").as("id")).distinct()
-    var labels = checkpointTracked(nodes.withColumn("lab", col("id")))
+    var labels = cuts.cut(nodes.withColumn("lab", col("id")))
     (1 to rounds).foreach { _ =>
       val scores = und.join(labels, und("dst") === labels("id"))
         .groupBy(und("src").as("nid"), col("lab"))
@@ -441,12 +476,13 @@ object Graph {
         .filter(col("rn") === 1)
         .select(col("nid").as("id"), col("lab"))
       // isolated nodes (none here, but the operator contract) keep theirs
-      labels = checkpointTracked(
+      labels = cuts.cut(
         nodes.join(argmax, Seq("id"), "left")
           .select(col("id"), coalesce(col("lab"), col("id")).as("lab")))
     }
+    val out = cuts.seal(labels)
     und.unpersist()
-    labels
+    out
   }
 
   /** X-LABELPROP: communities of the nation trade graph — the symmetrized
@@ -545,25 +581,21 @@ object Graph {
     */
   def kcoreOf(und: DataFrame, k: Int = KcoreK, rounds: Int = KcoreRounds): DataFrame = {
     und.count() // materialize the edge cache before the round loop
-    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
-    def checkpointTracked(df: DataFrame): DataFrame = {
-      val out = df.localCheckpoint(true)
-      val fresh = org.apache.spark.sql.graftx.ColumnBridge.checkpointRdd(out)
-      prevCkpt.foreach(_.unpersist(blocking = false))
-      prevCkpt = fresh
-      out
-    }
-    var alive = checkpointTracked(und.select(col("a").as("id")).distinct())
+    // fixed rounds, no convergence probe → lazy cuts, ONE final job
+    // (each round's `alive` is consumed twice by the next round's two
+    // semi-joins; the cut makes both read one persisted copy)
+    val cuts = new LazyCuts
+    var alive = cuts.cut(und.select(col("a").as("id")).distinct())
     (1 to rounds).foreach { _ =>
       val act = und
         .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
         .join(alive.select(col("id").as("b")), Seq("b"), "left_semi")
-      alive = checkpointTracked(
+      alive = cuts.cut(
         act.groupBy("a").agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= k)
           .select(col("a").as("id")))
     }
-    checkpointTracked(und
+    cuts.seal(und
       .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
       .join(alive.select(col("id").as("b")), Seq("b"), "left_semi")
       .groupBy("a").agg(count(lit(1)).as("core_degree")))
@@ -666,47 +698,48 @@ object Graph {
     */
   private[graft] def multiSourceBfs(
       und: DataFrame, rounds: Int = ClosenessRounds): DataFrame = {
-    // two live frames per round (settled dist + last frontier): eager
-    // localCheckpoints, previous round's pair released only after the
-    // new pair is materialized
-    var prevCkpt: Seq[org.apache.spark.rdd.RDD[_]] = Nil
-    def releaseAndTrack(dfs: DataFrame*): Unit = {
-      val fresh =
-        dfs.flatMap(org.apache.spark.sql.graftx.ColumnBridge.checkpointRdd)
-      prevCkpt.foreach(_.unpersist(blocking = false))
-      prevCkpt = fresh
-    }
-    val seed = und.select(col("a")).distinct()
-      .select(col("a").as("src"), col("a").as("id"), lit(0L).as("d"))
-      .localCheckpoint(true)
+    // fixed rounds, no convergence probe → lazy cuts, ONE final job.
+    // Each round keeps two frames alive (settled dist + last frontier),
+    // both cut: dist is consumed by the anti-join AND the union, the
+    // frontier by the next relax — the cuts make every reference read
+    // one persisted copy inside the single sealing job.
+    val cuts = new LazyCuts
+    val seed = cuts.cut(und.select(col("a")).distinct()
+      .select(col("a").as("src"), col("a").as("id"), lit(0L).as("d")))
     var dist = seed
     var frontier = seed
-    releaseAndTrack(seed)
     (1 to rounds).foreach { _ =>
       val relax = frontier.join(und, frontier("id") === und("a"))
         .select(col("src"), col("b").as("id"), (col("d") + 1L).as("d"))
       // min-agg the frontier-sized delta, keep only first discoveries
-      val discovered = relax.groupBy("src", "id").agg(min("d").as("d"))
-        .join(dist, Seq("src", "id"), "left_anti")
-        .localCheckpoint(true)
-      val next = dist.union(discovered).localCheckpoint(true)
-      releaseAndTrack(next, discovered)
+      val discovered = cuts.cut(relax.groupBy("src", "id").agg(min("d").as("d"))
+        .join(dist, Seq("src", "id"), "left_anti"))
+      val next = cuts.cut(dist.union(discovered))
       dist = next
       frontier = discovered
     }
-    // the returned dist must stay cached, but the final round's frontier
-    // checkpoint has no further consumer — release it so only dist pins
-    // storage memory after this returns (rounds == 0 leaves frontier eq
-    // dist, in which case there is nothing extra to drop)
-    if (!(frontier eq dist))
-      org.apache.spark.sql.graftx.ColumnBridge.checkpointRdd(frontier)
-        .foreach(_.unpersist(blocking = false))
-    dist
+    // seal: one job materializes every round, then every intermediate
+    // (including the final frontier, which has no further consumer) is
+    // released — only the returned dist pins storage memory
+    cuts.seal(dist)
   }
 
+  private val bfsCache = new graft.Memo
+
+  /** Memoized settled multi-source BFS distances of the thresholded
+    * trade graph — x_closeness and x_betweenness consume the IDENTICAL
+    * (src, id, d) frame, so the BFS runs once per (session, sfDir) and
+    * both read the materialized result (the [[labelTable]] convention:
+    * a structural intermediate shared across queries, recomputed from
+    * the parquet inputs in every fresh session).
+    */
+  private[graft] def bfsDistTable(spark: SparkSession, sfDir: String): DataFrame =
+    bfsCache.getOrBuild(spark, sfDir) {
+      multiSourceBfs(thresholdedUndirected(spark, sfDir))
+    }
+
   def closeness(spark: SparkSession, sfDir: String): DataFrame = {
-    val und = thresholdedUndirected(spark, sfDir)
-    val dist = multiSourceBfs(und)
+    val dist = bfsDistTable(spark, sfDir)
     val nation = graft.Tables.load(spark, sfDir, "nation")
       .select(col("n_nationkey").as("src"), col("n_name"))
     dist.groupBy("src")
@@ -746,7 +779,7 @@ object Graph {
     */
   def betweenness(spark: SparkSession, sfDir: String): DataFrame = {
     val und = thresholdedUndirected(spark, sfDir)
-    val dist = multiSourceBfs(und)
+    val dist = bfsDistTable(spark, sfDir)
     var sig = dist.filter(col("d") === 0L)
       .select(col("src"), col("id"), lit(1L).as("sigma"))
     var all = sig

@@ -562,6 +562,10 @@ object StreamingOps {
       .parquet(root.resolve("chunks").toString)
     val bandsPath = root.resolve("bands").toString
     val sigsPath = root.resolve("sigs").toString
+    // per-batch shuffle sizing: the candidate-pair distinct shuffles
+    // inside every micro-batch — Drain.run's measured 4 applies (scales
+    // up with batch volume on a real cluster, see its scaladoc)
+    graft.streaming.Drain.withShufflePartitions(spark, 4) {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val ss = batch.sparkSession
@@ -574,6 +578,7 @@ object StreamingOps {
       .option("checkpointLocation", work.resolve("ckpt").toString)
       .start()
     try q.processAllAvailable() finally q.stop()
+    }
     graft.streaming.Drain.deleteRecursively(work.resolve("ckpt"))
     graft.streaming.Drain.cleanupAtExit(work)
     // a delta-delta pair surfaces from both endpoints' batches with the
@@ -972,17 +977,40 @@ object StreamingOps {
     val stream = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(root.resolve("chunks").toString)
+    // per-batch shuffle sizing: every distinct/agg/band join below runs
+    // inside the micro-batch, where the session's core-count partitioning
+    // is pure per-task overhead at batch volume — the Drain-measured 4
+    // (see Drain.run) applies; at production volume the same knob scales
+    // up with batch size. Measured (sf0.1, local[32]): 19.1 s → ~12.3 s
+    // warm for the whole drain together with the stage-frame caching
+    // below; the remaining per-batch cost is the three history appends
+    // (commit-protocol floor) and the near-dup drop chain's three
+    // serial broadcast builds.
+    graft.streaming.Drain.withShufflePartitions(spark, 4) {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ss = batch.sparkSession
         import ss.implicits._
-        val nIn = batch.count()
+        // each stage frame below is consumed by several actions (ledger
+        // counts, the stage-3 banding, the history appends): persist the
+        // batch-sized frames once per batch and release them at batch end,
+        // or every action re-executes the whole quality+hash chain —
+        // measured, the uncached form re-ran it ~12× per micro-batch
+        def tmark(label: String)(f: => Unit): Unit = {
+          val t0 = System.nanoTime()
+          f
+          if (sys.env.contains("GRAFT_PIPE_DEBUG"))
+            println(f"[pipe-debug] $label%-12s ${(System.nanoTime() - t0) / 1e9}%6.3fs")
+        }
+        var nIn = 0L
+        tmark("nIn") { nIn = batch.count() }
 
         // stage 1: row-local quality gate
         val s1 = Pipeline.qualityOf(Pipeline.enrichedOf(batch))
-          .select(col("doc_id"), col("text"))
-        val tri = pipeTriples(s1)
-        val nS1 = tri.count()
+          .select(col("doc_id"), col("text")).persist()
+        val tri = pipeTriples(s1).persist()
+        var nS1 = 0L
+        tmark("nS1") { nS1 = tri.count() }
 
         // stage 2: exact dedup vs lake + earlier batches + same batch.
         // the history side stays un-shuffled: probe it with the
@@ -1002,25 +1030,30 @@ object StreamingOps {
           .join(broadcast(minInBatch), keys)
           .filter(col("in_hist").isNull && col("doc_id") === col("keeper_id"))
           .select(col("doc_id"), col("text"))
-        val nS2 = s2.count()
+          .persist()
+        var nS2 = 0L
+        tmark("nS2") { nS2 = s2.count() }
 
         // stage 3: near-dup vs base index + survivor log + same batch
-        val sigs2 = nearDupBatchSigs(s2)
-        val bands2 = Dedup.bandsOf(sigs2)
+        val sigs2 = nearDupBatchSigs(s2).persist()
+        val bands2 = Dedup.bandsOf(sigs2).persist()
         val histBands = ss.read.parquet(root.resolve("bands").toString)
           .unionByName(ss.read.parquet(bandsLog))
         val histSigs = ss.read.parquet(root.resolve("sigs").toString)
           .unionByName(ss.read.parquet(sigsLog))
+        // no per-side distinct: the union below re-distincts anyway, so
+        // the inner ones were two pure-overhead shuffles per micro-batch
+        // (multi-band collisions only duplicate batch-sized pair rows)
         val candHist = broadcast(bands2.select(col("doc_id"), col("band"), col("bkey")))
           .as("l")
           .join(histBands.as("r"),
             col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey"))
-          .select(col("l.doc_id").as("d"), col("r.doc_id").as("p")).distinct()
+          .select(col("l.doc_id").as("d"), col("r.doc_id").as("p"))
         val candBatch = bands2.as("l")
           .join(bands2.as("r"),
             col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
               col("r.doc_id") < col("l.doc_id"))
-          .select(col("l.doc_id").as("d"), col("r.doc_id").as("p")).distinct()
+          .select(col("l.doc_id").as("d"), col("r.doc_id").as("p"))
         val partnerSigs = histSigs.unionByName(sigs2)
           .select(col("doc_id").as("p"), col("sig").as("sig_p"))
         val dropNear = broadcast(candHist.unionByName(candBatch).distinct())
@@ -1032,23 +1065,26 @@ object StreamingOps {
               .cast("double") / Dedup.NumHashes) >= Dedup.NearDupThreshold)
           .select(col("d").as("doc_id")).distinct()
         val s3 = s2.join(broadcast(dropNear), Seq("doc_id"), "left_anti")
-        val acc = s3.agg(count(lit(1)).as("n"),
-          coalesce(sum("doc_id"), lit(0L)).as("s")).collect().head
+        var acc: org.apache.spark.sql.Row = null
+        tmark("acc") { acc = s3.agg(count(lit(1)).as("n"),
+          coalesce(sum("doc_id"), lit(0L)).as("s")).collect().head }
         val (nS3, sumAcc) = (acc.getLong(0), acc.getLong(1))
 
         // ledger row + history appends (all deterministic per doc:
         // at-least-once retries rewrite identical rows)
-        Seq((batchId, nIn, nIn - nS1, nS1 - nS2, nS2 - nS3, nS3, sumAcc))
+        tmark("metrics") { Seq((batchId, nIn, nIn - nS1, nS1 - nS2, nS2 - nS3, nS3, sumAcc))
           .toDF("chunk", "n_in", "n_quality_drop", "n_exact_drop",
             "n_neardup_drop", "n_accepted", "sum_accepted")
-          .coalesce(1).write.mode("append").parquet(metricsDir)
-        tri.write.mode("append").parquet(triplesLog)
-        bands2.write.mode("append").parquet(bandsLog)
-        sigs2.write.mode("append").parquet(sigsLog)
+          .coalesce(1).write.mode("append").parquet(metricsDir) }
+        tmark("triW") { tri.write.mode("append").parquet(triplesLog) }
+        tmark("bandsW") { bands2.write.mode("append").parquet(bandsLog) }
+        tmark("sigsW") { sigs2.write.mode("append").parquet(sigsLog) }
+        Seq(s1, tri, s2, sigs2, bands2).foreach(_.unpersist(false))
       }
       .option("checkpointLocation", work.resolve("ckpt").toString)
       .start()
     try q.processAllAvailable() finally q.stop()
+    }
     graft.streaming.Drain.deleteRecursively(work.resolve("ckpt"))
     graft.streaming.Drain.cleanupAtExit(work)
     spark.read.parquet(metricsDir).dropDuplicates("chunk").orderBy("chunk")

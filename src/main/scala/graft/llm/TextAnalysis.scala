@@ -354,19 +354,21 @@ object TextAnalysis {
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     }
     val dlen = tf.groupBy("doc_id").agg(sum("tf").as("dlen"))
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // ONE vocabulary-keyed aggregate feeds df, the query terms AND the
+    // corpus token total (they were three separate full-tf aggregates —
+    // same key, one exchange; guide §2.4): df = docs per token,
+    // gtf = total term frequency per token
+    val tok = tf.groupBy("token")
+      .agg(count(lit(1)).as("df"), sum("tf").as("gtf"))
     val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-      .crossJoin(tf.agg(sum("tf").cast("double").as("n_tokens")))
+      .crossJoin(tok.agg(sum("gtf").cast("double").as("n_tokens")))
       .select(col("n_docs"), (col("n_tokens") / col("n_docs")).as("avgdl"))
-    val query = tf.groupBy("token").agg(sum("tf").as("gtf"))
-      .orderBy(desc("gtf"), asc("token")).limit(Bm25QueryTerms)
-      .select("token")
-    // df restricted to the query terms BEFORE the broadcast hint — the
-    // full df table is vocabulary-sized (never driver-collectable at
-    // scale); after the semi-join it is <= Bm25QueryTerms rows
-    val dfq = df.join(query, "token")
-    val scored = tf.join(broadcast(query), "token")
-      .join(broadcast(dfq), "token")
+    // the query terms WITH their df in one ≤ Bm25QueryTerms-row frame
+    // (TakeOrdered on the vocabulary-sized agg, never driver-collected),
+    // so scoring needs ONE broadcast join instead of query + dfq
+    val dfq = tok.orderBy(desc("gtf"), asc("token")).limit(Bm25QueryTerms)
+      .select("token", "df")
+    val scored = tf.join(broadcast(dfq), "token")
       .join(dlen, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("dlen"), col("token"),
@@ -491,18 +493,24 @@ object TextAnalysis {
       .select(col("doc_id"), col("score"))
       .withColumn("lex_rank", row_number().over(wLex).cast("long"))
       .select(col("doc_id"), col("lex_rank"))
-    val docVecs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
-        .as("g"))
-      .select(col("doc_id"),
-        pmod(graft.functions.PolyHash.poly_hash(col("g"), 131),
-          lit(HashFeatDims.toLong)).as("bucket"),
-        (pmod(graft.functions.PolyHash.poly_hash(col("g"), 137), lit(2L)) * 2L - 1L)
-          .as("sign"))
-      .groupBy("doc_id", "bucket").agg(sum("sign").as("v"))
+    // the dense ranker's document-vector table is memoized + cached (the
+    // bm25 tf-table convention: ONE bigram-hash pass per session — at
+    // scale this is the persisted doc-embedding artifact the dense side
+    // serves from, rebuilt only on reindex, never once per query)
+    val docVecs = bmCache.getOrBuild(spark, s"$sfDir#docvecs", cache = true) {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1]))"))
+          .as("g"))
+        .select(col("doc_id"),
+          pmod(graft.functions.PolyHash.poly_hash(col("g"), 131),
+            lit(HashFeatDims.toLong)).as("bucket"),
+          (pmod(graft.functions.PolyHash.poly_hash(col("g"), 137), lit(2L)) * 2L - 1L)
+            .as("sign"))
+        .groupBy("doc_id", "bucket").agg(sum("sign").as("v"))
+    }
     // the dense query: sign of the corpus sum per bucket — a
     // HashFeatDims-row frame, broadcast into the scoring join
     val qv = docVecs.groupBy("bucket")

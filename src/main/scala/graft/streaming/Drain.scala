@@ -40,6 +40,25 @@ object Drain {
   /** Returns [[DrainStats]] summed across the drained micro-batches
     * (most callers ignore it; x_stream_late asserts on it).
     */
+  /** Run `body` with `spark.sql.shuffle.partitions` pinned to `n`,
+    * restoring the prior value after. A micro-batch query snapshots the
+    * session conf at `start()`, so the custom `foreachBatch` drains use
+    * this exactly the way [[run]]'s override works for the file-sink
+    * drains: the Drain-measured 4 absorbs every per-batch shuffle at
+    * fixture volume, and the same knob scales UP with volume on a real
+    * cluster (see the [[run]] scaladoc for the measurement).
+    */
+  def withShufflePartitions[T](spark: org.apache.spark.sql.SparkSession, n: Int)(
+      body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, n.toString)
+    try body finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   def run(stream: DataFrame, outDir: String, ckptDir: String,
           shufflePartitions: Option[Int] = None): DrainStats = {
     val spark = stream.sparkSession
