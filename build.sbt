@@ -37,3 +37,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Scratch-root override (A/B measurement knob): every scratch artifact the
+// engine writes (streaming checkpoints/sinks, staged landing zones, the
+// marker-gated scratch warehouse) resolves under java.io.tmpdir; pointing it
+// at a RAM-backed dir isolates commit-protocol I/O cost from compute when
+// profiling. Unset = JVM default (/tmp).
+javaOptions ++= sys.env.get("GRAFT_JAVA_TMPDIR").map(d => s"-Djava.io.tmpdir=$d").toSeq

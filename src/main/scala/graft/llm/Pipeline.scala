@@ -44,12 +44,19 @@ object Pipeline {
       length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("long").as("n_punct"))
   }
 
+  /** Stage-1 rule as a predicate over [[enrichedOf]] columns — exposed so
+    * a caller can COUNT pass/fail in the same aggregate that counts
+    * arrivals (streamingPipeline's per-batch ledger fuses the two counts
+    * into one job).
+    */
+  private[graft] def qualityPred: org.apache.spark.sql.Column =
+    col("n_tokens") >= 20 && col("n_tokens") <= 2000 &&
+      col("n_stopwords").cast("double") <= col("n_tokens").cast("double") * 0.5 &&
+      col("n_punct").cast("double") <= col("n_chars").cast("double") * 0.1
+
   /** Stage-1 rule: the x_quality_filter predicate. */
   private[graft] def qualityOf(enr: DataFrame): DataFrame =
-    enr.filter(
-      col("n_tokens") >= 20 && col("n_tokens") <= 2000 &&
-        col("n_stopwords").cast("double") <= col("n_tokens").cast("double") * 0.5 &&
-        col("n_punct").cast("double") <= col("n_chars").cast("double") * 0.1)
+    enr.filter(qualityPred)
 
   /** Stage-2 rule: exact-dedup keeper ids keyed on the (64-bit, 31-bit,
     * length) hash triple exactly like Dedup.exact — the Exchange under

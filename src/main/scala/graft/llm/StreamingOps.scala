@@ -964,14 +964,24 @@ object StreamingOps {
     val triplesLog = work.resolve("triples").toString
     val bandsLog = work.resolve("bands").toString
     val sigsLog = work.resolve("sigs").toString
-    val metricsDir = work.resolve("metrics").toString
-    // seed the run-local logs with empty, schema-bearing files
-    spark.read.parquet(root.resolve("triples").toString).limit(0)
-      .coalesce(1).write.parquet(triplesLog)
-    spark.read.parquet(root.resolve("bands").toString).limit(0)
-      .coalesce(1).write.parquet(bandsLog)
-    spark.read.parquet(root.resolve("sigs").toString).limit(0)
-      .coalesce(1).write.parquet(sigsLog)
+    // run-local logs start as EMPTY DIRECTORIES read with the lake's
+    // pinned schema (one footer read per run) — the previous seed step
+    // wrote three empty parquet files, three Spark write jobs per run
+    // that bought nothing the explicit read schema doesn't
+    val triSchema = spark.read.parquet(root.resolve("triples").toString).schema
+    val bandSchema = spark.read.parquet(root.resolve("bands").toString).schema
+    val sigSchema = spark.read.parquet(root.resolve("sigs").toString).schema
+    Seq(triplesLog, bandsLog, sigsLog).foreach(d =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
+    // per-batch funnel ledger, keyed by chunk: every value in a ledger row
+    // is already a driver-side scalar (the stage counts come back through
+    // collected aggregates), so the row never needs a per-batch parquet
+    // sink + end-of-run re-read — 5 write/read jobs dropped per drain.
+    // At-least-once replay stays harmless: a retried batch recomputes the
+    // identical deterministic row and the keyed put overwrites in place
+    // (the sink's dropDuplicates("chunk") equivalent).
+    val ledger = new java.util.concurrent.ConcurrentHashMap[
+      Long, (Long, Long, Long, Long, Long, Long)]()
 
     val docSchema = Tables.documents(spark, sfDir).schema
     val stream = spark.readStream.schema(docSchema)
@@ -990,7 +1000,6 @@ object StreamingOps {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ss = batch.sparkSession
-        import ss.implicits._
         // each stage frame below is consumed by several actions (ledger
         // counts, the stage-3 banding, the history appends): persist the
         // batch-sized frames once per batch and release them at batch end,
@@ -1002,22 +1011,30 @@ object StreamingOps {
           if (sys.env.contains("GRAFT_PIPE_DEBUG"))
             println(f"[pipe-debug] $label%-12s ${(System.nanoTime() - t0) / 1e9}%6.3fs")
         }
+        // arrivals + stage-1 survivors in ONE aggregate job (the quality
+        // rule is a row-local predicate over the enriched projection, so
+        // counting pass/fail costs the same scan the arrival count paid
+        // anyway — two scheduled jobs fused into one)
         var nIn = 0L
-        tmark("nIn") { nIn = batch.count() }
+        var nS1 = 0L
+        tmark("nIn+nS1") {
+          val h = Pipeline.enrichedOf(batch)
+            .agg(count(lit(1)), count(when(Pipeline.qualityPred, 1))).head()
+          nIn = h.getLong(0); nS1 = h.getLong(1)
+        }
 
-        // stage 1: row-local quality gate
+        // stage 1: row-local quality gate (materialized by stage 2's
+        // first consumer — no dedicated count action needed anymore)
         val s1 = Pipeline.qualityOf(Pipeline.enrichedOf(batch))
           .select(col("doc_id"), col("text")).persist()
         val tri = pipeTriples(s1).persist()
-        var nS1 = 0L
-        tmark("nS1") { nS1 = tri.count() }
 
         // stage 2: exact dedup vs lake + earlier batches + same batch.
         // the history side stays un-shuffled: probe it with the
         // broadcast batch key set, then flag batch rows off the (small)
         // hit list
         val histT = ss.read.parquet(root.resolve("triples").toString)
-          .unionByName(ss.read.parquet(triplesLog))
+          .unionByName(ss.read.schema(triSchema).parquet(triplesLog))
         val keys = Seq("eh64", "eh31", "n_chars")
         val hitKeys = histT
           .join(broadcast(tri.select(keys.map(col): _*).distinct()), keys)
@@ -1038,9 +1055,9 @@ object StreamingOps {
         val sigs2 = nearDupBatchSigs(s2).persist()
         val bands2 = Dedup.bandsOf(sigs2).persist()
         val histBands = ss.read.parquet(root.resolve("bands").toString)
-          .unionByName(ss.read.parquet(bandsLog))
+          .unionByName(ss.read.schema(bandSchema).parquet(bandsLog))
         val histSigs = ss.read.parquet(root.resolve("sigs").toString)
-          .unionByName(ss.read.parquet(sigsLog))
+          .unionByName(ss.read.schema(sigSchema).parquet(sigsLog))
         // no per-side distinct: the union below re-distincts anyway, so
         // the inner ones were two pure-overhead shuffles per micro-batch
         // (multi-band collisions only duplicate batch-sized pair rows)
@@ -1072,13 +1089,20 @@ object StreamingOps {
 
         // ledger row + history appends (all deterministic per doc:
         // at-least-once retries rewrite identical rows)
-        tmark("metrics") { Seq((batchId, nIn, nIn - nS1, nS1 - nS2, nS2 - nS3, nS3, sumAcc))
-          .toDF("chunk", "n_in", "n_quality_drop", "n_exact_drop",
-            "n_neardup_drop", "n_accepted", "sum_accepted")
-          .coalesce(1).write.mode("append").parquet(metricsDir) }
-        tmark("triW") { tri.write.mode("append").parquet(triplesLog) }
-        tmark("bandsW") { bands2.write.mode("append").parquet(bandsLog) }
-        tmark("sigsW") { sigs2.write.mode("append").parquet(sigsLog) }
+        ledger.put(batchId, (nIn, nIn - nS1, nS1 - nS2, nS2 - nS3, nS3, sumAcc))
+        // the three appends are INDEPENDENT jobs over already-materialized
+        // cached frames — submit them concurrently (guide §2.6: actions are
+        // only sequential because driver code calls them sequentially) so
+        // the drain pays one commit-protocol wait per batch, not three
+        tmark("appends") {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          Await.result(Future.sequence(Seq(
+            Future(tri.write.mode("append").parquet(triplesLog)),
+            Future(bands2.write.mode("append").parquet(bandsLog)),
+            Future(sigs2.write.mode("append").parquet(sigsLog)))),
+            scala.concurrent.duration.Duration.Inf)
+        }
         Seq(s1, tri, s2, sigs2, bands2).foreach(_.unpersist(false))
       }
       .option("checkpointLocation", work.resolve("ckpt").toString)
@@ -1087,7 +1111,16 @@ object StreamingOps {
     }
     graft.streaming.Drain.deleteRecursively(work.resolve("ckpt"))
     graft.streaming.Drain.cleanupAtExit(work)
-    spark.read.parquet(metricsDir).dropDuplicates("chunk").orderBy("chunk")
+    // the ledger is per-batch metadata (7 longs × #chunks) assembled from
+    // driver-side aggregates — build the result frame directly instead of
+    // the old write-per-batch parquet sink + end-of-run re-read
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    ledger.asScala.toSeq.sortBy(_._1)
+      .map { case (chunk, (a, b, c, d, e, f)) => (chunk, a, b, c, d, e, f) }
+      .toDF("chunk", "n_in", "n_quality_drop", "n_exact_drop",
+        "n_neardup_drop", "n_accepted", "sum_accepted")
+      .orderBy("chunk")
   }
 
   /** The per-type KMV merge transform — separated from
