@@ -14,9 +14,28 @@ object ProfileHot {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled",
+        (!sys.env.contains("GRAFT_NOAQE")).toString) // A/B knob
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // GRAFT_JOBLOG: print one line per Spark job (duration + first stage
+    // name) — where a query's wall clock goes when the suspect is job
+    // scheduling rather than data
+    if (sys.env.contains("GRAFT_JOBLOG")) {
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val site = js.stageInfos.lastOption.map(_.name).getOrElse("?")
+          starts.put(js.jobId, (js.time, site))
+        }
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(starts.remove(je.jobId)).foreach { case (t0, site) =>
+            println(f"[job] ${je.jobId}%5d ${(je.time - t0) / 1e3}%7.3fs  $site")
+          }
+        }
+      })
+    }
     queries.EtlQueries.fbStatTable(spark, sfDir).head(1)
     names.foreach { n =>
       val fn = SparkEntry.queries(n)

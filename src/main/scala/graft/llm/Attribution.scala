@@ -315,7 +315,10 @@ object Attribution {
       .withWatermark("ts", "1 hour")
       .as[(Long, Long, Long, String, Long, java.sql.Timestamp)]
     val attributed = attributeStream(ds).toDF("user_id", "channel", "cents")
-    graft.streaming.Drain.toParquet(attributed, work, shufflePartitions = Some(4))
+    // maxFilesPerTrigger=1: size partitions by the largest staged chunk
+    graft.streaming.Drain.toParquet(attributed, work,
+      shufflePartitions = Some(graft.streaming.Drain.adaptivePartitions(
+        srcDir, perTriggerFiles = Some(1))))
       .groupBy("channel")
       .agg(
         count(lit(1)).as("n_conv"),

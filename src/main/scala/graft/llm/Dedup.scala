@@ -386,21 +386,27 @@ object Dedup {
     * join is dim-sized (sources).
     */
   def marginalCoverage(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Tables.documents(spark, sfDir)
+    // ONE wide exchange (keyed on the 8-byte shingle hash) computes both
+    // answers at once: per hash, the distinct source set (collect_set —
+    // partial+final, so the map side dedups before shuffling) and its min
+    // (the first-owner rule). Exploding the per-hash source set back out
+    // yields exactly the distinct (source, h) pairs, so the per-source
+    // totals and first-owner counts come from one source-keyed rollup —
+    // the previous form paid a (source, h) distinct exchange, a cached
+    // intermediate pinning storage, TWO more aggregates and a
+    // materializing localCheckpoint job (guide §2.4: two operations
+    // keyed the same way share one exchange).
+    val byHash = Tables.documents(spark, sfDir)
       .select(col("source"), explode(shingleHashes(col("text"))).as("h"))
-      .distinct()
-      .cache() // consumed by the first-owner agg AND the per-source totals
-    val firstOwner = sh.groupBy("h").agg(min("source").as("source"))
-      .groupBy("source").agg(count(lit(1)).as("n_new"))
-    val out = sh.groupBy("source").agg(count(lit(1)).as("n_shingles"))
-      .join(firstOwner, Seq("source"), "left")
-      .select(col("source"), col("n_shingles"),
-        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .groupBy("h")
+      .agg(collect_set("source").as("srcs"), min("source").as("first_src"))
+    byHash
+      .select(explode(col("srcs")).as("source"), col("first_src"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("source") === col("first_src"), 1)).as("n_new"))
       .withColumn("new_share_ppm", expr("n_new * 1000000 div n_shingles"))
       .orderBy("source")
-      .localCheckpoint(true) // materialize before releasing the pair cache
-    sh.unpersist()
-    out
   }
 
   // ---- banding design curve (X-LSH-CURVE) ------------------------------

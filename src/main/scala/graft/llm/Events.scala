@@ -180,8 +180,10 @@ object Events {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
       .select(col("w.start").cast("date").as("day"), col("event_type"), col("n"), col("total_value"))
     // drain + read back; srcDir is shared scratch staging — it outlives
-    // this run (the marker gate reuses it)
-    graft.streaming.Drain.toParquet(stream, work, shufflePartitions = Some(4))
+    // this run (the marker gate reuses it). Partition count derived from
+    // the staged batch volume (fixture floor 4 — see Drain.adaptivePartitions)
+    graft.streaming.Drain.toParquet(stream, work,
+      shufflePartitions = Some(graft.streaming.Drain.adaptivePartitions(srcDir)))
       .orderBy("day", "event_type")
   }
 
@@ -346,8 +348,11 @@ object Events {
       }
       .toDF("user_id", "n_events")
       .filter(col("user_id") =!= -1L) // the sentinel's own open "session"
-    // srcDir is the shared scratch staging — it must survive this run
-    graft.streaming.Drain.toParquet(perSession, work, shufflePartitions = Some(4))
+    // srcDir is the shared scratch staging — it must survive this run.
+    // maxFilesPerTrigger=1: size partitions by the largest staged chunk
+    graft.streaming.Drain.toParquet(perSession, work,
+      shufflePartitions = Some(graft.streaming.Drain.adaptivePartitions(
+        srcDir, perTriggerFiles = Some(1))))
       .groupBy("user_id")
       .agg(
         count(lit(1)).as("n_sessions"),
@@ -395,8 +400,11 @@ object Events {
       }
       .toDF("user_id", "n_events")
     // file sink, not memory: per-session rows land in executor-written
-    // parquet; only the final per-user rollup below aggregates them
-    graft.streaming.Drain.toParquet(perSession, work, shufflePartitions = Some(4))
+    // parquet; only the final per-user rollup below aggregates them.
+    // single-batch drain over the raw events file: size by its bytes
+    graft.streaming.Drain.toParquet(perSession, work,
+      shufflePartitions = Some(graft.streaming.Drain.partitionsForBytes(
+        java.nio.file.Files.size(java.nio.file.Paths.get(sfDir, "events.parquet")))))
       .groupBy("user_id")
       .agg(
         count(lit(1)).as("n_sessions"),

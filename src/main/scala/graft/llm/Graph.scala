@@ -780,19 +780,28 @@ object Graph {
   def betweenness(spark: SparkSession, sfDir: String): DataFrame = {
     val und = thresholdedUndirected(spark, sfDir)
     val dist = bfsDistTable(spark, sfDir)
-    var sig = dist.filter(col("d") === 0L)
-      .select(col("src"), col("id"), lit(1L).as("sigma"))
+    // fixed-round σ loop: the same LazyCuts discipline as multiSourceBfs —
+    // without cuts, `all = all.unionAll(next)` plus the re-joined `sig`
+    // unrolled the plan past 2600 Exchange mentions (the committed r15
+    // dump), all optimizer/compile cost. Each round cuts `next` (consumed
+    // by the union AND the next relax) and the growing `all`; `seal` on
+    // the joined (src,id,d,σ) table materializes ONE job, releases every
+    // intermediate round, and its three downstream readers (a, b, st)
+    // read one persisted copy instead of tripling the subtree.
+    val cuts = new LazyCuts
+    var sig = cuts.cut(dist.filter(col("d") === 0L)
+      .select(col("src"), col("id"), lit(1L).as("sigma")))
     var all = sig
     (1 to ClosenessRounds).foreach { i =>
-      val next = sig.join(und, sig("id") === und("a"))
+      val next = cuts.cut(sig.join(und, sig("id") === und("a"))
         .select(col("src"), col("b").as("id"), col("sigma"))
         .join(dist.filter(col("d") === i.toLong).select("src", "id"),
           Seq("src", "id"), "left_semi")
-        .groupBy("src", "id").agg(sum("sigma").as("sigma"))
-      all = all.unionAll(next)
+        .groupBy("src", "id").agg(sum("sigma").as("sigma")))
+      all = cuts.cut(all.unionAll(next))
       sig = next
     }
-    val ds = dist.join(all, Seq("src", "id"))
+    val ds = cuts.seal(dist.join(all, Seq("src", "id")))
     val a = ds.filter(col("d") > 0)
       .select(col("src").as("s"), col("id").as("v"), col("d").as("da"),
         col("sigma").as("sa"))

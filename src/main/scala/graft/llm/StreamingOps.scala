@@ -69,8 +69,10 @@ object StreamingOps {
     val deduped = eventStream(spark, sfDir, srcDir)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
-    // srcDir is shared scratch staging — it outlives this run
-    graft.streaming.Drain.toParquet(deduped, work, shufflePartitions = Some(4))
+    // srcDir is shared scratch staging — it outlives this run. Partition
+    // count derived from the staged batch volume (fixture floor 4)
+    graft.streaming.Drain.toParquet(deduped, work,
+      shufflePartitions = Some(graft.streaming.Drain.adaptivePartitions(srcDir)))
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),
@@ -97,7 +99,8 @@ object StreamingOps {
     val enriched = eventStream(spark, sfDir, srcDir)
       .join(broadcast(dim), "event_type")
       .select(col("event_type"), col("weight"), col("value"))
-    graft.streaming.Drain.toParquet(enriched, work, shufflePartitions = Some(4))
+    graft.streaming.Drain.toParquet(enriched, work,
+      shufflePartitions = Some(graft.streaming.Drain.adaptivePartitions(srcDir)))
       .groupBy("event_type", "weight")
       .agg(
         count(lit(1)).as("n"),
@@ -137,7 +140,8 @@ object StreamingOps {
         col("purchase_ts") >= col("signup_ts") &&
         col("purchase_ts") <= col("signup_ts") + expr(s"interval $AttributionWindow"))
     // srcDir is shared scratch staging — it outlives this run
-    graft.streaming.Drain.toParquet(joined, work, shufflePartitions = Some(4))
+    graft.streaming.Drain.toParquet(joined, work,
+      shufflePartitions = Some(graft.streaming.Drain.adaptivePartitions(srcDir)))
       .groupBy(col("purchase_ts").cast("date").as("day"))
       .agg(
         count(lit(1)).as("n_attributed"),
@@ -227,7 +231,8 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").cast("date").as("day"), col("event_type"), col("n"))
     val (sink, stats) = graft.streaming.Drain.toParquetWithStats(
-      stream, work, shufflePartitions = Some(4))
+      stream, work, shufflePartitions = Some(
+        graft.streaming.Drain.adaptivePartitions(srcDir, perTriggerFiles = Some(1))))
     sink.agg(count(lit(1)).as("n_cells"), sum("n").as("n_events"))
       .select(col("n_cells"), col("n_events"),
         (lit(stats.inputRows) - 1L - col("n_events")).as("n_dropped"))
@@ -313,7 +318,8 @@ object StreamingOps {
       // far past it, and a user-id predicate here would be pushed below
       // the watermark nodes and neutralize them
       .filter(col("purchase_ts") <= timestamp_micros(lit(maxUs)))
-    graft.streaming.Drain.toParquet(joined, work, shufflePartitions = Some(4))
+    graft.streaming.Drain.toParquet(joined, work,
+      shufflePartitions = Some(graft.streaming.Drain.adaptivePartitions(srcDir)))
       .groupBy(col("purchase_ts").cast("date").as("day"))
       .agg(
         count(lit(1)).as("n_rows"),
@@ -369,7 +375,9 @@ object StreamingOps {
         "coalesce(event_id, 0L) AS event_id")
       .as[(String, Long, Long)]
     val flagged = anomalyStream(ds).toDF("event_type", "event_id")
-    val drained = graft.streaming.Drain.toParquet(flagged, work, shufflePartitions = Some(4))
+    val drained = graft.streaming.Drain.toParquet(flagged, work,
+      shufflePartitions = Some(
+        graft.streaming.Drain.adaptivePartitions(srcDir, perTriggerFiles = Some(1))))
     val perType = drained.groupBy("event_type")
       .agg(count(lit(1)).as("n_flagged"), sum("event_id").as("flagged_id_sum"))
     val totals = Tables.events(spark, sfDir)
@@ -458,7 +466,8 @@ object StreamingOps {
       .as[(String, Long)]
     val sketched = kmvStream(ds).toDF("event_type", "k_used", "kth_hash")
     val drained = graft.streaming.Drain.toParquet(sketched, work,
-      shufflePartitions = Some(4))
+      shufflePartitions = Some(
+        graft.streaming.Drain.adaptivePartitions(srcDir, perTriggerFiles = Some(1))))
     recoverKmvFinal(drained)
       .withColumn("est_distinct",
         when(col("k_used") < Events.KmvK, col("k_used").cast("double"))
@@ -560,25 +569,30 @@ object StreamingOps {
     val stream = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(root.resolve("chunks").toString)
-    val bandsPath = root.resolve("bands").toString
-    val sigsPath = root.resolve("sigs").toString
+    // persisted index sides: ONE analyzed + cached instance serves every
+    // micro-batch — the per-batch `ss.read.parquet(...)` form re-listed,
+    // re-analyzed and re-scanned both lake tables on every trigger for
+    // frames that are immutable across the whole drain (guide §6 file
+    // listing / §5 caching). Released when the drain finishes.
+    val idx = spark.read.parquet(root.resolve("bands").toString).cache()
+    val sigTbl = spark.read.parquet(root.resolve("sigs").toString).cache()
     // per-batch shuffle sizing: the candidate-pair distinct shuffles
-    // inside every micro-batch — Drain.run's measured 4 applies (scales
-    // up with batch volume on a real cluster, see its scaladoc)
-    graft.streaming.Drain.withShufflePartitions(spark, 4) {
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val ss = batch.sparkSession
-        // sign + band ONLY the batch (no .cache(): micro-batch frames are
-        // single-consumer here and a per-batch cache entry would leak)
-        nearDupBatchPairs(nearDupBatchSigs(batch),
-          ss.read.parquet(bandsPath), ss.read.parquet(sigsPath))
-          .write.mode("append").parquet(outDir)
-      }
-      .option("checkpointLocation", work.resolve("ckpt").toString)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    }
+    // inside every micro-batch — count derived from the staged chunk
+    // volume (fixture floor 4, scales up with batch bytes)
+    try graft.streaming.Drain.withBatchShuffle(spark,
+      graft.streaming.Drain.adaptivePartitions(
+        root.resolve("chunks"), perTriggerFiles = Some(1))) {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // sign + band ONLY the batch (no .cache(): micro-batch frames are
+          // single-consumer here and a per-batch cache entry would leak)
+          nearDupBatchPairs(nearDupBatchSigs(batch), idx, sigTbl)
+            .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally { idx.unpersist(false); sigTbl.unpersist(false) }
     graft.streaming.Drain.deleteRecursively(work.resolve("ckpt"))
     graft.streaming.Drain.cleanupAtExit(work)
     // a delta-delta pair surfaces from both endpoints' batches with the
@@ -692,18 +706,20 @@ object StreamingOps {
     val stream = spark.readStream.schema(embSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(root.resolve("chunks").toString)
-    val centsPath = root.resolve("cents").toString
+    // frozen centroid model: ONE analyzed + cached instance serves every
+    // micro-batch (the per-batch read re-listed + re-analyzed + re-scanned
+    // an immutable dim per trigger); released when the drain finishes
+    val cents = spark.read.parquet(root.resolve("cents").toString).cache()
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val ss = batch.sparkSession
         // assign ONLY the batch against the frozen model and append the
         // (vec_id, embedding, nrm, cent_id) postings
-        Similarity.assignToModel(batch, ss.read.parquet(centsPath))
+        Similarity.assignToModel(batch, cents)
           .write.mode("append").parquet(outDir)
       }
       .option("checkpointLocation", work.resolve("ckpt").toString)
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally { q.stop(); cents.unpersist(false) }
     graft.streaming.Drain.deleteRecursively(work.resolve("ckpt"))
     graft.streaming.Drain.cleanupAtExit(work)
     val cells = spark.read.parquet(root.resolve("base").toString)
@@ -961,18 +977,27 @@ object StreamingOps {
     val root = pipeStaging(spark, sfDir)
     val work = java.nio.file.Files.createTempDirectory(
       "graft_stream_pipe_" + runs.incrementAndGet() + "_")
-    val triplesLog = work.resolve("triples").toString
-    val bandsLog = work.resolve("bands").toString
-    val sigsLog = work.resolve("sigs").toString
-    // run-local logs start as EMPTY DIRECTORIES read with the lake's
-    // pinned schema (one footer read per run) — the previous seed step
-    // wrote three empty parquet files, three Spark write jobs per run
-    // that bought nothing the explicit read schema doesn't
-    val triSchema = spark.read.parquet(root.resolve("triples").toString).schema
-    val bandSchema = spark.read.parquet(root.resolve("bands").toString).schema
-    val sigSchema = spark.read.parquet(root.resolve("sigs").toString).schema
-    Seq(triplesLog, bandsLog, sigsLog).foreach(d =>
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d)))
+    // lake state: ONE analyzed + cached instance per drain — the old
+    // per-batch `ss.read.parquet(...)` form re-listed, re-analyzed and
+    // re-scanned all three immutable lake tables on every trigger
+    // (guide §6 file listing, §5 caching). Released at drain end.
+    val baseTriples = spark.read.parquet(root.resolve("triples").toString).cache()
+    val baseBands = spark.read.parquet(root.resolve("bands").toString).cache()
+    val baseSigs = spark.read.parquet(root.resolve("sigs").toString).cache()
+    // run-local survivor history: the per-batch tri/bands/sigs frames are
+    // already materialized (persisted) for the batch's own joins — KEEP
+    // them across batches instead of the old parquet-append + re-read
+    // cycle, which paid three commit-protocol writes plus three uncached
+    // log re-scans per micro-batch (guide §6: don't round-trip through
+    // storage what the process already holds). Single-process drain
+    // assumption — exactly the ledger's (below). At-least-once replay
+    // stays harmless precisely as with the appended logs: a retried batch
+    // contributes duplicate history rows, and every history consumer is
+    // duplicate-insensitive (hitKeys and dropNear end in distinct(), the
+    // partner signatures feed a distinct'd pair set).
+    val histTriL = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val histBandsL = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val histSigsL = scala.collection.mutable.ListBuffer.empty[DataFrame]
     // per-batch funnel ledger, keyed by chunk: every value in a ledger row
     // is already a driver-side scalar (the stage counts come back through
     // collected aggregates), so the row never needs a per-batch parquet
@@ -989,40 +1014,25 @@ object StreamingOps {
       .parquet(root.resolve("chunks").toString)
     // per-batch shuffle sizing: every distinct/agg/band join below runs
     // inside the micro-batch, where the session's core-count partitioning
-    // is pure per-task overhead at batch volume — the Drain-measured 4
-    // (see Drain.run) applies; at production volume the same knob scales
-    // up with batch size. Measured (sf0.1, local[32]): 19.1 s → ~12.3 s
-    // warm for the whole drain together with the stage-frame caching
-    // below; the remaining per-batch cost is the three history appends
-    // (commit-protocol floor) and the near-dup drop chain's three
-    // serial broadcast builds.
-    graft.streaming.Drain.withShufflePartitions(spark, 4) {
+    // is pure per-task overhead at batch volume — count derived from the
+    // staged chunk volume (fixture floor 4; scales up with batch bytes,
+    // guide §2.1).
+    try graft.streaming.Drain.withBatchShuffle(spark,
+      graft.streaming.Drain.adaptivePartitions(
+        root.resolve("chunks"), perTriggerFiles = Some(1))) {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val ss = batch.sparkSession
         // each stage frame below is consumed by several actions (ledger
-        // counts, the stage-3 banding, the history appends): persist the
-        // batch-sized frames once per batch and release them at batch end,
-        // or every action re-executes the whole quality+hash chain —
-        // measured, the uncached form re-ran it ~12× per micro-batch
+        // counts, the stage-3 banding, the cross-batch history): persist
+        // the batch-sized frames once per batch, or every action
+        // re-executes the whole quality+hash chain — measured, the
+        // uncached form re-ran it ~12× per micro-batch
         def tmark(label: String)(f: => Unit): Unit = {
           val t0 = System.nanoTime()
           f
           if (sys.env.contains("GRAFT_PIPE_DEBUG"))
             println(f"[pipe-debug] $label%-12s ${(System.nanoTime() - t0) / 1e9}%6.3fs")
         }
-        // arrivals + stage-1 survivors in ONE aggregate job (the quality
-        // rule is a row-local predicate over the enriched projection, so
-        // counting pass/fail costs the same scan the arrival count paid
-        // anyway — two scheduled jobs fused into one)
-        var nIn = 0L
-        var nS1 = 0L
-        tmark("nIn+nS1") {
-          val h = Pipeline.enrichedOf(batch)
-            .agg(count(lit(1)), count(when(Pipeline.qualityPred, 1))).head()
-          nIn = h.getLong(0); nS1 = h.getLong(1)
-        }
-
         // stage 1: row-local quality gate (materialized by stage 2's
         // first consumer — no dedicated count action needed anymore)
         val s1 = Pipeline.qualityOf(Pipeline.enrichedOf(batch))
@@ -1033,31 +1043,31 @@ object StreamingOps {
         // the history side stays un-shuffled: probe it with the
         // broadcast batch key set, then flag batch rows off the (small)
         // hit list
-        val histT = ss.read.parquet(root.resolve("triples").toString)
-          .unionByName(ss.read.schema(triSchema).parquet(triplesLog))
+        val histT = (baseTriples +: histTriL.toSeq).reduce(_ unionByName _)
         val keys = Seq("eh64", "eh31", "n_chars")
+        // no inner distinct on the probe keys: in-batch exact dups are
+        // rare, hitKeys re-distincts after the probe, and the distinct
+        // was a whole extra shuffle inside the broadcast build
         val hitKeys = histT
-          .join(broadcast(tri.select(keys.map(col): _*).distinct()), keys)
+          .join(broadcast(tri.select(keys.map(col): _*)), keys)
           .select(keys.map(col): _*).distinct()
-        val minInBatch = tri.groupBy(keys.map(col): _*)
-          .agg(min("doc_id").as("keeper_id"))
+        // keeper rule via a window over the batch rows (one batch-sized
+        // exchange in the main job) instead of a groupBy + broadcast
+        // join — one fewer serialized broadcast-build wave per batch
         val s2 = s1
           .join(tri.select(col("doc_id") +: keys.map(col): _*), Seq("doc_id"))
           .join(broadcast(hitKeys).withColumn("in_hist", lit(1L)), keys, "left")
-          .join(broadcast(minInBatch), keys)
+          .withColumn("keeper_id", min("doc_id").over(
+            org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)))
           .filter(col("in_hist").isNull && col("doc_id") === col("keeper_id"))
           .select(col("doc_id"), col("text"))
           .persist()
-        var nS2 = 0L
-        tmark("nS2") { nS2 = s2.count() }
 
-        // stage 3: near-dup vs base index + survivor log + same batch
+        // stage 3: near-dup vs base index + survivor history + same batch
         val sigs2 = nearDupBatchSigs(s2).persist()
         val bands2 = Dedup.bandsOf(sigs2).persist()
-        val histBands = ss.read.parquet(root.resolve("bands").toString)
-          .unionByName(ss.read.schema(bandSchema).parquet(bandsLog))
-        val histSigs = ss.read.parquet(root.resolve("sigs").toString)
-          .unionByName(ss.read.schema(sigSchema).parquet(sigsLog))
+        val histBands = (baseBands +: histBandsL.toSeq).reduce(_ unionByName _)
+        val histSigs = (baseSigs +: histSigsL.toSeq).reduce(_ unionByName _)
         // no per-side distinct: the union below re-distincts anyway, so
         // the inner ones were two pure-overhead shuffles per micro-batch
         // (multi-band collisions only duplicate batch-sized pair rows)
@@ -1081,34 +1091,51 @@ object StreamingOps {
             (size(filter(zip_with(col("sig_d"), col("sig_p"), (x, y) => x === y), b => b))
               .cast("double") / Dedup.NumHashes) >= Dedup.NearDupThreshold)
           .select(col("d").as("doc_id")).distinct()
-        val s3 = s2.join(broadcast(dropNear), Seq("doc_id"), "left_anti")
-        var acc: org.apache.spark.sql.Row = null
-        tmark("acc") { acc = s3.agg(count(lit(1)).as("n"),
-          coalesce(sum("doc_id"), lit(0L)).as("s")).collect().head }
-        val (nS3, sumAcc) = (acc.getLong(0), acc.getLong(1))
-
-        // ledger row + history appends (all deterministic per doc:
-        // at-least-once retries rewrite identical rows)
-        ledger.put(batchId, (nIn, nIn - nS1, nS1 - nS2, nS2 - nS3, nS3, sumAcc))
-        // the three appends are INDEPENDENT jobs over already-materialized
-        // cached frames — submit them concurrently (guide §2.6: actions are
-        // only sequential because driver code calls them sequentially) so
-        // the drain pays one commit-protocol wait per batch, not three
-        tmark("appends") {
-          import scala.concurrent.{Await, Future}
-          import scala.concurrent.ExecutionContext.Implicits.global
-          Await.result(Future.sequence(Seq(
-            Future(tri.write.mode("append").parquet(triplesLog)),
-            Future(bands2.write.mode("append").parquet(bandsLog)),
-            Future(sigs2.write.mode("append").parquet(sigsLog)))),
-            scala.concurrent.duration.Duration.Inf)
+        // EVERY ledger aggregate in ONE action (guide §1.2 — fewer job
+        // waves, the per-batch cost here is scheduled jobs, not data):
+        // arrivals + stage-1 pass/fail over the batch scan, survivors
+        // over s2, and the near-dup drop set's own rollup, unioned into
+        // a single 3-row collect. dropNear ⊆ s2 (its ids come from
+        // bands2 ⊆ sigs2 ⊆ s2) and is distinct, so the stage-3 counts
+        // are exact differences — no dropNear broadcast build and no
+        // flag-join job the previous separate-actions form paid.
+        var nIn = 0L; var nS1 = 0L
+        var nS2 = 0L; var nS3 = 0L; var sumAcc = 0L
+        tmark("acc") {
+          val aggIn = Pipeline.enrichedOf(batch)
+            .agg(count(lit(1)).as("a"),
+              count(when(Pipeline.qualityPred, 1)).as("b"))
+            .select(lit(0L).as("k"), col("a"), col("b"))
+          val aggS2 = s2
+            .agg(count(lit(1)).as("a"),
+              coalesce(sum("doc_id"), lit(0L)).as("b"))
+            .select(lit(1L).as("k"), col("a"), col("b"))
+          val aggDrop = dropNear
+            .agg(count(lit(1)).as("a"),
+              coalesce(sum("doc_id"), lit(0L)).as("b"))
+            .select(lit(2L).as("k"), col("a"), col("b"))
+          val rows = aggIn.unionAll(aggS2).unionAll(aggDrop).collect()
+            .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+          nIn = rows(0L)._1; nS1 = rows(0L)._2
+          val (s2n, s2sum) = rows(1L)
+          val (dropN, dropSum) = rows(2L)
+          nS2 = s2n; nS3 = s2n - dropN; sumAcc = s2sum - dropSum
         }
-        Seq(s1, tri, s2, sigs2, bands2).foreach(_.unpersist(false))
+
+        // ledger row + history ingest (all deterministic per doc:
+        // at-least-once retries contribute duplicate-insensitive rows)
+        ledger.put(batchId, (nIn, nIn - nS1, nS1 - nS2, nS2 - nS3, nS3, sumAcc))
+        histTriL += tri; histBandsL += bands2; histSigsL += sigs2
+        // only the single-consumer frames release at batch end; the
+        // history frames stay persisted until the drain finishes
+        Seq(s1, s2).foreach(_.unpersist(false))
       }
       .option("checkpointLocation", work.resolve("ckpt").toString)
       .start()
     try q.processAllAvailable() finally q.stop()
-    }
+    } finally
+      (Seq(baseTriples, baseBands, baseSigs) ++
+        histTriL ++ histBandsL ++ histSigsL).foreach(_.unpersist(false))
     graft.streaming.Drain.deleteRecursively(work.resolve("ckpt"))
     graft.streaming.Drain.cleanupAtExit(work)
     // the ledger is per-batch metadata (7 longs × #chunks) assembled from

@@ -48,6 +48,78 @@ object Drain {
     * fixture volume, and the same knob scales UP with volume on a real
     * cluster (see the [[run]] scaladoc for the measurement).
     */
+  /** ~128 MB of batch input per shuffle/state partition (guide §2.1's
+    * partition-sizing target), floored at the Drain-measured fixture
+    * minimum of 4 (see [[run]]'s scaladoc for that measurement).
+    */
+  val TargetBytesPerPartition: Long = 128L * 1024 * 1024
+
+  /** Scale-adaptive partition count for `batchBytes` of per-micro-batch
+    * input: `max(floor, ceil(batchBytes / 128 MB))`. This is the formula
+    * the [[run]] scaladoc promises ("scales UP with volume on a real
+    * cluster") — at fixture volume (≤11 MB staged zones) it returns the
+    * measured floor of 4, so local bench numbers are unchanged; at
+    * production batch volumes the count grows with the data instead of
+    * serializing every per-batch shuffle through a constant.
+    */
+  def partitionsForBytes(batchBytes: Long, floor: Int = 4): Int =
+    math.max(floor.toLong,
+      (batchBytes + TargetBytesPerPartition - 1) / TargetBytesPerPartition)
+      .toInt
+
+  /** [[partitionsForBytes]] over a staged landing zone: the per-trigger
+    * batch volume is the whole zone for drains that take every staged
+    * file in one micro-batch, or the largest staged file for the
+    * `maxFilesPerTrigger=1` replay sources (`perTriggerFiles = Some(1)`
+    * sizes by the largest `k` files — the worst-case micro-batch).
+    */
+  def adaptivePartitions(srcDir: Path,
+      perTriggerFiles: Option[Int] = None): Int = {
+    val sizes: Seq[Long] =
+      if (!Files.isDirectory(srcDir)) Nil
+      else {
+        import scala.jdk.CollectionConverters._
+        val listing = Files.list(srcDir)
+        try listing.iterator().asScala
+          .filter(Files.isRegularFile(_)).map(Files.size).toSeq
+        finally listing.close()
+      }
+    val batchBytes = perTriggerFiles match {
+      case Some(k) => sizes.sorted(Ordering[Long].reverse).take(k).sum
+      case None => sizes.sum
+    }
+    partitionsForBytes(batchBytes)
+  }
+
+  /** The fixture floor of [[partitionsForBytes]] — a derived count at
+    * this value means the per-trigger batch is ≤ ~512 MB.
+    */
+  val PartitionFloor = 4
+
+  /** [[withShufflePartitions]] plus, when the derived count sits at the
+    * fixture floor (batch ≤ ~512 MB), adaptive query execution disabled
+    * for the drain's per-batch bodies: AQE materializes EVERY exchange of
+    * every per-batch action as its own scheduled job so it can
+    * re-optimize between stages (measured on the curation funnel: ~23
+    * stage-jobs per micro-batch, 20–150 ms each — ~1.3 s/drain of pure
+    * scheduling), and below the floor there is nothing to re-optimize —
+    * no partitions to coalesce below the floor, no skew to split in
+    * single-digit-task stages. At production batch volumes (count above
+    * the floor) AQE stays ON — coalescing and skew handling earn their
+    * per-stage jobs there. Session confs are restored after `body`.
+    */
+  def withBatchShuffle[T](spark: org.apache.spark.sql.SparkSession, n: Int)(
+      body: => T): T = {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val saved = spark.conf.getOption(aqeKey)
+    if (n <= PartitionFloor) spark.conf.set(aqeKey, "false")
+    try withShufflePartitions(spark, n)(body)
+    finally if (n <= PartitionFloor) saved match {
+      case Some(v) => spark.conf.set(aqeKey, v)
+      case None => spark.conf.unset(aqeKey)
+    }
+  }
+
   def withShufflePartitions[T](spark: org.apache.spark.sql.SparkSession, n: Int)(
       body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
