@@ -45,6 +45,33 @@ object Graph {
     }
   }
 
+  /** Run `body` — a dim-graph loop whose frames are ≤|V|² rows BY
+    * CONSTRUCTION at any fact-table scale (V = the aggregated dim
+    * entities, e.g. ≤25 nations; the 100 TB work is the one edge-build
+    * aggregation, whose map side is split-driven and unaffected) — with
+    * the loop execution conf: shuffle partitions pinned at the fixture
+    * floor and AQE off. Each of a loop's per-round exchanges otherwise
+    * costs one adaptively re-planned stage JOB (measured 20–150 ms of
+    * pure scheduling over sub-KB frames) plus a session-wide task flood;
+    * neither can pay off on a frame that is dim-bounded by construction,
+    * at ANY scale — this is a property of the operator, not of the local
+    * fixture. NOT applied to the doc-scale loops (connectedComponents,
+    * shortestPathsOf), whose state grows with the corpus and keeps AQE.
+    * Session confs are restored after `body`; the returned frame's lazy
+    * tail (nation joins, orderBy) executes under session confs as before.
+    */
+  private def withDimLoopConf[T](spark: SparkSession)(body: => T): T = {
+    val pins = Seq(
+      "spark.sql.shuffle.partitions" -> graft.streaming.Drain.PartitionFloor.toString,
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = pins.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pins.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Iterative minimum-label propagation WITH pointer jumping: every node
     * starts labeled with its own id; each round every node takes the min
     * label in its neighborhood (including itself), then shortcuts through
@@ -198,9 +225,14 @@ object Graph {
       .join(deg.select(col("u").as("id_b"), col("d").as("db")), "id_b")
     val fwd = col("da") < col("db") ||
       (col("da") === col("db") && col("id_a") < col("id_b"))
+    // cached: the oriented list is BOTH sides of the wedge self-join —
+    // uncached, the degree-join subtree under it executed twice (at scale
+    // the oriented list is the materialized intermediate every triangle
+    // pipeline persists before the wedge pass)
     val oriented = ea.select(
       when(fwd, col("id_a")).otherwise(col("id_b")).as("s"),
       when(fwd, col("id_b")).otherwise(col("id_a")).as("t"))
+      .cache()
     // x.t < y.t keeps the wedge endpoints in id order — the canonical
     // form the edge frame itself uses, so closure is a direct equi-join
     val wedges = oriented.as("x").join(oriented.as("y"),
@@ -276,7 +308,8 @@ object Graph {
     * many rounds run. Edges and out-weights are computed once and cached
     * — they are loop invariants.
     */
-  def pageRankOf(edges: DataFrame, iterations: Int = PrIterations): DataFrame = {
+  def pageRankOf(edges: DataFrame, iterations: Int = PrIterations): DataFrame =
+      withDimLoopConf(edges.sparkSession) {
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct().cache()
     val outw = edges.groupBy("src").agg(sum("w").cast("double").as("outw"))
@@ -314,7 +347,7 @@ object Graph {
     ew.unpersist()
     nodes.unpersist()
     out
-  }
+  } // withDimLoopConf
 
   /** X-PAGERANK: rank the nation trade graph. Output carries the rank
     * (round 6 — double summation order is the only engine-dependent bit)
@@ -453,7 +486,8 @@ object Graph {
     * localCheckpoint'ed with eager release of the superseded round
     * ([[connectedComponents]]' discipline).
     */
-  def labelPropOf(edges: DataFrame, rounds: Int = LpRounds): DataFrame = {
+  def labelPropOf(edges: DataFrame, rounds: Int = LpRounds): DataFrame =
+      withDimLoopConf(edges.sparkSession) {
     import org.apache.spark.sql.expressions.Window
     val und = edges.filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"), col("w"))
@@ -483,7 +517,7 @@ object Graph {
     val out = cuts.seal(labels)
     und.unpersist()
     out
-  }
+  } // withDimLoopConf
 
   /** X-LABELPROP: communities of the nation trade graph — the symmetrized
     * [[tradeEdges]] weight matrix (fact-sized work is the ONE aggregated
@@ -579,7 +613,8 @@ object Graph {
     * surviving subgraph, eagerly materialized (the input cache may be
     * released by the caller afterwards).
     */
-  def kcoreOf(und: DataFrame, k: Int = KcoreK, rounds: Int = KcoreRounds): DataFrame = {
+  def kcoreOf(und: DataFrame, k: Int = KcoreK, rounds: Int = KcoreRounds): DataFrame =
+      withDimLoopConf(und.sparkSession) {
     und.count() // materialize the edge cache before the round loop
     // fixed rounds, no convergence probe → lazy cuts, ONE final job
     // (each round's `alive` is consumed twice by the next round's two
@@ -599,7 +634,7 @@ object Graph {
       .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
       .join(alive.select(col("id").as("b")), Seq("b"), "left_semi")
       .groupBy("a").agg(count(lit(1)).as("core_degree")))
-  }
+  } // withDimLoopConf
 
   def kcore(spark: SparkSession, sfDir: String): DataFrame = {
     // shared memoized cache — NOT unpersisted here; linkPred reuses it
@@ -697,7 +732,8 @@ object Graph {
     * that law.
     */
   private[graft] def multiSourceBfs(
-      und: DataFrame, rounds: Int = ClosenessRounds): DataFrame = {
+      und: DataFrame, rounds: Int = ClosenessRounds): DataFrame =
+      withDimLoopConf(und.sparkSession) {
     // fixed rounds, no convergence probe → lazy cuts, ONE final job.
     // Each round keeps two frames alive (settled dist + last frontier),
     // both cut: dist is consumed by the anti-join AND the union, the
@@ -722,7 +758,7 @@ object Graph {
     // (including the final frontier, which has no further consumer) is
     // released — only the returned dist pins storage memory
     cuts.seal(dist)
-  }
+  } // withDimLoopConf
 
   private val bfsCache = new graft.Memo
 
@@ -788,20 +824,22 @@ object Graph {
     // the joined (src,id,d,σ) table materializes ONE job, releases every
     // intermediate round, and its three downstream readers (a, b, st)
     // read one persisted copy instead of tripling the subtree.
-    val cuts = new LazyCuts
-    var sig = cuts.cut(dist.filter(col("d") === 0L)
-      .select(col("src"), col("id"), lit(1L).as("sigma")))
-    var all = sig
-    (1 to ClosenessRounds).foreach { i =>
-      val next = cuts.cut(sig.join(und, sig("id") === und("a"))
-        .select(col("src"), col("b").as("id"), col("sigma"))
-        .join(dist.filter(col("d") === i.toLong).select("src", "id"),
-          Seq("src", "id"), "left_semi")
-        .groupBy("src", "id").agg(sum("sigma").as("sigma")))
-      all = cuts.cut(all.unionAll(next))
-      sig = next
+    val ds = withDimLoopConf(spark) {
+      val cuts = new LazyCuts
+      var sig = cuts.cut(dist.filter(col("d") === 0L)
+        .select(col("src"), col("id"), lit(1L).as("sigma")))
+      var all = sig
+      (1 to ClosenessRounds).foreach { i =>
+        val next = cuts.cut(sig.join(und, sig("id") === und("a"))
+          .select(col("src"), col("b").as("id"), col("sigma"))
+          .join(dist.filter(col("d") === i.toLong).select("src", "id"),
+            Seq("src", "id"), "left_semi")
+          .groupBy("src", "id").agg(sum("sigma").as("sigma")))
+        all = cuts.cut(all.unionAll(next))
+        sig = next
+      }
+      cuts.seal(dist.join(all, Seq("src", "id")))
     }
-    val ds = cuts.seal(dist.join(all, Seq("src", "id")))
     val a = ds.filter(col("d") > 0)
       .select(col("src").as("s"), col("id").as("v"), col("d").as("da"),
         col("sigma").as("sa"))
@@ -847,7 +885,8 @@ object Graph {
     * (cached here for its three dim-sized consumers: W, degrees,
     * internal-weight join); everything after is ≤|V|²-row arithmetic.
     */
-  def modularity(spark: SparkSession, sfDir: String): DataFrame = {
+  def modularity(spark: SparkSession, sfDir: String): DataFrame =
+      withDimLoopConf(spark) {
     val e = tradeEdges(spark, sfDir)
     val und = e.filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"), col("w"))
@@ -877,5 +916,5 @@ object Graph {
       .localCheckpoint(true) // materialize before releasing the edge cache
     und.unpersist()
     out
-  }
+  } // withDimLoopConf
 }

@@ -245,7 +245,10 @@ object TextAnalysis {
     * the one-division metrics are bit-deterministic in both engines.
     */
   def evalMetrics(spark: SparkSession, sfDir: String): DataFrame = {
-    val conf = langId(spark, sfDir)
+    // cached: the confusion matrix (classes²-sized) feeds THREE subtrees
+    // below (actual, predicted, tp) — uncached, each re-ran the whole
+    // corpus prediction pass, three scans for a ≤36-row frame
+    val conf = langId(spark, sfDir).cache()
     val actual = conf.groupBy("lang").agg(sum("n").as("n_actual"))
     val predicted = conf.groupBy("predicted")
       .agg(sum("n").as("n_predicted"))
@@ -428,10 +431,15 @@ object TextAnalysis {
     * production ColBERT re-ranks a first-stage retrieval.
     */
   def maxsim(spark: SparkSession, sfDir: String): DataFrame = {
+    // cached: the hashed distinct (doc, token) table feeds THREE subtrees
+    // (query frame, scoring join, per-doc sizes) — uncached, each re-ran
+    // the corpus tokenize + distinct (at scale this is the persisted
+    // token-embedding side table, built once)
     val dh = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .distinct()
       .withColumn("h", graft.functions.PolyHash.poly_hash(col("tok"), 131))
+      .cache()
     val qt = dh.filter(col("doc_id") === 0L)
       .select(col("tok").as("qtok"), col("h").as("hq"))
       .orderBy("qtok").limit(MaxSimQTokens)
@@ -512,11 +520,15 @@ object TextAnalysis {
         .groupBy("doc_id", "bucket").agg(sum("sign").as("v"))
     }
     // the dense query: sign of the corpus sum per bucket — a
-    // HashFeatDims-row frame, broadcast into the scoring join
-    val qv = docVecs.groupBy("bucket")
-      .agg(sum("v").as("s"))
-      .select(col("bucket"),
-        when(col("s") > 0, 1L).when(col("s") < 0, -1L).otherwise(0L).as("qs"))
+    // HashFeatDims-row frame, broadcast into the scoring join. Memoized
+    // like docVecs (it is a pure function of that artifact, re-derived
+    // only on reindex — not once per query)
+    val qv = bmCache.getOrBuild(spark, s"$sfDir#qvec", cache = true) {
+      docVecs.groupBy("bucket")
+        .agg(sum("v").as("s"))
+        .select(col("bucket"),
+          when(col("s") > 0, 1L).when(col("s") < 0, -1L).otherwise(0L).as("qs"))
+    }
     val wDen = Window.orderBy(desc("dense_dot"), asc("doc_id"))
     val den = docVecs.join(broadcast(qv), "bucket")
       .groupBy("doc_id").agg(sum(col("v") * col("qs")).as("dense_dot"))
@@ -838,7 +850,11 @@ object TextAnalysis {
           "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
           .as(Seq("i", "bg")))
       .select(col("doc_id"), col("i"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // cached: the bigram model is read by BOTH the marginal fold (c1)
+    // and the scoring join — uncached, the full-corpus tokenize+explode
+    // under it ran once per consumer (three times in one plan, since c1
+    // nests c2)
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12")).cache()
     val c1 = c2.groupBy("w1").agg(sum("c12").as("c1"))
     bi.filter(col("doc_id") % LmSampleStride === 0)
       .join(c2, Seq("w1", "w2"))

@@ -131,9 +131,19 @@ object ScaleQueries {
         to_date(col("l_shipdate")).as("lo"),
         expr("date_add(CAST(l_shipdate AS DATE), CAST(floor(l_quantity) AS INT) % 14)").as("hi"))
     val rates = graft.etl.RatesSource.rates(spark, sfDir)
+    // week buckets in INTEGER epoch days (guide §1.2 per-task work —
+    // the trunc(…,'WEEK') + interval-stepped date sequence was the
+    // per-row hot path, calendar arithmetic per fact row): epoch day 4
+    // (1970-01-05) was a Monday, so wk(d) = days(d) − pmod(days(d)−4, 7)
+    // is exactly unix_date(trunc(d,'WEEK')) — same bucket equalities,
+    // same sequence length, plain long steps
+    def wk(c: org.apache.spark.sql.Column) = {
+      val e = unix_date(c)
+      e - pmod(e - lit(4), lit(7))
+    }
     val liB = li.withColumn("bucket",
-      explode(expr("sequence(trunc(lo, 'WEEK'), trunc(hi, 'WEEK'), interval 7 days)")))
-    val rB = rates.withColumn("bucket", trunc(col("date"), "week"))
+      explode(sequence(wk(col("lo")), wk(col("hi")), lit(7))))
+    val rB = rates.withColumn("bucket", wk(col("date")))
     liB.join(rB, Seq("bucket"))
       .filter(col("date") >= col("lo") && col("date") <= col("hi"))
       .groupBy(date_format(col("lo"), "yyyy-MM").as("ship_month"))
