@@ -63,7 +63,13 @@ object Graph {
   private def withDimLoopConf[T](spark: SparkSession)(body: => T): T = {
     val pins = Seq(
       "spark.sql.shuffle.partitions" -> graft.streaming.Drain.PartitionFloor.toString,
-      "spark.sql.adaptive.enabled" -> "false")
+      "spark.sql.adaptive.enabled" -> "false",
+      // no auto-broadcast inside the loop: each auto-chosen broadcast of a
+      // round's (tiny) frame is a separately scheduled build job (~0.1 s of
+      // pure scheduling), and a fixed-round loop pays it per round — the
+      // 4-partition shuffle joins pipeline all rounds inside ONE sealed
+      // job instead (explicit broadcast() hints are unaffected)
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
     val saved = pins.map { case (k, _) => k -> spark.conf.getOption(k) }
     pins.foreach { case (k, v) => spark.conf.set(k, v) }
     try body finally saved.foreach {
@@ -621,18 +627,21 @@ object Graph {
     // semi-joins; the cut makes both read one persisted copy)
     val cuts = new LazyCuts
     var alive = cuts.cut(und.select(col("a").as("id")).distinct())
+    // b-side semi-join FIRST, a-side LAST (guide §2.4): the last join
+    // leaves the frame hash-partitioned by `a`, which the degree groupBy
+    // reuses — one exchange per round removed vs the a-then-b order
     (1 to rounds).foreach { _ =>
       val act = und
-        .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
         .join(alive.select(col("id").as("b")), Seq("b"), "left_semi")
+        .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
       alive = cuts.cut(
         act.groupBy("a").agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= k)
           .select(col("a").as("id")))
     }
     cuts.seal(und
-      .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
       .join(alive.select(col("id").as("b")), Seq("b"), "left_semi")
+      .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
       .groupBy("a").agg(count(lit(1)).as("core_degree")))
   } // withDimLoopConf
 

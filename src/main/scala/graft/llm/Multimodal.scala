@@ -378,8 +378,12 @@ object Multimodal {
   def mmPipeline(spark: SparkSession, sfDir: String): DataFrame = {
     val enr = digestsOf(Tables.documents(spark, sfDir)).cache()
     val s1 = enr.join(mmExactKeepOf(enr), Seq("doc_id"), "left_semi").cache()
-    val dropNear = mmNearDropOf(spark, sfDir, s1)
-    val s2 = s1.join(dropNear, Seq("doc_id"), "left_anti").cache()
+    // stage-2 membership IS the memoized survivor set ([[mmDedupSurvivors]]
+    // = s1 minus the near-dup drops, so s1 semi-joined to it ≡ the old
+    // s1 anti dropNear): the pointer-jump components run now happens once
+    // per session, shared with x_mm_text_join, instead of once per query
+    val s2 = s1.join(mmDedupSurvivors(spark, sfDir), Seq("doc_id"), "left_semi")
+      .cache()
     val s3 = s2.select(col("doc_id"),
       expr(s"(n_bytes + ${ResizeStride - 1}) div $ResizeStride").as("n_bytes"))
     def stat(df: DataFrame, label: String): DataFrame =
